@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Dev-only pre-check that mimics the driver's DuckDB-oracle compare:
+run graft.Verify first (writes <out>/<name>/ parquet + oracle_sql.json),
+then this script replays every oracle SQL in DuckDB over the same sf tables
+and diffs values column-sorted / row-sorted. NOT part of the engine.
+
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails, passes = [], []
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output")); continue
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append((name, f"duckdb error: {e}")); continue
+    got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        fails.append((name, f"columns differ: oracle={list(exp.columns)} spark={list(got.columns)}")); continue
+    if len(exp) != len(got):
+        fails.append((name, f"rowcount differ: oracle={len(exp)} spark={len(got)}")); continue
+    if len(exp) == 0:
+        passes.append(name + "(empty)"); continue
+    exp_s = exp.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values().reset_index(drop=True)
+    got_s = got.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values().reset_index(drop=True)
+    if len(exp) == 0 or exp_s.equals(got_s):
+        passes.append(name)
+    else:
+        diff = (exp_s != got_s)
+        i = diff.idxmax()
+        fails.append((name, f"values differ at sorted-row {i} ({diff.sum()} rows):\n  oracle: {exp_s[i][:300]}\n  spark : {got_s[i][:300]}"))
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+for name, msg in fails:
+    print(f"FAIL {name}: {msg}")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,547 @@
+package graft
+
+import graft.functions.{DecodeFns, OddsFns, TextFns, TimeFns}
+import graft.operators._
+import graft.sources.BettingFixture
+import graft.streaming.{EventStreams, WagerBook}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The oracle-checked query inventory (SURVEY.md §2): every SQL-expressible
+  * operator gets a Spark implementation and a DuckDB-equivalent oracle over
+  * the same parquet tables.
+  *
+  * Cross-engine determinism rules used throughout (SURVEY.md §5.1):
+  *  - money math goes through DECIMAL (exact, order-independent) and is cast
+  *    to double only at the end — bit-identical in both engines;
+  *  - integer sums are cast to BIGINT (DuckDB's sum(int) is HUGEINT);
+  *  - no timestamp-typed output columns — epochs (floor semantics both
+  *    sides) or rendered strings instead;
+  *  - hashes are md5/sha256 (identical in both engines), never xxhash64;
+  *  - every ranking has a total-order tie-break.
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String], bench: Boolean = false)
+
+  private def decSum(c: Column, scale: String = "18,2"): Column =
+    sum(c.cast(s"decimal($scale)")).cast("double")
+
+  private val ladderSql = OddsFns.Ladder.mkString("[", ", ", "]")
+
+  // ───────────────────────────── relational parity ──────────────────────────
+
+  private val q1PricingSummary = Q("q1_pricing_summary",
+    (s, dir) => Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS n_rows
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin), bench = true)
+
+  private val f1IsinFilter = Q("f1_isin_filter",
+    (s, dir) => Tables.customer(s, dir)
+      .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal")),
+    Some("""SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')""".stripMargin))
+
+  private val f2EqFilterJson = Q("f2_eq_filter_json",
+    (s, dir) => Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(get_json_object(col("props"), "$.k"), lit("0")).cast("int").as("k"),
+        col("value")),
+    Some("""SELECT event_id, user_id,
+      |  CAST(coalesce(json_extract_string(props, '$.k'), '0') AS INTEGER) AS k, value
+      |FROM events WHERE event_type = 'purchase'""".stripMargin))
+
+  private val j1JoinAgg = Q("j1_join_agg",
+    (s, dir) => Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total")),
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""".stripMargin))
+
+  /** J1's string-typed join key quirk (reference `src/mm_calls.py:94,102`). */
+  private val j1StrkeyJoin = Q("j1_strkey_join",
+    (s, dir) => Tables.orders(s, dir).select(col("o_custkey").cast("string").as("k"), col("o_totalprice"))
+      .join(Tables.customer(s, dir).select(col("c_custkey").cast("string").as("k"), col("c_nationkey")), "k")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total")),
+    Some("""SELECT c_nationkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON CAST(o_custkey AS VARCHAR) = CAST(c_custkey AS VARCHAR)
+      |GROUP BY c_nationkey""".stripMargin))
+
+  private val j2SemiJoin = Q("j2_semi_join",
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin))
+
+  private val jAntiJoin = Q("j_anti_join",
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin))
+
+  private val j3ChainAgg = Q("j3_chain_agg",
+    (s, dir) => Tables.region(s, dir)
+      .join(Tables.nation(s, dir), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue")),
+    Some("""SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders ON c_custkey = o_custkey
+      |GROUP BY r_name, n_name""".stripMargin), bench = true)
+
+  private val a3CollectIds = Q("a3_collect_ids",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(array_join(array_sort(collect_list(col("o_orderkey").cast("string"))), ",")
+        .as("order_ids"), count(lit(1)).as("n")),
+    Some("""SELECT o_custkey,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_ids,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_custkey""".stripMargin))
+
+  /** A4 — keyed last-write-wins over the events stream table (nanos order). */
+  private val a4LastWins = Q("a4_last_wins",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value")),
+    Some("""SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin), bench = true)
+
+  private val a1Counts = Q("a1_counts",
+    (s, dir) => Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_orders"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      countDistinct(col("o_orderpriority")).as("n_priorities")),
+    Some("""SELECT count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers,
+      |  count(DISTINCT o_orderpriority) AS n_priorities FROM orders""".stripMargin))
+
+  private val a5Scalar = Q("a5_scalar",
+    (s, dir) => Tables.customer(s, dir).agg(
+      max(col("c_acctbal")).as("max_bal"), min(col("c_acctbal")).as("min_bal"),
+      count(lit(1)).as("n")),
+    Some("SELECT max(c_acctbal) AS max_bal, min(c_acctbal) AS min_bal, count(*) AS n FROM customer"))
+
+  private val wTopkPerGroup = Q("w_topk_per_group",
+    (s, dir) => Tables.orders(s, dir)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice")),
+    Some("""SELECT o_custkey, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders) WHERE rank <= 3""".stripMargin), bench = true)
+
+  private val sOrderbyLimit = Q("s_orderby_limit",
+    (s, dir) => Tables.lineitem(s, dir)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin))
+
+  // ───────────────────────────── scalar functions ───────────────────────────
+
+  private val cTimeFns = Q("c_time_fns",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        min(TimeFns.epochSeconds(TimeFns.toNewYork(col("o_orderdate")))).as("first_ny_epoch")),
+    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |  count(*) AS n,
+      |  min(epoch_ms(timezone('America/New_York', timezone('UTC', o_orderdate))) // 1000) AS first_ny_epoch
+      |FROM orders GROUP BY 1, 2""".stripMargin))
+
+  /** C3 — epoch-nanoseconds → µs → US/Eastern (reference `src/main.py:126-131`). */
+  private val cNanosEastern = Q("c_nanos_eastern",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      e.select(col("event_id"),
+        TimeFns.nanosToMicros(col("ts")).as("ts_us"),
+        TimeFns.epochSeconds(TimeFns.nanosToEastern(col("ts"))).as("eastern_epoch"),
+        TimeFns.render(TimeFns.nanosToEastern(col("ts"))).as("eastern_str"))
+    },
+    Some("""SELECT event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |  epoch_ms(timezone('US/Eastern', timezone('UTC', make_timestamp(epoch_ns(ts) // 1000)))) // 1000 AS eastern_epoch,
+      |  strftime(timezone('US/Eastern', timezone('UTC', make_timestamp(epoch_ns(ts) // 1000))), '%Y-%m-%d %H:%M:%S') AS eastern_str
+      |FROM events""".stripMargin))
+
+  /** C13 + ladder domain: deterministic pick, sign flip, −100 rule, decimal odds. */
+  private val oddsDomain = Q("odds_domain",
+    (s, dir) => {
+      val raw = OddsFns.ladderAt(pmod(col("l_partkey") * 3 + col("l_suppkey"), lit(291)))
+      val flipped = when(pmod(col("l_orderkey"), lit(2)) === 0, -raw).otherwise(raw)
+      val normalized = OddsFns.normalizeOdds(flipped)
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        raw.cast("int").as("raw_odds"),
+        normalized.cast("int").as("norm_odds"),
+        round(OddsFns.americanToDecimal(normalized), 4).as("decimal_odds"),
+        OddsFns.isValidOdds(normalized.cast("int")).as("in_ladder"))
+    },
+    Some(s"""SELECT l_orderkey, l_linenumber,
+      |  CAST(raw_odds AS INTEGER) AS raw_odds,
+      |  CAST(norm_odds AS INTEGER) AS norm_odds,
+      |  ROUND(CASE WHEN norm_odds > 0 THEN 1.0 + norm_odds / 100.0 ELSE 1.0 + 100.0 / (-norm_odds) END, 4) AS decimal_odds,
+      |  list_contains($ladderSql, CAST(norm_odds AS INTEGER)) AS in_ladder
+      |FROM (
+      |  SELECT *, CASE WHEN l_orderkey % 2 = 0 THEN -raw_odds ELSE raw_odds END AS flipped,
+      |    CASE WHEN (CASE WHEN l_orderkey % 2 = 0 THEN -raw_odds ELSE raw_odds END) = -100 THEN 100
+      |         ELSE (CASE WHEN l_orderkey % 2 = 0 THEN -raw_odds ELSE raw_odds END) END AS norm_odds
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber,
+      |      ($ladderSql)[CAST((l_partkey * 3 + l_suppkey) % 291 AS INTEGER) + 1] AS raw_odds
+      |    FROM lineitem))""".stripMargin))
+
+  // ─────────────────────── flagship flatten + seeding ───────────────────────
+
+  private val flagshipOracle: String = {
+    val fmtRender = "%Y-%m-%d %H:%M:%S"
+    s"""WITH base AS (
+      |  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_orderstatus,
+      |         l.l_linenumber, l.l_partkey, l.l_quantity, l.l_extendedprice, l.l_discount,
+      |         l.l_returnflag, l.l_linestatus, l.l_shipdate, t.k
+      |  FROM orders o
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  CROSS JOIN (VALUES (1), (2), (3)) t(k)
+      |  WHERE (l.l_linenumber % 2 = 0 AND t.k <= 2) OR (l.l_linenumber % 2 = 1)
+      |)
+      |SELECT
+      |  CAST(o_orderkey AS VARCHAR) AS event_id,
+      |  CASE WHEN l_linenumber % 2 = 0
+      |    THEN strftime(timezone('America/New_York', timezone('UTC', o_orderdate)), '$fmtRender')
+      |    ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') END AS event_scheduled_time,
+      |  concat('Order #', CAST(o_orderkey AS VARCHAR)) AS event_name,
+      |  concat('Cust ', CAST(o_custkey AS VARCHAR)) AS competitor1_name,
+      |  concat('C', CAST(o_custkey % 100 AS VARCHAR)) AS competitor1_abbr,
+      |  'home' AS competitor1_side,
+      |  concat('Opp ', CAST(o_orderkey % 97 AS VARCHAR)) AS competitor2_name,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN '' ELSE concat('O', CAST(o_orderkey % 97 AS VARCHAR)) END AS competitor2_abbr,
+      |  'away' AS competitor2_side,
+      |  concat('m', CAST(o_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)) AS market_id,
+      |  concat('Market ', l_returnflag) AS market_name,
+      |  CASE WHEN l_linenumber % 3 = 0 THEN 'moneyline' WHEN l_linenumber % 3 = 1 THEN 'spread' ELSE 'total' END AS market_type,
+      |  CASE WHEN l_linestatus = 'O' THEN 'open' ELSE 'settled' END AS market_status,
+      |  CASE WHEN l_linenumber % 2 = 0 THEN concat('ml', CAST(o_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)) ELSE 'NA' END AS line_id,
+      |  CASE WHEN l_linenumber % 2 = 0 THEN concat('Line ', CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)) ELSE 'NA' END AS line_name,
+      |  CASE WHEN l_linenumber % 2 = 0 THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) ELSE 'NA' END AS line_value,
+      |  CASE WHEN l_linenumber % 2 = 1 THEN 'NA'
+      |       WHEN l_partkey % 7 = 0 THEN 'NA'
+      |       WHEN l_partkey % 2 = 0 THEN 'home' ELSE 'away' END AS line_favourite,
+      |  CASE WHEN l_linenumber % 2 = 0 THEN 'points' ELSE 'NA' END AS line_type,
+      |  concat('s', CAST(o_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR), '-', CAST(k AS VARCHAR)) AS selection_id,
+      |  concat('Sel ', CAST(k AS VARCHAR)) AS selection_name,
+      |  CAST(($ladderSql)[CAST((l_partkey * 7 + l_linenumber * 13 + k * 31) % 291 AS INTEGER) + 1] AS VARCHAR) AS selection_odds,
+      |  CASE WHEN o_orderstatus = 'F' THEN 'finished' WHEN o_orderstatus = 'O' THEN 'open' ELSE 'live' END AS event_status,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS selection_stake,
+      |  CAST(CAST(l_discount * 100 AS DECIMAL(8,2)) AS VARCHAR) AS selection_value,
+      |  strftime(timezone('US/Eastern', timezone('UTC', make_timestamp((epoch_ms(l_shipdate) // 1000) * 1000000))), '$fmtRender') AS market_updated
+      |FROM base""".stripMargin
+  }
+
+  private val xFlagshipFlatten = Q("x_flagship_flatten",
+    (s, dir) => Flatten.flatten25(BettingFixture.sportEvents(s, dir)),
+    Some(flagshipOracle), bench = true)
+
+  private val seedingPipeline = Q("seeding_pipeline",
+    (s, dir) => Seeding.seededEvents(s, dir),
+    Some("""SELECT o.o_orderkey AS event_id, o.o_custkey % 5 AS tournament_id,
+      |  r.r_name AS tournament_name,
+      |  CASE WHEN o.o_orderstatus = 'F' THEN 'finished' WHEN o.o_orderstatus = 'O' THEN 'open' ELSE 'live' END AS event_status,
+      |  m.n_markets, m.n_moneyline
+      |FROM orders o
+      |JOIN region r ON r.r_regionkey = o.o_custkey % 5
+      |JOIN (SELECT l_orderkey, count(*) AS n_markets,
+      |        CAST(sum(CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moneyline
+      |      FROM lineitem GROUP BY l_orderkey) m ON m.l_orderkey = o.o_orderkey
+      |WHERE r.r_name IN ('AMERICA', 'ASIA', 'EUROPE')""".stripMargin), bench = true)
+
+  // ─────────────────────── streaming-semantics (batch form) ─────────────────
+
+  private val wagerBookReplay = Q("wager_book_replay",
+    (s, dir) => WagerBook.batchReplay(WagerBook.commandsFromEvents(Tables.events(s, dir))),
+    Some("""WITH c AS (
+      |  SELECT epoch_ns(ts) AS tsn, event_id,
+      |    concat('w', CAST(user_id % 50 AS VARCHAR)) AS external_id,
+      |    CASE WHEN event_type = 'purchase' THEN 'PLACE' WHEN event_type = 'error' THEN 'CANCEL'
+      |         WHEN event_type = 'signup' AND event_id % 211 = 0 THEN 'CANCEL_ALL' ELSE 'NOOP' END AS op,
+      |    CASE WHEN event_id % 20 = 0 THEN 404 WHEN event_id % 20 = 1 THEN 500 ELSE 200 END AS http,
+      |    concat('srv', CAST(event_id AS VARCHAR)) AS wager_id,
+      |    ROUND(value, 2) AS stake
+      |  FROM events),
+      |eff AS (
+      |  SELECT * FROM c
+      |  WHERE (op = 'PLACE' AND http = 200) OR (op = 'CANCEL' AND http IN (200, 404))),
+      |last_eff AS (
+      |  SELECT *, row_number() OVER (PARTITION BY external_id ORDER BY tsn DESC, event_id DESC) AS rn
+      |  FROM eff),
+      |ca AS (
+      |  SELECT coalesce(max(tsn), -9223372036854775808) AS ca_tsn FROM c
+      |  WHERE op = 'CANCEL_ALL' AND http = 200)
+      |SELECT external_id, wager_id, CAST(stake AS DOUBLE) AS stake
+      |FROM last_eff, ca WHERE rn = 1 AND op = 'PLACE' AND tsn > ca_tsn""".stripMargin),
+    bench = true)
+
+  /** Event-time tumbling window (batch form of the streaming upgrade). */
+  private val tWindowHourly = Q("t_window_hourly",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(
+        TimeFns.epochSeconds(date_trunc("HOUR", TimeFns.nanosToTimestamp(col("ts"))))
+          .as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value"), "14,2").as("sum_value")),
+    Some("""SELECT epoch_ms(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000))) // 1000 AS hour_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin), bench = true)
+
+  /** T4 decode round-trip (+T1/T2 routing): encode deterministic frames,
+    * decode them back; the oracle is the identity projection. */
+  private val decodeRoundtrip = Q("decode_roundtrip",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val updates = li.select(
+        concat(lit("m"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("market_id"),
+        col("l_orderkey").as("event_id"),
+        pmod(col("l_suppkey"), lit(5)).as("tournament_id"),
+        when(col("l_linestatus") === "O", "open").otherwise("settled").as("status"),
+        OddsFns.ladderAt(pmod(col("l_partkey"), lit(291))).cast("int").as("odds"),
+        (unix_timestamp(col("l_shipdate")) * lit(1000000000L)).as("updated_at"),
+        when(pmod(col("l_orderkey"), lit(2)) === 0, "broadcast-main")
+          .otherwise("private-user").as("channel"),
+        concat(lit("tournament_"), pmod(col("l_suppkey"), lit(5))).as("event_name"))
+      val frames = updates.select(DecodeFns.encodeFrame(
+        col("channel"), col("event_name"),
+        struct(col("market_id"), col("event_id"), col("tournament_id"),
+          col("status"), col("odds"), col("updated_at"))).as("raw"))
+      EventStreams.tournamentLeg(EventStreams.decodeFrames(frames), 0L until 5L)
+        .select(col("event_name"),
+          col("update.market_id").as("market_id"), col("update.event_id").as("event_id"),
+          col("update.tournament_id").as("tournament_id"), col("update.status").as("status"),
+          col("update.odds").as("odds"), col("update.updated_at").as("updated_at"))
+    },
+    Some(s"""SELECT concat('tournament_', CAST(l_suppkey % 5 AS VARCHAR)) AS event_name,
+      |  concat('m', CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)) AS market_id,
+      |  l_orderkey AS event_id, l_suppkey % 5 AS tournament_id,
+      |  CASE WHEN l_linestatus = 'O' THEN 'open' ELSE 'settled' END AS status,
+      |  CAST(($ladderSql)[CAST(l_partkey % 291 AS INTEGER) + 1] AS INTEGER) AS odds,
+      |  (epoch_ms(l_shipdate) // 1000) * 1000000000 AS updated_at
+      |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin), bench = true)
+
+  /** F6 — seeded Bernoulli sample. Not SQL-oracle-expressible (engine RNGs
+    * differ); registered for the rows-only check. */
+  private val fSampleBernoulli = Q("f_sample_bernoulli",
+    (s, dir) => Tables.events(s, dir).sample(0.3, 42).select(col("event_id"), col("event_type")),
+    None)
+
+  // ─────────────────────────── LLM-pipeline extensions ──────────────────────
+
+  private val duckToks =
+    """CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+      |       ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
+
+  private def duckShingles(n: Int) =
+    s"""CASE WHEN len(w) >= $n
+      |  THEN list_transform(generate_series(1, len(w) - ${n - 1}),
+      |         i -> ${(0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")})
+      |  ELSE [array_to_string(w, ' ')] END""".stripMargin
+
+  private val dedupExact = Q("dedup_exact",
+    (s, dir) => Dedup.exact(Tables.documents(s, dir)),
+    Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin))
+
+  private val dedupMinhashPairs = Q("dedup_minhash_pairs",
+    (s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), 0.2),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |sh AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM toks),
+      |banded AS (
+      |  SELECT doc_id, b.band,
+      |    list_min(list_transform(sh, s -> md5(concat(CAST(b.band * 2 AS VARCHAR), ':', s)))) ||
+      |    list_min(list_transform(sh, s -> md5(concat(CAST(b.band * 2 + 1 AS VARCHAR), ':', s)))) AS key
+      |  FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |    ROUND(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE) /
+      |      (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh)) - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))), 4) AS jaccard
+      |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.2""".stripMargin),
+    bench = true)
+
+  private val hash16Sql =
+    """(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
+      |(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
+      |(strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 +
+      |(strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)""".stripMargin
+
+  private val dedupSimhash = Q("dedup_simhash",
+    (s, dir) => Dedup.simhash(Tables.documents(s, dir)),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |hs AS (SELECT doc_id, list_transform(w, t -> $hash16Sql) AS h FROM toks)
+      |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 15), b ->
+      |  CASE WHEN list_sum(list_transform(h, x -> ((x >> b) & 1) * 2 - 1)) > 0
+      |       THEN (1 << b) ELSE 0 END)) AS INTEGER) AS simhash
+      |FROM hs""".stripMargin))
+
+  private val dedupEmbedding = Q("dedup_embedding",
+    (s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.2),
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.2""".stripMargin))
+
+  private val textStats = Q("text_stats",
+    (s, dir) => TextAnalysis.docStats(Tables.documents(s, dir)),
+    Some("""WITH toks AS (SELECT *,
+      |  CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+      |       ELSE string_split_regex(trim(lower(text)), '\s+') END AS w FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(text) AS INTEGER) AS n_chars_measured,
+      |  CAST(len(w) AS INTEGER) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
+      |  ROUND(CASE WHEN len(text) = 0 THEN 0.0
+      |    ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END, 4) AS alpha_ratio,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+      |  ROUND(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      |    (1.0 - CASE WHEN len(w) = 0 THEN 0.0
+      |       ELSE least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / len(w), 1.0) END) * 0.3 +
+      |    (CASE WHEN len(text) = 0 THEN 0.0
+      |       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 0.3, 4) AS quality
+      |FROM toks""".stripMargin), bench = true)
+
+  private val textLangid = Q("text_langid",
+    (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
+    Some {
+      val sets = TextFns.LangMarkers.map { case (lang, ms) =>
+        lang -> ms.map(m => s"'$m'").mkString("(", ", ", ")")
+      }
+      val scores = sets.map { case (lang, inList) =>
+        s"len(list_filter(w, t -> t IN $inList)) AS s_$lang"
+      }.mkString(", ")
+      val langs = sets.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, lang AS labeled_lang, $duckToks AS w FROM documents),
+        |scored AS (SELECT doc_id, labeled_lang, $scores FROM toks),
+        |withbest AS (SELECT *, $best AS best FROM scored)
+        |SELECT doc_id, labeled_lang, CASE $caseChain ELSE 'und' END AS predicted_lang
+        |FROM withbest""".stripMargin
+    })
+
+  private val textTopTerms = Q("text_top_terms",
+    (s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), 50),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents)
+      |SELECT token, count(*) AS n FROM (SELECT unnest(w) AS token FROM toks)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin), bench = true)
+
+  private val textFingerprints = Q("text_fingerprints",
+    (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir)),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |sh AS (SELECT doc_id, w, ${duckShingles(5)} AS sh FROM toks)
+      |SELECT doc_id, md5(array_to_string(w, ' ')) AS full_md5,
+      |  list_min(list_transform(sh, s -> md5(s))) AS min_shingle,
+      |  list_max(list_transform(sh, s -> md5(s))) AS max_shingle
+      |FROM sh""".stripMargin))
+
+  private val simBruteTopk = Q("sim_brute_topk",
+    (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 20 = 0),
+      |s AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+      |        ROUND(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) AS cosine
+      |      FROM q CROSS JOIN n WHERE n.vec_id != q.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+      |FROM r WHERE rank <= 10""".stripMargin), bench = true)
+
+  private val simIvfTopk = Q("sim_ivf_topk",
+    (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |reps AS (
+      |  SELECT label AS cell, v AS cv, nrm AS cnrm FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn FROM n)
+      |  WHERE rn = 1),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, cell FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, reps.cell,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY ROUND(list_dot_product(reps.cv, n.v) / (reps.cnrm * n.nrm), 6) DESC, reps.cell) AS crn
+      |    FROM n CROSS JOIN reps)
+      |  WHERE crn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell FROM assigned WHERE vec_id % 20 = 0),
+      |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+      |        ROUND(list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm), 4) AS cosine
+      |      FROM q JOIN assigned a ON a.cell = q.cell WHERE a.vec_id != q.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+      |FROM r WHERE rank <= 10""".stripMargin), bench = true)
+
+  private val multimodalFeatures = Q("multimodal_features",
+    (s, dir) => Multimodal.features(Tables.documents(s, dir)),
+    Some("""SELECT doc_id AS asset_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  sha256(text) AS sha256,
+      |  CAST(doc_id % 320 + 64 AS INTEGER) AS width,
+      |  CAST(doc_id % 240 + 48 AS INTEGER) AS height,
+      |  CAST((doc_id % 320 + 64) * (doc_id % 240 + 48) AS INTEGER) AS n_pixels
+      |FROM documents""".stripMargin))
+
+  // ──────────────────────────────── registry ────────────────────────────────
+
+  val all: Seq[Q] = Seq(
+    q1PricingSummary, f1IsinFilter, f2EqFilterJson,
+    j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg,
+    a1Counts, a3CollectIds, a4LastWins, a5Scalar,
+    wTopkPerGroup, sOrderbyLimit,
+    cTimeFns, cNanosEastern, oddsDomain,
+    xFlagshipFlatten, seedingPipeline,
+    wagerBookReplay, tWindowHourly, decodeRoundtrip, fSampleBernoulli,
+    dedupExact, dedupMinhashPairs, dedupSimhash, dedupEmbedding,
+    textStats, textLangid, textTopTerms, textFingerprints,
+    simBruteTopk, simIvfTopk, multimodalFeatures)
+
+  val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+  val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+}

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis vocabulary for the LLM-data-pipeline extension operators
+  * (SURVEY.md §2.10): tokenization, portable hashing, shingling, language-ID
+  * heuristics, quality scoring, fingerprinting. Everything is built from
+  * codegen'd built-ins (no UDFs) and — deliberately — from primitives that
+  * have *bit-identical* DuckDB equivalents (`md5`, `instr`, `split`), so the
+  * same logic is expressible as an oracle query.
+  */
+object TextFns {
+
+  /** Normalize + whitespace-tokenize. Empty/blank text ⇒ empty array (both
+    * Spark and DuckDB return `[""]` when splitting an empty string — the
+    * guard keeps the two engines, and common sense, in agreement). */
+  def tokens(text: Column): Column = {
+    val t = trim(lower(text))
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Portable 16-bit hash: first 4 hex nibbles of md5, decoded via a hex
+    * lookup string. `instr` and `md5` behave identically in DuckDB, which a
+    * 64-bit `xxhash64` would not. 16 bits is plenty for SimHash banding. */
+  def hash16(s: Column): Column = {
+    val hex = md5(s)
+    def nib(i: Int): Column =
+      instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1
+    nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+  }
+
+  /** Word n-gram shingles over a token array; documents shorter than n
+    * collapse to a single whole-document shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** One MinHash value: lexicographic min of salted md5 over shingles.
+    * md5 hex strings order identically in Spark and DuckDB. */
+  def minhash(shingleCol: Column, salt: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$salt:"), s))))
+
+  /** LSH band key: r=2 minhashes concatenated. Two docs collide on a band
+    * with probability J², and on any of `b` bands with 1−(1−J²)^b. */
+  def minhashBand(shingleCol: Column, band: Int): Column =
+    concat(minhash(shingleCol, 2 * band), minhash(shingleCol, 2 * band + 1))
+
+  /** 16-bit SimHash over a pre-hashed token array (bit-vote majority).
+    * Variable bit shifts are expressed as exact power-of-two arithmetic
+    * (Spark's shiftright only takes literal shifts): for 0 ≤ h < 2¹⁶ and
+    * b ≤ 15, `(h / 2^b)::int % 2` ≡ `(h >> b) & 1` bit-exactly. */
+  def simhash16(hashedTokens: Column): Column =
+    aggregate(sequence(lit(0), lit(15)), lit(0), (acc, b) => {
+      val pow2 = pow(lit(2.0), b).cast("int")
+      val vote = aggregate(hashedTokens, lit(0),
+        (a, h) => a + (pmod((h / pow2).cast("int"), lit(2)) * 2 - 1))
+      acc + when(vote > 0, pow2).otherwise(lit(0))
+    })
+
+  /** Exact Jaccard similarity of two shingle arrays (dedup re-rank stage). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    inter / (size(da) + size(db) - inter)
+  }
+
+  /** Language-ID marker words (tiny per-language stopword sets). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "es" -> Seq("el", "los", "las", "y", "por", "con"))
+
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
+
+  /** Heuristic language ID: argmax of marker hits, priority order en > de >
+    * fr > es, `und` when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.,!?;:]"))
+
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      regexp_count(text, lit("[A-Za-z]")).cast("double") / length(text))
+
+  /** Composite quality score ∈ [0,1]: length, punctuation density, and
+    * alphabetic-character ratio (the classic cheap pre-filters a training
+    * corpus applies before anything expensive). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val punctRatio = when(nTok === 0, lit(0.0))
+      .otherwise(least(punctCount(text).cast("double") / nTok, lit(1.0)))
+    round(lenScore * 0.4 + (lit(1.0) - punctRatio) * 0.3 + alphaRatio(text) * 0.3, 4)
+  }
+
+  /** "BPE-ish" subword-count estimate: letter runs, single digits, and
+    * punctuation marks each count as one token. */
+  def bpeTokenEstimate(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Document fingerprint (winnowing-lite): md5 of the normalized text plus
+    * the min/max salted-md5 over word 5-gram shingles. */
+  def fingerprint(text: Column): Column = {
+    val sh = shingles(tokens(text), 5)
+    struct(
+      md5(concat_ws(" ", tokens(text))).as("full_md5"),
+      array_min(transform(sh, s => md5(s))).as("min_shingle"),
+      array_max(transform(sh, s => md5(s))).as("max_shingle"))
+  }
+}

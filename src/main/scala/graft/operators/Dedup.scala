@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the training-data pipeline extensions
+  * (SURVEY.md §2.10): exact, MinHash-LSH near-dup, SimHash, n-gram Jaccard
+  * re-rank, and embedding-cosine near-dup. All pure DataFrame — no MLlib,
+  * no UDFs, no driver-side loops.
+  *
+  * 100 TB posture: near-dup candidate generation is LSH-banded — the only
+  * shuffles are `groupBy(band_key)` / self-join on band buckets, never an
+  * all-pairs cross join. Band keys are md5-derived, so bucket skew is
+  * bounded; exact Jaccard runs only on the banded candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical survivor (min doc_id) per identical text, with
+    * the md5 fingerprint and copy count. Hash-groupBy, map-side partial. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private def withShingles(documents: DataFrame, n: Int = 3): DataFrame =
+    documents.select(col("doc_id"),
+      TextFns.shingles(TextFns.tokens(col("text")), n).as("sh"))
+
+  /** MinHash-LSH candidate pairs: 4 bands × r=2 salted minhashes. Two docs
+    * become a candidate pair iff they collide on ≥1 band (probability
+    * 1−(1−J²)⁴ for Jaccard J). Self-join is per-band-bucket only. */
+  def minhashCandidates(documents: DataFrame): DataFrame = {
+    val sh = withShingles(documents)
+    val banded = sh.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), TextFns.minhashBand(col("sh"), b).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs re-ranked by exact 3-gram Jaccard (rounded for stable
+    * cross-engine comparison), thresholded. */
+  def nearDupPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = withShingles(documents)
+    minhashCandidates(documents)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(TextFns.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** 16-bit SimHash per document (portable md5-nibble token hashes). */
+  def simhash(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      TextFns.simhash16(transform(TextFns.tokens(col("text")),
+        t => TextFns.hash16(t))).as("simhash"))
+
+  /** Embedding-cosine near-dup candidates, blocked by `label` (the cheap
+    * cluster key): within-block pairs with cosine ≥ threshold. At scale the
+    * blocking key bounds each bucket's pair count; no global cross join. */
+  def embeddingNearDups(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    import graft.functions.SimFns._
+    val e = embeddings.select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("v"))
+    val withNorm = e.withColumn("nrm", l2Norm(col("v")))
+    val a = withNorm.alias("a"); val b = withNorm.alias("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosinePrenormed(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4)
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.SimFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.10).
+  *
+  * Two paths, same contract (query_id, rank, neighbor_id, cosine):
+  *  - [[bruteTopK]]: exact top-k — the correctness baseline. The query set
+  *    is broadcast against the corpus scan, cosine is a codegen'd fold, and
+  *    top-k is a per-query window. At 100 TB the corpus side stays
+  *    partitioned-and-parallel; only |queries|×k rows survive the window.
+  *  - [[ivfTopK]]: IVF-style scale path — the corpus is bucketed into cells
+  *    by nearest centroid, and each query probes only its own cell
+  *    (1/|cells| of the corpus). Centroids here are deterministic
+  *    representatives (min vec_id per label) so results are exactly
+  *    reproducible cross-engine; a production build would k-means them.
+  *
+  * Norms are precomputed once per side; the window's `orderBy` rounds the
+  * cosine and tie-breaks on neighbor id so ranking is deterministic.
+  */
+object Similarity {
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+
+  /** Exact brute-force top-k cosine for queries (vec_id ≡ 0 mod `stride`). */
+  def bruteTopK(embeddings: DataFrame, k: Int, stride: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+    val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-bucketed approximate top-k: assign every vector to its nearest
+    * deterministic centroid, then search only within the query's cell. */
+  def ivfTopK(embeddings: DataFrame, k: Int, stride: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+    // Deterministic centroids: the min-vec_id representative of each label.
+    val reps = corpus
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("vec_id"))))
+      .where(col("rn") === 1)
+      .select(col("label").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // Cell assignment: argmax cosine against the (broadcast) centroid set.
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(round(cosinePrenormed(dot(col("cv"), col("v")), col("cnrm"), col("nrm")), 6).desc,
+        col("cell"))
+    val assigned = corpus.crossJoin(broadcast(reps))
+      .withColumn("crn", row_number().over(assignW))
+      .where(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val queries = assigned.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+    val scored = assigned.join(broadcast(queries), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

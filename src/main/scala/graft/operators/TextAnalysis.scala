@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.10):
+  * per-document statistics, heuristic language ID, token counting, and
+  * corpus-level term frequencies. Single narrow pass per document for the
+  * per-doc operators; the corpus term-frequency op is one explode +
+  * hash-aggregate (map-side partial combine keeps the shuffle at
+  * |vocabulary|, not |tokens|).
+  */
+object TextAnalysis {
+
+  /** Per-document stats: token count, punctuation, alpha ratio, BPE-ish
+    * token estimate, composite quality score. */
+  def docStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_measured"),
+      TextFns.tokenCount(col("text")).as("n_tokens"),
+      TextFns.punctCount(col("text")).as("n_punct"),
+      round(TextFns.alphaRatio(col("text")), 4).as("alpha_ratio"),
+      TextFns.bpeTokenEstimate(col("text")).as("n_bpe_tokens"),
+      TextFns.qualityScore(col("text")).as("quality"))
+
+  /** Heuristic language ID next to the labeled lang (for eyeballing). */
+  def langId(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang").as("labeled_lang"),
+      TextFns.langId(col("text")).as("predicted_lang"))
+
+  /** Document fingerprints (md5 + min/max shingle hash). */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.full_md5").as("full_md5"),
+        col("fp.min_shingle").as("min_shingle"),
+        col("fp.max_shingle").as("max_shingle"))
+
+  /** Corpus term frequency: top-`k` tokens by count (ties broken by token
+    * text, for determinism). */
+  def topTerms(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+}

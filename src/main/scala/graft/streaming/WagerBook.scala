@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The wager book (SURVEY.md §2.8 T5/T6): keyed mutable state over a
+  * command stream — PLACE inserts, CANCEL deletes (HTTP 404 counts as
+  * success, reference `src/mm_calls.py:317-320`), failed cancels keep the
+  * wager (`:321-322`), CANCEL_ALL clears the book (`:297`).
+  *
+  * Scale design: the book is hash-sharded on external_id into `nShards`
+  * state partitions. Keyed commands route to their shard; the global
+  * CANCEL_ALL is fanned out to every shard *before* the groupBy (an
+  * explode, not a driver loop), so clearing is still a per-shard state
+  * update. State per shard is a Map — at 1000 executors each shard holds
+  * |book|/nShards entries, and nShards scales with the cluster.
+  *
+  * [[batchReplay]] is the batch-equivalent fold (used by the DuckDB oracle):
+  * a wager survives iff its key's last effective command is a successful
+  * PLACE newer than the last successful CANCEL_ALL.
+  */
+object WagerBook {
+
+  final case class Command(tsn: Long, eventId: Long, externalId: String, op: String,
+      http: Int, wagerId: String, stake: Double)
+  final case class Wager(externalId: String, wagerId: String, tsn: Long, stake: Double)
+  final case class ShardedCommand(shard: Int, cmd: Command)
+  final case class BookSnapshot(shard: Int, externalId: String, wagerId: String, stake: Double)
+
+  /** Deterministic command derivation from the driver's `events` table —
+    * shared by the batch oracle query and the streaming tests. */
+  def commandsFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("ts").as("tsn"), // epoch-nanos long (Tables reads nanos as long)
+      col("event_id"),
+      concat(lit("w"), pmod(col("user_id"), lit(50))).as("external_id"),
+      when(col("event_type") === "purchase", "PLACE")
+        .when(col("event_type") === "error", "CANCEL")
+        .when(col("event_type") === "signup" && pmod(col("event_id"), lit(211)) === 0,
+          "CANCEL_ALL")
+        .otherwise("NOOP").as("op"),
+      when(pmod(col("event_id"), lit(20)) === 0, 404)
+        .when(pmod(col("event_id"), lit(20)) === 1, 500)
+        .otherwise(200).as("http"),
+      concat(lit("srv"), col("event_id")).as("wager_id"),
+      round(col("value"), 2).as("stake"))
+
+  /** Batch fold of the command log → final book (deterministic). */
+  def batchReplay(commands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val effective = commands.where(
+      (col("op") === "PLACE" && col("http") === 200) ||
+      (col("op") === "CANCEL" && col("http").isin(200, 404)))
+    val lastPerKey = effective
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("external_id"))
+          .orderBy(col("tsn").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+    val lastCancelAll = commands
+      .where(col("op") === "CANCEL_ALL" && col("http") === 200)
+      .agg(coalesce(max(col("tsn")), lit(Long.MinValue)).as("ca_tsn"))
+    lastPerKey.crossJoin(broadcast(lastCancelAll))
+      .where(col("op") === "PLACE" && col("tsn") > col("ca_tsn"))
+      .select(col("external_id"), col("wager_id"),
+        col("stake").cast("double").as("stake"))
+  }
+
+  /** Apply one command to a shard's book (the T5/T6 transition function). */
+  private[streaming] def applyCommand(book: Map[String, Wager], c: Command): Map[String, Wager] =
+    c.op match {
+      case "PLACE" if c.http == 200 =>
+        book + (c.externalId -> Wager(c.externalId, c.wagerId, c.tsn, c.stake))
+      case "CANCEL" if c.http == 200 || c.http == 404 => // 404 ⇒ already gone: still delete
+        book - c.externalId
+      case "CANCEL_ALL" if c.http == 200 => Map.empty
+      case _ => book // failed place/cancel, NOOP: keep state
+    }
+
+  def shardOf(externalId: String, nShards: Int): Int =
+    math.floorMod(externalId.hashCode, nShards)
+
+  /** Streaming book: sharded `flatMapGroupsWithState`, emitting the full
+    * shard snapshot each update (Update mode). */
+  def stream(spark: SparkSession, commands: Dataset[Command], nShards: Int): DataFrame = {
+    import spark.implicits._
+    val sharded: Dataset[ShardedCommand] = commands.flatMap { c =>
+      if (c.op == "CANCEL_ALL") (0 until nShards).map(s => ShardedCommand(s, c))
+      else Seq(ShardedCommand(shardOf(c.externalId, nShards), c))
+    }
+    sharded
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Map[String, Wager], BookSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, cmds: Iterator[ShardedCommand], state: GroupState[Map[String, Wager]]) =>
+          val sorted = cmds.toSeq.sortBy(sc => (sc.cmd.tsn, sc.cmd.eventId))
+          val book0 = state.getOption.getOrElse(Map.empty)
+          val book = sorted.foldLeft(book0)((b, sc) => applyCommand(b, sc.cmd))
+          state.update(book)
+          book.valuesIterator.map(w => BookSnapshot(shard, w.externalId, w.wagerId, w.stake))
+      }
+      .toDF()
+  }
+}
