@@ -67,7 +67,7 @@ object WagerBook {
   }
 
   /** Apply one command to a shard's book (the T5/T6 transition function). */
-  private[streaming] def applyCommand(book: Map[String, Wager], c: Command): Map[String, Wager] =
+  private[graft] def applyCommand(book: Map[String, Wager], c: Command): Map[String, Wager] =
     c.op match {
       case "PLACE" if c.http == 200 =>
         book + (c.externalId -> Wager(c.externalId, c.wagerId, c.tsn, c.stake))

@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.{OddsFns, TextFns, TimeFns}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OddsFnsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ladder shape: 291 values, −10000…−101 ∪ +100…+10000, no −100, sorted") {
+    val l = OddsFns.Ladder
+    assert(l.size == 291)
+    assert(l.min == -10000 && l.max == 10000)
+    assert(!l.contains(-100) && l.contains(100) && l.contains(-101))
+    assert(l == l.sorted)
+    assert(!l.exists(v => v > -100 && v < 100))
+  }
+
+  test("normalizeOdds flips −100 to +100 and nothing else") {
+    val in = Seq(-100, 100, -101, 150, -10000, 10000).toDF("odds")
+    val out = in.select(OddsFns.normalizeOdds($"odds").as("n")).as[Int].collect()
+    assert(out.toSeq == Seq(100, 100, -101, 150, -10000, 10000))
+  }
+
+  test("ladderAt covers every index and always lands in the ladder") {
+    val out = spark.range(291)
+      .select(OddsFns.ladderAt(col("id")).as("v")).as[Int].collect()
+    assert(out.toSet == OddsFns.Ladder.toSet)
+  }
+
+  test("american↔decimal round-trips on ladder values") {
+    val out = OddsFns.Ladder.toDF("odds")
+      .select($"odds", OddsFns.decimalToAmerican(OddsFns.americanToDecimal($"odds")).as("rt"))
+      .as[(Int, Int)].collect()
+    assert(out.forall { case (odds, rt) => rt == odds })
+  }
+
+  test("snapToLadder returns a ladder member, never −100 (property)") {
+    val samples = Seq(-20000, -150, -100, -99, 0, 99, 100, 123, 9999, 20000)
+    val out = samples.toDF("x").select(OddsFns.snapToLadder($"x").as("v")).as[Int].collect()
+    out.foreach(v => assert(OddsFns.Ladder.contains(v) && v != -100))
+    // exact members snap to themselves
+    val members = OddsFns.Ladder.toDF("x")
+      .select($"x", OddsFns.snapToLadder($"x").as("v")).as[(Int, Int)].collect()
+    members.foreach { case (x, v) => assert(v == x || x == -100) }
+  }
+}
+
+class TimeFnsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("epoch-nanos → micros is exact above double precision (C3)") {
+    val ns = 1704213032756367999L // low digits would be lost via double
+    val out = Seq(ns).toDF("ns")
+      .select(TimeFns.nanosToMicros($"ns").as("us")).as[Long].head()
+    assert(out == 1704213032756367L)
+  }
+
+  test("ISO parse + NY conversion renders EST/EDT correctly (C1+C2)") {
+    val out = Seq("2024-01-01T12:00:00Z", "2024-07-01T12:00:00Z").toDF("s")
+      .select(TimeFns.render(TimeFns.toNewYork(TimeFns.parseIso($"s"))).as("r"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("2024-01-01 07:00:00", "2024-07-01 08:00:00")) // EST −5 / EDT −4
+  }
+
+  test("nanos → US/Eastern matches the reference's updated_at path (C3)") {
+    val ns = 1704110400L * 1000000000L // 2024-01-01T12:00:00Z
+    val out = Seq(ns).toDF("ns")
+      .select(TimeFns.render(TimeFns.nanosToEastern($"ns")).as("r")).as[String].head()
+    assert(out == "2024-01-01 07:00:00")
+  }
+}
+
+class TextFnsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens: blank → empty, whitespace runs collapse") {
+    val out = Seq("", "   ", "a  b\tc", "The Fast FOX").toDF("text")
+      .select(size(TextFns.tokens($"text")).as("n")).as[Int].collect()
+    assert(out.toSeq == Seq(0, 0, 3, 3))
+  }
+
+  test("shingles: 3-grams, short docs collapse to whole text") {
+    val out = Seq("a b c d e", "a b").toDF("text")
+      .select(TextFns.shingles(TextFns.tokens($"text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d", "c d e"))
+    assert(out(1) == Seq("a b"))
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c", "x y z")).toDF("t1", "t2")
+    val out = df.select(TextFns.jaccard(
+      TextFns.shingles(TextFns.tokens($"t1"), 3),
+      TextFns.shingles(TextFns.tokens($"t2"), 3)).as("j")).as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == 0.0)
+  }
+
+  test("simhash16: in [0,65536), equal docs equal, stable") {
+    val out = Seq("spark catalyst codegen", "spark catalyst codegen", "completely different words here")
+      .toDF("text")
+      .select(TextFns.simhash16(transform(TextFns.tokens($"text"), t => TextFns.hash16(t))).as("h"))
+      .as[Int].collect()
+    assert(out(0) == out(1))
+    assert(out.forall(h => h >= 0 && h < 65536))
+  }
+
+  test("langId picks the language whose markers dominate") {
+    val out = Seq(
+      "the cat sat on the mat and the dog is here",
+      "der hund und die katze ist ein tier",
+      "le chat et la souris les amis",
+      "el perro y los gatos las casas con",
+      "qwerty zxcvb").toDF("text")
+      .select(TextFns.langId($"text").as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("quality score stays in [0,1]") {
+    val out = Seq("", "short", ("word " * 200) + "!!!").toDF("text")
+      .select(TextFns.qualityScore($"text").as("q")).as[Double].collect()
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+    (3L, "completely unrelated text about spark catalyst optimizer rules and codegen"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4) // 1&4 merge
+    val merged = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(merged.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH surfaces the planted near-dup and exact-dup pairs") {
+    val pairs = Dedup.nearDupPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup (J≈0.77)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never passes re-rank
+  }
+
+  test("near-dup jaccard is monotone: exact dup scores 1.0") {
+    val j = Dedup.nearDupPairs(docs, 0.5).where($"doc_a" === 1 && $"doc_b" === 4)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash of near-dups differs in few bits; unrelated docs differ in many") {
+    val h = Dedup.simhash(docs).orderBy("doc_id").select("simhash").as[Int].collect()
+    def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(h(0) == h(3))                    // exact dup
+    assert(hamming(h(0), h(1)) <= 4)        // near-dup: close
+    assert(hamming(h(0), h(2)) >= 3)        // unrelated: far
+  }
+
+  test("embedding near-dup finds the planted duplicate vector") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.01f, 0.0f), 0), // same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),   // orthogonal
+      (4L, Array(1.0f, 0.0f, 0.0f), 1))   // same as 1 but different block
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDups(e, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 1-3 below threshold; 1-4 blocked apart
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(0.1f, 0.9f), 1),
+    (4L, Array(0.7f, 0.7f), 0)).toDF("vec_id", "embedding", "label")
+
+  test("brute top-k ranks by cosine with id tie-break") {
+    val out = Similarity.bruteTopK(vecs, k = 2, stride = 2) // queries: 0, 2, 4
+      .orderBy("query_id", "rank")
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    val q0 = out.filter(_._1 == 0L).map(_._3).toSeq
+    assert(q0 == Seq(1L, 4L)) // cos(0,1)=.994 > cos(0,4)=.707
+    val q2 = out.filter(_._1 == 2L).map(_._3).toSeq
+    assert(q2 == Seq(3L, 4L))
+  }
+
+  test("ivf top-k searches only the query's cell") {
+    val out = Similarity.ivfTopK(vecs, k = 3, stride = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // query 0's cell (label-0 representative direction) never contains 2
+    assert(!out.contains((0L, 2L)))
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("docStats counts tokens/punct and bounds ratios") {
+    val df = Seq((1L, "Hello, world! This is 1 test."), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.docStats(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_tokens") == 6)
+    assert(r(0).getAs[Int]("n_punct") == 3) // , ! .
+    assert(r(1).getAs[Int]("n_tokens") == 0)
+    assert(r(1).getAs[Double]("quality") == 0.3) // len 0, punct 0, alpha 0 → only (1-0)*0.3
+  }
+
+  test("topTerms orders by count desc then token") {
+    val df = Seq((1L, "b b a a c"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(df, 2).as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 3L), ("b", 2L)))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binary asset round-trip: payload bytes measured, sha stable") {
+    val df = Seq((7L, "hello", "en", "src", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.features(df).collect().head
+    assert(f.getAs[Int]("n_bytes") == 5)
+    assert(f.getAs[String]("sha256") ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+  }
+
+  test("mapPartitions decode stub emits one row per asset with features") {
+    val df = Seq((1L, "abc", "en", "s", 3L), (2L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeFeatures(spark, df).collect().sortBy(_.asset_id)
+    assert(out.length == 2)
+    assert(out(0).meanLuma > 0 && out(1).meanLuma == 0.0)
+  }
+}

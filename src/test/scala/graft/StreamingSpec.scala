@@ -1,0 +1,129 @@
+package graft
+
+import graft.streaming.{EventStreams, WagerBook}
+import graft.streaming.WagerBook.Command
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WagerBookSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // The FIXTURES.md §C2 scenario: 404-cancel must delete, failed cancel must
+  // keep, CANCEL_ALL clears, late PLACE re-inserts.
+  private val scenario = Seq(
+    Command(1L, 1L, "w1", "PLACE", 200, "srv1", 10.0),
+    Command(2L, 2L, "w2", "PLACE", 200, "srv2", 20.0),
+    Command(3L, 3L, "w3", "PLACE", 200, "srv3", 30.0),
+    Command(4L, 4L, "w1", "CANCEL", 404, "", 0.0),   // 404 ⇒ still deleted (T6)
+    Command(5L, 5L, "w2", "CANCEL", 500, "", 0.0),   // failed ⇒ kept
+    Command(6L, 6L, "w4", "PLACE", 500, "srv4", 40.0), // failed place ⇒ not inserted
+    Command(7L, 7L, "", "CANCEL_ALL", 200, "", 0.0), // clears w2, w3
+    Command(8L, 8L, "w5", "PLACE", 200, "srv5", 50.0)) // re-insert after clear
+
+  private val expected = Set(("w5", "srv5", 50.0))
+
+  test("batch replay implements the T5/T6 fold") {
+    val df = scenario.toDF()
+      .withColumnRenamed("eventId", "event_id")
+      .withColumnRenamed("externalId", "external_id")
+      .withColumnRenamed("wagerId", "wager_id")
+    val out = WagerBook.batchReplay(df)
+      .as[(String, String, Double)].collect().toSet
+    assert(out == expected)
+  }
+
+  test("sequential fold (applyCommand) matches batch replay") {
+    val book = scenario.foldLeft(Map.empty[String, WagerBook.Wager])(WagerBook.applyCommand)
+    assert(book.values.map(w => (w.externalId, w.wagerId, w.stake)).toSet == expected)
+  }
+
+  test("streaming sharded flatMapGroupsWithState converges to the same book") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Command]
+    val query = WagerBook.stream(spark, input.toDS(), nShards = 3)
+      .writeStream.format("memory").queryName("book").outputMode("update").start()
+    try {
+      // Feed in two micro-batches to exercise cross-batch state.
+      input.addData(scenario.take(5): _*)
+      query.processAllAvailable()
+      input.addData(scenario.drop(5): _*)
+      query.processAllAvailable()
+      // Final book = latest snapshot per shard (last batch's emissions for
+      // updated shards, plus state carried in earlier snapshots).
+      val book = scenario.foldLeft(Map.empty[String, WagerBook.Wager])(WagerBook.applyCommand)
+      val streamed = spark.table("book")
+        .select("externalId", "wagerId", "stake")
+        .as[(String, String, Double)].collect().toSet
+      // The memory sink accumulates update-mode snapshots; the final state
+      // must be present among them.
+      assert(expected.subsetOf(streamed))
+      assert(book.values.map(w => (w.externalId, w.wagerId, w.stake)).toSet == expected)
+    } finally query.stop()
+  }
+
+  test("streaming equals batch replay on the events-derived command log") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val cmds = WagerBook.commandsFromEvents(events)
+      .select($"tsn", $"event_id".as("eventId"), $"external_id".as("externalId"),
+        $"op", $"http", $"wager_id".as("wagerId"), $"stake")
+      .as[Command].collect().sortBy(c => (c.tsn, c.eventId))
+    val foldBook = cmds.foldLeft(Map.empty[String, WagerBook.Wager])(WagerBook.applyCommand)
+    val batch = WagerBook.batchReplay(WagerBook.commandsFromEvents(events))
+      .as[(String, String, Double)].collect().toSet
+    assert(foldBook.values.map(w => (w.externalId, w.wagerId, w.stake)).toSet == batch)
+  }
+}
+
+class EventStreamsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val updates = Seq(
+    ("m1", 1L, 0L, "open", 150, 1704110400L * 1000000000L),
+    ("m2", 2L, 1L, "open", -110, 1704110400L * 1000000000L + 1800L * 1000000000L),
+    ("m3", 3L, 0L, "closed", 200, 1704114000L * 1000000000L))
+    .toDF("market_id", "event_id", "tournament_id", "status", "odds", "updated_at")
+
+  test("T4 decode round-trips the encode (batch)") {
+    val frames = EventStreams.encodeFixtureFrames(updates,
+      lit("broadcast-x"), concat(lit("tournament_"), col("tournament_id")))
+    val decoded = EventStreams.decodeFrames(frames)
+    val out = decoded.select("update.market_id", "update.odds")
+      .as[(String, Int)].collect().toSet
+    assert(out == Set(("m1", 150), ("m2", -110), ("m3", 200)))
+  }
+
+  test("T1/T2 routing filters by channel substring and topic list") {
+    val frames = EventStreams.encodeFixtureFrames(updates,
+      when(col("event_id") === 1, "private-u").otherwise("broadcast-main"),
+      concat(lit("tournament_"), col("tournament_id")))
+    val decoded = EventStreams.decodeFrames(frames)
+    assert(EventStreams.privateLeg(decoded).count() == 1)
+    assert(EventStreams.tournamentLeg(decoded, Seq(0L)).count() == 1) // m3 only (m1 is private)
+    assert(EventStreams.tournamentLeg(decoded, Seq(0L, 1L)).count() == 2)
+  }
+
+  test("event-time tumbling window aggregates by hour (streaming via MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, String, Int, Long)]
+    val decodedLike = input.toDS()
+      .toDF("market_id", "event_id", "tournament_id", "status", "odds", "updated_at")
+      .select(struct(col("market_id"), col("event_id"), col("tournament_id"),
+        col("status"), col("odds"), col("updated_at")).as("update"))
+    val windowed = EventStreams.windowedOddsStats(decodedLike, "1 hour", Some("10 minutes"))
+    val q = windowed.writeStream.format("memory").queryName("winagg")
+      .outputMode("update").start()
+    try {
+      input.addData(("m1", 1L, 0L, "open", 150, 1704110400L * 1000000000L),
+        ("m2", 2L, 0L, "open", -110, 1704110400L * 1000000000L + 1800L * 1000000000L),
+        ("m3", 3L, 0L, "closed", 200, 1704114000L * 1000000000L))
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .select("window_start", "n_updates").as[(Long, Long)].collect().toSet
+      assert(rows.contains((1704110400L, 2L))) // two updates in hour 1
+      assert(rows.contains((1704114000L, 1L))) // one in hour 2
+    } finally q.stop()
+  }
+}
