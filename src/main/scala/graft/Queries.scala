@@ -276,6 +276,22 @@ object Queries {
     (s, dir) => Flatten.flatten25(BettingFixture.sportEvents(s, dir)),
     Some(flagshipOracle), bench = true)
 
+  /** X3 — branch union with differing column order, resolved by name. */
+  private val x3BranchUnion = Q("x3_branch_union",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val urgent = o.where(col("o_orderpriority").startsWith("1"))
+        .select(col("o_orderkey"), lit("urgent").as("bucket"), col("o_totalprice"))
+      val other = o.where(!col("o_orderpriority").startsWith("1"))
+        .select(col("o_totalprice"), col("o_orderkey"), lit("other").as("bucket"))
+      urgent.unionByName(other)
+    },
+    Some("""SELECT o_orderkey, 'urgent' AS bucket, o_totalprice FROM orders
+      |WHERE o_orderpriority LIKE '1%'
+      |UNION ALL
+      |SELECT o_orderkey, 'other' AS bucket, o_totalprice FROM orders
+      |WHERE o_orderpriority NOT LIKE '1%'""".stripMargin))
+
   private val seedingPipeline = Q("seeding_pipeline",
     (s, dir) => Seeding.seededEvents(s, dir),
     Some("""SELECT o.o_orderkey AS event_id, o.o_custkey % 5 AS tournament_id,
@@ -534,7 +550,7 @@ object Queries {
     a1Counts, a3CollectIds, a4LastWins, a5Scalar,
     wTopkPerGroup, sOrderbyLimit,
     cTimeFns, cNanosEastern, oddsDomain,
-    xFlagshipFlatten, seedingPipeline,
+    xFlagshipFlatten, x3BranchUnion, seedingPipeline,
     wagerBookReplay, tWindowHourly, decodeRoundtrip, fSampleBernoulli,
     dedupExact, dedupMinhashPairs, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textFingerprints,

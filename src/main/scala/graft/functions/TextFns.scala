@@ -80,9 +80,13 @@ object TextFns {
     size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
 
   /** Heuristic language ID: argmax of marker hits, priority order en > de >
-    * fr > es, `und` when nothing matches. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+    * fr > es, `und` when nothing matches. Prefer [[langIdFromTokens]] over a
+    * staged token column in pipelines — this convenience form re-tokenizes
+    * per marker-set reference. */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over a (preferably materialized) token array column. */
+  def langIdFromTokens(toks: Column): Column = {
     val scores = LangMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, s), els) =>

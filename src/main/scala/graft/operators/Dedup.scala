@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
+import graft.plans.Stage
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -23,20 +24,27 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  private def withShingles(documents: DataFrame, n: Int = 3): DataFrame =
-    documents.select(col("doc_id"),
-      TextFns.shingles(TextFns.tokens(col("text")), n).as("sh"))
+  /** Shingle table, staged twice ([[graft.plans.Stage]]): tokens materialize
+    * before the shingle lambda (else `element_at(tokens(text), i)` re-runs
+    * the regex tokenizer per shingle element), and shingles materialize
+    * before the 8 minhash transforms. */
+  private def withShingles(documents: DataFrame, n: Int = 3): DataFrame = {
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text"))).select(col("doc_id"), col("w"))
+    Stage(toks, "sh", TextFns.shingles(col("w"), n)).select(col("doc_id"), col("sh"))
+  }
 
   /** MinHash-LSH candidate pairs: 4 bands × r=2 salted minhashes. Two docs
     * become a candidate pair iff they collide on ≥1 band (probability
     * 1−(1−J²)⁴ for Jaccard J). Self-join is per-band-bucket only. */
   def minhashCandidates(documents: DataFrame): DataFrame = {
     val sh = withShingles(documents)
-    val banded = sh.select(col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), TextFns.minhashBand(col("sh"), b).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // All 8 minhashes in ONE projection over the materialized shingles,
+    // then a cheap posexplode of the 4 precomputed keys.
+    val sigs = sh.select(col("doc_id"),
+      array((0 until 4).map(b => TextFns.minhashBand(col("sh"), b)): _*).as("keys"))
+    val banded = sigs.select(col("doc_id"), posexplode(col("keys")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -57,11 +65,14 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** 16-bit SimHash per document (portable md5-nibble token hashes). */
+  /** 16-bit SimHash per document (portable md5-nibble token hashes). The
+    * hashed-token array is staged first — `simhash16`'s outer lambda
+    * captures it, and an un-staged expression would md5 every token once
+    * per bit (16×). */
   def simhash(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
-      TextFns.simhash16(transform(TextFns.tokens(col("text")),
-        t => TextFns.hash16(t))).as("simhash"))
+    Stage(documents.select(col("doc_id"), col("text")), "hs",
+      transform(TextFns.tokens(col("text")), t => TextFns.hash16(t)))
+      .select(col("doc_id"), TextFns.simhash16(col("hs")).as("simhash"))
 
   /** Embedding-cosine near-dup candidates, blocked by `label` (the cheap
     * cluster key): within-block pairs with cosine ≥ threshold. At scale the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
+import graft.plans.Stage
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -25,17 +26,26 @@ object TextAnalysis {
       TextFns.bpeTokenEstimate(col("text")).as("n_bpe_tokens"),
       TextFns.qualityScore(col("text")).as("quality"))
 
-  /** Heuristic language ID next to the labeled lang (for eyeballing). */
+  /** Heuristic language ID next to the labeled lang. Tokens are staged —
+    * the marker-hit scores reference them ~12× per document. */
   def langId(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), col("lang").as("labeled_lang"),
-      TextFns.langId(col("text")).as("predicted_lang"))
+    Stage(documents.select(col("doc_id"), col("lang"), col("text")),
+      "w", TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextFns.langIdFromTokens(col("w")).as("predicted_lang"))
 
-  /** Document fingerprints (md5 + min/max shingle hash). */
-  def fingerprints(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
-      .select(col("doc_id"), col("fp.full_md5").as("full_md5"),
-        col("fp.min_shingle").as("min_shingle"),
-        col("fp.max_shingle").as("max_shingle"))
+  /** Document fingerprints (md5 + min/max shingle hash); tokens and
+    * shingles staged once each ([[graft.plans.Stage]]). */
+  def fingerprints(documents: DataFrame): DataFrame = {
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    val sh = Stage(toks.select(col("doc_id"), col("w")),
+      "sh", TextFns.shingles(col("w"), 5))
+    sh.select(col("doc_id"),
+      md5(concat_ws(" ", col("w"))).as("full_md5"),
+      array_min(transform(col("sh"), s => md5(s))).as("min_shingle"),
+      array_max(transform(col("sh"), s => md5(s))).as("max_shingle"))
+  }
 
   /** Corpus term frequency: top-`k` tokens by count (ties broken by token
     * text, for determinism). */

@@ -29,12 +29,28 @@ object EventStreams {
     StructField("odds", IntegerType),
     StructField("updated_at", LongType))) // epoch nanos
 
-  /** T4 — decode raw frames (column `raw` holds the JSON envelope). */
-  def decodeFrames(frames: DataFrame): DataFrame =
-    frames.select(
-      DecodeFns.jsonGet(col("raw"), "channel").as("channel"),
-      DecodeFns.jsonGet(col("raw"), "event_name").as("event_name"),
-      DecodeFns.decodeFrame(col("raw"), MarketUpdateSchema).as("update"))
+  /** Envelope schema of a raw frame (channel + routing + base64 payload). */
+  val FrameEnvelopeSchema: StructType = StructType(Seq(
+    StructField("channel", StringType),
+    StructField("event_name", StringType),
+    StructField("payload", StringType)))
+
+  /** T4 — decode raw frames (column `raw` holds the JSON envelope). Both
+    * `from_json` parses are staged through Generate barriers
+    * ([[graft.plans.Stage]]): an un-staged envelope parse gets inlined into
+    * every downstream column and routing predicate (3–4 re-parses of the
+    * same JSON per frame on the hot ingest path). Routing filters on
+    * channel/event_name still push below the payload parse, so dropped
+    * frames never pay for the inner decode. */
+  def decodeFrames(frames: DataFrame): DataFrame = {
+    val env = graft.plans.Stage(frames, "env", from_json(col("raw"), FrameEnvelopeSchema))
+      .select(col("env.channel").as("channel"),
+        col("env.event_name").as("event_name"),
+        col("env.payload").as("payload"))
+    graft.plans.Stage(env, "update",
+      from_json(unbase64(col("payload")).cast("string"), MarketUpdateSchema))
+      .select(col("channel"), col("event_name"), col("update"))
+  }
 
   /** T1 — broadcast-channel leg (`'broadcast' in channel_name`). */
   def broadcastLeg(decoded: DataFrame): DataFrame =
