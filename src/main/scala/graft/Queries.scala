@@ -226,6 +226,60 @@ object Queries {
       |      ($ladderSql)[CAST((l_partkey * 3 + l_suppkey) % 291 AS INTEGER) + 1] AS raw_odds
       |    FROM lineitem))""".stripMargin))
 
+  /** Native Catalyst expressions (graft.plans) registered in the session's
+    * function registry and invoked through SQL — tier-(b) codegen'd
+    * scalar functions. */
+  private val oddsNativeExpr = Q("odds_native_expr",
+    (s, dir) => {
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "normalize_odds", exprs => graft.plans.NormalizeOdds(exprs.head), "built-in")
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "american_to_decimal", exprs => graft.plans.AmericanToDecimal(exprs.head), "built-in")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          OddsFns.ladderAt(pmod(col("l_partkey"), lit(291))).cast("int").as("raw_odds"))
+        .withColumn("flipped",
+          when(pmod(col("l_linenumber"), lit(2)) === 0, -col("raw_odds"))
+            .otherwise(col("raw_odds")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          call_function("normalize_odds", col("flipped")).as("norm_odds"),
+          round(call_function("american_to_decimal",
+            call_function("normalize_odds", col("flipped"))), 4).as("decimal_odds"))
+    },
+    Some(s"""SELECT l_orderkey, l_linenumber,
+      |  CAST(norm AS INTEGER) AS norm_odds,
+      |  ROUND(CASE WHEN norm > 0 THEN 1.0 + norm / 100.0 ELSE 1.0 + 100.0 / (-norm) END, 4) AS decimal_odds
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN flipped = -100 THEN 100 ELSE flipped END AS norm
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber,
+      |      CASE WHEN l_linenumber % 2 = 0 THEN -raw ELSE raw END AS flipped
+      |    FROM (SELECT l_orderkey, l_linenumber,
+      |            ($ladderSql)[CAST(l_partkey % 291 AS INTEGER) + 1] AS raw
+      |          FROM lineitem)))""".stripMargin))
+
+  /** Rollup with grouping flags (engine capability beyond the reference —
+    * SURVEY.md §2.9 lists these as absent there, free here). */
+  private val aggRollup = Q("agg_rollup",
+    (s, dir) => Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status")),
+    Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
+
+  private val aggCube = Q("agg_cube",
+    (s, dir) => Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin))
+
   // ─────────────────────── flagship flatten + seeding ───────────────────────
 
   private val flagshipOracle: String = {
@@ -509,6 +563,13 @@ object Queries {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
       |FROM r WHERE rank <= 10""".stripMargin), bench = true)
 
+  /** Same contract as sim_brute_topk, computed with the bounded-heap
+    * aggregate instead of a rank window (the 100 TB shape: ≤k rows per
+    * query cross the shuffle). Shares the brute-force oracle. */
+  private val simTopkAgg = Q("sim_topk_agg",
+    (s, dir) => Similarity.bruteTopKAgg(Tables.embeddings(s, dir), k = 10, stride = 20),
+    simBruteTopk.oracle, bench = true)
+
   private val simIvfTopk = Q("sim_ivf_topk",
     (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
     Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -549,12 +610,12 @@ object Queries {
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar,
     wTopkPerGroup, sOrderbyLimit,
-    cTimeFns, cNanosEastern, oddsDomain,
+    cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube,
     xFlagshipFlatten, x3BranchUnion, seedingPipeline,
     wagerBookReplay, tWindowHourly, decodeRoundtrip, fSampleBernoulli,
     dedupExact, dedupMinhashPairs, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textFingerprints,
-    simBruteTopk, simIvfTopk, multimodalFeatures)
+    simBruteTopk, simTopkAgg, simIvfTopk, multimodalFeatures)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   val oracleSql: Map[String, String] =

@@ -45,6 +45,27 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Exact top-k via the bounded-heap aggregate ([[TopK]]) instead of a
+    * rank window — the scale path: at most k rows per query survive the
+    * map side, so the shuffle carries |queries|×k rows regardless of
+    * corpus size. Same contract and results as [[bruteTopK]]. */
+  def bruteTopKAgg(embeddings: DataFrame, k: Int, stride: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+    val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
+          .as("cosine"))
+    val tk = udaf(TopK.topK(k), org.apache.spark.sql.Encoders.product[TopK.Scored])
+    scored.groupBy(col("query_id"))
+      .agg(tk(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+  }
+
   /** IVF-bucketed approximate top-k: assign every vector to its nearest
     * deterministic centroid, then search only within the query's cell. */
   def ivfTopK(embeddings: DataFrame, k: Int, stride: Int): DataFrame = {

@@ -1,0 +1,25 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension entry point: registers the native odds expressions so
+  * they're callable from SQL text as well as the Column API. Install via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (exprs: Seq[Expression]) => builder(exprs))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("normalize_odds", exprs => NormalizeOdds(exprs.head)))
+    ext.injectFunction(fn("american_to_decimal", exprs => AmericanToDecimal(exprs.head)))
+  }
+}
