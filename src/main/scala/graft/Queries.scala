@@ -593,6 +593,24 @@ object Queries {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
       |FROM r WHERE rank <= 10""".stripMargin), bench = true)
 
+  private val simLshTopk = Q("sim_lsh_topk",
+    (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
+    Some {
+      val planes = Similarity.lshPlanes(6, 64)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % 20 = 0),
+        |s AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |        ROUND(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) AS cosine
+        |      FROM q JOIN n USING (bucket) WHERE n.vec_id != q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 10""".stripMargin
+    }, bench = true)
+
   private val multimodalFeatures = Q("multimodal_features",
     (s, dir) => Multimodal.features(Tables.documents(s, dir)),
     Some("""SELECT doc_id AS asset_id,
@@ -615,7 +633,7 @@ object Queries {
     wagerBookReplay, tWindowHourly, decodeRoundtrip, fSampleBernoulli,
     dedupExact, dedupMinhashPairs, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textFingerprints,
-    simBruteTopk, simTopkAgg, simIvfTopk, multimodalFeatures)
+    simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, multimodalFeatures)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   val oracleSql: Map[String, String] =

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.SimFns._
-import org.apache.spark.sql.DataFrame
+import graft.plans.Stage
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,6 +65,47 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+  }
+
+  /** Random-hyperplane LSH planes: `nPlanes`×`dim` ±1 signs from a fixed
+    * seed — data-independent constants shared verbatim with the DuckDB
+    * oracle (interpolated as literals). */
+  def lshPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** LSH-bucketed approximate top-k (the other classic ANN scale path next
+    * to IVF): the sign pattern of `nPlanes` random-hyperplane projections
+    * is the bucket key; a query probes only its own bucket (~N/2^nPlanes of
+    * the corpus). Buckets are a plain `groupBy`-free equi-join key, so the
+    * whole search is one hash join however large the corpus. */
+  def lshTopK(embeddings: DataFrame, k: Int, stride: Int, nPlanes: Int = 6): DataFrame = {
+    val dim = 64
+    val planes = lshPlanes(nPlanes, dim)
+    def bucketOf(v: Column): Column =
+      (0 until nPlanes).map { p =>
+        when(dot(v, typedLit(planes(p))) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    // Stage the double-cast vector: bucketOf references it nPlanes times.
+    val corpus = Stage(
+      embeddings.select(col("vec_id"), col("embedding")),
+      "v", toDouble(col("embedding")))
+      .select(col("vec_id"), col("v"),
+        l2Norm(col("v")).as("nrm"), bucketOf(col("v")).as("bucket"))
+    val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
+    val scored = corpus.join(broadcast(queries), "bucket")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** IVF-bucketed approximate top-k: assign every vector to its nearest
