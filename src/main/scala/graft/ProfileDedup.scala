@@ -27,9 +27,11 @@ object ProfileDedup {
       docs.select(col("doc_id"), explode(array(TextFns.tokens(col("text")))).as("w"))
         .agg(sum(size(col("w")))).count()
     }
-    val sh = docs.select(col("doc_id"),
-      explode(array(TextFns.shingles(TextFns.tokens(col("text")), 3))).as("sh"))
-    time("shingles") { sh.agg(sum(size(col("sh")))).count() }
+    val toks = graft.plans.Stage(docs.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text"))).select(col("doc_id"), col("w"))
+    val sh = graft.plans.Stage(toks, "sh", TextFns.shingles(col("w"), 3))
+      .select(col("doc_id"), col("sh"))
+    time("shingles (staged)") { sh.agg(sum(size(col("sh")))).count() }
     time("one minhash") {
       sh.select(col("doc_id"), TextFns.minhash(col("sh"), 0).as("m")).agg(count(col("m"))).count()
     }

@@ -458,11 +458,14 @@ object Queries {
     (s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), 0.2),
     Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
       |sh AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM toks),
+      |hsx AS (SELECT doc_id, sh,
+      |  list_transform(list_transform(sh, s -> md5(s)), m -> ${TextFns.md5Base28Sql("m")}) AS hs
+      |  FROM sh),
       |banded AS (
       |  SELECT doc_id, b.band,
-      |    list_min(list_transform(sh, s -> md5(concat(CAST(b.band * 2 AS VARCHAR), ':', s)))) ||
-      |    list_min(list_transform(sh, s -> md5(concat(CAST(b.band * 2 + 1 AS VARCHAR), ':', s)))) AS key
-      |  FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),
+      |    CASE b.band ${(0 until 4).map(b =>
+             s"WHEN $b THEN ${TextFns.minhashBandNumSql("hs", b)}").mkString(" ")} END AS key
+      |  FROM hsx CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),

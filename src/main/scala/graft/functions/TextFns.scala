@@ -41,7 +41,9 @@ object TextFns {
       .otherwise(array(concat_ws(" ", toks)))
 
   /** One MinHash value: lexicographic min of salted md5 over shingles.
-    * md5 hex strings order identically in Spark and DuckDB. */
+    * md5 hex strings order identically in Spark and DuckDB. Costs one md5
+    * per shingle per hash — prefer the [[shingleHashes]]+[[minhashNum]]
+    * family when several minhashes are needed. */
   def minhash(shingleCol: Column, salt: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(s"$salt:"), s))))
 
@@ -49,6 +51,53 @@ object TextFns {
     * with probability J², and on any of `b` bands with 1−(1−J²)^b. */
   def minhashBand(shingleCol: Column, band: Int): Column =
     concat(minhash(shingleCol, 2 * band), minhash(shingleCol, 2 * band + 1))
+
+  // ── single-hash MinHash family: md5 once per shingle, then universal
+  //    (a·h + b) mod p mixing per hash function — ~8× cheaper than salted
+  //    md5 per band, bit-identical in DuckDB (no 63-bit overflow: h < 2²⁸,
+  //    a < 2³¹ ⇒ a·h + b < 2⁶⁰). ──
+
+  /** Prime modulus for the universal-hash family (largest prime < 2³⁰). */
+  val MinhashPrime = 1073741789L
+  def minhashA(i: Int): Long = 1000003L * (i + 1) + 12345L
+  def minhashB(i: Int): Long = 7919L * (i + 1) + 31337L
+
+  /** 28-bit base hash from the first 7 md5 nibbles (portable: strpos-based
+    * nibble decode matches DuckDB exactly). `m` must be an md5 hex string. */
+  def md5Base28(m: Column): Column =
+    (1 to 7).map { i =>
+      (instr(lit("0123456789abcdef"), substring(m, i, 1)) - 1).cast("long") *
+        lit(1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+
+  /** Per-shingle base hashes: ONE md5 per shingle (inner transform
+    * materializes the hex strings so the nibble decode doesn't recompute
+    * md5 per nibble). */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(transform(shingleCol, s => md5(s)), m => md5Base28(m))
+
+  /** i-th minhash over precomputed base hashes. */
+  def minhashNum(hashes: Column, i: Int): Column =
+    array_min(transform(hashes,
+      h => (h * lit(minhashA(i)) + lit(minhashB(i))) % lit(MinhashPrime)))
+
+  /** LSH band key (r=2) over precomputed base hashes. */
+  def minhashBandNum(hashes: Column, band: Int): Column =
+    concat(minhashNum(hashes, 2 * band).cast("string"), lit(":"),
+      minhashNum(hashes, 2 * band + 1).cast("string"))
+
+  /** DuckDB SQL fragments mirroring the numeric MinHash family — kept next
+    * to the Column versions so the two stay in lock-step. `hsCol` must be a
+    * BIGINT[] of [[md5Base28]]-style base hashes. */
+  def md5Base28Sql(m: String): String =
+    (1 to 7).map { i =>
+      s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+  def minhashNumSql(hsCol: String, i: Int): String =
+    s"list_min(list_transform($hsCol, h -> (h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashPrime))"
+  def minhashBandNumSql(hsCol: String, band: Int): String =
+    s"CAST(${minhashNumSql(hsCol, 2 * band)} AS VARCHAR) || ':' || " +
+      s"CAST(${minhashNumSql(hsCol, 2 * band + 1)} AS VARCHAR)"
 
   /** 16-bit SimHash over a pre-hashed token array (bit-vote majority).
     * Variable bit shifts are expressed as exact power-of-two arithmetic

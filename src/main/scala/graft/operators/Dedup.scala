@@ -34,15 +34,22 @@ object Dedup {
     Stage(toks, "sh", TextFns.shingles(col("w"), n)).select(col("doc_id"), col("sh"))
   }
 
-  /** MinHash-LSH candidate pairs: 4 bands × r=2 salted minhashes. Two docs
-    * become a candidate pair iff they collide on ≥1 band (probability
-    * 1−(1−J²)⁴ for Jaccard J). Self-join is per-band-bucket only. */
+  /** Shingles + per-shingle 28-bit base hashes (one md5 per shingle; the
+    * 8 minhashes derive from these by cheap universal mixing). */
+  private def withShingleHashes(documents: DataFrame): DataFrame =
+    Stage(withShingles(documents), "hs", TextFns.shingleHashes(col("sh")))
+      .select(col("doc_id"), col("sh"), col("hs"))
+
+  /** MinHash-LSH candidate pairs: 4 bands × r=2 minhashes from the
+    * single-md5 universal family. Two docs become a candidate pair iff they
+    * collide on ≥1 band (probability 1−(1−J²)⁴ for Jaccard J). Self-join is
+    * per-band-bucket only. */
   def minhashCandidates(documents: DataFrame): DataFrame = {
-    val sh = withShingles(documents)
-    // All 8 minhashes in ONE projection over the materialized shingles,
+    val sh = withShingleHashes(documents)
+    // All 8 minhashes in ONE projection over the materialized base hashes,
     // then a cheap posexplode of the 4 precomputed keys.
     val sigs = sh.select(col("doc_id"),
-      array((0 until 4).map(b => TextFns.minhashBand(col("sh"), b)): _*).as("keys"))
+      array((0 until 4).map(b => TextFns.minhashBandNum(col("hs"), b)): _*).as("keys"))
     val banded = sigs.select(col("doc_id"), posexplode(col("keys")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
     val a = banded.alias("a"); val b = banded.alias("b")
