@@ -437,6 +437,15 @@ object Queries {
     (s, dir) => Tables.events(s, dir).sample(0.3, 42).select(col("event_id"), col("event_type")),
     None)
 
+  /** C11 — per-wager UUID generation (`uuid.uuid1()`,
+    * `src/mm_calls.py:245,265`). Nondeterministic by nature ⇒ rows-only. */
+  private val c11UuidWagers = Q("c11_uuid_wagers",
+    (s, dir) => Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(expr("uuid()").as("external_id"), col("event_id").as("line_id"),
+        round(col("value"), 2).as("stake")),
+    None)
+
   // ─────────────────────────── LLM-pipeline extensions ──────────────────────
 
   private val duckToks =
@@ -633,7 +642,7 @@ object Queries {
     wTopkPerGroup, sOrderbyLimit,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube,
     xFlagshipFlatten, x3BranchUnion, seedingPipeline,
-    wagerBookReplay, tWindowHourly, decodeRoundtrip, fSampleBernoulli,
+    wagerBookReplay, tWindowHourly, decodeRoundtrip, fSampleBernoulli, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textFingerprints,
     simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, multimodalFeatures)

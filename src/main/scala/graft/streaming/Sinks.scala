@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Sink leg of the reference pipeline (SURVEY.md §2.2 K1–K6), modeled as
+  * Structured Streaming writers. The reference's outbound HTTP calls
+  * (Sheets append, wager place/cancel POSTs) are auth plumbing, not query
+  * semantics (SURVEY.md §7 non-goals) — here each becomes a `foreachBatch`
+  * batching boundary with a pluggable transport, parquet in tests.
+  *
+  * `foreachBatch` is the right Spark shape for all of them because the
+  * reference batches its writes too: the sheet appends whole extracts
+  * (`src/main.py:23-37`), wagers post 3 per request (`src/mm_calls.py:264`),
+  * batch cancels 4 (`src/mm_calls.py:333`). Micro-batch = request batch.
+  */
+object Sinks {
+
+  /** K1 — append-mode sink (the Sheets stand-in): every micro-batch appends
+    * atomically; errors are logged and swallowed like the reference's
+    * `except → log` (`src/main.py:34-37`). */
+  def appendSink(stream: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        try batch.write.mode("append").parquet(path)
+        catch { case e: Exception =>
+          org.apache.log4j.Logger.getLogger(getClass).error(s"append batch $batchId failed", e)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** K2/K3 — place-wager sink: groups each micro-batch into request-sized
+    * chunks (batch_n = 3, `src/mm_calls.py:264`) and hands them to the
+    * transport. Runs on executors, one transport per partition. */
+  def placeWagerSink(commands: DataFrame, checkpoint: String,
+      transport: Seq[Row] => Unit, batchN: Int = 3): StreamingQuery =
+    commands.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.foreachPartition { rows: Iterator[Row] =>
+          rows.grouped(batchN).foreach(transport)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** T7 — the reference's processing-time cadences as triggers
+    * (`src/mm_calls.py:385-389`): place every 10 s, cancel every 9 s,
+    * batch-cancel every 7 s. */
+  def withCadence(w: DataStreamWriter[Row], seconds: Int): DataStreamWriter[Row] =
+    w.trigger(Trigger.ProcessingTime(s"$seconds seconds"))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Seeding, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards on physical-plan shape — the properties that make
+  * these operators survive a 100 TB scale-up. A change that silently turns
+  * a broadcast into a shuffle, loses scan pushdown, or drops map-side
+  * top-k limiting fails here, not in production.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def shuffleCount(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("seeding: interest filter pushed into the region scan, dims broadcast") {
+    val p = plan(Seeding.seededEvents(spark, sf))
+    assert(p.contains("PushedFilters: [In(r_name"), "isin must reach the parquet scan")
+    assert(p.contains("BroadcastHashJoin"), "region/tournaments must broadcast")
+  }
+
+  test("flagship flatten: no shuffle beyond the fixture's one co-partitioned pair") {
+    val p = plan(SparkEntry.entry(spark))
+    // orders side + markets collect_list side of the single equi-join
+    assert(shuffleCount(p) <= 2, s"flatten grew extra shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin Inner"))
+  }
+
+  test("brute top-k: map-side WindowGroupLimit before the exchange") {
+    val p = plan(Similarity.bruteTopK(Tables.embeddings(spark, sf), 10, 20))
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+  }
+
+  test("q1 scan prunes unused lineitem columns") {
+    val p = plan(Queries.queries("q1_pricing_summary")(spark, sf))
+    assert(!p.contains("l_suppkey") && !p.contains("l_partkey"),
+      "column pruning lost — scan reads unused columns")
+  }
+
+  test("minhash candidates: equi-join on band key, never a cross join") {
+    val p = plan(graft.operators.Dedup.minhashCandidates(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"), "LSH banding must stay an equi-join")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.TopK
+import graft.operators.TopK.Scored
+import graft.streaming.WagerBook
+import graft.streaming.WagerBook.Command
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties over the pure (non-Spark) engine kernels —
+  * SURVEY.md §5.3. Pure-JVM, so thousands of cases run in milliseconds.
+  */
+object TopKProps extends Properties("TopK") {
+  private val genScored: Gen[Scored] = for {
+    id <- Gen.chooseNum(0L, 50L)
+    score <- Gen.chooseNum(0.0, 1.0).map(s => math.rint(s * 100) / 100)
+  } yield Scored(id, score)
+
+  private def ordering: Ordering[Scored] =
+    Ordering.by((s: Scored) => (-s.score, s.id))
+
+  property("fold equals sort-take-k") = forAll(Gen.listOf(genScored), Gen.choose(1, 8)) {
+    (xs, k) =>
+      val agg = TopK.topK(k)
+      xs.foldLeft(agg.zero)(agg.reduce) == xs.sorted(ordering).take(k)
+  }
+
+  property("merge of any split equals single fold") =
+    forAll(Gen.listOf(genScored), Gen.choose(1, 8), Gen.choose(0, 100)) { (xs, k, cut) =>
+      val agg = TopK.topK(k)
+      val (l, r) = xs.splitAt(cut % (xs.length + 1))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      merged == xs.foldLeft(agg.zero)(agg.reduce)
+    }
+
+  property("buffer never exceeds k and stays sorted") =
+    forAll(Gen.listOf(genScored), Gen.choose(1, 8)) { (xs, k) =>
+      val agg = TopK.topK(k)
+      val buf = xs.foldLeft(agg.zero)(agg.reduce)
+      buf.length <= k && buf == buf.sorted(ordering)
+    }
+}
+
+object WagerBookProps extends Properties("WagerBook") {
+  private val genCmd: Gen[Command] = for {
+    ts <- Gen.chooseNum(1L, 1000L)
+    eid <- Gen.chooseNum(1L, 1000L)
+    key <- Gen.oneOf("w1", "w2", "w3", "w4")
+    op <- Gen.oneOf("PLACE", "CANCEL", "CANCEL_ALL", "NOOP")
+    http <- Gen.oneOf(200, 404, 500)
+  } yield Command(ts, eid, key, op, http, s"srv$eid", 1.0)
+
+  private def replay(cmds: Seq[Command]): Map[String, WagerBook.Wager] =
+    cmds.sortBy(c => (c.tsn, c.eventId))
+      .foldLeft(Map.empty[String, WagerBook.Wager])(WagerBook.applyCommand)
+
+  property("successful or 404 cancel with no later place removes the key") =
+    forAll(Gen.listOf(genCmd)) { cmds =>
+      val book = replay(cmds)
+      val sorted = cmds.sortBy(c => (c.tsn, c.eventId))
+      sorted.zipWithIndex.forall { case (c, i) =>
+        val laterPlace = sorted.drop(i + 1).exists(l =>
+          l.op == "PLACE" && l.http == 200 && l.externalId == c.externalId)
+        val isEffectiveCancel = c.op == "CANCEL" && (c.http == 200 || c.http == 404)
+        !isEffectiveCancel || laterPlace || !book.contains(c.externalId)
+      }
+    }
+
+  property("cancel-all clears everything placed before it") =
+    forAll(Gen.listOf(genCmd)) { cmds =>
+      val sorted = cmds.sortBy(c => (c.tsn, c.eventId))
+      val lastCa = sorted.lastIndexWhere(c => c.op == "CANCEL_ALL" && c.http == 200)
+      lastCa < 0 || {
+        val book = replay(cmds)
+        book.values.forall { w =>
+          val placeIdx = sorted.lastIndexWhere(c =>
+            c.op == "PLACE" && c.http == 200 && c.externalId == w.externalId)
+          placeIdx > lastCa
+        }
+      }
+    }
+
+  property("failed commands never change the book") =
+    forAll(Gen.listOf(genCmd)) { cmds =>
+      val failures = cmds.filter(c =>
+        c.http == 500 || c.op == "NOOP" ||
+          (c.op == "CANCEL_ALL" && c.http == 404))
+      val withoutFailures = cmds.filterNot(failures.contains)
+      replay(cmds) == replay(withoutFailures)
+    }
+}
