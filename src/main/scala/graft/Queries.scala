@@ -437,6 +437,21 @@ object Queries {
     (s, dir) => Tables.events(s, dir).sample(0.3, 42).select(col("event_id"), col("event_type")),
     None)
 
+  /** S1 — the odds-ladder scan through the DataSource V2 connector, joined
+    * against lineitem-derived picks to prove it composes as a real table. */
+  private val s1LadderScan = Q("s1_ladder_scan",
+    (s, dir) => s.read.format("graft.sources.OddsLadderSource").load()
+      .groupBy(col("band_step"))
+      .agg(count(lit(1)).as("n_odds"), min(col("odds")).as("min_odds"),
+        max(col("odds")).as("max_odds")),
+    Some {
+      val rows = graft.sources.OddsLadderSource.rows
+        .map { case (o, st) => s"($o, $st)" }.mkString(", ")
+      s"""SELECT band_step, count(*) AS n_odds, min(odds) AS min_odds, max(odds) AS max_odds
+        |FROM (SELECT * FROM (VALUES $rows) t(odds, band_step))
+        |GROUP BY band_step""".stripMargin
+    })
+
   /** C11 — per-wager UUID generation (`uuid.uuid1()`,
     * `src/mm_calls.py:245,265`). Nondeterministic by nature ⇒ rows-only. */
   private val c11UuidWagers = Q("c11_uuid_wagers",
@@ -642,7 +657,8 @@ object Queries {
     wTopkPerGroup, sOrderbyLimit,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube,
     xFlagshipFlatten, x3BranchUnion, seedingPipeline,
-    wagerBookReplay, tWindowHourly, decodeRoundtrip, fSampleBernoulli, c11UuidWagers,
+    wagerBookReplay, tWindowHourly, decodeRoundtrip, fSampleBernoulli,
+    s1LadderScan, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textFingerprints,
     simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, multimodalFeatures)

@@ -81,6 +81,16 @@ object Dedup {
       transform(TextFns.tokens(col("text")), t => TextFns.hash16(t)))
       .select(col("doc_id"), TextFns.simhash16(col("hs")).as("simhash"))
 
+  /** Streaming exact dedup at ingest: watermark-bounded state keyed on the
+    * content hash — duplicates arriving within the watermark horizon are
+    * dropped, state older than the horizon is evicted (the only way exact
+    * dedup state stays bounded on an unbounded 100 TB stream). `eventTime`
+    * must be a timestamp column of the stream. */
+  def streamingExactDedup(docs: DataFrame, eventTime: String, delay: String): DataFrame =
+    docs.withColumn("text_md5", md5(col("text")))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Embedding-cosine near-dup candidates, blocked by `label` (the cheap
     * cluster key): within-block pairs with cosine ≥ threshold. At scale the
     * blocking key bounds each bucket's pair count; no global cross join. */
