@@ -398,6 +398,28 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin), bench = true)
 
+  /** Event-time session windows (30-minute gap) — the full idiomatic
+    * event-time surface next to tumbling windows; the oracle is the
+    * classic gaps-and-islands rewrite. */
+  private val tSessionWindows = Q("t_session_windows",
+    (s, dir) => Tables.events(s, dir)
+      .select(col("user_id"),
+        TimeFns.nanosToTimestamp(col("ts")).as("et"), col("value"))
+      .groupBy(col("user_id"), session_window(col("et"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), decSum(col("value"), "14,2").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("sum_value")),
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+      |o AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                     OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |                                  ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+      |SELECT user_id, min(us) AS session_start_us, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin), bench = true)
+
   /** T4 decode round-trip (+T1/T2 routing): encode deterministic frames,
     * decode them back; the oracle is the identity projection. */
   private val decodeRoundtrip = Q("decode_roundtrip",
@@ -657,7 +679,7 @@ object Queries {
     wTopkPerGroup, sOrderbyLimit,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube,
     xFlagshipFlatten, x3BranchUnion, seedingPipeline,
-    wagerBookReplay, tWindowHourly, decodeRoundtrip, fSampleBernoulli,
+    wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textFingerprints,
