@@ -141,6 +141,18 @@ object Queries {
       |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1""".stripMargin), bench = true)
 
+  /** Skewed-key aggregation via two-phase salting (operators.Salted): the
+    * oracle is the plain GROUP BY — decimal-exact partials make the salted
+    * plan bit-identical. event_type has only ~6 heavy keys: exactly the
+    * shape that melts a single reducer at 100 TB. */
+  private val aSaltedAgg = Q("a_salted_agg",
+    (s, dir) => Salted.countSum(Tables.events(s, dir),
+      col("event_type"), col("value"), nSalts = 16)
+      .withColumnRenamed("key", "event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY event_type""".stripMargin))
+
   private val a1Counts = Q("a1_counts",
     (s, dir) => Tables.orders(s, dir).agg(
       count(lit(1)).as("n_orders"),
@@ -675,7 +687,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     q1PricingSummary, f1IsinFilter, f2EqFilterJson,
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg,
-    a1Counts, a3CollectIds, a4LastWins, a5Scalar,
+    a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg,
     wTopkPerGroup, sOrderbyLimit,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube,
     xFlagshipFlatten, x3BranchUnion, seedingPipeline,

@@ -59,16 +59,47 @@ object Flatten {
     val lineElemType = marketType("market_lines").dataType
       .asInstanceOf[ArrayType].elementType
 
+    // Two principles shape this pipeline:
+    //  1. Expensive per-entity work (timezone parse+convert+format,
+    //     competitor extraction) happens at the entity's own cardinality —
+    //     per event / per market — never per flattened output row (~10×
+    //     fewer evaluations at fixture shape).
+    //  2. Each explode carries only scalars forward: nested structs
+    //     (competitors, the market-line struct with its selections arrays)
+    //     are dissolved into flat columns at the first Generate after they
+    //     are no longer needed, so the 3-deep Generate chain copies narrow
+    //     rows, not nested arrays, per emitted row.
+    val c1 = element_at(col("competitors"), 1)
+    val c2 = element_at(col("competitors"), 2)
+
     val withMarket = sportEvents
       .select(
-        col("event_id"), col("scheduled"), col("display_name"), col("status"),
-        col("competitors"), explode(col("markets")).as("market"))
+        // per-event scalars, final-string form
+        s(col("event_id")).as("event_id"),
+        when(col("scheduled").isNotNull,
+          TimeFns.render(TimeFns.toNewYork(TimeFns.parseIso(col("scheduled")))))
+          .as("sched_ny"),
+        s(col("scheduled")).as("sched_raw"),
+        s(col("display_name")).as("event_name"),
+        s(col("status")).as("event_status"),
+        s(c1.getField("display_name")).as("competitor1_name"),
+        s(c1.getField("abbreviation")).as("competitor1_abbr"),
+        s(c1.getField("side")).as("competitor1_side"),
+        s(c2.getField("display_name")).as("competitor2_name"),
+        s(c2.getField("abbreviation")).as("competitor2_abbr"),
+        s(c2.getField("side")).as("competitor2_side"),
+        explode(col("markets")).as("market"))
       .select(
-        col("event_id"), col("scheduled"), col("display_name"), col("status"),
-        col("competitors"),
-        col("market.id").as("m_id"), col("market.name").as("m_name"),
-        col("market.type").as("m_type"), col("market.status").as("m_status"),
-        col("market.updated_at").as("m_updated_at"),
+        col("event_id"), col("sched_ny"), col("sched_raw"), col("event_name"),
+        col("event_status"),
+        col("competitor1_name"), col("competitor1_abbr"), col("competitor1_side"),
+        col("competitor2_name"), col("competitor2_abbr"), col("competitor2_side"),
+        s(col("market.id")).as("market_id"),
+        s(col("market.name")).as("market_name"),
+        s(col("market.type")).as("market_type"),
+        s(col("market.status")).as("market_status"),
+        TimeFns.render(TimeFns.nanosToEastern(
+          coalesce(col("market.updated_at"), lit(0L)))).as("market_updated"),
         col("market.market_lines").isNotNull.as("has_lines"),
         // no-lines markets get one synthetic null line so a single explode
         // path serves both variants
@@ -76,49 +107,56 @@ object Flatten {
           .as("m_lines"),
         col("market.selections").as("m_selections"))
 
-    val withLine = withMarket
-      .withColumn("ml", explode(col("m_lines")))
-      // lines branch reads ml.selections; no-lines branch the market's own
-      .withColumn("sel_outer_src", coalesce(col("ml.selections"), col("m_selections")))
-      .withColumn("sel_outer", explode(col("sel_outer_src")))
-      // X1 takes selection[0] per outer group; X2 iterates every inner
-      .withColumn("sel_group",
-        when(col("has_lines"), slice(col("sel_outer"), 1, 1)).otherwise(col("sel_outer")))
-      .withColumn("sel", explode(col("sel_group")))
+    def passthrough: Seq[Column] = Seq(
+      col("event_id"), col("sched_ny"), col("sched_raw"), col("event_name"),
+      col("event_status"),
+      col("competitor1_name"), col("competitor1_abbr"), col("competitor1_side"),
+      col("competitor2_name"), col("competitor2_abbr"), col("competitor2_side"),
+      col("market_id"), col("market_name"), col("market_type"),
+      col("market_status"), col("market_updated"), col("has_lines"))
 
-    val c1 = element_at(col("competitors"), 1)
-    val c2 = element_at(col("competitors"), 2)
     def lineCol(c: Column): Column = when(col("has_lines"), s(c)).otherwise(lit(NA))
 
-    withLine.select(
-      s(col("event_id")).as("event_id"),
-      when(col("has_lines"),
-        TimeFns.render(TimeFns.toNewYork(TimeFns.parseIso(col("scheduled")))))
-        .otherwise(s(col("scheduled"))).as("event_scheduled_time"),
-      s(col("display_name")).as("event_name"),
-      s(c1.getField("display_name")).as("competitor1_name"),
-      s(c1.getField("abbreviation")).as("competitor1_abbr"),
-      s(c1.getField("side")).as("competitor1_side"),
-      s(c2.getField("display_name")).as("competitor2_name"),
-      s(c2.getField("abbreviation")).as("competitor2_abbr"),
-      s(c2.getField("side")).as("competitor2_side"),
-      s(col("m_id")).as("market_id"),
-      s(col("m_name")).as("market_name"),
-      s(col("m_type")).as("market_type"),
-      s(col("m_status")).as("market_status"),
-      lineCol(col("ml.id")).as("line_id"),
-      lineCol(col("ml.name")).as("line_name"),
-      lineCol(col("ml.line")).as("line_value"),
-      when(col("has_lines"), coalesce(col("ml.favourite"), lit(NA)))
-        .otherwise(lit(NA)).as("line_favourite"),
-      lineCol(col("ml.type")).as("line_type"),
+    // Explode lines; dissolve the line struct into final-string scalars and
+    // keep only the branch-resolved outer-selections array.
+    val withLine = withMarket
+      .select(passthrough :+ col("m_selections") :+ explode(col("m_lines")).as("ml"): _*)
+      .select(passthrough ++ Seq(
+        lineCol(col("ml.id")).as("line_id"),
+        lineCol(col("ml.name")).as("line_name"),
+        lineCol(col("ml.line")).as("line_value"),
+        when(col("has_lines"), coalesce(col("ml.favourite"), lit(NA)))
+          .otherwise(lit(NA)).as("line_favourite"),
+        lineCol(col("ml.type")).as("line_type"),
+        // lines branch reads ml.selections; no-lines branch the market's own
+        coalesce(col("ml.selections"), col("m_selections")).as("sel_outer_src")): _*)
+
+    val lineCols = Seq(col("line_id"), col("line_name"), col("line_value"),
+      col("line_favourite"), col("line_type"))
+
+    // X1 takes selection[0] per outer group; X2 iterates every inner.
+    val withSel = withLine
+      .select(passthrough ++ lineCols :+ explode(col("sel_outer_src")).as("sel_outer"): _*)
+      .select(passthrough ++ lineCols :+ explode(
+        when(col("has_lines"), slice(col("sel_outer"), 1, 1))
+          .otherwise(col("sel_outer"))).as("sel"): _*)
+
+    withSel.select(
+      col("event_id"),
+      when(col("has_lines"), col("sched_ny"))
+        .otherwise(col("sched_raw")).as("event_scheduled_time"),
+      col("event_name"),
+      col("competitor1_name"), col("competitor1_abbr"), col("competitor1_side"),
+      col("competitor2_name"), col("competitor2_abbr"), col("competitor2_side"),
+      col("market_id"), col("market_name"), col("market_type"), col("market_status"),
+      col("line_id"), col("line_name"), col("line_value"), col("line_favourite"),
+      col("line_type"),
       s(col("sel.line_id")).as("selection_id"),
       s(col("sel.display_name")).as("selection_name"),
       s(col("sel.odds")).as("selection_odds"),
-      s(col("status")).as("event_status"),
+      col("event_status"),
       s(col("sel.stake")).as("selection_stake"),
       s(col("sel.value")).as("selection_value"),
-      TimeFns.render(TimeFns.nanosToEastern(coalesce(col("m_updated_at"), lit(0L))))
-        .as("market_updated"))
+      col("market_updated"))
   }
 }
