@@ -38,6 +38,39 @@ object Multimodal {
       col("meta.height").as("height"),
       (col("meta.width") * col("meta.height")).as("n_pixels"))
 
+  /** Frame sampling: model the payload as fixed-size frames and keep every
+    * `stride`-th one — the video-pipeline shape (sample before decode, so
+    * dropped frames never pay decode cost). Pure column ops: one row per
+    * sampled frame with its index and bytes. */
+  def sampleFrames(documents: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val a = assets(documents)
+      .select(col("asset_id"), col("payload"),
+        ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("int")
+          .as("n_frames"))
+    a.select(col("asset_id"), col("n_frames"),
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride)))
+          .as("frame_idx"),
+        col("payload"))
+      .select(col("asset_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame_bytes"))
+      .withColumn("frame_sha", sha2(col("frame_bytes"), 256))
+  }
+
+  /** Resize plumbing: new metadata dims plus a proportionally truncated
+    * payload standing in for the resampled buffer (a real codec plugs into
+    * [[decodeFeatures]]'s partition boundary; the schema contract —
+    * payload + dims in, payload + dims out — is what matters here). */
+  def resizeStub(documents: DataFrame, targetWidth: Int): DataFrame =
+    assets(documents).select(
+      col("asset_id"),
+      col("meta.width").as("src_width"), col("meta.height").as("src_height"),
+      lit(targetWidth).as("width"),
+      (col("meta.height") * targetWidth / col("meta.width")).cast("int").as("height"),
+      col("payload").substr(lit(1),
+        greatest((octet_length(col("payload")) * targetWidth / col("meta.width")).cast("int"),
+          lit(1))).as("payload"))
+
   final case class AssetRow(asset_id: Long, payload: Array[Byte], width: Int, height: Int)
   final case class DecodedRow(asset_id: Long, frames: Int, meanLuma: Double)
 

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** The wager book (SURVEY.md §2.8 T5/T6): keyed mutable state over a
   * command stream — PLACE inserts, CANCEL deletes (HTTP 404 counts as
@@ -80,15 +82,20 @@ object WagerBook {
   def shardOf(externalId: String, nShards: Int): Int =
     math.floorMod(externalId.hashCode, nShards)
 
+  private def sharded(spark: SparkSession, commands: Dataset[Command],
+      nShards: Int): Dataset[ShardedCommand] = {
+    import spark.implicits._
+    commands.flatMap { c =>
+      if (c.op == "CANCEL_ALL") (0 until nShards).map(s => ShardedCommand(s, c))
+      else Seq(ShardedCommand(shardOf(c.externalId, nShards), c))
+    }
+  }
+
   /** Streaming book: sharded `flatMapGroupsWithState`, emitting the full
     * shard snapshot each update (Update mode). */
   def stream(spark: SparkSession, commands: Dataset[Command], nShards: Int): DataFrame = {
     import spark.implicits._
-    val sharded: Dataset[ShardedCommand] = commands.flatMap { c =>
-      if (c.op == "CANCEL_ALL") (0 until nShards).map(s => ShardedCommand(s, c))
-      else Seq(ShardedCommand(shardOf(c.externalId, nShards), c))
-    }
-    sharded
+    sharded(spark, commands, nShards)
       .groupByKey(_.shard)
       .flatMapGroupsWithState[Map[String, Wager], BookSnapshot](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -99,6 +106,42 @@ object WagerBook {
           state.update(book)
           book.valuesIterator.map(w => BookSnapshot(shard, w.externalId, w.wagerId, w.stake))
       }
+      .toDF()
+  }
+
+  /** The same book on Spark 4's `transformWithState` API with per-wager
+    * `MapState` — the modern scale shape: point inserts/deletes against the
+    * (RocksDB-backed) store instead of rewriting a whole map value per
+    * batch; CANCEL_ALL is the one whole-shard `clear()`. Requires the
+    * RocksDB state-store provider. Semantics identical to [[stream]]. */
+  class Processor extends StatefulProcessor[Int, ShardedCommand, BookSnapshot] {
+    @transient private var book: MapState[String, Wager] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      book = getHandle.getMapState[String, Wager](
+        "book", Encoders.STRING, ExpressionEncoder[Wager](), TTLConfig.NONE)
+    override def handleInputRows(shard: Int, rows: Iterator[ShardedCommand],
+        timers: TimerValues): Iterator[BookSnapshot] = {
+      rows.toSeq.sortBy(sc => (sc.cmd.tsn, sc.cmd.eventId)).foreach { sc =>
+        val c = sc.cmd
+        c.op match {
+          case "PLACE" if c.http == 200 =>
+            book.updateValue(c.externalId, Wager(c.externalId, c.wagerId, c.tsn, c.stake))
+          case "CANCEL" if c.http == 200 || c.http == 404 =>
+            book.removeKey(c.externalId)
+          case "CANCEL_ALL" if c.http == 200 => book.clear()
+          case _ => ()
+        }
+      }
+      book.values().map(w => BookSnapshot(shard, w.externalId, w.wagerId, w.stake))
+    }
+  }
+
+  /** [[stream]] on the `transformWithState` engine. */
+  def streamTws(spark: SparkSession, commands: Dataset[Command], nShards: Int): DataFrame = {
+    import spark.implicits._
+    sharded(spark, commands, nShards)
+      .groupByKey(_.shard)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
       .toDF()
   }
 }

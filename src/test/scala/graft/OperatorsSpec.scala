@@ -118,6 +118,26 @@ class MultimodalSpec extends AnyFunSuite {
       "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
   }
 
+  test("frame sampling: stride-selected fixed-size chunks with stable hashes") {
+    val df = Seq((1L, "0123456789abcdef" * 2, "en", "s", 32L)) // 32 bytes
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 8, stride = 2).collect()
+    assert(frames.length == 2) // frames 0 and 2 of 4
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    val f0 = new String(frames(0).getAs[Array[Byte]]("frame_bytes"))
+    assert(f0 == "01234567")
+  }
+
+  test("resize stub scales dims and truncates payload proportionally") {
+    val df = Seq((64L, "x" * 100, "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.resizeStub(df, targetWidth = 64).collect().head
+    assert(r.getAs[Int]("width") == 64)
+    assert(r.getAs[Int]("height") == (r.getAs[Int]("src_height") * 64) / r.getAs[Int]("src_width"))
+    assert(r.getAs[Array[Byte]]("payload").length ==
+      math.max(100 * 64 / r.getAs[Int]("src_width"), 1))
+  }
+
   test("mapPartitions decode stub emits one row per asset with features") {
     val df = Seq((1L, "abc", "en", "s", 3L), (2L, "", "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

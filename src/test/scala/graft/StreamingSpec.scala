@@ -63,6 +63,27 @@ class WagerBookSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("transformWithState MapState book matches the fold (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Command]
+      val query = WagerBook.streamTws(spark, input.toDS(), nShards = 3)
+        .writeStream.format("memory").queryName("book_tws").outputMode("update").start()
+      try {
+        input.addData(scenario.take(5): _*)
+        query.processAllAvailable()
+        input.addData(scenario.drop(5): _*)
+        query.processAllAvailable()
+        val streamed = spark.table("book_tws")
+          .select("externalId", "wagerId", "stake")
+          .as[(String, String, Double)].collect().toSet
+        assert(expected.subsetOf(streamed))
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming equals batch replay on the events-derived command log") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val cmds = WagerBook.commandsFromEvents(events)
