@@ -568,14 +568,14 @@ object Queries {
       |  CAST(len(text) AS INTEGER) AS n_chars_measured,
       |  CAST(len(w) AS INTEGER) AS n_tokens,
       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
-      |  ROUND(CASE WHEN len(text) = 0 THEN 0.0
-      |    ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END, 4) AS alpha_ratio,
+      |  CAST(floor((CASE WHEN len(text) = 0 THEN 0.0
+      |    ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 10000) AS BIGINT) AS alpha_bp,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
-      |  ROUND(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      |  CAST(floor((least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 +
       |    (1.0 - CASE WHEN len(w) = 0 THEN 0.0
       |       ELSE least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / len(w), 1.0) END) * 0.3 +
       |    (CASE WHEN len(text) = 0 THEN 0.0
-      |       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 0.3, 4) AS quality
+      |       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 0.3) * 10000) AS BIGINT) AS quality_bp
       |FROM toks""".stripMargin), bench = true)
 
   private val textLangid = Q("text_langid",

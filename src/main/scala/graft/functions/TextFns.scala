@@ -152,14 +152,22 @@ object TextFns {
 
   /** Composite quality score ∈ [0,1]: length, punctuation density, and
     * alphabetic-character ratio (the classic cheap pre-filters a training
-    * corpus applies before anything expensive). */
+    * corpus applies before anything expensive). Unrounded — for
+    * oracle-compared outputs use `floor(score*10000)` basis points:
+    * `round(x, 4)` is NOT portable on values like these (Spark rounds the
+    * double's exact decimal expansion, DuckDB rounds x·10⁴, and they split
+    * when the value sits one ulp below a half), while floor of the same
+    * IEEE product is bit-identical everywhere. */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val lenScore = least(nTok / 100.0, lit(1.0))
     val punctRatio = when(nTok === 0, lit(0.0))
       .otherwise(least(punctCount(text).cast("double") / nTok, lit(1.0)))
-    round(lenScore * 0.4 + (lit(1.0) - punctRatio) * 0.3 + alphaRatio(text) * 0.3, 4)
+    lenScore * 0.4 + (lit(1.0) - punctRatio) * 0.3 + alphaRatio(text) * 0.3
   }
+
+  /** Portable 4-decimal fixed-point encoding (basis points). */
+  def basisPoints(c: Column): Column = floor(c * 10000).cast("long")
 
   /** "BPE-ish" subword-count estimate: letter runs, single digits, and
     * punctuation marks each count as one token. */

@@ -15,16 +15,18 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Per-document stats: token count, punctuation, alpha ratio, BPE-ish
-    * token estimate, composite quality score. */
+    * token estimate, composite quality score. Ratio columns are emitted as
+    * basis-point floors — see [[TextFns.qualityScore]] on why `round(x,4)`
+    * is not portable cross-engine for rational-valued ratios. */
   def docStats(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       length(col("text")).as("n_chars_measured"),
       TextFns.tokenCount(col("text")).as("n_tokens"),
       TextFns.punctCount(col("text")).as("n_punct"),
-      round(TextFns.alphaRatio(col("text")), 4).as("alpha_ratio"),
+      TextFns.basisPoints(TextFns.alphaRatio(col("text"))).as("alpha_bp"),
       TextFns.bpeTokenEstimate(col("text")).as("n_bpe_tokens"),
-      TextFns.qualityScore(col("text")).as("quality"))
+      TextFns.basisPoints(TextFns.qualityScore(col("text"))).as("quality_bp"))
 
   /** Heuristic language ID next to the labeled lang. Tokens are staged —
     * the marker-hit scores reference them ~12× per document. */

@@ -96,7 +96,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(0).getAs[Int]("n_tokens") == 6)
     assert(r(0).getAs[Int]("n_punct") == 3) // , ! .
     assert(r(1).getAs[Int]("n_tokens") == 0)
-    assert(r(1).getAs[Double]("quality") == 0.3) // len 0, punct 0, alpha 0 → only (1-0)*0.3
+    assert(r(1).getAs[Long]("quality_bp") == 3000L) // len 0, punct 0, alpha 0 → only (1-0)*0.3
   }
 
   test("topTerms orders by count desc then token") {
