@@ -177,6 +177,40 @@ object Queries {
       |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
       |  FROM orders) WHERE rank <= 3""".stripMargin), bench = true)
 
+  /** Running (cumulative) window aggregate — frame-spec windows beyond the
+    * reference's surface (SURVEY.md §2.9: free in the engine). */
+  private val wRunningSum = Q("w_running_sum",
+    (s, dir) => Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))).as("seq")),
+    Some("""SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS seq
+      |FROM orders""".stripMargin))
+
+  /** Scalar string-function vocabulary parity (upper/substr/replace/…). */
+  private val cStringFns = Q("c_string_fns",
+    (s, dir) => Tables.customer(s, dir).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("upper_name"),
+      substring(col("c_name"), 1, 8).as("prefix8"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+      length(col("c_name")).as("name_len"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged")),
+    Some("""SELECT c_custkey, upper(c_name) AS upper_name, substr(c_name, 1, 8) AS prefix8,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+      |  CAST(len(c_name) AS INTEGER) AS name_len,
+      |  concat_ws('|', c_mktsegment, c_name) AS tagged
+      |FROM customer""".stripMargin))
+
   private val sOrderbyLimit = Q("s_orderby_limit",
     (s, dir) => Tables.lineitem(s, dir)
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
@@ -603,6 +637,23 @@ object Queries {
       |SELECT token, count(*) AS n FROM (SELECT unnest(w) AS token FROM toks)
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin), bench = true)
 
+  /** Exact corpus vocabulary size (oracle-checked). */
+  private val textVocab = Q("text_vocab",
+    (s, dir) => Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .agg(countDistinct(col("token")).as("n_vocab"), count(lit(1)).as("n_tokens")),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents)
+      |SELECT count(DISTINCT token) AS n_vocab, count(*) AS n_tokens
+      |FROM (SELECT unnest(w) AS token FROM toks)""".stripMargin))
+
+  /** HLL approximate vocabulary (sketch impls differ across engines ⇒
+    * rows-only; the exact twin above is the correctness anchor). */
+  private val textVocabApprox = Q("text_vocab_approx",
+    (s, dir) => Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .agg(approx_count_distinct(col("token")).as("n_vocab_approx")),
+    None)
+
   private val textFingerprints = Q("text_fingerprints",
     (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir)),
     Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -688,13 +739,13 @@ object Queries {
     q1PricingSummary, f1IsinFilter, f2EqFilterJson,
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg,
-    wTopkPerGroup, sOrderbyLimit,
+    wTopkPerGroup, wRunningSum, sOrderbyLimit, cStringFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube,
     xFlagshipFlatten, x3BranchUnion, seedingPipeline,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupSimhash, dedupEmbedding,
-    textStats, textLangid, textTopTerms, textFingerprints,
+    textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, multimodalFeatures)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
