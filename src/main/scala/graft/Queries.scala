@@ -546,9 +546,8 @@ object Queries {
     Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin))
 
-  private val dedupMinhashPairs = Q("dedup_minhash_pairs",
-    (s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), 0.2),
-    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+  private val minhashPairsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
       |sh AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM toks),
       |hsx AS (SELECT doc_id, sh,
       |  list_transform(list_transform(sh, s -> md5(s)), m -> ${TextFns.md5Base28Sql("m")}) AS hs
@@ -566,8 +565,23 @@ object Queries {
       |    ROUND(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE) /
       |      (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh)) - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))), 4) AS jaccard
       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-      |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.2""".stripMargin),
-    bench = true)
+      |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.2""".stripMargin
+
+  private val dedupMinhashPairs = Q("dedup_minhash_pairs",
+    (s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), 0.2),
+    Some(minhashPairsSql), bench = true)
+
+  /** Connected components over the near-dup pair graph; the oracle is the
+    * recursive-CTE transitive closure (min reachable id per node). */
+  private val dedupClusters = Q("dedup_clusters",
+    (s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir), 0.2),
+    Some(s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT a AS node, b AS reached FROM edges
+      |          UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached)
+      |SELECT node AS doc_id, least(node, min(reached)) AS cluster
+      |FROM reach GROUP BY node""".stripMargin))
 
   private val hash16Sql =
     """(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
@@ -744,7 +758,7 @@ object Queries {
     xFlagshipFlatten, x3BranchUnion, seedingPipeline,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers,
-    dedupExact, dedupMinhashPairs, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, multimodalFeatures)
 

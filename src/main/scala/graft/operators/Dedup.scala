@@ -81,6 +81,48 @@ object Dedup {
       transform(TextFns.tokens(col("text")), t => TextFns.hash16(t)))
       .select(col("doc_id"), TextFns.simhash16(col("hs")).as("simhash"))
 
+  /** Near-dup clusters: connected components over the candidate-pair graph
+    * by iterative min-label propagation (the GraphX-free version of the
+    * canonical-document-selection step). Output: (doc_id, cluster) where
+    * cluster = min doc_id of the component; only clustered docs appear.
+    *
+    * The loop is driver-side *control flow* only — labels and edges stay
+    * distributed; each round is a join + min-aggregate over the (tiny
+    * relative to the corpus) pair graph, converging in ≤ diameter rounds.
+    * Intermediate label frames are persisted per round and released after
+    * use, so lineage doesn't snowball across iterations. */
+  def nearDupClusters(documents: DataFrame, minJaccard: Double,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = nearDupPairs(documents, minJaccard).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
+        .groupBy(col("doc_a").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .where(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
   /** Streaming exact dedup at ingest: watermark-bounded state keyed on the
     * content hash — duplicates arriving within the watermark horizon are
     * dropped, state older than the horizon is evicted (the only way exact

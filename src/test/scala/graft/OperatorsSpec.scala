@@ -36,6 +36,14 @@ class DedupSpec extends AnyFunSuite {
     assert(j == 1.0)
   }
 
+  test("near-dup clustering: transitive components get the min doc_id label") {
+    // 1-2 near-dups, 1-4 exact dups → {1,2,4} one component rooted at 1
+    val clusters = Dedup.nearDupClusters(docs, 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.keySet == Set(1L, 2L, 4L))
+    assert(clusters.values.toSet == Set(1L))
+  }
+
   test("simhash of near-dups differs in few bits; unrelated docs differ in many") {
     val h = Dedup.simhash(docs).orderBy("doc_id").select("simhash").as[Int].collect()
     def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
