@@ -1,0 +1,63 @@
+package graft
+import graft.functions.{DecodeFns, OddsFns}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ProfileDecode {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
+    }
+    val li = Tables.lineitem(spark, sfDir)
+    val updates = li.select(
+      concat(lit("m"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("market_id"),
+      col("l_orderkey").as("event_id"),
+      pmod(col("l_suppkey"), lit(5)).as("tournament_id"),
+      when(col("l_linestatus") === "O", "open").otherwise("settled").as("status"),
+      OddsFns.ladderAt(pmod(col("l_partkey"), lit(291))).cast("int").as("odds"),
+      (unix_timestamp(col("l_shipdate")) * lit(1000000000L)).as("updated_at"),
+      when(pmod(col("l_orderkey"), lit(2)) === 0, "broadcast-main")
+        .otherwise("private-user").as("channel"),
+      concat(lit("tournament_"), pmod(col("l_suppkey"), lit(5))).as("event_name"))
+    val frames = updates.select(DecodeFns.encodeFrame(
+      col("channel"), col("event_name"),
+      struct(col("market_id"), col("event_id"), col("tournament_id"),
+        col("status"), col("odds"), col("updated_at"))).as("raw"))
+    (1 to 2).foreach { i =>
+      time(s"updates only $i") { updates.agg(sum(length(col("market_id")))).count() }
+      time(s"encode only $i") { frames.agg(sum(length(col("raw")))).count() }
+      val envG = frames.select(get_json_object(col("raw"), "$.channel").as("channel"),
+        get_json_object(col("raw"), "$.event_name").as("event_name"),
+        get_json_object(col("raw"), "$.payload").as("payload"))
+      time(s"gjo env + plain unbase64 $i") {
+        envG.agg(sum(length(unbase64(col("payload")).cast("string")))).count()
+      }
+      time(s"gjo env + STAGED unbase64 $i") {
+        graft.plans.Stage(envG, "pj", unbase64(col("payload")).cast("string"))
+          .agg(sum(length(col("pj")))).count()
+      }
+      time(s"full new decodeFrames $i") {
+        EventStreams.decodeFrames(frames).agg(sum(col("update.odds"))).count()
+      }
+      time(s"envelope gjo x3 $i") {
+        frames.select(get_json_object(col("raw"), "$.channel").as("channel"),
+          get_json_object(col("raw"), "$.event_name").as("event_name"),
+          get_json_object(col("raw"), "$.payload").as("payload"))
+          .agg(sum(length(col("payload")))).count()
+      }
+
+      time(s"encode+decode+route $i") {
+        EventStreams.tournamentLeg(EventStreams.decodeFrames(frames), 0L until 5L)
+          .agg(sum(col("update.odds"))).count()
+      }
+    }
+    spark.stop()
+  }
+}

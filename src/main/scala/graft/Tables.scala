@@ -13,9 +13,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[graft.functions.TimeFns.nanosToTimestamp]].
   */
 object Tables {
+  /** The driver's tables are single-file, single-row-group parquet, so the
+    * file scan is one task no matter what `maxPartitionBytes` says (a row
+    * group is the atomic split unit) — and every narrow pipeline above it
+    * would run on one core. When the scan's planned parallelism is below
+    * the session's, fan out with one cheap round-robin exchange (tens of
+    * MB here). On a real many-file/many-row-group layout — the 100 TB case
+    * — the scan is already parallel and this is a no-op. */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.min(target, 32)) df.repartition(math.min(target, 32))
+    else df
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "lineitem")
