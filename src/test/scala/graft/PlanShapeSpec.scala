@@ -46,4 +46,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(graft.operators.Dedup.minhashCandidates(Tables.documents(spark, sf)))
     assert(!p.contains("CartesianProduct"), "LSH banding must stay an equi-join")
   }
+
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    // Bucket both fact tables on the join key — the 100 TB recipe for a
+    // repeatedly-joined pair: pay the layout cost once at write time, then
+    // every orderkey join runs exchange-free.
+    Tables.orders(spark, sf).write.bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(spark, sf).write.bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val p = plan(joined)
+    val joinSection = p.substring(p.indexOf("Join"))
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+    assert(joined.collect().map(_.getAs[Long]("n")).sum == 6000) // all lineitems
+    spark.sql("DROP TABLE orders_b"); spark.sql("DROP TABLE lineitem_b")
+  }
 }
