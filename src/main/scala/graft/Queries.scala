@@ -120,6 +120,39 @@ object Queries {
       |JOIN orders ON c_custkey = o_custkey
       |GROUP BY r_name, n_name""".stripMargin), bench = true)
 
+  /** As-of join (operators.AsOfJoin): odds-at-event-time lookup — probes
+    * (events) pick the latest snapshot ≤ their timestamp per tournament.
+    * Oracle is DuckDB's native ASOF LEFT JOIN. Snapshot times interleave
+    * with the event range deterministically and are unique per key. */
+  private val jAsofJoin = Q("j_asof_join",
+    (s, dir) => {
+      // µs domain on both sides: DuckDB coerces parquet TIMESTAMP_NS to its
+      // µs-precision TIMESTAMP, so nano-precision probe times can't match.
+      val snaps = Tables.lineitem(s, dir).select(
+        pmod(col("l_suppkey"), lit(5)).as("tid"),
+        (lit(1704067200000000L) +
+          pmod(unix_timestamp(col("l_shipdate")) * lit(1000L), lit(604800000L)) * lit(1000L) +
+          col("l_orderkey") * lit(10L) + col("l_linenumber")).as("tsn"),
+        concat(lit("m"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("market_id"),
+        OddsFns.ladderAt(pmod(col("l_partkey"), lit(291))).cast("int").as("odds"))
+      val probes = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(5)).as("tid"),
+        TimeFns.nanosToMicros(col("ts")).as("tsn"), col("event_id"))
+      AsOfJoin.lastValueAsOf(probes, snaps, Seq("tid"), "tsn",
+        probeCols = Seq("event_id"), payloadCols = Seq("market_id", "odds"))
+    },
+    Some(s"""WITH snaps AS (
+      |  SELECT l_suppkey % 5 AS tid,
+      |    1704067200000000 + ((epoch_ms(l_shipdate) // 1000 * 1000) % 604800000) * 1000
+      |      + l_orderkey * 10 + l_linenumber AS tsn,
+      |    concat('m', CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)) AS market_id,
+      |    CAST(($ladderSql)[CAST(l_partkey % 291 AS INTEGER) + 1] AS INTEGER) AS odds
+      |  FROM lineitem),
+      |probes AS (SELECT user_id % 5 AS tid, epoch_ns(ts) // 1000 AS tsn, event_id FROM events)
+      |SELECT p.tid, p.tsn, p.event_id, s.market_id, s.odds
+      |FROM probes p ASOF LEFT JOIN snaps s ON p.tid = s.tid AND p.tsn >= s.tsn""".stripMargin),
+    bench = true)
+
   private val a3CollectIds = Q("a3_collect_ids",
     (s, dir) => Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
@@ -130,15 +163,19 @@ object Queries {
       |  count(*) AS n
       |FROM orders GROUP BY o_custkey""".stripMargin))
 
-  /** A4 — keyed last-write-wins over the events stream table (nanos order). */
+  /** A4 — keyed last-write-wins over the events stream table. Ordered at
+    * µs granularity on BOTH sides: DuckDB coerces TIMESTAMP_NS to its
+    * µs-precision TIMESTAMP, so a nano-granular Spark ordering could break
+    * ties differently than the oracle. */
   private val a4LastWins = Q("a4_last_wins",
     (s, dir) => Tables.events(s, dir)
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)))
+        Window.partitionBy(col("user_id"))
+          .orderBy(TimeFns.nanosToMicros(col("ts")).desc, col("event_id").desc)))
       .where(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value")),
     Some("""SELECT user_id, event_id, event_type, value FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1""".stripMargin), bench = true)
 
   /** Skewed-key aggregation via two-phase salting (operators.Salted): the
@@ -410,7 +447,7 @@ object Queries {
   private val wagerBookReplay = Q("wager_book_replay",
     (s, dir) => WagerBook.batchReplay(WagerBook.commandsFromEvents(Tables.events(s, dir))),
     Some("""WITH c AS (
-      |  SELECT epoch_ns(ts) AS tsn, event_id,
+      |  SELECT epoch_ns(ts) // 1000 AS tsn, event_id,
       |    concat('w', CAST(user_id % 50 AS VARCHAR)) AS external_id,
       |    CASE WHEN event_type = 'purchase' THEN 'PLACE' WHEN event_type = 'error' THEN 'CANCEL'
       |         WHEN event_type = 'signup' AND event_id % 211 = 0 THEN 'CANCEL_ALL' ELSE 'NOOP' END AS op,
@@ -751,7 +788,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q1PricingSummary, f1IsinFilter, f2EqFilterJson,
-    j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg,
+    j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg,
     wTopkPerGroup, wRunningSum, sOrderbyLimit, cStringFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube,

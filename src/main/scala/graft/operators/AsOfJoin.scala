@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every probe row, attach the payload of the latest
+  * snapshot row with the same keys and `ts ≤` the probe's — the canonical
+  * "odds at bet time" / "price at trade time" lookup that Spark's
+  * DataFrame API lacks as a primitive.
+  *
+  * Implemented by composition (preference tier (a), SURVEY.md §4): tag and
+  * union both sides, then one `last(_, ignoreNulls)` window per key
+  * ordered by (ts, side) — snapshots sort before probes at equal
+  * timestamps, so `ts = probe_ts` matches inclusively. Scale shape: ONE
+  * shuffle of |probes|+|snapshots| rows on the key columns and a
+  * sort-based window — no range-join row explosion, no per-probe scan of
+  * the snapshot history; skew follows the key distribution like any
+  * windowed aggregate.
+  *
+  * Contract: `payload` columns ride along nullable; probes with no
+  * preceding snapshot keep nulls (ASOF LEFT JOIN semantics). Snapshot
+  * timestamps should be unique per key (pre-aggregate if not — with ties
+  * the window takes the last in (ts, payload-order), which a plain ASOF
+  * join leaves unspecified).
+  */
+object AsOfJoin {
+
+  /** @param probes    left side; must contain `keys`, `tsCol`, `probeCols`
+    * @param snapshots right side; must contain `keys`, `tsCol`, `payloadCols` */
+  def lastValueAsOf(probes: DataFrame, snapshots: DataFrame, keys: Seq[String],
+      tsCol: String, probeCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val p = probes.select(keyCols ++ Seq(col(tsCol), lit(1).as("_side")) ++
+      probeCols.map(col) ++ payloadCols.map(c => lit(null).cast(
+        snapshots.schema(c).dataType).as(c)): _*)
+    val s = snapshots.select(keyCols ++ Seq(col(tsCol), lit(0).as("_side")) ++
+      probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+      payloadCols.map(col): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(s)
+      .select((keyCols ++ Seq(col(tsCol), col("_side")) ++ probeCols.map(col) ++
+        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .where(col("_side") === 1)
+      .drop("_side")
+  }
+}

@@ -31,10 +31,12 @@ object WagerBook {
   final case class BookSnapshot(shard: Int, externalId: String, wagerId: String, stake: Double)
 
   /** Deterministic command derivation from the driver's `events` table —
-    * shared by the batch oracle query and the streaming tests. */
+    * shared by the batch oracle query and the streaming tests. Timestamps
+    * are µs (matching DuckDB's ns→µs coercion, so order-sensitive oracle
+    * comparisons can't split on sub-µs ties). */
   def commandsFromEvents(events: DataFrame): DataFrame =
     events.select(
-      col("ts").as("tsn"), // epoch-nanos long (Tables reads nanos as long)
+      graft.functions.TimeFns.nanosToMicros(col("ts")).as("tsn"),
       col("event_id"),
       concat(lit("w"), pmod(col("user_id"), lit(50))).as("external_id"),
       when(col("event_type") === "purchase", "PLACE")

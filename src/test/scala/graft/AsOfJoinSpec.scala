@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val snaps = Seq(
+    (0L, 100L, "s1", 10),
+    (0L, 200L, "s2", 20),
+    (0L, 300L, "s3", 30),
+    (1L, 150L, "t1", 99)).toDF("tid", "tsn", "snap_id", "odds")
+
+  private val probes = Seq(
+    (0L, 50L, 1L),   // before any snapshot → null payload
+    (0L, 200L, 2L),  // equal ts → inclusive match s2
+    (0L, 250L, 3L),  // between → s2
+    (0L, 999L, 4L),  // after all → s3
+    (1L, 160L, 5L),  // other key → t1
+    (2L, 500L, 6L))  // key with no snapshots → null
+    .toDF("tid", "tsn", "event_id")
+
+  test("as-of semantics: latest snapshot ≤ probe ts, inclusive, per key") {
+    val out = AsOfJoin.lastValueAsOf(probes, snaps, Seq("tid"), "tsn",
+      Seq("event_id"), Seq("snap_id", "odds"))
+      .select("event_id", "snap_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("snap_id"))).toMap
+    assert(out == Map(1L -> None, 2L -> Some("s2"), 3L -> Some("s2"),
+      4L -> Some("s3"), 5L -> Some("t1"), 6L -> None))
+  }
+
+  test("probe count preserved (left-join cardinality)") {
+    val out = AsOfJoin.lastValueAsOf(probes, snaps, Seq("tid"), "tsn",
+      Seq("event_id"), Seq("snap_id", "odds"))
+    assert(out.count() == probes.count())
+  }
+}
