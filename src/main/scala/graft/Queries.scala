@@ -190,6 +190,21 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY event_type""".stripMargin))
 
+  /** Pivot reshape (wide per-key counts). Missing combinations are
+    * normalized to 0 on both sides (Spark pivot-count yields null, DuckDB
+    * PIVOT yields 0). */
+  private val aggPivot = Q("agg_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .groupBy(col("user_id")).pivot("event_type", types).count()
+      p.select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+    },
+    Some("""SELECT user_id, click, error, purchase, signup, view
+      |FROM (PIVOT events ON event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+      |      USING count(*) GROUP BY user_id)""".stripMargin))
+
   private val a1Counts = Q("a1_counts",
     (s, dir) => Tables.orders(s, dir).agg(
       count(lit(1)).as("n_orders"),
@@ -791,7 +806,7 @@ object Queries {
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg,
     wTopkPerGroup, wRunningSum, sOrderbyLimit, cStringFns,
-    cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube,
+    cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     xFlagshipFlatten, x3BranchUnion, seedingPipeline,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers,
