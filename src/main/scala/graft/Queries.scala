@@ -799,6 +799,25 @@ object Queries {
       |  CAST((doc_id % 320 + 64) * (doc_id % 240 + 48) AS INTEGER) AS n_pixels
       |FROM documents""".stripMargin))
 
+  /** Frame sampling over binary payloads (multimodal scale path: sample
+    * before decode). The oracle uses character substrings — valid because
+    * the corpus is verified ASCII, so char offsets ≡ byte offsets; the
+    * Spark side genuinely slices binary. */
+  private val multimodalFrames = Q("multimodal_frames",
+    (s, dir) => Multimodal.sampleFrames(Tables.documents(s, dir), frameBytes = 64, stride = 2)
+      .select(col("asset_id"), col("frame_idx"),
+        octet_length(col("frame_bytes")).as("n_bytes"), col("frame_sha")),
+    Some("""WITH a AS (SELECT doc_id AS asset_id, text,
+      |    CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) AS n_frames
+      |  FROM documents),
+      |f AS (SELECT asset_id, text,
+      |    unnest(generate_series(0, greatest(n_frames - 1, 0), 2)) AS frame_idx
+      |  FROM a)
+      |SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(len(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS INTEGER) AS n_bytes,
+      |  sha256(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_sha
+      |FROM f""".stripMargin))
+
   // ──────────────────────────────── registry ────────────────────────────────
 
   val all: Seq[Q] = Seq(
@@ -812,7 +831,8 @@ object Queries {
     s1LadderScan, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
-    simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, multimodalFeatures)
+    simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk,
+    multimodalFeatures, multimodalFrames)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   val oracleSql: Map[String, String] =
