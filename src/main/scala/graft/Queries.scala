@@ -213,6 +213,60 @@ object Queries {
     Some("""SELECT count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers,
       |  count(DISTINCT o_orderpriority) AS n_priorities FROM orders""".stripMargin))
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, same linear-interpolation formula). */
+  private val aPercentiles = Q("a_percentiles",
+    (s, dir) => Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("percentile(c_acctbal, 0.5)").as("p50"),
+        expr("percentile(c_acctbal, 0.9)").as("p90"),
+        count(lit(1)).as("n")),
+    Some("""SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS p50,
+      |  quantile_cont(c_acctbal, 0.9) AS p90, count(*) AS n
+      |FROM customer GROUP BY c_mktsegment""".stripMargin))
+
+  /** Null-handling scalar vocabulary: nullif / coalesce chains / null-safe
+    * equality over the JSON-sourced nullable column. */
+  private val cNullFns = Q("c_null_fns",
+    (s, dir) => Tables.events(s, dir).select(
+      col("event_id"),
+      nullif(col("event_type"), lit("view")).as("type_or_null"),
+      coalesce(get_json_object(col("props"), "$.missing"),
+        get_json_object(col("props"), "$.k"), lit("-1")).as("first_present"),
+      (col("event_type") <=> lit("purchase")).as("nullsafe_is_purchase")),
+    Some("""SELECT event_id, nullif(event_type, 'view') AS type_or_null,
+      |  coalesce(json_extract_string(props, '$.missing'),
+      |           json_extract_string(props, '$.k'), '-1') AS first_present,
+      |  event_type IS NOT DISTINCT FROM 'purchase' AS nullsafe_is_purchase
+      |FROM events""".stripMargin))
+
+  /** Time-series gap-fill: dense hourly spine per event_type with 0-filled
+    * counts (sequence+explode left-joined to the sparse aggregate). */
+  private val tGapfill = Q("t_gapfill",
+    (s, dir) => {
+      // exact hour bucketing — through DECIMAL, not double (µs/3.6e9 in a
+      // double can round up across an integer boundary vs floor division)
+      val hours = Tables.events(s, dir).select(col("event_type"),
+        (TimeFns.nanosToMicros(col("ts")).cast("decimal(20,0)") / lit(3600000000L))
+          .cast("long").as("hour_idx"))
+      val counts = hours.groupBy(col("event_type"), col("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hours.groupBy(col("event_type"))
+        .agg(min(col("hour_idx")).as("h0"), max(col("hour_idx")).as("h1"))
+        .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour_idx"))
+      spine.join(counts, Seq("event_type", "hour_idx"), "left")
+        .select(col("event_type"), col("hour_idx"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
+    Some("""WITH h AS (SELECT event_type, (epoch_ns(ts) // 1000) // 3600000000 AS hour_idx FROM events),
+      |counts AS (SELECT event_type, hour_idx, count(*) AS n FROM h GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(min(hour_idx), max(hour_idx))) AS hour_idx
+      |  FROM h GROUP BY event_type)
+      |SELECT s.event_type, s.hour_idx, coalesce(c.n, 0) AS n
+      |FROM spine s LEFT JOIN counts c ON c.event_type = s.event_type AND c.hour_idx = s.hour_idx""".stripMargin))
+
   private val a5Scalar = Q("a5_scalar",
     (s, dir) => Tables.customer(s, dir).agg(
       max(col("c_acctbal")).as("max_bal"), min(col("c_acctbal")).as("min_bal"),
@@ -823,7 +877,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     q1PricingSummary, f1IsinFilter, f2EqFilterJson,
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin,
-    a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg,
+    a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg, aPercentiles,
+    cNullFns, tGapfill,
     wTopkPerGroup, wRunningSum, sOrderbyLimit, cStringFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     xFlagshipFlatten, x3BranchUnion, seedingPipeline,
