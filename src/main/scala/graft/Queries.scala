@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{DecodeFns, OddsFns, TextFns, TimeFns}
+import graft.functions.SimFns.toDouble
 import graft.operators._
 import graft.sources.BettingFixture
 import graft.streaming.{EventStreams, WagerBook}
@@ -843,6 +844,27 @@ object Queries {
         |FROM r WHERE rank <= 10""".stripMargin
     }, bench = true)
 
+  /** Embedding int8 quantization stats: per-vector scale + checksum of the
+    * quantized values. Quantization uses `floor(x·127/max + 0.5)` — the
+    * same IEEE product floored identically in both engines (a `round()`
+    * call would hit the half-boundary algorithm split found earlier). */
+  private val simQuantize = Q("sim_quantize",
+    (s, dir) => {
+      val v = toDouble(col("embedding"))
+      val maxAbs = array_max(transform(v, x => abs(x)))
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        maxAbs.as("max_abs"),
+        aggregate(
+          transform(v, x => floor(x * lit(127.0) / maxAbs + lit(0.5)).cast("long")),
+          lit(0L), (acc, q) => acc + q).as("q_checksum"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e)
+      |SELECT vec_id, max_abs,
+      |  CAST(list_sum(list_transform(v, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS BIGINT))) AS BIGINT) AS q_checksum
+      |FROM m""".stripMargin))
+
   private val multimodalFeatures = Q("multimodal_features",
     (s, dir) => Multimodal.features(Tables.documents(s, dir)),
     Some("""SELECT doc_id AS asset_id,
@@ -886,7 +908,7 @@ object Queries {
     s1LadderScan, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
-    simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk,
+    simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, simQuantize,
     multimodalFeatures, multimodalFrames)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

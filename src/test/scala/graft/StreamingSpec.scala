@@ -126,6 +126,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(EventStreams.tournamentLeg(decoded, Seq(0L, 1L)).count() == 2)
   }
 
+  test("file-source streaming: frames land as files, decode+route as a stream") {
+    val dir = java.nio.file.Files.createTempDirectory("frames").toString
+    // batch-encode fixture frames to text files (the replay source shape)
+    EventStreams.encodeFixtureFrames(updates,
+      when(col("event_id") === 1, "private-u").otherwise("broadcast-main"),
+      concat(lit("tournament_"), col("tournament_id")))
+      .write.mode("overwrite").text(s"$dir/in")
+    val stream = spark.readStream
+      .schema("raw STRING")
+      .text(s"$dir/in").toDF("raw")
+    val routed = EventStreams.tournamentLeg(EventStreams.decodeFrames(stream), Seq(0L, 1L))
+    val q = routed.select("update.market_id").writeStream
+      .format("memory").queryName("filestream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("filestream").as[String].collect().toSet
+      assert(got == Set("m2", "m3")) // m1 routed to the private leg
+    } finally q.stop()
+  }
+
   test("event-time tumbling window aggregates by hour (streaming via MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Long, String, Int, Long)]
