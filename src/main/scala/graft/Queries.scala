@@ -499,6 +499,28 @@ object Queries {
       |SELECT o_orderkey, 'other' AS bucket, o_totalprice FROM orders
       |WHERE o_orderpriority NOT LIKE '1%'""".stripMargin))
 
+  /** Set operations (intersect / except — absent from the reference,
+    * SURVEY.md §2.9; free in the engine). */
+  private val xSetOps = Q("x_set_ops",
+    (s, dir) => {
+      val building = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val finished = Tables.orders(s, dir)
+        .where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      building.intersect(finished).withColumn("tag", lit("both"))
+        .unionByName(building.except(finished).withColumn("tag", lit("only_building")))
+    },
+    Some("""SELECT c_custkey, 'both' AS tag FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT c_custkey, 'only_building' AS tag FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin))
+
   private val seedingPipeline = Q("seeding_pipeline",
     (s, dir) => Seeding.seededEvents(s, dir),
     Some("""SELECT o.o_orderkey AS event_id, o.o_custkey % 5 AS tournament_id,
@@ -903,7 +925,7 @@ object Queries {
     cNullFns, tGapfill,
     wTopkPerGroup, wRunningSum, sOrderbyLimit, cStringFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
-    xFlagshipFlatten, x3BranchUnion, seedingPipeline,
+    xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
