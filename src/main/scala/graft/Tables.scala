@@ -22,10 +22,15 @@ object Tables {
     * — the scan is already parallel and this is a no-op. */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.min(target, 32)) df.repartition(math.min(target, 32))
-    else df
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val target = math.min(spark.sparkContext.defaultParallelism, 32)
+    // Tiny dims (region/nation) stay single-partition — they broadcast
+    // anyway, and a repartition exchange before a BroadcastExchange is
+    // pure waste. The cutoff is bytes, not rows: even a small file (e.g.
+    // documents) earns the fan-out when per-row compute is heavy.
+    val tiny = new java.io.File(path).length() < 64 * 1024
+    if (!tiny && df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "lineitem")
