@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * are forced with a `count()` (no results pulled to the driver).
   */
 object Bench {
+
+  /** Smallest driver-generated SF (TESTDATA.md): warmup compiles/JITs the
+    * identical plans without touching the measured SF's data files. */
+  val WarmupSfDir = "/root/testdata/sf0.001"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,19 +26,29 @@ object Bench {
     // Untimed warmup at the smallest SF: identical plans → codegen compiles
     // and JIT warm before the measured pass (same data files are NOT read).
     Queries.benchNames.foreach { name =>
-      try Queries.queries(name)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try Queries.queries(name)(spark, WarmupSfDir).count()
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] warmup failed for $name: $t") }
     }
+    // A failing query must never masquerade as a fast success: its timing is
+    // reported as -1 and its error lands in the "errors" map.
     val results = Queries.benchNames.map { name =>
       val fn = Queries.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, err) =>
+        "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+        "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\r\\n\\t]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

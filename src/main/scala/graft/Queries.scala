@@ -555,9 +555,14 @@ object Queries {
       |  FROM eff),
       |ca AS (
       |  SELECT coalesce(max(tsn), -9223372036854775808) AS ca_tsn FROM c
-      |  WHERE op = 'CANCEL_ALL' AND http = 200)
+      |  WHERE op = 'CANCEL_ALL' AND http = 200),
+      |ca2 AS (
+      |  SELECT ca_tsn, coalesce((SELECT max(event_id) FROM c
+      |    WHERE op = 'CANCEL_ALL' AND http = 200 AND tsn = ca.ca_tsn),
+      |    -9223372036854775808) AS ca_eid FROM ca)
       |SELECT external_id, wager_id, CAST(stake AS DOUBLE) AS stake
-      |FROM last_eff, ca WHERE rn = 1 AND op = 'PLACE' AND tsn > ca_tsn""".stripMargin),
+      |FROM last_eff, ca2 WHERE rn = 1 AND op = 'PLACE'
+      |  AND (tsn > ca_tsn OR (tsn = ca_tsn AND event_id > ca_eid))""".stripMargin),
     bench = true)
 
   /** Event-time tumbling window (batch form of the streaming upgrade). */

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of join: for every probe row, attach the payload of the latest
   * snapshot row with the same keys and `ts ≤` the probe's — the canonical
@@ -31,19 +32,24 @@ object AsOfJoin {
   def lastValueAsOf(probes: DataFrame, snapshots: DataFrame, keys: Seq[String],
       tsCol: String, probeCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
+    // Payloads ride as ONE struct so a single last(_, ignoreNulls) picks the
+    // whole latest snapshot atomically. Per-column last() windows would
+    // backfill a NULL payload field from an OLDER snapshot, stitching fields
+    // from different snapshot rows — not ASOF semantics.
+    val payloadType = StructType(payloadCols.map(c => snapshots.schema(c)))
     val p = probes.select(keyCols ++ Seq(col(tsCol), lit(1).as("_side")) ++
-      probeCols.map(col) ++ payloadCols.map(c => lit(null).cast(
-        snapshots.schema(c).dataType).as(c)): _*)
+      probeCols.map(col) :+ lit(null).cast(payloadType).as("_payload"): _*)
     val s = snapshots.select(keyCols ++ Seq(col(tsCol), lit(0).as("_side")) ++
-      probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
-      payloadCols.map(col): _*)
+      probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) :+
+      struct(payloadCols.map(col): _*).as("_payload"): _*)
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     p.unionByName(s)
-      .select((keyCols ++ Seq(col(tsCol), col("_side")) ++ probeCols.map(col) ++
-        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .select(keyCols ++ Seq(col(tsCol), col("_side")) ++ probeCols.map(col) :+
+        last(col("_payload"), ignoreNulls = true).over(w).as("_payload"): _*)
       .where(col("_side") === 1)
-      .drop("_side")
+      .select(keyCols ++ Seq(col(tsCol)) ++ probeCols.map(col) ++
+        payloadCols.map(c => col("_payload").getField(c).as(c)): _*)
   }
 }

@@ -92,7 +92,7 @@ object Dedup {
     * Intermediate label frames are persisted per round and released after
     * use, so lineage doesn't snowball across iterations. */
   def nearDupClusters(documents: DataFrame, minJaccard: Double,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 50): DataFrame = {
     val pairs = nearDupPairs(documents, minJaccard).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -120,6 +120,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // A component with diameter > maxIters would return labels that are not
+    // the component minimum — refuse to emit a silently-wrong clustering.
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters: label propagation did not converge in $maxIters rounds; " +
+        "a candidate-pair component has diameter > maxIters (raise maxIters)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 

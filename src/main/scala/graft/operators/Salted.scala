@@ -19,11 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Salted {
 
-  /** Per-key count + decimal-exact sum of `valueCol`, salted `nSalts` ways. */
+  /** Per-key count + decimal-exact sum of `valueCol`, salted `nSalts` ways.
+    *
+    * The salt is derived from row CONTENT (xxhash64 over every input
+    * column), never from physical placement (`spark_partition_id`,
+    * `monotonically_increasing_id`): under task/stage retry after a shuffle
+    * fetch failure, recomputed rows must hash to the same salt as the
+    * already-fetched partials or the two-phase aggregate double-counts /
+    * drops rows — exactly the fault this skew operator exists to survive.
+    * Identical rows share a salt, so spread relies on value diversity
+    * within the hot key (true for any real fact table; degenerate
+    * all-identical-rows input degrades to the unsalted plan, not to
+    * wrong answers). */
   def countSum(df: DataFrame, key: Column, valueCol: Column, nSalts: Int): DataFrame = {
     val salted = df.select(
       key.as("key"),
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(nSalts)).as("salt"),
+      pmod(xxhash64(df.columns.map(col): _*), lit(nSalts)).as("salt"),
       valueCol.cast("decimal(18,2)").as("v"))
     salted
       .groupBy(col("key"), col("salt"))

@@ -61,11 +61,19 @@ object WagerBook {
         Window.partitionBy(col("external_id"))
           .orderBy(col("tsn").desc, col("event_id").desc)))
       .where(col("rn") === 1)
+    // Tie-break CANCEL_ALL on (tsn, event_id) — the same total order the
+    // streaming legs sort commands by — so a PLACE sharing the cancel-all's
+    // µs timestamp survives iff its event_id is higher, in batch and stream
+    // alike (µs coercion makes equal-tsn commands plausible).
     val lastCancelAll = commands
       .where(col("op") === "CANCEL_ALL" && col("http") === 200)
-      .agg(coalesce(max(col("tsn")), lit(Long.MinValue)).as("ca_tsn"))
+      .agg(max(struct(col("tsn"), col("event_id"))).as("ca"))
+      .select(coalesce(col("ca.tsn"), lit(Long.MinValue)).as("ca_tsn"),
+        coalesce(col("ca.event_id"), lit(Long.MinValue)).as("ca_eid"))
     lastPerKey.crossJoin(broadcast(lastCancelAll))
-      .where(col("op") === "PLACE" && col("tsn") > col("ca_tsn"))
+      .where(col("op") === "PLACE" &&
+        (col("tsn") > col("ca_tsn") ||
+          (col("tsn") === col("ca_tsn") && col("event_id") > col("ca_eid"))))
       .select(col("external_id"), col("wager_id"),
         col("stake").cast("double").as("stake"))
   }

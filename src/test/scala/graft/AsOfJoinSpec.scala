@@ -37,4 +37,18 @@ class AsOfJoinSpec extends AnyFunSuite {
       Seq("event_id"), Seq("snap_id", "odds"))
     assert(out.count() == probes.count())
   }
+
+  test("null payload field in latest snapshot is NOT backfilled from older snapshots") {
+    // s2 (latest ≤ probe) carries a null odds; true ASOF returns (s2, null),
+    // never a frankenrow (s2, 10) stitched from s1's odds.
+    val snapsWithNull = Seq(
+      (0L, 100L, Some("s1"), Some(10)),
+      (0L, 200L, Some("s2"), None: Option[Int]))
+      .toDF("tid", "tsn", "snap_id", "odds")
+    val p = Seq((0L, 250L, 1L)).toDF("tid", "tsn", "event_id")
+    val row = AsOfJoin.lastValueAsOf(p, snapsWithNull, Seq("tid"), "tsn",
+      Seq("event_id"), Seq("snap_id", "odds")).collect().head
+    assert(row.getAs[String]("snap_id") == "s2")
+    assert(row.isNullAt(row.fieldIndex("odds")))
+  }
 }

@@ -84,6 +84,25 @@ class WagerBookSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("batchReplay breaks CANCEL_ALL ties on event_id like the streaming sort key") {
+    // Three commands share tsn=5 (µs coercion makes this plausible). The
+    // streaming legs order by (tsn, eventId): w_before (eventId 50) is
+    // cleared by CANCEL_ALL (eventId 51); w_after (eventId 52) survives.
+    val ties = Seq(
+      Command(5L, 50L, "w_before", "PLACE", 200, "srvA", 1.0),
+      Command(5L, 51L, "", "CANCEL_ALL", 200, "", 0.0),
+      Command(5L, 52L, "w_after", "PLACE", 200, "srvB", 2.0))
+    val fold = ties.sortBy(c => (c.tsn, c.eventId))
+      .foldLeft(Map.empty[String, WagerBook.Wager])(WagerBook.applyCommand)
+    val batch = WagerBook.batchReplay(ties.toDF()
+        .withColumnRenamed("eventId", "event_id")
+        .withColumnRenamed("externalId", "external_id")
+        .withColumnRenamed("wagerId", "wager_id"))
+      .as[(String, String, Double)].collect().toSet
+    assert(fold.values.map(w => (w.externalId, w.wagerId, w.stake)).toSet == batch)
+    assert(batch == Set(("w_after", "srvB", 2.0)))
+  }
+
   test("streaming equals batch replay on the events-derived command log") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val cmds = WagerBook.commandsFromEvents(events)
