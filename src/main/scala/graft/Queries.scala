@@ -154,6 +154,39 @@ object Queries {
       |FROM probes p ASOF LEFT JOIN snaps s ON p.tid = s.tid AND p.tsn >= s.tsn""".stripMargin),
     bench = true)
 
+  /** Range join (operators.RangeJoin): events-in-promotion-window lookup —
+    * every event joins the deterministic order-derived intervals containing
+    * its timestamp, aggregated per interval. The oracle is DuckDB's native
+    * inequality join (IEJoin); the Spark side must reach the same rows via
+    * the binned equi-join, never a nested-loop product. */
+  private val jRangeJoin = Q("j_range_join",
+    (s, dir) => {
+      val points = Tables.events(s, dir).select(
+        TimeFns.nanosToMicros(col("ts")).as("pt"), col("event_id"), col("value"))
+      // Minute-grid starts across events' Jan-2024 span; 1–30 min widths.
+      val intervals = Tables.orders(s, dir).select(
+          col("o_orderkey").as("interval_id"),
+          (lit(1704067200000000L) +
+            pmod(col("o_orderkey"), lit(43200)) * lit(60000000L)).as("ivl_start"),
+          (pmod(col("o_custkey"), lit(30)) + 1).as("mins"))
+        .withColumn("ivl_end", col("ivl_start") + col("mins") * lit(60000000L))
+        .drop("mins")
+      RangeJoin.pointInInterval(points, intervals, "pt", "ivl_start", "ivl_end",
+          binWidth = 600000000L) // 10-min bins ≈ median span ⇒ fan-out ≤ 4
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+    },
+    Some("""WITH p AS (SELECT epoch_ns(ts) // 1000 AS pt, event_id, value FROM events),
+      |i AS (SELECT o_orderkey AS interval_id,
+      |        1704067200000000 + (o_orderkey % 43200) * 60000000 AS s,
+      |        1704067200000000 + (o_orderkey % 43200) * 60000000
+      |          + ((o_custkey % 30) + 1) * 60000000 AS e
+      |      FROM orders)
+      |SELECT interval_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM i JOIN p ON p.pt >= i.s AND p.pt < i.e
+      |GROUP BY interval_id""".stripMargin), bench = true)
+
   private val a3CollectIds = Q("a3_collect_ids",
     (s, dir) => Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
@@ -279,6 +312,20 @@ object Queries {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))))
       .where(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice")),
+    Some("""SELECT o_custkey, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders) WHERE rank <= 3""".stripMargin), bench = true)
+
+  /** The same top-3-per-customer through the custom whole-operator plan
+    * (plans.TopKPlan — logical node + strategy + partial/final physical
+    * operators, tier (c)): bounded per-partition heaps prune to ≤k rows per
+    * key BEFORE the only shuffle, vs. the window plan's full-data exchange
+    * + sort. Same oracle as w_topk_per_group — the two plans must agree
+    * bit-for-bit. */
+  private val wTopkPlan = Q("w_topk_plan",
+    (s, dir) => graft.plans.TopKPlan.topKPerGroup(Tables.orders(s, dir),
+        Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
       .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice")),
     Some("""SELECT o_custkey, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice FROM (
       |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
@@ -925,10 +972,10 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q1PricingSummary, f1IsinFilter, f2EqFilterJson,
-    j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin,
+    j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin, jRangeJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg, aPercentiles,
     cNullFns, tGapfill,
-    wTopkPerGroup, wRunningSum, sOrderbyLimit, cStringFns,
+    wTopkPerGroup, wTopkPlan, wRunningSum, sOrderbyLimit, cStringFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,

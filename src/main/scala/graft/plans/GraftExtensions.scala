@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("normalize_odds", exprs => NormalizeOdds(exprs.head)))
     ext.injectFunction(fn("american_to_decimal", exprs => AmericanToDecimal(exprs.head)))
+    ext.injectPlannerStrategy(_ => TopKPlan.Strategy)
   }
 }

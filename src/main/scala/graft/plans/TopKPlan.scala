@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeReference, AttributeSet, Descending, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator top-k-per-group as a custom plan — preference tier (c)
+  * (SURVEY.md §4): logical node + planner strategy + two physical operators,
+  * installable via [[GraftExtensions]] or `spark.experimental.extraStrategies`.
+  *
+  * Why an operator and not the `row_number()` window: the window plan
+  * shuffles EVERY input row on the group key and sorts whole partitions
+  * before discarding all but k rows per key (Spark's `WindowGroupLimit`
+  * prunes some of that, but only after the full shuffle at the rank-filter
+  * shape). This plan prunes FIRST: [[TopKPartialExec]] keeps a bounded heap
+  * of k rows per key inside each input partition, so the one shuffle moves
+  * ≤ k·|keys| rows per partition — at 100 TB with k=3 that is the
+  * difference between shuffling 100 TB and shuffling megabytes. The same
+  * partial/final split as a hash aggregate, applied to an order-statistic.
+  *
+  * Ordering must be a total order (add a tie-break column) for
+  * deterministic, oracle-comparable output. Memory per task is
+  * O(keys-in-partition × k) rows — the same bound as a partial hash
+  * aggregate's map; beyond-memory key cardinality would need the usual
+  * sort-based fallback, which partial aggregation also falls back to.
+  */
+object TopKPlan {
+
+  /** Logical node: child's rows pruned to the top `k` per `grouping` under
+    * `ordering` (best = first in `ordering`), plus a 1-based `rank`. */
+  final case class TopKPerGroupNode(
+      grouping: Seq[Expression],
+      ordering: Seq[SortOrder],
+      k: Int,
+      rankAttr: Attribute,
+      child: LogicalPlan) extends UnaryNode {
+    require(grouping.nonEmpty, "topKPerGroup needs ≥1 grouping column")
+    require(k > 0, s"k must be positive, got $k")
+    override def output: Seq[Attribute] = child.output :+ rankAttr
+    override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+    override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+      copy(child = newChild)
+  }
+
+  /** Plans the logical node as partial-prune → (exchange) → final-prune.
+    * The exchange is NOT emitted here: [[TopKFinalExec]] declares a
+    * clustered requirement and `EnsureRequirements` inserts the hash
+    * exchange between the two — so AQE still owns partition counts. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerGroupNode(grouping, ordering, k, rankAttr, child) =>
+        TopKFinalExec(grouping, ordering, k, rankAttr,
+          TopKPartialExec(grouping, ordering, k, planLater(child))) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Per-partition bounded heaps: for every group key seen in the
+    * partition, keep the k best rows; emit them unranked (map-side prune,
+    * shuffle-input shape). */
+  final case class TopKPartialExec(grouping: Seq[Expression],
+      ordering: Seq[SortOrder], k: Int, child: SparkPlan) extends UnaryExecNode {
+    override def output: Seq[Attribute] = child.output
+    override protected def doExecute(): RDD[InternalRow] =
+      child.execute().mapPartitions({ iter =>
+        prunePartition(iter, grouping, ordering, k, child.output)
+          .flatMap(_._2)
+      }, preservesPartitioning = true)
+    override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
+      copy(child = newChild)
+  }
+
+  /** Post-shuffle merge: every group's surviving rows are co-located, so a
+    * second bounded-heap pass yields the global top k; rows leave sorted
+    * with a 1-based rank column appended. */
+  final case class TopKFinalExec(grouping: Seq[Expression],
+      ordering: Seq[SortOrder], k: Int, rankAttr: Attribute,
+      child: SparkPlan) extends UnaryExecNode {
+    override def output: Seq[Attribute] = child.output :+ rankAttr
+    override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(grouping) :: Nil
+    override protected def doExecute(): RDD[InternalRow] = {
+      val childOutput = child.output
+      val allOutput = output
+      child.execute().mapPartitions { iter =>
+        val rowOrd = GenerateOrdering.generate(ordering, childOutput)
+        val toUnsafe = UnsafeProjection.create(allOutput, allOutput)
+        val rankRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        prunePartition(iter, grouping, ordering, k, childOutput).flatMap {
+          case (_, rows) =>
+            rows.sortInPlace()(rowOrd.asInstanceOf[Ordering[InternalRow]])
+            rows.iterator.zipWithIndex.map { case (row, i) =>
+              rankRow.setInt(0, i + 1)
+              toUnsafe(joined(row, rankRow))
+            }
+        }
+      }
+    }
+    override protected def withNewChildInternal(newChild: SparkPlan): TopKFinalExec =
+      copy(child = newChild)
+  }
+
+  /** Shared partial/final kernel: hash map of bounded heaps keyed by the
+    * grouping projection. The heap's head is the WORST retained row (max
+    * under the ascending "better-first" row ordering), so admission is one
+    * comparison and eviction is O(log k). */
+  private def prunePartition(iter: Iterator[InternalRow], grouping: Seq[Expression],
+      ordering: Seq[SortOrder], k: Int, inputSchema: Seq[Attribute])
+      : Iterator[(UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow])] = {
+    val keyProj = UnsafeProjection.create(grouping, inputSchema)
+    val rowOrd = GenerateOrdering.generate(ordering, inputSchema)
+      .asInstanceOf[Ordering[InternalRow]]
+    val heaps = scala.collection.mutable.HashMap
+      .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+    iter.foreach { row =>
+      val key = keyProj(row)
+      val heap = heaps.getOrElse(key, null) match {
+        case null =>
+          val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+          heaps(key.copy()) = h
+          h
+        case h => h
+      }
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (rowOrd.compare(row, heap.head) < 0) {
+        heap.dequeue(); heap.enqueue(row.copy())
+      }
+    }
+    heaps.iterator.map { case (key, heap) =>
+      val buf = scala.collection.mutable.ArrayBuffer.from(heap)
+      (key, buf)
+    }
+  }
+
+  /** DataFrame API over the operator. `orderBy`: (column name, descending?)
+    * pairs, best-first; include a tie-break for determinism. Installs the
+    * strategy into the session's experimental strategies if absent (the
+    * extensions path, `graft.plans.GraftExtensions`, does the same at
+    * session build). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int, rankName: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(Strategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Strategy
+    val analyzed = df.queryExecution.analyzed
+    val attr = analyzed.output.map(a => a.name -> a).toMap
+    def resolve(n: String) = attr.getOrElse(n,
+      throw new IllegalArgumentException(s"no column $n in ${analyzed.output.map(_.name)}"))
+    val node = TopKPerGroupNode(
+      groupCols.map(resolve),
+      orderBy.map { case (n, desc) =>
+        SortOrder(resolve(n), if (desc) Descending else Ascending) },
+      k,
+      AttributeReference(rankName, IntegerType, nullable = false)(),
+      analyzed)
+    GraftBridge.ofRows(spark, node)
+  }
+}

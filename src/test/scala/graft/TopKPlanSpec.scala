@@ -1,0 +1,50 @@
+package graft
+
+import graft.plans.TopKPlan
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("custom plan matches the row_number window on orders") {
+    val orders = Tables.orders(spark, sf)
+    val custom = TopKPlan.topKPerGroup(orders,
+        Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+      .select($"o_custkey", $"rank", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val window = orders
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")))
+      .where($"rank" <= 3)
+      .select($"o_custkey", $"rank", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(custom == window)
+    assert(custom.nonEmpty)
+  }
+
+  test("groups smaller than k emit all rows, ranked and gap-free") {
+    val df = Seq(("a", 1), ("a", 5), ("b", 7)).toDF("g", "v")
+    val out = TopKPlan.topKPerGroup(df, Seq("g"), Seq(("v", true)), k = 10)
+      .select($"g", $"rank", $"v").as[(String, Int, Int)].collect().toSet
+    assert(out == Set(("a", 1, 5), ("a", 2, 1), ("b", 1, 7)))
+  }
+
+  test("plan shape: partial prune below the one exchange, final above it") {
+    val p = TopKPlan.topKPerGroup(Tables.orders(spark, sf),
+        Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+      .queryExecution.executedPlan.toString
+    val iPartial = p.indexOf("TopKPartial")
+    val iExchange = p.indexOf("Exchange hashpartitioning")
+    val iFinal = p.indexOf("TopKFinal")
+    assert(iPartial >= 0 && iExchange >= 0 && iFinal >= 0, s"missing operators:\n$p")
+    // toString prints top-down: final, then exchange, then partial.
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"exchange must sit between partial and final:\n$p")
+    assert(!p.contains("Sort "), s"no full partition sort allowed:\n$p")
+  }
+}
