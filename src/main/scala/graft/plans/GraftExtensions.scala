@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("normalize_odds", exprs => NormalizeOdds(exprs.head)))
     ext.injectFunction(fn("american_to_decimal", exprs => AmericanToDecimal(exprs.head)))
     ext.injectPlannerStrategy(_ => TopKPlan.Strategy)
+    ext.injectOptimizerRule(_ => TopKRewrite)
   }
 }

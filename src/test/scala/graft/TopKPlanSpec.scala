@@ -34,6 +34,51 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(out == Set(("a", 1, 5), ("a", 2, 1), ("b", 1, 7)))
   }
 
+  test("TopKRewrite: row_number window + rank filter optimizes into the custom plan") {
+    import graft.plans.{TopKPlan, TopKRewrite}
+    val exp = spark.experimental
+    val (savedRules, savedStrategies) = (exp.extraOptimizations, exp.extraStrategies)
+    exp.extraOptimizations = savedRules :+ TopKRewrite
+    if (!exp.extraStrategies.contains(TopKPlan.Strategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKPlan.Strategy
+    try {
+      val windowed = Tables.orders(spark, sf)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")))
+        .where($"rank" <= 3 && $"o_custkey" > 100)
+        .select($"o_custkey", $"rank", $"o_orderkey")
+      val p = windowed.queryExecution.executedPlan.toString
+      assert(p.contains("TopKFinal") && p.contains("TopKPartial"),
+        s"rewrite did not fire:\n$p")
+      assert(!p.contains("Window "), s"window operator should be gone:\n$p")
+      // Residual conjunct (o_custkey > 100) must survive as a filter.
+      val direct = TopKPlan.topKPerGroup(Tables.orders(spark, sf),
+          Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+        .where($"o_custkey" > 100).select($"o_custkey", $"rank", $"o_orderkey")
+      assert(windowed.as[(Long, Int, Long)].collect().toSet ==
+        direct.as[(Long, Int, Long)].collect().toSet)
+    } finally {
+      exp.extraOptimizations = savedRules
+      exp.extraStrategies = savedStrategies
+    }
+  }
+
+  test("TopKRewrite leaves non-matching windows alone") {
+    import graft.plans.TopKRewrite
+    val exp = spark.experimental
+    val saved = exp.extraOptimizations
+    exp.extraOptimizations = saved :+ TopKRewrite
+    try {
+      // rank filter on a rank() (not row_number) window must NOT rewrite
+      val p = Tables.orders(spark, sf)
+        .withColumn("rnk", rank().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)))
+        .where($"rnk" <= 3)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Window ") && !p.contains("TopKFinal"))
+    } finally exp.extraOptimizations = saved
+  }
+
   test("plan shape: partial prune below the one exchange, final above it") {
     val p = TopKPlan.topKPerGroup(Tables.orders(spark, sf),
         Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
