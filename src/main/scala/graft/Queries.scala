@@ -832,6 +832,42 @@ object Queries {
       |SELECT token, count(*) AS n FROM (SELECT unnest(w) AS token FROM toks)
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin), bench = true)
 
+  /** Count-min sketch heavy hitters (operators.Sketch): the 4×1024 CMS is
+    * built from token occurrences, then the top-20 exact terms are
+    * point-estimated against it. Every cell and estimate is md5-derived ⇒
+    * the DuckDB oracle reproduces the sketch bit-for-bit — a full
+    * cross-engine check of a sketch STRUCTURE, not just a row count.
+    * (CMS guarantee, visible in the output: cms_count ≥ exact_count.) */
+  private val sketchCmsHeavyHitters = Q("sketch_cms_heavyhitters",
+    (s, dir) => {
+      val depth = 4; val width = 1024
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("term")).limit(20)
+      val cms = Sketch.countMin(toks, "term", depth, width)
+      exact.join(Sketch.estimate(cms, exact, "term", depth, width), "term")
+    },
+    Some {
+      val depth = 4; val width = 1024
+      def buckets(alias: String) = (0 until depth).map(i =>
+        s"SELECT $i AS row, ${Sketch.bucketSql("term", i, width)} AS bucket" +
+          (if (alias == "occ") "" else ", term") + s" FROM $alias")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |occ AS (SELECT unnest(w) AS term FROM toks),
+      |cms AS (SELECT row, bucket, count(*) AS n FROM (
+      |  ${buckets("occ")}) GROUP BY row, bucket),
+      |exact AS (SELECT term, count(*) AS exact_count FROM occ GROUP BY term
+      |          ORDER BY exact_count DESC, term LIMIT 20),
+      |probes AS (
+      |  ${buckets("exact")}),
+      |est AS (SELECT p.term, min(coalesce(c.n, 0)) AS cms_count
+      |        FROM probes p LEFT JOIN cms c ON c.row = p.row AND c.bucket = p.bucket
+      |        GROUP BY p.term)
+      |SELECT e.term, e.exact_count, est.cms_count FROM exact e JOIN est USING (term)""".stripMargin
+    })
+
   /** Exact corpus vocabulary size (oracle-checked). */
   private val textVocab = Q("text_vocab",
     (s, dir) => Tables.documents(s, dir)
@@ -982,6 +1018,7 @@ object Queries {
     s1LadderScan, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
+    sketchCmsHeavyHitters,
     simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, simQuantize,
     multimodalFeatures, multimodalFrames)
 

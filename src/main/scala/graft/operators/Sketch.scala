@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a token stream, as a pure-DataFrame operator —
+  * the "novel sketch" extension slot (SURVEY.md §2.10). A CMS answers
+  * frequency queries over an unbounded corpus in O(depth × width) space:
+  * every occurrence increments `depth` counters (one per hash row); the
+  * estimate for a term is the MIN of its counters — an upper bound on the
+  * true count that overshoots by ≤ εN with probability 1−δ for
+  * width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+  *
+  * 100 TB posture: the sketch is a (depth·width)-row TABLE, invariant in
+  * corpus size, produced by one shuffle of at most depth·width partial
+  * rows per map partition (partial aggregation collapses occurrences
+  * map-side). Two sketches merge by summing matching cells — the property
+  * that makes CMS the standard distributed/streaming frequency structure.
+  *
+  * Hashing reuses the md5-based 28-bit universal family from
+  * [[graft.functions.TextFns]] (`(base·Aᵢ+Bᵢ) mod P mod width`), so the
+  * whole sketch is bit-identical in DuckDB and the oracle can check the
+  * TABLE, not just row counts.
+  */
+object Sketch {
+
+  /** CMS cells for one token column: (row, bucket, n), depth×width grid
+    * (absent cells are zero). `tokens` must hold one row per occurrence. */
+  def countMin(tokens: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
+    val base = TextFns.md5Base28(md5(col(tokenCol)))
+    tokens
+      .select(posexplode(array((0 until depth).map(i =>
+        (base * lit(TextFns.minhashA(i)) + lit(TextFns.minhashB(i)))
+          % lit(TextFns.MinhashPrime) % lit(width)): _*)))
+      .withColumnsRenamed(Map("pos" -> "row", "col" -> "bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-estimate the frequency of each distinct probe term against a
+    * sketch: min over the term's `depth` cells. Join shape: probes explode
+    * to depth rows and hash-join the (tiny, broadcastable) sketch — no
+    * scan of the original corpus. */
+  def estimate(cms: DataFrame, probes: DataFrame, termCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val base = TextFns.md5Base28(md5(col(termCol)))
+    probes
+      .select(col(termCol).as("term"), posexplode(array((0 until depth).map(i =>
+        (base * lit(TextFns.minhashA(i)) + lit(TextFns.minhashB(i)))
+          % lit(TextFns.MinhashPrime) % lit(width)): _*)))
+      .withColumnsRenamed(Map("pos" -> "row", "col" -> "bucket"))
+      .join(broadcast(cms), Seq("row", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_count"))
+  }
+
+  /** Matching DuckDB fragment: bucket of `termSql` in hash row `i`. Kept
+    * beside the Column version so the two stay in lock-step (same pattern
+    * as [[TextFns.minhashNumSql]]). */
+  def bucketSql(termSql: String, i: Int, width: Int): String =
+    s"((${TextFns.md5Base28Sql(s"md5($termSql)")}) * ${TextFns.minhashA(i)} + " +
+      s"${TextFns.minhashB(i)}) % ${TextFns.MinhashPrime} % $width"
+}
