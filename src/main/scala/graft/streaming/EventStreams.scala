@@ -95,6 +95,44 @@ object EventStreams {
         col("tournament_id"), col("n_updates"), col("min_odds"), col("max_odds"))
   }
 
+  /** Stream-stream join: enrich each PLACE command with the odds updates
+    * published for its event in the `horizon` before placement — the
+    * "what was the market doing when the bet landed" feed.
+    *
+    * Both sides carry watermarks and the join predicate bounds update time
+    * to [cmd_time − horizon, cmd_time], so Spark can size and EVICT the
+    * join state: at any moment each side buffers only `horizon` worth of
+    * rows per key — the only shape under which an unbounded two-stream
+    * join survives at 100 TB/day ingest. Works identically on batch frames
+    * (plain inner join) — the streaming test asserts that equivalence.
+    *
+    * @param updates  decoded frames ([[decodeFrames]] output shape)
+    * @param commands wager commands with µs-epoch `tsn` + `event_id` */
+  def joinWagersToUpdates(updates: DataFrame, commands: DataFrame,
+      horizon: String): DataFrame = {
+    val u = updates.select(
+        col("update.event_id").as("u_event_id"),
+        col("update.market_id").as("market_id"),
+        col("update.odds").as("odds"),
+        TimeFns.nanosToTimestamp(col("update.updated_at")).as("u_time"))
+      .withWatermark("u_time", horizon)
+    val c = commands.select(
+        col("event_id").as("c_event_id"),
+        col("external_id"),
+        col("op"),
+        timestamp_micros(col("tsn")).as("c_time"))
+      .where(col("op") === "PLACE")
+      .withWatermark("c_time", horizon)
+    c.join(u,
+        col("c_event_id") === col("u_event_id") &&
+          col("u_time") <= col("c_time") &&
+          col("u_time") >= col("c_time") - expr(s"INTERVAL '$horizon'"))
+      .select(col("external_id"), col("c_event_id").as("event_id"),
+        col("market_id"), col("odds"),
+        unix_timestamp(col("c_time")).as("placed_at"),
+        unix_timestamp(col("u_time")).as("update_at"))
+  }
+
   /** Fixture-builder: turn deterministic rows into encoded Pusher-style
     * frames (the reverse of T4, used for replay tests and the round-trip
     * oracle query). */

@@ -165,6 +165,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: wagers enriched with in-horizon odds updates") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704110400L // 2024-01-01 12:00 UTC
+    def upd(m: String, ev: Long, atSec: Long) =
+      (m, ev, 0L, "open", 150, atSec * 1000000000L)
+    val updatesIn = MemoryStream[(String, Long, Long, String, Int, Long)]
+    val commandsIn = MemoryStream[(Long, String, String, Long)] // event_id, ext, op, tsn µs
+    val updates = updatesIn.toDS()
+      .toDF("market_id", "event_id", "tournament_id", "status", "odds", "updated_at")
+      .select(struct(col("market_id"), col("event_id"), col("tournament_id"),
+        col("status"), col("odds"), col("updated_at")).as("update"))
+    val commands = commandsIn.toDS().toDF("event_id", "external_id", "op", "tsn")
+    val joined = EventStreams.joinWagersToUpdates(updates, commands, "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      updatesIn.addData(
+        upd("m1", 1L, base),        // 12:00 — in horizon of the 12:05 PLACE
+        upd("m2", 1L, base - 900),  // 11:45 — too old (>10 min before)
+        upd("m3", 2L, base),        // other event
+        upd("m4", 1L, base + 600))  // 12:10 — after the PLACE
+      commandsIn.addData((1L, "w1", "PLACE", (base + 300) * 1000000L),
+        (1L, "w9", "CANCEL", (base + 300) * 1000000L)) // non-PLACE filtered
+      q.processAllAvailable()
+      // advance both watermarks far enough to close and emit the join window
+      updatesIn.addData(upd("m9", 9L, base + 7200))
+      commandsIn.addData((9L, "w2", "PLACE", (base + 7200) * 1000000L))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .select("external_id", "market_id").as[(String, String)].collect().toSet
+      assert(got.contains(("w1", "m1")), s"in-horizon update must join: $got")
+      assert(!got.exists(_._2 == "m2"), "update older than the horizon must not join")
+      assert(!got.exists(_._2 == "m3"), "other event's update must not join")
+      assert(!got.exists(_._2 == "m4"), "future update must not join")
+      assert(!got.exists(_._1 == "w9"), "non-PLACE commands are filtered")
+    } finally q.stop()
+  }
+
   test("event-time tumbling window aggregates by hour (streaming via MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Long, String, Int, Long)]
