@@ -138,6 +138,27 @@ object Dedup {
       .withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming near-dup filter at ingest: documents are keyed by their
+    * FULL MinHash signature (all 4 band keys) and deduplicated within the
+    * watermark horizon — a doc is dropped iff a doc with an identical
+    * signature arrived recently. Precision-first by construction: an
+    * 8-minhash signature match implies very high Jaccard (P[all 8 match]
+    * = J⁸), so false drops are rare, while weaker near-dups pass through
+    * to the batch LSH pass ([[minhashCandidates]]) — the right division of
+    * labor for an ingest path that must never block and a nightly pass
+    * that can afford candidate verification. State is one row per distinct
+    * signature per horizon — bounded, like [[streamingExactDedup]]. */
+  def streamingNearDupDedup(docs: DataFrame, eventTime: String, delay: String): DataFrame = {
+    val toks = Stage(docs, "w", TextFns.tokens(col("text")))
+    val sh = Stage(toks, "sh", TextFns.shingles(col("w"), 3))
+    val hs = Stage(sh, "hs", TextFns.shingleHashes(col("sh")))
+    hs.withColumn("minhash_sig",
+        concat_ws("|", (0 until 4).map(b => TextFns.minhashBandNum(col("hs"), b)): _*))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("minhash_sig")
+      .drop("w", "sh", "hs")
+  }
+
   /** Embedding-cosine near-dup candidates, blocked by `label` (the cheap
     * cluster key): within-block pairs with cosine ≥ threshold. At scale the
     * blocking key bounds each bucket's pair count; no global cross join. */

@@ -49,20 +49,47 @@ object EventStreams {
     *    generate). Contrast with the HOF pipelines in Dedup where CSE does
     *    NOT apply and barriers are required — see [[graft.plans.Stage]].
     */
-  def decodeFrames(frames: DataFrame): DataFrame = {
-    def g(c: Column, f: String): Column = get_json_object(c, "$." + f)
-    val pj = unbase64(g(col("raw"), "payload")).cast("string") // CSE-deduped
+  def decodeFrames(frames: DataFrame): DataFrame =
+    decodeSelect(frames, unbase64(jsonGet(col("raw"), "payload")).cast("string"))
+
+  private def jsonGet(c: Column, f: String): Column = get_json_object(c, "$." + f)
+
+  /** Shared decode projection; `pj` is the decoded-payload JSON string
+    * (strict `unbase64` on the trusted path, `try_to_binary` on the
+    * quarantine path — same plan shape, CSE-deduped either way). */
+  private def decodeSelect(frames: DataFrame, pj: Column): DataFrame =
     frames.select(
-      g(col("raw"), "channel").as("channel"),
-      g(col("raw"), "event_name").as("event_name"),
+      col("raw"),
+      jsonGet(col("raw"), "channel").as("channel"),
+      jsonGet(col("raw"), "event_name").as("event_name"),
       struct(
-        g(pj, "market_id").as("market_id"),
-        g(pj, "event_id").cast("long").as("event_id"),
-        g(pj, "tournament_id").cast("long").as("tournament_id"),
-        g(pj, "status").as("status"),
-        g(pj, "odds").cast("int").as("odds"),
-        g(pj, "updated_at").cast("long").as("updated_at")).as("update"))
-  }
+        jsonGet(pj, "market_id").as("market_id"),
+        jsonGet(pj, "event_id").cast("long").as("event_id"),
+        jsonGet(pj, "tournament_id").cast("long").as("tournament_id"),
+        jsonGet(pj, "status").as("status"),
+        jsonGet(pj, "odds").cast("int").as("odds"),
+        jsonGet(pj, "updated_at").cast("long").as("updated_at")).as("update"))
+
+  /** [[decodeFrames]] with a quarantine verdict: `decode_ok` is false when
+    * the envelope isn't valid JSON, the payload isn't decodable base64
+    * JSON, or required update fields are missing. The reference logs and
+    * swallows bad messages (`src/main.py:34-36` pattern); at pipeline
+    * scale the correct move is ROUTING, not dropping — split on
+    * `decode_ok` and land the bad leg (raw + reason) in a quarantine sink
+    * for replay, so a poison message never stalls ingest and never
+    * silently vanishes. The payload decodes through `try_to_binary` (null
+    * on malformed base64 — plain `unbase64` THROWS and would kill the
+    * task); `get_json_object` is null-safe; so the verdict is one extra
+    * projection and there is no exception path at all. */
+  def decodeFramesWithQuarantine(frames: DataFrame): DataFrame =
+    decodeSelect(frames,
+        try_to_binary(jsonGet(col("raw"), "payload"), lit("base64")).cast("string"))
+      .withColumn("decode_reason",
+        when(col("channel").isNull, "bad_envelope")
+          .when(col("update.market_id").isNull || col("update.event_id").isNull,
+            "bad_payload")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("decode_ok", col("decode_reason").isNull)
 
   /** T1 — broadcast-channel leg (`'broadcast' in channel_name`). */
   def broadcastLeg(decoded: DataFrame): DataFrame =

@@ -45,4 +45,25 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
     } finally q.stop()
   }
+
+  test("streaming near-dup filter drops signature-identical docs, keeps distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Dedup.streamingNearDupDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardupstream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 10:01:00")
+      val doc = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData((t0, 1L, doc), (t0, 2L, "completely different text about spark plans"))
+      q.processAllAvailable()
+      // same token stream, different doc id / whitespace ⇒ same signature ⇒ dropped
+      input.addData((t1, 3L, "  The QUICK brown fox jumps over the lazy dog again and again "))
+      q.processAllAvailable()
+      val ids = spark.table("neardupstream").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
 }

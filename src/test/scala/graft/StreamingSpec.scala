@@ -165,6 +165,23 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quarantine decode routes malformed frames instead of dropping them") {
+    val good = EventStreams.encodeFixtureFrames(updates,
+      lit("broadcast-x"), concat(lit("tournament_"), col("tournament_id")))
+    val bad = Seq(
+      "not json at all",
+      """{"channel":"broadcast-x","event_name":"t","payload":"%%%not-base64%%%"}""")
+      .toDF("raw")
+    val out = EventStreams.decodeFramesWithQuarantine(good.unionByName(bad))
+    val verdicts = out.select("decode_ok", "decode_reason")
+      .as[(Boolean, Option[String])].collect()
+    assert(verdicts.count(_._1) == 3, "all three real frames decode")
+    val reasons = verdicts.filter(!_._1).flatMap(_._2).sorted
+    assert(reasons.toSeq == Seq("bad_envelope", "bad_payload"))
+    // quarantined rows keep the raw frame for replay
+    assert(out.where(!col("decode_ok")).select("raw").as[String].collect().length == 2)
+  }
+
   test("stream-stream join: wagers enriched with in-horizon odds updates") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704110400L // 2024-01-01 12:00 UTC
