@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-time data layout for multi-dimensional scan pruning — the storage
+  * half of 100 TB performance. Parquet skips row groups / files by min-max
+  * stats, but stats only help if the data is CLUSTERED on the filtered
+  * columns; sorting on one column destroys locality on every other. The
+  * Z-order curve interleaves the bits of two dimensions so rows close in
+  * BOTH dimensions land in the same files — a filter on either column (or
+  * both) touches a small fraction of files instead of all of them.
+  *
+  * The layout is a pure write-path concern: `zorderWrite` shapes
+  * partitions with `repartitionByRange(zValue)` + a within-partition sort
+  * and hands back the frame to write; queries need no changes and no
+  * awareness of the curve — pruning falls out of the parquet stats. Cost
+  * is one range shuffle at write time, amortized over every future scan.
+  */
+object Layout {
+
+  /** Morton/Z-value of two non-negative integral columns, `bits` bits
+    * each (bit i of `x` → bit 2i, bit i of `y` → bit 2i+1). Literal
+    * shifts only — the whole expression stays in whole-stage codegen. */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val mask = (1L << bits) - 1
+    val mx = x.cast("long").bitwiseAND(lit(mask))
+    val my = y.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftright(mx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(my, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Cluster `df` along the Z-curve of (`xCol`, `yCol`) into `nFiles`
+    * range partitions, sorted within each — ready for
+    * `.write.parquet(...)`: each output file covers a compact rectangle
+    * of the (x, y) plane, so min-max stats prune scans filtered on either
+    * dimension.
+    *
+    * Both dimensions are min-max scaled to the full `bits` range first —
+    * without that, a dimension whose values occupy only the low bits
+    * contributes constant zeros to the curve's high bits and the layout
+    * degenerates to single-column ordering. Linear scaling is the cheap
+    * two-pass choice (one tiny agg, broadcast back); heavily skewed
+    * dimensions would want a range-sampled rank instead — same curve,
+    * different normalizer. Scaling math stays in longs: safe while
+    * (range × 2^bits) < 2⁶³, i.e. any epoch-scale domain at bits ≤ 16. */
+  def zorderShape(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, nFiles: Int): DataFrame = {
+    val hi = (1L << bits) - 1
+    val stats = df.agg(
+      min(col(xCol)).cast("long").as("_xmin"), max(col(xCol)).cast("long").as("_xmax"),
+      min(col(yCol)).cast("long").as("_ymin"), max(col(yCol)).cast("long").as("_ymax"))
+    def scaled(c: Column, mn: Column, mx: Column): Column =
+      (c.cast("long") - mn) * lit(hi) / greatest(mx - mn, lit(1L))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z", zValue(
+        scaled(col(xCol), col("_xmin"), col("_xmax")),
+        scaled(col(yCol), col("_ymin"), col("_ymax")), bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z", "_xmin", "_xmax", "_ymin", "_ymax")
+  }
+}

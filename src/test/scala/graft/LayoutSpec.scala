@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.TimeFns
+import graft.operators.Layout
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zValue interleaves bits (known Morton values)") {
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L))
+      .toDF("x", "y")
+      .select(Layout.zValue($"x", $"y", 8).as("z")).as[Long].collect()
+    // morton(5=101b, 3=011b) = x bits at even, y at odd: 0b011011 = 27
+    assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 27L))
+  }
+
+  test("z-order layout concentrates a dimension filter into few files") {
+    val nFiles = 16
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"event_id", $"user_id",
+        (TimeFns.nanosToMicros($"ts") / lit(3600000000L)).cast("long")
+          .bitwiseAND(lit(1023L)).as("hour_idx"))
+
+    def filesTouched(dir: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).where(cond)
+        .select(input_file_name()).distinct().count()
+
+    val base = java.nio.file.Files.createTempDirectory("layout").toString
+    events.repartition(nFiles).write.mode("overwrite").parquet(s"$base/plain")
+    Layout.zorderShape(events, "user_id", "hour_idx", bits = 10, nFiles = nFiles)
+      .write.mode("overwrite").parquet(s"$base/zorder")
+
+    // same rows in both layouts
+    assert(spark.read.parquet(s"$base/zorder").count() ==
+      spark.read.parquet(s"$base/plain").count())
+
+    val userBand = $"user_id".between(40, 59)
+    val hourBand = $"hour_idx".between(100, 199)
+    val plainU = filesTouched(s"$base/plain", userBand)
+    val zU = filesTouched(s"$base/zorder", userBand)
+    val plainBoth = filesTouched(s"$base/plain", userBand && hourBand)
+    val zBoth = filesTouched(s"$base/zorder", userBand && hourBand)
+    // round-robin spreads every user over every file; the z-curve keeps a
+    // user band inside a strip of files, and a 2-dim box in fewer still.
+    assert(plainU == nFiles, s"plain layout should smear the band ($plainU)")
+    assert(zU <= nFiles / 2, s"z-order should halve files touched, got $zU")
+    assert(zBoth <= zU, s"adding the second dimension must not widen ($zBoth > $zU)")
+  }
+}
