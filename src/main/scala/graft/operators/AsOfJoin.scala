@@ -28,28 +28,49 @@ import org.apache.spark.sql.types.StructType
 object AsOfJoin {
 
   /** @param probes    left side; must contain `keys`, `tsCol`, `probeCols`
-    * @param snapshots right side; must contain `keys`, `tsCol`, `payloadCols` */
+    * @param snapshots right side; must contain `keys`, `tsCol`, `payloadCols`
+    * @param direction `"backward"` (latest snapshot ≤ probe ts, the
+    *                  default) or `"forward"` (earliest snapshot ≥ probe
+    *                  ts) — the two directed variants of the standard
+    *                  as-of surface. Same plan either way: only the window
+    *                  sort direction flips.
+    * @param tolerance max |probe ts − snapshot ts| to accept; farther
+    *                  matches null out (row kept, LEFT semantics).
+    *                  Requires a numeric `tsCol`. */
   def lastValueAsOf(probes: DataFrame, snapshots: DataFrame, keys: Seq[String],
-      tsCol: String, probeCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+      tsCol: String, probeCols: Seq[String], payloadCols: Seq[String],
+      direction: String = "backward", tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val keyCols = keys.map(col)
     // Payloads ride as ONE struct so a single last(_, ignoreNulls) picks the
     // whole latest snapshot atomically. Per-column last() windows would
     // backfill a NULL payload field from an OLDER snapshot, stitching fields
-    // from different snapshot rows — not ASOF semantics.
-    val payloadType = StructType(payloadCols.map(c => snapshots.schema(c)))
+    // from different snapshot rows — not ASOF semantics. The snapshot's own
+    // ts rides in the struct for the tolerance check.
+    val payloadType = StructType(
+      payloadCols.map(c => snapshots.schema(c)) :+ snapshots.schema(tsCol).copy(name = "_snap_ts"))
     val p = probes.select(keyCols ++ Seq(col(tsCol), lit(1).as("_side")) ++
       probeCols.map(col) :+ lit(null).cast(payloadType).as("_payload"): _*)
     val s = snapshots.select(keyCols ++ Seq(col(tsCol), lit(0).as("_side")) ++
       probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) :+
-      struct(payloadCols.map(col): _*).as("_payload"): _*)
+      struct(payloadCols.map(col) :+ col(tsCol).as("_snap_ts"): _*).as("_payload"): _*)
+    // Snapshots sort before probes at equal ts in BOTH directions (side
+    // ascending), so ts == probe_ts matches inclusively.
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col(tsCol), col("_side"))
+      .orderBy(tsOrder, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    p.unionByName(s)
+    val matched = p.unionByName(s)
       .select(keyCols ++ Seq(col(tsCol), col("_side")) ++ probeCols.map(col) :+
         last(col("_payload"), ignoreNulls = true).over(w).as("_payload"): _*)
       .where(col("_side") === 1)
-      .select(keyCols ++ Seq(col(tsCol)) ++ probeCols.map(col) ++
-        payloadCols.map(c => col("_payload").getField(c).as(c)): _*)
+    val gated = tolerance.fold(matched) { tol =>
+      matched.withColumn("_payload",
+        when(abs(col(tsCol) - col("_payload").getField("_snap_ts")) <= tol,
+          col("_payload")))
+    }
+    gated.select(keyCols ++ Seq(col(tsCol)) ++ probeCols.map(col) ++
+      payloadCols.map(c => col("_payload").getField(c).as(c)): _*)
   }
 }

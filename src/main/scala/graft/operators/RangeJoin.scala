@@ -42,4 +42,20 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bin")
   }
+
+  /** [[pointInInterval]] with the bin width picked from the data: the
+    * median interval span (one tiny aggregate over the interval side, the
+    * same pre-pass a range-join hint asks the user to eyeball). Median ⇒
+    * the typical interval explodes to ≤ 2 bins, so shuffle fan-out stays
+    * ~2× regardless of the span distribution's tail; a handful of
+    * outlier-wide intervals fan out more, which is the right trade. */
+  def pointInIntervalAuto(points: DataFrame, intervals: DataFrame, pointCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val median = intervals
+      .where(col(endCol) > col(startCol))
+      .agg(expr(s"percentile_approx($endCol - $startCol, 0.5)").cast("long"))
+      .head().getLong(0)
+    pointInInterval(points, intervals, pointCol, startCol, endCol,
+      math.max(median, 1L))
+  }
 }

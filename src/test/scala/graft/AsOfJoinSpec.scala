@@ -38,6 +38,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() == probes.count())
   }
 
+  test("forward direction picks the earliest snapshot ≥ probe ts") {
+    val out = AsOfJoin.lastValueAsOf(probes, snaps, Seq("tid"), "tsn",
+      Seq("event_id"), Seq("snap_id", "odds"), direction = "forward")
+      .select("event_id", "snap_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("snap_id"))).toMap
+    assert(out == Map(1L -> Some("s1"), 2L -> Some("s2"), 3L -> Some("s3"),
+      4L -> None, 5L -> None, 6L -> None))
+  }
+
+  test("tolerance nulls matches farther than the bound, keeps the row") {
+    val out = AsOfJoin.lastValueAsOf(probes, snaps, Seq("tid"), "tsn",
+      Seq("event_id"), Seq("snap_id", "odds"), tolerance = Some(60L))
+      .select("event_id", "snap_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("snap_id"))).toMap
+    // probe 3 (ts 250) is 50 from s2 (200): kept; probe 4 (ts 999) is 699
+    // from s3 (300): nulled; row count unchanged.
+    assert(out == Map(1L -> None, 2L -> Some("s2"), 3L -> Some("s2"),
+      4L -> None, 5L -> Some("t1"), 6L -> None))
+  }
+
   test("null payload field in latest snapshot is NOT backfilled from older snapshots") {
     // s2 (latest ≤ probe) carries a null odds; true ASOF returns (s2, null),
     // never a frankenrow (s2, 10) stitched from s1's odds.

@@ -35,6 +35,15 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out.length == out.toSet.size, "duplicate point-interval pairs")
   }
 
+  test("auto bin width (median span) returns the same rows") {
+    val expected = points.crossJoin(intervals)
+      .where($"pt" >= $"s" && $"pt" < $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val got = RangeJoin.pointInIntervalAuto(points, intervals, "pt", "s", "e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("plan shape: equi-join on the bin key, no nested-loop product") {
     val p = RangeJoin.pointInInterval(points, intervals, "pt", "s", "e", 10L)
       .queryExecution.executedPlan.toString
