@@ -34,7 +34,7 @@ object Salted {
   def countSum(df: DataFrame, key: Column, valueCol: Column, nSalts: Int): DataFrame = {
     val salted = df.select(
       key.as("key"),
-      pmod(xxhash64(df.columns.map(col): _*), lit(nSalts)).as("salt"),
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(nSalts)).as("salt"),
       valueCol.cast("decimal(18,2)").as("v"))
     salted
       .groupBy(col("key"), col("salt"))

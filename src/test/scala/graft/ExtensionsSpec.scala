@@ -1,0 +1,54 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production install path: one `withExtensions(new GraftExtensions)`
+  * session must surface every engine extension — SQL-callable native
+  * expressions, the top-k planner strategy, and the window-rewrite
+  * optimizer rule — with no per-query registration calls. */
+class ExtensionsSpec extends AnyFunSuite {
+  private val base = TestSpark.spark // keeps the shared SparkContext alive
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(s)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("extensions session: native odds expressions callable from SQL text") {
+    withExtSession { s =>
+      val row = s.sql(
+        "SELECT normalize_odds(-100) AS n, american_to_decimal(150) AS d").head()
+      assert(row.getInt(0) == 100)
+      assert(row.getDouble(1) == 2.5)
+    }
+  }
+
+  test("extensions session: rank-limit window auto-plans as the top-k operator") {
+    withExtSession { s =>
+      import s.implicits._
+      val df = Tables.orders(s, "/root/testdata/sf0.001")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")))
+        .where($"rank" <= 2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKFinal") && plan.contains("TopKPartial"),
+        s"extensions must install rule + strategy:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+}
