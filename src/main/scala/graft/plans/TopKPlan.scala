@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.GraftBridge
 import org.apache.spark.sql.types.IntegerType
@@ -17,15 +18,18 @@ import org.apache.spark.sql.types.IntegerType
   * (SURVEY.md §4): logical node + planner strategy + two physical operators,
   * installable via [[GraftExtensions]] or `spark.experimental.extraStrategies`.
   *
-  * Why an operator and not the `row_number()` window: the window plan
-  * shuffles EVERY input row on the group key and sorts whole partitions
-  * before discarding all but k rows per key (Spark's `WindowGroupLimit`
-  * prunes some of that, but only after the full shuffle at the rank-filter
-  * shape). This plan prunes FIRST: [[TopKPartialExec]] keeps a bounded heap
-  * of k rows per key inside each input partition, so the one shuffle moves
-  * ≤ k·|keys| rows per partition — at 100 TB with k=3 that is the
-  * difference between shuffling 100 TB and shuffling megabytes. The same
-  * partial/final split as a hash aggregate, applied to an order-statistic.
+  * Why an operator and not the `row_number()` window: Spark's rank-filter
+  * plan (measured, sf0.001–0.1) is `Sort → WindowGroupLimit(partial) →
+  * Exchange → Sort → WindowGroupLimit → Window` — the shuffle is already
+  * pruned to ≤ k rows per key per partition, but the map side pays a FULL
+  * O(n log n) sort of every input partition first, with sort-buffer memory
+  * and spill to match. [[TopKPartialExec]] replaces both sorts with
+  * bounded heaps: O(n log k) map-side scan whose memory is k rows per
+  * live key, never spill-prone sort buffers — the part that matters when
+  * an input partition is gigabytes. Same partial/final split as a hash
+  * aggregate, applied to an order statistic. (At local bench scale the
+  * codegen'd sort and the heap time out the same — the win is the memory
+  * bound, not small-data CPU.)
   *
   * Ordering must be a total order (add a tie-break column) for
   * deterministic, oracle-comparable output. Memory per task is
@@ -70,6 +74,10 @@ object TopKPlan {
   final case class TopKPartialExec(grouping: Seq[Expression],
       ordering: Seq[SortOrder], k: Int, child: SparkPlan) extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output
+    // Per-partition pruning moves no rows: if the child is already
+    // hash-partitioned on the grouping keys (bucketed read, prior
+    // aggregate), EnsureRequirements sees it and plans NO exchange at all.
+    override def outputPartitioning: Partitioning = child.outputPartitioning
     override protected def doExecute(): RDD[InternalRow] =
       child.execute().mapPartitions({ iter =>
         prunePartition(iter, grouping, ordering, k, child.output)
@@ -89,6 +97,10 @@ object TopKPlan {
     override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(grouping) :: Nil
+    // Rows never move between partitions here, so the exchange's hash
+    // partitioning survives — a downstream groupBy/join on the same keys
+    // plans shuffle-free on top of this operator.
+    override def outputPartitioning: Partitioning = child.outputPartitioning
     override protected def doExecute(): RDD[InternalRow] = {
       val childOutput = child.output
       val allOutput = output

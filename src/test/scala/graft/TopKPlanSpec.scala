@@ -79,6 +79,16 @@ class TopKPlanSpec extends AnyFunSuite {
     } finally exp.extraOptimizations = saved
   }
 
+  test("downstream groupBy on the same key reuses the top-k exchange") {
+    val df = TopKPlan.topKPerGroup(Tables.orders(spark, sf),
+        Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+      .groupBy($"o_custkey").agg(sum($"o_totalprice").as("top3_total"))
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"aggregate after top-k must reuse its partitioning:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("plan shape: partial prune below the one exchange, final above it") {
     val p = TopKPlan.topKPerGroup(Tables.orders(spark, sf),
         Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
