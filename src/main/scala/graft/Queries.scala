@@ -581,6 +581,41 @@ object Queries {
       |      FROM lineitem GROUP BY l_orderkey) m ON m.l_orderkey = o.o_orderkey
       |WHERE r.r_name IN ('AMERICA', 'ASIA', 'EUROPE')""".stripMargin), bench = true)
 
+  /** MERGE / CDC-apply (operators.Upsert): the events stream becomes an
+    * UPSERT/DELETE change log folded into the customer snapshot — latest
+    * change per key wins, deletes drop the key, untouched keys pass
+    * through. Oracle is the equivalent windowed-dedup + full outer join. */
+  private val uMergeUpsert = Q("u_merge_upsert",
+    (s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val changes = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "error"))
+        .select((col("user_id") + 1).as("c_custkey"),
+          when(col("event_type") === "error", "DELETE").otherwise("UPSERT").as("op"),
+          concat(lit("upd_"), col("event_id")).as("c_name"),
+          round(col("value"), 2).as("c_acctbal"),
+          TimeFns.nanosToMicros(col("ts")).as("tsn"), col("event_id"))
+      Upsert.applyChanges(base, changes, "c_custkey",
+        Seq("c_name", "c_acctbal"), "op", "tsn", "event_id")
+    },
+    Some("""WITH ch AS (
+      |  SELECT user_id + 1 AS c_custkey,
+      |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+      |    concat('upd_', CAST(event_id AS VARCHAR)) AS c_name,
+      |    ROUND(value, 2) AS c_acctbal,
+      |    epoch_ns(ts) // 1000 AS tsn, event_id
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY tsn DESC, event_id DESC) AS rn
+      |    FROM ch) WHERE rn = 1)
+      |SELECT coalesce(l.c_custkey, b.c_custkey) AS c_custkey,
+      |  CASE WHEN l.op = 'UPSERT' THEN l.c_name ELSE b.c_name END AS c_name,
+      |  CASE WHEN l.op = 'UPSERT' THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+      |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+      |WHERE l.op IS NULL OR l.op = 'UPSERT'""".stripMargin))
+
   // ─────────────────────── streaming-semantics (batch form) ─────────────────
 
   private val wagerBookReplay = Q("wager_book_replay",
@@ -1014,6 +1049,7 @@ object Queries {
     wTopkPerGroup, wTopkPlan, wRunningSum, sOrderbyLimit, cStringFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
+    uMergeUpsert,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,

@@ -46,6 +46,27 @@ object Sinks {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Exactly-once variant of the append sink: each micro-batch lands in a
+    * `batch_id=<id>` directory with overwrite. foreachBatch's delivery
+    * contract is at-least-once — after a failure the SAME batch id is
+    * replayed — so an idempotent writer (replay overwrites identical data
+    * rather than appending a duplicate) is what upgrades the pipeline to
+    * effective exactly-once. Readers see one atomic directory per batch;
+    * `spark.read.parquet(path)` unions them. */
+  def idempotentAppendSink(stream: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch(idempotentBatchWriter(path))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The writer itself, factored out so batch replay is directly testable:
+    * writing the same (batch, batchId) twice leaves ONE copy. */
+  private[graft] def idempotentBatchWriter(path: String): (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+
   /** T7 — the reference's processing-time cadences as triggers
     * (`src/mm_calls.py:385-389`): place every 10 s, cancel every 9 s,
     * batch-cancel every 7 s. */

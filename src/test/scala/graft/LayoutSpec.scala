@@ -18,6 +18,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 27L))
   }
 
+  test("date-partitioned write prunes directories at scan time") {
+    // The other half of layout-driven pruning: coarse directory partitioning
+    // on the natural time key, with PartitionFilters doing the skipping
+    // before any file is opened.
+    val dir = java.nio.file.Files.createTempDirectory("dateparts").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_date",
+        to_date(TimeFns.nanosToTimestamp($"ts")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).where($"event_date" === "2024-01-05")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"),
+      s"date filter must become a partition filter:\n$plan")
+    val allDates = spark.read.parquet(dir).select("event_date").distinct().count()
+    assert(allDates > 5, "fixture must span multiple partitions")
+    assert(q.count() > 0)
+  }
+
   test("z-order layout concentrates a dimension filter into few files") {
     val nFiles = 16
     val events = Tables.events(spark, "/root/testdata/sf0.01")

@@ -23,6 +23,18 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 3) // append, not overwrite
   }
 
+  test("idempotent sink: replaying a batch id leaves exactly one copy") {
+    val dir = java.nio.file.Files.createTempDirectory("idemsink").toString
+    val writer = Sinks.idempotentBatchWriter(s"$dir/out")
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    writer(batch, 7L)
+    writer(batch, 7L) // at-least-once replay of the SAME batch id
+    writer(Seq((3L, "c")).toDF("id", "v"), 8L)
+    val rows = spark.read.parquet(s"$dir/out")
+    assert(rows.count() == 3, "replay must overwrite, not duplicate")
+    assert(rows.select("batch_id").distinct().count() == 2)
+  }
+
   test("K2/K3 place sink: transport receives request-sized chunks") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("sink").toString
