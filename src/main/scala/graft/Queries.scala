@@ -762,8 +762,11 @@ object Queries {
     Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin))
 
-  private val minhashPairsSql: String =
-    s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+  /** MinHash-LSH candidate-pair CTE chain over any (doc_id, text) relation
+    * `src` — no leading WITH, so callers can prepend their own CTEs. Ends
+    * in `pairs(doc_a, doc_b, jaccard)`. */
+  private def minhashPairsCtes(src: String, threshold: Double): String =
+    s"""toks AS (SELECT doc_id, $duckToks AS w FROM $src),
       |sh AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM toks),
       |hsx AS (SELECT doc_id, sh,
       |  list_transform(list_transform(sh, s -> md5(s)), m -> ${TextFns.md5Base28Sql("m")}) AS hs
@@ -780,8 +783,12 @@ object Queries {
       |  SELECT doc_a, doc_b,
       |    ROUND(CAST(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh))) AS DOUBLE) /
       |      (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh)) - len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))), 4) AS jaccard
-      |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-      |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.2""".stripMargin
+      |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+      |pairs AS (SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= $threshold)""".stripMargin
+
+  private val minhashPairsSql: String =
+    s"""WITH ${minhashPairsCtes("documents", 0.2)}
+      |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin
 
   private val dedupMinhashPairs = Q("dedup_minhash_pairs",
     (s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), 0.2),
@@ -798,6 +805,62 @@ object Queries {
       |          UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached)
       |SELECT node AS doc_id, least(node, min(reached)) AS cluster
       |FROM reach GROUP BY node""".stripMargin))
+
+  /** End-to-end training-data prep (the composition demo: a reference user
+    * runs their whole corpus-prep pass in this engine): quality gate →
+    * language gate → exact dedup (min-id survivor) → greedy near-dup
+    * removal (drop the higher id of every LSH pair among survivors).
+    * Every stage reuses an already-oracle-checked operator; the oracle
+    * composes the same fragments. */
+  private val pipelineDocsPrep = Q("pipeline_docs_prep",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gated = docs
+        .join(TextAnalysis.docStats(docs).select(col("doc_id"), col("n_tokens"), col("quality_bp")), "doc_id")
+        .join(TextAnalysis.langId(docs).select(col("doc_id"), col("predicted_lang")), "doc_id")
+        .where(col("quality_bp") >= 7000 && col("predicted_lang") === "en")
+        .select(col("doc_id"), col("text"), col("n_tokens"), col("quality_bp"))
+      val exactKeep = gated
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val survivors = gated.join(exactKeep, "doc_id")
+      val dropped = Dedup.nearDupPairs(survivors.select(col("doc_id"), col("text")), 0.2)
+        .select(col("doc_b").as("doc_id")).distinct()
+      survivors.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"), col("quality_bp"))
+    },
+    Some {
+      val sets = TextFns.LangMarkers.map { case (lang, ms) =>
+        lang -> ms.map(m => s"'$m'").mkString("(", ", ", ")")
+      }
+      val scores = sets.map { case (lang, inList) =>
+        s"len(list_filter(w, t -> t IN $inList)) AS s_$lang"
+      }.mkString(", ")
+      val langs = sets.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString(" ")
+      s"""WITH dtoks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
+        |meas AS (SELECT doc_id, text, w,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  CAST(floor((least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    (1.0 - CASE WHEN len(w) = 0 THEN 0.0
+        |       ELSE least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / len(w), 1.0) END) * 0.3 +
+        |    (CASE WHEN len(text) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 0.3) * 10000) AS BIGINT) AS quality_bp,
+        |  $scores FROM dtoks),
+        |gated AS (
+        |  SELECT doc_id, text, n_tokens, quality_bp FROM (
+        |    SELECT *, $best AS best FROM meas)
+        |  WHERE quality_bp >= 7000 AND (CASE $caseChain ELSE 'und' END) = 'en'),
+        |exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        |survivors AS (SELECT g.* FROM gated g JOIN exact e ON e.doc_id = g.doc_id),
+        |${minhashPairsCtes("survivors", 0.2)},
+        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+        |SELECT s.doc_id, s.n_tokens, s.quality_bp
+        |FROM survivors s LEFT JOIN dropped d ON d.doc_id = s.doc_id
+        |WHERE d.doc_id IS NULL""".stripMargin
+    }, bench = true)
 
   private val hash16Sql =
     """(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
@@ -1053,6 +1116,7 @@ object Queries {
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
+    pipelineDocsPrep,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     sketchCmsHeavyHitters,
     simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, simQuantize,
