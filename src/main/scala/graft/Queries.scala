@@ -815,16 +815,28 @@ object Queries {
   private val pipelineDocsPrep = Q("pipeline_docs_prep",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val gated = docs
-        .join(TextAnalysis.docStats(docs).select(col("doc_id"), col("n_tokens"), col("quality_bp")), "doc_id")
-        .join(TextAnalysis.langId(docs).select(col("doc_id"), col("predicted_lang")), "doc_id")
+      // One scan, one staged tokenize: stats, quality, and language all
+      // derive from the same materialized token array — no joins of
+      // separately-derived per-doc tables.
+      val gated = graft.plans.Stage(docs.select(col("doc_id"), col("text")),
+          "w", TextFns.tokens(col("text")))
+        .select(col("doc_id"), col("text"),
+          size(col("w")).as("n_tokens"),
+          TextFns.basisPoints(
+            TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp"),
+          TextFns.langIdFromTokens(col("w")).as("predicted_lang"))
         .where(col("quality_bp") >= 7000 && col("predicted_lang") === "en")
         .select(col("doc_id"), col("text"), col("n_tokens"), col("quality_bp"))
       val exactKeep = gated
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
+      // The LSH pass references the survivor set ~5× (band self-join + two
+      // shingle joins + the final anti-join); persisting cuts the gate
+      // subtree from five executions to one. LRU-evictable, tiny (survivor
+      // ids + text).
       val survivors = gated.join(exactKeep, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dropped = Dedup.nearDupPairs(survivors.select(col("doc_id"), col("text")), 0.2)
         .select(col("doc_b").as("doc_id")).distinct()
       survivors.join(dropped, Seq("doc_id"), "left_anti")

@@ -158,8 +158,14 @@ object TextFns {
     * double's exact decimal expansion, DuckDB rounds x·10⁴, and they split
     * when the value sits one ulp below a half), while floor of the same
     * IEEE product is bit-identical everywhere. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** [[qualityScore]] over a (preferably materialized) token array —
+    * bit-identical math, one tokenizer run instead of one per reference
+    * when the token column is staged. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
     val lenScore = least(nTok / 100.0, lit(1.0))
     val punctRatio = when(nTok === 0, lit(0.0))
       .otherwise(least(punctCount(text).cast("double") / nTok, lit(1.0)))
