@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues}
 
 /** The wager book (SURVEY.md §2.8 T5/T6): keyed mutable state over a
   * command stream — PLACE inserts, CANCEL deletes (HTTP 404 counts as
@@ -152,6 +153,64 @@ object WagerBook {
     sharded(spark, commands, nShards)
       .groupByKey(_.shard)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  final case class TimedCommand(shard: Int, cmd: Command, eventTime: java.sql.Timestamp)
+  final case class BookEvent(shard: Int, externalId: String, wagerId: String,
+      stake: Double, kind: String) // kind: "live" | "expired"
+
+  /** [[Processor]] plus EVENT-TIME TIMERS: every successful PLACE arms a
+    * timer at `place time + ttl`; when the watermark passes it, the shard
+    * sweeps out wagers older than the TTL and emits them as `expired`
+    * events. This is the reference's scheduled auto-cancel cadence
+    * (`src/mm_calls.py:385-389`) re-expressed in the engine's time domain:
+    * driver-side wall-clock jobs become per-key timers that replay
+    * deterministically and survive restarts with the state store. */
+  class ExpiringProcessor(ttlMs: Long) extends StatefulProcessor[Int, TimedCommand, BookEvent] {
+    @transient private var book: MapState[String, Wager] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      book = getHandle.getMapState[String, Wager](
+        "book", Encoders.STRING, ExpressionEncoder[Wager](), TTLConfig.NONE)
+    override def handleInputRows(shard: Int, rows: Iterator[TimedCommand],
+        timers: TimerValues): Iterator[BookEvent] = {
+      rows.toSeq.sortBy(tc => (tc.cmd.tsn, tc.cmd.eventId)).foreach { tc =>
+        val c = tc.cmd
+        c.op match {
+          case "PLACE" if c.http == 200 =>
+            book.updateValue(c.externalId, Wager(c.externalId, c.wagerId, c.tsn, c.stake))
+            getHandle.registerTimer(c.tsn / 1000 + ttlMs)
+          case "CANCEL" if c.http == 200 || c.http == 404 =>
+            book.removeKey(c.externalId)
+          case "CANCEL_ALL" if c.http == 200 => book.clear()
+          case _ => ()
+        }
+      }
+      book.values().map(w => BookEvent(shard, w.externalId, w.wagerId, w.stake, "live"))
+    }
+    override def handleExpiredTimer(shard: Int, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[BookEvent] = {
+      val cutoffTsn = (expired.getExpiryTimeInMs - ttlMs) * 1000 // µs
+      val dead = book.iterator().filter(_._2.tsn <= cutoffTsn).toSeq
+      dead.foreach { case (k, _) => book.removeKey(k) }
+      dead.iterator.map { case (_, w) =>
+        BookEvent(shard, w.externalId, w.wagerId, w.stake, "expired") }
+    }
+  }
+
+  /** The auto-expiring book: commands carry event time, the watermark
+    * drives expiry. `delay` is the watermark lateness bound. */
+  def streamTwsExpiring(spark: SparkSession, commands: Dataset[Command],
+      nShards: Int, ttlMs: Long, delay: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    sharded(spark, commands, nShards)
+      .select(col("shard"), col("cmd"), timestamp_micros(col("cmd.tsn")).as("eventTime"))
+      .withWatermark("eventTime", delay)
+      .as[TimedCommand]
+      .groupByKey(_.shard)
+      .transformWithState(new ExpiringProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Update())
       .toDF()
   }
 }

@@ -84,6 +84,34 @@ class WagerBookSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("event-time timers expire wagers older than the TTL (transformWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = 1704110400L * 1000000L // µs
+      val input = MemoryStream[Command]
+      val out = WagerBook.streamTwsExpiring(spark, input.toDS(), nShards = 2,
+        ttlMs = 60000L, delay = "0 seconds") // 1-minute TTL
+      val q = out.writeStream.format("memory").queryName("expiring")
+        .outputMode("update").start()
+      try {
+        input.addData(
+          Command(base, 1L, "w1", "PLACE", 200, "srv1", 10.0),
+          Command(base + 30000000L, 2L, "w2", "PLACE", 200, "srv2", 20.0))
+        q.processAllAvailable()
+        // watermark jumps past w1's expiry (base+60s) but not w2's (+90s)
+        input.addData(Command(base + 70000000L, 3L, "w3", "PLACE", 200, "srv3", 30.0))
+        q.processAllAvailable()
+        val events = spark.table("expiring")
+          .select("externalId", "kind").as[(String, String)].collect().toSet
+        assert(events.contains(("w1", "expired")), s"w1 must expire: $events")
+        assert(!events.contains(("w2", "expired")), s"w2 still live: $events")
+        assert(events.contains(("w3", "live")))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("batchReplay breaks CANCEL_ALL ties on event_id like the streaming sort key") {
     // Three commands share tsn=5 (µs coercion makes this plausible). The
     // streaming legs order by (tsn, eventId): w_before (eventId 50) is
