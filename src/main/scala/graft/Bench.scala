@@ -25,15 +25,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup at the smallest SF: identical plans → codegen compiles
     // and JIT warm before the measured pass (same data files are NOT read).
-    Queries.benchNames.foreach { name =>
-      try Queries.queries(name)(spark, WarmupSfDir).count()
-      catch { case t: Throwable =>
-        System.err.println(s"[bench] warmup failed for $name: $t") }
-    }
+    // Warmup and measurement are INTERLEAVED per query, so each query's
+    // generated classes and JIT state are at their freshest when measured
+    // (a separate warmup phase puts ~20 queries between a plan's compile
+    // and its timing). Residual multi-second swings on single queries
+    // (decode_roundtrip especially) tracked HOST load, not ordering —
+    // re-run on a quiet box before treating one as a regression.
     // A failing query must never masquerade as a fast success: its timing is
     // reported as -1 and its error lands in the "errors" map.
     val results = Queries.benchNames.map { name =>
       val fn = Queries.queries(name)
+      try fn(spark, WarmupSfDir).count()
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] warmup failed for $name: $t") }
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case t: Throwable =>
