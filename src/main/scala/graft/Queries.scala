@@ -472,6 +472,39 @@ object Queries {
       |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize),
+    * through the engine's SQL face — the frames register as temp views and
+    * `spark.sql` runs the same text DuckDB does (modulo the BIGINT cast). */
+  private val aggGroupingSets = Q("agg_grouping_sets",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join —
+    * the declarative form survives scale because the optimizer rewrites
+    * it; left as a subquery in both engines' SQL). */
+  private val jScalarSubquery = Q("j_scalar_subquery",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v2")
+      s.sql("""SELECT c_custkey, c_mktsegment,
+        |  (SELECT max(o_totalprice) FROM orders_v2 o WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer_v c""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+      |  (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c""".stripMargin))
+
   private val aggCube = Q("agg_cube",
     (s, dir) => Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -1123,6 +1156,7 @@ object Queries {
     cNullFns, tGapfill,
     wTopkPerGroup, wTopkPlan, wRunningSum, sOrderbyLimit, cStringFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
+    aggGroupingSets, jScalarSubquery,
     xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
     uMergeUpsert,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
