@@ -754,6 +754,19 @@ object Queries {
     (s, dir) => Tables.events(s, dir).sample(0.3, 42).select(col("event_id"), col("event_type")),
     None)
 
+  /** Deterministic ~30% hash-sample — the reproducible alternative to
+    * seeded RNG sampling at pipeline scale: membership is a pure function
+    * of the row key, so the sample is stable across engines, retries,
+    * partitionings, and reruns (and therefore fully oracle-checkable,
+    * which `rand(seed)` never is cross-engine). md5 is the portable hash. */
+  private val fHashSample = Q("f_hash_sample",
+    (s, dir) => Tables.events(s, dir)
+      .where(conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100 < 30)
+      .select(col("event_id"), col("event_type")),
+    Some("""SELECT event_id, event_type FROM events
+      |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 30""".stripMargin))
+
   /** S1 — the odds-ladder scan through the DataSource V2 connector, joined
     * against lineitem-derived picks to prove it composes as a real table. */
   private val s1LadderScan = Q("s1_ladder_scan",
@@ -1160,7 +1173,7 @@ object Queries {
     xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
     uMergeUpsert,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
-    s1LadderScan, c11UuidWagers,
+    s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     pipelineDocsPrep,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sanity guards on the driver-contract registry itself. */
+class RegistrySpec extends AnyFunSuite {
+
+  test("query names are unique") {
+    val names = Queries.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicates: ${names.diff(names.distinct)}")
+  }
+
+  test("every bench query is registered, every oracle belongs to a query") {
+    assert(Queries.benchNames.toSet.subsetOf(Queries.queries.keySet))
+    assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
+  }
+
+  test("SparkEntry surfaces the registry verbatim") {
+    assert(SparkEntry.queries.keySet == Queries.queries.keySet)
+    assert(SparkEntry.oracleSql == Queries.oracleSql)
+  }
+
+  test("rows-only queries are the documented exceptions, not silent gaps") {
+    val rowsOnly = Queries.queries.keySet -- Queries.oracleSql.keySet
+    // uuid/RNG queries can't have cross-engine oracles; HLL sketches differ
+    // per engine. Anything else appearing here is a missing oracle.
+    assert(rowsOnly == Set("c11_uuid_wagers", "f_sample_bernoulli", "text_vocab_approx"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+}
