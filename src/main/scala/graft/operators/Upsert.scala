@@ -27,7 +27,11 @@ object Upsert {
     * @return the next snapshot, same schema as `base` */
   def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
       valueCols: Seq[String], opCol: String, ordCol: String, tieCol: String): DataFrame = {
+    // Only UPSERT/DELETE are commands; any other op value is ignored BEFORE
+    // latest-wins selection (an unknown op must not shadow a real command,
+    // and must never fall into the "not UPSERT ⇒ drop" arm like a DELETE).
     val latest = changes
+      .where(col(opCol).isin("UPSERT", "DELETE"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(keyCol))
           .orderBy(col(ordCol).desc, col(tieCol).desc)))

@@ -34,6 +34,16 @@ class UpsertSpec extends AnyFunSuite {
     assert(out == Set((2L, "bob", 20.0), (3L, "carol", 30.0)))
   }
 
+  test("unknown op values are ignored, never treated as deletes") {
+    val changes = Seq(
+      (1L, "NOOP", "ghost", 0.0, 999L, 9L),   // must not shadow or delete
+      (2L, "UPSERT", "bob2", 21.0, 100L, 1L))
+      .toDF("k", "op", "name", "bal", "ord", "tie")
+    val out = Upsert.applyChanges(base, changes, "k", Seq("name", "bal"),
+      "op", "ord", "tie").as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "alice", 10.0), (2L, "bob2", 21.0), (3L, "carol", 30.0)))
+  }
+
   test("empty change log is the identity") {
     val changes = Seq.empty[(Long, String, String, Double, Long, Long)]
       .toDF("k", "op", "name", "bal", "ord", "tie")
