@@ -350,6 +350,54 @@ object Queries {
       |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS seq
       |FROM orders""".stripMargin))
 
+  /** lag/lead offset windows — order-to-order deltas per customer (the
+    * classic event-sequence shape; completes the window-function family
+    * beyond rank/rownum/frames). */
+  private val wLagLead = Q("w_lag_lead",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)).as("prev_price"),
+        coalesce(lead(col("o_totalprice"), 1).over(w), lit(0.0)).as("next_price"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |  coalesce(lag(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+      |  coalesce(lead(o_totalprice, 1) OVER w, 0.0) AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
+
+  /** ntile quartiles over a total order (both engines split remainder
+    * identically: first n%k tiles get the extra row). */
+  private val wNtile = Q("w_ntile",
+    (s, dir) => Tables.customer(s, dir).select(
+      col("c_custkey"),
+      ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey")))
+        .as("bal_quartile")),
+    Some("""SELECT c_custkey,
+      |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS bal_quartile
+      |FROM customer""".stripMargin))
+
+  /** Array-function vocabulary (SURVEY §2.9: absent from the reference,
+    * free in the engine) — sequence/slice/sort/position/join over a
+    * per-row constructed array, each with its DuckDB list-function twin. */
+  private val cArrayFns = Q("c_array_fns",
+    (s, dir) => Tables.nation(s, dir).select(
+      col("n_nationkey"),
+      size(sequence(lit(1), col("n_nationkey") + 1)).as("seq_len"),
+      slice(sequence(lit(1), col("n_nationkey") + 1), 1, 3).as("first3"),
+      array_position(sequence(lit(0), lit(24)), col("n_nationkey"))
+        .cast("int").as("pos_in_range"),
+      array_join(reverse(sequence(lit(1), pmod(col("n_nationkey"), lit(4)) + 1)), "-")
+        .as("rev_joined")),
+    Some("""SELECT n_nationkey,
+      |  CAST(len(generate_series(1, n_nationkey + 1)) AS INTEGER) AS seq_len,
+      |  list_slice(generate_series(1, n_nationkey + 1), 1, 3) AS first3,
+      |  CAST(list_position(generate_series(0, 24), n_nationkey) AS INTEGER) AS pos_in_range,
+      |  array_to_string(list_reverse(generate_series(1, n_nationkey % 4 + 1)), '-') AS rev_joined
+      |FROM nation""".stripMargin))
+
   /** Scalar string-function vocabulary parity (upper/substr/replace/…). */
   private val cStringFns = Q("c_string_fns",
     (s, dir) => Tables.customer(s, dir).select(
@@ -1167,7 +1215,8 @@ object Queries {
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin, jRangeJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg, aPercentiles,
     cNullFns, tGapfill,
-    wTopkPerGroup, wTopkPlan, wRunningSum, sOrderbyLimit, cStringFns,
+    wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, sOrderbyLimit,
+    cStringFns, cArrayFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     aggGroupingSets, jScalarSubquery,
     xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
