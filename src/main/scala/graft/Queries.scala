@@ -368,15 +368,17 @@ object Queries {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
 
-  /** ntile quartiles over a total order (both engines split remainder
-    * identically: first n%k tiles get the extra row). */
+  /** ntile quartiles per market segment (both engines split remainder
+    * identically: first n%k tiles get the extra row). Partitioned on the
+    * segment key — an UNpartitioned ntile is a single-reducer global sort,
+    * the one window shape that cannot survive a 100 TB input. */
   private val wNtile = Q("w_ntile",
     (s, dir) => Tables.customer(s, dir).select(
-      col("c_custkey"),
-      ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey")))
-        .as("bal_quartile")),
-    Some("""SELECT c_custkey,
-      |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS bal_quartile
+      col("c_custkey"), col("c_mktsegment"),
+      ntile(4).over(Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))).as("bal_quartile")),
+    Some("""SELECT c_custkey, c_mktsegment,
+      |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS INTEGER) AS bal_quartile
       |FROM customer""".stripMargin))
 
   /** Array-function vocabulary (SURVEY §2.9: absent from the reference,
