@@ -69,4 +69,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joined.collect().map(_.getAs[Long]("n")).sum == 6000) // all lineitems
     spark.sql("DROP TABLE orders_b"); spark.sql("DROP TABLE lineitem_b")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of the fact rows share ONE key — the melt-a-reducer shape that
+      // salting (operators.Salted) fixes for aggregates and AQE fixes for
+      // joins, with no query rewrite.
+      val fact = Tables.lineitem(spark, sf)
+        .select(when(pmod(col("l_orderkey"), lit(10)) < 9, 1L)
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      val dim = Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS QueryExecution (count() would wrap a new
+      // one and leave this adaptive plan unevaluated at its initial state)
+      assert(joined.collect().length > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew-join must split the hot partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
