@@ -47,9 +47,16 @@ object Bench {
     val qs = results.map { case (k, v, err) =>
         "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString) }
       .mkString("{", ",", "}")
+    // Full RFC 8259 string escaping (same as Verify's): any raw control
+    // char in an exception message would invalidate the whole JSON line.
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.collect { case (k, _, Some(e)) =>
-        "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replaceAll("[\\r\\n\\t]", " ") + "\"" }
+        "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -34,8 +34,13 @@ object ProfileTopK {
       val n = f
       println(f"[topk] $label rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
     }
-    time("warmup-window", windowed.count())
-    time("warmup-custom", custom.count())
+    def once(label: String, f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[topk] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    once("warmup-window", windowed.count())
+    once("warmup-custom", custom.count())
     time("window  ", windowed.count())
     time("custom  ", custom.count())
     spark.stop()

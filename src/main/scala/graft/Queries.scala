@@ -847,6 +847,28 @@ object Queries {
     """CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
       |       ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
 
+  // Shared DuckDB fragments mirroring TextFns.qualityScore / langIdFromTokens
+  // — single source for every oracle that gates on them (text_stats,
+  // text_langid, pipeline_docs_prep). All reference columns `text` and `w`.
+  private val qualityBpSql =
+    """CAST(floor((least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+      |    (1.0 - CASE WHEN len(w) = 0 THEN 0.0
+      |       ELSE least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / len(w), 1.0) END) * 0.3 +
+      |    (CASE WHEN len(text) = 0 THEN 0.0
+      |       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 0.3) * 10000) AS BIGINT)""".stripMargin
+
+  private val langScoreSets: Seq[(String, String)] =
+    TextFns.LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => s"'$m'").mkString("(", ", ", ")")
+    }
+  private val langScoresSql: String = langScoreSets.map { case (lang, inList) =>
+    s"len(list_filter(w, t -> t IN $inList)) AS s_$lang"
+  }.mkString(", ")
+  private val langBestSql: String =
+    s"greatest(${langScoreSets.map("s_" + _._1).mkString(", ")})"
+  private val langCaseSql: String = langScoreSets
+    .map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }.mkString(" ")
+
   private def duckShingles(n: Int) =
     s"""CASE WHEN len(w) >= $n
       |  THEN list_transform(generate_series(1, len(w) - ${n - 1}),
@@ -929,8 +951,11 @@ object Queries {
         .select(col("doc_id"))
       // The LSH pass references the survivor set ~5× (band self-join + two
       // shingle joins + the final anti-join); persisting cuts the gate
-      // subtree from five executions to one. LRU-evictable, tiny (survivor
-      // ids + text).
+      // subtree from five executions to one. Not an unbounded leak:
+      // CacheManager keys entries by canonicalized plan, so repeated
+      // invocations on the same sfDir reuse ONE entry (one per distinct
+      // sfDir per session), each tiny (survivor ids + text) and
+      // LRU-evictable.
       val survivors = gated.join(exactKeep, "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dropped = Dedup.nearDupPairs(survivors.select(col("doc_id"), col("text")), 0.2)
@@ -939,28 +964,15 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), col("quality_bp"))
     },
     Some {
-      val sets = TextFns.LangMarkers.map { case (lang, ms) =>
-        lang -> ms.map(m => s"'$m'").mkString("(", ", ", ")")
-      }
-      val scores = sets.map { case (lang, inList) =>
-        s"len(list_filter(w, t -> t IN $inList)) AS s_$lang"
-      }.mkString(", ")
-      val langs = sets.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val caseChain = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString(" ")
       s"""WITH dtoks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
         |meas AS (SELECT doc_id, text, w,
         |  CAST(len(w) AS INTEGER) AS n_tokens,
-        |  CAST(floor((least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 +
-        |    (1.0 - CASE WHEN len(w) = 0 THEN 0.0
-        |       ELSE least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / len(w), 1.0) END) * 0.3 +
-        |    (CASE WHEN len(text) = 0 THEN 0.0
-        |       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 0.3) * 10000) AS BIGINT) AS quality_bp,
-        |  $scores FROM dtoks),
+        |  $qualityBpSql AS quality_bp,
+        |  $langScoresSql FROM dtoks),
         |gated AS (
         |  SELECT doc_id, text, n_tokens, quality_bp FROM (
-        |    SELECT *, $best AS best FROM meas)
-        |  WHERE quality_bp >= 7000 AND (CASE $caseChain ELSE 'und' END) = 'en'),
+        |    SELECT *, $langBestSql AS best FROM meas)
+        |  WHERE quality_bp >= 7000 AND (CASE $langCaseSql ELSE 'und' END) = 'en'),
         |exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
         |survivors AS (SELECT g.* FROM gated g JOIN exact e ON e.doc_id = g.doc_id),
         |${minhashPairsCtes("survivors", 0.2)},
@@ -996,41 +1008,25 @@ object Queries {
 
   private val textStats = Q("text_stats",
     (s, dir) => TextAnalysis.docStats(Tables.documents(s, dir)),
-    Some("""WITH toks AS (SELECT *,
-      |  CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-      |       ELSE string_split_regex(trim(lower(text)), '\s+') END AS w FROM documents)
+    Some(s"""WITH toks AS (SELECT *, $duckToks AS w FROM documents)
       |SELECT doc_id,
       |  CAST(len(text) AS INTEGER) AS n_chars_measured,
       |  CAST(len(w) AS INTEGER) AS n_tokens,
       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
       |  CAST(floor((CASE WHEN len(text) = 0 THEN 0.0
       |    ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 10000) AS BIGINT) AS alpha_bp,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
-      |  CAST(floor((least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 +
-      |    (1.0 - CASE WHEN len(w) = 0 THEN 0.0
-      |       ELSE least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / len(w), 1.0) END) * 0.3 +
-      |    (CASE WHEN len(text) = 0 THEN 0.0
-      |       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 0.3) * 10000) AS BIGINT) AS quality_bp
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+      |  $qualityBpSql AS quality_bp
       |FROM toks""".stripMargin), bench = true)
 
   private val textLangid = Q("text_langid",
     (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
-    Some {
-      val sets = TextFns.LangMarkers.map { case (lang, ms) =>
-        lang -> ms.map(m => s"'$m'").mkString("(", ", ", ")")
-      }
-      val scores = sets.map { case (lang, inList) =>
-        s"len(list_filter(w, t -> t IN $inList)) AS s_$lang"
-      }.mkString(", ")
-      val langs = sets.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      val caseChain = langs.map(l => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'").mkString(" ")
+    Some(
       s"""WITH toks AS (SELECT doc_id, lang AS labeled_lang, $duckToks AS w FROM documents),
-        |scored AS (SELECT doc_id, labeled_lang, $scores FROM toks),
-        |withbest AS (SELECT *, $best AS best FROM scored)
-        |SELECT doc_id, labeled_lang, CASE $caseChain ELSE 'und' END AS predicted_lang
-        |FROM withbest""".stripMargin
-    })
+        |scored AS (SELECT doc_id, labeled_lang, $langScoresSql FROM toks),
+        |withbest AS (SELECT *, $langBestSql AS best FROM scored)
+        |SELECT doc_id, labeled_lang, CASE $langCaseSql ELSE 'und' END AS predicted_lang
+        |FROM withbest""".stripMargin))
 
   private val textTopTerms = Q("text_top_terms",
     (s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), 50),

@@ -51,10 +51,13 @@ object RangeJoin {
     * outlier-wide intervals fan out more, which is the right trade. */
   def pointInIntervalAuto(points: DataFrame, intervals: DataFrame, pointCol: String,
       startCol: String, endCol: String): DataFrame = {
-    val median = intervals
+    val medianRow = intervals
       .where(col(endCol) > col(startCol))
       .agg(expr(s"percentile_approx($endCol - $startCol, 0.5)").cast("long"))
-      .head().getLong(0)
+      .head()
+    // No valid intervals ⇒ the aggregate is NULL; any width yields the
+    // same (empty) join, so fall back to 1.
+    val median = if (medianRow.isNullAt(0)) 1L else medianRow.getLong(0)
     pointInInterval(points, intervals, pointCol, startCol, endCol,
       math.max(median, 1L))
   }

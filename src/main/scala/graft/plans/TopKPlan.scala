@@ -166,9 +166,15 @@ object TopKPlan {
     if (!spark.experimental.extraStrategies.contains(Strategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Strategy
     val analyzed = df.queryExecution.analyzed
-    val attr = analyzed.output.map(a => a.name -> a).toMap
-    def resolve(n: String) = attr.getOrElse(n,
-      throw new IllegalArgumentException(s"no column $n in ${analyzed.output.map(_.name)}"))
+    val byName = analyzed.output.groupBy(_.name)
+    def resolve(n: String) = byName.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"no column $n in ${analyzed.output.map(_.name)}")) match {
+      case Seq(a) => a
+      case dups => throw new IllegalArgumentException(
+        s"ambiguous column $n: ${dups.size} attributes carry that name " +
+          "(disambiguate with select/alias first)") // mirror the DataFrame API's error
+    }
     val node = TopKPerGroupNode(
       groupCols.map(resolve),
       orderBy.map { case (n, desc) =>

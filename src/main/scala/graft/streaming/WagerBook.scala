@@ -190,8 +190,12 @@ object WagerBook {
     }
     override def handleExpiredTimer(shard: Int, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[BookEvent] = {
-      val cutoffTsn = (expired.getExpiryTimeInMs - ttlMs) * 1000 // µs
-      val dead = book.iterator().filter(_._2.tsn <= cutoffTsn).toSeq
+      // Compare in the SAME ms-truncated domain the timer was registered in
+      // (tsn/1000 + ttl): converting the cutoff back to µs would exclude any
+      // wager whose tsn is not a whole millisecond, leaving it in state
+      // forever once its (only) timer has fired.
+      val cutoffMs = expired.getExpiryTimeInMs - ttlMs
+      val dead = book.iterator().filter(_._2.tsn / 1000 <= cutoffMs).toSeq
       dead.foreach { case (k, _) => book.removeKey(k) }
       dead.iterator.map { case (_, w) =>
         BookEvent(shard, w.externalId, w.wagerId, w.stake, "expired") }

@@ -89,7 +89,9 @@ class WagerBookSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val base = 1704110400L * 1000000L // µs
+      // Deliberately NOT ms-aligned: +777 µs catches cutoff math that
+      // truncates to milliseconds on one side only.
+      val base = 1704110400L * 1000000L + 777L // µs
       val input = MemoryStream[Command]
       val out = WagerBook.streamTwsExpiring(spark, input.toDS(), nShards = 2,
         ttlMs = 60000L, delay = "0 seconds") // 1-minute TTL
