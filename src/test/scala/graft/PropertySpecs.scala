@@ -89,3 +89,32 @@ object WagerBookProps extends Properties("WagerBook") {
       replay(cmds) == replay(withoutFailures)
     }
 }
+
+/** The invariant that makes [[graft.operators.RangeJoin]]'s binned
+  * equi-join correct: a contained point's (unique) bin always lies within
+  * the interval's exploded bin span, for EVERY bin width — including the
+  * floor-division edges (interval end on a bin boundary, width larger
+  * than the interval, width 1). Pure integer math, so thousands of cases
+  * run without Spark.
+  */
+object RangeBinProps extends Properties("RangeJoinBinning") {
+  private val genCase = for {
+    s <- Gen.chooseNum(0L, 10000L)
+    len <- Gen.chooseNum(1L, 500L)
+    p <- Gen.chooseNum(0L, 11000L)
+    w <- Gen.oneOf(Gen.chooseNum(1L, 600L), Gen.oneOf(1L, 2L, 10L, 500L, 100000L))
+  } yield (s, s + len, p, w)
+
+  property("containment implies bin-span membership (no missed pairs)") =
+    forAll(genCase) { case (s, e, p, w) =>
+      val contained = p >= s && p < e
+      val inSpan = (p / w) >= (s / w) && (p / w) <= ((e - 1) / w)
+      !contained || inSpan
+    }
+
+  property("interval appears at most once in any single bin (no dup pairs)") =
+    forAll(genCase) { case (s, e, _, w) =>
+      val bins = (s / w) to ((e - 1) / w)
+      bins.distinct.size == bins.size
+    }
+}

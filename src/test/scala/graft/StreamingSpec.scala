@@ -250,6 +250,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time session windows merge within the gap and split across it (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, epoch seconds)
+    val sessions = input.toDS().toDF("user_id", "sec")
+      .select($"user_id", timestamp_seconds($"sec").as("et"))
+      .withWatermark("et", "10 minutes")
+      .groupBy($"user_id", session_window($"et", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_timestamp($"session_window.start").as("start_s"), $"n")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = 1704110400L
+      input.addData((1L, t0), (1L, t0 + 600), (1L, t0 + 1200), // one session (≤30m gaps)
+        (1L, t0 + 7200),                                       // gap > 30m ⇒ new session
+        (2L, t0 + 60))
+      q.processAllAvailable()
+      input.addData((9L, t0 + 999999)) // push the watermark to close sessions
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "start_s", "n").as[(Long, Long, Long)].collect().toSet
+      assert(got.contains((1L, t0, 3L)), s"merged session missing: $got")
+      assert(got.contains((1L, t0 + 7200, 1L)), s"split session missing: $got")
+      assert(got.contains((2L, t0 + 60, 1L)))
+    } finally q.stop()
+  }
+
   test("event-time tumbling window aggregates by hour (streaming via MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Long, String, Int, Long)]
