@@ -381,6 +381,37 @@ object Queries {
       |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS INTEGER) AS bal_quartile
       |FROM customer""".stripMargin))
 
+  /** percent_rank / cume_dist — distribution windows. No rounding needed:
+    * both engines compute the identical integer-operand double divisions
+    * ((rank−1)/(n−1), peers/n), which are bit-identical IEEE results. */
+  private val wPctRank = Q("w_pct_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_mktsegment"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin))
+
+  /** Fixed-width histogram of order totals (bucket arithmetic in both
+    * engines, integral bucket ids) — the binned-aggregation shape behind
+    * any distribution dashboard. */
+  private val aHistogram = Q("a_histogram",
+    (s, dir) => Tables.orders(s, dir)
+      // explicit floor: DuckDB's CAST-to-INTEGER rounds, Spark's truncates
+      .select(floor(col("o_totalprice").cast("decimal(18,2)") / lit(25000))
+        .cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n")),
+    Some("""SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS INTEGER) AS bucket,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin))
+
   /** Array-function vocabulary (SURVEY §2.9: absent from the reference,
     * free in the engine) — sequence/slice/sort/position/join over a
     * per-row constructed array, each with its DuckDB list-function twin. */
@@ -1213,8 +1244,8 @@ object Queries {
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin, jRangeJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg, aPercentiles,
     cNullFns, tGapfill,
-    wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, sOrderbyLimit,
-    cStringFns, cArrayFns,
+    wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, aHistogram,
+    sOrderbyLimit, cStringFns, cArrayFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     aggGroupingSets, jScalarSubquery,
     xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
