@@ -185,7 +185,7 @@ object Queries {
       |SELECT interval_id, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM i JOIN p ON p.pt >= i.s AND p.pt < i.e
-      |GROUP BY interval_id""".stripMargin), bench = true)
+      |GROUP BY interval_id""".stripMargin))
 
   private val a3CollectIds = Q("a3_collect_ids",
     (s, dir) => Tables.orders(s, dir)
@@ -1011,7 +1011,7 @@ object Queries {
         |SELECT s.doc_id, s.n_tokens, s.quality_bp
         |FROM survivors s LEFT JOIN dropped d ON d.doc_id = s.doc_id
         |WHERE d.doc_id IS NULL""".stripMargin
-    }, bench = true)
+    })
 
   private val hash16Sql =
     """(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
