@@ -412,6 +412,43 @@ object Queries {
       |  count(*) AS n
       |FROM orders GROUP BY 1""".stripMargin))
 
+  /** first_value / nth_value frame windows with an explicit ROWS frame
+    * (frame defaults differ subtly across engines; explicit is portable). */
+  private val wFirstNth = Q("w_first_nth",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))
+
+  /** Map-function vocabulary: build a map per row, probe/inspect it, emit
+    * SCALARS (map-typed outputs render differently across engines; the
+    * operations are what's under test, not the wire format). */
+  private val cMapFns = Q("c_map_fns",
+    (s, dir) => Tables.nation(s, dir).select(
+      col("n_nationkey"),
+      element_at(map(lit("region"), col("n_regionkey").cast("string"),
+        lit("name"), col("n_name")), "name").as("via_map"),
+      size(map(lit("a"), col("n_nationkey"), lit("b"), col("n_regionkey")))
+        .as("map_size"),
+      array_join(map_keys(map(lit("k1"), lit(1), lit("k2"), lit(2))), ",")
+        .as("keys_joined")),
+    Some("""SELECT n_nationkey,
+      |  (map(['region', 'name'], [CAST(n_regionkey AS VARCHAR), n_name])['name'])[1] AS via_map,
+      |  CAST(cardinality(map([ 'a', 'b' ], [n_nationkey, n_regionkey])) AS INTEGER) AS map_size,
+      |  array_to_string(map_keys(map(['k1', 'k2'], [1, 2])), ',') AS keys_joined
+      |FROM nation""".stripMargin))
+
   /** Array-function vocabulary (SURVEY §2.9: absent from the reference,
     * free in the engine) — sequence/slice/sort/position/join over a
     * per-row constructed array, each with its DuckDB list-function twin. */
@@ -1244,8 +1281,8 @@ object Queries {
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin, jRangeJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg, aPercentiles,
     cNullFns, tGapfill,
-    wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, aHistogram,
-    sOrderbyLimit, cStringFns, cArrayFns,
+    wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, wFirstNth,
+    aHistogram, sOrderbyLimit, cStringFns, cArrayFns, cMapFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     aggGroupingSets, jScalarSubquery,
     xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
