@@ -449,6 +449,24 @@ object Queries {
       |  array_to_string(map_keys(map(['k1', 'k2'], [1, 2])), ',') AS keys_joined
       |FROM nation""".stripMargin))
 
+  /** Histogram-sketch quantiles (operators.Sketch.histQuantiles): p50/p90
+    * of order totals from the fixed-memory bucket table, integral math ⇒
+    * exact cross-engine compare (the estimate is within one 25k bin of the
+    * true quantile — a_percentiles holds the exact twin). */
+  private val sketchQuantileHist = Q("sketch_quantile_hist",
+    (s, dir) => Sketch.histQuantiles(Tables.orders(s, dir), "o_totalprice", 25000L),
+    Some("""WITH b AS (
+      |  SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) / 25000) AS INTEGER) AS bucket,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT bucket, n,
+      |        sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+      |        (SELECT sum(n) FROM b) AS tot
+      |      FROM b)
+      |SELECT CAST((min(CASE WHEN cum * 2 >= tot THEN bucket END) + 1) * 25000 AS BIGINT) AS p50_upper,
+      |       CAST((min(CASE WHEN cum * 10 >= tot * 9 THEN bucket END) + 1) * 25000 AS BIGINT) AS p90_upper
+      |FROM c""".stripMargin))
+
   /** Array-function vocabulary (SURVEY §2.9: absent from the reference,
     * free in the engine) — sequence/slice/sort/position/join over a
     * per-row constructed array, each with its DuckDB list-function twin. */
@@ -1292,7 +1310,7 @@ object Queries {
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     pipelineDocsPrep,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
-    sketchCmsHeavyHitters,
+    sketchCmsHeavyHitters, sketchQuantileHist,
     simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, simQuantize,
     multimodalFeatures, multimodalFrames)
 

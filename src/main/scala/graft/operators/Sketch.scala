@@ -56,6 +56,32 @@ object Sketch {
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_count"))
   }
 
+  /** Histogram-based quantile estimate: bucket the values into fixed-width
+    * bins (one map-side-combined aggregate — the histogram is the sketch:
+    * fixed memory, merges by bucket-wise sum), then walk the cumulative
+    * counts to the p50/p90 bucket and report its upper edge. Error is
+    * bounded by the bin width; all arithmetic is integral, so the estimate
+    * is bit-identical cross-engine — unlike interpolated approx-percentile
+    * sketches, whose internals differ per engine. The cumulative window
+    * runs over the BUCKET table (O(bins), not O(rows)), so the global
+    * ordering is safe at any input scale. */
+  def histQuantiles(values: DataFrame, valueCol: String, width: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = values
+      .select(floor(col(valueCol).cast("decimal(18,2)") / lit(width)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val cum = b.withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(b.agg(sum(col("n")).cast("long").as("tot"))))
+    cum.agg(
+        min(when(col("cum") * 2 >= col("tot"), col("bucket"))).as("b50"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("bucket"))).as("b90"))
+      .select(
+        ((col("b50") + 1) * width).cast("long").as("p50_upper"),
+        ((col("b90") + 1) * width).cast("long").as("p90_upper"))
+  }
+
   /** Matching DuckDB fragment: bucket of `termSql` in hash row `i`. Kept
     * beside the Column version so the two stay in lock-step (same pattern
     * as [[TextFns.minhashNumSql]]). */

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues}
 
 /** The wager book (SURVEY.md §2.8 T5/T6): keyed mutable state over a
   * command stream — PLACE inserts, CANCEL deletes (HTTP 404 counts as
@@ -153,6 +153,55 @@ object WagerBook {
     sharded(spark, commands, nShards)
       .groupByKey(_.shard)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** [[Processor]] bootstrapped from a BATCH snapshot: the book restarts
+    * from yesterday's [[batchReplay]] output instead of replaying the full
+    * command history — the state-migration/upgrade path every long-lived
+    * 100 TB streaming job eventually needs (`handleInitialState` receives
+    * each snapshot row once, before any input batch). */
+  class BootstrappedProcessor
+      extends StatefulProcessorWithInitialState[Int, ShardedCommand, BookSnapshot, BookSnapshot] {
+    @transient private var book: MapState[String, Wager] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      book = getHandle.getMapState[String, Wager](
+        "book", Encoders.STRING, ExpressionEncoder[Wager](), TTLConfig.NONE)
+    override def handleInitialState(shard: Int, row: BookSnapshot,
+        timers: TimerValues): Unit =
+      book.updateValue(row.externalId, Wager(row.externalId, row.wagerId, 0L, row.stake))
+    override def handleInputRows(shard: Int, rows: Iterator[ShardedCommand],
+        timers: TimerValues): Iterator[BookSnapshot] = {
+      rows.toSeq.sortBy(sc => (sc.cmd.tsn, sc.cmd.eventId)).foreach { sc =>
+        val c = sc.cmd
+        c.op match {
+          case "PLACE" if c.http == 200 =>
+            book.updateValue(c.externalId, Wager(c.externalId, c.wagerId, c.tsn, c.stake))
+          case "CANCEL" if c.http == 200 || c.http == 404 =>
+            book.removeKey(c.externalId)
+          case "CANCEL_ALL" if c.http == 200 => book.clear()
+          case _ => ()
+        }
+      }
+      book.values().map(w => BookSnapshot(shard, w.externalId, w.wagerId, w.stake))
+    }
+  }
+
+  /** [[streamTws]] with the book pre-loaded from a batch snapshot
+    * (sharded the same way the live commands are). */
+  def streamTwsBootstrapped(spark: SparkSession, commands: Dataset[Command],
+      snapshot: DataFrame, nShards: Int): DataFrame = {
+    import spark.implicits._
+    val initState = snapshot
+      .select(col("external_id"), col("wager_id"), col("stake"))
+      .as[(String, String, Double)]
+      .map { case (ext, wid, stake) =>
+        BookSnapshot(shardOf(ext, nShards), ext, wid, stake) }
+      .groupByKey(_.shard)
+    sharded(spark, commands, nShards)
+      .groupByKey(_.shard)
+      .transformWithState(new BootstrappedProcessor, TimeMode.None(),
+        OutputMode.Update(), initState)
       .toDF()
   }
 

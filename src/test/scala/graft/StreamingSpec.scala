@@ -84,6 +84,37 @@ class WagerBookSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState bootstraps from a batch snapshot, then applies new commands") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Yesterday's book, from the batch fold
+      val snapshot = Seq(("w1", "srv1", 10.0), ("w2", "srv2", 20.0))
+        .toDF("external_id", "wager_id", "stake")
+      val input = MemoryStream[Command]
+      val q = WagerBook.streamTwsBootstrapped(spark, input.toDS(), snapshot, nShards = 3)
+        .writeStream.format("memory").queryName("bootstrapped")
+        .outputMode("update").start()
+      try {
+        // today's traffic: cancel a bootstrapped wager, add a new one, and
+        // touch w2's shard with a NOOP (update-mode shards emit only when
+        // they receive input — bootstrapped state surfaces on first traffic)
+        input.addData(
+          Command(10L, 1L, "w1", "CANCEL", 200, "", 0.0),
+          Command(11L, 2L, "w3", "PLACE", 200, "srv3", 30.0),
+          Command(12L, 3L, "w2", "NOOP", 200, "", 0.0))
+        q.processAllAvailable()
+        val got = spark.table("bootstrapped")
+          .select("externalId", "wagerId", "stake")
+          .as[(String, String, Double)].collect().toSet
+        assert(got.contains(("w2", "srv2", 20.0)), s"bootstrapped wager must survive: $got")
+        assert(got.contains(("w3", "srv3", 30.0)), s"new wager must appear: $got")
+        assert(!got.exists(_._1 == "w1"), s"cancelled bootstrapped wager must be gone: $got")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("event-time timers expire wagers older than the TTL (transformWithState)") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
