@@ -281,6 +281,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: decoded stream enriched with a broadcast dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq((0L, "AMERICA"), (1L, "ASIA")).toDF("tournament_id", "t_name")
+    val input = MemoryStream[(String, Long, Long, String, Int, Long)]
+    val decodedLike = input.toDS()
+      .toDF("market_id", "event_id", "tournament_id", "status", "odds", "updated_at")
+      .select(struct(col("market_id"), col("event_id"), col("tournament_id"),
+        col("status"), col("odds"), col("updated_at")).as("update"))
+    val enriched = decodedLike
+      .select($"update.market_id".as("market_id"), $"update.tournament_id".as("tournament_id"))
+      .join(broadcast(dims), Seq("tournament_id"))
+    val q = enriched.writeStream.format("memory").queryName("streamstatic")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("m1", 1L, 0L, "open", 100, 1L),
+        ("m2", 2L, 1L, "open", 200, 2L),
+        ("m3", 3L, 7L, "open", 300, 3L)) // no dim row ⇒ dropped (inner)
+      q.processAllAvailable()
+      val got = spark.table("streamstatic")
+        .select("market_id", "t_name").as[(String, String)].collect().toSet
+      assert(got == Set(("m1", "AMERICA"), ("m2", "ASIA")))
+    } finally q.stop()
+  }
+
   test("event-time session windows merge within the gap and split across it (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)] // (user_id, epoch seconds)
