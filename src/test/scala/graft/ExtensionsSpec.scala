@@ -38,6 +38,20 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("extensions session: the rewrite fires on SQL-text rank filters too") {
+    withExtSession { s =>
+      Tables.orders(s, "/root/testdata/sf0.001").createOrReplaceTempView("orders_ext")
+      val df = s.sql("""SELECT o_custkey, rnk, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders_ext) WHERE rnk <= 2""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKFinal"), s"SQL-shaped idiom must rewrite:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
   test("extensions session: rank-limit window auto-plans as the top-k operator") {
     withExtSession { s =>
       import s.implicits._
