@@ -134,9 +134,14 @@ object EventStreams {
     * (plain inner join) — the streaming test asserts that equivalence.
     *
     * @param updates  decoded frames ([[decodeFrames]] output shape)
-    * @param commands wager commands with µs-epoch `tsn` + `event_id` */
+    * @param commands wager commands with µs-epoch `tsn` + `event_id`
+    * @param joinType `"inner"` or `"left_outer"` — left-outer emits a
+    *                 wager with null update columns once the watermark
+    *                 proves no in-horizon update can still arrive (the
+    *                 "bet placed into a silent market" signal, which an
+    *                 inner join silently drops). */
   def joinWagersToUpdates(updates: DataFrame, commands: DataFrame,
-      horizon: String): DataFrame = {
+      horizon: String, joinType: String = "inner"): DataFrame = {
     val u = updates.select(
         col("update.event_id").as("u_event_id"),
         col("update.market_id").as("market_id"),
@@ -153,7 +158,8 @@ object EventStreams {
     c.join(u,
         col("c_event_id") === col("u_event_id") &&
           col("u_time") <= col("c_time") &&
-          col("u_time") >= col("c_time") - expr(s"INTERVAL '$horizon'"))
+          col("u_time") >= col("c_time") - expr(s"INTERVAL '$horizon'"),
+        joinType)
       .select(col("external_id"), col("c_event_id").as("event_id"),
         col("market_id"), col("odds"),
         unix_timestamp(col("c_time")).as("placed_at"),

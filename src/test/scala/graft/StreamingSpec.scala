@@ -226,6 +226,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched wagers with nulls after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704110400L
+    val updatesIn = MemoryStream[(String, Long, Long, String, Int, Long)]
+    val commandsIn = MemoryStream[(Long, String, String, Long)]
+    val updates = updatesIn.toDS()
+      .toDF("market_id", "event_id", "tournament_id", "status", "odds", "updated_at")
+      .select(struct(col("market_id"), col("event_id"), col("tournament_id"),
+        col("status"), col("odds"), col("updated_at")).as("update"))
+    val commands = commandsIn.toDS().toDF("event_id", "external_id", "op", "tsn")
+    val joined = EventStreams.joinWagersToUpdates(updates, commands,
+      "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_lo")
+      .outputMode("append").start()
+    try {
+      // one matched wager, one placed into a silent market
+      updatesIn.addData(("m1", 1L, 0L, "open", 150, base * 1000000000L))
+      commandsIn.addData((1L, "w_hit", "PLACE", (base + 60) * 1000000L),
+        (5L, "w_miss", "PLACE", (base + 60) * 1000000L))
+      q.processAllAvailable()
+      // drive both watermarks far past the horizon so the null emits
+      updatesIn.addData(("m9", 9L, 0L, "open", 1, (base + 7200) * 1000000000L))
+      commandsIn.addData((9L, "w_late", "PLACE", (base + 7200) * 1000000L))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_lo")
+        .select("external_id", "market_id").as[(String, Option[String])].collect().toSet
+      assert(got.contains(("w_hit", Some("m1"))), s"matched wager: $got")
+      assert(got.contains(("w_miss", None)), s"unmatched wager must emit with null: $got")
+    } finally q.stop()
+  }
+
   test("quarantine decode routes malformed frames instead of dropping them") {
     val good = EventStreams.encodeFixtureFrames(updates,
       lit("broadcast-x"), concat(lit("tournament_"), col("tournament_id")))
