@@ -33,6 +33,45 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Hilbert-curve position of two non-negative integral columns on the
+    * 2^bits × 2^bits grid. Unlike the Z-curve, consecutive Hilbert
+    * positions are always grid-ADJACENT (no long diagonal jumps), so
+    * range-partitioning the curve yields strictly tighter per-file
+    * bounding boxes at the same bit budget.
+    *
+    * Backed by the native [[graft.plans.HilbertD]] expression: the
+    * algorithm rebinds x/y per round, so a Column-combinator unrolling
+    * multiplies the expression tree ~6× per bit and OOMs the driver at
+    * useful bit widths (measured at 10 bits) — the one place in this
+    * engine where tier (b) is forced, not preferred. */
+  def hilbertValue(xc: Column, yc: Column, bits: Int): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.plans.HilbertD(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(xc.cast("long")),
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(yc.cast("long")),
+        bits))
+
+  /** Reference implementation of [[hilbertValue]] (same public-domain
+    * algorithm, plain JVM) — the oracle the Column version is
+    * property-tested against, and handy for driver-side checks. */
+  def hilbertRef(xIn: Long, yIn: Long, bits: Int): Long = {
+    var x = xIn & ((1L << bits) - 1)
+    var y = yIn & ((1L << bits) - 1)
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
   /** Cluster `df` along the Z-curve of (`xCol`, `yCol`) into `nFiles`
     * range partitions, sorted within each — ready for
     * `.write.parquet(...)`: each output file covers a compact rectangle
@@ -48,7 +87,17 @@ object Layout {
     * different normalizer. Scaling math stays in longs: safe while
     * (range × 2^bits) < 2⁶³, i.e. any epoch-scale domain at bits ≤ 16. */
   def zorderShape(df: DataFrame, xCol: String, yCol: String,
-      bits: Int, nFiles: Int): DataFrame = {
+      bits: Int, nFiles: Int): DataFrame =
+    curveShape(df, xCol, yCol, bits, nFiles, zValue)
+
+  /** [[zorderShape]] on the Hilbert curve — same write-path contract,
+    * tighter per-file boxes (no Z-shaped diagonal jumps). */
+  def hilbertShape(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, nFiles: Int): DataFrame =
+    curveShape(df, xCol, yCol, bits, nFiles, hilbertValue)
+
+  private def curveShape(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, nFiles: Int, curve: (Column, Column, Int) => Column): DataFrame = {
     val hi = (1L << bits) - 1
     val stats = df.agg(
       min(col(xCol)).cast("long").as("_xmin"), max(col(xCol)).cast("long").as("_xmax"),
@@ -56,7 +105,7 @@ object Layout {
     def scaled(c: Column, mn: Column, mx: Column): Column =
       (c.cast("long") - mn) * lit(hi) / greatest(mx - mn, lit(1L))
     df.crossJoin(broadcast(stats))
-      .withColumn("_z", zValue(
+      .withColumn("_z", curve(
         scaled(col(xCol), col("_xmin"), col("_xmax")),
         scaled(col(yCol), col("_ymin"), col("_ymax")), bits))
       .repartitionByRange(nFiles, col("_z"))

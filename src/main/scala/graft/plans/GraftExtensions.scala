@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("normalize_odds", exprs => NormalizeOdds(exprs.head)))
     ext.injectFunction(fn("american_to_decimal", exprs => AmericanToDecimal(exprs.head)))
+    ext.injectFunction(fn("hilbert_d", exprs => HilbertD(exprs(0), exprs(1),
+      exprs(2).eval().asInstanceOf[Number].intValue)))
     ext.injectPlannerStrategy(_ => TopKPlan.Strategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
   }

@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the odds domain (SURVEY.md §2.6 C13) —
   * preference tier (b): a codegen'd `Expression` beats a Scala UDF, and
@@ -29,6 +30,54 @@ case class NormalizeOdds(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "normalize_odds"
+}
+
+/** `hilbert_d(x, y)` — position of grid point (x, y) on the `bits`-order
+  * Hilbert curve (public-domain rotate-and-accumulate xy→d algorithm).
+  *
+  * A native expression out of NECESSITY, not preference: the iterative
+  * algorithm rebinds x and y each round, so composing it from built-in
+  * Columns multiplies the expression tree ~6× per bit — at 10 bits the
+  * unrolled tree has tens of millions of nodes and OOMs the driver before
+  * optimization begins (measured). Here the loop is ~15 lines of
+  * generated Java inside whole-stage codegen. The matching JVM reference
+  * lives in [[graft.operators.Layout.hilbertRef]] and property-tests this.
+  */
+case class HilbertD(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hilbert_d"
+
+  override protected def nullSafeEval(xv: Any, yv: Any): Any =
+    graft.operators.Layout.hilbertRef(xv.asInstanceOf[Long], yv.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xc, yc) => {
+      val (x, y, d, s, rx, ry, t) = (ctx.freshName("x"), ctx.freshName("y"),
+        ctx.freshName("d"), ctx.freshName("s"), ctx.freshName("rx"),
+        ctx.freshName("ry"), ctx.freshName("t"))
+      val mask = (1L << bits) - 1
+      s"""
+        |long $x = $xc & ${mask}L;
+        |long $y = $yc & ${mask}L;
+        |long $d = 0L;
+        |for (long $s = ${1L << (bits - 1)}L; $s > 0L; $s >>= 1) {
+        |  long $rx = (($x & $s) > 0L) ? 1L : 0L;
+        |  long $ry = (($y & $s) > 0L) ? 1L : 0L;
+        |  $d += $s * $s * ((3L * $rx) ^ $ry);
+        |  if ($ry == 0L) {
+        |    if ($rx == 1L) { $x = $s - 1L - $x; $y = $s - 1L - $y; }
+        |    long $t = $x; $x = $y; $y = $t;
+        |  }
+        |}
+        |${ev.value} = $d;
+        |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HilbertD = copy(left = newLeft, right = newRight)
 }
 
 /** `american_to_decimal(x)` — American → decimal (European) odds:

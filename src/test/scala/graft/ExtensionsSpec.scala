@@ -32,9 +32,11 @@ class ExtensionsSpec extends AnyFunSuite {
   test("extensions session: native odds expressions callable from SQL text") {
     withExtSession { s =>
       val row = s.sql(
-        "SELECT normalize_odds(-100) AS n, american_to_decimal(150) AS d").head()
+        "SELECT normalize_odds(-100) AS n, american_to_decimal(150) AS d, " +
+          "hilbert_d(5L, 3L, 8) AS h").head()
       assert(row.getInt(0) == 100)
       assert(row.getDouble(1) == 2.5)
+      assert(row.getLong(2) == graft.operators.Layout.hilbertRef(5L, 3L, 8))
     }
   }
 

@@ -18,6 +18,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 27L))
   }
 
+  test("hilbert: every consecutive pair of curve positions is grid-adjacent") {
+    // The defining Hilbert property (Morton fails it): walking d = 0..n²−1
+    // moves exactly one step in x or y. Exhaustive on the 32×32 grid.
+    val bits = 5
+    val n = 1 << bits
+    val byD = (for (x <- 0 until n; y <- 0 until n)
+      yield Layout.hilbertRef(x, y, bits) -> ((x, y))).toMap
+    assert(byD.size == n * n, "curve must be a bijection")
+    (0 until n * n - 1).foreach { d =>
+      val (x0, y0) = byD(d.toLong); val (x1, y1) = byD(d.toLong + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1,
+        s"jump at d=$d: ($x0,$y0)→($x1,$y1)")
+    }
+  }
+
+  test("hilbert: the column expression matches the reference implementation") {
+    val bits = 10
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(500)((rnd.nextInt(1 << bits).toLong, rnd.nextInt(1 << bits).toLong)) ++
+      Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L), ((1L << bits) - 1, (1L << bits) - 1))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.hilbertValue($"x", $"y", bits).as("d"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) =>
+      assert(d == Layout.hilbertRef(x, y, bits), s"mismatch at ($x,$y)")
+    }
+  }
+
+  test("hilbert layout concentrates dimension filters at least as well as z-order") {
+    val nFiles = 16
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"event_id", $"user_id",
+        (TimeFns.nanosToMicros($"ts") / lit(3600000000L)).cast("long")
+          .bitwiseAND(lit(1023L)).as("hour_idx"))
+    val base = java.nio.file.Files.createTempDirectory("hilbert").toString
+    Layout.hilbertShape(events, "user_id", "hour_idx", bits = 10, nFiles = nFiles)
+      .write.mode("overwrite").parquet(s"$base/h")
+    val touched = spark.read.parquet(s"$base/h")
+      .where($"user_id".between(40, 59))
+      .select(input_file_name()).distinct().count()
+    assert(touched <= nFiles / 2, s"hilbert band filter touched $touched of $nFiles files")
+    assert(spark.read.parquet(s"$base/h").count() == events.count())
+  }
+
   test("date-partitioned write prunes directories at scan time") {
     // The other half of layout-driven pruning: coarse directory partitioning
     // on the natural time key, with PartitionFilters doing the skipping
