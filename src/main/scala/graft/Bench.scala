@@ -33,16 +33,29 @@ object Bench {
     // re-run on a quiet box before treating one as a regression.
     // A failing query must never masquerade as a fast success: its timing is
     // reported as -1 and its error lands in the "errors" map.
+    // Noise robustness: each query is measured `repeats` times in this one
+    // JVM and the per-query MIN is reported — a single sample tracks host
+    // CPU steal (documented 4.5 s ↔ 34 s swings on identical code), while
+    // the min across repeats is the load-robust estimate of what the plan
+    // actually costs. The repeat count is recorded in the JSON.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val results = Queries.benchNames.map { name =>
       val fn = Queries.queries(name)
       try fn(spark, WarmupSfDir).count()
       catch { case t: Throwable =>
         System.err.println(s"[bench] warmup failed for $name: $t") }
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var i = 0
+      while (i < repeats && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
         catch { case t: Throwable =>
-          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+          err = Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      (name, best, err)
     }
     val qs = results.map { case (k, v, err) =>
         "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString) }
@@ -59,7 +72,7 @@ object Bench {
         "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"repeats":$repeats,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -474,14 +474,15 @@ object Queries {
     (s, dir) => Tables.nation(s, dir).select(
       col("n_nationkey"),
       size(sequence(lit(1), col("n_nationkey") + 1)).as("seq_len"),
-      slice(sequence(lit(1), col("n_nationkey") + 1), 1, 3).as("first3"),
+      array_join(slice(sequence(lit(1), col("n_nationkey") + 1), 1, 3), "-")
+        .as("first3"),
       array_position(sequence(lit(0), lit(24)), col("n_nationkey"))
         .cast("int").as("pos_in_range"),
       array_join(reverse(sequence(lit(1), pmod(col("n_nationkey"), lit(4)) + 1)), "-")
         .as("rev_joined")),
     Some("""SELECT n_nationkey,
       |  CAST(len(generate_series(1, n_nationkey + 1)) AS INTEGER) AS seq_len,
-      |  list_slice(generate_series(1, n_nationkey + 1), 1, 3) AS first3,
+      |  array_to_string(list_slice(generate_series(1, n_nationkey + 1), 1, 3), '-') AS first3,
       |  CAST(list_position(generate_series(0, 24), n_nationkey) AS INTEGER) AS pos_in_range,
       |  array_to_string(list_reverse(generate_series(1, n_nationkey % 4 + 1)), '-') AS rev_joined
       |FROM nation""".stripMargin))

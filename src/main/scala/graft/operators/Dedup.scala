@@ -12,8 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB posture: near-dup candidate generation is LSH-banded — the only
   * shuffles are `groupBy(band_key)` / self-join on band buckets, never an
-  * all-pairs cross join. Band keys are md5-derived, so bucket skew is
-  * bounded; exact Jaccard runs only on the banded candidate pairs.
+  * all-pairs cross join. Note that md5-derived band keys randomize only
+  * *distinct* signatures: identical or near-identical documents collide on
+  * the same bucket BY DESIGN, so a duplicated boilerplate page can create a
+  * quadratic bucket at corpus scale. [[minhashCandidates]] therefore caps
+  * every (band, key) bucket at `maxBucket` members (deterministic min-doc_id
+  * truncation) — run [[exact]] as a pre-pass (as `pipeline_docs_prep` does)
+  * so identical texts never reach the LSH stage, and use
+  * [[oversizedBuckets]] to audit what the cap touched.
   */
 object Dedup {
 
@@ -40,25 +46,55 @@ object Dedup {
     Stage(withShingles(documents), "hs", TextFns.shingleHashes(col("sh")))
       .select(col("doc_id"), col("sh"), col("hs"))
 
-  /** MinHash-LSH candidate pairs: 4 bands × r=2 minhashes from the
-    * single-md5 universal family. Two docs become a candidate pair iff they
-    * collide on ≥1 band (probability 1−(1−J²)⁴ for Jaccard J). Self-join is
-    * per-band-bucket only. */
-  def minhashCandidates(documents: DataFrame): DataFrame = {
+  /** The banded (doc_id, band, key) table behind [[minhashCandidates]]. */
+  private def bandedKeys(documents: DataFrame): DataFrame = {
     val sh = withShingleHashes(documents)
     // All 8 minhashes in ONE projection over the materialized base hashes,
     // then a cheap posexplode of the 4 precomputed keys.
     val sigs = sh.select(col("doc_id"),
       array((0 until 4).map(b => TextFns.minhashBandNum(col("hs"), b)): _*).as("keys"))
-    val banded = sigs.select(col("doc_id"), posexplode(col("keys")))
+    sigs.select(col("doc_id"), posexplode(col("keys")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
-    val a = banded.alias("a"); val b = banded.alias("b")
+  }
+
+  /** MinHash-LSH candidate pairs: 4 bands × r=2 minhashes from the
+    * single-md5 universal family. Two docs become a candidate pair iff they
+    * collide on ≥1 band (probability 1−(1−J²)⁴ for Jaccard J). Self-join is
+    * per-band-bucket only.
+    *
+    * Bucket-size guard: the band-bucket self-join is quadratic in bucket
+    * size, and identical/boilerplate documents share a bucket by design —
+    * 1M copies of one page would otherwise mean ~10¹² candidate pairs. Each
+    * (band, key) bucket is therefore truncated to its `maxBucket` smallest
+    * doc_ids before the self-join, bounding any bucket's contribution at
+    * C(maxBucket, 2) pairs. Buckets below the cap (the normal case — run
+    * [[exact]] dedup first so identical texts never get here) are
+    * bit-identical to the unguarded result. */
+  def minhashCandidates(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedKeys(documents)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+    val bounded = banded
+      .withColumn("bucket_rn", row_number().over(wB))
+      .where(col("bucket_rn") <= maxBucket)
+      .drop("bucket_rn")
+    val a = bounded.alias("a"); val b = bounded.alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Audit view for the [[minhashCandidates]] bucket cap: every (band, key)
+    * bucket whose membership exceeds `maxBucket`, with its size. Non-empty
+    * output means the cap truncated candidates there — usually a sign the
+    * corpus still contains exact duplicates that [[exact]] should remove. */
+  def oversizedBuckets(documents: DataFrame, maxBucket: Int = 1000): DataFrame =
+    bandedKeys(documents)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
 
   /** Candidate pairs re-ranked by exact 3-gram Jaccard (rounded for stable
     * cross-engine comparison), thresholded. */

@@ -108,6 +108,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Nearest-centroid assignment for IVF: (vec_id, v, nrm, cell) with cell
+    * = argmax-cosine centroid (round-6, min-cell tie-break). `cents` must
+    * have columns (cell, cv, cnrm), NON-NEGATIVE int cell ids, and be small
+    * enough to broadcast.
+    *
+    * The argmax is a `min` over a single packed long — (1e6-scaled negated
+    * round-6 cosine) · 2³² + cell — so the aggregation buffer is one
+    * primitive and the plan is a whole-stage-codegen HashAggregate with a
+    * map-side partial: each task reduces its |slice|×|cells| expansion to
+    * one row per vec_id before the shuffle. (A struct-valued min or max_by
+    * would fall back to SortAggregate; a row_number window — the shape this
+    * replaced — shuffles and sorts the full expansion.) v/nrm ride along as
+    * grouping keys, so no rejoin against the corpus is needed. */
+  private[operators] def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val cellType = cents.schema("cell").dataType
+    val negScaled = round(
+      (lit(0.0) - round(
+        cosinePrenormed(dot(col("cv"), col("v")), col("cnrm"), col("nrm")), 6))
+        * lit(1e6), 0).cast("long")
+    val packed = negScaled * lit(4294967296L) + col("cell").cast("long")
+    corpus.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"), col("v"), col("nrm"))
+      .agg(min(packed).as("best"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        pmod(col("best"), lit(4294967296L)).cast(cellType).as("cell"))
+  }
+
   /** IVF-bucketed approximate top-k: assign every vector to its nearest
     * deterministic centroid, then search only within the query's cell. */
   def ivfTopK(embeddings: DataFrame, k: Int, stride: Int): DataFrame = {
@@ -118,14 +145,11 @@ object Similarity {
         Window.partitionBy(col("label")).orderBy(col("vec_id"))))
       .where(col("rn") === 1)
       .select(col("label").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // Cell assignment: argmax cosine against the (broadcast) centroid set.
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(round(cosinePrenormed(dot(col("cv"), col("v")), col("cnrm"), col("nrm")), 6).desc,
-        col("cell"))
-    val assigned = corpus.crossJoin(broadcast(reps))
-      .withColumn("crn", row_number().over(assignW))
-      .where(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // Cell assignment: argmax cosine against the (broadcast) centroid set,
+    // as a partial-merging hash aggregate (see assignCells) — identical
+    // ordering to the row_number window it replaces, but with no per-vec_id
+    // shuffle+sort of the corpus×cells expansion.
+    val assigned = assignCells(corpus, reps)
     val queries = assigned.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))

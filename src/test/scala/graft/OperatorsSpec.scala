@@ -52,6 +52,36 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(h(0), h(2)) >= 3)        // unrelated: far
   }
 
+  test("pathological duplicates: bucket cap bounds the candidate-pair blowup") {
+    // 10k identical docs share every band bucket; unguarded LSH would emit
+    // C(10000,2) ≈ 5×10⁷ pairs (the 100 TB boilerplate-page scale-killer).
+    // With the cap, each bucket contributes at most C(maxBucket,2) pairs.
+    val boiler = spark.range(10000).selectExpr("id AS doc_id",
+      "'the same boilerplate cookie banner text repeated on every page of the site' AS text")
+    val n = Dedup.minhashCandidates(boiler, maxBucket = 50).count()
+    assert(n <= 50L * 49 / 2, s"cap leaked: $n pairs")
+    assert(n > 0) // the surviving bucket members still pair up
+  }
+
+  test("oversizedBuckets audits what the cap touched") {
+    val boiler = spark.range(200).selectExpr("id AS doc_id",
+      "'the same boilerplate cookie banner text repeated on every page of the site' AS text")
+    val over = Dedup.oversizedBuckets(boiler, maxBucket = 50)
+      .orderBy("band").collect()
+    assert(over.length == 4) // all 4 bands hold one 200-member bucket
+    assert(over.forall(_.getAs[Long]("bucket_n") == 200L))
+    // distinct texts below the cap → clean audit
+    assert(Dedup.oversizedBuckets(docs, maxBucket = 50).count() == 0)
+  }
+
+  test("bucket cap is inert below the cap: same pairs with and without headroom") {
+    val tight = Dedup.minhashCandidates(docs, maxBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    val loose = Dedup.minhashCandidates(docs, maxBucket = 1000)
+      .as[(Long, Long)].collect().toSet
+    assert(tight == loose)
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),

@@ -36,6 +36,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
   }
 
+  test("ivf cell assignment is a hash aggregate, not a per-vector window") {
+    val p = plan(Similarity.ivfTopK(Tables.embeddings(spark, sf), 10, 20))
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      "assignment regressed to a row_number window over vec_id")
+    assert(p.contains("HashAggregate"),
+      s"assignment argmax must be a (partial) hash aggregate:\n$p")
+  }
+
   test("q1 scan prunes unused lineitem columns") {
     val p = plan(Queries.queries("q1_pricing_summary")(spark, sf))
     assert(!p.contains("l_suppkey") && !p.contains("l_partkey"),

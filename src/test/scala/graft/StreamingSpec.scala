@@ -226,6 +226,54 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("DSv2 replay source: bounded micro-batches, offsets resume across restart") {
+    import java.nio.file.{Files, StandardOpenOption}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("framereplay")
+    val log = dir.resolve("frames.jsonl")
+    val ckpt = dir.resolve("ckpt").toString
+    def encode(df: org.apache.spark.sql.DataFrame): Array[String] =
+      EventStreams.encodeFixtureFrames(df,
+        lit("broadcast-x"), concat(lit("tournament_"), col("tournament_id")))
+        .as[String].collect()
+    Files.write(log, (encode(updates).mkString("\n") + "\n").getBytes)
+    // foreachBatch sink: the memory sink refuses checkpoint recovery, and
+    // recovery is the whole point of this test.
+    def drain(): (org.apache.spark.sql.streaming.StreamingQuery, Set[String]) = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format(graft.sources.FrameReplaySource.Name)
+        .option("path", log.toString)
+        .option("maxFramesPerBatch", 1) // force one frame per micro-batch
+        .load()
+        .transform(EventStreams.decodeFrames)
+        .select("update.market_id").as[String]
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+          batch.collect().foreach(buf.add)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+      (q, scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSet)
+    }
+    // Run 1: drains the 3 seeded frames in ≥3 rate-limited micro-batches.
+    val (q1, got1) = drain()
+    assert(got1 == Set("m1", "m2", "m3"))
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 3,
+      "maxFramesPerBatch=1 must split the drain into per-frame batches")
+    // The log grows between runs (the websocket kept publishing)…
+    val more = Seq(
+      ("m4", 4L, 0L, "open", 120, 1704117600L * 1000000000L),
+      ("m5", 5L, 1L, "open", -105, 1704117660L * 1000000000L))
+      .toDF("market_id", "event_id", "tournament_id", "status", "odds", "updated_at")
+    Files.write(log, (encode(more).mkString("\n") + "\n").getBytes,
+      StandardOpenOption.APPEND)
+    // Run 2, same checkpoint: resumes at offset 3 — exactly the new frames,
+    // nothing re-emitted, nothing skipped.
+    val (_, got2) = drain()
+    assert(got2 == Set("m4", "m5"))
+  }
+
   test("left-outer stream-stream join emits unmatched wagers with nulls after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704110400L
