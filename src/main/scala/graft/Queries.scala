@@ -467,6 +467,17 @@ object Queries {
       |       CAST((min(CASE WHEN cum * 10 >= tot * 9 THEN bucket END) + 1) * 25000 AS BIGINT) AS p90_upper
       |FROM c""".stripMargin))
 
+  /** Mergeable KLL quantile sketch (plans.KllQuantilesAgg): p50/p90 of
+    * order totals. Rank-error-bounded but merge-order-sensitive in the
+    * last few digits ⇒ rows-only (like C11/F6); the ε-bound is
+    * property-tested in QuantileSketchProps, and the fixed-bin twin
+    * `sketch_quantile_hist` stays exactly oracled. */
+  private val sketchKllQuantiles = Q("sketch_kll_quantiles",
+    (s, dir) => Sketch.kllQuantiles(Tables.orders(s, dir), "o_totalprice", 256, Seq(0.5, 0.9))
+      .select(round(element_at(col("qs"), 1), 2).as("p50_est"),
+        round(element_at(col("qs"), 2), 2).as("p90_est")),
+    None)
+
   /** Array-function vocabulary (SURVEY §2.9: absent from the reference,
     * free in the engine) — sequence/slice/sort/position/join over a
     * per-row constructed array, each with its DuckDB list-function twin. */
@@ -1225,6 +1236,16 @@ object Queries {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
       |FROM r WHERE rank <= 10""".stripMargin), bench = true)
 
+  /** IVF over TRAINED k-means‖ cells (Similarity.ivfTopKKmeans) — the
+    * production centroid path next to the deterministic-reps sim_ivf_topk.
+    * Lloyd means are float sums whose partition order Spark doesn't fix ⇒
+    * rows-only; recall@10 vs sim_brute_topk is asserted in KmeansIvfSpec
+    * and recorded in NOTES.md. */
+  private val simIvfKmeansTopk = Q("sim_ivf_kmeans_topk",
+    (s, dir) => Similarity.ivfTopKKmeans(Tables.embeddings(s, dir),
+      k = 10, stride = 20, nCells = 10),
+    None)
+
   private val simLshTopk = Q("sim_lsh_topk",
     (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
     Some {
@@ -1311,8 +1332,8 @@ object Queries {
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     pipelineDocsPrep,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
-    sketchCmsHeavyHitters, sketchQuantileHist,
-    simBruteTopk, simTopkAgg, simIvfTopk, simLshTopk, simQuantize,
+    sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
+    simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simLshTopk, simQuantize,
     multimodalFeatures, multimodalFrames)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -121,7 +121,14 @@ object Similarity {
     * would fall back to SortAggregate; a row_number window — the shape this
     * replaced — shuffles and sorts the full expansion.) v/nrm ride along as
     * grouping keys, so no rejoin against the corpus is needed. */
-  private[operators] def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame =
+    assignCellsWithCos(corpus, cents).drop("cell_cos")
+
+  /** [[assignCells]] plus `cell_cos`, the (round-6) cosine to the chosen
+    * centroid — both recovered from the same packed long (cell from the low
+    * 32 bits, cosine from the arithmetic-shift high bits, exact because the
+    * scaled cosine is integral). */
+  private[operators] def assignCellsWithCos(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val cellType = cents.schema("cell").dataType
     val negScaled = round(
       (lit(0.0) - round(
@@ -132,7 +139,9 @@ object Similarity {
       .groupBy(col("vec_id"), col("v"), col("nrm"))
       .agg(min(packed).as("best"))
       .select(col("vec_id"), col("v"), col("nrm"),
-        pmod(col("best"), lit(4294967296L)).cast(cellType).as("cell"))
+        pmod(col("best"), lit(4294967296L)).cast(cellType).as("cell"),
+        (lit(0.0) - shiftright(col("best"), 32).cast("double") / lit(1e6))
+          .as("cell_cos"))
   }
 
   /** IVF-bucketed approximate top-k: assign every vector to its nearest
@@ -149,7 +158,11 @@ object Similarity {
     // as a partial-merging hash aggregate (see assignCells) — identical
     // ordering to the row_number window it replaces, but with no per-vec_id
     // shuffle+sort of the corpus×cells expansion.
-    val assigned = assignCells(corpus, reps)
+    searchAssigned(assignCells(corpus, reps), k, stride)
+  }
+
+  /** Shared IVF search body: queries probe only their own cell. */
+  private def searchAssigned(assigned: DataFrame, k: Int, stride: Int): DataFrame = {
     val queries = assigned.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
@@ -163,5 +176,106 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic per-row uniform in [0,1): 24 bits of md5(vec_id) — the
+    * seeded-PRNG stand-in that keeps k-means‖ sampling reproducible across
+    * engines, retries, and partitionings (same rationale as f_hash_sample). */
+  private def hashUniform(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+
+  /** k-means(‖) centroid training over the corpus, entirely as DataFrame
+    * aggregates (the MLlib shape, re-expressed):
+    *
+    *  1. **k-means‖ init** (Bahmani et al. 2012): starting from the
+    *     min-vec_id vector, `initPasses` rounds each sample points with
+    *     probability `2·nCells · d(x,C)/Σd` — computed distributedly via
+    *     [[assignCellsWithCos]] (d = 1−cos), with the deterministic
+    *     [[hashUniform]] in place of a PRNG. Expected candidates per
+    *     round: ~2·nCells, collected to the driver (bounded, tiny).
+    *  2. **Weighted reduction**: candidates are weighted by how much of
+    *     the corpus they attract (one aggregate), then greedily reduced
+    *     to `nCells` seeds driver-side (max weighted distance — the
+    *     deterministic k-means++ analogue over ≤ dozens of candidates).
+    *  3. **Lloyd iterations**: assign (hash-aggregate argmax), then
+    *     per-cell mean via posexplode + sum/count partial aggregates —
+    *     nCells×dim result rows to the driver per pass, never vectors.
+    *
+    * Per pass the corpus is touched once; driver traffic is O(nCells·dim).
+    * Returns (cell, cv, cnrm), broadcast-ready for [[assignCells]].
+    * Deterministic up to float-sum partition order (⇒ rows-only query). */
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 4,
+      initPasses: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val corpus = prepared(embeddings)
+    def centsDf(cents: Seq[Array[Double]]): DataFrame = {
+      import spark.implicits._
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+        .toDF("cell", "cv")
+        .select(col("cell"), col("cv"), l2Norm(col("cv")).as("cnrm"))
+    }
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Double](r.fieldIndex("v")).toArray
+
+    // 1. k-means‖ candidate sampling
+    var candidates: Vector[Array[Double]] =
+      Vector(vecOf(corpus.orderBy(col("vec_id")).select(col("v")).head()))
+    for (_ <- 1 to initPasses) {
+      val assigned = assignCellsWithCos(corpus, centsDf(candidates))
+        .withColumn("d", greatest(lit(0.0), lit(1.0) - col("cell_cos")))
+      val total = assigned.agg(sum(col("d"))).head().getDouble(0)
+      if (total > 0) {
+        val picked = assigned
+          .where(hashUniform(col("vec_id")) * lit(total) <
+            lit(2.0 * nCells) * col("d"))
+          .select(col("v")).collect().map(vecOf)
+        candidates ++= picked
+      }
+    }
+    // 2. weight candidates by attracted corpus mass; greedy-reduce to nCells
+    val weights = assignCells(corpus, centsDf(candidates))
+      .groupBy(col("cell")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    var seeds = Vector(candidates(weights.maxBy { case (i, w) => (w, -i) }._1))
+    while (seeds.length < nCells && seeds.length < candidates.length) {
+      val next = candidates.indices.maxBy { i =>
+        val dMin = seeds.map(s => 1.0 - cos(candidates(i), s)).min
+        (weights.getOrElse(i, 0L) * dMin, -i)
+      }
+      seeds :+= candidates(next)
+    }
+    // 3. Lloyd: distributed assign + per-cell mean (nCells×dim driver rows)
+    var cents = seeds.toArray
+    for (_ <- 1 to iters) {
+      val stats = assignCells(corpus, centsDf(cents.toSeq))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        val (cell, pos) = (r.getInt(0), r.getInt(1))
+        next(cell)(pos) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next // cells that attracted nothing keep their previous center
+    }
+    centsDf(cents.toSeq)
+  }
+
+  /** IVF top-k over trained k-means‖ cells — the production path next to
+    * the deterministic-reps [[ivfTopK]] (which stays the oracle query).
+    * Same contract; recall@k vs [[bruteTopK]] is measured in
+    * `KmeansIvfSpec` and recorded in NOTES.md. */
+  def ivfTopKKmeans(embeddings: DataFrame, k: Int, stride: Int, nCells: Int,
+      iters: Int = 4): DataFrame = {
+    val corpus = prepared(embeddings)
+    val cents = kmeansCentroids(embeddings, nCells, iters)
+    searchAssigned(assignCells(corpus, cents), k, stride)
   }
 }

@@ -82,6 +82,21 @@ object Sketch {
         ((col("b90") + 1) * width).cast("long").as("p90_upper"))
   }
 
+  /** Mergeable KLL-style quantile estimates ([[graft.plans.KllQuantilesAgg]])
+    * for `valueCol`: one row, `qs ARRAY<DOUBLE>` with the estimate per
+    * requested quantile, in order. The production quantile shape next to
+    * [[histQuantiles]]: no value-range assumption, O(k·log(n/k)) state,
+    * merges across partitions — but engine-internal, so rows-only checked
+    * (the rank-error guarantee is property-tested instead). */
+  def kllQuantiles(values: DataFrame, valueCol: String, k: Int,
+      quantiles: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    values.agg(GraftBridge.column(
+      graft.plans.KllQuantilesAgg(
+        GraftBridge.expression(col(valueCol).cast("double")), k, quantiles)
+        .toAggregateExpression()).as("qs"))
+  }
+
   /** Matching DuckDB fragment: bucket of `termSql` in hash row `i`. Kept
     * beside the Column version so the two stay in lock-step (same pattern
     * as [[TextFns.minhashNumSql]]). */

@@ -124,6 +124,56 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class KmeansIvfSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kmeans centroids recover planted cluster directions") {
+    // three tight clusters on distinct axes; 4 points each
+    val pts = for {
+      (axis, base) <- Seq(0, 1, 2).zip(Seq(0L, 10L, 20L))
+      j <- 0 until 4
+    } yield {
+      val v = Array.fill(3)(0.05f * j)
+      v(axis) = 1.0f
+      (base + j, v, axis)
+    }
+    val df = pts.toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Similarity.kmeansCentroids(df, nCells = 3, iters = 3)
+      .collect()
+    assert(cents.length == 3)
+    // every cluster axis must dominate exactly one centroid
+    val domAxes = cents.map(_.getSeq[Double](1).zipWithIndex.maxBy(_._1)._2).toSet
+    assert(domAxes == Set(0, 1, 2), s"centroids missed an axis: $domAxes")
+  }
+
+  test("ivf over kmeans cells: recall@10 vs brute force (sf0.1, recorded in NOTES.md)") {
+    // The sf0.1 embeddings are NOT cosine-clustered by label (measured top
+    // cell-label purity ~15%), so ANY single-probe 1/10-corpus IVF tops out
+    // near 0.25 recall here; the meaningful property is that trained
+    // centroids do at least as well as the naive min-vec_id representatives
+    // (reps-IVF measured 0.233 on this data) and far better than chance
+    // (expected ~0.1 for a random tenth of the corpus).
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(graft.operators.Similarity.bruteTopK(e, 10, 20))
+    def recallOf(approx: Map[Long, Set[Long]]): Double = {
+      val rs = brute.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+      rs.sum / rs.size
+    }
+    val kmeans = recallOf(topSets(
+      graft.operators.Similarity.ivfTopKKmeans(e, 10, 20, nCells = 10)))
+    val reps = recallOf(topSets(graft.operators.Similarity.ivfTopK(e, 10, 20)))
+    info(f"recall@10 single-probe sf0.1: kmeans-IVF $kmeans%.3f vs reps-IVF $reps%.3f over ${brute.size} queries")
+    assert(kmeans >= reps - 0.02,
+      f"trained centroids must not lose to naive reps: $kmeans%.3f < $reps%.3f")
+    assert(kmeans >= 0.15, f"kmeans-IVF recall collapsed toward chance: $kmeans%.3f")
+  }
+}
+
 class TextAnalysisSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._

@@ -118,3 +118,80 @@ object RangeBinProps extends Properties("RangeJoinBinning") {
       bins.distinct.size == bins.size
     }
 }
+
+/** The guarantee that makes [[graft.plans.QuantileSketch]] a production
+  * quantile shape: the estimated rank of any probe is within the sketch's
+  * own published bound of the true rank — for any input, any split point,
+  * and any merge order (the distributed-aggregation shapes Spark will
+  * actually run it through). Pure JVM, no Spark.
+  */
+object QuantileSketchProps extends Properties("QuantileSketch") {
+  import graft.plans.QuantileSketch
+
+  private val genXs: Gen[List[Double]] = for {
+    n <- Gen.choose(0, 3000)
+    mode <- Gen.choose(0, 3)
+    xs <- Gen.listOfN(n, Gen.chooseNum(-1000.0, 1000.0))
+  } yield mode match {
+    case 0 => xs
+    case 1 => xs.sorted            // ascending feed
+    case 2 => xs.sorted.reverse    // descending feed
+    case 3 => xs.map(_ => 42.0)    // all-identical (the skew case)
+  }
+
+  private def build(xs: Seq[Double], k: Int): QuantileSketch = {
+    val sk = new QuantileSketch(k)
+    xs.foreach(sk.update)
+    sk
+  }
+
+  private def maxRankErr(sk: QuantileSketch, xs: List[Double]): Long = {
+    val sorted = xs.sorted.toArray
+    // probe at every ~decile of the actual data plus both extremes
+    val probes = (sorted.indices by math.max(1, sorted.length / 10)).map(sorted) ++
+      Seq(sorted.head, sorted.last)
+    probes.map { x =>
+      val trueRank = sorted.count(_ <= x).toLong
+      math.abs(sk.estRank(x) - trueRank)
+    }.max
+  }
+
+  property("single-stream rank error within the published bound") =
+    forAll(genXs, Gen.oneOf(16, 32, 64)) { (xs, k) =>
+      xs.isEmpty || maxRankErr(build(xs, k), xs) <= build(xs, k).rankErrorBound
+    }
+
+  property("rank error holds under any split + merge") =
+    forAll(genXs, Gen.oneOf(16, 32), Gen.choose(0, 3000)) { (xs, k, cutRaw) =>
+      xs.isEmpty || {
+        val cut = cutRaw % (xs.length + 1)
+        val (l, r) = xs.splitAt(cut)
+        val merged = build(l, k).merge(build(r, k))
+        merged.n == xs.length && maxRankErr(merged, xs) <= merged.rankErrorBound
+      }
+    }
+
+  property("serialize/deserialize round-trips estimates exactly") =
+    forAll(genXs, Gen.oneOf(16, 64)) { (xs, k) =>
+      val sk = build(xs, k)
+      val back = QuantileSketch.deserialize(sk.serialize())
+      back.n == sk.n &&
+        Seq(0.1, 0.5, 0.9).forall(q => xs.isEmpty ||
+          back.quantile(q) == sk.quantile(q))
+    }
+
+  property("quantile() lands within bound of the target rank") =
+    forAll(genXs.suchThat(_.nonEmpty), Gen.oneOf(16, 32)) { (xs, k) =>
+      val sk = build(xs, k)
+      val sorted = xs.sorted
+      Seq(0.1, 0.5, 0.9).forall { q =>
+        val est = sk.quantile(q)
+        val target = math.max(1L, math.ceil(q * xs.length).toLong)
+        // rank of the returned value in the TRUE data must be within the
+        // bound of the target rank (ranks of est span [#(< est), #(<= est)])
+        val lo = sorted.count(_ < est).toLong
+        val hi = sorted.count(_ <= est).toLong
+        target >= lo - sk.rankErrorBound && target <= hi + sk.rankErrorBound
+      }
+    }
+}

@@ -24,8 +24,11 @@ class RegistrySpec extends AnyFunSuite {
   test("rows-only queries are the documented exceptions, not silent gaps") {
     val rowsOnly = Queries.queries.keySet -- Queries.oracleSql.keySet
     // uuid/RNG queries can't have cross-engine oracles; HLL sketches differ
-    // per engine. Anything else appearing here is a missing oracle.
-    assert(rowsOnly == Set("c11_uuid_wagers", "f_sample_bernoulli", "text_vocab_approx"),
+    // per engine; KLL estimates and k-means centroids depend on Spark's
+    // float-sum/merge partition order (each is property- or recall-tested
+    // instead). Anything else appearing here is a missing oracle.
+    assert(rowsOnly == Set("c11_uuid_wagers", "f_sample_bernoulli",
+      "text_vocab_approx", "sketch_kll_quantiles", "sim_ivf_kmeans_topk"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -40,3 +40,42 @@ class SketchSpec extends AnyFunSuite {
     assert(toks.count() > cells, "corpus must dwarf the sketch for the test to mean anything")
   }
 }
+
+class KllQuantilesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("kll p50/p90 of a 100k shuffled stream are within the rank bound") {
+    import org.apache.spark.sql.functions._
+    // 0..99999 in hash-shuffled order over 8 partitions — true pX = X% of 1e5
+    val df = spark.range(100000).repartition(8)
+      .select(pmod(col("id") * 7919, lit(100000L)).cast("double").as("v"))
+    val qs = graft.operators.Sketch.kllQuantiles(df, "v", 256, Seq(0.5, 0.9))
+      .collect().head.getSeq[Double](0)
+    // k=256, ~9 levels ⇒ bound ≈ 9·1e5/256 ≈ 3.5k ranks = 3.5% — assert 5%
+    assert(math.abs(qs(0) - 50000.0) <= 5000.0, s"p50 off: ${qs(0)}")
+    assert(math.abs(qs(1) - 90000.0) <= 5000.0, s"p90 off: ${qs(1)}")
+  }
+
+  test("kll aggregate plans as ObjectHashAggregate with a map-side partial") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(col("id").cast("double").as("v"))
+    val p = graft.operators.Sketch.kllQuantiles(df, "v", 64, Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should use the object hash agg path:\n$p")
+    assert(p.contains("partial_kll_quantiles"),
+      s"map-side partial must build sketches before the exchange:\n$p")
+  }
+
+  test("kll handles nulls and empty input like a SQL aggregate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mixed = Seq[Option[Double]](Some(1.0), None, Some(3.0)).toDF("v")
+    val got = graft.operators.Sketch.kllQuantiles(mixed, "v", 64, Seq(0.5))
+      .collect().head.getSeq[Double](0)
+    assert(got == Seq(1.0)) // median of {1,3} at target rank ⌈0.5·2⌉=1
+    val empty = spark.emptyDataFrame.select(lit(1.0).as("v")).where(lit(false))
+    assert(graft.operators.Sketch.kllQuantiles(empty, "v", 64, Seq(0.5))
+      .collect().head.isNullAt(0))
+  }
+}
