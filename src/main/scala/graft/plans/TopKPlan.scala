@@ -6,11 +6,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   AttributeReference, AttributeSet, Descending, Expression, GenericInternalRow,
   JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode, GenerateOrdering}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen,
+  CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.GraftBridge
 import org.apache.spark.sql.types.IntegerType
 
@@ -70,9 +72,21 @@ object TopKPlan {
 
   /** Per-partition bounded heaps: for every group key seen in the
     * partition, keep the k best rows; emit them unranked (map-side prune,
-    * shuffle-input shape). */
+    * shuffle-input shape).
+    *
+    * Codegen ([[BlockingOperatorWithCodegen]], the SortExec pattern): the
+    * child's whole pipeline — scan, filters, projections — stays fused in
+    * one generated loop whose body is a single `insert` into the
+    * [[TopKHeapBuffer]]; once the input is drained the stage emits the
+    * survivors. What this buys over the interpreted `doExecute` fallback
+    * is the removal of the per-row iterator boundary between the child's
+    * codegen stage and the heap (volatile hasNext/next calls + row
+    * materialization per input row); the admission test itself is the same
+    * generated ordering either way. The fallback path below remains for
+    * `spark.sql.codegen.wholeStage=false`. */
   final case class TopKPartialExec(grouping: Seq[Expression],
-      ordering: Seq[SortOrder], k: Int, child: SparkPlan) extends UnaryExecNode {
+      ordering: Seq[SortOrder], k: Int, child: SparkPlan)
+    extends UnaryExecNode with BlockingOperatorWithCodegen {
     override def output: Seq[Attribute] = child.output
     // Per-partition pruning moves no rows: if the child is already
     // hash-partitioned on the grouping keys (bucketed read, prior
@@ -83,6 +97,55 @@ object TopKPlan {
         prunePartition(iter, grouping, ordering, k, child.output)
           .flatMap(_._2)
       }, preservesPartitioning = true)
+
+    override def inputRDDs(): Seq[RDD[InternalRow]] =
+      child.asInstanceOf[CodegenSupport].inputRDDs()
+
+    // Set in doProduce, read by doConsume (which the child's produce() calls
+    // back into while doProduce is generating the drain function).
+    private var bufferTerm: String = _
+
+    override protected def doProduce(ctx: CodegenContext): String = {
+      val needInput = ctx.addMutableState(CodegenSupport.JAVA_BOOLEAN,
+        "topkNeedInput", v => s"$v = true;")
+      val factory = ctx.addReferenceObj("topkFactory",
+        TopKBufferFactory(grouping, ordering, k, child.output),
+        classOf[TopKBufferFactory].getName)
+      bufferTerm = ctx.addMutableState(classOf[TopKHeapBuffer].getName,
+        "topkBuffer", v => s"$v = $factory.create();")
+      val outIter = ctx.addMutableState("scala.collection.Iterator",
+        "topkOutput")
+      val drainName = ctx.freshName("topkDrainInput")
+      val drainInput = ctx.addNewFunction(drainName,
+        s"""
+          |private void $drainName() throws java.io.IOException {
+          |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+          |}
+          |""".stripMargin)
+      val row = ctx.freshName("topkOutRow")
+      s"""
+        |if ($needInput) {
+        |  $drainInput();
+        |  $needInput = false;
+        |  $outIter = $bufferTerm.result();
+        |}
+        |while ($limitNotReachedCond $outIter.hasNext()) {
+        |  UnsafeRow $row = (UnsafeRow) $outIter.next();
+        |  ${consume(ctx, null, row)}
+        |  if (shouldStop()) return;
+        |}
+        |""".stripMargin
+    }
+
+    override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+        row: ExprCode): String =
+      s"""
+        |${row.code}
+        |$bufferTerm.insert((UnsafeRow) ${row.value});
+        |""".stripMargin
+
+    override def needCopyResult: Boolean = false // buffer rows are private copies
+
     override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
       copy(child = newChild)
   }
