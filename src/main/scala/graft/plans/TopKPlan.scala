@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   AttributeReference, AttributeSet, Descending, Expression, GenericInternalRow,
   JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
-  ExprCode, GenerateOrdering}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator,
+  CodegenContext, ExprCode, GenerateOrdering}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
@@ -15,6 +15,56 @@ import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen,
   CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.GraftBridge
 import org.apache.spark.sql.types.IntegerType
+
+/** Serializable recipe for per-partition top-k state. Shipped into generated
+  * code via `CodegenContext.addReferenceObj` (so it rides the broadcast
+  * plan, once per query) and materialized into a fresh [[TopKHeapBuffer]]
+  * once per task via [[create]]. Top-level (not nested in [[TopKPlan]])
+  * because Janino resolves it by source name in the generated class. */
+final case class TopKBufferFactory(
+    grouping: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    inputSchema: Seq[Attribute]) extends Serializable {
+  def create(): TopKHeapBuffer = {
+    val keyProj = UnsafeProjection.create(grouping, inputSchema)
+    val rowOrd = GenerateOrdering.generate(ordering, inputSchema)
+      .asInstanceOf[Ordering[InternalRow]]
+    new TopKHeapBuffer(keyProj, rowOrd, k)
+  }
+}
+
+/** Executor-side hash-of-bounded-heaps behind an `insert`/`result` surface —
+  * the codegen twin of `TopKPlan.prunePartition`. `insert` COPIES the
+  * incoming row: the generated caller hands it a reused `UnsafeProjection`
+  * output buffer, and `TopKPartialExec.needCopyResult = false` downstream
+  * assumes every retained row is a private copy. Memory is
+  * O(keys-in-partition × k) rows, the partial-hash-aggregate bound. */
+final class TopKHeapBuffer(
+    keyProj: UnsafeProjection,
+    rowOrd: Ordering[InternalRow],
+    k: Int) {
+  private val heaps = scala.collection.mutable.HashMap
+    .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+
+  def insert(row: UnsafeRow): Unit = {
+    val key = keyProj(row)
+    var heap = heaps.getOrElse(key, null)
+    if (heap == null) {
+      heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+      heaps(key.copy()) = heap
+    }
+    if (heap.size < k) heap.enqueue(row.copy())
+    else if (rowOrd.compare(row, heap.head) < 0) {
+      heap.dequeue(); heap.enqueue(row.copy())
+    }
+  }
+
+  /** Survivors across all keys, unranked/unsorted (shuffle-input shape —
+    * [[TopKPlan.TopKFinalExec]] re-prunes and sorts post-exchange). */
+  def result(): Iterator[UnsafeRow] =
+    heaps.valuesIterator.flatMap(_.iterator.map(_.asInstanceOf[UnsafeRow]))
+}
 
 /** Whole-operator top-k-per-group as a custom plan — preference tier (c)
   * (SURVEY.md §4): logical node + planner strategy + two physical operators,
@@ -106,7 +156,7 @@ object TopKPlan {
     private var bufferTerm: String = _
 
     override protected def doProduce(ctx: CodegenContext): String = {
-      val needInput = ctx.addMutableState(CodegenSupport.JAVA_BOOLEAN,
+      val needInput = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
         "topkNeedInput", v => s"$v = true;")
       val factory = ctx.addReferenceObj("topkFactory",
         TopKBufferFactory(grouping, ordering, k, child.output),

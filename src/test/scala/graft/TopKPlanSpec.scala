@@ -89,6 +89,40 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("codegen: partial prune fuses into a WholeStageCodegen stage") {
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") == "true")
+    // AQE wraps the plan and defers codegen collapse to stage execution;
+    // disable it so the printed plan shows the "*(n)" codegen prefixes.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      TopKPlan.topKPerGroup(Tables.orders(spark, sf),
+        Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val df = TopKPlan.topKPerGroup(Tables.orders(spark, sf),
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+    // The partial operator must sit INSIDE a codegen stage (prefixed "*(n)"),
+    // i.e. the child scan/filter pipeline drains into the heap without an
+    // iterator boundary.
+    assert("""\*\(\d+\) TopKPartial""".r.findFirstIn(p).isDefined,
+      s"TopKPartialExec not codegen'd:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("codegen and interpreted paths agree row-for-row") {
+    def run() = TopKPlan.topKPerGroup(Tables.orders(spark, sf),
+        Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+      .select($"o_custkey", $"rank", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = run()
+      assert(withCodegen == interpreted)
+      assert(withCodegen.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("plan shape: partial prune below the one exchange, final above it") {
     val p = TopKPlan.topKPerGroup(Tables.orders(spark, sf),
         Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
