@@ -1246,6 +1246,15 @@ object Queries {
       k = 10, stride = 20, nCells = 10),
     None)
 
+  /** Multi-probe variant (each query probes its 3 nearest cells) — the IVF
+    * recall knob; recall@10 at P=3 vs P=1 is asserted in KmeansIvfSpec and
+    * recorded in NOTES.md. Rows-only for the same float-sum reason as
+    * sim_ivf_kmeans_topk. */
+  private val simIvfMultiprobe = Q("sim_ivf_multiprobe",
+    (s, dir) => Similarity.ivfTopKKmeans(Tables.embeddings(s, dir),
+      k = 10, stride = 20, nCells = 10, nProbes = 3),
+    None)
+
   private val simLshTopk = Q("sim_lsh_topk",
     (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
     Some {
@@ -1333,7 +1342,8 @@ object Queries {
     pipelineDocsPrep,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
-    simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simLshTopk, simQuantize,
+    simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
+    simLshTopk, simQuantize,
     multimodalFeatures, multimodalFrames)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -161,6 +161,39 @@ object Similarity {
     searchAssigned(assignCells(corpus, reps), k, stride)
   }
 
+  /** Multi-probe IVF search: each query probes its `nProbes` NEAREST cells
+    * (ranked by centroid cosine) instead of only the one it was assigned
+    * to — the standard IVF recall knob. Cost model at 100 TB: the scanned
+    * corpus fraction grows linearly (≈ nProbes/|cells|) while the plan
+    * shape is unchanged — the probe list is |queries|×nProbes rows, still
+    * broadcast, and each corpus row still joins by its single `cell` key,
+    * so no corpus re-expansion, no extra shuffle. A neighbor lives in
+    * exactly one cell, so probes never produce duplicate candidates.
+    * nProbes = 1 reproduces single-probe [[searchAssigned]] (same
+    * round-6/min-cell argmax tie-break on the probe ranking). */
+  private[operators] def searchMultiProbe(assigned: DataFrame, cents: DataFrame,
+      k: Int, stride: Int, nProbes: Int): DataFrame = {
+    val queries = assigned.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .where(col("pr") <= nProbes)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Shared IVF search body: queries probe only their own cell. */
   private def searchAssigned(assigned: DataFrame, k: Int, stride: Int): DataFrame = {
     val queries = assigned.where(pmod(col("vec_id"), lit(stride)) === 0)
@@ -242,14 +275,27 @@ object Similarity {
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
     }
-    var seeds = Vector(candidates(weights.maxBy { case (i, w) => (w, -i) }._1))
-    while (seeds.length < nCells && seeds.length < candidates.length) {
-      val next = candidates.indices.maxBy { i =>
-        val dMin = seeds.map(s => 1.0 - cos(candidates(i), s)).min
-        (weights.getOrElse(i, 0L) * dMin, -i)
-      }
-      seeds :+= candidates(next)
+    // Greedy reduction over candidate INDICES, excluding already-picked ones
+    // (else an all-zero score round re-picks index 0 forever and emits
+    // duplicate centroids → permanently empty cells). A best score of 0
+    // means every remaining candidate either duplicates a seed (dMin = 0)
+    // or attracts no corpus mass — stop early; fewer, distinct seeds beat
+    // nCells with duplicates.
+    val picked = scala.collection.mutable.LinkedHashSet(
+      weights.maxBy { case (i, w) => (w, -i) }._1)
+    var exhausted = false
+    while (picked.size < nCells && picked.size < candidates.length && !exhausted) {
+      val (bestScore, _, bestIdx) = candidates.indices
+        .filterNot(picked.contains)
+        .map { i =>
+          val dMin = picked.iterator
+            .map(p => 1.0 - cos(candidates(i), candidates(p))).min
+          (weights.getOrElse(i, 0L) * dMin, -i, i)
+        }.max
+      if (bestScore <= 0.0) exhausted = true
+      else picked += bestIdx
     }
+    val seeds = picked.toVector.map(candidates)
     // 3. Lloyd: distributed assign + per-cell mean (nCells×dim driver rows)
     var cents = seeds.toArray
     for (_ <- 1 to iters) {
@@ -273,9 +319,11 @@ object Similarity {
     * Same contract; recall@k vs [[bruteTopK]] is measured in
     * `KmeansIvfSpec` and recorded in NOTES.md. */
   def ivfTopKKmeans(embeddings: DataFrame, k: Int, stride: Int, nCells: Int,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4, nProbes: Int = 1): DataFrame = {
     val corpus = prepared(embeddings)
     val cents = kmeansCentroids(embeddings, nCells, iters)
-    searchAssigned(assignCells(corpus, cents), k, stride)
+    val assigned = assignCells(corpus, cents)
+    if (nProbes <= 1) searchAssigned(assigned, k, stride)
+    else searchMultiProbe(assigned, cents, k, stride, nProbes)
   }
 }

@@ -147,6 +147,21 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(domAxes == Set(0, 1, 2), s"centroids missed an axis: $domAxes")
   }
 
+  test("degenerate corpus: seed reduction emits distinct centroids, never duplicates") {
+    // Only two distinct directions but nCells = 4: the greedy reduction must
+    // stop at 2 distinct seeds rather than padding with copies of seed 0
+    // (which would leave permanently-empty cells).
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Similarity.kmeansCentroids(df, nCells = 4, iters = 2)
+      .collect().map(_.getSeq[Double](1))
+    assert(cents.distinct.length == cents.length,
+      s"duplicate centroids: ${cents.toSeq}")
+    assert(cents.length == 2, s"expected the 2 distinct directions, got ${cents.length}")
+  }
+
   test("ivf over kmeans cells: recall@10 vs brute force (sf0.1, recorded in NOTES.md)") {
     // The sf0.1 embeddings are NOT cosine-clustered by label (measured top
     // cell-label purity ~15%), so ANY single-probe 1/10-corpus IVF tops out
@@ -167,10 +182,16 @@ class KmeansIvfSpec extends AnyFunSuite {
     val kmeans = recallOf(topSets(
       graft.operators.Similarity.ivfTopKKmeans(e, 10, 20, nCells = 10)))
     val reps = recallOf(topSets(graft.operators.Similarity.ivfTopK(e, 10, 20)))
-    info(f"recall@10 single-probe sf0.1: kmeans-IVF $kmeans%.3f vs reps-IVF $reps%.3f over ${brute.size} queries")
+    val multi3 = recallOf(topSets(
+      graft.operators.Similarity.ivfTopKKmeans(e, 10, 20, nCells = 10, nProbes = 3)))
+    info(f"recall@10 sf0.1: kmeans-IVF P=1 $kmeans%.3f, P=3 $multi3%.3f vs reps-IVF $reps%.3f over ${brute.size} queries")
     assert(kmeans >= reps - 0.02,
       f"trained centroids must not lose to naive reps: $kmeans%.3f < $reps%.3f")
     assert(kmeans >= 0.15, f"kmeans-IVF recall collapsed toward chance: $kmeans%.3f")
+    // P=3 candidates are a superset of P=1's (probe ranks include the
+    // assigned cell), so recall can only improve.
+    assert(multi3 >= kmeans, f"multi-probe lost recall: $multi3%.3f < $kmeans%.3f")
+    assert(multi3 >= 0.35, f"P=3 should clear the single-probe ~0.25 ceiling: $multi3%.3f")
   }
 }
 

@@ -28,7 +28,8 @@ class RegistrySpec extends AnyFunSuite {
     // float-sum/merge partition order (each is property- or recall-tested
     // instead). Anything else appearing here is a missing oracle.
     assert(rowsOnly == Set("c11_uuid_wagers", "f_sample_bernoulli",
-      "text_vocab_approx", "sketch_kll_quantiles", "sim_ivf_kmeans_topk"),
+      "text_vocab_approx", "sketch_kll_quantiles", "sim_ivf_kmeans_topk",
+      "sim_ivf_multiprobe"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }
