@@ -44,21 +44,26 @@ object Bench {
       try fn(spark, WarmupSfDir).count()
       catch { case t: Throwable =>
         System.err.println(s"[bench] warmup failed for $name: $t") }
+      // A repeat that errors stops the loop, but timings already banked by
+      // earlier successful repeats stand: the query reports min-of-successes
+      // (and the error, for visibility); -1 only when NO repeat succeeded.
       var best = Double.MaxValue
+      var successes = 0
       var err: Option[String] = None
       var i = 0
       while (i < repeats && err.isEmpty) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case t: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          successes += 1
+        } catch { case t: Throwable =>
           err = Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
         i += 1
       }
-      (name, best, err)
+      (name, if (successes == 0) -1.0 else best, err)
     }
-    val qs = results.map { case (k, v, err) =>
-        "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.toString }
       .mkString("{", ",", "}")
     // Full RFC 8259 string escaping (same as Verify's): any raw control
     // char in an exception message would invalidate the whole JSON line.
@@ -71,7 +76,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
         "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"repeats":$repeats,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }

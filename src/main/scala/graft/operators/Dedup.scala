@@ -76,6 +76,19 @@ object Dedup {
       .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
     val bounded = banded
       .withColumn("bucket_rn", row_number().over(wB))
+      // Truncation is observable, never silent: any action over this plan
+      // reports how many band-bucket members the cap dropped (0 in the
+      // normal, post-[[exact]]-dedup case) through the observed metric
+      // "minhash_bucket_cap" — read `queryExecution.observedMetrics` after
+      // executing THIS plan (collect/write; a derived count() runs its own
+      // QueryExecution) or use a QueryExecutionListener, which sees every
+      // execution. No extra pass, no eager job. Non-zero
+      // `truncated_members` means recall loss: run [[oversizedBuckets]]
+      // to see which buckets, and [[exact]] dedup upstream to fix.
+      .observe("minhash_bucket_cap",
+        sum(when(col("bucket_rn") > maxBucket, 1L).otherwise(0L))
+          .as("truncated_members"),
+        coalesce(max(col("bucket_rn")), lit(0)).as("largest_bucket"))
       .where(col("bucket_rn") <= maxBucket)
       .drop("bucket_rn")
     val a = bounded.alias("a"); val b = bounded.alias("b")

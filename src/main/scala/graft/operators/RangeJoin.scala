@@ -43,22 +43,31 @@ object RangeJoin {
       .drop("_bin")
   }
 
-  /** [[pointInInterval]] with the bin width picked from the data: the
-    * median interval span (one tiny aggregate over the interval side, the
-    * same pre-pass a range-join hint asks the user to eyeball). Median ⇒
-    * the typical interval explodes to ≤ 2 bins, so shuffle fan-out stays
-    * ~2× regardless of the span distribution's tail; a handful of
-    * outlier-wide intervals fan out more, which is the right trade. */
-  def pointInIntervalAuto(points: DataFrame, intervals: DataFrame, pointCol: String,
-      startCol: String, endCol: String): DataFrame = {
+  /** Median interval span — the data-derived bin width for
+    * [[pointInInterval]]. **EAGER**: runs a Spark job (one approx-percentile
+    * aggregate over the interval side, one row to the driver) at call time.
+    * Call it ONCE and pass the result as `binWidth` wherever the same
+    * interval set joins repeatedly; never call it inside a loop or a
+    * per-batch streaming path. Returns 1 when no valid intervals exist
+    * (any width yields the same empty join). */
+  def medianSpan(intervals: DataFrame, startCol: String, endCol: String): Long = {
     val medianRow = intervals
       .where(col(endCol) > col(startCol))
       .agg(expr(s"percentile_approx($endCol - $startCol, 0.5)").cast("long"))
       .head()
-    // No valid intervals ⇒ the aggregate is NULL; any width yields the
-    // same (empty) join, so fall back to 1.
-    val median = if (medianRow.isNullAt(0)) 1L else medianRow.getLong(0)
-    pointInInterval(points, intervals, pointCol, startCol, endCol,
-      math.max(median, 1L))
+    if (medianRow.isNullAt(0)) 1L else math.max(medianRow.getLong(0), 1L)
   }
+
+  /** [[pointInInterval]] with the bin width picked from the data via
+    * [[medianSpan]] — convenience for one-shot joins. **EAGER pre-pass**:
+    * this triggers the medianSpan job before building the join plan; hot
+    * paths and repeated joins should call [[medianSpan]] once themselves
+    * (or eyeball a width) and use [[pointInInterval]] directly. Median ⇒
+    * the typical interval explodes to ≤ 2 bins, so shuffle fan-out stays
+    * ~2× regardless of the span distribution's tail; a handful of
+    * outlier-wide intervals fan out more, which is the right trade. */
+  def pointInIntervalAuto(points: DataFrame, intervals: DataFrame, pointCol: String,
+      startCol: String, endCol: String): DataFrame =
+    pointInInterval(points, intervals, pointCol, startCol, endCol,
+      medianSpan(intervals, startCol, endCol))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,18 +26,23 @@ import java.util
   *    restarted query resumes from the checkpoint and never re-emits or
   *    skips a frame, including frames appended between runs.
   *  - **Admission control**: `maxFramesPerBatch` bounds each micro-batch
-  *    ([[ReadLimit.maxRows]]), so a deep backlog replays as many bounded
-  *    batches instead of one giant catch-up batch.
+  *    ([[ReadLimit.maxRows]], honored inside composite limits too), so a
+  *    deep backlog replays as many bounded batches instead of one giant
+  *    catch-up batch.
   *  - **Trigger.AvailableNow**: the end offset is pinned at query start, so
   *    a drain run terminates even while the log keeps growing.
   *
   * Output schema: `frame_idx BIGINT, raw STRING` — `raw` feeds
   * [[graft.streaming.EventStreams.decodeFrames]] unchanged.
   *
-  * Scale note: line ranges are located by skipping from the file head —
-  * fine for fixture replay and test logs; a production build over object
-  * storage would keep a byte-offset index per block (the usual frame-log
-  * layout) and slice on it, with identical offset semantics.
+  * Scale: slice boundaries are resolved to BYTE offsets on the driver via
+  * an append-only line→byte anchor index (`byteOffsetsOf`), and each
+  * reader seeks straight to its slice's byte start — N slices never
+  * re-scan the file head, and B successive batches cost one cumulative
+  * driver pass over the log (each boundary scan resumes from the greatest
+  * anchor below it; an append-only log never invalidates an anchor).
+  * Frames are assumed `\n`-terminated (optionally `\r\n`) — the standard
+  * log framing; a bare-`\r` file would count lines differently.
   */
 class FrameReplaySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -101,13 +106,21 @@ private class FrameReplayStream(path: String, maxPerBatch: Int, numSlices: Int)
   override def latestOffset(): Offset = throw new IllegalStateException(
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
+  /** The row cap a limit imposes: a [[ReadMaxRows]] directly, the min over
+    * a composite's [[ReadMaxRows]] parts, none otherwise (all-available /
+    * min-rows limits put no upper bound on a batch). */
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case m: ReadMaxRows => Some(m.maxRows().toLong)
+    case c: CompositeReadLimit =>
+      val maxes = c.getReadLimits.toSeq.flatMap(maxRowsOf)
+      if (maxes.isEmpty) None else Some(maxes.min)
+    case _ => None
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[FrameOffset].index
     val avail = if (availableNowCap >= 0L) availableNowCap else availableFrames()
-    val end = limit match {
-      case m: ReadMaxRows => math.min(avail, s + m.maxRows())
-      case _ => avail
-    }
+    val end = maxRowsOf(limit).map(m => math.min(avail, s + m)).getOrElse(avail)
     FrameOffset(math.max(s, end))
   }
 
@@ -117,15 +130,54 @@ private class FrameReplayStream(path: String, maxPerBatch: Int, numSlices: Int)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  // Line-index → byte-offset anchors for every boundary resolved so far.
+  // The log is append-only, so an anchor never invalidates; resolving a
+  // new boundary scans only from the greatest anchor below it. Newlines
+  // are counted as raw 0x0A bytes — exact under UTF-8 (a continuation
+  // byte can never be 0x0A).
+  private val anchors = scala.collection.mutable.TreeMap[Long, Long](0L -> 0L)
+
+  /** Byte offsets of the given ascending line indexes (cached, one
+    * incremental scan). Synchronized: planInputPartitions is driver-side. */
+  private def byteOffsetsOf(lines: Seq[Long]): Map[Long, Long] = synchronized {
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    lines.sorted.foreach { target =>
+      val cached = anchors.get(target)
+      out(target) = cached.getOrElse {
+        val (aLine, aByte) = anchors.rangeTo(target).last
+        val in = new java.io.BufferedInputStream(
+          Files.newInputStream(Paths.get(path)), 1 << 16)
+        try {
+          in.skipNBytes(aByte)
+          var l = aLine
+          var b = aByte
+          var c = in.read()
+          while (l < target && c >= 0) {
+            b += 1
+            if (c == '\n') l += 1
+            c = in.read()
+          }
+          require(l == target,
+            s"frame log truncated: line $target unreachable (EOF at byte $b)")
+          anchors(target) = b
+          b
+        } finally in.close()
+      }
+    }
+    out.toMap
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FrameOffset].index
     val e = end.asInstanceOf[FrameOffset].index
     val total = e - s
     val n = math.max(1L, math.min(numSlices.toLong, total)).toInt
+    val bounds = (0 until n).map(i => s + i * total / n).distinct
+    val offs = byteOffsetsOf(bounds)
     (0 until n).flatMap { i =>
       val from = s + i * total / n
       val to = s + (i + 1) * total / n
-      if (to > from) Some(FrameSlice(path, from, to)) else None
+      if (to > from) Some(FrameSlice(path, from, to, offs(from))) else None
     }.toArray
   }
 
@@ -133,24 +185,32 @@ private class FrameReplayStream(path: String, maxPerBatch: Int, numSlices: Int)
     new FrameSliceReaderFactory
 }
 
-private case class FrameSlice(path: String, from: Long, to: Long)
+private case class FrameSlice(path: String, from: Long, to: Long, byteStart: Long)
   extends InputPartition
 
 private class FrameSliceReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val slice = partition.asInstanceOf[FrameSlice]
-      private val stream = Files.lines(Paths.get(slice.path))
-      private val it = stream.skip(slice.from).limit(slice.to - slice.from).iterator()
+      // Seek straight to the slice's byte start — no head re-scan.
+      private val channel = java.nio.channels.FileChannel.open(
+        Paths.get(slice.path), java.nio.file.StandardOpenOption.READ)
+      channel.position(slice.byteStart)
+      private val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(
+          java.nio.channels.Channels.newInputStream(channel),
+          java.nio.charset.StandardCharsets.UTF_8))
       private var idx = slice.from - 1
       private var current: String = _
       override def next(): Boolean = {
-        val has = it.hasNext
-        if (has) { current = it.next(); idx += 1 }
-        has
+        if (idx + 1 >= slice.to) false
+        else {
+          current = reader.readLine()
+          if (current == null) false else { idx += 1; true }
+        }
       }
       override def get(): InternalRow =
         InternalRow(idx, UTF8String.fromString(current))
-      override def close(): Unit = stream.close()
+      override def close(): Unit = reader.close()
     }
 }

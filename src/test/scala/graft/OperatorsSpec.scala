@@ -58,9 +58,25 @@ class DedupSpec extends AnyFunSuite {
     // With the cap, each bucket contributes at most C(maxBucket,2) pairs.
     val boiler = spark.range(10000).selectExpr("id AS doc_id",
       "'the same boilerplate cookie banner text repeated on every page of the site' AS text")
-    val n = Dedup.minhashCandidates(boiler, maxBucket = 50).count()
+    val capped = Dedup.minhashCandidates(boiler, maxBucket = 50)
+    // collect() (not count()) so THIS plan's QueryExecution runs and its
+    // observed-metric accumulators fill in.
+    val n = capped.collect().length
     assert(n <= 50L * 49 / 2, s"cap leaked: $n pairs")
     assert(n > 0) // the surviving bucket members still pair up
+    // Truncation must surface as an observed metric, not vanish silently:
+    // 4 bands × (10000 − 50) members dropped.
+    val m = capped.queryExecution.observedMetrics("minhash_bucket_cap")
+    assert(m.getAs[Long]("truncated_members") == 4L * (10000 - 50),
+      s"metric mismatch: $m")
+    assert(m.getAs[Int]("largest_bucket") == 10000)
+  }
+
+  test("bucket-cap metric reads zero when nothing is truncated") {
+    val capped = Dedup.minhashCandidates(docs, maxBucket = 1000)
+    capped.collect()
+    val m = capped.queryExecution.observedMetrics("minhash_bucket_cap")
+    assert(m.getAs[Long]("truncated_members") == 0L)
   }
 
   test("oversizedBuckets audits what the cap touched") {

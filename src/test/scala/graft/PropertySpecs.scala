@@ -171,6 +171,26 @@ object QuantileSketchProps extends Properties("QuantileSketch") {
       }
     }
 
+  property("rank error holds merging MANY sketches of wildly different n") =
+    forAll(Gen.choose(3, 6), Gen.oneOf(16, 32), Gen.long) { (parts, k, seed) =>
+      // Partition sizes span 4 orders of magnitude (0 to thousands) — the
+      // shape a skewed shuffle hands the final merge: most partials tiny,
+      // a few huge, merged in arbitrary order.
+      val rnd = new scala.util.Random(seed)
+      val sizes = Seq.fill(parts)(rnd.nextInt(5) match {
+        case 0 => 0
+        case 1 => 1 + rnd.nextInt(3)
+        case 2 => 50 + rnd.nextInt(50)
+        case 3 => 1000 + rnd.nextInt(500)
+        case _ => 3000
+      })
+      val chunks = sizes.map(n => List.fill(n)(rnd.nextDouble() * 2000 - 1000))
+      val all = chunks.flatten.toList
+      val merged = rnd.shuffle(chunks.map(c => build(c, k))).reduce(_ merge _)
+      merged.n == all.length &&
+        (all.isEmpty || maxRankErr(merged, all) <= merged.rankErrorBound)
+    }
+
   property("serialize/deserialize round-trips estimates exactly") =
     forAll(genXs, Gen.oneOf(16, 64)) { (xs, k) =>
       val sk = build(xs, k)

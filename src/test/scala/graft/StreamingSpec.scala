@@ -274,6 +274,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got2 == Set("m4", "m5"))
   }
 
+  test("DSv2 replay source: byte-offset slices reproduce the log exactly " +
+      "(multi-byte UTF-8, non-dividing slice count, unterminated last line)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("framereplay_bytes")
+    val log = dir.resolve("frames.txt")
+    // 257 lines of varying byte length (multi-byte chars make byte≠char
+    // offsets); no trailing newline on the final line; 64-frame batches ×
+    // 5 slices never divide evenly.
+    val lines = (0 until 257).map(i => s"frame-$i-" + ("é✓" * (i % 7)))
+    Files.write(log, lines.mkString("\n").getBytes("UTF-8"))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format(graft.sources.FrameReplaySource.Name)
+      .option("path", log.toString)
+      .option("maxFramesPerBatch", 64)
+      .option("numSlices", 5)
+      .load()
+      .as[(Long, String)]
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, String)], _: Long) =>
+        batch.collect().foreach(buf.add)
+      }
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+    val got = scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala
+      .toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (0L until 257L), "frame indexes must be exact")
+    assert(got.map(_._2) == lines, "frame payloads must be byte-exact")
+  }
+
   test("left-outer stream-stream join emits unmatched wagers with nulls after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704110400L
