@@ -57,6 +57,19 @@ object ProfileDecode {
         EventStreams.tournamentLeg(EventStreams.decodeFrames(frames), 0L until 5L)
           .agg(sum(col("update.odds"))).count()
       }
+      // Round-5 finding: the routing filters inline the whole encode
+      // expression and get pushed below Tables' fan-out repartition, onto
+      // the 1-task single-row-group scan — serializing the encode on one
+      // core (the 3-5× gap vs the unfiltered decode above). Staging `raw`
+      // behind a Generate barrier pins encode+route above the exchange.
+      time(s"encode+decode+route, raw STAGED $i") {
+        val stagedFrames = graft.plans.Stage(updates, "raw", DecodeFns.encodeFrame(
+          col("channel"), col("event_name"),
+          struct(col("market_id"), col("event_id"), col("tournament_id"),
+            col("status"), col("odds"), col("updated_at")))).select(col("raw"))
+        EventStreams.tournamentLeg(EventStreams.decodeFrames(stagedFrames), 0L until 5L)
+          .agg(sum(col("update.odds"))).count()
+      }
     }
     spark.stop()
   }

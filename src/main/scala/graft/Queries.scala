@@ -878,10 +878,18 @@ object Queries {
         when(pmod(col("l_orderkey"), lit(2)) === 0, "broadcast-main")
           .otherwise("private-user").as("channel"),
         concat(lit("tournament_"), pmod(col("l_suppkey"), lit(5))).as("event_name"))
-      val frames = updates.select(DecodeFns.encodeFrame(
+      // `raw` goes through a Stage barrier: without it, the routing
+      // filters inline the WHOLE encode expression and Catalyst pushes
+      // that predicate below Tables' fan-out repartition — onto the
+      // 1-task single-row-group scan, serializing the heavy encode on one
+      // core (measured 5.5 s vs 1.7 s at sf0.1/local[32]). The barrier
+      // pins encode+route above the exchange, which also mirrors
+      // production: a frame log's `raw` is a STORED column, never an
+      // expression a filter could inline. See NOTES.md round 5.
+      val frames = graft.plans.Stage(updates, "raw", DecodeFns.encodeFrame(
         col("channel"), col("event_name"),
         struct(col("market_id"), col("event_id"), col("tournament_id"),
-          col("status"), col("odds"), col("updated_at"))).as("raw"))
+          col("status"), col("odds"), col("updated_at")))).select(col("raw"))
       EventStreams.tournamentLeg(EventStreams.decodeFrames(frames), 0L until 5L)
         .select(col("event_name"),
           col("update.market_id").as("market_id"), col("update.event_id").as("event_id"),
