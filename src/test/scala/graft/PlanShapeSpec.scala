@@ -44,6 +44,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"assignment argmax must be a (partial) hash aggregate:\n$p")
   }
 
+  test("decode_roundtrip: routing filter stays ABOVE the fan-out exchange") {
+    // Regression guard for the round-5 serialization bug: without the
+    // Stage barrier on `raw`, the routing predicate inlines the whole
+    // encode expression and pushes below Tables' repartition — onto the
+    // 1-task single-row-group scan, running the encode on one core.
+    val p = plan(Queries.queries("decode_roundtrip")(spark, sf))
+    val iFilter = p.indexOf("Filter ")
+    val iExchange = p.indexOf("Exchange RoundRobinPartitioning")
+    assert(iFilter >= 0 && iExchange >= 0, s"expected Filter + round-robin:\n$p")
+    // toString prints top-down: the filter must print BEFORE (above) the
+    // fan-out exchange, i.e. evaluate post-fan-out, in parallel.
+    assert(iFilter < iExchange,
+      s"routing filter was pushed below the fan-out repartition:\n$p")
+    // The encode (Generate barrier) must also sit above the exchange.
+    val iGenerate = p.indexOf("Generate explode")
+    assert(iGenerate >= 0 && iGenerate < iExchange,
+      s"encode must run post-fan-out, not on the scan side:\n$p")
+  }
+
   test("q1 scan prunes unused lineitem columns") {
     val p = plan(Queries.queries("q1_pricing_summary")(spark, sf))
     assert(!p.contains("l_suppkey") && !p.contains("l_partkey"),
