@@ -70,6 +70,40 @@ object ProfileDecode {
         EventStreams.tournamentLeg(EventStreams.decodeFrames(stagedFrames), 0L until 5L)
           .agg(sum(col("update.odds"))).count()
       }
+      // Full-width output (all 7 decoded columns, the real roundtrip
+      // shape): 6 GetJsonObject payload parses vs ONE json_tuple parse.
+      def full7(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("event_name"),
+          col("update.market_id"), col("update.event_id"), col("update.tournament_id"),
+          col("update.status"), col("update.odds").as("odds"), col("update.updated_at"))
+      val stagedFrames = graft.plans.Stage(updates, "raw", DecodeFns.encodeFrame(
+        col("channel"), col("event_name"),
+        struct(col("market_id"), col("event_id"), col("tournament_id"),
+          col("status"), col("odds"), col("updated_at")))).select(col("raw"))
+      time(s"FULL7 staged + gjo decode $i") {
+        full7(EventStreams.tournamentLeg(EventStreams.decodeFrames(stagedFrames), 0L until 5L))
+          .agg(sum(col("odds"))).count()
+      }
+      def jtDecode(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("raw"), json_tuple(col("raw"), "channel", "event_name", "payload")
+            .as(Seq("channel", "event_name", "payload")))
+          .select(col("raw"), col("channel"), col("event_name"),
+            json_tuple(unbase64(col("payload")).cast("string"),
+              "market_id", "event_id", "tournament_id", "status", "odds", "updated_at")
+              .as(Seq("market_id", "event_id", "tournament_id", "status", "odds", "updated_at")))
+          .select(col("raw"), col("channel"), col("event_name"),
+            struct(col("market_id"), col("event_id").cast("long").as("event_id"),
+              col("tournament_id").cast("long").as("tournament_id"), col("status"),
+              col("odds").cast("int").as("odds"),
+              col("updated_at").cast("long").as("updated_at")).as("update"))
+      time(s"FULL7 UNstaged + json_tuple decode $i") {
+        full7(EventStreams.tournamentLeg(jtDecode(frames), 0L until 5L))
+          .agg(sum(col("odds"))).count()
+      }
+      time(s"FULL7 staged + json_tuple decode $i") {
+        full7(EventStreams.tournamentLeg(jtDecode(stagedFrames), 0L until 5L))
+          .agg(sum(col("odds"))).count()
+      }
     }
     spark.stop()
   }

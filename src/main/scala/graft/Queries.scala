@@ -1281,6 +1281,31 @@ object Queries {
         |FROM r WHERE rank <= 10""".stripMargin
     }, bench = true)
 
+  /** Multi-probe LSH (own bucket + every Hamming-1 bucket per query) —
+    * the deterministic ANN recall knob, oracle-checked unlike the trained
+    * IVF paths. Probe list is query-side only; corpus joins by its single
+    * bucket key, so no pair dedup is needed. */
+  private val simLshMultiprobe = Q("sim_lsh_multiprobe",
+    (s, dir) => Similarity.lshTopKMultiProbe(Tables.embeddings(s, dir),
+      k = 10, stride = 20),
+    Some {
+      val planes = Similarity.lshPlanes(6, 64)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % 20 = 0),
+        |probes AS (SELECT query_id, qv, qnrm, xor(bucket, flip) AS bucket
+        |           FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip)),
+        |s AS (SELECT p.query_id, n.vec_id AS neighbor_id,
+        |        ROUND(list_dot_product(p.qv, n.v) / (p.qnrm * n.nrm), 4) AS cosine
+        |      FROM probes p JOIN n USING (bucket) WHERE n.vec_id != p.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 10""".stripMargin
+    })
+
   /** Embedding int8 quantization stats: per-vector scale + checksum of the
     * quantized values. Quantization uses `floor(x·127/max + 0.5)` — the
     * same IEEE product floored identically in both engines (a `round()`
@@ -1351,7 +1376,7 @@ object Queries {
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
-    simLshTopk, simQuantize,
+    simLshTopk, simLshMultiprobe, simQuantize,
     multimodalFeatures, multimodalFrames)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -108,6 +108,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Multi-probe LSH top-k (Lv et al. 2007, the sign-LSH specialization):
+    * each query probes its own bucket PLUS every bucket at Hamming
+    * distance 1 (one flipped hyperplane sign) — the buckets a near-miss
+    * neighbor most likely landed in. Scanned fraction grows from
+    * ~1/2^nPlanes to ~(nPlanes+1)/2^nPlanes of the corpus; the plan is
+    * unchanged (probe list explodes query-side to nPlanes+1 rows, still
+    * broadcast; the corpus side never expands — each corpus row has ONE
+    * bucket, and probe buckets are distinct, so a (query, neighbor) pair
+    * matches at most once and needs no dedup). Fully deterministic ⇒
+    * oracle-checkable, unlike the trained-centroid paths. */
+  def lshTopKMultiProbe(embeddings: DataFrame, k: Int, stride: Int,
+      nPlanes: Int = 6): DataFrame = {
+    val dim = 64
+    val planes = lshPlanes(nPlanes, dim)
+    def bucketOf(v: Column): Column =
+      (0 until nPlanes).map { p =>
+        when(dot(v, typedLit(planes(p))) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val corpus = Stage(
+      embeddings.select(col("vec_id"), col("embedding")),
+      "v", toDouble(col("embedding")))
+      .select(col("vec_id"), col("v"),
+        l2Norm(col("v")).as("nrm"), bucketOf(col("v")).as("bucket"))
+    val probeArr = array(
+      (col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+    val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), explode(probeArr).as("bucket"))
+    val scored = corpus.join(broadcast(queries), "bucket")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Nearest-centroid assignment for IVF: (vec_id, v, nrm, cell) with cell
     * = argmax-cosine centroid (round-6, min-cell tie-break). `cents` must
     * have columns (cell, cv, cnrm), NON-NEGATIVE int cell ids, and be small

@@ -208,6 +208,13 @@ class KmeansIvfSpec extends AnyFunSuite {
     // assigned cell), so recall can only improve.
     assert(multi3 >= kmeans, f"multi-probe lost recall: $multi3%.3f < $kmeans%.3f")
     assert(multi3 >= 0.35, f"P=3 should clear the single-probe ~0.25 ceiling: $multi3%.3f")
+    // Multi-probe LSH: own + Hamming-1 buckets supersets the single-bucket
+    // candidates, so recall can only improve there too.
+    val lsh1 = recallOf(topSets(graft.operators.Similarity.lshTopK(e, 10, 20)))
+    val lshMp = recallOf(topSets(
+      graft.operators.Similarity.lshTopKMultiProbe(e, 10, 20)))
+    info(f"recall@10 sf0.1 LSH: single-bucket $lsh1%.3f, multi-probe $lshMp%.3f")
+    assert(lshMp >= lsh1, f"multi-probe LSH lost recall: $lshMp%.3f < $lsh1%.3f")
   }
 }
 
