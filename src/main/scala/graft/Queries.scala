@@ -1088,6 +1088,39 @@ object Queries {
         |WHERE d.doc_id IS NULL""".stripMargin
     })
 
+  /** Sequence packing (TextAnalysis.packDocuments): which capacity-sized
+    * block each document starts in after per-shard concat in doc_id
+    * order — the LLM-pretraining pack table. Integral floor-div ⇒
+    * hash-exact cross-engine. */
+  private val pipelinePackDocs = Q("pipeline_pack_docs",
+    (s, dir) => TextAnalysis.packDocuments(Tables.documents(s, dir),
+      capacityTokens = 2048, nShards = 8),
+    Some(s"""WITH t AS (SELECT doc_id, CAST(len($duckToks) AS INTEGER) AS n_tokens,
+      |  doc_id % 8 AS shard FROM documents),
+      |c AS (SELECT doc_id, shard, n_tokens,
+      |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS start_tok
+      |  FROM t)
+      |SELECT doc_id, shard, n_tokens, start_tok,
+      |  CAST((start_tok - (start_tok % 2048)) / 2048 AS BIGINT) AS bin_id
+      |FROM c""".stripMargin))
+
+  /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
+    * per-document explode into ≤128-token windows overlapping by 32. */
+  private val pipelineChunkDocs = Q("pipeline_chunk_docs",
+    (s, dir) => TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+      chunkTokens = 128, overlap = 32),
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |sized AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n FROM t WHERE len(w) > 0),
+      |counted AS (SELECT *, CASE WHEN n <= 128 THEN 1
+      |    ELSE 1 + CAST(((n - 128 + 95) - ((n - 128 + 95) % 96)) / 96 AS INTEGER) END AS n_chunks
+      |  FROM sized),
+      |ex AS (SELECT doc_id, w, n, CAST(unnest(generate_series(0, n_chunks - 1)) AS INTEGER) AS chunk_idx
+      |  FROM counted)
+      |SELECT doc_id, chunk_idx,
+      |  array_to_string(list_slice(w, chunk_idx * 96 + 1, chunk_idx * 96 + 128), ' ') AS chunk_text,
+      |  CAST(least(n - chunk_idx * 96, 128) AS INTEGER) AS chunk_tokens
+      |FROM ex""".stripMargin))
+
   private val hash16Sql =
     """(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
       |(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
@@ -1372,7 +1405,7 @@ object Queries {
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
-    pipelineDocsPrep,
+    pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,

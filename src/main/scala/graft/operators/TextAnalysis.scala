@@ -58,4 +58,65 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Sequence packing — the LLM-pretraining "concat-and-chunk" layout:
+    * documents are (logically) concatenated in doc_id order within each of
+    * `nShards` hash shards, and `bin_id` is which `capacityTokens`-sized
+    * block a document STARTS in after that concatenation. This is the
+    * planner's packing table: (shard, bin_id) groups are the training
+    * sequences to assemble, `start_tok` the intra-shard offset.
+    *
+    * Scale shape: packing is inherently sequential, so the sequential unit
+    * is the SHARD — one running-sum window per shard key, nShards-way
+    * parallel, one shuffle on (shard). Raise `nShards` with cluster size;
+    * rows per window partition = |docs|/nShards. No global window, no
+    * driver loop. Deterministic (doc_id total order) ⇒ oracle-checkable. */
+  def packDocuments(documents: DataFrame, capacityTokens: Int,
+      nShards: Int = 32): DataFrame = {
+    require(capacityTokens > 0, s"capacityTokens must be positive: $capacityTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
+      .withColumn("start_tok",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      // integral floor-div (start_tok ≥ 0): no double quotients near bin
+      // boundaries, same bins in any engine.
+      .withColumn("bin_id",
+        ((col("start_tok") - pmod(col("start_tok"), lit(capacityTokens)))
+          / lit(capacityTokens)).cast("long"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_tok"), col("bin_id"))
+  }
+
+  /** Overlapping token-window chunking — the RAG/context-window splitter:
+    * each document becomes ⌈(n−overlap)/(chunk−overlap)⌉ chunks of at most
+    * `chunkTokens` whitespace tokens, consecutive chunks sharing `overlap`
+    * tokens. Narrow per-document explode (no shuffle at all); tokens are
+    * staged once so the per-chunk slices reference a materialized array.
+    * Empty documents emit no chunks. All-integral arithmetic. */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+      .withColumn("n", size(col("w")))
+      .where(col("n") > 0)
+    // extra = n - chunkTokens tokens remain after the first chunk; they
+    // need ceil(extra/stride) more windows: floor((extra + stride - 1)/stride).
+    val extra = col("n") - lit(chunkTokens) + lit(stride - 1)
+    val nChunks = when(col("n") <= lit(chunkTokens), lit(1))
+      .otherwise(lit(1) + (extra - pmod(extra, lit(stride))) / lit(stride))
+      .cast("int")
+    toks
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("w"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(col("n") - col("chunk_idx") * stride, lit(chunkTokens))
+          .cast("int").as("chunk_tokens"))
+  }
 }

@@ -222,6 +222,57 @@ class TextAnalysisSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("packDocuments: per-shard greedy concat layout, integral bins") {
+    // One shard (nShards=1) so the layout is hand-checkable: docs of
+    // 3/4/5/2 tokens concat to offsets 0,3,7,12 — capacity 5 ⇒ bins 0,0,1,2.
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e f g"), (2L, "h i j k l"), (3L, "m n"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packDocuments(docs, capacityTokens = 5, nShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "start_tok", "bin_id").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 0L, 0L), (1L, 3L, 0L), (2L, 7L, 1L), (3L, 12L, 2L)))
+  }
+
+  test("packDocuments shards partition the window: same doc set, bounded windows") {
+    val docs = Seq.tabulate(20)(i => (i.toLong, "w " * (i % 5 + 1))).toDF("doc_id", "text")
+    val out = TextAnalysis.packDocuments(docs, capacityTokens = 4, nShards = 4)
+    assert(out.count() == 20)
+    // each shard's start_tok restarts at 0
+    val starts = out.where(col("start_tok") === 0).select("shard").distinct().count()
+    assert(starts == 4, "every shard must restart its concat at offset 0")
+  }
+
+  test("chunkDocuments: overlapping windows cover every token, short docs = 1 chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
+      (2L, "a b"),                                 // short: one chunk
+      (3L, ""))                                    // empty: no chunks
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L).map(r =>
+      (r.getAs[Int]("chunk_idx"), r.getAs[String]("chunk_text"), r.getAs[Int]("chunk_tokens")))
+    // stride 3: windows [1..4],[4..7],[7..10] — 3 chunks, consecutive
+    // chunks share one token, last chunk exactly fills.
+    assert(d1.toSeq == Seq(
+      (0, "t1 t2 t3 t4", 4), (1, "t4 t5 t6 t7", 4), (2, "t7 t8 t9 t10", 4)))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "a b"
+      && d2(0).getAs[Int]("chunk_tokens") == 2)
+    assert(!out.exists(_.getLong(0) == 3L), "empty doc must emit no chunks")
+  }
+
+  test("chunkDocuments: ragged tail gets its own shorter chunk") {
+    val docs = Seq((1L, (1 to 9).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_text", "chunk_tokens").as[(String, Int)].collect()
+    // 9 tokens, stride 3: [1..4],[4..7],[7..9] — tail chunk has 3 tokens.
+    assert(out.toSeq == Seq(
+      ("t1 t2 t3 t4", 4), ("t4 t5 t6 t7", 4), ("t7 t8 t9", 3)))
+  }
+
   test("docStats counts tokens/punct and bounds ratios") {
     val df = Seq((1L, "Hello, world! This is 1 test."), (2L, "")).toDF("doc_id", "text")
     val r = TextAnalysis.docStats(df).orderBy("doc_id").collect()
