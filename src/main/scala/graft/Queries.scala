@@ -1121,6 +1121,25 @@ object Queries {
       |  CAST(least(n - chunk_idx * 96, 128) AS INTEGER) AS chunk_tokens
       |FROM ex""".stripMargin))
 
+  /** Balanced per-class sample (TextAnalysis.classSample): 5 docs per
+    * lang by md5 rank, executed by the custom TopKPlan bounded heaps —
+    * a second oracled query through the tier-(c) operator. */
+  private val pipelineClassSample = Q("pipeline_class_sample",
+    (s, dir) => TextAnalysis.classSample(Tables.documents(s, dir), "lang", 5),
+    Some("""WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank FROM h)
+      |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id FROM r WHERE rank <= 5""".stripMargin))
+
+  /** Deterministic train/val/test split (TextAnalysis.trainSplit):
+    * 80/10/10 by md5 percentile — doc-level labels, hash-exact. */
+  private val pipelineTrainSplit = Q("pipeline_train_split",
+    (s, dir) => TextAnalysis.trainSplit(Tables.documents(s, dir), 80, 10),
+    Some("""SELECT doc_id, lang,
+      |  CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS u
+      |  FROM documents)""".stripMargin))
+
   private val hash16Sql =
     """(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
       |(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
@@ -1406,6 +1425,7 @@ object Queries {
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,
+    pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,

@@ -59,6 +59,36 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Balanced per-class sample: exactly `k` documents per `byCol` class,
+    * picked by md5 rank of doc_id — deterministic, uniform-within-class
+    * (md5 is the seeded-PRNG stand-in, same rationale as f_hash_sample),
+    * and executed by [[graft.plans.TopKPlan]]'s bounded heaps: the map
+    * side ships ≤ k rows per class per partition, never a full sort —
+    * the class-balancing shape for training-set construction at corpus
+    * scale. */
+  def classSample(documents: DataFrame, byCol: String, k: Int): DataFrame =
+    graft.plans.TopKPlan.topKPerGroup(
+      documents.select(col("doc_id"), col(byCol),
+        md5(col("doc_id").cast("string")).as("h")),
+      Seq(byCol), Seq(("h", false), ("doc_id", false)), k)
+      .select(col(byCol), col("rank"), col("doc_id"))
+
+  /** Deterministic train/val/test assignment: md5-percentile of doc_id
+    * buckets into [0,trainPct) → train, [trainPct,trainPct+valPct) → val,
+    * rest → test. A pure projection — stable across runs, partitionings,
+    * retries, and engines; adding documents never reassigns existing ones
+    * (the property a random split lacks). */
+  def trainSplit(documents: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need train + val < 100, got $trainPct + $valPct")
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    documents.select(col("doc_id"), col("lang"),
+      when(u < trainPct, "train")
+        .when(u < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Sequence packing — the LLM-pretraining "concat-and-chunk" layout:
     * documents are (logically) concatenated in doc_id order within each of
     * `nShards` hash shards, and `bin_id` is which `capacityTokens`-sized

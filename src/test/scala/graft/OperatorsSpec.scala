@@ -222,6 +222,35 @@ class TextAnalysisSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("classSample: exactly k per class (or all, when the class is smaller)") {
+    val docs = (Seq.tabulate(20)(i => (i.toLong, "en")) ++
+      Seq((100L, "fr"), (101L, "fr"))).map { case (id, l) => (id, l, s"text $id") }
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.classSample(docs, "lang", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(out.count(_._1 == "en") == 5)
+    assert(out.count(_._1 == "fr") == 2) // smaller class: all rows, ranked
+    // deterministic: same pick on re-run
+    val again = TextAnalysis.classSample(docs, "lang", 5)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
+  test("trainSplit: deterministic labels, growth never reassigns") {
+    val docs = Seq.tabulate(200)(i => (i.toLong, "en", s"t $i"))
+      .toDF("doc_id", "lang", "text")
+    val s1 = TextAnalysis.trainSplit(docs, 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.values.toSet == Set("train", "val", "test"))
+    assert(s1.values.count(_ == "train") > 100) // ~80% of 200
+    // a grown corpus keeps every existing assignment (hash-of-id property)
+    val grown = Seq.tabulate(400)(i => (i.toLong, "en", s"t $i"))
+      .toDF("doc_id", "lang", "text")
+    val s2 = TextAnalysis.trainSplit(grown, 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+  }
+
   test("packDocuments: per-shard greedy concat layout, integral bins") {
     // One shard (nShards=1) so the layout is hand-checkable: docs of
     // 3/4/5/2 tokens concat to offsets 0,3,7,12 — capacity 5 ⇒ bins 0,0,1,2.
