@@ -305,6 +305,44 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.map(_._2) == lines, "frame payloads must be byte-exact")
   }
 
+  test("DSv2 replay source: mid-drain stop + resume with a different batch " +
+      "size loses no frame") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("framereplay_kill")
+    val log = dir.resolve("frames.txt")
+    val ckpt = dir.resolve("ckpt").toString
+    val n = 40
+    Files.write(log, (0 until n).map(i => s"frame-$i").mkString("\n").getBytes("UTF-8"))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start(maxPerBatch: Int) = spark.readStream
+      .format(graft.sources.FrameReplaySource.Name)
+      .option("path", log.toString)
+      .option("maxFramesPerBatch", maxPerBatch)
+      .load()
+      .select("frame_idx").as[Long]
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        b.collect().foreach(buf.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    // Run 1 at 1 frame/batch; stop it mid-drain once a few batches landed.
+    val q1 = start(maxPerBatch = 1)
+    val deadline = System.currentTimeMillis() + 60000
+    while (buf.size < 5 && System.currentTimeMillis() < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(buf.size < n, "stop landed after the drain finished — not a mid-drain test")
+    // Run 2 resumes from the checkpoint with a DIFFERENT admission rate.
+    val q2 = start(maxPerBatch = 7)
+    assert(q2.awaitTermination(120000), "resumed drain must terminate")
+    // foreachBatch is at-least-once across a stop boundary (an uncommitted
+    // batch may replay) — the invariant is NO FRAME LOST, set-exact.
+    val got = scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toSet
+    assert(got == (0L until n.toLong).toSet,
+      s"missing frames: ${(0L until n.toLong).toSet -- got}")
+  }
+
   test("left-outer stream-stream join emits unmatched wagers with nulls after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1704110400L
