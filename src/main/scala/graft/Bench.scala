@@ -31,8 +31,10 @@ object Bench {
     // and its timing). Residual multi-second swings on single queries
     // (decode_roundtrip especially) tracked HOST load, not ordering —
     // re-run on a quiet box before treating one as a regression.
-    // A failing query must never masquerade as a fast success: its timing is
-    // reported as -1 and its error lands in the "errors" map.
+    // A query with NO successful repeat reports -1; one that succeeded
+    // before a later repeat errored reports its min-of-successes AND its
+    // error — so check the "errors" map, not the -1 sentinel alone, when
+    // looking for failures.
     // Noise robustness: each query is measured `repeats` times in this one
     // JVM and the per-query MIN is reported — a single sample tracks host
     // CPU steal (documented 4.5 s ↔ 34 s swings on identical code), while

@@ -62,11 +62,11 @@ object ProfileDecode {
       // the 1-task single-row-group scan — serializing the encode on one
       // core (the 3-5× gap vs the unfiltered decode above). Staging `raw`
       // behind a Generate barrier pins encode+route above the exchange.
+      val stagedFrames = graft.plans.Stage(updates, "raw", DecodeFns.encodeFrame(
+        col("channel"), col("event_name"),
+        struct(col("market_id"), col("event_id"), col("tournament_id"),
+          col("status"), col("odds"), col("updated_at")))).select(col("raw"))
       time(s"encode+decode+route, raw STAGED $i") {
-        val stagedFrames = graft.plans.Stage(updates, "raw", DecodeFns.encodeFrame(
-          col("channel"), col("event_name"),
-          struct(col("market_id"), col("event_id"), col("tournament_id"),
-            col("status"), col("odds"), col("updated_at")))).select(col("raw"))
         EventStreams.tournamentLeg(EventStreams.decodeFrames(stagedFrames), 0L until 5L)
           .agg(sum(col("update.odds"))).count()
       }
@@ -76,10 +76,6 @@ object ProfileDecode {
         df.select(col("event_name"),
           col("update.market_id"), col("update.event_id"), col("update.tournament_id"),
           col("update.status"), col("update.odds").as("odds"), col("update.updated_at"))
-      val stagedFrames = graft.plans.Stage(updates, "raw", DecodeFns.encodeFrame(
-        col("channel"), col("event_name"),
-        struct(col("market_id"), col("event_id"), col("tournament_id"),
-          col("status"), col("odds"), col("updated_at")))).select(col("raw"))
       time(s"FULL7 staged + gjo decode $i") {
         full7(EventStreams.tournamentLeg(EventStreams.decodeFrames(stagedFrames), 0L until 5L))
           .agg(sum(col("odds"))).count()

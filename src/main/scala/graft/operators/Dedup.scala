@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Prefix of the bucket-cap observed metric (see [[minhashCandidates]]);
+    * match `observedMetrics` keys with `startsWith(this)`. */
+  val BucketCapMetricPrefix = "minhash_bucket_cap"
+  private val bucketCapCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def nextBucketCapMetricName(): String = {
+    val n = bucketCapCounter.getAndIncrement()
+    if (n == 0) BucketCapMetricPrefix else s"${BucketCapMetricPrefix}_$n"
+  }
+
   /** Exact dedup: canonical survivor (min doc_id) per identical text, with
     * the md5 fingerprint and copy count. Hash-groupBy, map-side partial. */
   def exact(documents: DataFrame): DataFrame =
@@ -78,14 +87,19 @@ object Dedup {
       .withColumn("bucket_rn", row_number().over(wB))
       // Truncation is observable, never silent: any action over this plan
       // reports how many band-bucket members the cap dropped (0 in the
-      // normal, post-[[exact]]-dedup case) through the observed metric
-      // "minhash_bucket_cap" — read `queryExecution.observedMetrics` after
-      // executing THIS plan (collect/write; a derived count() runs its own
-      // QueryExecution) or use a QueryExecutionListener, which sees every
-      // execution. No extra pass, no eager job. Non-zero
-      // `truncated_members` means recall loss: run [[oversizedBuckets]]
-      // to see which buckets, and [[exact]] dedup upstream to fix.
-      .observe("minhash_bucket_cap",
+      // normal, post-[[exact]]-dedup case) through an observed metric
+      // named "minhash_bucket_cap*" — read `queryExecution.observedMetrics`
+      // (match by prefix) after executing THIS plan (collect/write; a
+      // derived count() runs its own QueryExecution) or use a
+      // QueryExecutionListener, which sees every execution. No extra pass,
+      // no eager job. Non-zero `truncated_members` means recall loss: run
+      // [[oversizedBuckets]] to see which buckets, and [[exact]] dedup
+      // upstream to fix. The name carries a per-invocation suffix because
+      // Spark rejects one plan holding two same-named CollectMetrics over
+      // DIFFERENT datasets — a fixed name would break any query composing
+      // two minhashCandidates calls (the internal self-join of ONE call is
+      // the allowed same-dataset form).
+      .observe(Dedup.nextBucketCapMetricName(),
         sum(when(col("bucket_rn") > maxBucket, 1L).otherwise(0L))
           .as("truncated_members"),
         coalesce(max(col("bucket_rn")), lit(0)).as("largest_bucket"))

@@ -29,21 +29,38 @@ object Similarity {
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
 
-  /** Exact brute-force top-k cosine for queries (vec_id ≡ 0 mod `stride`). */
-  def bruteTopK(embeddings: DataFrame, k: Int, stride: Int): DataFrame = {
-    val corpus = prepared(embeddings)
-    val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val scored = corpus.crossJoin(broadcast(queries))
-      .where(col("vec_id") =!= col("query_id"))
+  /** Shared candidate scoring: (query_id, neighbor_id, cosine) for every
+    * query×corpus pair joined on `joinKeys` (cross join of the broadcast
+    * query side when empty = brute force), self-pairs removed, cosine
+    * rounded to 4 for stable cross-engine ranking. Queries must carry
+    * (query_id, qv, qnrm) plus the join keys; corpus (vec_id, v, nrm). */
+  private def scoreAgainst(corpus: DataFrame, queries: DataFrame,
+      joinKeys: Seq[String]): DataFrame = {
+    val joined =
+      if (joinKeys.isEmpty) corpus.crossJoin(broadcast(queries))
+      else corpus.join(broadcast(queries), joinKeys)
+    joined.where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
           .as("cosine"))
+  }
+
+  /** Shared deterministic ranking: top-k per query, cosine desc with
+    * neighbor-id tie-break — the one place the output contract lives. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Exact brute-force top-k cosine for queries (vec_id ≡ 0 mod `stride`). */
+  def bruteTopK(embeddings: DataFrame, k: Int, stride: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+    val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    rankTopK(scoreAgainst(corpus, queries, Nil), k)
   }
 
   /** Exact top-k via the bounded-heap aggregate ([[TopK]]) instead of a
@@ -54,11 +71,7 @@ object Similarity {
     val corpus = prepared(embeddings)
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val scored = corpus.crossJoin(broadcast(queries))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
-          .as("cosine"))
+    val scored = scoreAgainst(corpus, queries, Nil)
     val tk = udaf(TopK.topK(k), org.apache.spark.sql.Encoders.product[TopK.Scored])
     scored.groupBy(col("query_id"))
       .agg(tk(col("neighbor_id"), col("cosine")).as("top"))
@@ -75,37 +88,34 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** LSH-bucketed approximate top-k (the other classic ANN scale path next
-    * to IVF): the sign pattern of `nPlanes` random-hyperplane projections
-    * is the bucket key; a query probes only its own bucket (~N/2^nPlanes of
-    * the corpus). Buckets are a plain `groupBy`-free equi-join key, so the
-    * whole search is one hash join however large the corpus. */
-  def lshTopK(embeddings: DataFrame, k: Int, stride: Int, nPlanes: Int = 6): DataFrame = {
+  /** Corpus with its sign-LSH bucket key: the double-cast vector is staged
+    * (bucketOf references it nPlanes times), bucket = sign pattern of the
+    * `nPlanes` hyperplane projections. */
+  private def lshCorpus(embeddings: DataFrame, nPlanes: Int): DataFrame = {
     val dim = 64
     val planes = lshPlanes(nPlanes, dim)
     def bucketOf(v: Column): Column =
       (0 until nPlanes).map { p =>
         when(dot(v, typedLit(planes(p))) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
-    // Stage the double-cast vector: bucketOf references it nPlanes times.
-    val corpus = Stage(
+    Stage(
       embeddings.select(col("vec_id"), col("embedding")),
       "v", toDouble(col("embedding")))
       .select(col("vec_id"), col("v"),
         l2Norm(col("v")).as("nrm"), bucketOf(col("v")).as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k (the other classic ANN scale path next
+    * to IVF): the sign pattern of `nPlanes` random-hyperplane projections
+    * is the bucket key; a query probes only its own bucket (~N/2^nPlanes of
+    * the corpus). Buckets are a plain `groupBy`-free equi-join key, so the
+    * whole search is one hash join however large the corpus. */
+  def lshTopK(embeddings: DataFrame, k: Int, stride: Int, nPlanes: Int = 6): DataFrame = {
+    val corpus = lshCorpus(embeddings, nPlanes)
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
-    val scored = corpus.join(broadcast(queries), "bucket")
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
-          .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scoreAgainst(corpus, queries, Seq("bucket")), k)
   }
 
   /** Multi-probe LSH top-k (Lv et al. 2007, the sign-LSH specialization):
@@ -120,33 +130,14 @@ object Similarity {
     * oracle-checkable, unlike the trained-centroid paths. */
   def lshTopKMultiProbe(embeddings: DataFrame, k: Int, stride: Int,
       nPlanes: Int = 6): DataFrame = {
-    val dim = 64
-    val planes = lshPlanes(nPlanes, dim)
-    def bucketOf(v: Column): Column =
-      (0 until nPlanes).map { p =>
-        when(dot(v, typedLit(planes(p))) > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-    val corpus = Stage(
-      embeddings.select(col("vec_id"), col("embedding")),
-      "v", toDouble(col("embedding")))
-      .select(col("vec_id"), col("v"),
-        l2Norm(col("v")).as("nrm"), bucketOf(col("v")).as("bucket"))
+    val corpus = lshCorpus(embeddings, nPlanes)
     val probeArr = array(
       (col("bucket") +: (0 until nPlanes).map(p =>
         col("bucket").bitwiseXOR(lit(1 << p)))): _*)
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), explode(probeArr).as("bucket"))
-    val scored = corpus.join(broadcast(queries), "bucket")
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
-          .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scoreAgainst(corpus, queries, Seq("bucket")), k)
   }
 
   /** Nearest-centroid assignment for IVF: (vec_id, v, nrm, cell) with cell
@@ -223,16 +214,7 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .where(col("pr") <= nProbes)
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
-    val scored = assigned.join(broadcast(probes), "cell")
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
-          .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scoreAgainst(assigned, probes, Seq("cell")), k)
   }
 
   /** Shared IVF search body: queries probe only their own cell. */
@@ -240,16 +222,7 @@ object Similarity {
     val queries = assigned.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
-    val scored = assigned.join(broadcast(queries), "cell")
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
-          .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scoreAgainst(assigned, queries, Seq("cell")), k)
   }
 
   /** Deterministic per-row uniform in [0,1): 24 bits of md5(vec_id) — the

@@ -41,8 +41,11 @@ import java.util
   * re-scan the file head, and B successive batches cost one cumulative
   * driver pass over the log (each boundary scan resumes from the greatest
   * anchor below it; an append-only log never invalidates an anchor).
-  * Frames are assumed `\n`-terminated (optionally `\r\n`) — the standard
-  * log framing; a bare-`\r` file would count lines differently.
+  * Framing: a frame is a `\n`-terminated byte segment (a trailing `\r` is
+  * stripped for `\r\n` parity; a bare `\r` is CONTENT, not a terminator).
+  * All three counters — `availableFrames`, the byte-anchor index, and the
+  * slice reader — share that single definition, so offsets, line indexes,
+  * and payloads can never disagree on what a frame is.
   */
 class FrameReplaySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -87,9 +90,24 @@ private case class FrameOffset(index: Long) extends Offset {
 private class FrameReplayStream(path: String, maxPerBatch: Int, numSlices: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  // Frame count under the source's framing contract: number of '\n' bytes,
+  // +1 when the file ends with an unterminated partial line. Deliberately
+  // NOT Files.lines (which also splits on bare '\r') — this must agree
+  // byte-for-byte with the anchor index and the slice reader.
   private def availableFrames(): Long = {
-    val s = Files.lines(Paths.get(path))
-    try s.count() finally s.close()
+    val in = new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path)), 1 << 16)
+    try {
+      var n = 0L
+      var last = -1
+      var c = in.read()
+      while (c >= 0) {
+        if (c == '\n') n += 1
+        last = c
+        c = in.read()
+      }
+      if (last >= 0 && last != '\n') n + 1 else n
+    } finally in.close()
   }
 
   // Pinned end offset for Trigger.AvailableNow: a drain run must terminate
@@ -196,21 +214,35 @@ private class FrameSliceReaderFactory extends PartitionReaderFactory {
       private val channel = java.nio.channels.FileChannel.open(
         Paths.get(slice.path), java.nio.file.StandardOpenOption.READ)
       channel.position(slice.byteStart)
-      private val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(
-          java.nio.channels.Channels.newInputStream(channel),
-          java.nio.charset.StandardCharsets.UTF_8))
+      private val in = new java.io.BufferedInputStream(
+        java.nio.channels.Channels.newInputStream(channel), 1 << 16)
       private var idx = slice.from - 1
       private var current: String = _
+
+      // Strict '\n'-delimited frame read (NOT BufferedReader.readLine,
+      // which would also split on a bare '\r' the byte-anchor index counts
+      // as content): bytes up to '\n' or EOF, trailing '\r' stripped for
+      // '\r\n' parity, null at EOF with nothing buffered.
+      private def readFrame(): String = {
+        val buf = new java.io.ByteArrayOutputStream(256)
+        var c = in.read()
+        if (c < 0) return null
+        while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+        val bytes = buf.toByteArray
+        val len = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+          bytes.length - 1 else bytes.length
+        new String(bytes, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+      }
+
       override def next(): Boolean = {
         if (idx + 1 >= slice.to) false
         else {
-          current = reader.readLine()
+          current = readFrame()
           if (current == null) false else { idx += 1; true }
         }
       }
       override def get(): InternalRow =
         InternalRow(idx, UTF8String.fromString(current))
-      override def close(): Unit = reader.close()
+      override def close(): Unit = in.close()
     }
 }

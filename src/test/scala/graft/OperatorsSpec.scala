@@ -65,8 +65,11 @@ class DedupSpec extends AnyFunSuite {
     assert(n <= 50L * 49 / 2, s"cap leaked: $n pairs")
     assert(n > 0) // the surviving bucket members still pair up
     // Truncation must surface as an observed metric, not vanish silently:
-    // 4 bands × (10000 − 50) members dropped.
-    val m = capped.queryExecution.observedMetrics("minhash_bucket_cap")
+    // 4 bands × (10000 − 50) members dropped. (Prefix match — the name
+    // carries a per-invocation suffix.)
+    val m = capped.queryExecution.observedMetrics.collectFirst {
+      case (k, v) if k.startsWith(Dedup.BucketCapMetricPrefix) => v
+    }.get
     assert(m.getAs[Long]("truncated_members") == 4L * (10000 - 50),
       s"metric mismatch: $m")
     assert(m.getAs[Int]("largest_bucket") == 10000)
@@ -75,8 +78,18 @@ class DedupSpec extends AnyFunSuite {
   test("bucket-cap metric reads zero when nothing is truncated") {
     val capped = Dedup.minhashCandidates(docs, maxBucket = 1000)
     capped.collect()
-    val m = capped.queryExecution.observedMetrics("minhash_bucket_cap")
+    val m = capped.queryExecution.observedMetrics.collectFirst {
+      case (k, v) if k.startsWith(Dedup.BucketCapMetricPrefix) => v
+    }.get
     assert(m.getAs[Long]("truncated_members") == 0L)
+  }
+
+  test("two minhashCandidates invocations compose in one plan") {
+    // Each invocation gets its own metric name — a fixed name would fail
+    // analysis here with duplicate observed metrics over different datasets.
+    val u = Dedup.minhashCandidates(docs)
+      .union(Dedup.minhashCandidates(docs.limit(3)))
+    assert(u.count() > 0)
   }
 
   test("oversizedBuckets audits what the cap touched") {

@@ -282,9 +282,16 @@ class EventStreamsSpec extends AnyFunSuite {
     val log = dir.resolve("frames.txt")
     // 257 lines of varying byte length (multi-byte chars make byte≠char
     // offsets); no trailing newline on the final line; 64-frame batches ×
-    // 5 slices never divide evenly.
-    val lines = (0 until 257).map(i => s"frame-$i-" + ("é✓" * (i % 7)))
-    Files.write(log, lines.mkString("\n").getBytes("UTF-8"))
+    // 5 slices never divide evenly. Framing edge cases per the source
+    // contract: a bare \r is CONTENT (one frame), a \r\n terminator is
+    // stripped to \n parity.
+    val expected = (0 until 257).map {
+      case 100 => "embedded\rcarriage-return-is-content"
+      case 200 => "crlf-terminated"
+      case i => s"frame-$i-" + ("é✓" * (i % 7))
+    }
+    val written = expected.updated(200, "crlf-terminated\r")
+    Files.write(log, written.mkString("\n").getBytes("UTF-8"))
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
     val q = spark.readStream.format(graft.sources.FrameReplaySource.Name)
       .option("path", log.toString)
@@ -302,7 +309,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val got = scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala
       .toSeq.sortBy(_._1)
     assert(got.map(_._1) == (0L until 257L), "frame indexes must be exact")
-    assert(got.map(_._2) == lines, "frame payloads must be byte-exact")
+    assert(got.map(_._2) == expected, "frame payloads must be byte-exact")
   }
 
   test("DSv2 replay source: mid-drain stop + resume with a different batch " +
