@@ -63,6 +63,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"encode must run post-fan-out, not on the scan side:\n$p")
   }
 
+  test("pack: one shard shuffle; chunk: shuffle-free narrow explode") {
+    val pPack = plan(Queries.queries("pipeline_pack_docs")(spark, sf))
+    assert(shuffleCount(pPack) == 1,
+      s"packing must shuffle once, on the shard key:\n$pPack")
+    val pChunk = plan(Queries.queries("pipeline_chunk_docs")(spark, sf))
+    assert(shuffleCount(pChunk) == 0,
+      s"chunking is per-document — no hash exchange allowed:\n$pChunk")
+  }
+
+  test("multi-probe LSH stays one equi-join, no cartesian product") {
+    val p = plan(Queries.queries("sim_lsh_multiprobe")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"probe expansion must stay an equi-join on bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+  }
+
   test("q1 scan prunes unused lineitem columns") {
     val p = plan(Queries.queries("q1_pricing_summary")(spark, sf))
     assert(!p.contains("l_suppkey") && !p.contains("l_partkey"),
