@@ -222,6 +222,56 @@ object Dedup {
       .drop("w", "sh", "hs")
   }
 
+  /** Streaming LSH candidate PAIRS at ingest — the cross-batch
+    * generalization of [[minhashCandidates]], and the recall-side
+    * complement to [[streamingNearDupDedup]] (which requires a FULL
+    * signature match): an arriving document is paired against every
+    * previously-ingested document sharing ≥ 1 MinHash band bucket, however
+    * long ago it arrived, without rescanning history.
+    *
+    * Mechanics: keyed state per (band, key) bucket holds the doc_ids of
+    * the first `maxBucket` arrivals (arrival-order retention — the batch
+    * cap keeps min-ids instead, the one documented divergence; history
+    * can't be re-ranked after its pairs were emitted). A document landing
+    * in a full bucket is truncated: it emits no pairs and is not
+    * retained, exactly bounding state at maxBucket ids per bucket and
+    * per-doc fanout at 4×maxBucket pairs. The same pair can surface from
+    * several bands (batch mode ends with `distinct()`; a streaming global
+    * distinct would be unbounded state) — output carries `band` so
+    * consumers can dedupe within their own horizon.
+    *
+    * Output (append mode): (doc_a, doc_b, band), doc_a < doc_b, emitted
+    * in the micro-batch where the LATER member arrives. */
+  def streamingNearDupCandidates(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    bandedKeys(docs)
+      .select(col("doc_id").cast("long"), col("band").cast("int"),
+        col("key").cast("string"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, key) => (band, key) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bk: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) => {
+          var members = state.getOption.getOrElse(Seq.empty)
+          val seen = scala.collection.mutable.Set(members: _*)
+          val out = Seq.newBuilder[(Long, Long, Int)]
+          rows.map(_._1).toSeq.distinct.sorted.foreach { d =>
+            if (!seen.contains(d) && members.size < maxBucket) {
+              members.foreach { m =>
+                out += ((math.min(d, m), math.max(d, m), bk._1))
+              }
+              members :+= d
+              seen += d
+            }
+          }
+          state.update(members)
+          out.result().iterator
+        })
+      .toDF("doc_a", "doc_b", "band")
+  }
+
   /** Embedding-cosine near-dup candidates, blocked by `label` (the cheap
     * cluster key): within-block pairs with cosine ≥ threshold. At scale the
     * blocking key bounds each bucket's pair count; no global cross join. */

@@ -46,6 +46,46 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH candidates pair a new arrival against ALL history") {
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "the same boilerplate cookie banner text repeated on every page"
+    val input = MemoryStream[(Long, String)]
+    val out = Dedup.streamingNearDupCandidates(input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("lshcand")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, boiler), (2L, boiler))
+      q.processAllAvailable()
+      def pairs() = spark.table("lshcand").select("doc_a", "doc_b")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(pairs() == Set((1L, 2L)))
+      // A doc arriving BATCHES later still pairs with every historical doc
+      // in its buckets — no rescan, just keyed state.
+      input.addData((3L, boiler))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming LSH candidates: a full bucket truncates, bounding state") {
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "the same boilerplate cookie banner text repeated on every page"
+    val input = MemoryStream[(Long, String)]
+    val out = Dedup.streamingNearDupCandidates(
+      input.toDF().toDF("doc_id", "text"), maxBucket = 2)
+    val q = out.writeStream.format("memory").queryName("lshcand_cap")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, boiler), (2L, boiler))
+      q.processAllAvailable()
+      input.addData((3L, boiler)) // buckets already hold 2 members → truncated
+      q.processAllAvailable()
+      val got = spark.table("lshcand_cap").select("doc_a", "doc_b")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)), s"capped bucket must not emit new pairs: $got")
+    } finally q.stop()
+  }
+
   test("streaming near-dup filter drops signature-identical docs, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
