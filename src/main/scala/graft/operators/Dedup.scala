@@ -98,7 +98,9 @@ object Dedup {
       // Spark rejects one plan holding two same-named CollectMetrics over
       // DIFFERENT datasets — a fixed name would break any query composing
       // two minhashCandidates calls (the internal self-join of ONE call is
-      // the allowed same-dataset form).
+      // the allowed same-dataset form). The suffix depends on invocation
+      // ORDER within the JVM (a plan snapshot may show _1/_2/...): always
+      // match by prefix, never by exact name.
       .observe(Dedup.nextBucketCapMetricName(),
         sum(when(col("bucket_rn") > maxBucket, 1L).otherwise(0L))
           .as("truncated_members"),
@@ -241,8 +243,15 @@ object Dedup {
     * consumers can dedupe within their own horizon.
     *
     * Output (append mode): (doc_a, doc_b, band), doc_a < doc_b, emitted
-    * in the micro-batch where the LATER member arrives. */
-  def streamingNearDupCandidates(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    * in the micro-batch where the LATER member arrives.
+    *
+    * Truncation is observable here too (the module invariant): pass a
+    * `truncated` LongAccumulator and every dropped (doc, band) arrival
+    * increments it — readable live from the accumulator / Spark UI while
+    * the stream runs (the streaming analogue of the batch path's
+    * `minhash_bucket_cap*` observed metric). */
+  def streamingNearDupCandidates(docs: DataFrame, maxBucket: Int = 1000,
+      truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -258,12 +267,14 @@ object Dedup {
           val seen = scala.collection.mutable.Set(members: _*)
           val out = Seq.newBuilder[(Long, Long, Int)]
           rows.map(_._1).toSeq.distinct.sorted.foreach { d =>
-            if (!seen.contains(d) && members.size < maxBucket) {
-              members.foreach { m =>
-                out += ((math.min(d, m), math.max(d, m), bk._1))
-              }
-              members :+= d
-              seen += d
+            if (!seen.contains(d)) {
+              if (members.size < maxBucket) {
+                members.foreach { m =>
+                  out += ((math.min(d, m), math.max(d, m), bk._1))
+                }
+                members :+= d
+                seen += d
+              } else truncated.foreach(_.add(1))
             }
           }
           state.update(members)

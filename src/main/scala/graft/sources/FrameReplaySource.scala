@@ -41,11 +41,14 @@ import java.util
   * re-scan the file head, and B successive batches cost one cumulative
   * driver pass over the log (each boundary scan resumes from the greatest
   * anchor below it; an append-only log never invalidates an anchor).
-  * Framing: a frame is a `\n`-terminated byte segment (a trailing `\r` is
+  * Framing: a frame is a `\n`-TERMINATED byte segment (a trailing `\r` is
   * stripped for `\r\n` parity; a bare `\r` is CONTENT, not a terminator).
-  * All three counters — `availableFrames`, the byte-anchor index, and the
-  * slice reader — share that single definition, so offsets, line indexes,
-  * and payloads can never disagree on what a frame is.
+  * An unterminated tail is a frame still being appended — it is NOT
+  * available until its `\n` lands, so a mid-append read can never emit a
+  * truncated payload and skip the rest. All three counters —
+  * `availableFrames`, the byte-anchor index, and the slice reader — share
+  * that single definition, so offsets, line indexes, and payloads can
+  * never disagree on what a frame is.
   */
 class FrameReplaySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -90,23 +93,38 @@ private case class FrameOffset(index: Long) extends Offset {
 private class FrameReplayStream(path: String, maxPerBatch: Int, numSlices: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  // Frame count under the source's framing contract: number of '\n' bytes,
-  // +1 when the file ends with an unterminated partial line. Deliberately
-  // NOT Files.lines (which also splits on bare '\r') — this must agree
-  // byte-for-byte with the anchor index and the slice reader.
-  private def availableFrames(): Long = {
+  // COMPLETE frames only: the count of '\n' bytes. An unterminated tail is
+  // a frame mid-append — counting it would emit a truncated payload and
+  // commit an offset past it, losing the rest forever; it becomes
+  // available when its terminator lands. Deliberately NOT Files.lines
+  // (which splits on bare '\r' and counts partial tails) — this must agree
+  // byte-for-byte with the anchor index and the slice reader. Incremental:
+  // resumes from the furthest line-start anchor and scans only the file's
+  // growth since the last call, in 64 KiB chunks, caching the new furthest
+  // line start — B batches over an append-only log cost one cumulative
+  // pass, as the class doc promises.
+  private def availableFrames(): Long = synchronized {
+    val (aLine, aByte) = anchors.last // greatest known (line index, byte start)
     val in = new java.io.BufferedInputStream(
       Files.newInputStream(Paths.get(path)), 1 << 16)
     try {
-      var n = 0L
-      var last = -1
-      var c = in.read()
-      while (c >= 0) {
-        if (c == '\n') n += 1
-        last = c
-        c = in.read()
+      in.skipNBytes(aByte)
+      var lines = aLine
+      var pos = aByte
+      var lastLineStart = aByte
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') { lines += 1; lastLineStart = pos + i + 1 }
+          i += 1
+        }
+        pos += n
+        n = in.read(buf)
       }
-      if (last >= 0 && last != '\n') n + 1 else n
+      anchors(lines) = lastLineStart
+      lines
     } finally in.close()
   }
 
@@ -221,15 +239,17 @@ private class FrameSliceReaderFactory extends PartitionReaderFactory {
 
       // Strict '\n'-delimited frame read (NOT BufferedReader.readLine,
       // which would also split on a bare '\r' the byte-anchor index counts
-      // as content): bytes up to '\n' or EOF, trailing '\r' stripped for
-      // '\r\n' parity, null at EOF with nothing buffered.
+      // as content): bytes up to '\n' or EOF, trailing '\r' stripped ONLY
+      // when a '\n' terminated the frame ('\r\n' parity — an EOF-adjacent
+      // '\r' is content), null at EOF with nothing buffered. (Offsets only
+      // ever cover '\n'-terminated frames, so the EOF branch is defensive.)
       private def readFrame(): String = {
         val buf = new java.io.ByteArrayOutputStream(256)
         var c = in.read()
         if (c < 0) return null
         while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
         val bytes = buf.toByteArray
-        val len = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+        val len = if (c == '\n' && bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
           bytes.length - 1 else bytes.length
         new String(bytes, 0, len, java.nio.charset.StandardCharsets.UTF_8)
       }

@@ -71,8 +71,9 @@ class StreamingDedupSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val boiler = "the same boilerplate cookie banner text repeated on every page"
     val input = MemoryStream[(Long, String)]
+    val truncated = spark.sparkContext.longAccumulator("lsh_truncated_test")
     val out = Dedup.streamingNearDupCandidates(
-      input.toDF().toDF("doc_id", "text"), maxBucket = 2)
+      input.toDF().toDF("doc_id", "text"), maxBucket = 2, Some(truncated))
     val q = out.writeStream.format("memory").queryName("lshcand_cap")
       .outputMode("append").start()
     try {
@@ -83,6 +84,8 @@ class StreamingDedupSpec extends AnyFunSuite {
       val got = spark.table("lshcand_cap").select("doc_a", "doc_b")
         .distinct().as[(Long, Long)].collect().toSet
       assert(got == Set((1L, 2L)), s"capped bucket must not emit new pairs: $got")
+      // doc 3 dropped in all 4 band buckets — visible, not silent
+      assert(truncated.value == 4L, s"truncation metric: ${truncated.value}")
     } finally q.stop()
   }
 

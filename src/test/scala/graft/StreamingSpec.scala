@@ -280,18 +280,20 @@ class EventStreamsSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("framereplay_bytes")
     val log = dir.resolve("frames.txt")
-    // 257 lines of varying byte length (multi-byte chars make byte≠char
-    // offsets); no trailing newline on the final line; 64-frame batches ×
-    // 5 slices never divide evenly. Framing edge cases per the source
-    // contract: a bare \r is CONTENT (one frame), a \r\n terminator is
-    // stripped to \n parity.
+    // 257 '\n'-terminated lines of varying byte length (multi-byte chars
+    // make byte≠char offsets); 64-frame batches × 5 slices never divide
+    // evenly. Framing edge cases per the source contract: a bare \r is
+    // CONTENT (one frame), a \r\n terminator is stripped to \n parity,
+    // and an UNTERMINATED tail (a frame mid-append) is not yet available.
     val expected = (0 until 257).map {
       case 100 => "embedded\rcarriage-return-is-content"
       case 200 => "crlf-terminated"
       case i => s"frame-$i-" + ("é✓" * (i % 7))
     }
     val written = expected.updated(200, "crlf-terminated\r")
-    Files.write(log, written.mkString("\n").getBytes("UTF-8"))
+    Files.write(log,
+      (written.mkString("\n") + "\npartial-tail-still-being-appended")
+        .getBytes("UTF-8"))
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
     val q = spark.readStream.format(graft.sources.FrameReplaySource.Name)
       .option("path", log.toString)
@@ -310,6 +312,8 @@ class EventStreamsSpec extends AnyFunSuite {
       .toSeq.sortBy(_._1)
     assert(got.map(_._1) == (0L until 257L), "frame indexes must be exact")
     assert(got.map(_._2) == expected, "frame payloads must be byte-exact")
+    assert(!got.exists(_._2.contains("partial-tail")),
+      "an unterminated tail frame must not be emitted")
   }
 
   test("DSv2 replay source: mid-drain stop + resume with a different batch " +
@@ -320,7 +324,8 @@ class EventStreamsSpec extends AnyFunSuite {
     val log = dir.resolve("frames.txt")
     val ckpt = dir.resolve("ckpt").toString
     val n = 40
-    Files.write(log, (0 until n).map(i => s"frame-$i").mkString("\n").getBytes("UTF-8"))
+    Files.write(log,
+      ((0 until n).map(i => s"frame-$i").mkString("\n") + "\n").getBytes("UTF-8"))
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     def start(maxPerBatch: Int) = spark.readStream
       .format(graft.sources.FrameReplaySource.Name)
