@@ -1133,7 +1133,8 @@ object Queries {
   /** Deterministic train/val/test split (TextAnalysis.trainSplit):
     * 80/10/10 by md5 percentile — doc-level labels, hash-exact. */
   private val pipelineTrainSplit = Q("pipeline_train_split",
-    (s, dir) => TextAnalysis.trainSplit(Tables.documents(s, dir), 80, 10),
+    (s, dir) => TextAnalysis.trainSplit(Tables.documents(s, dir), 80, 10)
+      .select(col("doc_id"), col("lang"), col("split")),
     Some("""SELECT doc_id, lang,
       |  CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val' ELSE 'test' END AS split
       |FROM (SELECT doc_id, lang,

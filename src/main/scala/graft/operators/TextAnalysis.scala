@@ -83,10 +83,10 @@ object TextAnalysis {
       s"need train + val < 100, got $trainPct + $valPct")
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("int") % 100
-    documents.select(col("doc_id"), col("lang"),
+    documents.withColumn("split",
       when(u < trainPct, "train")
         .when(u < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
+        .otherwise("test"))
   }
 
   /** Sequence packing — the LLM-pretraining "concat-and-chunk" layout:
