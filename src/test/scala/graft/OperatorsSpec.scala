@@ -305,6 +305,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.exists(_.getLong(0) == 3L), "empty doc must emit no chunks")
   }
 
+  test("chunkDocuments reconstruct: dropping each overlap rebuilds every doc") {
+    // Randomized docs (seeded): chunk0 ++ (chunkᵢ minus its leading overlap)
+    // must equal the original token stream exactly — no token lost,
+    // duplicated, or reordered. The tail chunk is always longer than the
+    // overlap by construction, so the drop never empties it.
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 8L).map(i =>
+      (i, Seq.fill(rnd.nextInt(300))("t" + rnd.nextInt(50)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val overlap = 8
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 32, overlap = overlap)
+      .select("doc_id", "chunk_idx", "chunk_text").as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    docs.select("doc_id", "text").as[(Long, String)].collect().foreach {
+      case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) assert(!out.contains(id), s"empty doc $id emitted chunks")
+        else {
+          val chunks = out(id).map(_.split(" ").toSeq)
+          val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(overlap))
+          assert(rebuilt == toks, s"doc $id reconstruction mismatch")
+        }
+    }
+  }
+
   test("chunkDocuments: ragged tail gets its own shorter chunk") {
     val docs = Seq((1L, (1 to 9).map("t" + _).mkString(" "))).toDF("doc_id", "text")
     val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
