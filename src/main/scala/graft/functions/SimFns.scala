@@ -6,16 +6,21 @@ import org.apache.spark.sql.functions._
 /** Vector-similarity vocabulary for the ANN extension operators
   * (SURVEY.md §2.10). Embeddings arrive as `array<float>`; all arithmetic is
   * promoted to double *first* so a DuckDB oracle (`embedding::DOUBLE[]`)
-  * accumulates bit-identically. Pure higher-order functions — the dot
-  * product is a codegen'd fold, no UDF, no collect.
+  * accumulates bit-identically. The dot product is a native codegen
+  * expression ([[graft.plans.DotProductD]]) — no UDF, no HOF fallback, no
+  * per-row intermediate array; same left-to-right accumulation order as
+  * the `aggregate(zip_with(...))` fold it replaced.
   */
 object SimFns {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product (deterministic accumulation order). */
+  /** Sequential dot product (deterministic index-order accumulation).
+    * Inputs must be `array<double>` (use [[toDouble]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.DotProductD(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 

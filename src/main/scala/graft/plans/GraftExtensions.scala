@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("american_to_decimal", exprs => AmericanToDecimal(exprs.head)))
     ext.injectFunction(fn("hilbert_d", exprs => HilbertD(exprs(0), exprs(1),
       exprs(2).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction(fn("dot_d", exprs => DotProductD(exprs(0), exprs(1))))
     ext.injectPlannerStrategy(_ => TopKPlan.Strategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
   }

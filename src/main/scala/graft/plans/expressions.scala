@@ -80,6 +80,53 @@ case class HilbertD(left: Expression, right: Expression, bits: Int)
       newRight: Expression): HilbertD = copy(left = newLeft, right = newRight)
 }
 
+/** `dot_d(a, b)` — sequential left-to-right dot product of two
+  * `array<double>` columns: Σ a(i)·b(i) over i = 0 .. min(|a|,|b|)−1,
+  * accumulated in index order — bit-identical to the
+  * `aggregate(zip_with(...))` fold it replaces (and to DuckDB's
+  * `list_dot_product`), so every oracle stays hash-exact.
+  *
+  * Native out of PREFERENCE (tier b): higher-order functions are
+  * `CodegenFallback` — per row the fold allocated a zip_with intermediate
+  * array and interpreted two lambdas per element, in the innermost
+  * |corpus|×|queries| loop of every similarity query. Here it is one
+  * primitive Java loop inside whole-stage codegen: no allocation, no
+  * virtual calls, no boxing. Caller contract (SimFns enforces it via
+  * `toDouble`): element type double, no null elements. */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_d"
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ac, bc) => {
+      val (n, i, acc) =
+        (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"))
+      s"""
+        |int $n = java.lang.Math.min($ac.numElements(), $bc.numElements());
+        |double $acc = 0.0d;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $acc += $ac.getDouble($i) * $bc.getDouble($i);
+        |}
+        |${ev.value} = $acc;
+        |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductD = copy(left = newLeft, right = newRight)
+}
+
 /** `american_to_decimal(x)` — American → decimal (European) odds:
   * x > 0 ⇒ 1 + x/100, x < 0 ⇒ 1 + 100/(−x). */
 case class AmericanToDecimal(child: Expression) extends UnaryExpression {

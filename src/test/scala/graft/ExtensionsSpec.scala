@@ -33,10 +33,12 @@ class ExtensionsSpec extends AnyFunSuite {
     withExtSession { s =>
       val row = s.sql(
         "SELECT normalize_odds(-100) AS n, american_to_decimal(150) AS d, " +
-          "hilbert_d(5L, 3L, 8) AS h").head()
+          "hilbert_d(5L, 3L, 8) AS h, " +
+          "dot_d(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS dp").head()
       assert(row.getInt(0) == 100)
       assert(row.getDouble(1) == 2.5)
       assert(row.getLong(2) == graft.operators.Layout.hilbertRef(5L, 3L, 8))
+      assert(row.getDouble(3) == 32.0)
     }
   }
 
