@@ -99,6 +99,19 @@ case class DotProductD(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_d"
 
+  // ArrayData.getDouble on a float-packed array reads garbage silently —
+  // reject anything but array<double> at ANALYSIS time.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(DoubleType, _),
+            org.apache.spark.sql.types.ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_d requires array<double> on both sides (promote with " +
+            s"SimFns.toDouble), got ${l.simpleString} and ${r.simpleString}")
+    }
+
   override protected def nullSafeEval(av: Any, bv: Any): Any = {
     val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

@@ -125,3 +125,26 @@ class TextFnsSpec extends AnyFunSuite {
     assert(out.forall(q => q >= 0.0 && q <= 1.0))
   }
 }
+
+class SimFnsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import graft.functions.SimFns
+  import spark.implicits._
+
+  test("native dot matches a JVM-side sequential fold exactly") {
+    val a = Array(0.1, -2.5, 3.75, 0.0, 1e-9)
+    val b = Array(4.0, 0.5, -1.25, 9.0, 2e9)
+    val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val got = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(SimFns.dot($"a", $"b").as("d")).as[Double].head()
+    assert(got == expected) // bit-exact: same accumulation order
+  }
+
+  test("dot_d rejects non-double arrays at analysis time, not silently") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(SimFns.dot($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.contains("array<double>"), ex.getMessage)
+  }
+}
