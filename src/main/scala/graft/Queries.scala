@@ -154,6 +154,43 @@ object Queries {
       |FROM probes p ASOF LEFT JOIN snaps s ON p.tid = s.tid AND p.tsn >= s.tsn""".stripMargin),
     bench = true)
 
+  /** Nearest-direction as-of join (operators.AsOfJoin, direction=nearest):
+    * whichever of the backward/forward snapshot is closer in |ts|, ties
+    * preferring backward. Oracle ranks the full per-key pair set by
+    * (|Δts|, snapshot ts) — O(n·m) per key in DuckDB, fine at oracle SF. */
+  private val jAsofNearest = Q("j_asof_nearest",
+    (s, dir) => {
+      val snaps = Tables.lineitem(s, dir).select(
+        pmod(col("l_suppkey"), lit(5)).as("tid"),
+        (lit(1704067200000000L) +
+          pmod(unix_timestamp(col("l_shipdate")) * lit(1000L), lit(604800000L)) * lit(1000L) +
+          col("l_orderkey") * lit(10L) + col("l_linenumber")).as("tsn"),
+        concat(lit("m"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("market_id"),
+        OddsFns.ladderAt(pmod(col("l_partkey"), lit(291))).cast("int").as("odds"))
+      val probes = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(5)).as("tid"),
+        TimeFns.nanosToMicros(col("ts")).as("tsn"), col("event_id"))
+      AsOfJoin.lastValueAsOf(probes, snaps, Seq("tid"), "tsn",
+        probeCols = Seq("event_id"), payloadCols = Seq("market_id", "odds"),
+        direction = "nearest")
+    },
+    Some(s"""WITH snaps AS (
+      |  SELECT l_suppkey % 5 AS tid,
+      |    1704067200000000 + ((epoch_ms(l_shipdate) // 1000 * 1000) % 604800000) * 1000
+      |      + l_orderkey * 10 + l_linenumber AS tsn,
+      |    concat('m', CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)) AS market_id,
+      |    CAST(($ladderSql)[CAST(l_partkey % 291 AS INTEGER) + 1] AS INTEGER) AS odds
+      |  FROM lineitem),
+      |probes AS (SELECT user_id % 5 AS tid, epoch_ns(ts) // 1000 AS tsn, event_id FROM events),
+      |ranked AS (
+      |  SELECT p.event_id AS pe, s.market_id, s.odds,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY abs(p.tsn - s.tsn), s.tsn) AS rn
+      |  FROM probes p JOIN snaps s ON p.tid = s.tid)
+      |SELECT p.tid, p.tsn, p.event_id, b.market_id, b.odds
+      |FROM probes p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
+      |  ON b.pe = p.event_id""".stripMargin))
+
   /** Range join (operators.RangeJoin): events-in-promotion-window lookup —
     * every event joins the deterministic order-derived intervals containing
     * its timestamp, aggregated per interval. The oracle is DuckDB's native
@@ -1413,7 +1450,8 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q1PricingSummary, f1IsinFilter, f2EqFilterJson,
-    j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin, jRangeJoin,
+    j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin,
+    jAsofNearest, jRangeJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg, aPercentiles,
     cNullFns, tGapfill,
     wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, wFirstNth,

@@ -30,18 +30,21 @@ object AsOfJoin {
   /** @param probes    left side; must contain `keys`, `tsCol`, `probeCols`
     * @param snapshots right side; must contain `keys`, `tsCol`, `payloadCols`
     * @param direction `"backward"` (latest snapshot ≤ probe ts, the
-    *                  default) or `"forward"` (earliest snapshot ≥ probe
-    *                  ts) — the two directed variants of the standard
-    *                  as-of surface. Same plan either way: only the window
-    *                  sort direction flips.
+    *                  default), `"forward"` (earliest snapshot ≥ probe
+    *                  ts), or `"nearest"` (whichever of the two is closer
+    *                  in |ts|; ties prefer the backward match) — the three
+    *                  variants of the standard as-of surface. backward and
+    *                  forward are one window pass each; nearest runs both
+    *                  passes over the SAME shuffle (two sorts, one
+    *                  exchange) and picks per row.
     * @param tolerance max |probe ts − snapshot ts| to accept; farther
     *                  matches null out (row kept, LEFT semantics).
     *                  Requires a numeric `tsCol`. */
   def lastValueAsOf(probes: DataFrame, snapshots: DataFrame, keys: Seq[String],
       tsCol: String, probeCols: Seq[String], payloadCols: Seq[String],
       direction: String = "backward", tolerance: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val keyCols = keys.map(col)
     // Payloads ride as ONE struct so a single last(_, ignoreNulls) picks the
     // whole latest snapshot atomically. Per-column last() windows would
@@ -57,14 +60,34 @@ object AsOfJoin {
       struct(payloadCols.map(col) :+ col(tsCol).as("_snap_ts"): _*).as("_payload"): _*)
     // Snapshots sort before probes at equal ts in BOTH directions (side
     // ascending), so ts == probe_ts matches inclusively.
-    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
-    val w = Window.partitionBy(keyCols: _*)
-      .orderBy(tsOrder, col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = p.unionByName(s)
-      .select(keyCols ++ Seq(col(tsCol), col("_side")) ++ probeCols.map(col) :+
-        last(col("_payload"), ignoreNulls = true).over(w).as("_payload"): _*)
-      .where(col("_side") === 1)
+    def lastOver(tsOrder: Column): Column =
+      last(col("_payload"), ignoreNulls = true).over(
+        Window.partitionBy(keyCols: _*)
+          .orderBy(tsOrder, col("_side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val unioned = p.unionByName(s)
+    val base = keyCols ++ Seq(col(tsCol), col("_side")) ++ probeCols.map(col)
+    val matched = direction match {
+      case "backward" =>
+        unioned.select(base :+ lastOver(col(tsCol).asc).as("_payload"): _*)
+          .where(col("_side") === 1)
+      case "forward" =>
+        unioned.select(base :+ lastOver(col(tsCol).desc).as("_payload"): _*)
+          .where(col("_side") === 1)
+      case "nearest" =>
+        val both = unioned
+          .select(base :+ lastOver(col(tsCol).asc).as("_pb")
+            :+ lastOver(col(tsCol).desc).as("_pf"): _*)
+          .where(col("_side") === 1)
+        val dBack = abs(col(tsCol) - col("_pb").getField("_snap_ts"))
+        val dFwd = abs(col("_pf").getField("_snap_ts") - col(tsCol))
+        both.withColumn("_payload",
+            when(col("_pb").isNull, col("_pf"))
+              .when(col("_pf").isNull, col("_pb"))
+              .when(dFwd < dBack, col("_pf"))
+              .otherwise(col("_pb"))) // tie prefers the backward match
+          .drop("_pb", "_pf")
+    }
     val gated = tolerance.fold(matched) { tol =>
       matched.withColumn("_payload",
         when(abs(col(tsCol) - col("_payload").getField("_snap_ts")) <= tol,

@@ -60,6 +60,37 @@ class AsOfJoinSpec extends AnyFunSuite {
       4L -> None, 5L -> Some("t1"), 6L -> None))
   }
 
+  test("nearest direction picks the closer side; ties prefer backward") {
+    val nearProbes = Seq(
+      (0L, 50L, 1L),   // no backward; forward s1 (d=50)
+      (0L, 240L, 2L),  // back s2 d=40 < fwd s3 d=60 → s2
+      (0L, 260L, 3L),  // back s2 d=60 > fwd s3 d=40 → s3
+      (0L, 250L, 4L),  // exact tie d=50 → backward s2
+      (0L, 999L, 5L),  // no forward; backward s3
+      (2L, 500L, 6L))  // no snapshots at all → null
+      .toDF("tid", "tsn", "event_id")
+    val out = AsOfJoin.lastValueAsOf(nearProbes, snaps, Seq("tid"), "tsn",
+      Seq("event_id"), Seq("snap_id", "odds"), direction = "nearest")
+      .select("event_id", "snap_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("snap_id"))).toMap
+    assert(out == Map(1L -> Some("s1"), 2L -> Some("s2"), 3L -> Some("s3"),
+      4L -> Some("s2"), 5L -> Some("s3"), 6L -> None))
+  }
+
+  test("nearest + tolerance nulls a nearest match that is still too far") {
+    val p = Seq((0L, 50L, 1L), (0L, 240L, 2L)).toDF("tid", "tsn", "event_id")
+    val out = AsOfJoin.lastValueAsOf(p, snaps, Seq("tid"), "tsn",
+      Seq("event_id"), Seq("snap_id", "odds"),
+      direction = "nearest", tolerance = Some(45L))
+      .select("event_id", "snap_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("snap_id"))).toMap
+    // probe 1's nearest (s1, d=50) exceeds 45 → nulled, row kept;
+    // probe 2's nearest (s2, d=40) survives.
+    assert(out == Map(1L -> None, 2L -> Some("s2")))
+  }
+
   test("null payload field in latest snapshot is NOT backfilled from older snapshots") {
     // s2 (latest ≤ probe) carries a null odds; true ASOF returns (s2, null),
     // never a frankenrow (s2, 10) stitched from s1's odds.
