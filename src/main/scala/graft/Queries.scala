@@ -834,6 +834,35 @@ object Queries {
       |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
       |WHERE l.op IS NULL OR l.op = 'UPSERT'""".stripMargin))
 
+  /** SCD Type-2 history (Upsert.scd2FromChanges): every UPSERT becomes a
+    * version row with [valid_from, valid_to); a later change of either op
+    * closes the previous version. Same change log as u_merge_upsert. */
+  private val uScd2History = Q("u_scd2_history",
+    (s, dir) => {
+      val changes = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "error"))
+        .select((col("user_id") + 1).as("c_custkey"),
+          when(col("event_type") === "error", "DELETE").otherwise("UPSERT").as("op"),
+          concat(lit("upd_"), col("event_id")).as("c_name"),
+          round(col("value"), 2).as("c_acctbal"),
+          TimeFns.nanosToMicros(col("ts")).as("tsn"), col("event_id"))
+      Upsert.scd2FromChanges(changes, "c_custkey",
+        Seq("c_name", "c_acctbal"), "op", "tsn", "event_id")
+    },
+    Some("""WITH ch AS (
+      |  SELECT user_id + 1 AS c_custkey,
+      |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+      |    concat('upd_', CAST(event_id AS VARCHAR)) AS c_name,
+      |    ROUND(value, 2) AS c_acctbal,
+      |    epoch_ns(ts) // 1000 AS tsn, event_id
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |v AS (
+      |  SELECT *, lead(tsn) OVER (PARTITION BY c_custkey ORDER BY tsn, event_id) AS valid_to
+      |  FROM ch)
+      |SELECT c_custkey, c_name, c_acctbal, tsn AS valid_from, valid_to,
+      |  CAST(valid_to IS NULL AS INTEGER) AS is_current
+      |FROM v WHERE op = 'UPSERT'""".stripMargin))
+
   // ─────────────────────── streaming-semantics (batch form) ─────────────────
 
   private val wagerBookReplay = Q("wager_book_replay",
@@ -1459,7 +1488,7 @@ object Queries {
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     aggGroupingSets, jScalarSubquery,
     xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
-    uMergeUpsert,
+    uMergeUpsert, uScd2History,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,

@@ -44,4 +44,29 @@ object Upsert {
         when(col("_op") === "UPSERT", col(s"_new_$c"))
           .otherwise(col(c)).as(c)): _*)
   }
+
+  /** SCD Type-2 history from a change log: every UPSERT becomes a VERSION
+    * row with a validity interval `[valid_from, valid_to)`; `valid_to` is
+    * the NEXT change's ord for the key (whatever its op — a later UPSERT
+    * supersedes, a DELETE closes) or null while still current;
+    * `is_current` = 1 on open rows. DELETE commands emit no version of
+    * their own — their effect is entirely the closing of the previous one.
+    *
+    * `(ordCol, tieCol)` must be a total order per key, same contract as
+    * [[applyChanges]]. Scale shape: ONE shuffle of the log on the key and
+    * a lead() window — no self-join of history against itself; rebuilding
+    * from the full log and incrementally folding a day's tail produce the
+    * same rows because valid_to depends only on the key's next change. */
+  def scd2FromChanges(changes: DataFrame, keyCol: String, valueCols: Seq[String],
+      opCol: String, ordCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(ordCol).asc, col(tieCol).asc)
+    changes
+      .where(col(opCol).isin("UPSERT", "DELETE"))
+      .withColumn("_valid_to", lead(col(ordCol), 1).over(w))
+      .where(col(opCol) === "UPSERT")
+      .select(col(keyCol) +: valueCols.map(col) :+
+        col(ordCol).as("valid_from") :+ col("_valid_to").as("valid_to") :+
+        col("_valid_to").isNull.cast("int").as("is_current"): _*)
+  }
 }

@@ -51,4 +51,38 @@ class UpsertSpec extends AnyFunSuite {
       "op", "ord", "tie").as[(Long, String, Double)].collect().toSet
     assert(out == Set((1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "carol", 30.0)))
   }
+
+  test("scd2: versions chain, deletes close without emitting, open row is current") {
+    // key 1: v1@10 → v2@20 → DELETE@30   (two closed versions, none open)
+    // key 2: v1@15                        (one open version)
+    val changes = Seq(
+      (1L, "UPSERT", "a1", 1.0, 10L, 100L),
+      (1L, "UPSERT", "a2", 2.0, 20L, 101L),
+      (1L, "DELETE", "xx", 0.0, 30L, 102L),
+      (2L, "UPSERT", "b1", 9.0, 15L, 103L))
+      .toDF("k", "op", "name", "bal", "ord", "tie")
+    val out = Upsert.scd2FromChanges(changes, "k", Seq("name", "bal"),
+      "op", "ord", "tie")
+      .select("k", "name", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    assert(out == Set(
+      (1L, "a1", 10L, Some(20L), 0),
+      (1L, "a2", 20L, Some(30L), 0), // closed BY the delete, which emits nothing
+      (2L, "b1", 15L, None, 1)))
+  }
+
+  test("scd2: rebuild from full log == prior history + incremental tail per key") {
+    // valid_to depends only on the key's next change, so folding a later
+    // day's changes yields the same rows as rebuilding from everything —
+    // the property that makes nightly incremental application sound.
+    val day1 = Seq((1L, "UPSERT", "a1", 1.0, 10L, 100L))
+    val day2 = Seq((1L, "UPSERT", "a2", 2.0, 20L, 101L))
+    val full = Upsert.scd2FromChanges((day1 ++ day2)
+        .toDF("k", "op", "name", "bal", "ord", "tie"),
+      "k", Seq("name", "bal"), "op", "ord", "tie")
+      .as[(Long, String, Double, Long, Option[Long], Int)].collect().toSet
+    assert(full == Set(
+      (1L, "a1", 1.0, 10L, Some(20L), 0),
+      (1L, "a2", 2.0, 20L, None, 1)))
+  }
 }
