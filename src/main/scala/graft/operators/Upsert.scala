@@ -69,4 +69,16 @@ object Upsert {
         col(ordCol).as("valid_from") :+ col("_valid_to").as("valid_to") :+
         col("_valid_to").isNull.cast("int").as("is_current"): _*)
   }
+
+  /** Point-in-time (time-travel) read over [[scd2FromChanges]] output: the
+    * rows whose validity interval contains `ts` — i.e. the table exactly
+    * as the change log had built it at that moment. A pure filter: at
+    * scale, partition the history by a coarse bucket of `valid_from` (or
+    * cluster on `is_current` for the current-snapshot case) and this
+    * prunes files before scanning. */
+  def snapshotAt(history: DataFrame, ts: Long): DataFrame =
+    history
+      .where(col("valid_from") <= ts &&
+        (col("valid_to").isNull || col("valid_to") > ts))
+      .drop("valid_to", "is_current")
 }

@@ -71,6 +71,23 @@ class UpsertSpec extends AnyFunSuite {
       (2L, "b1", 15L, None, 1)))
   }
 
+  test("scd2 snapshotAt reconstructs the table at any past moment") {
+    val changes = Seq(
+      (1L, "UPSERT", "a1", 1.0, 10L, 100L),
+      (1L, "UPSERT", "a2", 2.0, 20L, 101L),
+      (1L, "DELETE", "xx", 0.0, 30L, 102L),
+      (2L, "UPSERT", "b1", 9.0, 15L, 103L))
+      .toDF("k", "op", "name", "bal", "ord", "tie")
+    val hist = Upsert.scd2FromChanges(changes, "k", Seq("name", "bal"),
+      "op", "ord", "tie")
+    def at(ts: Long) = Upsert.snapshotAt(hist, ts)
+      .select("k", "name").as[(Long, String)].collect().toSet
+    assert(at(5L) == Set.empty)                       // before everything
+    assert(at(12L) == Set((1L, "a1")))                // v1 live, key 2 absent
+    assert(at(20L) == Set((1L, "a2"), (2L, "b1")))    // boundary: new version
+    assert(at(35L) == Set((2L, "b1")))                // key 1 deleted
+  }
+
   test("scd2: rebuild from full log == prior history + incremental tail per key") {
     // valid_to depends only on the key's next change, so folding a later
     // day's changes yields the same rows as rebuilding from everything —
