@@ -183,13 +183,13 @@ object Queries {
       |  FROM lineitem),
       |probes AS (SELECT user_id % 5 AS tid, epoch_ns(ts) // 1000 AS tsn, event_id FROM events),
       |ranked AS (
-      |  SELECT p.event_id AS pe, s.market_id, s.odds,
-      |    row_number() OVER (PARTITION BY p.event_id
+      |  SELECT p.tid AS ptid, p.tsn AS ptsn, p.event_id AS pe, s.market_id, s.odds,
+      |    row_number() OVER (PARTITION BY p.tid, p.tsn, p.event_id
       |      ORDER BY abs(p.tsn - s.tsn), s.tsn) AS rn
       |  FROM probes p JOIN snaps s ON p.tid = s.tid)
       |SELECT p.tid, p.tsn, p.event_id, b.market_id, b.odds
       |FROM probes p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
-      |  ON b.pe = p.event_id""".stripMargin))
+      |  ON b.ptid = p.tid AND b.ptsn = p.tsn AND b.pe = p.event_id""".stripMargin))
 
   /** Range join (operators.RangeJoin): events-in-promotion-window lookup —
     * every event joins the deterministic order-derived intervals containing

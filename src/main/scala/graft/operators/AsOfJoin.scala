@@ -68,11 +68,9 @@ object AsOfJoin {
     val unioned = p.unionByName(s)
     val base = keyCols ++ Seq(col(tsCol), col("_side")) ++ probeCols.map(col)
     val matched = direction match {
-      case "backward" =>
-        unioned.select(base :+ lastOver(col(tsCol).asc).as("_payload"): _*)
-          .where(col("_side") === 1)
-      case "forward" =>
-        unioned.select(base :+ lastOver(col(tsCol).desc).as("_payload"): _*)
+      case d @ ("backward" | "forward") =>
+        val ord = if (d == "backward") col(tsCol).asc else col(tsCol).desc
+        unioned.select(base :+ lastOver(ord).as("_payload"): _*)
           .where(col("_side") === 1)
       case "nearest" =>
         val both = unioned

@@ -248,8 +248,11 @@ object Dedup {
     * Truncation is observable here too (the module invariant): pass a
     * `truncated` LongAccumulator and every dropped (doc, band) arrival
     * increments it — readable live from the accumulator / Spark UI while
-    * the stream runs (the streaming analogue of the batch path's
-    * `minhash_bucket_cap*` observed metric). */
+    * the stream runs. Caveat vs the batch path's exactly-once observed
+    * metric: the increment happens inside a TRANSFORMATION, so task
+    * retries / speculative re-execution re-apply it — treat the value as
+    * at-least-once (a zero/non-zero truncation DETECTOR and order-of-
+    * magnitude gauge, not an exact count). */
   def streamingNearDupCandidates(docs: DataFrame, maxBucket: Int = 1000,
       truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = docs.sparkSession

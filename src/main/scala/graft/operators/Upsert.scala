@@ -70,6 +70,33 @@ object Upsert {
         col("_valid_to").isNull.cast("int").as("is_current"): _*)
   }
 
+  /** Incremental SCD2 application: fold a NEW tail of the change log into
+    * existing [[scd2FromChanges]] history — the nightly shape, where
+    * rebuilding from the full log would rescan years of changes.
+    * Requires the tail to be append-only per key (every new change's ord
+    * later than the key's open version's valid_from). Open rows of
+    * touched keys close at the key's FIRST new change (whatever its op);
+    * the tail's own versions chain via [[scd2FromChanges]]; untouched
+    * history passes through. One broadcast-sized join (keys-in-tail) +
+    * the tail's window: no history self-join, no rescan.
+    * `scd2Fold(rebuild(day1), day2) == rebuild(day1 ++ day2)` is pinned
+    * by UpsertSpec. */
+  def scd2Fold(history: DataFrame, changes: DataFrame, keyCol: String,
+      valueCols: Seq[String], opCol: String, ordCol: String,
+      tieCol: String): DataFrame = {
+    val firstNew = changes
+      .where(col(opCol).isin("UPSERT", "DELETE"))
+      .groupBy(col(keyCol)).agg(min(col(ordCol)).as("_first_new"))
+    val closed = history.join(firstNew, Seq(keyCol), "left")
+      .select(col(keyCol) +: valueCols.map(col) :+
+        col("valid_from") :+
+        coalesce(col("valid_to"), col("_first_new")).as("valid_to") :+
+        coalesce(col("valid_to"), col("_first_new")).isNull.cast("int")
+          .as("is_current"): _*)
+    closed.unionByName(
+      scd2FromChanges(changes, keyCol, valueCols, opCol, ordCol, tieCol))
+  }
+
   /** Point-in-time (time-travel) read over [[scd2FromChanges]] output: the
     * rows whose validity interval contains `ts` — i.e. the table exactly
     * as the change log had built it at that moment. A pure filter: at

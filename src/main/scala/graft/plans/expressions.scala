@@ -81,22 +81,24 @@ case class HilbertD(left: Expression, right: Expression, bits: Int)
 }
 
 /** `dot_d(a, b)` — sequential left-to-right dot product of two
-  * `array<double>` columns: Σ a(i)·b(i) over i = 0 .. min(|a|,|b|)−1,
-  * accumulated in index order — bit-identical to the
-  * `aggregate(zip_with(...))` fold it replaces (and to DuckDB's
-  * `list_dot_product`), so every oracle stays hash-exact.
+  * `array<double>` columns: Σ a(i)·b(i) accumulated in index order —
+  * bit-identical to the `aggregate(zip_with(...))` fold it replaces (and
+  * to DuckDB's `list_dot_product`), so every oracle stays hash-exact.
+  * Fold-parity includes the null cases: length-mismatched arrays (the
+  * fold's zip_with pads with nulls) and any null element make the result
+  * NULL, never a silently-partial sum.
   *
   * Native out of PREFERENCE (tier b): higher-order functions are
   * `CodegenFallback` — per row the fold allocated a zip_with intermediate
   * array and interpreted two lambdas per element, in the innermost
   * |corpus|×|queries| loop of every similarity query. Here it is one
   * primitive Java loop inside whole-stage codegen: no allocation, no
-  * virtual calls, no boxing. Caller contract (SimFns enforces it via
-  * `toDouble`): element type double, no null elements. */
+  * virtual calls, no boxing. */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_d"
 
   // ArrayData.getDouble on a float-packed array reads garbage silently —
@@ -115,10 +117,14 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def nullSafeEval(av: Any, bv: Any): Any = {
     val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -127,12 +133,17 @@ case class DotProductD(left: Expression, right: Expression)
       val (n, i, acc) =
         (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"))
       s"""
-        |int $n = java.lang.Math.min($ac.numElements(), $bc.numElements());
-        |double $acc = 0.0d;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  $acc += $ac.getDouble($i) * $bc.getDouble($i);
+        |int $n = $ac.numElements();
+        |if ($n != $bc.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $acc = 0.0d;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($ac.isNullAt($i) || $bc.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $acc += $ac.getDouble($i) * $bc.getDouble($i);
+        |  }
+        |  ${ev.value} = $acc;
         |}
-        |${ev.value} = $acc;
         |""".stripMargin
     })
 

@@ -124,9 +124,19 @@ private class FrameReplayStream(path: String, maxPerBatch: Int, numSlices: Int)
         n = in.read(buf)
       }
       anchors(lines) = lastLineStart
+      // A non-empty unterminated tail is normally a frame mid-append; on a
+      // FINISHED file it means the final frame will never be delivered.
+      // Surface it (once per tail position) instead of hiding the drop.
+      if (pos > lastLineStart && lastWarnedTail != lastLineStart) {
+        lastWarnedTail = lastLineStart
+        org.slf4j.LoggerFactory.getLogger(classOf[FrameReplayStream]).warn(
+          s"frame log $path has an unterminated ${pos - lastLineStart}-byte " +
+            s"tail after frame $lines; it becomes available when its \\n lands")
+      }
       lines
     } finally in.close()
   }
+  @volatile private var lastWarnedTail: Long = -1L
 
   // Pinned end offset for Trigger.AvailableNow: a drain run must terminate
   // even if the log grows while it drains.

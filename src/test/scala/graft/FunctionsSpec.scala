@@ -140,6 +140,20 @@ class SimFnsSpec extends AnyFunSuite {
     assert(got == expected) // bit-exact: same accumulation order
   }
 
+  test("dot_d fold parity: null element or length mismatch gives NULL, not a partial sum") {
+    val df = Seq((
+      Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0),
+      Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("withNull", "clean", "len3", "len2")
+    val row = df.select(
+      SimFns.dot($"withNull", $"clean").as("nullElem"),
+      SimFns.dot($"len3", $"len2").as("mismatch"),
+      SimFns.dot($"len2", $"len2").as("ok")).head()
+    assert(row.isNullAt(0), "null element must null the whole dot")
+    assert(row.isNullAt(1), "length mismatch must null the whole dot")
+    assert(row.getDouble(2) == 5.0)
+  }
+
   test("dot_d rejects non-double arrays at analysis time, not silently") {
     val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val ex = intercept[org.apache.spark.sql.AnalysisException] {

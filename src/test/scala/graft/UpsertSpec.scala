@@ -88,18 +88,28 @@ class UpsertSpec extends AnyFunSuite {
     assert(at(35L) == Set((2L, "b1")))                // key 1 deleted
   }
 
-  test("scd2: rebuild from full log == prior history + incremental tail per key") {
-    // valid_to depends only on the key's next change, so folding a later
-    // day's changes yields the same rows as rebuilding from everything —
-    // the property that makes nightly incremental application sound.
-    val day1 = Seq((1L, "UPSERT", "a1", 1.0, 10L, 100L))
-    val day2 = Seq((1L, "UPSERT", "a2", 2.0, 20L, 101L))
-    val full = Upsert.scd2FromChanges((day1 ++ day2)
-        .toDF("k", "op", "name", "bal", "ord", "tie"),
-      "k", Seq("name", "bal"), "op", "ord", "tie")
-      .as[(Long, String, Double, Long, Option[Long], Int)].collect().toSet
-    assert(full == Set(
-      (1L, "a1", 1.0, 10L, Some(20L), 0),
-      (1L, "a2", 2.0, 20L, None, 1)))
+  test("scd2Fold: prior history + incremental tail == rebuild from the full log") {
+    // Covers: updated key (1), deleted key (2), untouched key (3), and a
+    // key created only in the tail (4).
+    val day1 = Seq(
+      (1L, "UPSERT", "a1", 1.0, 10L, 100L),
+      (2L, "UPSERT", "b1", 9.0, 15L, 103L),
+      (3L, "UPSERT", "c1", 5.0, 12L, 104L))
+    val day2 = Seq(
+      (1L, "UPSERT", "a2", 2.0, 20L, 105L),
+      (2L, "DELETE", "xx", 0.0, 25L, 106L),
+      (4L, "UPSERT", "d1", 7.0, 30L, 107L))
+    def df(rows: Seq[(Long, String, String, Double, Long, Long)]) =
+      rows.toDF("k", "op", "name", "bal", "ord", "tie")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, String, Double, Long, Option[Long], Int)].collect().toSet
+    val folded = rows(Upsert.scd2Fold(
+      Upsert.scd2FromChanges(df(day1), "k", Seq("name", "bal"), "op", "ord", "tie"),
+      df(day2), "k", Seq("name", "bal"), "op", "ord", "tie"))
+    val rebuilt = rows(Upsert.scd2FromChanges(df(day1 ++ day2),
+      "k", Seq("name", "bal"), "op", "ord", "tie"))
+    assert(folded == rebuilt)
+    assert(rebuilt.contains((3L, "c1", 5.0, 12L, None, 1)), "untouched key stays open")
+    assert(!rebuilt.exists(r => r._1 == 2L && r._5.isEmpty), "deleted key fully closed")
   }
 }
