@@ -156,8 +156,11 @@ object Queries {
 
   /** Nearest-direction as-of join (operators.AsOfJoin, direction=nearest):
     * whichever of the backward/forward snapshot is closer in |ts|, ties
-    * preferring backward. Oracle ranks the full per-key pair set by
-    * (|Δts|, snapshot ts) — O(n·m) per key in DuckDB, fine at oracle SF. */
+    * preferring backward. Oracle = two native DuckDB ASOF joins (one per
+    * direction) + a per-row pick — the same shape as the Spark plan, and
+    * O((n+m) log m) rather than the O(n·m)-per-key pair-rank form (which
+    * ground for >10 min at sf0.1). Tie → backward arm via `<`, and an
+    * equal-ts probe matches the same snapshot on both arms. */
   private val jAsofNearest = Q("j_asof_nearest",
     (s, dir) => {
       val snaps = Tables.lineitem(s, dir).select(
@@ -182,14 +185,19 @@ object Queries {
       |    CAST(($ladderSql)[CAST(l_partkey % 291 AS INTEGER) + 1] AS INTEGER) AS odds
       |  FROM lineitem),
       |probes AS (SELECT user_id % 5 AS tid, epoch_ns(ts) // 1000 AS tsn, event_id FROM events),
-      |ranked AS (
-      |  SELECT p.tid AS ptid, p.tsn AS ptsn, p.event_id AS pe, s.market_id, s.odds,
-      |    row_number() OVER (PARTITION BY p.tid, p.tsn, p.event_id
-      |      ORDER BY abs(p.tsn - s.tsn), s.tsn) AS rn
-      |  FROM probes p JOIN snaps s ON p.tid = s.tid)
-      |SELECT p.tid, p.tsn, p.event_id, b.market_id, b.odds
-      |FROM probes p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
-      |  ON b.ptid = p.tid AND b.ptsn = p.tsn AND b.pe = p.event_id""".stripMargin))
+      |bwd AS (
+      |  SELECT p.tid, p.tsn, p.event_id, s.market_id AS bm, s.odds AS bo, s.tsn AS bt
+      |  FROM probes p ASOF LEFT JOIN snaps s ON p.tid = s.tid AND p.tsn >= s.tsn),
+      |fwd AS (
+      |  SELECT p.tid, p.tsn, p.event_id, s.market_id AS fm, s.odds AS fo, s.tsn AS ft
+      |  FROM probes p ASOF LEFT JOIN snaps s ON p.tid = s.tid AND p.tsn <= s.tsn)
+      |SELECT b.tid, b.tsn, b.event_id,
+      |  CASE WHEN b.bt IS NULL THEN f.fm WHEN f.ft IS NULL THEN b.bm
+      |       WHEN (f.ft - b.tsn) < (b.tsn - b.bt) THEN f.fm ELSE b.bm END AS market_id,
+      |  CASE WHEN b.bt IS NULL THEN f.fo WHEN f.ft IS NULL THEN b.bo
+      |       WHEN (f.ft - b.tsn) < (b.tsn - b.bt) THEN f.fo ELSE b.bo END AS odds
+      |FROM bwd b JOIN fwd f
+      |  ON f.tid = b.tid AND f.tsn = b.tsn AND f.event_id = b.event_id""".stripMargin))
 
   /** Range join (operators.RangeJoin): events-in-promotion-window lookup —
     * every event joins the deterministic order-derived intervals containing
