@@ -91,6 +91,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Map(1L -> None, 2L -> Some("s2")))
   }
 
+  test("nearest agrees with a JVM brute force on seeded random data") {
+    val rnd = new scala.util.Random(11)
+    // unique snapshot ts per key (the documented contract)
+    val snapRows = (0 until 3).flatMap { k =>
+      rnd.shuffle((0 until 500).toList).take(40).map(t =>
+        (k.toLong, t.toLong * 2, s"s$k-$t", t))
+    }
+    val probeRows = (0 until 120).map { i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val out = AsOfJoin.lastValueAsOf(
+      probeRows.toDF("tid", "tsn", "event_id"),
+      snapRows.toDF("tid", "tsn", "snap_id", "odds"),
+      Seq("tid"), "tsn", Seq("event_id"), Seq("snap_id", "odds"),
+      direction = "nearest")
+      .select("event_id", "snap_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("snap_id"))).toMap
+    val byKey = snapRows.groupBy(_._1)
+    probeRows.foreach { case (tid, ts, eid) =>
+      val expected = byKey.get(tid).flatMap { ss =>
+        // min |Δts|; tie → smaller snapshot ts (the backward side)
+        ss.sortBy(s => (math.abs(s._2 - ts), s._2)).headOption.map(_._3)
+      }
+      assert(out(eid) == expected, s"probe $eid (tid=$tid ts=$ts)")
+    }
+  }
+
   test("null payload field in latest snapshot is NOT backfilled from older snapshots") {
     // s2 (latest ≤ probe) carries a null odds; true ASOF returns (s2, null),
     // never a frankenrow (s2, 10) stitched from s1's odds.
