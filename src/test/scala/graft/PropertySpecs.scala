@@ -215,3 +215,34 @@ object QuantileSketchProps extends Properties("QuantileSketch") {
       }
     }
 }
+
+/** The codegen-side runtime kernel of [[graft.plans.TopKPlan]]: the buffer
+  * the generated drain loop feeds. The property deliberately REUSES one
+  * UnsafeProjection output buffer across inserts — exactly what generated
+  * code hands `insert` — so a missing row copy shows up as corrupted
+  * survivors, the bug class `needCopyResult = false` relies on excluding. */
+object TopKBufferProps extends Properties("TopKHeapBuffer") {
+  import graft.plans.TopKBufferFactory
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference,
+    SortOrder, UnsafeProjection}
+  import org.apache.spark.sql.types.IntegerType
+
+  private val key = AttributeReference("k", IntegerType, nullable = false)()
+  private val value = AttributeReference("v", IntegerType, nullable = false)()
+  private val schema = Seq(key, value)
+
+  property("insert through a REUSED row buffer == brute-force top-k per key") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0, 5), Gen.choose(-100, 100))),
+        Gen.choose(1, 5)) { (rows, k) =>
+      val buf = TopKBufferFactory(
+        Seq(key), Seq(SortOrder(value, Ascending)), k, schema).create()
+      val proj = UnsafeProjection.create(schema, schema) // ONE reused buffer
+      rows.foreach { case (g, v) => buf.insert(proj(InternalRow(g, v))) }
+      val got = buf.result().map(r => (r.getInt(0), r.getInt(1))).toList
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val want = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.take(k)).toMap
+      got == want.toMap
+    }
+}
