@@ -26,7 +26,13 @@ object Queries {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
-  final case class Q(name: String, fn: QueryFn, oracle: Option[String], bench: Boolean = false)
+  /** `oracle` is static DuckDB SQL; `oracleFn` derives the SQL from the data
+    * at verify time (for queries whose oracle interpolates data-dependent —
+    * but bit-deterministic — literals, e.g. trained k-means centroids).
+    * A query has one or the other, never both. */
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String],
+      bench: Boolean = false,
+      oracleFn: Option[(SparkSession, String) => String] = None)
 
   private def decSum(c: Column, scale: String = "18,2"): Column =
     sum(c.cast(s"decimal($scale)")).cast("double")
@@ -1371,24 +1377,69 @@ object Queries {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
       |FROM r WHERE rank <= 10""".stripMargin), bench = true)
 
+  /** DuckDB oracle for the trained-IVF paths: training is bit-deterministic
+    * (candidates sorted, Lloyd means rounded to 6 dp — see
+    * Similarity.kmeansCentroids), so the trained centroids interpolate into
+    * the oracle as literals, exactly like the LSH planes; both engines then
+    * derive norms, the round-6 argmax cell assignment (min-cell tie-break)
+    * and the search identically. nProbes > 1 adds the multi-probe ranking
+    * CTE (each query probes its nProbes nearest cells by centroid cosine). */
+  private def ivfTrainedOracle(spark: SparkSession, dir: String, nProbes: Int): String = {
+    val cents = Similarity.kmeansCentroidArrays(
+      Tables.embeddings(spark, dir), nCells = 10)
+    val values = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n  ")
+    val qCte =
+      if (nProbes <= 1)
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell FROM assigned WHERE vec_id % 20 = 0)"
+      else
+        s"""q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM assigned WHERE vec_id % 20 = 0),
+           |q AS (SELECT query_id, qv, qnrm, cell FROM (
+           |    SELECT q0.query_id, q0.qv, q0.qnrm, cn.cell,
+           |      row_number() OVER (PARTITION BY q0.query_id
+           |        ORDER BY ROUND(list_dot_product(q0.qv, cn.cv) / (q0.qnrm * cn.cnrm), 6) DESC, cn.cell) AS pr
+           |    FROM q0 CROSS JOIN cn)
+           |  WHERE pr <= $nProbes)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |c(cell, cv) AS (VALUES
+       |  $values),
+       |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, cn.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+       |    FROM n CROSS JOIN cn)
+       |  WHERE crn = 1),
+       |$qCte,
+       |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+       |        ROUND(list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm), 4) AS cosine
+       |      FROM q JOIN assigned a ON a.cell = q.cell WHERE a.vec_id != q.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** IVF over TRAINED k-means‖ cells (Similarity.ivfTopKKmeans) — the
     * production centroid path next to the deterministic-reps sim_ivf_topk.
-    * Lloyd means are float sums whose partition order Spark doesn't fix ⇒
-    * rows-only; recall@10 vs sim_brute_topk is asserted in KmeansIvfSpec
-    * and recorded in NOTES.md. */
+    * Training is bit-deterministic since round 6, so the oracle is DERIVED
+    * at verify time (trained centroids as literals, like the LSH planes);
+    * recall@10 vs sim_brute_topk stays asserted in OperatorsSpec and
+    * recorded in NOTES.md. */
   private val simIvfKmeansTopk = Q("sim_ivf_kmeans_topk",
     (s, dir) => Similarity.ivfTopKKmeans(Tables.embeddings(s, dir),
       k = 10, stride = 20, nCells = 10),
-    None)
+    None, oracleFn = Some((s, dir) => ivfTrainedOracle(s, dir, nProbes = 1)))
 
   /** Multi-probe variant (each query probes its 3 nearest cells) — the IVF
-    * recall knob; recall@10 at P=3 vs P=1 is asserted in KmeansIvfSpec and
-    * recorded in NOTES.md. Rows-only for the same float-sum reason as
-    * sim_ivf_kmeans_topk. */
+    * recall knob; recall@10 at P=3 vs P=1 is asserted in OperatorsSpec and
+    * recorded in NOTES.md. Derived oracle, like sim_ivf_kmeans_topk. */
   private val simIvfMultiprobe = Q("sim_ivf_multiprobe",
     (s, dir) => Similarity.ivfTopKKmeans(Tables.embeddings(s, dir),
       k = 10, stride = 20, nCells = 10, nProbes = 3),
-    None)
+    None, oracleFn = Some((s, dir) => ivfTrainedOracle(s, dir, nProbes = 3)))
 
   private val simLshTopk = Q("sim_lsh_topk",
     (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
@@ -1512,4 +1563,21 @@ object Queries {
   val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
   val benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+
+  /** Oracles derived from the data at verify time (trained-centroid
+    * literals). Runs Spark jobs — call once, from Verify. A failed
+    * derivation degrades that query to rows-only (logged), never fails the
+    * whole dump. */
+  def derivedOracleSql(spark: SparkSession, dir: String): Map[String, String] =
+    all.flatMap { q =>
+      q.oracleFn.flatMap { f =>
+        try Some(q.name -> f(spark, dir))
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[oracle] derived oracle for ${q.name} failed (rows-only): $e")
+            None
+        }
+      }
+    }.toMap
 }

@@ -17,6 +17,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries
 
-  /** DuckDB-equivalent ANSI SQL per query (omitted ⇒ rows-only check). */
-  def oracleSql: Map[String, String] = Queries.oracleSql
+  /** DuckDB-equivalent ANSI SQL per query (omitted ⇒ rows-only check).
+    * Static oracles always; data-derived ones (trained-centroid literals —
+    * see Queries.derivedOracleSql) when the ambient context Verify sets is
+    * present (an active session + the `graft.verify.sfDir` property), so
+    * the contract's zero-arg signature still covers them at verify time. */
+  def oracleSql: Map[String, String] = {
+    val derived = for {
+      s <- SparkSession.getActiveSession
+      dir <- sys.props.get("graft.verify.sfDir")
+    } yield Queries.derivedOracleSql(s, dir)
+    Queries.oracleSql ++ derived.getOrElse(Map.empty)
+  }
 }

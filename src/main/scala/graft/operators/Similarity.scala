@@ -251,21 +251,45 @@ object Similarity {
     *
     * Per pass the corpus is touched once; driver traffic is O(nCells·dim).
     * Returns (cell, cv, cnrm), broadcast-ready for [[assignCells]].
-    * Deterministic up to float-sum partition order (⇒ rows-only query). */
+    *
+    * **Bit-deterministic across partition orders** (so the trained-IVF
+    * queries are oracle-checkable): sampled candidates are sorted by vec_id
+    * driver-side (collect order is partition order, which varies with file
+    * split planning), and every Lloyd mean coordinate is rounded to 6 dp —
+    * float-sum partition-order noise is ~1e-13 relative, far below the
+    * 5e-7 rounding boundary, so any summation order lands on the same
+    * rounded double. */
   def kmeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int = 4,
-      initPasses: Int = 2): DataFrame = {
+      initPasses: Int = 2): DataFrame =
+    centroidFrame(embeddings.sparkSession,
+      kmeansCentroidArrays(embeddings, nCells, iters, initPasses))
+
+  /** (cell, cv, cnrm) frame from driver-side centroid vectors — the same
+    * literals a DuckDB oracle interpolates, so both engines start from
+    * bit-identical centroids and derive cnrm with the same index-order
+    * accumulation. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "cv")
+      .select(col("cell"), col("cv"), l2Norm(col("cv")).as("cnrm"))
+  }
+
+  /** [[kmeansCentroids]]'s driver-side result, for interpolating the trained
+    * centroids into an oracle as literals (index = cell id). */
+  def kmeansCentroidArrays(embeddings: DataFrame, nCells: Int, iters: Int = 4,
+      initPasses: Int = 2): Seq[Array[Double]] = {
     val spark = embeddings.sparkSession
     val corpus = prepared(embeddings)
-    def centsDf(cents: Seq[Array[Double]]): DataFrame = {
-      import spark.implicits._
-      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
-        .toDF("cell", "cv")
-        .select(col("cell"), col("cv"), l2Norm(col("cv")).as("cnrm"))
-    }
+    def centsDf(cents: Seq[Array[Double]]): DataFrame = centroidFrame(spark, cents)
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Double](r.fieldIndex("v")).toArray
 
-    // 1. k-means‖ candidate sampling
+    // 1. k-means‖ candidate sampling. The sampled SET is deterministic (the
+    // hashUniform threshold is per-row); the collect ORDER is not — sort by
+    // vec_id so candidate indices (greedy-reduction tie-breaks below) don't
+    // depend on partition planning.
     var candidates: Vector[Array[Double]] =
       Vector(vecOf(corpus.orderBy(col("vec_id")).select(col("v")).head()))
     for (_ <- 1 to initPasses) {
@@ -276,7 +300,8 @@ object Similarity {
         val picked = assigned
           .where(hashUniform(col("vec_id")) * lit(total) <
             lit(2.0 * nCells) * col("d"))
-          .select(col("v")).collect().map(vecOf)
+          .select(col("vec_id").cast("long").as("id"), col("v"))
+          .collect().sortBy(_.getLong(0)).map(vecOf)
         candidates ++= picked
       }
     }
@@ -310,7 +335,10 @@ object Similarity {
       else picked += bestIdx
     }
     val seeds = picked.toVector.map(candidates)
-    // 3. Lloyd: distributed assign + per-cell mean (nCells×dim driver rows)
+    // 3. Lloyd: distributed assign + per-cell mean (nCells×dim driver rows).
+    // Each mean coordinate is rounded to 6 dp: the float sum behind it can
+    // differ in the last ~ulps across partition orders, and the rounding
+    // collapses that noise so trained centroids are bit-reproducible.
     var cents = seeds.toArray
     for (_ <- 1 to iters) {
       val stats = assignCells(corpus, centsDf(cents.toSeq))
@@ -321,11 +349,12 @@ object Similarity {
       val next = cents.map(_.clone())
       stats.foreach { r =>
         val (cell, pos) = (r.getInt(0), r.getInt(1))
-        next(cell)(pos) = r.getDouble(2) / r.getLong(3)
+        next(cell)(pos) = BigDecimal(r.getDouble(2) / r.getLong(3))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
       cents = next // cells that attracted nothing keep their previous center
     }
-    centsDf(cents.toSeq)
+    cents.toSeq
   }
 
   /** IVF top-k over trained k-means‖ cells — the production path next to

@@ -229,6 +229,37 @@ class KmeansIvfSpec extends AnyFunSuite {
     info(f"recall@10 sf0.1 LSH: single-bucket $lsh1%.3f, multi-probe $lshMp%.3f")
     assert(lshMp >= lsh1, f"multi-probe LSH lost recall: $lshMp%.3f < $lsh1%.3f")
   }
+
+  test("kmeans centroids are bit-deterministic across partition orders") {
+    // The derived trained-IVF oracles interpolate these as literals, so any
+    // partition-order nondeterminism (collect order, float-sum order) would
+    // silently break the oracle. Different repartitionings must land on
+    // exactly the same doubles.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = graft.operators.Similarity.kmeansCentroidArrays(e.repartition(3), nCells = 10)
+    val b = graft.operators.Similarity.kmeansCentroidArrays(e.repartition(7), nCells = 10)
+    assert(a.length == b.length)
+    a.zip(b).zipWithIndex.foreach { case ((va, vb), i) =>
+      assert(java.util.Arrays.equals(va, vb), s"cell $i differs across partitionings")
+    }
+  }
+
+  test("trained-IVF derived oracles materialize under Verify's ambient context") {
+    val dir = "/root/testdata/sf0.001"
+    val derived = Queries.derivedOracleSql(spark, dir)
+    assert(derived.keySet == Set("sim_ivf_kmeans_topk", "sim_ivf_multiprobe"))
+    derived.values.foreach { sql =>
+      assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
+    }
+    // SparkEntry exposes them only when Verify's ambient context is set …
+    assert(!SparkEntry.oracleSql.contains("sim_ivf_kmeans_topk"))
+    try {
+      sys.props("graft.verify.sfDir") = dir
+      val full = SparkEntry.oracleSql
+      assert(full.contains("sim_ivf_kmeans_topk") && full.contains("sim_ivf_multiprobe"))
+      assert(Queries.oracleSql.keySet.subsetOf(full.keySet))
+    } finally sys.props -= "graft.verify.sfDir"
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {

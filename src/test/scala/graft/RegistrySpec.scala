@@ -22,14 +22,20 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("rows-only queries are the documented exceptions, not silent gaps") {
-    val rowsOnly = Queries.queries.keySet -- Queries.oracleSql.keySet
+    val rowsOnly = Queries.queries.keySet -- Queries.oracleSql.keySet --
+      Queries.all.filter(_.oracleFn.isDefined).map(_.name).toSet
     // uuid/RNG queries can't have cross-engine oracles; HLL sketches differ
-    // per engine; KLL estimates and k-means centroids depend on Spark's
-    // float-sum/merge partition order (each is property- or recall-tested
-    // instead). Anything else appearing here is a missing oracle.
+    // per engine; KLL estimates are property-tested against an ε bound
+    // instead. The trained-IVF queries carry DERIVED oracles (centroid
+    // literals, materialized at verify time — see Queries.derivedOracleSql)
+    // so they no longer count as rows-only. Anything else appearing here is
+    // a missing oracle.
     assert(rowsOnly == Set("c11_uuid_wagers", "f_sample_bernoulli",
-      "text_vocab_approx", "sketch_kll_quantiles", "sim_ivf_kmeans_topk",
-      "sim_ivf_multiprobe"),
+      "text_vocab_approx", "sketch_kll_quantiles"),
       s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("no query has both a static and a derived oracle") {
+    assert(Queries.all.forall(q => q.oracle.isEmpty || q.oracleFn.isEmpty))
   }
 }
