@@ -1245,6 +1245,26 @@ object Queries {
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.2""".stripMargin))
 
+  /** Label-free near-dup (Dedup.embeddingNearDupsLsh): blocked by the
+    * deterministic sign-LSH bucket instead of a label column — the variant
+    * that runs on an unlabeled 100 TB corpus. Same plane literals as
+    * sim_lsh_topk's oracle. Threshold 0.2 (matching dedup_embedding) keeps
+    * the within-bucket pair surface non-trivial at sf0.01. */
+  private val dedupEmbeddingLsh = Q("dedup_embedding_lsh",
+    (s, dir) => Dedup.embeddingNearDupsLsh(Tables.embeddings(s, dir), 0.2),
+    Some {
+      val planes = Similarity.lshPlanes(6, 64)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.2""".stripMargin
+    })
+
   private val textStats = Q("text_stats",
     (s, dir) => TextAnalysis.docStats(Tables.documents(s, dir)),
     Some(s"""WITH toks AS (SELECT *, $duckToks AS w FROM documents)
@@ -1551,6 +1571,7 @@ object Queries {
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
+    dedupEmbeddingLsh,
     pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,

@@ -43,26 +43,36 @@ object Dedup {
     * before the shingle lambda (else `element_at(tokens(text), i)` re-runs
     * the regex tokenizer per shingle element), and shingles materialize
     * before the 8 minhash transforms. */
-  private def withShingles(documents: DataFrame, n: Int = 3): DataFrame = {
-    val toks = Stage(documents.select(col("doc_id"), col("text")),
-      "w", TextFns.tokens(col("text"))).select(col("doc_id"), col("w"))
-    Stage(toks, "sh", TextFns.shingles(col("w"), n)).select(col("doc_id"), col("sh"))
+  private def withShingles(documents: DataFrame, n: Int = 3,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id") ++ carry).map(col)
+    val toks = Stage(documents.select(keep :+ col("text"): _*),
+      "w", TextFns.tokens(col("text"))).select(keep :+ col("w"): _*)
+    Stage(toks, "sh", TextFns.shingles(col("w"), n)).select(keep :+ col("sh"): _*)
   }
 
   /** Shingles + per-shingle 28-bit base hashes (one md5 per shingle; the
     * 8 minhashes derive from these by cheap universal mixing). */
-  private def withShingleHashes(documents: DataFrame): DataFrame =
-    Stage(withShingles(documents), "hs", TextFns.shingleHashes(col("sh")))
-      .select(col("doc_id"), col("sh"), col("hs"))
+  private def withShingleHashes(documents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id") ++ carry).map(col)
+    Stage(withShingles(documents, carry = carry), "hs",
+      TextFns.shingleHashes(col("sh")))
+      .select(keep ++ Seq(col("sh"), col("hs")): _*)
+  }
 
-  /** The banded (doc_id, band, key) table behind [[minhashCandidates]]. */
-  private def bandedKeys(documents: DataFrame): DataFrame = {
-    val sh = withShingleHashes(documents)
+  /** The banded (doc_id[, carry…], band, key) table behind
+    * [[minhashCandidates]]; `carry` columns (e.g. an event-time column for
+    * the streaming paths) ride along unchanged. */
+  private def bandedKeys(documents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = (Seq("doc_id") ++ carry).map(col)
+    val sh = withShingleHashes(documents, carry)
     // All 8 minhashes in ONE projection over the materialized base hashes,
     // then a cheap posexplode of the 4 precomputed keys.
-    val sigs = sh.select(col("doc_id"),
-      array((0 until 4).map(b => TextFns.minhashBandNum(col("hs"), b)): _*).as("keys"))
-    sigs.select(col("doc_id"), posexplode(col("keys")))
+    val sigs = sh.select(keep :+
+      array((0 until 4).map(b => TextFns.minhashBandNum(col("hs"), b)): _*).as("keys"): _*)
+    sigs.select(keep :+ posexplode(col("keys")): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
   }
 
@@ -79,7 +89,16 @@ object Dedup {
     * C(maxBucket, 2) pairs. Buckets below the cap (the normal case — run
     * [[exact]] dedup first so identical texts never get here) are
     * bit-identical to the unguarded result. */
-  def minhashCandidates(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  def minhashCandidates(documents: DataFrame, maxBucket: Int = 1000): DataFrame =
+    minhashCandidatesNamed(documents, maxBucket)._2
+
+  /** [[minhashCandidates]] plus the exact observed-metric name this
+    * invocation registered — use it when one plan composes several
+    * `minhashCandidates` calls and a prefix match over `observedMetrics`
+    * could not tell their metrics apart. */
+  def minhashCandidatesNamed(documents: DataFrame,
+      maxBucket: Int = 1000): (String, DataFrame) = {
+    val metricName = Dedup.nextBucketCapMetricName()
     val banded = bandedKeys(documents)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
@@ -99,16 +118,18 @@ object Dedup {
       // DIFFERENT datasets — a fixed name would break any query composing
       // two minhashCandidates calls (the internal self-join of ONE call is
       // the allowed same-dataset form). The suffix depends on invocation
-      // ORDER within the JVM (a plan snapshot may show _1/_2/...): always
-      // match by prefix, never by exact name.
-      .observe(Dedup.nextBucketCapMetricName(),
-        sum(when(col("bucket_rn") > maxBucket, 1L).otherwise(0L))
-          .as("truncated_members"),
+      // ORDER within the JVM (a plan snapshot may show _1/_2/...): match by
+      // prefix, or use [[minhashCandidatesNamed]] for the exact name. Both
+      // metrics are coalesced so a zero-row plan reports 0, not null (an
+      // unguarded getAs[Long] would NPE on unboxing).
+      .observe(metricName,
+        coalesce(sum(when(col("bucket_rn") > maxBucket, 1L).otherwise(0L)),
+          lit(0L)).as("truncated_members"),
         coalesce(max(col("bucket_rn")), lit(0)).as("largest_bucket"))
       .where(col("bucket_rn") <= maxBucket)
       .drop("bucket_rn")
     val a = bounded.alias("a"); val b = bounded.alias("b")
-    a.join(b,
+    metricName -> a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -254,48 +275,105 @@ object Dedup {
     * at-least-once (a zero/non-zero truncation DETECTOR and order-of-
     * magnitude gauge, not an exact count). */
   def streamingNearDupCandidates(docs: DataFrame, maxBucket: Int = 1000,
-      truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      truncated: Option[org.apache.spark.util.LongAccumulator] = None,
+      eventTimeCol: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    bandedKeys(docs)
+    // With an event-time column, every emitted pair carries the LATER
+    // member's event time (the arrival that created it) so downstream
+    // watermarked consumers — [[streamingNearDupCandidatesDeduped]] — can
+    // bound their own state; without one, a constant epoch rides along and
+    // is dropped from the output (schema unchanged for existing callers).
+    val ets = eventTimeCol.map(c => col(c).cast("timestamp"))
+      .getOrElse(lit(new java.sql.Timestamp(0L)))
+    val paired = bandedKeys(docs, carry = eventTimeCol.toSeq)
       .select(col("doc_id").cast("long"), col("band").cast("int"),
-        col("key").cast("string"))
-      .as[(Long, Int, String)]
-      .groupByKey { case (_, band, key) => (band, key) }
+        col("key").cast("string"), ets.as("ets"))
+      .as[(Long, Int, String, java.sql.Timestamp)]
+      .groupByKey { case (_, band, key, _) => (band, key) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (bk: (Int, String), rows: Iterator[(Long, Int, String)],
+        (bk: (Int, String), rows: Iterator[(Long, Int, String, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) => {
           var members = state.getOption.getOrElse(Seq.empty)
           val seen = scala.collection.mutable.Set(members: _*)
-          val out = Seq.newBuilder[(Long, Long, Int)]
-          rows.map(_._1).toSeq.distinct.sorted.foreach { d =>
-            if (!seen.contains(d)) {
-              if (members.size < maxBucket) {
-                members.foreach { m =>
-                  out += ((math.min(d, m), math.max(d, m), bk._1))
-                }
-                members :+= d
-                seen += d
-              } else truncated.foreach(_.add(1))
+          val out = Seq.newBuilder[(Long, Long, Int, java.sql.Timestamp)]
+          rows.toSeq.groupBy(_._1).view
+            .mapValues(_.map(_._4).minBy(_.getTime)).toSeq.sortBy(_._1)
+            .foreach { case (d, t) =>
+              if (!seen.contains(d)) {
+                if (members.size < maxBucket) {
+                  members.foreach { m =>
+                    out += ((math.min(d, m), math.max(d, m), bk._1, t))
+                  }
+                  members :+= d
+                  seen += d
+                } else truncated.foreach(_.add(1))
+              }
             }
-          }
           state.update(members)
           out.result().iterator
         })
-      .toDF("doc_a", "doc_b", "band")
+      .toDF("doc_a", "doc_b", "band", "event_time")
+    if (eventTimeCol.isDefined) paired else paired.drop("event_time")
   }
+
+  /** Safe-by-default wrapper over [[streamingNearDupCandidates]]: the
+    * documented per-band duplicate pairs (the same (doc_a, doc_b) can
+    * surface from up to 4 bands, and a streaming global distinct would be
+    * unbounded state) are collapsed to ONE emission per pair within the
+    * watermark horizon via `dropDuplicatesWithinWatermark` on the pair key.
+    * State for the dedup stage is bounded by the horizon, exactly like
+    * [[streamingExactDedup]]; pairs re-surfacing AFTER the horizon can
+    * repeat — the documented contract, now enforced instead of delegated
+    * to every consumer. Output: (doc_a, doc_b, band, event_time) where
+    * band is the first-seen band of the pair inside the horizon. */
+  def streamingNearDupCandidatesDeduped(docs: DataFrame, eventTime: String,
+      delay: String, maxBucket: Int = 1000,
+      truncated: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    streamingNearDupCandidates(docs, maxBucket, truncated, Some(eventTime))
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
 
   /** Embedding-cosine near-dup candidates, blocked by `label` (the cheap
     * cluster key): within-block pairs with cosine ≥ threshold. At scale the
-    * blocking key bounds each bucket's pair count; no global cross join. */
-  def embeddingNearDups(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    * blocking key bounds each bucket's pair count; no global cross join.
+    * Requires a pre-existing label column — on the (typical) unlabeled
+    * 100 TB corpus use [[embeddingNearDupsLsh]], which derives its own
+    * blocking key. */
+  def embeddingNearDups(embeddings: DataFrame, minCosine: Double): DataFrame =
+    embeddingPairs(
+      embeddings.select(col("vec_id"), col("label").as("_block"), col("embedding")),
+      minCosine)
+
+  /** Label-free embedding near-dup: blocks by the sign-LSH bucket
+    * ([[Similarity.lshCorpus]] — the sign pattern of `nPlanes` fixed random
+    * hyperplane projections), so it runs on corpora with no label column —
+    * the realistic 100 TB case. A true near-dup pair (cosine → 1) projects
+    * to the same side of each hyperplane with high probability
+    * (P[bucket match] ≈ (1 − θ/π)^nPlanes), so recall loss at a 0.9+
+    * threshold is small and tunable via `nPlanes`; each bucket holds
+    * ~N/2^nPlanes vectors, bounding the quadratic self-join per bucket.
+    * Deterministic (fixed planes) ⇒ fully oracle-checkable. */
+  def embeddingNearDupsLsh(embeddings: DataFrame, minCosine: Double,
+      nPlanes: Int = 6): DataFrame =
+    embeddingPairs(
+      Similarity.lshCorpus(embeddings, nPlanes)
+        .select(col("vec_id"), col("bucket").as("_block"), col("v")),
+      minCosine)
+
+  /** Shared block-and-score body: within-`_block` pairs (vec_a < vec_b)
+    * with round-4 cosine ≥ threshold. Input: (vec_id, _block, embedding)
+    * or (vec_id, _block, v) with v already array<double>. */
+  private def embeddingPairs(blocked: DataFrame, minCosine: Double): DataFrame = {
     import graft.functions.SimFns._
-    val e = embeddings.select(col("vec_id"), col("label"),
-      toDouble(col("embedding")).as("v"))
-    val withNorm = e.withColumn("nrm", l2Norm(col("v")))
+    val e =
+      if (blocked.columns.contains("v")) blocked
+      else blocked.withColumn("v", toDouble(col("embedding"))).drop("embedding")
+    val withNorm = e.select(col("vec_id"), col("_block"), col("v"),
+      l2Norm(col("v")).as("nrm"))
     val a = withNorm.alias("a"); val b = withNorm.alias("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a._block") === col("b._block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosinePrenormed(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4)
           .as("cosine"))

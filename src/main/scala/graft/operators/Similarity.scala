@@ -91,7 +91,7 @@ object Similarity {
   /** Corpus with its sign-LSH bucket key: the double-cast vector is staged
     * (bucketOf references it nPlanes times), bucket = sign pattern of the
     * `nPlanes` hyperplane projections. */
-  private def lshCorpus(embeddings: DataFrame, nPlanes: Int): DataFrame = {
+  private[operators] def lshCorpus(embeddings: DataFrame, nPlanes: Int): DataFrame = {
     val dim = 64
     val planes = lshPlanes(nPlanes, dim)
     def bucketOf(v: Column): Column =

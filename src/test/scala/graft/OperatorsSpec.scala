@@ -122,6 +122,21 @@ class DedupSpec extends AnyFunSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // 1-3 below threshold; 1-4 blocked apart
   }
+
+  test("label-free embedding near-dup (LSH-blocked) runs without a label column") {
+    // The realistic 100 TB corpus has no label column: the labeled variant
+    // cannot even analyze, while the LSH-blocked one derives its own
+    // blocking key and finds the planted duplicate.
+    val vA = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    val vC = Array.tabulate(64)(i => math.cos(3.0 * i + 2.0).toFloat)
+    val e = Seq((1L, vA), (2L, vA.clone()), (3L, vC)).toDF("vec_id", "embedding")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.embeddingNearDups(e, 0.9).collect()
+    }
+    val pairs = Dedup.embeddingNearDupsLsh(e, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // identical directions share every sign bit
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

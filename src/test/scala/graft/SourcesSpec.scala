@@ -89,6 +89,30 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deduped streaming LSH candidates emit each pair ONCE within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "the same boilerplate cookie banner text repeated on every page"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Dedup.streamingNearDupCandidatesDeduped(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("lshcand_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 10:01:00")
+      // identical texts share all 4 band buckets → the raw op emits each
+      // pair 4 times (once per band); the wrapper must emit exactly once.
+      input.addData((t0, 1L, boiler), (t0, 2L, boiler))
+      q.processAllAvailable()
+      input.addData((t1, 3L, boiler)) // cross-batch: pairs (1,3) and (2,3)
+      q.processAllAvailable()
+      val rows = spark.table("lshcand_dedup").select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows.sorted == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"each pair exactly once within the horizon: $rows")
+    } finally q.stop()
+  }
+
   test("streaming near-dup filter drops signature-identical docs, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
