@@ -58,16 +58,37 @@ object RangeJoin {
     if (medianRow.isNullAt(0)) 1L else math.max(medianRow.getLong(0), 1L)
   }
 
-  /** [[pointInInterval]] with the bin width picked from the data via
-    * [[medianSpan]] — convenience for one-shot joins. **EAGER pre-pass**:
-    * this triggers the medianSpan job before building the join plan; hot
-    * paths and repeated joins should call [[medianSpan]] once themselves
-    * (or eyeball a width) and use [[pointInInterval]] directly. Median ⇒
-    * the typical interval explodes to ≤ 2 bins, so shuffle fan-out stays
-    * ~2× regardless of the span distribution's tail; a handful of
-    * outlier-wide intervals fan out more, which is the right trade. */
+  /** [[pointInInterval]] with the bin width picked from the data via the
+    * median interval span — convenience for one-shot joins. **Fully lazy**
+    * (unlike the first three rounds of this operator): the median is a
+    * one-row aggregate broadcast-cross-joined onto both sides, so building
+    * the plan runs no job, and composing this inside a larger lazy pipeline
+    * can't trigger an accidental eager pre-pass. The bin expressions take
+    * the width from that column instead of a literal; the equi-join keys on
+    * (`_bin`, `_w`) exactly as [[pointInInterval]] keys on `_bin`.
+    *
+    * Median ⇒ the typical interval explodes to ≤ 2 bins, so shuffle fan-out
+    * stays ~2× regardless of the span distribution's tail; a handful of
+    * outlier-wide intervals fan out more, which is the right trade. Hot
+    * paths that join the same interval set repeatedly should still call
+    * [[medianSpan]] once and use [[pointInInterval]] — the aggregate
+    * re-runs per action here (it is part of the plan). */
   def pointInIntervalAuto(points: DataFrame, intervals: DataFrame, pointCol: String,
-      startCol: String, endCol: String): DataFrame =
-    pointInInterval(points, intervals, pointCol, startCol, endCol,
-      medianSpan(intervals, startCol, endCol))
+      startCol: String, endCol: String): DataFrame = {
+    val valid = intervals.where(col(endCol) > col(startCol))
+    val medianW = valid
+      .agg(greatest(
+        coalesce(expr(s"percentile_approx($endCol - $startCol, 0.5)").cast("long"),
+          lit(1L)),
+        lit(1L)).as("_w"))
+    val binned = valid
+      .crossJoin(broadcast(medianW))
+      .withColumn("_bin",
+        explode(sequence(expr(s"$startCol DIV _w"), expr(s"($endCol - 1) DIV _w"))))
+    val p = points.crossJoin(broadcast(medianW))
+      .withColumn("_bin", expr(s"$pointCol DIV _w"))
+    p.join(binned, Seq("_bin", "_w"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_bin", "_w")
+  }
 }

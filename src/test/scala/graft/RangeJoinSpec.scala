@@ -44,6 +44,21 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("auto bin width builds lazily: no job runs at plan-build time") {
+    // Carried three rounds as a verdict nit: the auto variant used to run an
+    // eager one-row median job while BUILDING the plan, surprising inside a
+    // lazily-composed pipeline. The median is now part of the plan itself.
+    val sc = spark.sparkContext
+    sc.setJobGroup("rj-auto-lazy", "plan-build probe")
+    try {
+      val df = RangeJoin.pointInIntervalAuto(points, intervals, "pt", "s", "e")
+      Thread.sleep(500) // status store updates from the listener bus, async
+      assert(sc.statusTracker.getJobIdsForGroup("rj-auto-lazy").isEmpty,
+        "building the auto range-join plan ran an eager Spark job")
+      assert(df.count() == 5) // …and executing it still works, inside the group
+    } finally sc.clearJobGroup()
+  }
+
   test("plan shape: equi-join on the bin key, no nested-loop product") {
     val p = RangeJoin.pointInInterval(points, intervals, "pt", "s", "e", 10L)
       .queryExecution.executedPlan.toString
