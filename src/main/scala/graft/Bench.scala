@@ -78,7 +78,12 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
         "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // Total counts only CLEAN queries (no error across all repeats): a query
+    // that banked a timing and then errored mid-repeats keeps its per-query
+    // min in `queries` (and its message in `errors`) but is excluded here,
+    // so cross-round totals never silently compare a partially-failed run
+    // against a healthy one.
+    val total = results.collect { case (_, v, None) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"repeats":$repeats,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -268,7 +268,15 @@ private class FrameSliceReaderFactory extends PartitionReaderFactory {
         if (idx + 1 >= slice.to) false
         else {
           current = readFrame()
-          if (current == null) false else { idx += 1; true }
+          // EOF before the slice's end offset means the log was truncated or
+          // rewritten out of the append-only contract. The batch's end
+          // offset will still be committed, so ending the partition quietly
+          // would LOSE frames [idx+1, to) forever — fail loudly instead,
+          // matching the driver-side byteOffsetsOf require.
+          if (current == null) throw new IllegalStateException(
+            s"frame log truncated: EOF at frame ${idx + 1}, expected " +
+              s"${slice.to} (${slice.path})")
+          idx += 1; true
         }
       }
       override def get(): InternalRow =
