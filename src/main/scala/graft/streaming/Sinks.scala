@@ -54,8 +54,9 @@ object Sinks {
     * effective exactly-once. Readers see one atomic directory per batch;
     * `spark.read.parquet(path)` unions them. */
   def idempotentAppendSink(stream: DataFrame, path: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, outputMode: String = "append"): StreamingQuery =
     stream.writeStream
+      .outputMode(outputMode) // "update" when the stream is a stateful book
       .foreachBatch(idempotentBatchWriter(path))
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

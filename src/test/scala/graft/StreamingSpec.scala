@@ -175,6 +175,67 @@ class WagerBookSpec extends AnyFunSuite {
       .as[(String, String, Double)].collect().toSet
     assert(foldBook.values.map(w => (w.externalId, w.wagerId, w.stake)).toSet == batch)
   }
+
+  test("crash-replay: frame log → decode → book → idempotent sink survives a " +
+      "mid-stream kill and converges to the batch replay") {
+    // The composed exactly-once claim: every piece (source offset resume,
+    // at-least-once foreachBatch, idempotent batch dirs, keyed state in the
+    // checkpoint) is tested alone elsewhere; this runs the WHOLE pipeline,
+    // kills it mid-drain, restarts from the checkpoint, and asserts the
+    // final book equals the deterministic batch fold of the same log.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{from_json, to_json, struct}
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val commands = WagerBook.commandsFromEvents(events)
+    // Frame log: one JSON frame per command, in the (tsn, event_id) total
+    // order the book's per-batch sort assumes of an ordered command feed.
+    val frames = commands.orderBy($"tsn", $"event_id").select(to_json(struct(
+      $"tsn", $"event_id".as("eventId"), $"external_id".as("externalId"),
+      $"op", $"http", $"wager_id".as("wagerId"), $"stake"))).as[String].collect()
+    val dir = Files.createTempDirectory("crashreplay")
+    val log = dir.resolve("commands.jsonl")
+    Files.write(log, (frames.mkString("\n") + "\n").getBytes("UTF-8"))
+    val ckpt = dir.resolve("ckpt").toString
+    val outPath = dir.resolve("book").toString
+    val cmdSchema = org.apache.spark.sql.Encoders.product[Command].schema
+    def start() = {
+      val decoded = spark.readStream.format(graft.sources.FrameReplaySource.Name)
+        .option("path", log.toString)
+        .option("maxFramesPerBatch", math.max(frames.length / 10, 1))
+        .load()
+        .select(from_json($"raw", cmdSchema).as("c"))
+        .select("c.*").as[Command]
+      // nShards = 1 ⇒ every batch with input emits the FULL book, so the
+      // final book is exactly the rows of the highest emitting batch_id.
+      graft.streaming.Sinks.idempotentAppendSink(
+        WagerBook.stream(spark, decoded, nShards = 1),
+        outPath, ckpt, outputMode = "update")
+    }
+    // Run 1: kill once a few batch directories have landed.
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 60000
+    def batchDirs() = Option(new java.io.File(outPath).list())
+      .map(_.count(_.startsWith("batch_id="))).getOrElse(0)
+    while (batchDirs() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(batchDirs() < 10, "kill landed after the drain finished — not a mid-stream test")
+    // Run 2: same checkpoint; AvailableNow drains the remainder (an
+    // uncommitted batch replays into the same batch_id dir — idempotent).
+    val q2 = start()
+    assert(q2.awaitTermination(120000), "resumed drain must terminate")
+    val sunk = spark.read.parquet(outPath)
+    // batch_id is a DIRECTORY-inferred partition column (int-typed)
+    val lastBatch = sunk.agg(org.apache.spark.sql.functions.max($"batch_id".cast("long")))
+      .head().getLong(0)
+    val got = sunk.where($"batch_id" === lastBatch)
+      .select("externalId", "wagerId", "stake")
+      .as[(String, String, Double)].collect().toSet
+    val expectedBook = WagerBook.batchReplay(commands)
+      .as[(String, String, Double)].collect().toSet
+    assert(expectedBook.nonEmpty, "degenerate scenario: batch replay book is empty")
+    assert(got == expectedBook,
+      s"recovered book diverged: missing=${expectedBook -- got} extra=${got -- expectedBook}")
+  }
 }
 
 class EventStreamsSpec extends AnyFunSuite {
