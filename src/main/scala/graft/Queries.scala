@@ -1265,6 +1265,27 @@ object Queries {
         |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.2""".stripMargin
     })
 
+  /** Multi-probe variant: pairs straddling ONE hyperplane (Hamming-1
+    * buckets) are also found — the recall knob of the label-free path. A
+    * pair's bucket-XOR pattern is fixed, so probes can't double-count
+    * (see Dedup.embeddingNearDupsLshMultiProbe); deterministic ⇒ oracled. */
+  private val dedupEmbeddingLshMp = Q("dedup_embedding_lsh_mp",
+    (s, dir) => Dedup.embeddingNearDupsLshMultiProbe(Tables.embeddings(s, dir), 0.2),
+    Some {
+      val planes = Similarity.lshPlanes(6, 64)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM e),
+        |pa AS (SELECT vec_id, v, nrm, xor(bucket, flip) AS bucket
+        |       FROM n CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip))
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+        |FROM pa a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.2""".stripMargin
+    })
+
   private val textStats = Q("text_stats",
     (s, dir) => TextAnalysis.docStats(Tables.documents(s, dir)),
     Some(s"""WITH toks AS (SELECT *, $duckToks AS w FROM documents)
@@ -1571,7 +1592,7 @@ object Queries {
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
-    dedupEmbeddingLsh,
+    dedupEmbeddingLsh, dedupEmbeddingLshMp,
     pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,

@@ -362,6 +362,33 @@ object Dedup {
         .select(col("vec_id"), col("bucket").as("_block"), col("v")),
       minCosine)
 
+  /** Multi-probe variant of [[embeddingNearDupsLsh]]: pairs are also found
+    * across buckets at Hamming distance 1 (one flipped hyperplane sign) —
+    * the buckets a true near-dup most likely straddles, since a cosine→1
+    * pair disagrees on a plane only when the plane nearly bisects it.
+    * Candidate volume grows ×(nPlanes+1) (each of side A's rows probes its
+    * own bucket plus nPlanes flips); a pair (a,b) has ONE fixed bucket-XOR
+    * pattern, so it matches at most one probe and needs no dedup — same
+    * argument as [[Similarity.lshTopKMultiProbe]], and equally
+    * deterministic ⇒ fully oracle-checkable. */
+  def embeddingNearDupsLshMultiProbe(embeddings: DataFrame, minCosine: Double,
+      nPlanes: Int = 6): DataFrame = {
+    val corpus = Similarity.lshCorpus(embeddings, nPlanes)
+    val probeArr = array(
+      (col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+    val a = corpus
+      .select(col("vec_id"), col("v"), col("nrm"), explode(probeArr).as("_block"))
+      .alias("a")
+    val b = corpus.withColumnRenamed("bucket", "_block").alias("b")
+    import graft.functions.SimFns._
+    a.join(b, col("a._block") === col("b._block") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosinePrenormed(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4)
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Shared block-and-score body: within-`_block` pairs (vec_a < vec_b)
     * with round-4 cosine ≥ threshold. Input: (vec_id, _block, embedding)
     * or (vec_id, _block, v) with v already array<double>. */

@@ -137,6 +137,35 @@ class DedupSpec extends AnyFunSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // identical directions share every sign bit
   }
+
+  test("multi-probe LSH near-dup finds a pair straddling exactly one hyperplane") {
+    // Construct a near-dup pair the single-bucket block MUST miss: reflect
+    // vA across its weakest hyperplane (min |projection|), which flips that
+    // one sign bit exactly while moving the direction as little as any
+    // plane allows. Construction is checked in-test (hamming distance 1,
+    // cosine above threshold) so a failure localizes.
+    val planes = graft.operators.Similarity.lshPlanes(6, 64).map(_.toArray)
+    val vA = Array.tabulate(64)(i => math.sin(i * 2.3 + 1.0))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val k = planes.indices.minBy(p => math.abs(dot(vA, planes(p))))
+    val pk = planes(k)
+    val dk = dot(vA, pk)
+    val vB = vA.zipWithIndex.map { case (x, i) => x - 2.0 * dk / dot(pk, pk) * pk(i) }
+    def bucket(v: Array[Double]) =
+      planes.zipWithIndex.map { case (p, i) => if (dot(v, p) > 0) 1 << i else 0 }.sum
+    assert(Integer.bitCount(bucket(vA) ^ bucket(vB)) == 1, "construction: must straddle one plane")
+    val cos = dot(vA, vB) / math.sqrt(dot(vA, vA) * dot(vB, vB))
+    assert(cos >= 0.9, s"construction: reflection moved too far ($cos)")
+    val e = Seq((1L, vA.map(_.toFloat)), (2L, vB.map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val single = Dedup.embeddingNearDupsLsh(e, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val multi = Dedup.embeddingNearDupsLshMultiProbe(e, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(single.isEmpty, s"single-bucket blocking must miss the straddling pair: $single")
+    assert(multi == Set((1L, 2L)), s"multi-probe must find it exactly once: $multi")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
