@@ -1245,25 +1245,37 @@ object Queries {
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.2""".stripMargin))
 
+  /** DuckDB fragment for the label-free LSH near-dup pairs (vec_a, vec_b,
+    * cosine): same plane literals as sim_lsh_topk's oracle. `multiProbe`
+    * adds the Hamming-1 probe fan-out on side A (a pair's bucket-XOR is
+    * fixed, so no pair matches twice). */
+  private def duckLshPairsSql(multiProbe: Boolean, minCosine: Double): String = {
+    val planes = Similarity.lshPlanes(6, 64)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val aSide =
+      if (multiProbe)
+        """pa AS (SELECT vec_id, v, nrm, xor(bucket, flip) AS bucket
+          |       FROM n CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip)),""".stripMargin
+      else "pa AS (SELECT * FROM n),"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM e),
+      |$aSide
+      |lshp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+      |FROM pa a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= $minCosine)
+      |""".stripMargin
+  }
+
   /** Label-free near-dup (Dedup.embeddingNearDupsLsh): blocked by the
     * deterministic sign-LSH bucket instead of a label column — the variant
-    * that runs on an unlabeled 100 TB corpus. Same plane literals as
-    * sim_lsh_topk's oracle. Threshold 0.2 (matching dedup_embedding) keeps
-    * the within-bucket pair surface non-trivial at sf0.01. */
+    * that runs on an unlabeled 100 TB corpus. Threshold 0.2 (matching
+    * dedup_embedding) keeps the pair surface non-trivial at sf0.01. */
   private val dedupEmbeddingLsh = Q("dedup_embedding_lsh",
     (s, dir) => Dedup.embeddingNearDupsLsh(Tables.embeddings(s, dir), 0.2),
-    Some {
-      val planes = Similarity.lshPlanes(6, 64)
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM e)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.2""".stripMargin
-    })
+    Some(duckLshPairsSql(multiProbe = false, 0.2) + "SELECT * FROM lshp"))
 
   /** Multi-probe variant: pairs straddling ONE hyperplane (Hamming-1
     * buckets) are also found — the recall knob of the label-free path. A
@@ -1271,20 +1283,20 @@ object Queries {
     * (see Dedup.embeddingNearDupsLshMultiProbe); deterministic ⇒ oracled. */
   private val dedupEmbeddingLshMp = Q("dedup_embedding_lsh_mp",
     (s, dir) => Dedup.embeddingNearDupsLshMultiProbe(Tables.embeddings(s, dir), 0.2),
-    Some {
-      val planes = Similarity.lshPlanes(6, 64)
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM e),
-        |pa AS (SELECT vec_id, v, nrm, xor(bucket, flip) AS bucket
-        |       FROM n CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip))
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-        |FROM pa a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.2""".stripMargin
-    })
+    Some(duckLshPairsSql(multiProbe = true, 0.2) + "SELECT * FROM lshp"))
+
+  /** The end of the label-free pipeline: connected components over the
+    * multi-probe pair graph (pairs → clusters → min-id representative),
+    * against the same recursive-CTE oracle shape as dedup_clusters. */
+  private val dedupEmbeddingClusters = Q("dedup_embedding_clusters",
+    (s, dir) => Dedup.embeddingNearDupClusters(Tables.embeddings(s, dir), 0.2),
+    Some(s"""WITH RECURSIVE ${duckLshPairsSql(multiProbe = true, 0.2).stripPrefix("WITH ")},
+      |edges AS (SELECT vec_a AS a, vec_b AS b FROM lshp
+      |          UNION ALL SELECT vec_b, vec_a FROM lshp),
+      |reach AS (SELECT a AS node, b AS reached FROM edges
+      |          UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached)
+      |SELECT node AS vec_id, least(node, min(reached)) AS cluster
+      |FROM reach GROUP BY node""".stripMargin))
 
   private val textStats = Q("text_stats",
     (s, dir) => TextAnalysis.docStats(Tables.documents(s, dir)),
@@ -1592,7 +1604,7 @@ object Queries {
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
-    dedupEmbeddingLsh, dedupEmbeddingLshMp,
+    dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,

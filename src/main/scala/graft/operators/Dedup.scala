@@ -178,14 +178,44 @@ object Dedup {
     * Intermediate label frames are persisted per round and released after
     * use, so lineage doesn't snowball across iterations. */
   def nearDupClusters(documents: DataFrame, minJaccard: Double,
-      maxIters: Int = 50): DataFrame = {
-    val pairs = nearDupPairs(documents, minJaccard).select(col("doc_a"), col("doc_b"))
+      maxIters: Int = 50): DataFrame =
+    connectedComponents(
+      nearDupPairs(documents, minJaccard).select(col("doc_a"), col("doc_b")),
+      maxIters)
+
+  /** Label-free embedding near-dup CLUSTERS: connected components over the
+    * multi-probe LSH pair graph ([[embeddingNearDupsLshMultiProbe]]) — the
+    * end of the label-free dedup pipeline (pairs → components → keep the
+    * min-id representative per cluster). Output: (vec_id, cluster). */
+  def embeddingNearDupClusters(embeddings: DataFrame, minCosine: Double,
+      nPlanes: Int = 6, maxIters: Int = 50): DataFrame =
+    connectedComponents(
+      embeddingNearDupsLshMultiProbe(embeddings, minCosine, nPlanes)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      maxIters)
+      .withColumnRenamed("doc_id", "vec_id")
+
+  /** The shared min-label-propagation loop over a (doc_a, doc_b) pair
+    * graph; see [[nearDupClusters]] for the contract and scale notes.
+    *
+    * Lineage is TRUNCATED every round (`localCheckpoint`), not merely
+    * persisted: `next` references `labels` twice (directly and through
+    * `neighborMin`), so with caching alone the analyzed plan tree DOUBLES
+    * per round — a high-diameter graph (long near-dup chains) OOMs the
+    * driver on pure plan bookkeeping long before any executor works hard
+    * (found the hard way: 500 vectors, 1.4k edges, exponential plan).
+    * Checkpointing pins each round's frame as a leaf, keeping every
+    * round's plan O(1). The loop is already eager (per-round convergence
+    * count), so eager checkpoints change no semantics; a long-lived
+    * production job on a real cluster should prefer `checkpoint()` with a
+    * reliable checkpoint dir (localCheckpoint state dies with executors). */
+  private def connectedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -196,7 +226,7 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .where(col("n.label") =!= col("o.label")).count()

@@ -166,6 +166,27 @@ class DedupSpec extends AnyFunSuite {
     assert(single.isEmpty, s"single-bucket blocking must miss the straddling pair: $single")
     assert(multi == Set((1L, 2L)), s"multi-probe must find it exactly once: $multi")
   }
+
+  test("embedding near-dup clusters: components over the multi-probe pair graph") {
+    // Transitivity across buckets: A≈B within a bucket, B≈C across one
+    // plane — all three must land in one cluster labeled min(vec_id).
+    val e = Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val clusters = Dedup.embeddingNearDupClusters(e, 0.2)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Dedup.embeddingNearDupsLshMultiProbe(e, 0.2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "degenerate: no pairs at 0.2 on sf0.001")
+    // every paired vec is clustered, pairs share a cluster, label ≤ members
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.foreach { case (v, c) => assert(c <= v) }
+    // the label really is the component MINIMUM (min over each cluster = label)
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
