@@ -32,6 +32,35 @@ object Dedup {
     if (n == 0) BucketCapMetricPrefix else s"${BucketCapMetricPrefix}_$n"
   }
 
+  /** Prefix of the embedding block-cap observed metric (see
+    * [[embeddingNearDups]]); same prefix-matching contract as
+    * [[BucketCapMetricPrefix]]. */
+  val EmbedBlockCapMetricPrefix = "embed_block_cap"
+  private val embedCapCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def nextEmbedCapMetricName(): String = {
+    val n = embedCapCounter.getAndIncrement()
+    if (n == 0) EmbedBlockCapMetricPrefix else s"${EmbedBlockCapMetricPrefix}_$n"
+  }
+
+  /** Block-membership cap for the embedding pair ops — the same quadratic
+    * guard (and the same observable-truncation invariant) as
+    * [[minhashCandidates]]'s band buckets: every `_block` keeps its
+    * `maxBlock` smallest vec_ids, truncation is reported through an
+    * `embed_block_cap*` observed metric, and blocks under the cap are
+    * bit-identical to the unguarded result. */
+  private def capBlocks(blocked: DataFrame, maxBlock: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_block")).orderBy(col("vec_id"))
+    blocked
+      .withColumn("_brn", row_number().over(w))
+      .observe(nextEmbedCapMetricName(),
+        coalesce(sum(when(col("_brn") > maxBlock, 1L).otherwise(0L)),
+          lit(0L)).as("truncated_members"),
+        coalesce(max(col("_brn")), lit(0)).as("largest_block"))
+      .where(col("_brn") <= maxBlock)
+      .drop("_brn")
+  }
+
   /** Exact dedup: canonical survivor (min doc_id) per identical text, with
     * the md5 fingerprint and copy count. Hash-groupBy, map-side partial. */
   def exact(documents: DataFrame): DataFrame =
@@ -371,10 +400,11 @@ object Dedup {
     * Requires a pre-existing label column — on the (typical) unlabeled
     * 100 TB corpus use [[embeddingNearDupsLsh]], which derives its own
     * blocking key. */
-  def embeddingNearDups(embeddings: DataFrame, minCosine: Double): DataFrame =
+  def embeddingNearDups(embeddings: DataFrame, minCosine: Double,
+      maxBlock: Int = 10000): DataFrame =
     embeddingPairs(
       embeddings.select(col("vec_id"), col("label").as("_block"), col("embedding")),
-      minCosine)
+      minCosine, maxBlock)
 
   /** Label-free embedding near-dup: blocks by the sign-LSH bucket
     * ([[Similarity.lshCorpus]] — the sign pattern of `nPlanes` fixed random
@@ -386,11 +416,11 @@ object Dedup {
     * ~N/2^nPlanes vectors, bounding the quadratic self-join per bucket.
     * Deterministic (fixed planes) ⇒ fully oracle-checkable. */
   def embeddingNearDupsLsh(embeddings: DataFrame, minCosine: Double,
-      nPlanes: Int = 6): DataFrame =
+      nPlanes: Int = 6, maxBlock: Int = 10000): DataFrame =
     embeddingPairs(
       Similarity.lshCorpus(embeddings, nPlanes)
         .select(col("vec_id"), col("bucket").as("_block"), col("v")),
-      minCosine)
+      minCosine, maxBlock)
 
   /** Multi-probe variant of [[embeddingNearDupsLsh]]: pairs are also found
     * across buckets at Hamming distance 1 (one flipped hyperplane sign) —
@@ -402,15 +432,20 @@ object Dedup {
     * argument as [[Similarity.lshTopKMultiProbe]], and equally
     * deterministic ⇒ fully oracle-checkable. */
   def embeddingNearDupsLshMultiProbe(embeddings: DataFrame, minCosine: Double,
-      nPlanes: Int = 6): DataFrame = {
-    val corpus = Similarity.lshCorpus(embeddings, nPlanes)
+      nPlanes: Int = 6, maxBlock: Int = 10000): DataFrame = {
+    // Cap bucket membership ONCE on the corpus; both sides (and therefore
+    // the pair set) derive from the retained members, like the batch
+    // minhash path.
+    val corpus = capBlocks(
+      Similarity.lshCorpus(embeddings, nPlanes)
+        .withColumnRenamed("bucket", "_block"), maxBlock)
     val probeArr = array(
-      (col("bucket") +: (0 until nPlanes).map(p =>
-        col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+      (col("_block") +: (0 until nPlanes).map(p =>
+        col("_block").bitwiseXOR(lit(1 << p)))): _*)
     val a = corpus
       .select(col("vec_id"), col("v"), col("nrm"), explode(probeArr).as("_block"))
       .alias("a")
-    val b = corpus.withColumnRenamed("bucket", "_block").alias("b")
+    val b = corpus.alias("b")
     import graft.functions.SimFns._
     a.join(b, col("a._block") === col("b._block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -420,15 +455,18 @@ object Dedup {
   }
 
   /** Shared block-and-score body: within-`_block` pairs (vec_a < vec_b)
-    * with round-4 cosine ≥ threshold. Input: (vec_id, _block, embedding)
-    * or (vec_id, _block, v) with v already array<double>. */
-  private def embeddingPairs(blocked: DataFrame, minCosine: Double): DataFrame = {
+    * with round-4 cosine ≥ threshold, each block capped at its `maxBlock`
+    * smallest vec_ids ([[capBlocks]] — observable truncation). Input:
+    * (vec_id, _block, embedding) or (vec_id, _block, v) with v already
+    * array<double>. */
+  private def embeddingPairs(blocked: DataFrame, minCosine: Double,
+      maxBlock: Int): DataFrame = {
     import graft.functions.SimFns._
     val e =
       if (blocked.columns.contains("v")) blocked
       else blocked.withColumn("v", toDouble(col("embedding"))).drop("embedding")
-    val withNorm = e.select(col("vec_id"), col("_block"), col("v"),
-      l2Norm(col("v")).as("nrm"))
+    val withNorm = capBlocks(e, maxBlock)
+      .select(col("vec_id"), col("_block"), col("v"), l2Norm(col("v")).as("nrm"))
     val a = withNorm.alias("a"); val b = withNorm.alias("b")
     a.join(b, col("a._block") === col("b._block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

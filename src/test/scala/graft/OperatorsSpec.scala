@@ -167,6 +167,34 @@ class DedupSpec extends AnyFunSuite {
     assert(multi == Set((1L, 2L)), s"multi-probe must find it exactly once: $multi")
   }
 
+  test("embedding block cap bounds quadratic blocks, observably; inert below the cap") {
+    // Same invariant as the minhash band-bucket cap, on the embedding side:
+    // 5 identical vectors in one label block, cap 2 → only the (1,2) pair
+    // survives and the metric reports the 3 dropped members.
+    val vA = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    val e = (1L to 5L).map(i => (i, vA.clone(), 0)).toDF("vec_id", "embedding", "label")
+    val capped = Dedup.embeddingNearDups(e, 0.9, maxBlock = 2)
+    // execute THIS plan (a derived .select would run its own QueryExecution
+    // and the observed metric would read 0 — the documented trap)
+    val rows = capped.collect()
+    val pairs = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs == Set((1L, 2L)), s"cap must keep the 2 smallest ids: $pairs")
+    val m = capped.queryExecution.observedMetrics.collectFirst {
+      case (k, v) if k.startsWith(Dedup.EmbedBlockCapMetricPrefix) => v
+    }.get
+    assert(m.getAs[Long]("truncated_members") == 3L)
+    assert(m.getAs[Int]("largest_block") == 5)
+    // below the cap: bit-identical to the unguarded result
+    val loose = Dedup.embeddingNearDups(e, 0.9, maxBlock = 1000)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(loose == (1L to 5L).combinations(2).map(s => (s(0), s(1))).toSet)
+    // and the multi-probe path caps its buckets the same way
+    val mp = Dedup.embeddingNearDupsLshMultiProbe(
+      e.drop("label"), 0.9, maxBlock = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(mp == Set((1L, 2L)), s"multi-probe cap: $mp")
+  }
+
   test("embedding near-dup clusters: components over the multi-probe pair graph") {
     // Transitivity across buckets: A≈B within a bucket, B≈C across one
     // plane — all three must land in one cluster labeled min(vec_id).
