@@ -1388,6 +1388,51 @@ object Queries {
       |  list_max(list_transform(sh, s -> md5(s))) AS max_shingle
       |FROM sh""".stripMargin))
 
+  /** Intra-doc repetition stats (TextAnalysis.repetitionStats): the
+    * Gopher-style duplicate/top n-gram fractions as basis-point floors.
+    * Count ratios are exact-int IEEE divisions — identical doubles both
+    * engines. */
+  private val textRepetition = Q("text_repetition",
+    (s, dir) => TextAnalysis.repetitionStats(Tables.documents(s, dir)),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |sh AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM toks),
+      |occ AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |g AS (SELECT doc_id, s, count(*) AS cnt FROM occ GROUP BY doc_id, s)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shingles,
+      |  CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top_n,
+      |  CAST(floor((1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) * 10000) AS BIGINT) AS dup_bp,
+      |  CAST(floor((CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) * 10000) AS BIGINT) AS top_frac_bp
+      |FROM g GROUP BY doc_id""".stripMargin))
+
+  /** Benchmark decontamination (TextAnalysis.contamination): training docs
+    * sharing ≥ 2 distinct 3-gram shingles with the doc_id%11 "eval set". */
+  private val textContamination = Q("text_contamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contamination(
+        docs.where(pmod(col("doc_id"), lit(11)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(11)) === 0))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |sh AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM toks),
+      |dsh AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+      |bench AS (SELECT doc_id AS bench_id, s FROM dsh WHERE doc_id % 11 = 0),
+      |train AS (SELECT doc_id, s FROM dsh WHERE doc_id % 11 <> 0)
+      |SELECT t.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS shared_shingles
+      |FROM train t JOIN bench b USING (s)
+      |GROUP BY t.doc_id, b.bench_id HAVING count(*) >= 2""".stripMargin))
+
+  /** Deterministic per-source mixture sampling (TextAnalysis.mixtureSample):
+    * md5-uniform vs a per-source keep rate, the training-mix weighting
+    * step; same portable-hash idiom as f_hash_sample. */
+  private val textMixtureSample = Q("text_mixture_sample",
+    (s, dir) => TextAnalysis.mixtureSample(Tables.documents(s, dir),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id"), col("source")),
+    Some("""SELECT doc_id, source FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) / 16777216.0 <
+      |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin))
+
   private val simBruteTopk = Q("sim_brute_topk",
     (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1608,6 +1653,7 @@ object Queries {
     pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
+    textRepetition, textContamination, textMixtureSample,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -149,4 +149,74 @@ object TextAnalysis {
         least(col("n") - col("chunk_idx") * stride, lit(chunkTokens))
           .cast("int").as("chunk_tokens"))
   }
+
+  /** Intra-document repetition stats — the classic repetition quality
+    * filters (duplicate n-gram fraction, most-frequent-n-gram fraction; cf.
+    * the Gopher/MassiveText repetition rules): per document, the total /
+    * distinct / most-frequent n-gram shingle counts, with the two fractions
+    * as basis-point floors (the portable cross-engine form for rational
+    * ratios — see [[docStats]]). One explode + two hash aggregates, both
+    * with map-side partials; every document appears ([[TextFns.shingles]]
+    * falls back to a single whole-text shingle below n tokens). */
+  def repetitionStats(documents: DataFrame, n: Int = 3): DataFrame = {
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    val sh = Stage(toks.select(col("doc_id"), col("w")),
+      "sh", TextFns.shingles(col("w"), n))
+    sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_n"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"), col("top_n"),
+        TextFns.basisPoints(lit(1.0) - col("n_distinct") / col("n_shingles"))
+          .as("dup_bp"),
+        TextFns.basisPoints(col("top_n") / col("n_shingles"))
+          .as("top_frac_bp"))
+  }
+
+  /** Benchmark decontamination — flag training documents that share at
+    * least `minShared` DISTINCT n-gram shingles with any benchmark/eval
+    * document (the standard leakage check before training). The benchmark
+    * side is an eval set — small by nature — so its (shingle, bench_id)
+    * table is broadcast and the whole check is one broadcast hash join +
+    * hash aggregate, linear in corpus size with no shuffle of the corpus
+    * shingles. Output: (doc_id, bench_id, shared_shingles), one row per
+    * contaminated (train, bench) pair. */
+  def contamination(documents: DataFrame, benchmark: DataFrame, n: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    def distinctShingles(df: DataFrame, idAs: String): DataFrame = {
+      val toks = Stage(df.select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text")))
+      Stage(toks.select(col("doc_id"), col("w")),
+        "sh", TextFns.shingles(col("w"), n))
+        .select(col("doc_id").as(idAs),
+          explode(array_distinct(col("sh"))).as("s"))
+    }
+    distinctShingles(documents, "doc_id")
+      .join(broadcast(distinctShingles(benchmark, "bench_id")), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .where(col("shared_shingles") >= minShared)
+  }
+
+  /** Deterministic mixture sampling — per-source keep rates (the
+    * source-weighting step of training-mix construction): a document
+    * survives iff its md5-uniform (24 bits of md5(doc_id), the same
+    * seeded-PRNG stand-in as f_hash_sample / trainSplit) falls below its
+    * source's rate. Pure projection + filter: reproducible across runs,
+    * partitionings and engines, and growing the corpus never resamples
+    * existing documents. Sources absent from `rates` get `defaultRate`. */
+  def mixtureSample(documents: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    documents.where(u < rate)
+  }
 }

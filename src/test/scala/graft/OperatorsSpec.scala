@@ -359,6 +359,56 @@ class TextAnalysisSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("repetitionStats: planted repetition vs distinct shingles") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),            // 2-gram-free? n=3: all "spam spam spam"
+      (2L, "one two three four five six seven")    // all distinct
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetitionStats(docs, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 3 shingles, all "spam spam spam" → 1 distinct, top 3
+    assert(out(1L).getAs[Long]("n_shingles") == 3L)
+    assert(out(1L).getAs[Long]("n_distinct") == 1L)
+    assert(out(1L).getAs[Long]("top_n") == 3L)
+    assert(out(1L).getAs[Long]("dup_bp") == 6666L)      // floor((1-1/3)*1e4)
+    assert(out(1L).getAs[Long]("top_frac_bp") == 10000L)
+    // doc 2: 5 shingles, all distinct
+    assert(out(2L).getAs[Long]("n_shingles") == 5L)
+    assert(out(2L).getAs[Long]("n_distinct") == 5L)
+    assert(out(2L).getAs[Long]("dup_bp") == 0L)
+    assert(out(2L).getAs[Long]("top_frac_bp") == 2000L) // floor(1/5*1e4)
+  }
+
+  test("contamination: flags the doc sharing >= minShared shingles with the benchmark") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 2 shingles with bench 100
+      (2L, "totally unrelated text here now") // shares none
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.contamination(train, bench, n = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L, 2L)),
+      s"expected exactly the planted contamination pair: $out")
+  }
+
+  test("mixtureSample: per-source rates are respected deterministically") {
+    val docs = (1L to 300L).map(i =>
+      (i, s"doc $i", Seq("a", "b", "c")(((i - 1) % 3).toInt))).toDF("doc_id", "text", "source")
+    val kept = graft.operators.TextAnalysis.mixtureSample(docs,
+        Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("a", 0) == 100, s"rate 1.0 keeps every a-doc: $bySrc")
+    assert(!bySrc.contains("b"), s"rate 0.0 drops every b-doc: $bySrc")
+    val c = bySrc.getOrElse("c", 0)
+    assert(c > 20 && c < 80, s"default 0.5 keeps roughly half the c-docs: $c")
+    // deterministic: a second run is identical
+    val again = graft.operators.TextAnalysis.mixtureSample(docs,
+        Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
+
   test("classSample: exactly k per class (or all, when the class is smaller)") {
     val docs = (Seq.tabulate(20)(i => (i.toLong, "en")) ++
       Seq((100L, "fr"), (101L, "fr"))).map { case (id, l) => (id, l, s"text $id") }
