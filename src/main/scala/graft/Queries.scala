@@ -1433,6 +1433,70 @@ object Queries {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) / 16777216.0 <
       |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin))
 
+  /** PII scrub (TextAnalysis.piiRedact). The synthetic corpus contains no
+    * PII, so the query plants one deterministic email / IPv4 / phone per
+    * document from its own key columns (same expression in both engines)
+    * and the oracle re-runs the identical regex chain in DuckDB — the
+    * patterns are written in the Java-regex ∩ RE2 syntax subset
+    * (TextFns.PiiPatterns) precisely so both engines match the same spans. */
+  private val textPiiRedact = Q("text_pii_redact",
+    (s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+        lit(" call 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("doc_id") * 3, lit(10000)).cast("string"), 4, "0")).as("text"))
+      TextAnalysis.piiRedact(planted)
+    },
+    Some {
+      val counts = TextFns.PiiPatterns.map { case (label, pat, _) =>
+        s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_${label}s"
+      }.mkString(",\n      |  ")
+      val redact = TextFns.PiiPatterns.foldLeft("t") { case (acc, (_, pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      s"""WITH raw AS (SELECT doc_id, text
+      |  || ' contact user' || CAST(doc_id AS VARCHAR)
+      |  || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+      |  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |  || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |  || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  $counts,
+      |  $redact AS redacted
+      |FROM raw""".stripMargin
+    })
+
+  /** Gopher-style quality gate (TextAnalysis.qualityRules) with bounds
+    * fitted to the synthetic corpus (10–200 tokens). All comparisons are
+    * exact integer arithmetic — no float division reaches the output. */
+  private val textQualityRules = Q("text_quality_rules",
+    (s, dir) => TextAnalysis.qualityRules(Tables.documents(s, dir),
+      minTokens = 10, maxTokens = 200),
+    Some(s"""WITH toks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(array_to_string(w, '')) AS BIGINT) AS sum_wlen,
+      |  CAST(len(list_filter(w, t -> list_contains(['the','of','and','to','in','is','a'], t))) AS BIGINT) AS stop_hits,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+      |  CAST(length(text) AS BIGINT) AS n_chars FROM toks)
+      |SELECT doc_id, n_tokens,
+      |  CAST(n_tokens >= 10 AND n_tokens <= 200 AS INTEGER) AS ok_len,
+      |  CAST(n_tokens > 0 AND sum_wlen >= 3 * n_tokens AND sum_wlen <= 10 * n_tokens AS INTEGER) AS ok_word_len,
+      |  CAST(stop_hits >= 1 AS INTEGER) AS ok_stopword,
+      |  CAST(n_alpha * 10 >= n_chars * 7 AS INTEGER) AS ok_alpha,
+      |  CAST(n_tokens >= 10 AND n_tokens <= 200
+      |    AND n_tokens > 0 AND sum_wlen >= 3 * n_tokens AND sum_wlen <= 10 * n_tokens
+      |    AND stop_hits >= 1 AND n_alpha * 10 >= n_chars * 7 AS INTEGER) AS keep
+      |FROM m""".stripMargin))
+
   private val simBruteTopk = Q("sim_brute_topk",
     (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1654,6 +1718,7 @@ object Queries {
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
+    textPiiRedact, textQualityRules,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -180,6 +180,29 @@ object TextFns {
   def bpeTokenEstimate(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** PII scrub patterns — (label, regex, replacement). Written in the
+    * syntax subset shared by Java regex (Spark executes these) and RE2
+    * (the DuckDB oracle re-executes them): no lookaround, no
+    * backreferences, ASCII classes only, so both engines match the exact
+    * same spans. Order matters and is the order applied: emails first
+    * (their host part would otherwise feed the dotted-quad pattern),
+    * then dotted-quad IPs, then NANP-shaped phone numbers. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>"))
+
+  /** Replace every [[PiiPatterns]] match with its placeholder — three
+    * chained codegen'd regexp_replace calls, narrow per-row work. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+
+  /** Match count for one PII pattern (audit column next to the scrub). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Document fingerprint (winnowing-lite): md5 of the normalized text plus
     * the min/max salted-md5 over word 5-gram shingles. */
   def fingerprint(text: Column): Column = {

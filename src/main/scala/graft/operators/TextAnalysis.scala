@@ -208,6 +208,57 @@ object TextAnalysis {
     * source's rate. Pure projection + filter: reproducible across runs,
     * partitionings and engines, and growing the corpus never resamples
     * existing documents. Sources absent from `rates` get `defaultRate`. */
+  /** PII scrub (training-corpus hygiene): redact every
+    * [[TextFns.PiiPatterns]] match in `textCol` and emit per-pattern match
+    * counts next to the scrubbed text. Purely narrow per-row regex work —
+    * three codegen'd regexp_replace + three regexp_extract_all — so the
+    * scrub streams over a 100 TB scan with no shuffle and composes with
+    * predicate pushdown on the other columns. */
+  def piiRedact(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = TextFns.PiiPatterns.map { case (label, pat, _) =>
+      TextFns.piiCount(col(textCol), pat).as(s"n_${label}s")
+    }
+    documents.select(
+      (col("doc_id") +: counts :+ TextFns.redactPii(col(textCol)).as("redacted")): _*)
+  }
+
+  /** Gopher-style cheap quality gate (Rae et al. 2021, appendix A —
+    * adapted to the whitespace tokenizer): per-rule integer flags plus the
+    * composite `keep`, all narrow per-row expressions (no shuffle) so the
+    * gate runs inside the scan stage of a 100 TB pipeline. Rules:
+    *   ok_len       — token count within [minTokens, maxTokens];
+    *   ok_word_len  — mean word length within [3, 10] chars, tested as
+    *                  exact integer cross-multiplication (3·n ≤ Σlen ≤
+    *                  10·n) so no float division can split the engines;
+    *   ok_stopword  — at least one English stop/marker word present;
+    *   ok_alpha     — alphabetic chars ≥ 70% of characters (10·alpha ≥
+    *                  7·chars, same exact-rational trick).
+    * Flags are INT 0/1 (portable hashing) and `keep` is their conjunction. */
+  def qualityRules(documents: DataFrame, minTokens: Int = 10,
+      maxTokens: Int = 100000): DataFrame = {
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    val m = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      length(array_join(col("w"), "")).cast("long").as("sum_wlen"),
+      TextFns.markerHits(col("w"), TextFns.LangMarkers.head._2)
+        .cast("long").as("stop_hits"),
+      regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("n_alpha"),
+      length(col("text")).cast("long").as("n_chars"))
+    val okLen = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
+    val okWordLen = col("n_tokens") > 0 &&
+      col("sum_wlen") >= col("n_tokens") * 3 &&
+      col("sum_wlen") <= col("n_tokens") * 10
+    val okStopword = col("stop_hits") >= 1
+    val okAlpha = col("n_alpha") * 10 >= col("n_chars") * 7
+    m.select(col("doc_id"), col("n_tokens"),
+      okLen.cast("int").as("ok_len"),
+      okWordLen.cast("int").as("ok_word_len"),
+      okStopword.cast("int").as("ok_stopword"),
+      okAlpha.cast("int").as("ok_alpha"),
+      (okLen && okWordLen && okStopword && okAlpha).cast("int").as("keep"))
+  }
+
   def mixtureSample(documents: DataFrame, rates: Map[String, Double],
       defaultRate: Double = 0.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),

@@ -409,6 +409,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept.toSet == again.toSet)
   }
 
+  test("piiRedact: plants are scrubbed, counts match, clean text untouched") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.org or bob@x.io today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 rebooted"),
+      (3L, "call +1 555-123-4567 or 555 987 6543 now"),
+      (4L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2)
+    assert(out(0).getAs[String]("redacted") == "mail me at <EMAIL> or <EMAIL> today")
+    assert(out(1).getAs[Long]("n_ips") == 2)
+    assert(out(1).getAs[String]("redacted") == "server <IP> and <IP> rebooted")
+    assert(out(2).getAs[Long]("n_phones") == 2)
+    assert(out(2).getAs[String]("redacted") == "call +1 <PHONE> or <PHONE> now")
+    assert(out(3).getAs[String]("redacted") == "no pii here at all")
+    assert(out(3).getAs[Long]("n_emails") + out(3).getAs[Long]("n_ips") +
+      out(3).getAs[Long]("n_phones") == 0)
+  }
+
+  test("qualityRules: each rule trips on its own planted violation") {
+    val long = ("the " + ("wordy " * 30)).trim              // all rules pass
+    val short = "the tiny one"                              // < minTokens
+    val longWords = "the " + Seq.fill(15)("supercalifragilistic").mkString(" ")
+    val noStop = Seq.fill(12)("zork").mkString(" ")         // no stopword
+    val digits = "the " + Seq.fill(15)("123456").mkString(" ") // alpha < 70%
+    val docs = Seq((1L, long), (2L, short), (3L, longWords), (4L, noStop),
+      (5L, digits)).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityRules(docs, minTokens = 10, maxTokens = 200)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("keep") == 1, "clean doc passes every rule")
+    assert(r(1).getAs[Int]("ok_len") == 0 && r(1).getAs[Int]("keep") == 0)
+    assert(r(2).getAs[Int]("ok_word_len") == 0, "mean word length > 10 chars")
+    assert(r(3).getAs[Int]("ok_stopword") == 0)
+    assert(r(4).getAs[Int]("ok_alpha") == 0, "digit soup fails the alpha ratio")
+    // the planted violation is the ONLY failed rule for docs 3-5
+    for (i <- 2 to 4)
+      assert(Seq("ok_len", "ok_word_len", "ok_stopword", "ok_alpha")
+        .map(r(i).getAs[Int]).sum == 3, s"doc ${i + 1} fails exactly one rule")
+  }
+
   test("classSample: exactly k per class (or all, when the class is smaller)") {
     val docs = (Seq.tabulate(20)(i => (i.toLong, "en")) ++
       Seq((100L, "fr"), (101L, "fr"))).map { case (id, l) => (id, l, s"text $id") }
