@@ -1474,6 +1474,59 @@ object Queries {
       |FROM raw""".stripMargin
     })
 
+  /** Paragraph-level exact dedup (TextAnalysis.paragraphDedup): global
+    * first-occurrence keep over 20-token paragraphs, per-doc reassembly.
+    * The oracle mirrors the same chunking arithmetic as pipeline_chunk_docs
+    * (overlap 0) plus the first-occurrence window and an ordered
+    * string_agg. */
+  private val dedupParagraphs = Q("dedup_paragraphs",
+    (s, dir) => TextAnalysis.paragraphDedup(Tables.documents(s, dir),
+      paraTokens = 20),
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |sized AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n FROM t WHERE len(w) > 0),
+      |counted AS (SELECT doc_id, w,
+      |  CAST(((n + 19) - ((n + 19) % 20)) / 20 AS INTEGER) AS n_paras FROM sized),
+      |ex AS (SELECT doc_id, w, n_paras,
+      |  CAST(unnest(generate_series(0, n_paras - 1)) AS INTEGER) AS pos FROM counted),
+      |para AS (SELECT doc_id, n_paras, pos,
+      |  array_to_string(list_slice(w, pos * 20 + 1, pos * 20 + 20), ' ') AS para FROM ex),
+      |first AS (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      |  FROM para)
+      |SELECT doc_id, max(n_paras) AS n_paras, count(*) AS n_kept,
+      |  string_agg(para, ' ' ORDER BY pos) AS clean_text
+      |FROM first WHERE rn = 1 GROUP BY doc_id""".stripMargin))
+
+  /** Per-document TF-IDF top terms (TextAnalysis.tfidfTopTerms): ranked by
+    * the exact integer score (tf·1e6) div (df+1) with a term tie-break —
+    * no float log reaches the comparison, so both engines rank
+    * identically. */
+  private val textTfidf = Q("text_tfidf_topk",
+    (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |occ AS (SELECT doc_id, unnest(w) AS term FROM toks),
+      |g AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+      |s AS (SELECT g.doc_id, g.term, g.tf, dfreq.df,
+      |  (g.tf * 1000000) // (dfreq.df + 1) AS score_ppm
+      |  FROM g JOIN dfreq USING (term)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY score_ppm DESC, term) AS rnk FROM s)
+      |SELECT doc_id, term, tf, df, CAST(score_ppm AS BIGINT) AS score_ppm,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3""".stripMargin))
+
+  /** Deterministic shard assignment audit (TextAnalysis.shardStats): the
+    * md5-uniform mod-nShards layout a training write uses, with per-shard
+    * doc / token / source balance. */
+  private val textShardStats = Q("text_shard_stats",
+    (s, dir) => TextAnalysis.shardStats(Tables.documents(s, dir), nShards = 8),
+    Some(s"""WITH sh AS (SELECT
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 8 AS shard,
+      |  source, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)
+      |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM sh GROUP BY shard""".stripMargin))
+
   /** Gopher-style quality gate (TextAnalysis.qualityRules) with bounds
     * fitted to the synthetic corpus (10–200 tokens). All comparisons are
     * exact integer arithmetic — no float division reaches the output. */
@@ -1718,7 +1771,7 @@ object Queries {
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
-    textPiiRedact, textQualityRules,
+    textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFns
 import graft.plans.Stage
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.10):
@@ -149,6 +150,94 @@ object TextAnalysis {
         least(col("n") - col("chunk_idx") * stride, lit(chunkTokens))
           .cast("int").as("chunk_tokens"))
   }
+
+  /** Paragraph-level exact dedup — the ExactSubstr-lite pass a training
+    * corpus runs AFTER document-level dedup: split every document into
+    * fixed-size token "paragraphs", keep only the globally-first occurrence
+    * of each distinct paragraph (first = lowest (doc_id, pos)), and
+    * reassemble the survivors per document in order. Documents whose every
+    * paragraph already appeared elsewhere vanish from the output (they are
+    * exact-duplicate content by construction).
+    *
+    * Plan at scale: one narrow explode; ONE shuffle keyed on the paragraph
+    * text for the first-occurrence window (rank-limit ⇒ WindowGroupLimit
+    * prunes each group map-side to 1 row before the exchange); one shuffle
+    * back on doc_id for ordered reassembly. Both keys are near-uniform
+    * (paragraph text, doc id) — no broadcast, no skew. */
+  def paragraphDedup(documents: DataFrame, paraTokens: Int = 20): DataFrame = {
+    require(paraTokens > 0, s"need paraTokens > 0, got $paraTokens")
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+      .withColumn("n", size(col("w")))
+      .where(col("n") > 0)
+    val padded = col("n") + lit(paraTokens - 1)
+    val nParas = ((padded - pmod(padded, lit(paraTokens))) / lit(paraTokens))
+      .cast("int")
+    val paras = toks
+      .withColumn("n_paras", nParas)
+      .withColumn("pos", explode(sequence(lit(0), col("n_paras") - 1)))
+      .select(col("doc_id"), col("n_paras"), col("pos"),
+        array_join(slice(col("w"), col("pos") * paraTokens + 1, lit(paraTokens)), " ")
+          .as("para"))
+    val first = paras.withColumn("rn", row_number().over(
+      Window.partitionBy(col("para")).orderBy(col("doc_id"), col("pos"))))
+      .where(col("rn") === 1)
+    first.groupBy(col("doc_id"))
+      .agg(max(col("n_paras")).as("n_paras"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")), " ").as("clean_text"))
+  }
+
+  /** Per-document TF-IDF top-k terms. The rank key is
+    * `score_ppm = (tf * 1e6) div (df + 1)` — an exact integer encoding of
+    * the tf/(df+1) order (the corpus-size factor of idf is a per-corpus
+    * constant and cannot reorder terms within a document), so ranking is
+    * bit-identical cross-engine with no float log anywhere. Plan: explode →
+    * two hash aggregates (map-side partials shrink the shuffle to
+    * |doc×vocab| then |vocab|) → join on term (vocab side is small after
+    * aggregation — AQE broadcasts it) → per-doc rank-limit window
+    * (WindowGroupLimit). */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(docFreq, "term")
+      .withColumn("score_ppm", expr("(tf * 1000000) div (df + 1)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_ppm").desc, col("term"))))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_ppm"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Deterministic output sharding for training-data writes: shard =
+    * md5-uniform(doc_id) mod nShards — the same portable-hash idiom as
+    * mixtureSample / f_hash_sample, so growing the corpus never moves an
+    * already-written document between shards. The write path repartitions
+    * on `shard`; [[shardStats]] is the balance audit. */
+  def assignShards(documents: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    documents.withColumn("shard", pmod(u, lit(nShards.toLong)))
+  }
+
+  /** Per-shard balance audit over [[assignShards]]: doc count, token
+    * budget, and source spread per shard. One hash aggregate with map-side
+    * partials — output cardinality is nShards. */
+  def shardStats(documents: DataFrame, nShards: Int = 8): DataFrame =
+    assignShards(documents, nShards)
+      .select(col("shard"), col("source"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        countDistinct(col("source")).as("n_sources"))
 
   /** Intra-document repetition stats — the classic repetition quality
     * filters (duplicate n-gram fraction, most-frequent-n-gram fraction; cf.

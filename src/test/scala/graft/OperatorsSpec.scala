@@ -409,6 +409,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept.toSet == again.toSet)
   }
 
+  test("paragraphDedup: later copies of a paragraph are dropped, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // paras (size 4): "a b c d", "e f g h"
+      (2L, "a b c d x y z w"),            // first para duplicates doc 1's
+      (3L, "a b c d e f g h"),            // exact dup of doc 1 → vanishes
+      (4L, "q r s")).toDF("doc_id", "text") // short doc: single ragged para
+    val out = TextAnalysis.paragraphDedup(docs, paraTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 4L), "doc 3 vanishes")
+    assert(out(0).getAs[String]("clean_text") == "a b c d e f g h")
+    assert(out(0).getAs[Int]("n_paras") == 2 && out(0).getAs[Long]("n_kept") == 2)
+    assert(out(1).getAs[String]("clean_text") == "x y z w", "duplicate head para dropped")
+    assert(out(1).getAs[Int]("n_paras") == 2 && out(1).getAs[Long]("n_kept") == 1)
+    assert(out(2).getAs[String]("clean_text") == "q r s")
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones; tie-break on term") {
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2 rare2"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rnk")
+      .select("doc_id", "term", "rnk").as[(Long, String, Long)].collect()
+    // doc 1: rare1 df=1 score 1e6/2=500000 beats common tf=2 df=3 → 500000?
+    // common tf=2: 2e6/4 = 500000 — exact tie with rare1 → term asc wins.
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq("common", "rare1"))
+    assert(out.filter(_._1 == 2L).head._2 == "rare2", "tf=2 rare term dominates")
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq == Seq("filler", "common"))
+  }
+
+  test("shardStats: every doc lands in exactly one shard, stats add up, stable on rerun") {
+    val docs = (1L to 200L).map(i => (i, s"tok$i tok tok", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val st = TextAnalysis.shardStats(docs, nShards = 4).collect()
+    assert(st.map(_.getAs[Long]("shard")).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(st.map(_.getAs[Long]("n_docs")).sum == 200L)
+    assert(st.map(_.getAs[Long]("sum_tokens")).sum == 600L)
+    // deterministic + stable under growth: adding docs never moves old ones
+    val a = TextAnalysis.assignShards(docs, 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val grown = TextAnalysis.assignShards(
+      docs.union(Seq((999L, "x", "s")).toDF("doc_id", "text", "source")), 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(a.forall { case (id, s) => grown(id) == s })
+  }
+
   test("piiRedact: plants are scrubbed, counts match, clean text untouched") {
     val docs = Seq(
       (1L, "mail me at jane.doe+spam@corp.example.org or bob@x.io today"),

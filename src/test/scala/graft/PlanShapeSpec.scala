@@ -36,6 +36,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
   }
 
+  test("paragraph dedup: rank-limit pushes a map-side WindowGroupLimit; no product joins") {
+    val p = plan(graft.operators.TextAnalysis.paragraphDedup(
+      Tables.documents(spark, sf), paraTokens = 20))
+    assert(p.contains("WindowGroupLimit"), "first-occurrence window lost its rank-limit pushdown")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tfidf: vocab side of the term join stays broadcast-or-hash, never a product") {
+    val p = plan(graft.operators.TextAnalysis.tfidfTopTerms(
+      Tables.documents(spark, sf), k = 3))
+    assert(p.contains("HashJoin"), s"term join must be a hash join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"), "per-doc rank-limit pushdown missing")
+  }
+
   test("ivf cell assignment is a hash aggregate, not a per-vector window") {
     val p = plan(Similarity.ivfTopK(Tables.embeddings(spark, sf), 10, 20))
     assert(!p.contains("windowspecdefinition(vec_id"),
