@@ -1527,6 +1527,54 @@ object Queries {
       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
       |FROM sh GROUP BY shard""".stripMargin))
 
+  /** Strict-order funnel per user (Funnel.userFunnel): the Spark side is a
+    * single-shuffle sorted fold; the oracle is the equivalent cascaded
+    * min-join formulation (step i = min ts of its type strictly after step
+    * i-1), so the two independently-derived forms must agree row-for-row. */
+  private val eFunnelUsers = Q("e_funnel_users",
+    (s, dir) => Funnel.userFunnel(
+      // µs granularity: DuckDB reads the parquet nanos column at µs
+      // precision (same normalization as t_session_windows), so the
+      // strict-order comparisons must run on the SAME clock both sides.
+      Tables.events(s, dir).withColumn("ts", expr("ts div 1000")),
+      Seq("view", "click", "purchase")),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events
+      | WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.tus) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.tus > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.tus) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.tus > s2.t2 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT u.user_id, s1.t1 AS t_view, s2.t2 AS t_click, s3.t3 AS t_purchase,
+      |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+      |       WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS steps_completed
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |  LEFT JOIN s3 USING (user_id)""".stripMargin))
+
+  /** Funnel stage summary (Funnel.funnelSummary): users reaching each
+    * stage + conversion from the previous stage in basis-point floors
+    * (exact integer division both sides). */
+  private val eFunnelSummary = Q("e_funnel_summary",
+    (s, dir) => Funnel.funnelSummary(
+      Tables.events(s, dir).withColumn("ts", expr("ts div 1000")),
+      Seq("view", "click", "purchase")),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events
+      | WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.tus) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.tus > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.tus) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.tus > s2.t2 GROUP BY 1),
+      |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+      |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+      |SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+      |  CAST(n1 AS BIGINT) AS n_users, CAST(10000 AS BIGINT) AS conv_bp FROM c
+      |UNION ALL SELECT CAST(2 AS INTEGER), 'click', CAST(n2 AS BIGINT),
+      |  CAST((n2 * 10000) // n1 AS BIGINT) FROM c
+      |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', CAST(n3 AS BIGINT),
+      |  CAST((n3 * 10000) // n2 AS BIGINT) FROM c""".stripMargin))
+
   /** Gopher-style quality gate (TextAnalysis.qualityRules) with bounds
     * fitted to the synthetic corpus (10–200 tokens). All comparisons are
     * exact integer arithmetic — no float division reaches the output. */
@@ -1772,6 +1820,7 @@ object Queries {
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
+    eFunnelUsers, eFunnelSummary,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -613,6 +613,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     val df = Seq((1L, "b b a a c"), (2L, "a")).toDF("doc_id", "text")
     val out = TextAnalysis.topTerms(df, 2).as[(String, Long)].collect()
     assert(out.toSeq == Seq(("a", 3L), ("b", 2L)))
+  }
+}
+
+class FunnelSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "ts", "event_type")
+
+  test("userFunnel: in-order completion takes the earliest valid time per step") {
+    val f = Funnel.userFunnel(ev(
+      (1L, 10L, "view"), (1L, 5L, "view"), (1L, 20L, "click"),
+      (1L, 15L, "click"), (1L, 30L, "purchase"),
+      (1L, 12L, "purchase") // before the click completion → ignored
+    ), steps).collect().head
+    assert(f.getAs[Long]("t_view") == 5L)
+    assert(f.getAs[Long]("t_click") == 15L, "earliest click AFTER the first view")
+    assert(f.getAs[Long]("t_purchase") == 30L, "purchase at 12 precedes click completion")
+    assert(f.getAs[Int]("steps_completed") == 3)
+  }
+
+  test("userFunnel: out-of-order and same-instant events never advance a step") {
+    val out = Funnel.userFunnel(ev(
+      (2L, 10L, "purchase"), (2L, 20L, "click"), (2L, 30L, "view"), // reversed
+      (3L, 10L, "view"), (3L, 10L, "click"), // same instant: strict > blocks
+      (4L, 10L, "click"), (4L, 20L, "purchase") // never viewed
+    ), steps).collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(2L).getAs[Int]("steps_completed") == 1, "only the view counts")
+    assert(out(3L).getAs[Int]("steps_completed") == 1)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("t_click")))
+    assert(out(4L).getAs[Int]("steps_completed") == 0, "no view → no progress at all")
+  }
+
+  test("funnelSummary: stage counts are monotone, conversions exact") {
+    val s = Funnel.funnelSummary(ev(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "click"),
+      (3L, 1L, "view"),
+      (4L, 9L, "click")), steps)
+      .orderBy("stage").collect()
+    assert(s.map(_.getAs[Long]("n_users")).toSeq == Seq(3L, 2L, 1L))
+    assert(s(1).getAs[Long]("conv_bp") == 6666L, "2/3 floored to bp")
+    assert(s(2).getAs[Long]("conv_bp") == 5000L)
   }
 }
 

@@ -51,6 +51,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "per-doc rank-limit pushdown missing")
   }
 
+  test("funnel: step-type filter reaches the scan; one shuffle, no per-step joins") {
+    val df = graft.operators.Funnel.userFunnel(
+      Tables.events(spark, sf), Seq("view", "click", "purchase"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [In(event_type"),
+      "step IN-list must push into the parquet scan")
+    assert(shuffleCount(p) == 1,
+      s"funnel fold must be ONE user shuffle, not a per-step join cascade:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
   test("ivf cell assignment is a hash aggregate, not a per-vector window") {
     val p = plan(Similarity.ivfTopK(Tables.embeddings(spark, sf), 10, 20))
     assert(!p.contains("windowspecdefinition(vec_id"),
