@@ -1575,6 +1575,20 @@ object Queries {
       |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', CAST(n3 AS BIGINT),
       |  CAST((n3 * 10000) // n2 AS BIGINT) FROM c""".stripMargin))
 
+  /** Weekly cohort retention (Funnel.retention) over the events table.
+    * Period arithmetic is pure integer division on the epoch clock; the
+    * nested-floor identity makes the ns (Spark) and µs (DuckDB) clocks
+    * agree exactly on period numbers. */
+  private val eRetention = Q("e_retention",
+    (s, dir) => Funnel.retention(Tables.events(s, dir),
+      periodTicks = 7L * 24 * 3600 * 1000000000L),
+    Some("""WITH p AS (SELECT DISTINCT user_id AS u,
+      |  epoch_us(ts) // (7 * 24 * 3600 * 1000000::BIGINT) AS period FROM events),
+      |c AS (SELECT u, min(period) AS cohort FROM p GROUP BY u)
+      |SELECT c.cohort AS cohort_period, p.period - c.cohort AS period_offset,
+      |  count(*) AS n_users
+      |FROM p JOIN c USING (u) GROUP BY 1, 2""".stripMargin))
+
   /** Gopher-style quality gate (TextAnalysis.qualityRules) with bounds
     * fitted to the synthetic corpus (10–200 tokens). All comparisons are
     * exact integer arithmetic — no float division reaches the output. */
@@ -1820,7 +1834,7 @@ object Queries {
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
-    eFunnelUsers, eFunnelSummary,
+    eFunnelUsers, eFunnelSummary, eRetention,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -59,6 +59,35 @@ object Funnel {
         size(filter(col("st"), _.isNotNull)).as("steps_completed")): _*)
   }
 
+  /** Cohort retention matrix: cohort = the period (floor of `tsCol` /
+    * `periodTicks`) of a user's FIRST event; a user is retained at offset
+    * k if they have any event in period cohort+k. Output one row per
+    * (cohort_period, period_offset) with the retained-user count.
+    *
+    * Plan at scale: project to (user, period), distinct (map-side partial
+    * dedup shrinks the shuffle to |user×periods|), one hash aggregate for
+    * the per-user min period, then an equi-join back on user (both sides
+    * already hash-partitioned on user — no extra exchange under AQE reuse)
+    * and a final small aggregate. No windows, no collect. Nested-floor
+    * identity: floor(floor(x/a)/b) = floor(x/(ab)), so the period is
+    * identical whether the clock is nanos or a coarser truncation of it —
+    * the oracle can run at µs precision and still agree exactly. */
+  def retention(events: DataFrame, periodTicks: Long,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(periodTicks > 0, s"need periodTicks > 0, got $periodTicks")
+    val perPeriod = events
+      .select(col(userCol).as("u"),
+        // integer div, NOT floor(x / y): epoch-nanos exceed 2^53 and a
+        // double division would lose the low bits (SURVEY.md §5.1 rule).
+        expr(s"`$tsCol` div ${periodTicks}L").as("period"))
+      .distinct()
+    val cohorts = perPeriod.groupBy(col("u")).agg(min(col("period")).as("cohort"))
+    perPeriod.join(cohorts, "u")
+      .groupBy(col("cohort").as("cohort_period"),
+        (col("period") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Funnel summary: users reaching each stage (reaching stage i means
     * steps 1..i all completed) plus the conversion from the previous stage
     * in basis-point floors. Tiny output (|steps| rows) — one extra

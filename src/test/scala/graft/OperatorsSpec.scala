@@ -649,6 +649,17 @@ class FunnelSpec extends AnyFunSuite {
     assert(out(4L).getAs[Int]("steps_completed") == 0, "no view → no progress at all")
   }
 
+  test("retention: cohort = first period, offsets count returning users only") {
+    // period = 10 ticks. u1 joins period 0, returns periods 1 and 3;
+    // u2 joins period 1, never returns; u3 joins period 1, returns period 2.
+    val ev = Seq((1L, 1L), (1L, 12L), (1L, 33L), (1L, 34L), // same period twice
+      (2L, 15L), (3L, 11L), (3L, 25L)).toDF("user_id", "ts")
+    val r = Funnel.retention(ev, periodTicks = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 2L), (1L, 1L, 1L)))
+  }
+
   test("funnelSummary: stage counts are monotone, conversions exact") {
     val s = Funnel.funnelSummary(ev(
       (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),

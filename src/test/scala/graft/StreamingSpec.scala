@@ -575,4 +575,36 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows.contains((1704114000L, 1L))) // one in hour 2
     } finally q.stop()
   }
+
+  test("corpus hygiene gate runs unchanged on a stream: scrub + quality keep " +
+      "at ingest, stream result == batch result") {
+    // piiRedact and qualityRules are pure narrow expressions, so the SAME
+    // operator code composes with readStream — the at-ingest shape a
+    // 100 TB pipeline wants (gate documents before they ever land).
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    def gate(df: org.apache.spark.sql.DataFrame) = {
+      val scrubbed = TextAnalysis.piiRedact(df)
+        .select(col("doc_id"), col("redacted").as("text"), col("n_emails"))
+      TextAnalysis.qualityRules(scrubbed, minTokens = 10, maxTokens = 200)
+        .select("doc_id", "keep")
+    }
+    val docs = Seq(
+      (1L, "the quick brown fox story goes on and on for a while longer here ok"),
+      (2L, "contact me at spam@bot.example.com the rest is the usual filler text here"),
+      (3L, "shrt")) // fails ok_len
+    val batch = gate(docs.toDF("doc_id", "text"))
+      .as[(Long, Int)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gated_docs").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gated_docs").as[(Long, Int)].collect().toSet
+      assert(streamed == batch, s"stream gate == batch gate: $streamed vs $batch")
+      assert(streamed == Set((1L, 1), (2L, 1), (3L, 0)),
+        "scrubbed long docs keep, short doc gated out")
+    } finally q.stop()
+  }
 }
