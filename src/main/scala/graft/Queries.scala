@@ -1433,6 +1433,23 @@ object Queries {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) / 16777216.0 <
       |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin))
 
+  /** Token-budget mixture (TextAnalysis.tokenBudgetSample): greedy prefix
+    * in portable md5 order until each source's token budget fills. The
+    * Spark side is the bucket-refined prefix-sum (256-way parallel); the
+    * oracle is the NAIVE single global window per source — the two must
+    * agree bit-for-bit because the bucket is a prefix of the order key. */
+  private val textTokenBudget = Q("text_token_budget",
+    (s, dir) => TextAnalysis.tokenBudgetSample(Tables.documents(s, dir),
+      Map("src0" -> 700L, "src1" -> 2000L), defaultBudget = 500L),
+    Some(s"""WITH d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS u,
+      |  CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+      |b AS (SELECT *, CASE source WHEN 'src0' THEN 700 WHEN 'src1' THEN 2000
+      |  ELSE 500 END AS budget FROM d),
+      |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+      |  ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+      |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_toks
+      |FROM c WHERE cum <= budget""".stripMargin))
+
   /** PII scrub (TextAnalysis.piiRedact). The synthetic corpus contains no
     * PII, so the query plants one deterministic email / IPv4 / phone per
     * document from its own key columns (same expression in both engines)
@@ -1834,7 +1851,7 @@ object Queries {
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
-    eFunnelUsers, eFunnelSummary, eRetention,
+    eFunnelUsers, eFunnelSummary, eRetention, textTokenBudget,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

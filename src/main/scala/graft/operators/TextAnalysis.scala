@@ -348,6 +348,52 @@ object TextAnalysis {
       (okLen && okWordLen && okStopword && okAlpha).cast("int").as("keep"))
   }
 
+  /** Token-budget mixture: per source, keep documents in portable
+    * md5-uniform order until the source's TOKEN budget is exhausted (greedy
+    * prefix, no overshoot: a doc is kept iff the running total INCLUDING it
+    * stays ≤ budget). The deterministic hash order makes re-runs bit-stable;
+    * unlike [[mixtureSample]]'s rate form, growing the corpus can change
+    * the kept set (new docs land anywhere in hash order) — that is inherent
+    * to budget semantics, not an implementation artifact.
+    *
+    * Scale design: a naive per-source running sum is a window partitioned
+    * by `source` — at 5 sources that is 5 active partitions no matter how
+    * many executors exist. Instead: bucket each doc by its first md5 byte
+    * (bucket is a PREFIX of the order key, so (bucket, u) order ≡ u order),
+    * aggregate per-(source, bucket) token totals (tiny: |sources|·256
+    * rows), prefix-sum those on the tiny side, broadcast back, and run the
+    * exact running sum only WITHIN each (source, bucket) — 256-way
+    * parallelism, bit-identical result to the naive global window. */
+  def tokenBudgetSample(documents: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      "budgets must be >= 0")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (src, b)) => when(col("source") === src, lit(b)).otherwise(acc)
+    }
+    val base = documents.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("u"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        budget.as("budget"))
+      .withColumn("bucket", conv(substring(col("u"), 1, 2), 16, 10).cast("int"))
+    val prefixes = base.groupBy(col("source").as("p_source"), col("bucket").as("p_bucket"))
+      .agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("prefix_toks", coalesce(
+        sum(col("btot")).over(Window.partitionBy(col("p_source"))
+          .orderBy(col("p_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("btot")
+    val cumIn = sum(col("n_tokens")).over(
+      Window.partitionBy(col("source"), col("bucket"))
+        .orderBy(col("u"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base.join(broadcast(prefixes),
+        col("source") === col("p_source") && col("bucket") === col("p_bucket"))
+      .withColumn("cum_toks", col("prefix_toks") + cumIn)
+      .where(col("cum_toks") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_toks"))
+  }
+
   def mixtureSample(documents: DataFrame, rates: Map[String, Double],
       defaultRate: Double = 0.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),

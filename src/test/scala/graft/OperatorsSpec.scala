@@ -456,6 +456,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.forall { case (id, s) => grown(id) == s })
   }
 
+  test("tokenBudgetSample: bucket-refined prefix equals the naive greedy prefix") {
+    val docs = (1L to 300L).map(i =>
+      (i, Seq.fill((i % 7).toInt + 1)("tok").mkString(" "), s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val budgets = Map("src0" -> 120L, "src1" -> 0L)
+    val got = TextAnalysis.tokenBudgetSample(docs, budgets, defaultBudget = 37L)
+      .select("doc_id", "source", "n_tokens", "cum_toks")
+      .as[(Long, String, Long, Long)].collect()
+    // naive reference: greedy prefix per source in (md5(doc_id), doc_id) order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    val expected = (1L to 300L).map { i =>
+      (i, s"src${i % 3}", (i % 7) + 1, md5hex(i.toString))
+    }.groupBy(_._2).flatMap { case (src, rows) =>
+      val budget = budgets.getOrElse(src, 37L)
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).flatMap { r =>
+        cum += r._3
+        if (cum <= budget) Some((r._1, src, r._3, cum)) else None
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    assert(!got.exists(_._2 == "src1"), "zero budget keeps nothing")
+    assert(got.count(_._2 == "src0") > 0 && got.count(_._2 == "src2") > 0)
+    // no overshoot: per-source kept tokens stay within budget
+    val kept = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(kept.getOrElse("src0", 0L) <= 120L && kept.getOrElse("src2", 0L) <= 37L)
+  }
+
   test("piiRedact: plants are scrubbed, counts match, clean text untouched") {
     val docs = Seq(
       (1L, "mail me at jane.doe+spam@corp.example.org or bob@x.io today"),

@@ -62,6 +62,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
 
+  test("token budget: prefix side broadcasts; the big window keys on (source, bucket)") {
+    val p = plan(graft.operators.TextAnalysis.tokenBudgetSample(
+      Tables.documents(spark, sf), Map("src0" -> 700L), defaultBudget = 500L))
+    assert(p.contains("BroadcastHashJoin"), "tiny prefix table must broadcast")
+    assert("hashpartitioning\\(source#\\d+, bucket#\\d+".r.findFirstIn(p).isDefined,
+      s"running sum must partition by (source, bucket) for 256-way parallelism:\n$p")
+  }
+
   test("ivf cell assignment is a hash aggregate, not a per-vector window") {
     val p = plan(Similarity.ivfTopK(Tables.embeddings(spark, sf), 10, 20))
     assert(!p.contains("windowspecdefinition(vec_id"),
