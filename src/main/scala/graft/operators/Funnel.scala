@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Ordered funnel analysis over an event stream (the standard product
   * analytics primitive; cf. the events table in TESTDATA.md and the
@@ -57,6 +60,69 @@ object Funnel {
     staged.select(
       (col(userCol) +: stepCols :+
         size(filter(col("st"), _.isNotNull)).as("steps_completed")): _*)
+  }
+
+  /** Input / output records for the streaming funnel. `times` uses −1 as
+    * the not-reached sentinel (state-store encoders want a flat array). */
+  final case class StepEvent(userId: Long, ts: Long, eventType: String)
+  final case class FunnelUpdate(userId: Long, stepsCompleted: Int,
+      times: Array[Long])
+
+  /** At-ingest funnel state on Spark 4 `transformWithState`: per user, a
+    * ValueState holding the step-completion times; each micro-batch sorts
+    * its rows by (ts, type) and advances the walk with the SAME per-slot
+    * pre-state rule as the batch fold in [[userFunnel]], emitting an update
+    * only when a user's state changed.
+    *
+    * Contract: the walk is forward-only ACROSS micro-batches — an event
+    * arriving in a later batch with an older timestamp can still complete
+    * its own step (it only needs to be after the previous step), but it can
+    * never IMPROVE an already-recorded completion to an earlier time the
+    * way a batch recomputation would. On a feed that is ts-ordered across
+    * batches (any log-replay source) streaming == batch exactly; under
+    * cross-batch disorder streaming times are upper bounds. */
+  class FunnelProcessor(steps: Seq[String])
+      extends StatefulProcessor[Long, StepEvent, FunnelUpdate] {
+    @transient private var st: ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Long]](
+        "funnel", ExpressionEncoder[Array[Long]](), TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[StepEvent],
+        timers: TimerValues): Iterator[FunnelUpdate] = {
+      val cur = Option(st.get()).getOrElse(Array.fill(steps.length)(-1L))
+      val next = cur.clone()
+      rows.toSeq.sortBy(e => (e.ts, e.eventType)).foreach { e =>
+        val pre = next.clone() // per-slot conditions read PRE-event state
+        var i = 0
+        while (i < steps.length) {
+          if (pre(i) < 0 && steps(i) == e.eventType &&
+              (i == 0 || (pre(i - 1) >= 0 && e.ts > pre(i - 1))))
+            next(i) = e.ts
+          i += 1
+        }
+      }
+      if (java.util.Arrays.equals(next, cur)) Iterator.empty
+      else {
+        st.update(next)
+        Iterator.single(
+          FunnelUpdate(userId, next.count(_ >= 0), next))
+      }
+    }
+  }
+
+  /** [[userFunnel]] at ingest: same step semantics, state kept per user in
+    * the (RocksDB-backed) store, updates emitted as users advance. */
+  def streamingUserFunnel(spark: SparkSession, events: Dataset[StepEvent],
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct, got $steps")
+    import spark.implicits._
+    val stepSet = steps.toSet
+    events.filter(e => stepSet.contains(e.eventType))
+      .groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor(steps), TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
   }
 
   /** Cohort retention matrix: cohort = the period (floor of `tsCol` /

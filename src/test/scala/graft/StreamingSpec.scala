@@ -576,6 +576,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel (transformWithState) converges to the batch funnel " +
+      "on a ts-ordered feed") {
+    import graft.operators.Funnel
+    import graft.operators.Funnel.StepEvent
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val evs = Seq(
+      StepEvent(1L, 5L, "view"), StepEvent(1L, 12L, "purchase"), // too early
+      StepEvent(2L, 8L, "click"),                                // no view yet
+      StepEvent(1L, 15L, "click"), StepEvent(1L, 30L, "purchase"),
+      StepEvent(2L, 20L, "view"), StepEvent(2L, 25L, "click"),
+      StepEvent(3L, 40L, "error"))                               // not a step
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StepEvent]
+      val q = Funnel.streamingUserFunnel(spark, input.toDS(), steps)
+        .writeStream.format("memory").queryName("funnel_updates")
+        .outputMode("update").start()
+      try {
+        input.addData(evs.take(3): _*) // ts-ordered split: 5,12,8 … wait
+        q.processAllAvailable()
+        input.addData(evs.drop(3): _*)
+        q.processAllAvailable()
+        // latest update per user == the batch funnel on the full log
+        val updates = spark.table("funnel_updates")
+        val latest = updates.groupBy("userId")
+          .agg(max(struct(col("stepsCompleted"), col("times"))).as("s"))
+          .select(col("userId"), col("s.stepsCompleted"), col("s.times"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getInt(1), r.getSeq[Long](2).toList)).toMap
+        val batch = Funnel.userFunnel(
+          evs.toDF("user_id", "ts", "event_type"), steps).collect().map { r =>
+          val times = steps.map(s =>
+            if (r.isNullAt(r.fieldIndex(s"t_$s"))) -1L else r.getAs[Long](s"t_$s"))
+          r.getAs[Long]("user_id") -> (r.getAs[Int]("steps_completed"), times)
+        }.toMap
+        assert(latest == batch, s"stream $latest vs batch $batch")
+        assert(latest(1L) == ((3, List(5L, 15L, 30L))))
+        assert(latest(2L) == ((2, List(20L, 25L, -1L))))
+        assert(!latest.contains(3L), "non-step users never emit")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("corpus hygiene gate runs unchanged on a stream: scrub + quality keep " +
       "at ingest, stream result == batch result") {
     // piiRedact and qualityRules are pure narrow expressions, so the SAME
