@@ -1433,6 +1433,49 @@ object Queries {
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) / 16777216.0 <
       |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin))
 
+  /** Gap-based sessionization (Funnel.sessionize): per-event session ids
+    * with the same 30-minute break rule as t_session_windows, exposed as a
+    * joinable column. µs clock (see e_funnel_users). */
+  private val eSessionize = Q("e_sessionize",
+    (s, dir) => Funnel.sessionize(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts")),
+      gapTicks = 1800L * 1000000L),
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events),
+      |o AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                     OR ts - lag(ts) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id, ts,
+      |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |FROM o""".stripMargin))
+
+  /** Last-touch attribution: each purchase joined to the latest same-user
+    * click within a 7-day window — the as-of operator (AsOfJoin) composed
+    * onto the events domain; the oracle is DuckDB's NATIVE ASOF LEFT JOIN
+    * with the tolerance applied as a post-gate, so two independent as-of
+    * implementations must agree. */
+  private val eAttribution = Q("e_attribution",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      AsOfJoin.lastValueAsOf(purchases, clicks, keys = Seq("user_id"),
+        tsCol = "ts", probeCols = Seq("purchase_id"),
+        payloadCols = Seq("click_id"),
+        tolerance = Some(7L * 24 * 3600 * 1000000L))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts FROM events),
+      |p AS (SELECT user_id, ts, event_id AS purchase_id FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS cts, event_id AS click_id FROM e WHERE event_type = 'click')
+      |SELECT p.user_id, p.ts, p.purchase_id,
+      |  CASE WHEN p.ts - c.cts <= 604800000000 THEN c.click_id END AS click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin))
+
   /** Token-budget mixture (TextAnalysis.tokenBudgetSample): greedy prefix
     * in portable md5 order until each source's token budget fills. The
     * Spark side is the bucket-refined prefix-sum (256-way parallel); the
@@ -1851,7 +1894,8 @@ object Queries {
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
-    eFunnelUsers, eFunnelSummary, eRetention, textTokenBudget,
+    eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
+    textTokenBudget,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   TimeMode, TimerValues, ValueState}
@@ -152,6 +153,25 @@ object Funnel {
       .groupBy(col("cohort").as("cohort_period"),
         (col("period") - col("cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Gap-based sessionization: assign every event a per-user `session_seq`
+    * (1-based), starting a new session when the gap since the previous
+    * event is ≥ `gapTicks` — the same break rule as Spark's native
+    * `session_window` (half-open windows), but EXPOSED as a per-event id
+    * column so downstream joins/aggregates can key on (user, session).
+    * One shuffle: both windows (lag + running sum) share the (user, ts)
+    * sort. Ties on ts break on `idCol` for a total order. */
+  def sessionize(events: DataFrame, gapTicks: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(gapTicks > 0, s"need gapTicks > 0, got $gapTicks")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val brk = when(prev.isNull || col(tsCol) - prev >= gapTicks, 1L)
+      .otherwise(0L)
+    events.withColumn("session_seq",
+      sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   /** Funnel summary: users reaching each stage (reaching stage i means

@@ -689,6 +689,15 @@ class FunnelSpec extends AnyFunSuite {
       (1L, 0L, 2L), (1L, 1L, 1L)))
   }
 
+  test("sessionize: gap >= threshold starts a new session, ids are per-user") {
+    val ev = Seq((1L, 1L, 100L), (2L, 1L, 105L), (3L, 1L, 120L), // 15 >= 10 breaks
+      (4L, 2L, 50L), (5L, 2L, 59L), (6L, 2L, 69L)) // gap 9 keeps, gap 10 breaks
+      .toDF("event_id", "user_id", "ts")
+    val s = Funnel.sessionize(ev, gapTicks = 10L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(s == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
+  }
+
   test("funnelSummary: stage counts are monotone, conversions exact") {
     val s = Funnel.funnelSummary(ev(
       (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
