@@ -689,6 +689,42 @@ class FunnelSpec extends AnyFunSuite {
       (1L, 0L, 2L), (1L, 1L, 1L)))
   }
 
+  test("userFunnel agrees with a JVM cascade brute force on seeded random data") {
+    // The Spark side is the sorted HOF fold; the reference is the cascaded
+    // min-search. Random ts with collisions exercises the strict-> rule.
+    val rnd = new scala.util.Random(7)
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    val rows = (1L to 150L).flatMap { u =>
+      (0 until rnd.nextInt(12)).map { _ =>
+        (u, rnd.nextInt(40).toLong, types(rnd.nextInt(types.size)))
+      }
+    }
+    val steps = Seq("view", "click", "purchase")
+    val got = Funnel.userFunnel(rows.toDF("user_id", "ts", "event_type"), steps)
+      .collect().map { r =>
+        r.getAs[Long]("user_id") ->
+          steps.map(s => if (r.isNullAt(r.fieldIndex(s"t_$s"))) None
+            else Some(r.getAs[Long](s"t_$s")))
+      }.toMap
+    val byUser = rows.filter(r => steps.contains(r._3)).groupBy(_._1)
+    byUser.foreach { case (u, evs) =>
+      var prev: Option[Long] = None
+      val expected = steps.map { s =>
+        val t = prev match {
+          case None if s == steps.head =>
+            evs.filter(_._3 == s).map(_._2).minOption
+          case Some(p) =>
+            evs.filter(e => e._3 == s && e._2 > p).map(_._2).minOption
+          case None => None
+        }
+        prev = t
+        t
+      }
+      assert(got(u) == expected, s"user $u: ${evs.sortBy(_._2)}")
+    }
+    assert(got.keySet == byUser.keySet, "exactly the users with step events")
+  }
+
   test("sessionize: gap >= threshold starts a new session, ids are per-user") {
     val ev = Seq((1L, 1L, 100L), (2L, 1L, 105L), (3L, 1L, 120L), // 15 >= 10 breaks
       (4L, 2L, 50L), (5L, 2L, 59L), (6L, 2L, 69L)) // gap 9 keeps, gap 10 breaks
