@@ -148,6 +148,50 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE orders_b"); spark.sql("DROP TABLE lineitem_b")
   }
 
+  test("runtime bloom filter injects into the big side of a selective shuffle join") {
+    // The 100 TB shape: a selective dim filter grows a bloom filter that
+    // prunes the fact scan BEFORE the shuffle. Note it only injects on a
+    // plain scan leg — the micro-fixture fan-out repartition in Tables
+    // blocks the pattern (same class of effect as the decode_roundtrip
+    // pushdown lesson), so this guard drives raw scans. Thresholds are
+    // forced because local test files are tiny.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ords = spark.read.parquet(s"$sf/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val j = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("bloom_filter_agg"),
+        "selective dim join must grow a runtime bloom filter for the fact scan")
+      assert(j.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning: dim filter prunes the partitioned fact scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dpp_events").toString
+    Tables.events(spark, sf)
+      .withColumn("day", expr("ts div (86400L * 1000000000L)"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val facts = spark.read.parquet(dir)
+    val dim = spark.range(0, 50000)
+      .selectExpr("id AS day", "id % 5 AS grp").where("grp = 0")
+    val j = facts.join(dim, "day")
+    val p = plan(j)
+    assert(p.contains("dynamicpruning"),
+      s"partitioned fact scan must take a dynamic pruning subquery:\n$p")
+    assert(j.collect().nonEmpty)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
