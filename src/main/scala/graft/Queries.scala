@@ -1094,6 +1094,61 @@ object Queries {
     s"""WITH ${minhashPairsCtes("documents", 0.2)}
       |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin
 
+  /** Banded-signature CTE chain for ONE side of an incremental join —
+    * same tokenize/shingle/minhash fragments as [[minhashPairsCtes]], with
+    * a `_p` suffix so two sources can band in one query. Ends in
+    * `banded_<p>(doc_id, band, key)`. */
+  private def bandedCtes(src: String, p: String): String =
+    s"""toks_$p AS (SELECT doc_id, $duckToks AS w FROM $src),
+      |sh_$p AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM toks_$p),
+      |hsx_$p AS (SELECT doc_id,
+      |  list_transform(list_transform(sh, s -> md5(s)), m -> ${TextFns.md5Base28Sql("m")}) AS hs
+      |  FROM sh_$p),
+      |banded_$p AS (
+      |  SELECT doc_id, b.band,
+      |    CASE b.band ${(0 until 4).map(b =>
+             s"WHEN $b THEN ${TextFns.minhashBandNumSql("hs", b)}").mkString(" ")} END AS key
+      |  FROM hsx_$p CROSS JOIN (VALUES (0), (1), (2), (3)) b(band))""".stripMargin
+
+  /** Incremental exact dedup (Dedup.exactIncremental): the doc_id%7==0
+    * slice plays the already-deduped history (only its md5s ship); the
+    * rest is the new batch. */
+  private val dedupExactIncr = Q("dedup_exact_incr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exactIncremental(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(7)) === 0)
+          .select(md5(col("text")).as("text_md5")))
+    },
+    Some("""WITH hist AS (SELECT md5(text) AS text_md5 FROM documents WHERE doc_id % 7 = 0)
+      |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents WHERE doc_id % 7 <> 0
+      |  AND md5(text) NOT IN (SELECT text_md5 FROM hist)
+      |GROUP BY 1""".stripMargin))
+
+  /** Incremental near-dup candidates (Dedup.minhashCandidatesIncremental):
+    * new batch vs the stored band index of history + within-batch pairs.
+    * The oracle re-derives both banded sides from scratch and joins them
+    * the naive way; the Spark side joins the PERSISTED-index shape. */
+  private val dedupMinhashIncr = Q("dedup_minhash_incr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashCandidatesIncremental(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        Dedup.bandIndex(docs.where(pmod(col("doc_id"), lit(7)) === 0)))
+    },
+    Some(s"""WITH newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      |${bandedCtes("newdocs", "n")},
+      |${bandedCtes("hist", "h")}
+      |SELECT DISTINCT n.doc_id AS doc_a, h.doc_id AS doc_b, 'history' AS origin
+      |FROM banded_n n JOIN banded_h h ON n.band = h.band AND n.key = h.key
+      |UNION
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 'batch' AS origin
+      |FROM banded_n a JOIN banded_n b
+      |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin))
+
   private val dedupMinhashPairs = Q("dedup_minhash_pairs",
     (s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), 0.2),
     Some(minhashPairsSql), bench = true)
@@ -1887,7 +1942,8 @@ object Queries {
     uMergeUpsert, uScd2History,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
-    dedupExact, dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupExactIncr, dedupMinhashIncr,
+    dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,

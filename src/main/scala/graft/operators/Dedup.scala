@@ -105,6 +105,58 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
   }
 
+  /** Exact dedup of a NEW batch against an already-deduped history — the
+    * daily-crawl shape: the history side ships only its md5 column (the
+    * thing a production pipeline persists), never its texts. One left-anti
+    * equi-join on the hash, then the standard within-batch exact dedup.
+    * `historyHashes` needs a `text_md5` column. */
+  def exactIncremental(newDocs: DataFrame, historyHashes: DataFrame): DataFrame =
+    newDocs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(historyHashes.select(col("text_md5")).distinct(),
+        Seq("text_md5"), "left_anti")
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The persistable LSH band index of a corpus: (doc_id, band, key) — what
+    * an incremental pipeline stores so tomorrow's batch can find near-dups
+    * against ALL of history without rescanning a single historical text. */
+  def bandIndex(documents: DataFrame): DataFrame =
+    bandedKeys(documents).select(col("doc_id"), col("band"), col("key"))
+
+  /** Near-dup CANDIDATES of a new batch, incrementally: new-vs-history
+    * pairs come from an equi-join of the batch's band keys against the
+    * stored [[bandIndex]] (origin `history`, doc_a = new, doc_b =
+    * historical); new-vs-new pairs from the standard banded self-join
+    * (origin `batch`, doc_a < doc_b). Both sides are truncated to the
+    * `maxBucket` smallest doc_ids per (band, key) before joining — the same
+    * quadratic-blowup bound as [[minhashCandidates]], bit-identical to the
+    * uncapped result while every bucket stays under the cap. Re-ranking
+    * (exact Jaccard) stays with the caller, who owns the historical texts. */
+  def minhashCandidatesIncremental(newDocs: DataFrame, historyIndex: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    def cap(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+      df.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= maxBucket).drop("_rn")
+    }
+    val newBands = cap(bandIndex(newDocs))
+    val histBands = cap(historyIndex.select(col("doc_id"), col("band"), col("key")))
+    val vsHistory = newBands.as("n")
+      .join(histBands.as("h"), Seq("band", "key"))
+      .select(col("n.doc_id").as("doc_a"), col("h.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("origin", lit("history"))
+    val vsBatch = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("origin", lit("batch"))
+    vsHistory.unionByName(vsBatch)
+  }
+
   /** MinHash-LSH candidate pairs: 4 bands × r=2 minhashes from the
     * single-md5 universal family. Two docs become a candidate pair iff they
     * collide on ≥1 band (probability 1−(1−J²)⁴ for Jaccard J). Self-join is

@@ -111,6 +111,33 @@ class DedupSpec extends AnyFunSuite {
     assert(tight == loose)
   }
 
+  test("exactIncremental: history collisions drop, the batch still dedups itself") {
+    val hist = Seq((100L, "seen before text goes here")).toDF("doc_id", "text")
+      .select(md5(col("text")).as("text_md5"))
+    val batch = Seq(
+      (1L, "seen before text goes here"),   // collides with history → dropped
+      (2L, "fresh text alpha"), (3L, "fresh text alpha"), // batch dup → one row
+      (4L, "fresh text beta")).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, hist)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 2L), (4L, 1L)))
+  }
+
+  test("minhashCandidatesIncremental: cross-boundary pairs via the stored index only") {
+    val hist = Seq((100L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"), // dup of history
+      (2L, "completely different content about catalyst and tungsten engines"),
+      (3L, "shared boilerplate banner text on every page"),
+      (4L, "shared boilerplate banner text on every page")) // batch dup pair
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashCandidatesIncremental(batch, Dedup.bandIndex(hist))
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 100L, "history"), (3L, 4L, "batch")),
+      s"unexpected candidate set: $out")
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
