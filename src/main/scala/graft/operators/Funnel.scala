@@ -188,8 +188,12 @@ object Funnel {
     val stageCols = steps.zipWithIndex.map { case (s, i) =>
       val conv =
         if (i == 0) lit(10000L)
-        else floor(col(s"n_${steps(i)}") * lit(10000L) / col(s"n_${steps(i - 1)}"))
-          .cast("long")
+        // null, not NaN/error, when the previous stage is empty — keeps
+        // the engines agreeing on degenerate funnels (DuckDB's integer
+        // division would raise; Spark's double division would NaN).
+        else when(col(s"n_${steps(i - 1)}") === 0, lit(null).cast("long"))
+          .otherwise(floor(col(s"n_${steps(i)}") * lit(10000L)
+            / col(s"n_${steps(i - 1)}")).cast("long"))
       struct(lit(i + 1).as("stage"), lit(s).as("step"),
         col(s"n_${steps(i)}").as("n_users"), conv.as("conv_bp"))
     }

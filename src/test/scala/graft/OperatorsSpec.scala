@@ -761,6 +761,15 @@ class FunnelSpec extends AnyFunSuite {
     assert(s == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
   }
 
+  test("funnelSummary: empty previous stage yields null conversion, not an error") {
+    val s = Funnel.funnelSummary(
+      ev((1L, 10L, "click")), Seq("view", "click", "purchase")) // nobody views
+      .orderBy("stage").collect()
+    assert(s.map(_.getAs[Long]("n_users")).toSeq == Seq(0L, 0L, 0L))
+    assert(s(1).isNullAt(s(1).fieldIndex("conv_bp")))
+    assert(s(2).isNullAt(s(2).fieldIndex("conv_bp")))
+  }
+
   test("funnelSummary: stage counts are monotone, conversions exact") {
     val s = Funnel.funnelSummary(ev(
       (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
