@@ -130,14 +130,22 @@ object Dedup {
     * (origin `batch`, doc_a < doc_b). Both sides are truncated to the
     * `maxBucket` smallest doc_ids per (band, key) before joining — the same
     * quadratic-blowup bound as [[minhashCandidates]], bit-identical to the
-    * uncapped result while every bucket stays under the cap. Re-ranking
-    * (exact Jaccard) stays with the caller, who owns the historical texts. */
+    * uncapped result while every bucket stays under the cap, and — like
+    * there — OBSERVABLE: each capped side registers a
+    * [[BucketCapMetricPrefix]]-prefixed observed metric (truncated_members,
+    * largest_bucket), so production truncation never passes silently.
+    * Re-ranking (exact Jaccard) stays with the caller, who owns the
+    * historical texts. */
   def minhashCandidatesIncremental(newDocs: DataFrame, historyIndex: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
     def cap(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
       df.withColumn("_rn", row_number().over(w))
+        .observe(nextBucketCapMetricName(),
+          coalesce(sum(when(col("_rn") > maxBucket, 1L).otherwise(0L)),
+            lit(0L)).as("truncated_members"),
+          coalesce(max(col("_rn")), lit(0)).as("largest_bucket"))
         .where(col("_rn") <= maxBucket).drop("_rn")
     }
     val newBands = cap(bandIndex(newDocs))

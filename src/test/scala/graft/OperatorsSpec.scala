@@ -132,10 +132,36 @@ class DedupSpec extends AnyFunSuite {
       (3L, "shared boilerplate banner text on every page"),
       (4L, "shared boilerplate banner text on every page")) // batch dup pair
       .toDF("doc_id", "text")
-    val out = Dedup.minhashCandidatesIncremental(batch, Dedup.bandIndex(hist))
-      .as[(Long, Long, String)].collect().toSet
+    val df = Dedup.minhashCandidatesIncremental(batch, Dedup.bandIndex(hist))
+    val out = df.as[(Long, Long, String)].collect().toSet
     assert(out == Set((1L, 100L, "history"), (3L, 4L, "batch")),
       s"unexpected candidate set: $out")
+    // both capped sides register observable truncation metrics (zero here)
+    val metrics = df.queryExecution.observedMetrics.collect {
+      case (k, v) if k.startsWith(Dedup.BucketCapMetricPrefix) =>
+        v.getAs[Long]("truncated_members")
+    }
+    assert(metrics.size == 2 && metrics.forall(_ == 0L), s"metrics: $metrics")
+  }
+
+  test("minhashCandidatesIncremental: the cap bounds a boilerplate batch, observably") {
+    val boiler = spark.range(500).selectExpr("id AS doc_id",
+      "'the same boilerplate banner text on every page of the site' AS text")
+    val hist = Seq((9999L, "the same boilerplate banner text on every page of the site"))
+      .toDF("doc_id", "text")
+    val df = Dedup.minhashCandidatesIncremental(boiler, Dedup.bandIndex(hist),
+      maxBucket = 50)
+    val rows = df.collect()
+    val history = rows.count(_.getString(2) == "history")
+    val batch = rows.count(_.getString(2) == "batch")
+    assert(history <= 50 && history > 0, s"history pairs capped: $history")
+    assert(batch <= 50 * 49 / 2 && batch > 0, s"batch pairs capped: $batch")
+    val truncated = df.queryExecution.observedMetrics.collect {
+      case (k, v) if k.startsWith(Dedup.BucketCapMetricPrefix) =>
+        v.getAs[Long]("truncated_members")
+    }.toSeq
+    assert(truncated.exists(_ == 4L * (500 - 50)),
+      s"new-side truncation must be observable: $truncated")
   }
 
   test("embedding near-dup finds the planted duplicate vector") {
