@@ -1531,6 +1531,58 @@ object Queries {
       |  CASE WHEN p.ts - c.cts <= 604800000000 THEN c.click_id END AS click_id
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin))
 
+  /** Feature-hashing document embedder (TextAnalysis.embedDocuments),
+    * compared in long form (doc_id, dim_idx, weight) including untouched
+    * dimensions so the array layout is pinned, not just the hits. */
+  private val pipelineEmbedDocs = Q("pipeline_embed_docs",
+    (s, dir) => TextAnalysis.embedDocuments(Tables.documents(s, dir), dim = 16)
+      .select(col("doc_id"), posexplode(col("embedding")))
+      .withColumnsRenamed(Map("pos" -> "dim_idx", "col" -> "weight")),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
+      |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
+      |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
+      |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
+      |agg AS (SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS w FROM sig GROUP BY 1, 2),
+      |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r)
+      |SELECT g.doc_id, CAST(g.dim_idx AS INTEGER) AS dim_idx,
+      |  coalesce(a.w, 0) AS weight
+      |FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx""".stripMargin))
+
+  /** The composed doc → embed → ANN pipeline: hash-embed every document,
+    * then brute-force cosine top-k through the SAME Similarity machinery
+    * (DotProductD + WindowGroupLimit) the float embeddings use. The oracle
+    * re-derives the vectors in SQL and re-ranks with list_dot_product —
+    * the full pipeline is hash-checked end to end. */
+  private val pipelineEmbedTopk = Q("pipeline_embed_topk",
+    (s, dir) => {
+      val vecs = TextAnalysis.embedDocuments(Tables.documents(s, dir), dim = 16)
+        .select(col("doc_id").as("vec_id"), lit(0).as("label"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+        .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
+      Similarity.bruteTopK(vecs, k = 5, stride = 50)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
+      |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
+      |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
+      |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
+      |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
+      |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
+      |vec AS (SELECT g.doc_id AS vec_id,
+      |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
+      |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
+      |  GROUP BY g.doc_id),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
+      |  WHERE list_dot_product(v, v) > 0),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
+      |sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+      |        ROUND(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) AS cosine
+      |      FROM q CROSS JOIN n WHERE n.vec_id != q.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+      |FROM r WHERE rank <= 5""".stripMargin))
+
   /** Token-budget mixture (TextAnalysis.tokenBudgetSample): greedy prefix
     * in portable md5 order until each source's token budget fills. The
     * Spark side is the bucket-refined prefix-sum (256-way parallel); the
@@ -1951,7 +2003,7 @@ object Queries {
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
-    textTokenBudget,
+    textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -239,6 +239,33 @@ object TextAnalysis {
         sum(col("n_tokens")).as("sum_tokens"),
         countDistinct(col("source")).as("n_sources"))
 
+  /** Deterministic feature-hashing document embedder (the hashing trick,
+    * Weinberger et al. 2009 — public algorithm): token t adds
+    * sign(t) ∈ {−1, +1} to dimension h(t) mod dim, giving an integer
+    * vector whose cosine geometry approximates token-multiset similarity.
+    * This is the stand-in for a MODEL embedder, wired like production
+    * (output schema matches the embeddings table modulo element type): the
+    * Spark-side plumbing — staged tokenize, per-token hash materialized
+    * once, one narrow fold, zero shuffle — is the real part; only the
+    * per-token vector is a hash instead of a learned row. All-md5 hashing
+    * keeps it bit-identical cross-engine, so the WHOLE embed step is
+    * oracle-checkable (unlike a float model). */
+  def embedDocuments(documents: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0, s"need dim > 0, got $dim")
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    val hashed = Stage(toks, "th", transform(col("w"), t => {
+      val h = TextFns.md5Base28(md5(t))
+      struct(pmod(h, lit(dim)).cast("int").as("b"),
+        (pmod((h / dim).cast("long"), lit(2)) * 2 - 1).as("s"))
+    }))
+    hashed.select(col("doc_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        aggregate(col("th"), lit(0L), (acc, p) =>
+          acc + when(p.getField("b") === i, p.getField("s")).otherwise(0L)))
+        .as("embedding"))
+  }
+
   /** Intra-document repetition stats — the classic repetition quality
     * filters (duplicate n-gram fraction, most-frequent-n-gram fraction; cf.
     * the Gopher/MassiveText repetition rules): per document, the total /

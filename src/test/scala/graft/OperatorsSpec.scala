@@ -509,6 +509,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.forall { case (id, s) => grown(id) == s })
   }
 
+  test("embedDocuments: hashing-trick vectors are deterministic and additive") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma delta"), (4L, "")).toDF("doc_id", "text")
+    val vecs = TextAnalysis.embedDocuments(docs, dim = 16)
+      .orderBy("doc_id").select("embedding").as[Seq[Long]].collect()
+    assert(vecs(0) == vecs(1), "same text, same vector")
+    assert(vecs.forall(_.length == 16))
+    // adding one token moves exactly one dimension by exactly ±1
+    val diff = vecs(2).zip(vecs(0)).map { case (a, b) => a - b }.filter(_ != 0)
+    assert(diff.toList == List(1L) || diff.toList == List(-1L), s"diff: $diff")
+    assert(vecs(3).forall(_ == 0L), "empty doc embeds to the zero vector")
+    // token multiset weighting: a repeated token doubles its contribution
+    val rep = TextAnalysis.embedDocuments(
+      Seq((9L, "alpha alpha")).toDF("doc_id", "text"), dim = 16)
+      .select("embedding").as[Seq[Long]].head()
+    val single = TextAnalysis.embedDocuments(
+      Seq((9L, "alpha")).toDF("doc_id", "text"), dim = 16)
+      .select("embedding").as[Seq[Long]].head()
+    assert(rep == single.map(_ * 2))
+  }
+
   test("tokenBudgetSample: bucket-refined prefix equals the naive greedy prefix") {
     val docs = (1L to 300L).map(i =>
       (i, Seq.fill((i % 7).toInt + 1)("tok").mkString(" "), s"src${i % 3}"))
