@@ -275,6 +275,31 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY event_type""".stripMargin))
 
+  /** ANALYZE-style single-scan column profile (Profiling.columnStats):
+    * null/distinct/min/max per column. min/max aggregate in native type and
+    * cast to string only at output — the oracle mirrors with CAST(min(c) AS
+    * VARCHAR), so a lexicographic-aggregation bug on the int columns would
+    * hash-mismatch. */
+  private val aColumnProfile = Q("a_column_profile",
+    (s, dir) => Profiling.columnStats(Tables.documents(s, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars")),
+    Some(Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n")))
+
+  /** Pre-flight skew report (Profiling.keySkew): top-20 heaviest event keys
+    * with integral basis-point shares; deterministic (cnt desc, key) cut.
+    * Spark plans the top-N as TakeOrderedAndProject (no global sort) —
+    * plan-asserted in ProfilingSpec. */
+  private val aKeySkew = Q("a_key_skew",
+    (s, dir) => Profiling.keySkew(Tables.events(s, dir), col("user_id"), 20),
+    Some("""WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+      |t AS (SELECT count(*) AS total FROM events)
+      |SELECT key, cnt, cnt * 10000 // total AS share_bp FROM c, t
+      |ORDER BY cnt DESC, key LIMIT 20""".stripMargin))
+
   /** Pivot reshape (wide per-key counts). Missing combinations are
     * normalized to 0 on both sides (Spark pivot-count yields null, DuckDB
     * PIVOT yields 0). */
@@ -1120,6 +1145,27 @@ object Queries {
         docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
         docs.where(pmod(col("doc_id"), lit(7)) === 0)
           .select(md5(col("text")).as("text_md5")))
+    },
+    Some("""WITH hist AS (SELECT md5(text) AS text_md5 FROM documents WHERE doc_id % 7 = 0)
+      |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents WHERE doc_id % 7 <> 0
+      |  AND md5(text) NOT IN (SELECT text_md5 FROM hist)
+      |GROUP BY 1""".stripMargin))
+
+  /** Bloom-prefiltered incremental exact dedup (Dedup.exactIncrementalBloom):
+    * the history bloom is built eagerly at query-build time — the stand-in
+    * for loading a persisted artifact — and the result is bit-identical to
+    * dedup_exact_incr (bloom false positives are confirmed away, false
+    * negatives cannot exist), so the oracle is the same plain NOT IN
+    * derivation, knowing nothing of blooms. */
+  private val dedupExactIncrBloom = Q("dedup_exact_incr_bloom",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hist = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select(md5(col("text")).as("text_md5"))
+      val bloom = Dedup.buildHashBloom(hist, "text_md5", expectedItems = 1 << 16)
+      Dedup.exactIncrementalBloom(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0), hist, bloom)
     },
     Some("""WITH hist AS (SELECT md5(text) AS text_md5 FROM documents WHERE doc_id % 7 = 0)
       |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1985,6 +2031,7 @@ object Queries {
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin,
     jAsofNearest, jRangeJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg, aPercentiles,
+    aColumnProfile, aKeySkew,
     cNullFns, tGapfill,
     wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, wFirstNth,
     aHistogram, sOrderbyLimit, cStringFns, cArrayFns, cMapFns,
@@ -1994,7 +2041,7 @@ object Queries {
     uMergeUpsert, uScd2History,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
-    dedupExact, dedupExactIncr, dedupMinhashIncr,
+    dedupExact, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
     dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,

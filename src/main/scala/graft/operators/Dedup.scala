@@ -117,6 +117,76 @@ object Dedup {
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Serialized Bloom filter over xxhash64 of `column` — the OTHER artifact
+    * an incremental pipeline persists next to its history hash table: a few
+    * MB that answer "definitely not in history" without touching history.
+    *
+    * EXPLICITLY EAGER (runs one aggregation job over `df`) — build once per
+    * history snapshot and persist the bytes, exactly like [[bandIndex]]; do
+    * not call inside a lazily-composed plan (the RangeJoin auto-binwidth
+    * lesson). The aggregate is Spark's own `BloomFilterAggregate` (the
+    * engine's runtime-join-filter sketch, reused as a first-class artifact):
+    * map-side partial blooms OR-merge through the shuffle, so the pass over
+    * 100 TB of hashes ships only fixed-size bitmaps. `fpp` trades bloom size
+    * against confirm-join traffic in [[exactIncrementalBloom]]. */
+  def buildHashBloom(df: DataFrame, column: String, expectedItems: Long,
+      fpp: Double = 0.03): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(col(column))),
+      Literal(expectedItems), Literal(numBits))
+    val bloomCol = GraftBridge.column(agg.toAggregateExpression())
+    df.agg(bloomCol.as("bloom")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen membership probe against a [[buildHashBloom]] artifact: true ⇒
+    * maybe present (fpp false positives), false ⇒ DEFINITELY absent. The
+    * bloom bytes ride into the plan as a literal (broadcast with the task
+    * binary, deserialized once per task by `BloomFilterMightContain`). */
+  def mightContainHash(bloomBytes: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes), GraftBridge.expression(xxhash64(c))))
+  }
+
+  /** [[exactIncremental]] with the history side behind its persisted
+    * [[buildHashBloom]]: bit-identical output, but history is only consulted
+    * for the batch rows the bloom flags as possible dups.
+    *
+    * Plan shape at 100 TB history / GB batch (the asymmetry the operator
+    * exists for):
+    *  1. bloom-negative batch rows are provably new — no join at all;
+    *  2. bloom-positive rows (true dups + ~fpp of the batch) broadcast into
+    *     a semi-join that filters history MAP-SIDE — history is scanned
+    *     once, never shuffled, and only its ∩-with-positives keys (≤ the
+    *     tiny positive set) come back;
+    *  3. a broadcast anti-join against those confirmed keys removes the
+    *     bloom's false positives, restoring exactness.
+    * The batch side is read twice (once per branch of the union) — it is
+    * the small side by definition; the 100 TB side is read once, narrowly.
+    * False negatives don't exist, so the result equals [[exactIncremental]]
+    * bit-for-bit and shares its oracle. */
+  def exactIncrementalBloom(newDocs: DataFrame, historyHashes: DataFrame,
+      historyBloom: Array[Byte]): DataFrame = {
+    val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val maybe = mightContainHash(historyBloom, col("text_md5"))
+    val positives = hashed.where(maybe)
+    val confirmedDupKeys = historyHashes.select(col("text_md5"))
+      .join(broadcast(positives.select(col("text_md5")).distinct()),
+        Seq("text_md5"), "left_semi")
+      .distinct()
+    val confirmedNew = positives.join(broadcast(confirmedDupKeys),
+      Seq("text_md5"), "left_anti")
+    hashed.where(!maybe).unionByName(confirmedNew)
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** The persistable LSH band index of a corpus: (doc_id, band, key) — what
     * an incremental pipeline stores so tomorrow's batch can find near-dups
     * against ALL of history without rescanning a single historical text. */

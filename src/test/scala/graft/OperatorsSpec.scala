@@ -123,6 +123,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((2L, 2L), (4L, 1L)))
   }
 
+  test("exactIncrementalBloom: bit-identical to exactIncremental, even with a saturated bloom") {
+    val histDocs = docs.where(col("doc_id") % 3 === 0)
+    val hist = histDocs.select(md5(col("text")).as("text_md5"))
+    val batch = docs.where(col("doc_id") % 3 =!= 0)
+    val plain = Dedup.exactIncremental(batch, hist)
+      .as[(String, Long, Long)].collect().toSet
+    // Roomy bloom (few false positives) and a deliberately saturated one
+    // (expectedItems ≪ actual → high fpp): exactness must not depend on fpp.
+    for (expected <- Seq(1 << 16, 2)) {
+      val bloom = Dedup.buildHashBloom(hist, "text_md5", expected.toLong)
+      val out = Dedup.exactIncrementalBloom(batch, hist, bloom)
+        .as[(String, Long, Long)].collect().toSet
+      assert(out == plain, s"expectedItems=$expected")
+    }
+  }
+
+  test("mightContainHash: no false negatives; probe is a native plan expression") {
+    val hist = docs.where(col("doc_id") % 3 === 0)
+      .select(md5(col("text")).as("text_md5"))
+    val bloom = Dedup.buildHashBloom(hist, "text_md5", 1 << 16)
+    // every inserted hash answers true (bloom guarantee: zero false negatives)
+    assert(hist.where(!Dedup.mightContainHash(bloom, col("text_md5"))).count() == 0)
+    // plan shape over a non-local source (a LocalRelation would be folded
+    // away by ConvertToLocalRelation before the probe could appear)
+    val probed = spark.range(10)
+      .where(Dedup.mightContainHash(bloom, col("id").cast("string")))
+    assert(probed.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
   test("minhashCandidatesIncremental: cross-boundary pairs via the stored index only") {
     val hist = Seq((100L, "the quick brown fox jumps over the lazy dog near the river"))
       .toDF("doc_id", "text")

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Profiling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("columnStats: nulls, exact ndv, native-type min/max in one row per column") {
+    val df = Seq(
+      (Some(9), Some("b")), (Some(10), None), (Some(9), Some("a")), (None, Some("a")))
+      .toDF("n", "s")
+    val out = Profiling.columnStats(df, Seq("n", "s"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map { case (c, nulls, ndv, mn, mx) => c -> ((nulls, ndv, mn, mx)) }
+      .toMap
+    // min/max aggregate as INT then render: 9 < 10 (a string aggregation
+    // would have ranked "10" < "9")
+    assert(out("n") == ((1L, 2L, "9", "10")))
+    assert(out("s") == ((1L, 2L, "a", "b")))
+  }
+
+  test("columnStats: empty input profiles to zero counts and null extremes") {
+    val out = Profiling.columnStats(spark.range(0).toDF("id"), Seq("id"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 0L && out.head.getLong(2) == 0L)
+    assert(out.head.isNullAt(3) && out.head.isNullAt(4))
+  }
+
+  test("columnStats: approx variant skips the Expand and stays within HLL error") {
+    // two distinct-aggregated columns: the exact path needs Catalyst's
+    // Expand (input ×3); the HLL path aggregates in one pass without it
+    val df = spark.range(10000).select(col("id"), (col("id") % 100).as("id2"))
+    val exact = Profiling.columnStats(df, Seq("id", "id2"))
+    val approx = Profiling.columnStats(df, Seq("id", "id2"), approxDistinct = true)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val ndv = approx.collect().head.getLong(2)
+    assert(math.abs(ndv - 10000L) < 1000L, s"HLL ndv=$ndv")
+  }
+
+  test("keySkew: deterministic top-N, integral shares, no global sort") {
+    // 60 'a', 30 'b', 10 'c' → shares 6000/3000/1000 bp
+    val df = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"))
+      .toDF("k")
+    val out = Profiling.keySkew(df, col("k"), 2)
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("a", 60L, 6000L), ("b", 30L, 3000L)))
+    val plan = Profiling.keySkew(df, col("k"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "global top-N must be heap-based")
+  }
+}
