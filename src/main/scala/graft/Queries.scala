@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   *  - no timestamp-typed output columns — epochs (floor semantics both
   *    sides) or rendered strings instead;
   *  - hashes are md5/sha256 (identical in both engines), never xxhash64;
-  *  - every ranking has a total-order tie-break.
+  *  - every ranking has a total-order tie-break;
+  *  - DuckDB ROUND preserves IEEE -0.0 where Spark's round (BigDecimal)
+  *    always yields +0.0 — any oracle-side ROUND whose argument can be a
+  *    tiny negative gets `+ 0.0` appended (-0.0 + 0.0 = +0.0, every other
+  *    value bit-unchanged).
   */
 object Queries {
 
@@ -1629,6 +1633,71 @@ object Queries {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
       |FROM r WHERE rank <= 5""".stripMargin))
 
+  /** Semantic decontamination (Similarity.crossTopK over
+    * TextAnalysis.embedDocuments): every 10th document plays the held-out
+    * benchmark; for each benchmark doc the 3 nearest TRAINING docs by
+    * embedding cosine — the report a curator reads to find paraphrased eval
+    * items that n-gram contamination checks (text_contamination) miss. The
+    * whole chain — feature-hash embed, split, cross-corpus ANN — is
+    * deterministic and oracled end-to-end. */
+  private val pipelineDecontamTopk = Q("pipeline_decontam_topk",
+    (s, dir) => {
+      val vecs = TextAnalysis.embedDocuments(Tables.documents(s, dir), dim = 16)
+        .select(col("doc_id").as("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+        .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
+      Similarity.crossTopK(
+        vecs.where(pmod(col("vec_id"), lit(10)) =!= 0),
+        vecs.where(pmod(col("vec_id"), lit(10)) === 0), k = 3)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
+      |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
+      |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
+      |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
+      |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
+      |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
+      |vec AS (SELECT g.doc_id AS vec_id,
+      |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
+      |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
+      |  GROUP BY g.doc_id),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
+      |  WHERE list_dot_product(v, v) > 0),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 10 = 0),
+      |sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+      |        ROUND(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) + 0.0 AS cosine
+      |      FROM q CROSS JOIN n WHERE n.vec_id % 10 <> 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+      |FROM r WHERE rank <= 3""".stripMargin))
+
+  /** Cross-corpus LSH top-k (Similarity.crossTopKLsh) on the embeddings
+    * table — the decontamination scale path: both sides bucket on the same
+    * shared hyperplanes, so the search is one equi-join however large the
+    * training side grows. Every 5th vector plays the query set. */
+  private val simCrossLshTopk = Q("sim_cross_lsh_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.crossTopKLsh(
+        e.where(pmod(col("vec_id"), lit(5)) =!= 0),
+        e.where(pmod(col("vec_id"), lit(5)) === 0), k = 10)
+    },
+    Some {
+      val planes = Similarity.lshPlanes(6, 64)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % 5 = 0),
+        |s AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |        ROUND(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) + 0.0 AS cosine
+        |      FROM q JOIN n USING (bucket) WHERE n.vec_id % 5 <> 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 10""".stripMargin
+    })
+
   /** Token-budget mixture (TextAnalysis.tokenBudgetSample): greedy prefix
     * in portable md5 order until each source's token budget fills. The
     * Spark side is the bucket-refined prefix-sum (256-way parallel); the
@@ -2050,7 +2119,8 @@ object Queries {
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
-    textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk,
+    textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,
+    simCrossLshTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -80,6 +80,42 @@ object Similarity {
         col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
   }
 
+  /** (vec_id, v, nrm) with no `label` requirement — the prep for the
+    * two-table ops, where query frames (a benchmark set, an eval suite)
+    * rarely carry corpus labels. */
+  private def preparedVecs(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+
+  /** Exact cross-corpus top-k: for every vector of `queries`, the k nearest
+    * vectors of `corpus` by cosine — the two-table generalization of
+    * [[bruteTopK]] and the semantic-decontamination / retrieval shape
+    * (queries = benchmark or eval set, corpus = training candidates; a high
+    * top-1 cosine flags a training doc as a paraphrase of an eval item).
+    * Both frames need (vec_id, embedding). Id spaces should be disjoint:
+    * a corpus row whose vec_id equals the query's is skipped (the self-pair
+    * rule inherited from the self-join ops). The query side broadcasts;
+    * the corpus stays partitioned, so cost is one pass over the corpus
+    * regardless of its size. */
+  def crossTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = preparedVecs(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    rankTopK(scoreAgainst(preparedVecs(corpus), q, Nil), k)
+  }
+
+  /** LSH-bucketed cross-corpus top-k — [[crossTopK]]'s scale path: both
+    * sides bucket with the SAME shared hyperplanes, each query probes only
+    * its own bucket (~1/2^nPlanes of the corpus), and the search is one
+    * equi-join however large either side grows. Deterministic, so
+    * oracle-checkable like [[lshTopK]]. */
+  def crossTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 6): DataFrame = {
+    val q = lshCorpus(queries, nPlanes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
+    rankTopK(scoreAgainst(lshCorpus(corpus, nPlanes), q, Seq("bucket")), k)
+  }
+
   /** Random-hyperplane LSH planes: `nPlanes`×`dim` ±1 signs from a fixed
     * seed — data-independent constants shared verbatim with the DuckDB
     * oracle (interpolated as literals). */

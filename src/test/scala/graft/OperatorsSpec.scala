@@ -326,6 +326,35 @@ class SimilaritySpec extends AnyFunSuite {
     // query 0's cell (label-0 representative direction) never contains 2
     assert(!out.contains((0L, 2L)))
   }
+
+  test("crossTopK: neighbors come only from the corpus side; a planted twin ranks first") {
+    val corpus = vecs.where(col("vec_id") =!= 2L)
+    val queries = Seq((100L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.crossTopK(corpus, queries, k = 2)
+      .orderBy("rank")
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    // nearest corpus vec to (0,1) is 3 = (0.1, 0.9); query id 100 never
+    // appears as a neighbor (it is not in the corpus)
+    assert(out.map(_._3).toSeq == Seq(3L, 4L))
+    assert(out.forall(_._1 == 100L))
+  }
+
+  test("crossTopKLsh: corpus-only neighbors, dense per-query ranks") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = e.where(col("vec_id") % 5 =!= 0)
+    val queries = e.where(col("vec_id") % 5 === 0)
+    val lsh = Similarity.crossTopKLsh(corpus, queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    // no query-side leakage (neighbors only from the corpus partition)…
+    assert(lsh.forall { case (_, n) => n % 5 != 0 })
+    // …and ranks are dense 1..n per query
+    val ranks = Similarity.crossTopKLsh(corpus, queries, k = 10)
+      .groupBy("query_id").agg(max("rank").as("mx"), count(lit(1)).as("n"))
+      .where(col("mx") =!= col("n")).count()
+    assert(ranks == 0L, "ranks must be dense 1..n per query")
+  }
 }
 
 class KmeansIvfSpec extends AnyFunSuite {
