@@ -1199,6 +1199,21 @@ object Queries {
       |FROM banded_n a JOIN banded_n b
       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin))
 
+  /** dedup_minhash_incr through the persisted band-key bloom prefilter:
+    * bloom-negative batch band keys never reach the history join (exact —
+    * an inner join drops them anyway), so the oracle is the SAME banded
+    * re-derivation, bloom-invisible like dedup_exact_incr_bloom's. */
+  private val dedupMinhashIncrBloom = Q("dedup_minhash_incr_bloom",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val histIdx = Dedup.bandIndex(docs.where(pmod(col("doc_id"), lit(7)) === 0))
+      val bloom = Dedup.buildBandBloom(histIdx, expectedItems = 1 << 16)
+      Dedup.minhashCandidatesIncremental(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0), histIdx,
+        historyBandBloom = Some(bloom))
+    },
+    dedupMinhashIncr.oracle)
+
   private val dedupMinhashPairs = Q("dedup_minhash_pairs",
     (s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), 0.2),
     Some(minhashPairsSql), bench = true)
@@ -2111,6 +2126,7 @@ object Queries {
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
+    dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,

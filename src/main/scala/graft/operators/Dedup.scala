@@ -140,7 +140,23 @@ object Dedup {
       GraftBridge.expression(xxhash64(col(column))),
       Literal(expectedItems), Literal(numBits))
     val bloomCol = GraftBridge.column(agg.toAggregateExpression())
-    df.agg(bloomCol.as("bloom")).head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate SILENTLY clamps both sizes to the runtime-filter
+    // conf caps (defaults: 4M items / 8M bytes — sized for injected join
+    // filters, not a billion-key history artifact). A clamped bloom stays
+    // correct but saturates: ~every probe answers "maybe" and the prefilter
+    // stops paying for itself. Raise the caps to the request for the
+    // duration of this one eager job, then restore.
+    val conf = df.sparkSession.conf
+    val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = Seq(items, bits).map(k => k -> conf.getOption(k))
+    conf.set(items, math.max(expectedItems, conf.get(items, "4000000").toLong))
+    conf.set(bits, math.max(numBits, conf.get(bits, "67108864").toLong))
+    try df.agg(bloomCol.as("bloom")).head().getAs[Array[Byte]](0)
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   /** Codegen membership probe against a [[buildHashBloom]] artifact: true ⇒
@@ -193,6 +209,17 @@ object Dedup {
   def bandIndex(documents: DataFrame): DataFrame =
     bandedKeys(documents).select(col("doc_id"), col("band"), col("key"))
 
+  /** Serialized bloom over the history [[bandIndex]]'s (band, key) space —
+    * the prefilter artifact for [[minhashCandidatesIncremental]]. Same
+    * explicitly-eager build-and-persist contract as [[buildHashBloom]].
+    * Size by DISTINCT (band, key) count (≈ 4× distinct docs at these band
+    * parameters), not index rows. */
+  def buildBandBloom(historyIndex: DataFrame, expectedItems: Long,
+      fpp: Double = 0.03): Array[Byte] =
+    buildHashBloom(
+      historyIndex.select(concat_ws(":", col("band"), col("key")).as("bk")),
+      "bk", expectedItems, fpp)
+
   /** Near-dup CANDIDATES of a new batch, incrementally: new-vs-history
     * pairs come from an equi-join of the batch's band keys against the
     * stored [[bandIndex]] (origin `history`, doc_a = new, doc_b =
@@ -205,9 +232,17 @@ object Dedup {
     * [[BucketCapMetricPrefix]]-prefixed observed metric (truncated_members,
     * largest_bucket), so production truncation never passes silently.
     * Re-ranking (exact Jaccard) stays with the caller, who owns the
-    * historical texts. */
+    * historical texts.
+    *
+    * `historyBandBloom` (a persisted [[buildBandBloom]]) prefilters the
+    * BATCH side of the history join map-side: a genuinely-new document's
+    * band keys mostly don't exist in history, and an inner join drops
+    * bloom-negative rows anyway, so the filter is exact — false positives
+    * just proceed to the join and match nothing. Only the new-vs-history
+    * leg is filtered; the within-batch self-join still sees every key. */
   def minhashCandidatesIncremental(newDocs: DataFrame, historyIndex: DataFrame,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      historyBandBloom: Option[Array[Byte]] = None): DataFrame = {
     def cap(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
@@ -220,7 +255,10 @@ object Dedup {
     }
     val newBands = cap(bandIndex(newDocs))
     val histBands = cap(historyIndex.select(col("doc_id"), col("band"), col("key")))
-    val vsHistory = newBands.as("n")
+    val newForHistory = historyBandBloom.fold(newBands)(bloom =>
+      newBands.where(mightContainHash(bloom,
+        concat_ws(":", col("band"), col("key")))))
+    val vsHistory = newForHistory.as("n")
       .join(histBands.as("h"), Seq("band", "key"))
       .select(col("n.doc_id").as("doc_a"), col("h.doc_id").as("doc_b"))
       .distinct()

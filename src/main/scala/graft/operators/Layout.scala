@@ -96,6 +96,21 @@ object Layout {
       bits: Int, nFiles: Int): DataFrame =
     curveShape(df, xCol, yCol, bits, nFiles, hilbertValue)
 
+  /** Small-file compaction shape: one range shuffle that turns a
+    * fragmented table (streaming sink output, thousands of KB-scale
+    * incremental files whose open/footer overhead dominates scans) into
+    * exactly `nFiles` files clustered on `key` — row-preserving, ready for
+    * `.write.parquet(...)`. Each output file covers a disjoint `key`
+    * range (range partitioning + within-partition sort), so the rewrite
+    * also buys min-max file pruning for key filters — compaction and
+    * clustering in the same pass. The single-dimension sibling of
+    * [[zorderShape]]/[[hilbertShape]]; size `nFiles` ≈ table bytes /
+    * desired file size (powers of ~512 MB–1 GB at cluster scale). */
+  def compactShape(df: DataFrame, key: Column, nFiles: Int): DataFrame = {
+    require(nFiles >= 1, s"need nFiles >= 1, got $nFiles")
+    df.repartitionByRange(nFiles, key).sortWithinPartitions(key)
+  }
+
   private def curveShape(df: DataFrame, xCol: String, yCol: String,
       bits: Int, nFiles: Int, curve: (Column, Column, Int) => Column): DataFrame = {
     val hi = (1L << bits) - 1

@@ -351,28 +351,63 @@ object TextAnalysis {
     *                  7·chars, same exact-rational trick).
     * Flags are INT 0/1 (portable hashing) and `keep` is their conjunction. */
   def qualityRules(documents: DataFrame, minTokens: Int = 10,
-      maxTokens: Int = 100000): DataFrame = {
-    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      maxTokens: Int = 100000, carry: Seq[String] = Nil): DataFrame = {
+    val keep = carry.map(col)
+    val toks = Stage(documents.select(Seq(col("doc_id"), col("text")) ++ keep: _*),
       "w", TextFns.tokens(col("text")))
-    val m = toks.select(col("doc_id"),
+    val m = toks.select(keep ++ Seq(col("doc_id"),
       size(col("w")).cast("long").as("n_tokens"),
       length(array_join(col("w"), "")).cast("long").as("sum_wlen"),
       TextFns.markerHits(col("w"), TextFns.LangMarkers.head._2)
         .cast("long").as("stop_hits"),
       regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("n_alpha"),
-      length(col("text")).cast("long").as("n_chars"))
+      length(col("text")).cast("long").as("n_chars")): _*)
     val okLen = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
     val okWordLen = col("n_tokens") > 0 &&
       col("sum_wlen") >= col("n_tokens") * 3 &&
       col("sum_wlen") <= col("n_tokens") * 10
     val okStopword = col("stop_hits") >= 1
     val okAlpha = col("n_alpha") * 10 >= col("n_chars") * 7
-    m.select(col("doc_id"), col("n_tokens"),
+    m.select(keep ++ Seq(col("doc_id"), col("n_tokens"),
       okLen.cast("int").as("ok_len"),
       okWordLen.cast("int").as("ok_word_len"),
       okStopword.cast("int").as("ok_stopword"),
       okAlpha.cast("int").as("ok_alpha"),
-      (okLen && okWordLen && okStopword && okAlpha).cast("int").as("keep"))
+      (okLen && okWordLen && okStopword && okAlpha).cast("int").as("keep")): _*)
+  }
+
+  /** Windowed corpus-quality drift monitor: per (event-time window, source),
+    * document volume, keep rate in basis points, and per-rule failure
+    * counts — the dashboard feed that catches an upstream crawler change
+    * (or a single source going bad) while the batch is still landing.
+    *
+    * Pure composition of [[qualityRules]] (narrow, runs unchanged on a
+    * stream) with a watermarked window aggregate, so the SAME code serves
+    * batch backfill and `readStream` monitoring; StreamingSpec pins
+    * stream == batch. keep_bp is integral (sum·10000 div count). State at
+    * scale: one row per (window, source) within the watermark horizon —
+    * independent of document volume. */
+  def qualityDrift(documents: DataFrame, eventTime: String, delay: String,
+      windowDur: String, minTokens: Int = 10,
+      maxTokens: Int = 100000): DataFrame = {
+    val flagged = qualityRules(documents, minTokens, maxTokens,
+      carry = Seq(eventTime, "source"))
+    flagged
+      .withWatermark(eventTime, delay)
+      .groupBy(window(col(eventTime), windowDur).as("w"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_keep"),
+        sum(lit(1) - col("ok_len")).as("n_fail_len"),
+        sum(lit(1) - col("ok_word_len")).as("n_fail_word_len"),
+        sum(lit(1) - col("ok_stopword")).as("n_fail_stopword"),
+        sum(lit(1) - col("ok_alpha")).as("n_fail_alpha"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("w.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_keep"),
+        expr("n_keep * 10000 div n_docs").as("keep_bp"),
+        col("n_fail_len"), col("n_fail_word_len"),
+        col("n_fail_stopword"), col("n_fail_alpha"), col("n_tokens"))
   }
 
   /** Token-budget mixture: per source, keep documents in portable

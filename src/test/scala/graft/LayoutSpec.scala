@@ -62,6 +62,37 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/h").count() == events.count())
   }
 
+  test("compactShape: fragmented files → exact count, disjoint key ranges, prunable") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type")
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    // simulate the streaming-sink fragmentation problem: 64 tiny files
+    events.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+    def partFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(partFiles(s"$base/frag") == 64)
+
+    Layout.compactShape(spark.read.parquet(s"$base/frag"), col("event_id"), 4)
+      .write.mode("overwrite").parquet(s"$base/compact")
+    assert(partFiles(s"$base/compact") == 4, "compaction must yield exactly nFiles")
+    val back = spark.read.parquet(s"$base/compact")
+    assert(back.count() == events.count(), "compaction is row-preserving")
+    // per-file key ranges are disjoint (event_id is unique), so min-max
+    // stats prune key filters after the rewrite
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .orderBy("lo").as[(String, Long, Long)].collect()
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: $hi1 >= $lo2")
+      case _ =>
+    }
+    val touched = back.where($"event_id" === ranges.head._3)
+      .select(input_file_name()).distinct().count()
+    assert(touched == 1, s"point lookup touched $touched files after compaction")
+  }
+
   test("date-partitioned write prunes directories at scan time") {
     // The other half of layout-driven pruning: coarse directory partitioning
     // on the natural time key, with PartitionFilters doing the skipping

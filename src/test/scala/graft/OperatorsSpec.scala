@@ -139,6 +139,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("buildHashBloom honors sizes past the runtime-filter conf caps") {
+    val hist = docs.select(md5(col("text")).as("text_md5"))
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val before = spark.conf.getOption(itemsKey)
+    // 5M expected items exceeds Spark's 4M default cap; without the conf
+    // lift the aggregate would silently clamp and the bloom would come back
+    // sized for 4M. optimalNumOfBits(5M, 3%) ≈ 36.5M bits ≈ 4.6 MB.
+    val bytes = Dedup.buildHashBloom(hist, "text_md5", 5000000L)
+    val unclamped = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(5000000L, 0.03) / 8
+    assert(bytes.length >= unclamped,
+      s"bloom clamped: ${bytes.length} bytes < expected ≥ $unclamped")
+    // and the session conf is back to its pre-call value afterwards
+    assert(spark.conf.getOption(itemsKey) == before)
+  }
+
   test("mightContainHash: no false negatives; probe is a native plan expression") {
     val hist = docs.where(col("doc_id") % 3 === 0)
       .select(md5(col("text")).as("text_md5"))
@@ -150,6 +166,20 @@ class DedupSpec extends AnyFunSuite {
     val probed = spark.range(10)
       .where(Dedup.mightContainHash(bloom, col("id").cast("string")))
     assert(probed.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
+  test("minhashCandidatesIncremental: band-bloom prefilter is exact at any fpp") {
+    val hist = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 =!= 0)
+    val idx = Dedup.bandIndex(hist)
+    val plain = Dedup.minhashCandidatesIncremental(batch, idx)
+      .as[(Long, Long, String)].collect().toSet
+    for (expected <- Seq(1 << 16, 2)) { // roomy and saturated blooms
+      val bloom = Dedup.buildBandBloom(idx, expected.toLong)
+      val out = Dedup.minhashCandidatesIncremental(batch, idx,
+        historyBandBloom = Some(bloom)).as[(Long, Long, String)].collect().toSet
+      assert(out == plain, s"expectedItems=$expected")
+    }
   }
 
   test("minhashCandidatesIncremental: cross-boundary pairs via the stored index only") {

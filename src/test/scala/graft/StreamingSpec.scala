@@ -652,4 +652,39 @@ class EventStreamsSpec extends AnyFunSuite {
         "scrubbed long docs keep, short doc gated out")
     } finally q.stop()
   }
+
+  test("quality-drift monitor: windowed per-source keep rates, stream == batch") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox story goes on and on for a while longer here ok"
+    val docs = Seq(
+      (1L, 10L, "crawl_a", good),
+      (2L, 20L, "crawl_a", "shrt"),                   // fails ok_len
+      (3L, 30L, "crawl_b", good),
+      (4L, 70L, "crawl_a", good))                     // second window
+      .map { case (id, s, src, t) =>
+        (id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), src, t)
+      }
+    def monitor(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.qualityDrift(df, "ts", "10 seconds", "1 minute")
+        .select(col("window_start").cast("long").as("w"), col("source"),
+          col("n_docs"), col("n_keep"), col("keep_bp"), col("n_fail_len"))
+    val batch = monitor(docs.toDF("doc_id", "ts", "source", "text"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(batch == Set(
+      (0L, "crawl_a", 2L, 1L, 5000L, 1L),
+      (0L, "crawl_b", 1L, 1L, 10000L, 0L),
+      (60L, "crawl_a", 1L, 1L, 10000L, 0L)))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val q = monitor(input.toDS().toDF("doc_id", "ts", "source", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("drift_windows").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("drift_windows")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream drift == batch drift: $streamed vs $batch")
+    } finally q.stop()
+  }
 }
