@@ -145,19 +145,29 @@ object Dedup {
     // filters, not a billion-key history artifact). A clamped bloom stays
     // correct but saturates: ~every probe answers "maybe" and the prefilter
     // stops paying for itself. Raise the caps to the request for the
-    // duration of this one eager job, then restore.
+    // duration of this one eager job, then restore. The save/set/restore is
+    // serialized under a JVM-global lock so concurrent builds can't
+    // interleave and strand a lifted cap in the session; other queries
+    // PLANNED during the window still see the lifted caps (they only affect
+    // how large an injected join bloom may grow — a size hint, not a
+    // correctness knob).
     val conf = df.sparkSession.conf
     val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val saved = Seq(items, bits).map(k => k -> conf.getOption(k))
-    conf.set(items, math.max(expectedItems, conf.get(items, "4000000").toLong))
-    conf.set(bits, math.max(numBits, conf.get(bits, "67108864").toLong))
-    try df.agg(bloomCol.as("bloom")).head().getAs[Array[Byte]](0)
-    finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
+    bloomConfLock.synchronized {
+      val saved = Seq(items, bits).map(k => k -> conf.getOption(k))
+      conf.set(items, math.max(expectedItems, conf.get(items, "4000000").toLong))
+      conf.set(bits, math.max(numBits, conf.get(bits, "67108864").toLong))
+      try df.agg(bloomCol.as("bloom")).head().getAs[Array[Byte]](0)
+      finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
     }
   }
+
+  /** Guards [[buildHashBloom]]'s conf save/set/restore window. */
+  private val bloomConfLock = new Object
 
   /** Codegen membership probe against a [[buildHashBloom]] artifact: true ⇒
     * maybe present (fpp false positives), false ⇒ DEFINITELY absent. The

@@ -105,7 +105,13 @@ object Layout {
     * also buys min-max file pruning for key filters — compaction and
     * clustering in the same pass. The single-dimension sibling of
     * [[zorderShape]]/[[hilbertShape]]; size `nFiles` ≈ table bytes /
-    * desired file size (powers of ~512 MB–1 GB at cluster scale). */
+    * desired file size (powers of ~512 MB–1 GB at cluster scale).
+    *
+    * `nFiles` is an UPPER bound: range partitioning never splits one key
+    * value across partitions, so a key with fewer than `nFiles` distinct
+    * values fills fewer partitions and the empty ones write no file —
+    * compact on a high-cardinality key (an id, a timestamp), not an enum,
+    * when the exact file count matters. */
   def compactShape(df: DataFrame, key: Column, nFiles: Int): DataFrame = {
     require(nFiles >= 1, s"need nFiles >= 1, got $nFiles")
     df.repartitionByRange(nFiles, key).sortWithinPartitions(key)

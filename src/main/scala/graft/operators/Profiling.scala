@@ -29,23 +29,28 @@ object Profiling {
   def columnStats(df: DataFrame, columns: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "columnStats needs at least one column")
-    val aggs = columns.flatMap { c =>
+    // Internal aliases are INDEX-based, the output col_name is a literal,
+    // and input names are backtick-escaped before col() parses them — so
+    // names with dots, quotes, or backticks profile as well as any other.
+    def c0(c: String): Column = col(s"`${c.replace("`", "``")}`")
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
       val ndv =
-        if (approxDistinct) approx_count_distinct(col(c))
-        else count_distinct(col(c))
+        if (approxDistinct) approx_count_distinct(c0(c))
+        else count_distinct(c0(c))
       Seq(
-        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
-          .as(s"__nulls_$c"),
-        ndv.as(s"__ndv_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        coalesce(sum(when(c0(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__nulls_$i"),
+        ndv.as(s"__ndv_$i"),
+        min(c0(c)).cast("string").as(s"__min_$i"),
+        max(c0(c)).cast("string").as(s"__max_$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = columns
-      .map(c => s"'$c', `__nulls_$c`, `__ndv_$c`, `__min_$c`, `__max_$c`")
-      .mkString(", ")
-    wide.selectExpr(
-      s"stack(${columns.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+    val rows = columns.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__nulls_$i").as("n_nulls"),
+        col(s"__ndv_$i").as("n_distinct"), col(s"__min_$i").as("min_val"),
+        col(s"__max_$i").as("max_val"))
+    }
+    wide.select(inline(array(rows: _*)))
   }
 
   /** Top-N heaviest keys with their share of the table in basis points —
@@ -54,18 +59,27 @@ object Profiling {
     * salting threshold).
     *
     * share_bp is integral (cnt·10000 div total) so both engines compute it
-    * identically; ordering is (cnt desc, key) so the cut is deterministic
-    * under ties. The global top-N is `orderBy().limit()` — Spark plans it
-    * as TakeOrderedAndProject (per-partition bounded heaps merged on the
-    * driver), NOT a global sort, so the report costs one aggregation
-    * however many distinct keys exist. */
+    * identically; ordering is (cnt desc, key NULLS LAST) — nulls-last
+    * matches the other engine's ascending default, keeping the cut
+    * deterministic cross-engine even for a nullable key. The global top-N
+    * is `orderBy().limit()` — Spark plans it as TakeOrderedAndProject
+    * (per-partition bounded heaps merged on the driver), NOT a global sort.
+    *
+    * Single scan: the grand total is summed from the per-key counts frame
+    * rather than re-aggregated from the table, so both branches contain the
+    * SAME scan + partial-count + exchange subtree and Spark plans a
+    * ReusedExchange — the table is read and shuffled once; only the cheap
+    * post-shuffle aggregates (|keys| rows) run per branch. Plan-asserted in
+    * ProfilingSpec. (A rollup grouping-set total was tried first: Catalyst
+    * pushes the grouping-id filters below the partial aggregate, making the
+    * two exchanges differ — two full scans.) */
   def keySkew(df: DataFrame, key: Column, topN: Int): DataFrame = {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
-    val total = df.agg(count(lit(1)).as("total"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("key"), col("cnt"),
         expr("cnt * 10000 div total").as("share_bp"))
-      .orderBy(col("cnt").desc, col("key"))
+      .orderBy(col("cnt").desc, col("key").asc_nulls_last)
       .limit(topN)
   }
 }

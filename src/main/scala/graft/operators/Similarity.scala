@@ -107,13 +107,15 @@ object Similarity {
     * sides bucket with the SAME shared hyperplanes, each query probes only
     * its own bucket (~1/2^nPlanes of the corpus), and the search is one
     * equi-join however large either side grows. Deterministic, so
-    * oracle-checkable like [[lshTopK]]. */
+    * oracle-checkable like [[lshTopK]]. `dim` must equal the embedding
+    * length (e.g. 16 for [[TextAnalysis.embedDocuments]]' default) — see
+    * the [[lshCorpus]] warning on the degeneration a mismatch causes. */
   def crossTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 6): DataFrame = {
-    val q = lshCorpus(queries, nPlanes)
+      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val q = lshCorpus(queries, nPlanes, dim)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
-    rankTopK(scoreAgainst(lshCorpus(corpus, nPlanes), q, Seq("bucket")), k)
+    rankTopK(scoreAgainst(lshCorpus(corpus, nPlanes, dim), q, Seq("bucket")), k)
   }
 
   /** Random-hyperplane LSH planes: `nPlanes`×`dim` ±1 signs from a fixed
@@ -126,9 +128,15 @@ object Similarity {
 
   /** Corpus with its sign-LSH bucket key: the double-cast vector is staged
     * (bucketOf references it nPlanes times), bucket = sign pattern of the
-    * `nPlanes` hyperplane projections. */
-  private[operators] def lshCorpus(embeddings: DataFrame, nPlanes: Int): DataFrame = {
-    val dim = 64
+    * `nPlanes` hyperplane projections.
+    *
+    * `dim` MUST match the embedding length: [[graft.plans.DotProductD]]
+    * yields null on length mismatch, so every plane test would fall to its
+    * `otherwise(0)` and ALL rows would share bucket 0 — silently turning
+    * every bucketed search into the quadratic cross join the buckets exist
+    * to avoid. */
+  private[operators] def lshCorpus(embeddings: DataFrame, nPlanes: Int,
+      dim: Int = 64): DataFrame = {
     val planes = lshPlanes(nPlanes, dim)
     def bucketOf(v: Column): Column =
       (0 until nPlanes).map { p =>

@@ -42,15 +42,39 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(ndv - 10000L) < 1000L, s"HLL ndv=$ndv")
   }
 
-  test("keySkew: deterministic top-N, integral shares, no global sort") {
+  test("keySkew: deterministic top-N, integral shares, no global sort, one scan") {
     // 60 'a', 30 'b', 10 'c' → shares 6000/3000/1000 bp
     val df = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"))
       .toDF("k")
     val out = Profiling.keySkew(df, col("k"), 2)
       .as[(String, Long, Long)].collect()
     assert(out.toSeq == Seq(("a", 60L, 6000L), ("b", 30L, 3000L)))
-    val plan = Profiling.keySkew(df, col("k"), 2)
-      .queryExecution.executedPlan.toString
+    // plan over a non-local source (LocalRelation folds): heap-based top-N
+    // and the counts/total branches reusing ONE rollup exchange
+    val big = spark.range(1000).select((col("id") % 7).as("k"))
+    val skew = Profiling.keySkew(big, col("k"), 3)
+    skew.collect() // AQE finalizes the plan
+    val plan = skew.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), "global top-N must be heap-based")
+    assert(plan.contains("ReusedExchange"),
+      s"counts and total must share the rollup scan:\n$plan")
+  }
+
+  test("keySkew: null keys count as a group and sort last on ties") {
+    val df = (Seq.fill(5)(Some("a")) ++ Seq.fill(5)(Option.empty[String]) ++
+      Seq.fill(2)(Some("b"))).toDF("k")
+    val out = Profiling.keySkew(df, col("k"), 3)
+      .as[(Option[String], Long, Long)].collect()
+    // 'a' and null tie at 5 — the non-null key wins the tie cross-engine
+    assert(out.toSeq == Seq(
+      (Some("a"), 5L, 4166L), (None, 5L, 4166L), (Some("b"), 2L, 1666L)))
+  }
+
+  test("columnStats: column names with quotes or backticks profile cleanly") {
+    val df = spark.range(3).toDF("it's").withColumn("a`b", col("`it's`") * 2)
+    val out = Profiling.columnStats(df, Seq("it's", "a`b"))
+      .as[(String, Long, Long, String, String)].collect()
+    assert(out.map(_._1).toSeq == Seq("it's", "a`b"))
+    assert(out.forall(_._3 == 3L))
   }
 }
