@@ -1686,6 +1686,49 @@ object Queries {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
       |FROM r WHERE rank <= 3""".stripMargin))
 
+  /** pipeline_decontam_topk's SCALE path: the same embed → split →
+    * cross-ANN chain, but bucketed with dim-16 hyperplanes
+    * (crossTopKLsh(dim = 16)) so the benchmark-vs-training search is one
+    * equi-join at any corpus size instead of the brute cross join. Both
+    * engines derive buckets from the same interpolated plane literals. */
+  private val pipelineDecontamLsh = Q("pipeline_decontam_lsh",
+    (s, dir) => {
+      val vecs = TextAnalysis.embedDocuments(Tables.documents(s, dir), dim = 16)
+        .select(col("doc_id").as("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+        .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
+      Similarity.crossTopKLsh(
+        vecs.where(pmod(col("vec_id"), lit(10)) =!= 0),
+        vecs.where(pmod(col("vec_id"), lit(10)) === 0), k = 3, nPlanes = 6,
+        dim = 16)
+    },
+    Some {
+      val planes = Similarity.lshPlanes(6, 16)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+        |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
+        |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
+        |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
+        |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
+        |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
+        |vec AS (SELECT g.doc_id AS vec_id,
+        |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
+        |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
+        |  GROUP BY g.doc_id),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM vec
+        |  WHERE list_dot_product(v, v) > 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % 10 = 0),
+        |sc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |        ROUND(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) + 0.0 AS cosine
+        |      FROM q JOIN n USING (bucket) WHERE n.vec_id % 10 <> 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 3""".stripMargin
+    })
+
   /** Cross-corpus LSH top-k (Similarity.crossTopKLsh) on the embeddings
     * table — the decontamination scale path: both sides bucket on the same
     * shared hyperplanes, so the search is one equi-join however large the
@@ -2136,7 +2179,7 @@ object Queries {
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,
-    simCrossLshTopk,
+    pipelineDecontamLsh, simCrossLshTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,
