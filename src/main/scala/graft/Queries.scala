@@ -304,6 +304,27 @@ object Queries {
       |SELECT key, cnt, cnt * 10000 // total AS share_bp FROM c, t
       |ORDER BY cnt DESC, key LIMIT 20""".stripMargin))
 
+  /** Salted inner equi-join (Salted.equiJoin): events re-joined to their
+    * per-type stats — ~6 distinct keys over 15k+ rows, the hot-key shape
+    * that melts one reducer in a plain shuffle join. The oracle is the
+    * plain join; salting must be row-for-row invisible. */
+  private val jSaltedJoin = Q("j_salted_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("type_n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("type_total"))
+      Salted.equiJoin(
+        ev.select(col("event_id"), col("event_type"), col("value")),
+        dim, "event_type", nSalts = 8)
+        .select(col("event_id"), col("event_type"), col("type_n"), col("type_total"))
+    },
+    Some("""WITH d AS (SELECT event_type, count(*) AS type_n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS type_total
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, d.type_n, d.type_total
+      |FROM events e JOIN d USING (event_type)""".stripMargin))
+
   /** Pivot reshape (wide per-key counts). Missing combinations are
     * normalized to 0 on both sides (Spark pivot-count yields null, DuckDB
     * PIVOT yields 0). */
@@ -2158,7 +2179,7 @@ object Queries {
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin,
     jAsofNearest, jRangeJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg, aPercentiles,
-    aColumnProfile, aKeySkew,
+    aColumnProfile, aKeySkew, jSaltedJoin,
     cNullFns, tGapfill,
     wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, wFirstNth,
     aHistogram, sOrderbyLimit, cStringFns, cArrayFns, cMapFns,

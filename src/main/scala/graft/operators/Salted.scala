@@ -43,4 +43,28 @@ object Salted {
       .agg(sum(col("pn")).cast("long").as("n"),
         sum(col("pv")).cast("double").as("total"))
   }
+
+  /** Salted inner equi-join on `key` — the REPLICATION side of the skew
+    * toolkit: the fact side's hot-key rows spread over `nSalts` shuffle
+    * partitions (content-derived salt, same retry-safety argument as
+    * [[countSum]]), and every dim row is replicated to all `nSalts`
+    * sub-keys so each fact row still meets its match exactly once. Output
+    * = the plain inner join row-for-row, at nSalts× the dim side's shuffle
+    * volume — the price of splitting a hot key AQE can't (skewed
+    * BROADCAST-ineligible dims, non-AQE clusters, or skew introduced
+    * upstream of a stage AQE has already planned).
+    *
+    * Prefer `broadcast(dim)` when the dim fits, and AQE's sort-merge skew
+    * split when it applies (both demonstrated elsewhere in this engine);
+    * this operator is the remaining corner: medium dims × hot fact keys.
+    * Columns: output carries fact columns then dim columns (key once). */
+  def equiJoin(fact: DataFrame, dim: DataFrame, key: String,
+      nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
+    val repDim = dim.withColumn("_salt",
+      explode(array((0 until nSalts).map(s => lit(s.toLong)): _*)))
+    saltedFact.join(repDim, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -70,6 +70,22 @@ class ProfilingSpec extends AnyFunSuite {
       (Some("a"), 5L, 4166L), (None, 5L, 4166L), (Some("b"), 2L, 1666L)))
   }
 
+  test("Salted.equiJoin is row-for-row the plain inner join, each row matched once") {
+    import graft.operators.Salted
+    val fact = Seq((1L, "hot", 1.0), (2L, "hot", 2.0), (3L, "hot", 3.0),
+      (4L, "cold", 4.0), (5L, "never", 5.0)).toDF("id", "k", "v")
+    val dim = Seq(("hot", 100L), ("cold", 200L), ("unused", 300L))
+      .toDF("k", "d")
+    val plain = fact.join(dim, Seq("k")).select("id", "k", "v", "d")
+      .as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq
+    for (nSalts <- Seq(1, 8)) {
+      val salted = Salted.equiJoin(fact, dim, "k", nSalts)
+        .select("id", "k", "v", "d")
+        .as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq
+      assert(salted == plain, s"nSalts=$nSalts")
+    }
+  }
+
   test("columnStats: column names with quotes or backticks profile cleanly") {
     val df = spark.range(3).toDF("it's").withColumn("a`b", col("`it's`") * 2)
     val out = Profiling.columnStats(df, Seq("it's", "a`b"))
