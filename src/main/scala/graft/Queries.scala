@@ -1669,6 +1669,16 @@ object Queries {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
       |FROM r WHERE rank <= 5""".stripMargin))
 
+  /** The document-embedding vector table behind the decontamination and
+    * topic-clustering pipelines: feature-hash embed at dim 16, cast to
+    * double, zero vectors dropped (no cosine), constant label 0 (the
+    * similarity ops' prepared() contract). */
+  private def docVecs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.embedDocuments(Tables.documents(s, dir), dim = 16)
+      .select(col("doc_id").as("vec_id"), lit(0).as("label"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
+
   /** Semantic decontamination (Similarity.crossTopK over
     * TextAnalysis.embedDocuments): every 10th document plays the held-out
     * benchmark; for each benchmark doc the 3 nearest TRAINING docs by
@@ -1678,10 +1688,7 @@ object Queries {
     * deterministic and oracled end-to-end. */
   private val pipelineDecontamTopk = Q("pipeline_decontam_topk",
     (s, dir) => {
-      val vecs = TextAnalysis.embedDocuments(Tables.documents(s, dir), dim = 16)
-        .select(col("doc_id").as("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("embedding"))
-        .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
+      val vecs = docVecs(s, dir)
       Similarity.crossTopK(
         vecs.where(pmod(col("vec_id"), lit(10)) =!= 0),
         vecs.where(pmod(col("vec_id"), lit(10)) === 0), k = 3)
@@ -1707,6 +1714,64 @@ object Queries {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
       |FROM r WHERE rank <= 3""".stripMargin))
 
+  /** Topic clustering over the document embedder (Similarity.kmeansAssign
+    * ∘ TextAnalysis.embedDocuments): train k-means‖ cells on the dim-16
+    * doc vectors, assign every doc, and summarize each cluster (size +
+    * best-fitting exemplar doc) — the corpus-curation view that tells a
+    * data engineer what the corpus is MADE of before weighting it.
+    * Training is bit-deterministic (sorted candidates, round-6 Lloyd
+    * means), so the oracle is DERIVED at verify time: the trained
+    * centroids interpolate as literals and DuckDB independently re-embeds,
+    * re-assigns (same round-6/min-cell argmax), and re-summarizes. */
+  private val pipelineTopicClusters = Q("pipeline_topic_clusters",
+    (s, dir) => {
+      val assigned = Similarity.kmeansAssign(docVecs(s, dir), nCells = 8)
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("cell_cos").desc, col("vec_id"))
+      assigned
+        .withColumn("_rn", row_number().over(w))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(when(col("_rn") === 1, col("vec_id"))).as("exemplar_id"),
+          max(when(col("_rn") === 1, col("cell_cos"))).as("exemplar_cos"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val cents = Similarity.kmeansCentroidArrays(docVecs(s, dir), nCells = 8)
+      val values = cents.zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+        |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
+        |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
+        |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
+        |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
+        |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
+        |vec AS (SELECT g.doc_id AS vec_id,
+        |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
+        |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
+        |  GROUP BY g.doc_id),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
+        |  WHERE list_dot_product(v, v) > 0),
+        |c(cell, cv) AS (VALUES
+        |  $values),
+        |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+        |assigned AS (
+        |  SELECT vec_id, cell, cell_cos FROM (
+        |    SELECT n.vec_id, cn.cell,
+        |      ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) + 0.0 AS cell_cos,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn)
+        |  WHERE crn = 1),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY cell
+        |    ORDER BY cell_cos DESC, vec_id) AS rn FROM assigned)
+        |SELECT cell, count(*) AS n_docs,
+        |  max(CASE WHEN rn = 1 THEN vec_id END) AS exemplar_id,
+        |  max(CASE WHEN rn = 1 THEN cell_cos END) AS exemplar_cos
+        |FROM ranked GROUP BY cell""".stripMargin
+    })
+
   /** pipeline_decontam_topk's SCALE path: the same embed → split →
     * cross-ANN chain, but bucketed with dim-16 hyperplanes
     * (crossTopKLsh(dim = 16)) so the benchmark-vs-training search is one
@@ -1714,10 +1779,7 @@ object Queries {
     * engines derive buckets from the same interpolated plane literals. */
   private val pipelineDecontamLsh = Q("pipeline_decontam_lsh",
     (s, dir) => {
-      val vecs = TextAnalysis.embedDocuments(Tables.documents(s, dir), dim = 16)
-        .select(col("doc_id").as("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("embedding"))
-        .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
+      val vecs = docVecs(s, dir)
       Similarity.crossTopKLsh(
         vecs.where(pmod(col("vec_id"), lit(10)) =!= 0),
         vecs.where(pmod(col("vec_id"), lit(10)) === 0), k = 3, nPlanes = 6,
@@ -2200,7 +2262,7 @@ object Queries {
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,
-    pipelineDecontamLsh, simCrossLshTopk,
+    pipelineDecontamLsh, pipelineTopicClusters, simCrossLshTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -401,6 +401,19 @@ object Similarity {
     cents.toSeq
   }
 
+  /** Cluster assignment over trained k-means‖ centroids: (vec_id, cell,
+    * cell_cos) — the topic-modeling / corpus-curation face of the same
+    * machinery IVF search uses (train once, broadcast centroids, one
+    * hash-aggregate argmax pass; see [[assignCellsWithCos]] for why the
+    * assignment is a single-primitive map-side-partial aggregate).
+    * Bit-deterministic end to end, so downstream summaries are
+    * oracle-checkable with the centroids interpolated as literals. */
+  def kmeansAssign(embeddings: DataFrame, nCells: Int, iters: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(embeddings, nCells, iters)
+    assignCellsWithCos(prepared(embeddings), cents)
+      .select(col("vec_id"), col("cell"), col("cell_cos"))
+  }
+
   /** IVF top-k over trained k-means‖ cells — the production path next to
     * the deterministic-reps [[ivfTopK]] (which stays the oracle query).
     * Same contract; recall@k vs [[bruteTopK]] is measured in

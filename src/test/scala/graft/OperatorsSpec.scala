@@ -464,6 +464,16 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(lshMp >= lsh1, f"multi-probe LSH lost recall: $lshMp%.3f < $lsh1%.3f")
   }
 
+  test("kmeansAssign: total assignment into ≤ nCells cells, partition-order-invariant") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = graft.operators.Similarity.kmeansAssign(e, nCells = 5)
+    assert(a.count() == e.count(), "every vector gets exactly one cell")
+    assert(a.select("cell").distinct().count() <= 5)
+    val b = graft.operators.Similarity.kmeansAssign(e.repartition(7), nCells = 5)
+    assert(a.orderBy("vec_id").collect().toSeq == b.orderBy("vec_id").collect().toSeq,
+      "assignment (incl. round-6 cell_cos) must not depend on partitioning")
+  }
+
   test("kmeans centroids are bit-deterministic across partition orders") {
     // The derived trained-IVF oracles interpolate these as literals, so any
     // partition-order nondeterminism (collect order, float-sum order) would
