@@ -1772,6 +1772,51 @@ object Queries {
         |FROM ranked GROUP BY cell""".stripMargin
     })
 
+  /** Topic-balanced sampling: k docs per TRAINED cluster — classSample
+    * (the TopKPlan bounded-heap path) running on the kmeansAssign output
+    * instead of a stored label, i.e. balance the training mix across
+    * DISCOVERED topics, not just given metadata. Derived oracle like
+    * pipeline_topic_clusters (same assignment CTE, then the md5-rank cut
+    * of pipeline_class_sample). */
+  private val pipelineTopicSample = Q("pipeline_topic_sample",
+    (s, dir) => {
+      val assigned = Similarity.kmeansAssign(docVecs(s, dir), nCells = 8)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      TextAnalysis.classSample(assigned, "cell", k = 10)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val cents = Similarity.kmeansCentroidArrays(docVecs(s, dir), nCells = 8)
+      val values = cents.zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+        |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
+        |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
+        |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
+        |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
+        |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
+        |vec AS (SELECT g.doc_id AS vec_id,
+        |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
+        |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
+        |  GROUP BY g.doc_id),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
+        |  WHERE list_dot_product(v, v) > 0),
+        |c(cell, cv) AS (VALUES
+        |  $values),
+        |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+        |assigned AS (
+        |  SELECT vec_id AS doc_id, cell FROM (
+        |    SELECT n.vec_id, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn)
+        |  WHERE crn = 1),
+        |h AS (SELECT doc_id, cell, md5(CAST(doc_id AS VARCHAR)) AS h FROM assigned),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY h, doc_id) AS rank FROM h)
+        |SELECT cell, CAST(rank AS INTEGER) AS rank, doc_id FROM r WHERE rank <= 10""".stripMargin
+    })
+
   /** pipeline_decontam_topk's SCALE path: the same embed → split →
     * cross-ANN chain, but bucketed with dim-16 hyperplanes
     * (crossTopKLsh(dim = 16)) so the benchmark-vs-training search is one
@@ -2262,7 +2307,8 @@ object Queries {
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,
-    pipelineDecontamLsh, pipelineTopicClusters, simCrossLshTopk,
+    pipelineDecontamLsh, pipelineTopicClusters, pipelineTopicSample,
+    simCrossLshTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -491,7 +491,8 @@ class KmeansIvfSpec extends AnyFunSuite {
   test("trained-IVF derived oracles materialize under Verify's ambient context") {
     val dir = "/root/testdata/sf0.001"
     val derived = Queries.derivedOracleSql(spark, dir)
-    assert(derived.keySet == Set("sim_ivf_kmeans_topk", "sim_ivf_multiprobe"))
+    assert(derived.keySet == Set("sim_ivf_kmeans_topk", "sim_ivf_multiprobe",
+      "pipeline_topic_clusters", "pipeline_topic_sample"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }
