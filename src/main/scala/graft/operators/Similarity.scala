@@ -325,7 +325,21 @@ object Similarity {
   def kmeansCentroidArrays(embeddings: DataFrame, nCells: Int, iters: Int = 4,
       initPasses: Int = 2): Seq[Array[Double]] = {
     val spark = embeddings.sparkSession
-    val corpus = prepared(embeddings)
+    // Training makes ~initPasses + iters + 2 eager passes over the corpus;
+    // without a cache each pass re-evaluates the WHOLE upstream plan (for
+    // the doc-embedding pipelines: tokenize + md5 + fold per pass). At
+    // sf0.1 this is noise — the passes are tiny jobs dominated by
+    // scheduling/codegen (measured flat) — but at corpus scale each pass
+    // is a full re-scan, so cache for the training window and unpersist
+    // before returning.
+    val corpus = prepared(embeddings).persist()
+    try kmeansTrainOn(spark, corpus, nCells, iters, initPasses)
+    finally corpus.unpersist(false)
+  }
+
+  private def kmeansTrainOn(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, nCells: Int, iters: Int,
+      initPasses: Int): Seq[Array[Double]] = {
     def centsDf(cents: Seq[Array[Double]]): DataFrame = centroidFrame(spark, cents)
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Double](r.fieldIndex("v")).toArray
