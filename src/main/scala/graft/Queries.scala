@@ -1591,6 +1591,26 @@ object Queries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       |FROM o""".stripMargin))
 
+  /** Top event paths (Funnel.topPaths): most frequent 3-step event-type
+    * sequences. The Spark side slides windows over each user's ONE sorted
+    * array; the oracle is the naive 2-step self-join cascade on
+    * row_number — independent derivations must agree row-for-row (the
+    * funnel-vs-cascade pattern). µs clock both sides. */
+  private val eTopPaths = Q("e_top_paths",
+    (s, dir) => Funnel.topPaths(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("ts div 1000").as("ts")),
+      pathLen = 3, topN = 20),
+    Some("""WITH e AS (SELECT user_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path
+      |  FROM e a
+      |  JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      |  JOIN e c ON c.user_id = a.user_id AND c.rn = a.rn + 2)
+      |SELECT path, count(*) AS n FROM p GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin))
+
   /** Last-touch attribution: each purchase joined to the latest same-user
     * click within a 7-day window — the as-of operator (AsOfJoin) composed
     * onto the events domain; the oracle is DuckDB's NATIVE ASOF LEFT JOIN
@@ -2306,6 +2326,7 @@ object Queries {
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
+    eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,
     pipelineDecontamLsh, pipelineTopicClusters, pipelineTopicSample,
     simCrossLshTopk,

@@ -174,6 +174,39 @@ object Funnel {
       sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Top-N most frequent length-`pathLen` event-type sequences across all
+    * users — the "what do users actually do" path report next to the
+    * funnel's "do they do THIS". Per user: ONE shuffle collects and sorts
+    * the events ((ts, id) total order), the sliding windows are a pure
+    * array expression over the sorted types, and the global top-N is a
+    * count + TakeOrderedAndProject. The oracle derives the same report as
+    * a (pathLen−1)-step self-join cascade on row_number — two independent
+    * algorithms that must agree (the funnel-vs-cascade pattern).
+    *
+    * Memory per user is bounded by that user's event count (the
+    * [[userFunnel]] contract — cap upstream for bot users); `tsCol` must
+    * carry the SAME clock the oracle orders by (µs — pass `ts div 1000`,
+    * see the t_session_windows lesson in NOTES.md). */
+  def topPaths(events: DataFrame, pathLen: Int, topN: Int,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    require(pathLen >= 2, s"need pathLen >= 2, got $pathLen")
+    val seqs = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(idCol), col(typeCol)))).as("evs"))
+      .select(transform(col("evs"), e => e.getField(typeCol)).as("types"))
+    seqs
+      .where(size(col("types")) >= pathLen)
+      .select(explode(transform(
+        sequence(lit(1), size(col("types")) - lit(pathLen - 1)),
+        i => slice(col("types"), i, lit(pathLen)))).as("p"))
+      .groupBy(concat_ws(">", col("p")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Funnel summary: users reaching each stage (reaching stage i means
     * steps 1..i all completed) plus the conversion from the previous stage
     * in basis-point floors. Tiny output (|steps| rows) — one extra

@@ -827,6 +827,23 @@ class FunnelSpec extends AnyFunSuite {
   private def ev(rows: (Long, Long, String)*) =
     rows.toDF("user_id", "ts", "event_type")
 
+  test("topPaths: sliding windows over the per-user order, global top-N") {
+    val events = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "c"),
+      (1L, 4L, 40L, "a"), (1L, 5L, 50L, "b"),          // user 1: a b c a b
+      (2L, 6L, 10L, "a"), (2L, 7L, 20L, "b"), (2L, 8L, 30L, "c"),
+      (3L, 9L, 10L, "x")) // too short for any length-2 window
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Funnel.topPaths(events, pathLen = 2, topN = 3)
+      .as[(String, Long)].collect().toSeq
+    // windows: u1 = a>b, b>c, c>a, a>b; u2 = a>b, b>c → a>b ×3, b>c ×2, c>a ×1
+    assert(out == Seq(("a>b", 3L), ("b>c", 2L), ("c>a", 1L)))
+    // sort order inside a user follows (ts, event_id), not input order
+    val shuffled = Funnel.topPaths(events.orderBy(rand(7)), pathLen = 2, topN = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(shuffled == out)
+  }
+
   test("userFunnel: in-order completion takes the earliest valid time per step") {
     val f = Funnel.userFunnel(ev(
       (1L, 10L, "view"), (1L, 5L, "view"), (1L, 20L, "click"),
