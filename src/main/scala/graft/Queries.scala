@@ -1668,17 +1668,7 @@ object Queries {
         .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
       Similarity.bruteTopK(vecs, k = 5, stride = 50)
     },
-    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
-      |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
-      |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
-      |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
-      |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
-      |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
-      |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
-      |vec AS (SELECT g.doc_id AS vec_id,
-      |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
-      |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
-      |  GROUP BY g.doc_id),
+    Some(s"""WITH $docVecCtes,
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
       |  WHERE list_dot_product(v, v) > 0),
       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 50 = 0),
@@ -1699,6 +1689,22 @@ object Queries {
         transform(col("embedding"), _.cast("double")).as("embedding"))
       .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
 
+  /** [[docVecs]]'s DuckDB re-derivation, shared by every embed-pipeline
+    * oracle: CTEs `toks`…`vec` (vec_id, v) — append an `n` CTE for norms /
+    * buckets per query. Pre-stripped; interpolate directly after WITH. */
+  private lazy val docVecCtes: String =
+    s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
+      |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
+      |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
+      |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
+      |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
+      |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
+      |vec AS (SELECT g.doc_id AS vec_id,
+      |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
+      |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
+      |  GROUP BY g.doc_id)""".stripMargin
+
   /** Semantic decontamination (Similarity.crossTopK over
     * TextAnalysis.embedDocuments): every 10th document plays the held-out
     * benchmark; for each benchmark doc the 3 nearest TRAINING docs by
@@ -1713,17 +1719,7 @@ object Queries {
         vecs.where(pmod(col("vec_id"), lit(10)) =!= 0),
         vecs.where(pmod(col("vec_id"), lit(10)) === 0), k = 3)
     },
-    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
-      |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
-      |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
-      |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
-      |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
-      |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
-      |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
-      |vec AS (SELECT g.doc_id AS vec_id,
-      |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
-      |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
-      |  GROUP BY g.doc_id),
+    Some(s"""WITH $docVecCtes,
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
       |  WHERE list_dot_product(v, v) > 0),
       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 10 = 0),
@@ -1760,17 +1756,7 @@ object Queries {
       val values = cents.zipWithIndex.map { case (v, i) =>
         s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
       }.mkString(",\n  ")
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
-        |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
-        |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
-        |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
-        |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
-        |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
-        |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
-        |vec AS (SELECT g.doc_id AS vec_id,
-        |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
-        |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
-        |  GROUP BY g.doc_id),
+      s"""WITH $docVecCtes,
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
         |  WHERE list_dot_product(v, v) > 0),
         |c(cell, cv) AS (VALUES
@@ -1809,17 +1795,7 @@ object Queries {
       val values = cents.zipWithIndex.map { case (v, i) =>
         s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
       }.mkString(",\n  ")
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
-        |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
-        |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
-        |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
-        |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
-        |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
-        |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
-        |vec AS (SELECT g.doc_id AS vec_id,
-        |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
-        |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
-        |  GROUP BY g.doc_id),
+      s"""WITH $docVecCtes,
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
         |  WHERE list_dot_product(v, v) > 0),
         |c(cell, cv) AS (VALUES
@@ -1855,17 +1831,7 @@ object Queries {
       val bucket = planes.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString(" + ")
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
-        |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
-        |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
-        |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
-        |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
-        |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
-        |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
-        |vec AS (SELECT g.doc_id AS vec_id,
-        |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
-        |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
-        |  GROUP BY g.doc_id),
+      s"""WITH $docVecCtes,
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM vec
         |  WHERE list_dot_product(v, v) > 0),
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % 10 = 0),
