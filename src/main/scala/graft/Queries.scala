@@ -1290,24 +1290,55 @@ object Queries {
       survivors.join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_tokens"), col("quality_bp"))
     },
-    Some {
-      s"""WITH dtoks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
-        |meas AS (SELECT doc_id, text, w,
-        |  CAST(len(w) AS INTEGER) AS n_tokens,
-        |  $qualityBpSql AS quality_bp,
-        |  $langScoresSql FROM dtoks),
-        |gated AS (
-        |  SELECT doc_id, text, n_tokens, quality_bp FROM (
-        |    SELECT *, $langBestSql AS best FROM meas)
-        |  WHERE quality_bp >= 7000 AND (CASE $langCaseSql ELSE 'und' END) = 'en'),
-        |exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
-        |survivors AS (SELECT g.* FROM gated g JOIN exact e ON e.doc_id = g.doc_id),
-        |${minhashPairsCtes("survivors", 0.2)},
-        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
-        |SELECT s.doc_id, s.n_tokens, s.quality_bp
-        |FROM survivors s LEFT JOIN dropped d ON d.doc_id = s.doc_id
-        |WHERE d.doc_id IS NULL""".stripMargin
-    })
+    Some(docsPrepSql))
+
+  /** pipeline_docs_prep's oracle, factored so compositions (e.g.
+    * pipeline_curate_full) can nest it as a derived table. */
+  private lazy val docsPrepSql: String =
+    s"""WITH dtoks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
+      |meas AS (SELECT doc_id, text, w,
+      |  CAST(len(w) AS INTEGER) AS n_tokens,
+      |  $qualityBpSql AS quality_bp,
+      |  $langScoresSql FROM dtoks),
+      |gated AS (
+      |  SELECT doc_id, text, n_tokens, quality_bp FROM (
+      |    SELECT *, $langBestSql AS best FROM meas)
+      |  WHERE quality_bp >= 7000 AND (CASE $langCaseSql ELSE 'und' END) = 'en'),
+      |exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+      |survivors AS (SELECT g.* FROM gated g JOIN exact e ON e.doc_id = g.doc_id),
+      |${minhashPairsCtes("survivors", 0.2)},
+      |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+      |SELECT s.doc_id, s.n_tokens, s.quality_bp
+      |FROM survivors s LEFT JOIN dropped d ON d.doc_id = s.doc_id
+      |WHERE d.doc_id IS NULL""".stripMargin
+
+  /** The END-TO-END curation run: hygiene gate → exact dedup → near-dup
+    * removal (= pipeline_docs_prep), then train/val/test split and
+    * deterministic sharding over the survivors, summarized per (split,
+    * shard) cell — the one-call layout a user hands to a trainer. Every
+    * stage is deterministic, so the WHOLE composition hash-checks against
+    * the oracle nesting docs_prep's derivation as a subquery. */
+  private val pipelineCurateFull = Q("pipeline_curate_full",
+    (s, dir) => {
+      val prepped = pipelineDocsPrep.fn(s, dir)
+      val labeled = TextAnalysis.assignShards(
+        TextAnalysis.trainSplit(prepped, 80, 10), nShards = 4)
+      labeled.groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          sum(col("quality_bp").cast("long")).as("sum_quality_bp"))
+    },
+    Some(s"""WITH prepped AS ($docsPrepSql),
+      |labeled AS (SELECT n_tokens, quality_bp,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 4 AS shard
+      |  FROM prepped)
+      |SELECT split, shard, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(quality_bp) AS BIGINT) AS sum_quality_bp
+      |FROM labeled GROUP BY 1, 2""".stripMargin))
 
   /** Sequence packing (TextAnalysis.packDocuments): which capacity-sized
     * block each document starts in after per-shard concat in doc_id
@@ -2286,7 +2317,7 @@ object Queries {
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
-    pipelineDocsPrep, pipelinePackDocs, pipelineChunkDocs,
+    pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
