@@ -1634,7 +1634,7 @@ object Queries {
       pathLen = 3, topN = 20),
     Some("""WITH e AS (SELECT user_id, event_type,
       |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-      |  FROM events),
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
       |p AS (SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path
       |  FROM e a
       |  JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
@@ -1720,6 +1720,18 @@ object Queries {
         transform(col("embedding"), _.cast("double")).as("embedding"))
       .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
 
+  /** Trained doc-topic centroids, memoized per (sfDir, nCells): training
+    * is bit-deterministic, so the four consumers (two topic query fns +
+    * their two derived oracles) share ONE training run per JVM instead of
+    * re-running the ~8-pass eager loop four times. Bounded: one entry per
+    * distinct (sfDir, nCells). */
+  private val docCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Array[Double]]]()
+  private def docCentroids(s: SparkSession, dir: String,
+      nCells: Int): Seq[Array[Double]] =
+    docCentroidCache.computeIfAbsent((dir, nCells),
+      _ => Similarity.kmeansCentroidArrays(docVecs(s, dir), nCells))
+
   /** [[docVecs]]'s DuckDB re-derivation, shared by every embed-pipeline
     * oracle: CTEs `toks`…`vec` (vec_id, v) — append an `n` CTE for norms /
     * buckets per query. Pre-stripped; interpolate directly after WITH. */
@@ -1772,7 +1784,8 @@ object Queries {
     * re-assigns (same round-6/min-cell argmax), and re-summarizes. */
   private val pipelineTopicClusters = Q("pipeline_topic_clusters",
     (s, dir) => {
-      val assigned = Similarity.kmeansAssign(docVecs(s, dir), nCells = 8)
+      val assigned = Similarity.kmeansAssignWith(docVecs(s, dir),
+        docCentroids(s, dir, nCells = 8))
       val w = Window.partitionBy(col("cell"))
         .orderBy(col("cell_cos").desc, col("vec_id"))
       assigned
@@ -1783,7 +1796,7 @@ object Queries {
           max(when(col("_rn") === 1, col("cell_cos"))).as("exemplar_cos"))
     },
     None, oracleFn = Some { (s, dir) =>
-      val cents = Similarity.kmeansCentroidArrays(docVecs(s, dir), nCells = 8)
+      val cents = docCentroids(s, dir, nCells = 8)
       val values = cents.zipWithIndex.map { case (v, i) =>
         s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
       }.mkString(",\n  ")
@@ -1817,12 +1830,13 @@ object Queries {
     * of pipeline_class_sample). */
   private val pipelineTopicSample = Q("pipeline_topic_sample",
     (s, dir) => {
-      val assigned = Similarity.kmeansAssign(docVecs(s, dir), nCells = 8)
+      val assigned = Similarity.kmeansAssignWith(docVecs(s, dir),
+          docCentroids(s, dir, nCells = 8))
         .select(col("vec_id").as("doc_id"), col("cell"))
       TextAnalysis.classSample(assigned, "cell", k = 10)
     },
     None, oracleFn = Some { (s, dir) =>
-      val cents = Similarity.kmeansCentroidArrays(docVecs(s, dir), nCells = 8)
+      val cents = docCentroids(s, dir, nCells = 8)
       val values = cents.zipWithIndex.map { case (v, i) =>
         s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
       }.mkString(",\n  ")

@@ -144,30 +144,22 @@ object Dedup {
     // conf caps (defaults: 4M items / 8M bytes — sized for injected join
     // filters, not a billion-key history artifact). A clamped bloom stays
     // correct but saturates: ~every probe answers "maybe" and the prefilter
-    // stops paying for itself. Raise the caps to the request for the
-    // duration of this one eager job, then restore. The save/set/restore is
-    // serialized under a JVM-global lock so concurrent builds can't
-    // interleave and strand a lifted cap in the session; other queries
-    // PLANNED during the window still see the lifted caps (they only affect
-    // how large an injected join bloom may grow — a size hint, not a
-    // correctness knob).
-    val conf = df.sparkSession.conf
+    // stops paying for itself. Lift the caps in a CLONED session and run
+    // the one eager job there — the caller's session never sees the lifted
+    // caps, so no concurrently planned query can have an oversized runtime
+    // join bloom injected, and there is nothing to lock or restore. The
+    // clone shares the SparkContext; the aggregate's logical plan rebinds
+    // to it via the graftbridge.
+    val clone = GraftBridge.cloneSession(df.sparkSession)
     val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    bloomConfLock.synchronized {
-      val saved = Seq(items, bits).map(k => k -> conf.getOption(k))
-      conf.set(items, math.max(expectedItems, conf.get(items, "4000000").toLong))
-      conf.set(bits, math.max(numBits, conf.get(bits, "67108864").toLong))
-      try df.agg(bloomCol.as("bloom")).head().getAs[Array[Byte]](0)
-      finally saved.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None) => conf.unset(k)
-      }
-    }
+    clone.conf.set(items,
+      math.max(expectedItems, clone.conf.get(items, "4000000").toLong))
+    clone.conf.set(bits,
+      math.max(numBits, clone.conf.get(bits, "67108864").toLong))
+    val aggPlan = GraftBridge.logicalPlan(df.agg(bloomCol.as("bloom")))
+    GraftBridge.ofRows(clone, aggPlan).head().getAs[Array[Byte]](0)
   }
-
-  /** Guards [[buildHashBloom]]'s conf save/set/restore window. */
-  private val bloomConfLock = new Object
 
   /** Codegen membership probe against a [[buildHashBloom]] artifact: true ⇒
     * maybe present (fpp false positives), false ⇒ DEFINITELY absent. The

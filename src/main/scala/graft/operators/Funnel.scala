@@ -186,12 +186,17 @@ object Funnel {
     * Memory per user is bounded by that user's event count (the
     * [[userFunnel]] contract — cap upstream for bot users); `tsCol` must
     * carry the SAME clock the oracle orders by (µs — pass `ts div 1000`,
-    * see the t_session_windows lesson in NOTES.md). */
+    * see the t_session_windows lesson in NOTES.md). Events with a null
+    * type or timestamp are EXCLUDED up front: `concat_ws` would silently
+    * skip a null segment (colliding 'a>null>c' with a real 'a>c') and
+    * null order keys sort differently across engines — dropping them is
+    * the only cross-engine-stable semantics. */
   def topPaths(events: DataFrame, pathLen: Int, topN: Int,
       userCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
     require(pathLen >= 2, s"need pathLen >= 2, got $pathLen")
     val seqs = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(
         struct(col(tsCol), col(idCol), col(typeCol)))).as("evs"))

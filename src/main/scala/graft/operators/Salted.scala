@@ -61,6 +61,8 @@ object Salted {
   def equiJoin(fact: DataFrame, dim: DataFrame, key: String,
       nSalts: Int): DataFrame = {
     require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "equiJoin reserves the column name _salt; rename it on the inputs")
     val saltedFact = fact.withColumn("_salt",
       pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
     val repDim = dim.withColumn("_salt",

@@ -422,11 +422,19 @@ object Similarity {
     * assignment is a single-primitive map-side-partial aggregate).
     * Bit-deterministic end to end, so downstream summaries are
     * oracle-checkable with the centroids interpolated as literals. */
-  def kmeansAssign(embeddings: DataFrame, nCells: Int, iters: Int = 4): DataFrame = {
-    val cents = kmeansCentroids(embeddings, nCells, iters)
-    assignCellsWithCos(prepared(embeddings), cents)
+  def kmeansAssign(embeddings: DataFrame, nCells: Int, iters: Int = 4): DataFrame =
+    kmeansAssignWith(embeddings,
+      kmeansCentroidArrays(embeddings, nCells, iters))
+
+  /** [[kmeansAssign]] against ALREADY-TRAINED centroid vectors (e.g. a
+    * persisted [[kmeansCentroidArrays]] result, or one training shared
+    * between a query and its derived oracle) — skips the eager training
+    * pass entirely. */
+  def kmeansAssignWith(embeddings: DataFrame,
+      cents: Seq[Array[Double]]): DataFrame =
+    assignCellsWithCos(prepared(embeddings),
+      centroidFrame(embeddings.sparkSession, cents))
       .select(col("vec_id"), col("cell"), col("cell_cos"))
-  }
 
   /** IVF top-k over trained k-means‖ cells — the production path next to
     * the deterministic-reps [[ivfTopK]] (which stays the oracle query).

@@ -27,4 +27,10 @@ object GraftBridge {
   /** The analyzed logical plan of a DataFrame (shuffle-free accessor). */
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** An isolated copy of the session (shared SparkContext, independent
+    * SQLConf) — for running one job under modified confs without the
+    * caller's session ever seeing them. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }
