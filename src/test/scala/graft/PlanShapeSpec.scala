@@ -70,6 +70,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"running sum must partition by (source, bucket) for 256-way parallelism:\n$p")
   }
 
+  test("bloom incremental dedup: history consults via broadcast semi, never a history shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.where(col("doc_id") % 7 === 0)
+      .select(md5(col("text")).as("text_md5"))
+    val bloom = graft.operators.Dedup.buildHashBloom(hist, "text_md5", 1 << 16)
+    val p = plan(graft.operators.Dedup.exactIncrementalBloom(
+      docs.where(col("doc_id") % 7 =!= 0), hist, bloom))
+    assert(p.contains("might_contain"), "bloom probe must be in the plan")
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("LeftSemi") || p.contains("LeftAnti")),
+      s"history must join via broadcast semi/anti, not a shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join would shuffle the 100 TB history side:\n$p")
+  }
+
+  test("salted join: the join key carries the salt (hot keys spread over reducers)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val p = plan(graft.operators.Salted.equiJoin(
+      ev.select(col("event_id"), col("event_type")), dim, "event_type", 8))
+    assert(p.contains("_salt"), s"join must key on (key, _salt):\n$p")
+  }
+
   test("ivf cell assignment is a hash aggregate, not a per-vector window") {
     val p = plan(Similarity.ivfTopK(Tables.embeddings(spark, sf), 10, 20))
     assert(!p.contains("windowspecdefinition(vec_id"),
