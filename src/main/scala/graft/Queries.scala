@@ -579,6 +579,19 @@ object Queries {
         round(element_at(col("qs"), 2), 2).as("p90_est")),
     None)
 
+  /** Per-group KLL quantiles (Sketch.kllQuantilesBy): p50/p90 per market
+    * segment as one fixed-memory sketch per group — rows-only like the
+    * global KLL row (sketch merge order is nondeterministic), with
+    * a_percentiles as the exact same-grouping twin and the rank-error
+    * property suite as the bound. */
+  private val sketchKllByGroup = Q("sketch_kll_by_group",
+    (s, dir) => Sketch.kllQuantilesBy(Tables.customer(s, dir),
+        "c_mktsegment", "c_acctbal", 256, Seq(0.5, 0.9))
+      .select(col("c_mktsegment"),
+        round(element_at(col("qs"), 1), 2).as("p50_est"),
+        round(element_at(col("qs"), 2), 2).as("p90_est")),
+    None)
+
   /** Array-function vocabulary (SURVEY §2.9: absent from the reference,
     * free in the engine) — sequence/slice/sort/position/join over a
     * per-row constructed array, each with its DuckDB list-function twin. */
@@ -2342,6 +2355,7 @@ object Queries {
     pipelineDecontamLsh, pipelineTopicClusters, pipelineTopicSample,
     simCrossLshTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
+    sketchKllByGroup,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,
     multimodalFeatures, multimodalFrames)

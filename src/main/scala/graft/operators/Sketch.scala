@@ -97,6 +97,22 @@ object Sketch {
         .toAggregateExpression()).as("qs"))
   }
 
+  /** Per-group KLL quantiles — the mergeable-sketch answer to "p50/p90 per
+    * key over 100 TB": one hash aggregate whose state is a fixed-size
+    * sketch per group (ObjectHashAggregate with map-side partial merges),
+    * never a per-group sort. Estimates carry the same published rank-error
+    * bound the global [[kllQuantiles]] property-tests; pair with the exact
+    * `percentile` twin (a_percentiles) when the group is small enough to
+    * sort. */
+  def kllQuantilesBy(values: DataFrame, byCol: String, valueCol: String,
+      k: Int, quantiles: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    values.groupBy(col(byCol)).agg(GraftBridge.column(
+      graft.plans.KllQuantilesAgg(
+        GraftBridge.expression(col(valueCol).cast("double")), k, quantiles)
+        .toAggregateExpression()).as("qs"))
+  }
+
   /** Matching DuckDB fragment: bucket of `termSql` in hash row `i`. Kept
     * beside the Column version so the two stay in lock-step (same pattern
     * as [[TextFns.minhashNumSql]]). */

@@ -31,7 +31,7 @@ class RegistrySpec extends AnyFunSuite {
     // so they no longer count as rows-only. Anything else appearing here is
     // a missing oracle.
     assert(rowsOnly == Set("c11_uuid_wagers", "f_sample_bernoulli",
-      "text_vocab_approx", "sketch_kll_quantiles"),
+      "text_vocab_approx", "sketch_kll_quantiles", "sketch_kll_by_group"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 

@@ -67,6 +67,28 @@ class KllQuantilesSpec extends AnyFunSuite {
       s"map-side partial must build sketches before the exchange:\n$p")
   }
 
+  test("kll per-group: each group's estimate honors its own rank bound, one sketch per key") {
+    import org.apache.spark.sql.functions._
+    // 4 groups with disjoint ranges: group g holds g·1e5 .. g·1e5+24999 in
+    // shuffled order, so per-group true p50 = g·1e5 + 12500
+    val df = spark.range(100000).repartition(8)
+      .select((col("id") % 4).as("g"),
+        (col("id") % 4 * 100000L +
+          pmod(col("id") * 7919, lit(25000L))).cast("double").as("v"))
+    val out = graft.operators.Sketch.kllQuantilesBy(df, "g", "v", 256, Seq(0.5))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).head).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    out.foreach { case (g, p50) =>
+      // n=25k per group, k=256 ⇒ bound ≈ levels·n/k ≈ 0.7k ranks; assert 2k
+      assert(math.abs(p50 - (g * 100000L + 12500.0)) <= 2000.0,
+        s"group $g p50 off: $p50")
+    }
+    val p = graft.operators.Sketch.kllQuantilesBy(df, "g", "v", 256, Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_kll_quantiles"),
+      s"grouped sketch must keep the map-side partial path:\n$p")
+  }
+
   test("kll handles nulls and empty input like a SQL aggregate") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
