@@ -687,4 +687,33 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed == batch, s"stream drift == batch drift: $streamed vs $batch")
     } finally q.stop()
   }
+
+  test("quality-drift append mode: windows emit exactly once, on watermark close") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox story goes on and on for a while longer here ok"
+    def at(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val q = TextAnalysis.qualityDrift(
+        input.toDS().toDF("doc_id", "ts", "source", "text"),
+        "ts", "10 seconds", "1 minute")
+      .select(col("window_start").cast("long").as("w"), col("n_docs"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_append").start()
+    try {
+      // batch 1: two docs inside [0, 60); watermark (max 20 − 10 = 10 s)
+      // hasn't passed the window end → NOTHING emits yet
+      input.addData((1L, at(10), "a", good), (2L, at(20), "a", good))
+      q.processAllAvailable()
+      assert(spark.table("drift_append").count() == 0,
+        "append mode must hold an open window")
+      // batch 2: an event at 100 s pushes the watermark to 90 s > 60 →
+      // the first window closes and emits exactly one finalized row
+      input.addData((3L, at(100), "a", good))
+      q.processAllAvailable()
+      val rows = spark.table("drift_append").as[(Long, Long)].collect().toSeq
+      assert(rows == Seq((0L, 2L)),
+        s"first window must emit once, finalized with both docs: $rows")
+    } finally q.stop()
+  }
 }
