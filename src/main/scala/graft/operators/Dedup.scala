@@ -158,7 +158,20 @@ object Dedup {
     clone.conf.set(bits,
       math.max(numBits, clone.conf.get(bits, "67108864").toLong))
     val aggPlan = GraftBridge.logicalPlan(df.agg(bloomCol.as("bloom")))
-    GraftBridge.ofRows(clone, aggPlan).head().getAs[Array[Byte]](0)
+    val bytes = GraftBridge.ofRows(clone, aggPlan).head().getAs[Array[Byte]](0)
+    if (bytes != null) bytes
+    else {
+      // Zero input rows (day one of an incremental pipeline: empty history)
+      // → the aggregate yields null. Returning null would poison every
+      // downstream probe (mightContain(null) is null, so BOTH the positive
+      // and negative branches of exactIncrementalBloom filter to empty and
+      // the batch silently vanishes). The correct artifact is an EMPTY
+      // bloom: every probe answers false — nothing is in the history.
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
   }
 
   /** Codegen membership probe against a [[buildHashBloom]] artifact: true ⇒

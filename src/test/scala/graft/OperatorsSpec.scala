@@ -139,6 +139,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("exactIncrementalBloom: day-one empty history keeps the whole batch") {
+    val emptyHist = docs.where(lit(false)).select(md5(col("text")).as("text_md5"))
+    val bloom = Dedup.buildHashBloom(emptyHist, "text_md5", 100L)
+    assert(bloom != null && bloom.nonEmpty, "empty history must yield an empty bloom, not null")
+    val out = Dedup.exactIncrementalBloom(docs, emptyHist, bloom)
+      .as[(String, Long, Long)].collect().toSet
+    val plain = Dedup.exact(docs)
+      .select(col("text_md5"), col("keep_id"), col("n_copies"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == plain, "with no history, incremental dedup == plain exact dedup")
+  }
+
   test("buildHashBloom honors sizes past the runtime-filter conf caps") {
     val hist = docs.select(md5(col("text")).as("text_md5"))
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
