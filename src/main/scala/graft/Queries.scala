@@ -1737,7 +1737,11 @@ object Queries {
     * is bit-deterministic, so the four consumers (two topic query fns +
     * their two derived oracles) share ONE training run per JVM instead of
     * re-running the ~8-pass eager loop four times. Bounded: one entry per
-    * distinct (sfDir, nCells). */
+    * distinct (sfDir, nCells). ASSUMES the data under sfDir is immutable
+    * for the JVM lifetime (true for the driver's testdata dirs): if a dir
+    * is regenerated mid-session, query AND derived oracle both serve the
+    * stale centroids — verification would still pass but reflect the old
+    * training. Key the cache on a dataset fingerprint if that ever changes. */
   private val docCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Array[Double]]]()
   private def docCentroids(s: SparkSession, dir: String,

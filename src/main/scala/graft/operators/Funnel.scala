@@ -190,7 +190,13 @@ object Funnel {
     * type or timestamp are EXCLUDED up front: `concat_ws` would silently
     * skip a null segment (colliding 'a>null>c' with a real 'a>c') and
     * null order keys sort differently across engines — dropping them is
-    * the only cross-engine-stable semantics. */
+    * the only cross-engine-stable semantics.
+    *
+    * RESERVED CHARACTER: `>` is the path delimiter, so an event type
+    * containing `>` is ambiguous in the report (type "a>b" renders the
+    * same as the sequence a,b). Both engines agree (the oracle joins with
+    * the same delimiter) — the report is consistent, just not injective;
+    * sanitize event types upstream if they can contain `>`. */
   def topPaths(events: DataFrame, pathLen: Int, topN: Int,
       userCol: String = "user_id", tsCol: String = "ts",
       idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {

@@ -57,14 +57,23 @@ object Salted {
     * Prefer `broadcast(dim)` when the dim fits, and AQE's sort-merge skew
     * split when it applies (both demonstrated elsewhere in this engine);
     * this operator is the remaining corner: medium dims × hot fact keys.
-    * Columns: output carries fact columns then dim columns (key once). */
+    * Columns: output carries fact columns then dim columns (key once).
+    *
+    * Salt derivation: by default the salt hashes ALL fact columns (so a
+    * task retry re-derives the same salt — no exactly-once hazard), which
+    * has two caveats: (1) fully IDENTICAL duplicate fact rows all hash to
+    * one salt, so a hot key composed of duplicates is NOT spread (answers
+    * stay correct; the plan degrades to unsalted for that key); (2) hashing
+    * wide payload columns costs per-row CPU. Pass `saltCols` to salt on a
+    * caller-chosen high-diversity subset (e.g. a row id) when either bites. */
   def equiJoin(fact: DataFrame, dim: DataFrame, key: String,
-      nSalts: Int): DataFrame = {
+      nSalts: Int, saltCols: Seq[String] = Nil): DataFrame = {
     require(nSalts >= 1, s"need nSalts >= 1, got $nSalts")
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "equiJoin reserves the column name _salt; rename it on the inputs")
+    val saltSrc = if (saltCols.nonEmpty) saltCols else fact.columns.toIndexedSeq
     val saltedFact = fact.withColumn("_salt",
-      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
+      pmod(xxhash64(saltSrc.map(col): _*), lit(nSalts)))
     val repDim = dim.withColumn("_salt",
       explode(array((0 until nSalts).map(s => lit(s.toLong)): _*)))
     saltedFact.join(repDim, Seq(key, "_salt")).drop("_salt")

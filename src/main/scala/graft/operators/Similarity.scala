@@ -31,15 +31,21 @@ object Similarity {
 
   /** Shared candidate scoring: (query_id, neighbor_id, cosine) for every
     * query×corpus pair joined on `joinKeys` (cross join of the broadcast
-    * query side when empty = brute force), self-pairs removed, cosine
-    * rounded to 4 for stable cross-engine ranking. Queries must carry
-    * (query_id, qv, qnrm) plus the join keys; corpus (vec_id, v, nrm). */
+    * query side when empty = brute force), cosine rounded to 4 for stable
+    * cross-engine ranking. Queries must carry (query_id, qv, qnrm) plus the
+    * join keys; corpus (vec_id, v, nrm). `excludeSelf` drops id-equal pairs
+    * — correct ONLY for self-joins where both frames share one id space;
+    * cross-corpus callers pass false so an incidental id collision between
+    * frames can never silently drop a real neighbor. */
   private def scoreAgainst(corpus: DataFrame, queries: DataFrame,
-      joinKeys: Seq[String]): DataFrame = {
+      joinKeys: Seq[String], excludeSelf: Boolean): DataFrame = {
     val joined =
       if (joinKeys.isEmpty) corpus.crossJoin(broadcast(queries))
       else corpus.join(broadcast(queries), joinKeys)
-    joined.where(col("vec_id") =!= col("query_id"))
+    val pairs =
+      if (excludeSelf) joined.where(col("vec_id") =!= col("query_id"))
+      else joined
+    pairs
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
           .as("cosine"))
@@ -60,7 +66,7 @@ object Similarity {
     val corpus = prepared(embeddings)
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    rankTopK(scoreAgainst(corpus, queries, Nil), k)
+    rankTopK(scoreAgainst(corpus, queries, Nil, excludeSelf = true), k)
   }
 
   /** Exact top-k via the bounded-heap aggregate ([[TopK]]) instead of a
@@ -71,7 +77,7 @@ object Similarity {
     val corpus = prepared(embeddings)
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val scored = scoreAgainst(corpus, queries, Nil)
+    val scored = scoreAgainst(corpus, queries, Nil, excludeSelf = true)
     val tk = udaf(TopK.topK(k), org.apache.spark.sql.Encoders.product[TopK.Scored])
     scored.groupBy(col("query_id"))
       .agg(tk(col("neighbor_id"), col("cosine")).as("top"))
@@ -92,15 +98,15 @@ object Similarity {
     * [[bruteTopK]] and the semantic-decontamination / retrieval shape
     * (queries = benchmark or eval set, corpus = training candidates; a high
     * top-1 cosine flags a training doc as a paraphrase of an eval item).
-    * Both frames need (vec_id, embedding). Id spaces should be disjoint:
-    * a corpus row whose vec_id equals the query's is skipped (the self-pair
-    * rule inherited from the self-join ops). The query side broadcasts;
-    * the corpus stays partitioned, so cost is one pass over the corpus
-    * regardless of its size. */
+    * Both frames need (vec_id, embedding). The two id spaces are treated
+    * as independent: no pair is excluded by id equality (unlike the
+    * self-join ops), so overlapping id spaces cannot silently drop a
+    * neighbor. The query side broadcasts; the corpus stays partitioned, so
+    * cost is one pass over the corpus regardless of its size. */
   def crossTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = preparedVecs(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    rankTopK(scoreAgainst(preparedVecs(corpus), q, Nil), k)
+    rankTopK(scoreAgainst(preparedVecs(corpus), q, Nil, excludeSelf = false), k)
   }
 
   /** LSH-bucketed cross-corpus top-k — [[crossTopK]]'s scale path: both
@@ -115,7 +121,8 @@ object Similarity {
     val q = lshCorpus(queries, nPlanes, dim)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
-    rankTopK(scoreAgainst(lshCorpus(corpus, nPlanes, dim), q, Seq("bucket")), k)
+    rankTopK(scoreAgainst(lshCorpus(corpus, nPlanes, dim), q, Seq("bucket"),
+      excludeSelf = false), k)
   }
 
   /** Random-hyperplane LSH planes: `nPlanes`×`dim` ±1 signs from a fixed
@@ -159,7 +166,7 @@ object Similarity {
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
-    rankTopK(scoreAgainst(corpus, queries, Seq("bucket")), k)
+    rankTopK(scoreAgainst(corpus, queries, Seq("bucket"), excludeSelf = true), k)
   }
 
   /** Multi-probe LSH top-k (Lv et al. 2007, the sign-LSH specialization):
@@ -181,7 +188,7 @@ object Similarity {
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), explode(probeArr).as("bucket"))
-    rankTopK(scoreAgainst(corpus, queries, Seq("bucket")), k)
+    rankTopK(scoreAgainst(corpus, queries, Seq("bucket"), excludeSelf = true), k)
   }
 
   /** Nearest-centroid assignment for IVF: (vec_id, v, nrm, cell) with cell
@@ -258,7 +265,7 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .where(col("pr") <= nProbes)
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
-    rankTopK(scoreAgainst(assigned, probes, Seq("cell")), k)
+    rankTopK(scoreAgainst(assigned, probes, Seq("cell"), excludeSelf = true), k)
   }
 
   /** Shared IVF search body: queries probe only their own cell. */
@@ -266,7 +273,7 @@ object Similarity {
     val queries = assigned.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
-    rankTopK(scoreAgainst(assigned, queries, Seq("cell")), k)
+    rankTopK(scoreAgainst(assigned, queries, Seq("cell"), excludeSelf = true), k)
   }
 
   /** Deterministic per-row uniform in [0,1): 24 bits of md5(vec_id) — the

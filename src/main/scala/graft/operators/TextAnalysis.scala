@@ -389,12 +389,12 @@ object TextAnalysis {
     * independent of document volume. */
   def qualityDrift(documents: DataFrame, eventTime: String, delay: String,
       windowDur: String, minTokens: Int = 10,
-      maxTokens: Int = 100000): DataFrame = {
+      maxTokens: Int = 100000, sourceCol: String = "source"): DataFrame = {
     val flagged = qualityRules(documents, minTokens, maxTokens,
-      carry = Seq(eventTime, "source"))
+      carry = Seq(eventTime, sourceCol))
     flagged
       .withWatermark(eventTime, delay)
-      .groupBy(window(col(eventTime), windowDur).as("w"), col("source"))
+      .groupBy(window(col(eventTime), windowDur).as("w"), col(sourceCol))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("keep")).as("n_keep"),
@@ -403,7 +403,7 @@ object TextAnalysis {
         sum(lit(1) - col("ok_stopword")).as("n_fail_stopword"),
         sum(lit(1) - col("ok_alpha")).as("n_fail_alpha"),
         sum(col("n_tokens")).as("n_tokens"))
-      .select(col("w.start").as("window_start"), col("source"),
+      .select(col("w.start").as("window_start"), col(sourceCol),
         col("n_docs"), col("n_keep"),
         expr("n_keep * 10000 div n_docs").as("keep_bp"),
         col("n_fail_len"), col("n_fail_word_len"),
