@@ -2012,6 +2012,38 @@ object Queries {
       |  string_agg(para, ' ' ORDER BY pos) AS clean_text
       |FROM first WHERE rn = 1 GROUP BY doc_id""".stripMargin))
 
+  /** ExactSubstr cross-document span dedup
+    * (TextAnalysis.exactSubstrDedup): overlapping 10-token anchors, global
+    * first-occurrence keep, per-token coverage rebuild. The oracle derives
+    * the same report through an independent exploded-join formulation
+    * (token×position LEFT JOIN covered-position set) rather than the
+    * engine's array-rebuild, so the two sides must agree on every kept
+    * token, not just counts. */
+  private val dedupExactSubstr = Q("dedup_exact_substr",
+    (s, dir) => TextAnalysis.exactSubstrDedup(Tables.documents(s, dir),
+      spanTokens = 10),
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |sized AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n FROM t WHERE len(w) > 0),
+      |anch AS (SELECT doc_id, w,
+      |  CAST(unnest(generate_series(0, n - 10)) AS INTEGER) AS pos
+      |  FROM sized WHERE n >= 10),
+      |hashed AS (SELECT doc_id, pos,
+      |  md5(array_to_string(list_slice(w, pos + 1, pos + 10), ' ')) AS h FROM anch),
+      |marked AS (SELECT doc_id, pos,
+      |  count(*) OVER (PARTITION BY h) AS cnt,
+      |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM hashed),
+      |cov AS (SELECT DISTINCT doc_id,
+      |  CAST(unnest(generate_series(pos, pos + 9)) AS INTEGER) AS cpos
+      |  FROM marked WHERE cnt > 1 AND rn > 1),
+      |tok AS (SELECT doc_id, n,
+      |  CAST(unnest(generate_series(1, n)) AS INTEGER) AS p, w FROM sized),
+      |kept AS (SELECT k.doc_id, k.n, k.p, k.w[k.p] AS tokstr, c.cpos
+      |  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.p - 1 = c.cpos)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+      |  CAST(count(cpos) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN cpos IS NULL THEN tokstr END, ' ' ORDER BY p), '') AS clean_text
+      |FROM kept GROUP BY doc_id""".stripMargin))
+
   /** Per-document TF-IDF top terms (TextAnalysis.tfidfTopTerms): ranked by
     * the exact integer score (tf·1e6) div (df+1) with a term tie-break —
     * no float log reaches the comparison, so both engines rank
@@ -2352,7 +2384,8 @@ object Queries {
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
-    textPiiRedact, textQualityRules, dedupParagraphs, textTfidf, textShardStats,
+    textPiiRedact, textQualityRules, dedupParagraphs, dedupExactSubstr,
+    textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

@@ -190,6 +190,72 @@ object TextAnalysis {
           s => s.getField("para")), " ").as("clean_text"))
   }
 
+  /** ExactSubstr-style cross-document duplicate-SPAN removal (the Lee et
+    * al. 2021 "Deduplicating Training Data Makes Language Models Better"
+    * tier, re-expressed at fixed granularity): any run of ≥ `spanTokens`
+    * tokens that appears more than once in the corpus — across documents
+    * OR repeated within one — is removed everywhere except its globally
+    * first occurrence (first = lowest (doc_id, pos)). Unlike
+    * [[paragraphDedup]]'s fixed paragraph grid, the anchors here OVERLAP
+    * (one per token position), so a duplicated span is caught at ANY
+    * alignment, which is what makes it ExactSubstr rather than
+    * paragraph-exact: a copied sentence straddling a paragraph boundary
+    * still dedups.
+    *
+    * Algorithm (suffix-array-free, shuffle-bucketed, never all-pairs):
+    *   1. anchor every position p ∈ [0, n−k] with the md5 of its k-token
+    *      shingle (hashing first keeps the shuffle key at 32 bytes no
+    *      matter how long the span text is);
+    *   2. one window over the shingle hash marks every occurrence that is
+    *      not the global first of a duplicated shingle;
+    *   3. those occurrences explode to their k covered token positions
+    *      (cost proportional to DUPLICATED content only, ≤ k× its size),
+    *      dedup to a per-document sorted coverage array;
+    *   4. one broadcast-free left join back to the tokenized docs and a
+    *      narrow per-row rebuild keeps exactly the uncovered tokens.
+    *
+    * Scale notes: the window shuffle is keyed on the hash — near-uniform
+    * except genuinely hot boilerplate shingles, whose window partitions
+    * are streamed/spilled by Spark's window buffering (cap upstream with a
+    * frequency pre-filter if a corpus has megahit boilerplate). Rebuild is
+    * O(n·|cov|) per document via array_contains — bounded by document
+    * length, not corpus size. Documents whose every token is covered
+    * survive with empty `clean_text` (the caller's drop policy, not ours).
+    * Output: (doc_id, n_tokens, n_removed, clean_text). */
+  def exactSubstrDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
+    require(spanTokens > 0, s"need spanTokens > 0, got $spanTokens")
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+      .withColumn("n", size(col("w")))
+      .where(col("n") > 0)
+    val anchors = toks
+      .where(col("n") >= spanTokens)
+      .withColumn("pos", explode(sequence(lit(0), col("n") - spanTokens)))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("w"), col("pos") + 1, lit(spanTokens)), " "))
+          .as("h"))
+    val dupOccurrences = anchors
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+      .where(col("cnt") > 1 && col("rn") > 1)
+    val covered = dupOccurrences
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (spanTokens - 1))).as("cpos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("cpos"))).as("cov"))
+    Stage(toks.join(covered, Seq("doc_id"), "left"),
+      "covf", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        size(col("covf")).cast("long").as("n_removed"),
+        array_join(
+          transform(
+            filter(sequence(lit(0), col("n") - 1),
+              i => !array_contains(col("covf"), i)),
+            i => element_at(col("w"), i + 1)), " ").as("clean_text"))
+  }
+
   /** Per-document TF-IDF top-k terms. The rank key is
     * `score_ppm = (tf * 1e6) div (df + 1)` — an exact integer encoding of
     * the tf/(df+1) order (the corpus-size factor of idf is a per-corpus

@@ -589,6 +589,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2).getAs[String]("clean_text") == "q r s")
   }
 
+  test("exactSubstrDedup: cross-doc spans removed at any alignment, first occurrence kept") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // original — keeps everything
+      (2L, "x1 x2 c d e f g h y1 y2"),      // doc 1's c..h at an UNALIGNED offset
+      (3L, "a b c d e f g h i j"),          // exact copy → fully covered
+      (4L, "p q r"),                        // shorter than a span: untouchable
+      (5L, "m n o p m n o p")               // INTERNAL repetition dedups too
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstrDedup(docs, spanTokens = 4)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5, "every non-empty doc survives (drop policy is the caller's)")
+    def row(i: Int) = (out(i).getAs[Long]("n_tokens"),
+      out(i).getAs[Long]("n_removed"), out(i).getAs[String]("clean_text"))
+    assert(row(0) == ((10L, 0L, "a b c d e f g h i j")), "first occurrence untouched")
+    assert(row(1) == ((10L, 6L, "x1 x2 y1 y2")),
+      "span straddling any paragraph grid is still caught (overlapping anchors)")
+    assert(row(2) == ((10L, 10L, "")), "exact copy is fully covered")
+    assert(row(3) == ((3L, 0L, "p q r")), "sub-span docs never anchor")
+    assert(row(4) == ((8L, 4L, "m n o p")), "within-doc repeat keeps first occurrence")
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; tie-break on term") {
     val docs = Seq(
       (1L, "common common rare1"),
