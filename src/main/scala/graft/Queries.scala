@@ -2359,6 +2359,30 @@ object Queries {
       |  sha256(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_sha
       |FROM f""".stripMargin))
 
+  /** REAL image decode round-trip (Multimodal.synthesizeImages →
+    * decodeImageFeatures): javax.imageio PNG encode, a repartition so the
+    * binary payloads genuinely cross an exchange, then PNG decode + raster
+    * luma sums + 2× nearest-neighbor resample. The synthetic pixels are
+    * closed-form in doc_id (two gray bands a = id mod 256 / b = 7·id mod
+    * 256; width even, height a multiple of 4), so DuckDB re-derives every
+    * decoded feature arithmetically: any encoder/decoder disagreement,
+    * channel-order slip, or resample off-by-one breaks the hash. */
+  private val multimodalDecode = Q("multimodal_decode",
+    (s, dir) => Multimodal.decodeImageFeatures(s,
+      Multimodal.synthesizeImages(s, Tables.documents(s, dir))
+        .repartition(col("asset_id")))
+      .toDF(),
+    Some("""SELECT doc_id AS asset_id,
+      |  CAST(2 * (4 + doc_id % 30) AS BIGINT) AS width,
+      |  CAST(4 * (2 + (doc_id * 3) % 10) AS BIGINT) AS height,
+      |  CAST(2 * (4 + doc_id % 30) * (2 * (2 + (doc_id * 3) % 10))
+      |    * ((doc_id % 256) + ((doc_id * 7) % 256)) AS BIGINT) AS sum_luma,
+      |  CAST(4 + doc_id % 30 AS BIGINT) AS rs_width,
+      |  CAST(2 * (2 + (doc_id * 3) % 10) AS BIGINT) AS rs_height,
+      |  CAST((4 + doc_id % 30) * (2 + (doc_id * 3) % 10)
+      |    * ((doc_id % 256) + ((doc_id * 7) % 256)) AS BIGINT) AS rs_sum_luma
+      |FROM documents""".stripMargin))
+
   // ──────────────────────────────── registry ────────────────────────────────
 
   val all: Seq[Q] = Seq(
@@ -2395,7 +2419,7 @@ object Queries {
     sketchKllByGroup,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,
-    multimodalFeatures, multimodalFrames)
+    multimodalFeatures, multimodalFrames, multimodalDecode)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   val oracleSql: Map[String, String] =

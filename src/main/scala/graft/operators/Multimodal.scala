@@ -4,14 +4,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.10): media as opaque `binary`
-  * columns with a typed metadata struct, plus a feature-extraction pass.
+  * columns with a typed metadata struct, plus feature-extraction passes.
   *
-  * The Spark-side plumbing — schema, batch iteration, partitioning — is
-  * real; the codec is a STUB (this container has no image/audio libraries),
-  * clearly marked below. A production build drops a JNI/javacv decoder into
-  * [[Codec]] without touching the plan shape: the `mapPartitions` boundary
-  * is where per-batch native decoding belongs (one codec init per
-  * partition, not per row — same shape `mapInPandas` gives PySpark).
+  * Two codec tiers:
+  *  - [[synthesizeImages]] / [[decodeImageFeatures]]: a REAL image
+  *    round-trip — `javax.imageio` PNG encode and decode plus a
+  *    nearest-neighbor resample over the decoded raster, inside the
+  *    per-partition-init `mapPartitions` boundary. The synthesized pixels
+  *    are deterministic functions of the asset id, so the decoded
+  *    dims/luma are DuckDB-oracle-checkable end to end.
+  *  - [[StubCodec]]: the remaining stand-in for codecs this container
+  *    lacks (video/audio). A production build drops a JNI/javacv decoder
+  *    into [[Codec]] without touching the plan shape: the `mapPartitions`
+  *    boundary is where per-batch native decoding belongs (one codec init
+  *    per partition, not per row — same shape `mapInPandas` gives
+  *    PySpark).
   */
 object Multimodal {
 
@@ -70,6 +77,85 @@ object Multimodal {
       col("payload").substr(lit(1),
         greatest((octet_length(col("payload")) * targetWidth / col("meta.width")).cast("int"),
           lit(1))).as("payload"))
+
+  final case class ImageRow(asset_id: Long, png: Array[Byte])
+  final case class ImageFeatures(asset_id: Long, width: Long, height: Long,
+      sum_luma: Long, rs_width: Long, rs_height: Long, rs_sum_luma: Long)
+
+  /** Deterministic synthetic PNGs, REALLY encoded with `javax.imageio`:
+    * per asset a two-band grayscale image — top half value a = id mod 256,
+    * bottom half b = 7·id mod 256, width 2·(4 + id mod 30) (even), height
+    * 4·(2 + 3·id mod 10) (multiple of 4) — so every decoded feature is a
+    * closed-form integer function of the id and the whole
+    * encode→(exchange)→decode round-trip is oracle-checkable. Encoding is
+    * per-row imperative work, hence `mapPartitions` (preference (d),
+    * SURVEY.md §4 — same justification as the decode pass). */
+  def synthesizeImages(spark: SparkSession, documents: DataFrame): Dataset[ImageRow] = {
+    import spark.implicits._
+    documents.select(
+        col("doc_id").as("asset_id"),
+        (lit(2) * (lit(4) + pmod(col("doc_id"), lit(30)))).cast("int").as("w"),
+        (lit(4) * (lit(2) + pmod(col("doc_id") * 3, lit(10)))).cast("int").as("h"),
+        pmod(col("doc_id"), lit(256)).cast("int").as("a"),
+        pmod(col("doc_id") * 7, lit(256)).cast("int").as("b"))
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { case (id, w, h, a, b) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            val v = if (y < h / 2) a else b
+            val rgb = (v << 16) | (v << 8) | v
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageRow(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** The REAL decode pass: `javax.imageio` PNG decode of the binary
+    * payload, a luma sum over the decoded raster, and a 2× nearest-neighbor
+    * downsample (resized(x,y) = src(2x,2y)) with its own luma sum — the
+    * decode/feature-extract/resize chain of an image-training pipeline,
+    * executed on the decoded pixels rather than a byte-slice stand-in.
+    * One codec init per partition; rows stream through without
+    * accumulating. */
+  def decodeImageFeatures(spark: SparkSession,
+      images: Dataset[ImageRow]): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        val rw = w / 2
+        val rh = h / 2
+        var rsum = 0L
+        var ry = 0
+        while (ry < rh) {
+          var rx = 0
+          while (rx < rw) { rsum += (img.getRGB(rx * 2, ry * 2) & 0xff); rx += 1 }
+          ry += 1
+        }
+        ImageFeatures(r.asset_id, w.toLong, h.toLong, sum,
+          rw.toLong, rh.toLong, rsum)
+      }
+    }
+  }
 
   final case class AssetRow(asset_id: Long, payload: Array[Byte], width: Int, height: Int)
   final case class DecodedRow(asset_id: Long, frames: Int, meanLuma: Double)

@@ -1018,4 +1018,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out(0).meanLuma > 0 && out(1).meanLuma == 0.0)
   }
+
+  test("real PNG round-trip: imageio encode -> exchange -> decode matches closed form") {
+    val ids = Seq(0L, 1L, 7L, 29L, 255L, 256L, 1234L)
+    val docs = ids.map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val imgs = Multimodal.synthesizeImages(spark, docs)
+    // payloads are genuine PNG files
+    val magic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    assert(imgs.collect().forall(r => r.png.take(4).sameElements(magic)))
+    val out = Multimodal
+      .decodeImageFeatures(spark, imgs.repartition(3))
+      .collect().map(f => f.asset_id -> f).toMap
+    for (id <- ids) {
+      val w = 2 * (4 + id % 30); val h = 4 * (2 + (id * 3) % 10)
+      val ab = (id % 256) + ((id * 7) % 256)
+      val f = out(id)
+      assert(f.width == w && f.height == h, s"dims for $id: $f")
+      assert(f.sum_luma == w * (h / 2) * ab, s"decoded luma for $id: $f")
+      assert(f.rs_width == w / 2 && f.rs_height == h / 2, s"resample dims for $id: $f")
+      assert(f.rs_sum_luma == (w / 2) * (h / 4) * ab,
+        s"nearest-neighbor resample luma for $id: $f")
+    }
+  }
 }
