@@ -572,7 +572,8 @@ object Queries {
     * order totals. Rank-error-bounded but merge-order-sensitive in the
     * last few digits ⇒ rows-only (like C11/F6); the ε-bound is
     * property-tested in QuantileSketchProps, and the fixed-bin twin
-    * `sketch_quantile_hist` stays exactly oracled. */
+    * `sketch_quantile_hist` stays exactly oracled; `sketch_kll_bound`
+    * turns the rank-error guarantee into a hash-checked gate row. */
   private val sketchKllQuantiles = Q("sketch_kll_quantiles",
     (s, dir) => Sketch.kllQuantiles(Tables.orders(s, dir), "o_totalprice", 256, Seq(0.5, 0.9))
       .select(round(element_at(col("qs"), 1), 2).as("p50_est"),
@@ -582,8 +583,9 @@ object Queries {
   /** Per-group KLL quantiles (Sketch.kllQuantilesBy): p50/p90 per market
     * segment as one fixed-memory sketch per group — rows-only like the
     * global KLL row (sketch merge order is nondeterministic), with
-    * a_percentiles as the exact same-grouping twin and the rank-error
-    * property suite as the bound. */
+    * a_percentiles as the exact same-grouping twin, the rank-error
+    * property suite as the bound, and `sketch_kll_group_bound` as the
+    * hash-checked per-group bound gate. */
   private val sketchKllByGroup = Q("sketch_kll_by_group",
     (s, dir) => Sketch.kllQuantilesBy(Tables.customer(s, dir),
         "c_mktsegment", "c_acctbal", 256, Seq(0.5, 0.9))
@@ -591,6 +593,74 @@ object Queries {
         round(element_at(col("qs"), 1), 2).as("p50_est"),
         round(element_at(col("qs"), 2), 2).as("p90_est")),
     None)
+
+  /** KLL rank-error bound for `k`-sketch quantile estimates, shared by the
+    * two bound-check queries: 2·levels·n/k compaction slack (levels =
+    * ⌈log2(n/k)⌉+1), floored at 3 ranks for the uncompacted small-n case
+    * where the estimate is an exact order statistic. */
+  private def kllRankBound(n: Column, k: Int): Column = {
+    val nD = n.cast("double")
+    val levels = ceil(log(2.0, greatest(nD / k, lit(1.0)))) + lit(1.0)
+    greatest(levels * nD / k * 2.0, lit(3.0))
+  }
+
+  /** sketch_kll_quantiles' CHECKED-BOUND twin: the KLL estimates are
+    * nondeterministic in their last digits (merge order), but whether each
+    * estimate's RANK lands within the published error bound of its target
+    * rank is a yes/no fact — so THAT is the query output, and the oracle
+    * (constant 1s) makes the gate fail if the sketch ever drifts out of
+    * bound. Rank of each estimate is measured against the full column in
+    * the same run. */
+  private val sketchKllBound = Q("sketch_kll_bound",
+    (s, dir) => {
+      val est = Sketch.kllQuantiles(Tables.orders(s, dir), "o_totalprice",
+          256, Seq(0.5, 0.9))
+        .select(element_at(col("qs"), 1).as("e50"),
+          element_at(col("qs"), 2).as("e90"))
+      val m = Tables.orders(s, dir)
+        .select(col("o_totalprice").cast("double").as("x"))
+        .crossJoin(broadcast(est))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("x") <= col("e90"), 1L).otherwise(0L)).as("r90"))
+      val bound = kllRankBound(col("n"), 256)
+      m.select(explode(array(
+          struct(lit("p50").as("q"),
+            (abs(col("r50") - col("n").cast("double") * 0.5) <= bound)
+              .cast("int").as("within_bound")),
+          struct(lit("p90").as("q"),
+            (abs(col("r90") - col("n").cast("double") * 0.9) <= bound)
+              .cast("int").as("within_bound")))).as("e"))
+        .select(col("e.q").as("q"), col("e.within_bound").as("within_bound"))
+    },
+    Some("""SELECT 'p50' AS q, CAST(1 AS INTEGER) AS within_bound
+      |UNION ALL SELECT 'p90', CAST(1 AS INTEGER)""".stripMargin))
+
+  /** sketch_kll_by_group's CHECKED-BOUND twin (same construction as
+    * sketch_kll_bound, per market segment): one row per group, 1 iff that
+    * group's p50/p90 estimate ranks within the KLL bound of the target. */
+  private val sketchKllGroupBound = Q("sketch_kll_group_bound",
+    (s, dir) => {
+      val est = Sketch.kllQuantilesBy(Tables.customer(s, dir),
+          "c_mktsegment", "c_acctbal", 256, Seq(0.5, 0.9))
+        .select(col("c_mktsegment"),
+          element_at(col("qs"), 1).as("e50"), element_at(col("qs"), 2).as("e90"))
+      val m = Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_acctbal").cast("double").as("x"))
+        .join(broadcast(est), "c_mktsegment")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("x") <= col("e90"), 1L).otherwise(0L)).as("r90"))
+      val bound = kllRankBound(col("n"), 256)
+      m.select(col("c_mktsegment"),
+        (abs(col("r50") - col("n").cast("double") * 0.5) <= bound)
+          .cast("int").as("within_p50"),
+        (abs(col("r90") - col("n").cast("double") * 0.9) <= bound)
+          .cast("int").as("within_p90"))
+    },
+    Some("""SELECT DISTINCT c_mktsegment, CAST(1 AS INTEGER) AS within_p50,
+      |  CAST(1 AS INTEGER) AS within_p90 FROM customer""".stripMargin))
 
   /** Array-function vocabulary (SURVEY §2.9: absent from the reference,
     * free in the engine) — sequence/slice/sort/position/join over a
@@ -1048,10 +1118,28 @@ object Queries {
       |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin), bench = true)
 
   /** F6 — seeded Bernoulli sample. Not SQL-oracle-expressible (engine RNGs
-    * differ); registered for the rows-only check. */
+    * differ); registered for the rows-only check. `f_sample_bound` is the
+    * hash-checked concentration gate; `f_hash_sample` the exact twin. */
   private val fSampleBernoulli = Q("f_sample_bernoulli",
     (s, dir) => Tables.events(s, dir).sample(0.3, 42).select(col("event_id"), col("event_type")),
     None)
+
+  /** f_sample_bernoulli's CHECKED-BOUND twin: the sampled id set depends on
+    * partitioning, but the sample FRACTION concentrates hard around 0.3 —
+    * the query emits whether it landed within 6 binomial sigmas, and the
+    * constant-1 oracle turns any broken sampler into a gate failure. */
+  private val fSampleBound = Q("f_sample_bound",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      e.agg(count(lit(1)).as("n_total"))
+        .crossJoin(e.sample(0.3, 42).agg(count(lit(1)).as("n_sampled")))
+        .select(col("n_total"),
+          (abs(col("n_sampled").cast("double") / col("n_total") - 0.3) <=
+            lit(6.0) * sqrt(lit(0.3 * 0.7)) / sqrt(col("n_total").cast("double")))
+            .cast("int").as("frac_within_6sigma"))
+    },
+    Some("""SELECT count(*) AS n_total, CAST(1 AS INTEGER) AS frac_within_6sigma
+      |FROM events""".stripMargin))
 
   /** Deterministic ~30% hash-sample — the reproducible alternative to
     * seeded RNG sampling at pipeline scale: membership is a pure function
@@ -1082,13 +1170,34 @@ object Queries {
     })
 
   /** C11 — per-wager UUID generation (`uuid.uuid1()`,
-    * `src/mm_calls.py:245,265`). Nondeterministic by nature ⇒ rows-only. */
+    * `src/mm_calls.py:245,265`). Nondeterministic by nature ⇒ rows-only;
+    * `c11_uuid_bound` hash-checks count/distinctness/v4 shape. */
   private val c11UuidWagers = Q("c11_uuid_wagers",
     (s, dir) => Tables.events(s, dir)
       .where(col("event_type") === "purchase")
       .select(expr("uuid()").as("external_id"), col("event_id").as("line_id"),
         round(col("value"), 2).as("stake")),
     None)
+
+  /** c11_uuid_wagers' CHECKED-BOUND twin: the uuids themselves are random,
+    * but their count, mutual distinctness, and RFC-4122 v4 shape are exact
+    * facts — emitted as the query result so the constant oracle verifies
+    * them instead of recording an opaque row count. */
+  private val c11UuidBound = Q("c11_uuid_bound",
+    (s, dir) => Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(expr("uuid()").as("u"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("u")).as("nd"),
+        sum(when(col("u").rlike(
+          "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"),
+          1L).otherwise(0L)).as("nfmt"))
+      .select(col("n_rows"),
+        (col("nd") === col("n_rows")).cast("int").as("all_distinct"),
+        (col("nfmt") === col("n_rows")).cast("int").as("all_v4_format")),
+    Some("""SELECT count(*) AS n_rows, CAST(1 AS INTEGER) AS all_distinct,
+      |  CAST(1 AS INTEGER) AS all_v4_format
+      |FROM events WHERE event_type = 'purchase'""".stripMargin))
 
   // ─────────────────────────── LLM-pipeline extensions ──────────────────────
 
@@ -1557,12 +1666,32 @@ object Queries {
       |FROM (SELECT unnest(w) AS token FROM toks)""".stripMargin))
 
   /** HLL approximate vocabulary (sketch impls differ across engines ⇒
-    * rows-only; the exact twin above is the correctness anchor). */
+    * rows-only; the exact twin above is the correctness anchor and
+    * `text_vocab_bound` hash-checks the 5% envelope). */
   private val textVocabApprox = Q("text_vocab_approx",
     (s, dir) => Tables.documents(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("token"))
       .agg(approx_count_distinct(col("token")).as("n_vocab_approx")),
     None)
+
+  /** text_vocab_approx's CHECKED-BOUND twin: the HLL estimate is
+    * engine-internal, but |hll − exact| ≤ 5% of exact is a deterministic
+    * fact for a given corpus (HLL has no RNG — its error is fixed per
+    * dataset), so the query emits the exact vocabulary plus that flag and
+    * the oracle recomputes the exact side. rsd 0.02 keeps the default-5%
+    * assertion far from the estimator's own sigma. */
+  private val textVocabBound = Q("text_vocab_bound",
+    (s, dir) => Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .agg(countDistinct(col("token")).as("n_vocab"),
+        approx_count_distinct(col("token"), 0.02).as("hll"))
+      .select(col("n_vocab"),
+        (abs(col("hll") - col("n_vocab")) * 100 <= col("n_vocab") * 5)
+          .cast("int").as("hll_within_5pct")),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents)
+      |SELECT count(DISTINCT token) AS n_vocab,
+      |  CAST(1 AS INTEGER) AS hll_within_5pct
+      |FROM (SELECT unnest(w) AS token FROM toks)""".stripMargin))
 
   private val textFingerprints = Q("text_fingerprints",
     (s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir)),
@@ -2399,14 +2528,15 @@ object Queries {
     xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
     uMergeUpsert, uScd2History,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
-    s1LadderScan, c11UuidWagers, fHashSample,
+    fSampleBound, s1LadderScan, c11UuidWagers, c11UuidBound, fHashSample,
     dedupExact, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
-    textStats, textLangid, textTopTerms, textVocab, textVocabApprox, textFingerprints,
+    textStats, textLangid, textTopTerms, textVocab, textVocabApprox,
+    textVocabBound, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, dedupExactSubstr,
     textTfidf, textShardStats,
@@ -2416,7 +2546,7 @@ object Queries {
     pipelineDecontamLsh, pipelineTopicClusters, pipelineTopicSample,
     simCrossLshTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
-    sketchKllByGroup,
+    sketchKllByGroup, sketchKllBound, sketchKllGroupBound,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,
     multimodalFeatures, multimodalFrames, multimodalDecode)
