@@ -29,8 +29,22 @@ object Tables {
     // anyway, and a repartition exchange before a BroadcastExchange is
     // pure waste. The cutoff is bytes, not rows: even a small file (e.g.
     // documents) earns the fan-out when per-row compute is heavy.
-    val tiny = new java.io.File(path).length() < 64 * 1024
-    if (!tiny && df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Scan parallelism is estimated statically from file size (Spark bins
+    // files into ceil(size / maxPartitionBytes) splits) rather than via
+    // `df.rdd.getNumPartitions`, which would force physical planning and
+    // RDD DAG construction eagerly on every table load.
+    val bytes = fileBytes(path)
+    val tiny = bytes < 64 * 1024
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estScanParts = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (!tiny && estScanParts < target) df.repartition(target) else df
+  }
+
+  /** Total bytes at `path` — a single parquet file or a directory of them. */
+  private def fileBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "lineitem")
