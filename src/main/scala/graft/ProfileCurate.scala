@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-stage cost attribution for the end-to-end curation pipeline
+  * (pipeline_curate_full), for the scale-step question "which stage drives
+  * the 10× growth curve?". Stages share plan fragments with the registered
+  * query (Queries.curateGated / curateSurvivors), so the numbers attribute
+  * the REAL plan, not a reconstruction.
+  *
+  * Stage timings overlap by construction — survivors includes the gate,
+  * pairs includes survivors (cached after first materialization) — so read
+  * deltas, not absolutes. Run twice; r2 is the warm number.
+  */
+object ProfileCurate {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    (1 to 2).foreach { i =>
+      time(s"r$i gate")(noop(Queries.curateGated(spark, sfDir)))
+      val survivors = Queries.curateSurvivors(spark, sfDir)
+      time(s"r$i exact-dedup survivors")(noop(survivors))
+      val pairs = Dedup.nearDupPairs(
+        survivors.select(col("doc_id"), col("text")), 0.2)
+      time(s"r$i neardup pairs")(noop(pairs))
+      time(s"r$i docs_prep full")(
+        noop(SparkEntry.queries("pipeline_docs_prep")(spark, sfDir)))
+      time(s"r$i curate_full")(
+        noop(SparkEntry.queries("pipeline_curate_full")(spark, sfDir)))
+    }
+    spark.stop()
+  }
+}

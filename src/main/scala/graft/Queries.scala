@@ -1379,39 +1379,66 @@ object Queries {
     * removal (drop the higher id of every LSH pair among survivors).
     * Every stage reuses an already-oracle-checked operator; the oracle
     * composes the same fragments. */
+  /** Stage 1 of docs-prep: the hygiene gate, over any (doc_id, text)
+    * frame — batch or streaming (every expression is stateless). One scan,
+    * one staged tokenize: stats, quality, and language all derive from the
+    * same materialized token array — no joins of separately-derived
+    * per-doc tables. `carry` names extra input columns to keep (e.g. the
+    * event-time column a streaming caller watermarks on). */
+  private[graft] def curateGateFrom(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = Seq("doc_id", "text") ++ carry
+    graft.plans.Stage(docs.select(keep.map(col): _*),
+        "w", TextFns.tokens(col("text")))
+      .select(keep.map(col) ++ Seq(
+        size(col("w")).as("n_tokens"),
+        TextFns.basisPoints(
+          TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp"),
+        TextFns.langIdFromTokens(col("w")).as("predicted_lang")): _*)
+      .where(col("quality_bp") >= 7000 && col("predicted_lang") === "en")
+      .drop("predicted_lang")
+  }
+
+  /** [[curateGateFrom]] over the documents table — the registered-query
+    * form, exposed (package-private) so ProfileCurate can time each stage
+    * of the curation pipeline without duplicating its plan. */
+  private[graft] def curateGated(s: SparkSession, dir: String): DataFrame =
+    curateGateFrom(Tables.documents(s, dir))
+
+  /** Stage 2 of docs-prep: exact dedup of the gated set. The LSH pass
+    * references the survivor set ~5× (band self-join + two shingle joins +
+    * the final anti-join); persisting cuts the gate subtree from five
+    * executions to one. Not an unbounded leak: CacheManager keys entries
+    * by canonicalized plan, so repeated invocations on the same sfDir
+    * reuse ONE entry (one per distinct sfDir per session), each tiny
+    * (survivor ids + text) and LRU-evictable. */
+  private[graft] def curateSurvivors(s: SparkSession, dir: String): DataFrame =
+    curateSurvivorsFrom(curateGated(s, dir))
+
+  private[graft] def curateSurvivorsFrom(gated: DataFrame): DataFrame = {
+    val exactKeep = gated
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    gated.join(exactKeep, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The full batch docs-prep composition over any (doc_id, text) frame:
+    * hygiene gate → exact dedup → LSH near-dup removal. The registered
+    * pipeline_docs_prep applies it to the documents table; the composed
+    * streaming-curation spec applies it to the same corpus it streams, as
+    * the equivalence oracle. */
+  private[graft] def docsPrepFrom(docs: DataFrame): DataFrame = {
+    val survivors = curateSurvivorsFrom(curateGateFrom(docs))
+    val dropped = Dedup.nearDupPairs(survivors.select(col("doc_id"), col("text")), 0.2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    survivors.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality_bp"))
+  }
+
   private val pipelineDocsPrep = Q("pipeline_docs_prep",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // One scan, one staged tokenize: stats, quality, and language all
-      // derive from the same materialized token array — no joins of
-      // separately-derived per-doc tables.
-      val gated = graft.plans.Stage(docs.select(col("doc_id"), col("text")),
-          "w", TextFns.tokens(col("text")))
-        .select(col("doc_id"), col("text"),
-          size(col("w")).as("n_tokens"),
-          TextFns.basisPoints(
-            TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp"),
-          TextFns.langIdFromTokens(col("w")).as("predicted_lang"))
-        .where(col("quality_bp") >= 7000 && col("predicted_lang") === "en")
-        .select(col("doc_id"), col("text"), col("n_tokens"), col("quality_bp"))
-      val exactKeep = gated
-        .groupBy(md5(col("text")).as("text_md5"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      // The LSH pass references the survivor set ~5× (band self-join + two
-      // shingle joins + the final anti-join); persisting cuts the gate
-      // subtree from five executions to one. Not an unbounded leak:
-      // CacheManager keys entries by canonicalized plan, so repeated
-      // invocations on the same sfDir reuse ONE entry (one per distinct
-      // sfDir per session), each tiny (survivor ids + text) and
-      // LRU-evictable.
-      val survivors = gated.join(exactKeep, "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dropped = Dedup.nearDupPairs(survivors.select(col("doc_id"), col("text")), 0.2)
-        .select(col("doc_b").as("doc_id")).distinct()
-      survivors.join(dropped, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("n_tokens"), col("quality_bp"))
-    },
+    (s, dir) => docsPrepFrom(Tables.documents(s, dir)),
     Some(docsPrepSql))
 
   /** pipeline_docs_prep's oracle, factored so compositions (e.g.

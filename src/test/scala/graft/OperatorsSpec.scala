@@ -75,6 +75,38 @@ class DedupSpec extends AnyFunSuite {
     assert(m.getAs[Int]("largest_bucket") == 10000)
   }
 
+  test("sf1-like family density: pair growth is linear in families and capped within") {
+    // The sf1 generator plants 10-member duplicate families; candidate
+    // pairs grow C(10,2)=45 per family — quadratic in FAMILY SIZE only,
+    // linear in the number of families (the corpus). This pins both halves
+    // of that scale claim: (a) at the default cap nothing truncates and
+    // the total is exactly families × 45; (b) a cap below the family size
+    // engages (observably) and bounds every family at C(cap,2).
+    val fams = 40
+    // Every token carries the family id so families share NO shingles —
+    // members are identical within a family, disjoint across families.
+    val docs = spark.range(fams * 10L).selectExpr("id AS doc_id",
+      s"concat('alpha', id % $fams, ' bravo', id % $fams, ' charlie', id % $fams, " +
+        s"' delta', id % $fams, ' echo', id % $fams, ' foxtrot', id % $fams, " +
+        s"' golf', id % $fams, ' hotel', id % $fams) AS text")
+    val relaxed = Dedup.minhashCandidates(docs, maxBucket = 1000)
+    val nRelaxed = relaxed.collect().length
+    assert(nRelaxed == fams * 45, s"expected linear-in-families growth, got $nRelaxed")
+    val mRelaxed = relaxed.queryExecution.observedMetrics.collectFirst {
+      case (k, v) if k.startsWith(Dedup.BucketCapMetricPrefix) => v
+    }.get
+    assert(mRelaxed.getAs[Long]("truncated_members") == 0L)
+    assert(mRelaxed.getAs[Int]("largest_bucket") == 10)
+    val capped = Dedup.minhashCandidates(docs, maxBucket = 4)
+    val nCapped = capped.collect().length
+    assert(nCapped == fams * 6, s"cap should bound each family at C(4,2): $nCapped")
+    val mCapped = capped.queryExecution.observedMetrics.collectFirst {
+      case (k, v) if k.startsWith(Dedup.BucketCapMetricPrefix) => v
+    }.get
+    // 4 bands × 40 families × (10 − 4) members dropped, none silently.
+    assert(mCapped.getAs[Long]("truncated_members") == 4L * fams * 6)
+  }
+
   test("bucket-cap metric reads zero when nothing is truncated") {
     val capped = Dedup.minhashCandidates(docs, maxBucket = 1000)
     capped.collect()

@@ -717,3 +717,92 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Verdict item (round 7): the composed streaming curation run. Each piece
+  * — hygiene gate, streaming exact dedup, streaming near-dup filter,
+  * idempotent sink — is tested alone elsewhere; this runs them as ONE
+  * pipeline across a crash-restart and asserts the stream's survivors
+  * equal the batch docs-prep composition on the same corpus. */
+class StreamingCurationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gate → exact dedup → near-dup filter → idempotent sink survives a " +
+      "crash-restart and equals the batch docs-prep composition") {
+    import java.nio.file.Files
+    // Corpus: per-family PERIODIC texts — member k repeats the family's
+    // 3-token period k times. Members of a family differ as strings
+    // (different md5 ⇒ exact dedup keeps them) but share an IDENTICAL
+    // 3-gram shingle SET (the period's circular shingles), so the batch
+    // LSH path (Jaccard = 1.0) and the streaming signature path (all 8
+    // minhashes equal) provably agree on what is a near-dup — the
+    // construction that makes stream ≡ batch assertable. Weak
+    // partial-overlap near-dups are the nightly batch pass's job alone:
+    // the division of labor documented on streamingNearDupDedup.
+    def periodic(fam: Int, reps: Int): String =
+      Seq.fill(reps)(s"the qx${fam}a zr${fam}b").mkString(" ")
+    val corpus: Seq[(Long, String, Long)] = Seq(
+      (1L, periodic(1, 40), 100L),  // family 1 canonical → kept
+      (2L, periodic(2, 40), 101L),  // family 2 canonical → kept
+      (3L, periodic(1, 41), 102L),  // near-dup of 1 (same shingle set) → dropped
+      (4L, "tiny doc", 103L),       // fails the quality gate (2 tokens)
+      (5L, Seq.fill(40)("der die und das ist ein").mkString(" "), 104L), // lang=de → gated
+      (6L, periodic(3, 40), 105L),  // family 3 canonical → kept
+      // --- restart boundary: everything below arrives in run 2 ---
+      (7L, periodic(1, 40), 106L),  // EXACT dup of 1 across the restart → dropped
+      (8L, periodic(2, 42), 107L),  // near-dup of 2 across the restart → dropped
+      (9L, periodic(4, 40), 108L))  // family 4 canonical → kept
+    val (part1, part2) = corpus.partition(_._1 <= 6L)
+
+    val batchExpected = Queries.docsPrepFrom(
+        corpus.toDF("doc_id", "text", "secs").select($"doc_id", $"text"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(batchExpected.map(_._1) == Set(1L, 2L, 6L, 9L),
+      s"batch oracle disagrees with the planted design: $batchExpected")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val dir = Files.createTempDirectory("streamcurate")
+    val ckpt = dir.resolve("ckpt")
+    val outPath = dir.resolve("out").toString
+    def drain(): Unit = {
+      val docs = input.toDF().toDF("doc_id", "text", "secs")
+        .withColumn("ts", $"secs".cast("timestamp")).drop("secs")
+      val gated = Queries.curateGateFrom(docs, carry = Seq("ts"))
+      val exactDeduped = graft.operators.Dedup
+        .streamingExactDedup(gated, "ts", "1 hour").drop("text_md5")
+      val nearDeduped = graft.operators.Dedup
+        .streamingNearDupDedup(exactDeduped, "ts", "1 hour")
+      val out = nearDeduped.select($"doc_id", $"n_tokens", $"quality_bp")
+      val q = graft.streaming.Sinks.idempotentAppendSink(out, outPath, ckpt.toString)
+      assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+    }
+    input.addData(part1: _*)
+    drain() // run 1: gates docs 4-5, near-dups doc 3, checkpoints dedup state
+    // Crash simulation: delete the LAST commit marker. foreachBatch's
+    // contract is at-least-once — a crash between the sink write and the
+    // commit leaves exactly this state, and the restarted query MUST
+    // replay that batch id into the same batch_id directory (idempotent
+    // overwrite, not a duplicate append).
+    val commits = ckpt.resolve("commits").toFile.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty, "run 1 committed no batches")
+    assert(commits.last.delete())
+    // Hadoop's checksumed local FS also wrote a hidden .N.crc next to the
+    // marker; leaving it behind makes the replay's rewrite fail the rename.
+    new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc").delete()
+    input.addData(part2: _*)
+    // Run 2: restart from the checkpoint. The replayed batch overwrites
+    // its directory; docs 7 (exact dup of 1) and 8 (signature match of 2)
+    // must be dropped by state RECOVERED from the checkpoint.
+    drain()
+    val got = spark.read.parquet(outPath)
+      .select("doc_id", "n_tokens", "quality_bp")
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == got.toSet.size,
+      s"idempotent sink emitted a duplicate row: ${got.toList.sorted}")
+    assert(got.toSet == batchExpected,
+      s"stream diverged from batch: missing=${batchExpected -- got.toSet} " +
+        s"extra=${got.toSet -- batchExpected}")
+  }
+}
