@@ -847,7 +847,10 @@ object Queries {
 
   // ─────────────────────── flagship flatten + seeding ───────────────────────
 
-  private val flagshipOracle: String = {
+  /** Flagship oracle, parameterized on the market_updated rendering so the
+    * strict-C4 variant (no-lines branch in an explicit machine zone) reuses
+    * the whole 25-column derivation. */
+  private def flagshipOracleWith(marketUpdatedSql: String): String = {
     val fmtRender = "%Y-%m-%d %H:%M:%S"
     s"""WITH base AS (
       |  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_orderstatus,
@@ -887,13 +890,32 @@ object Queries {
       |  CASE WHEN o_orderstatus = 'F' THEN 'finished' WHEN o_orderstatus = 'O' THEN 'open' ELSE 'live' END AS event_status,
       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS selection_stake,
       |  CAST(CAST(l_discount * 100 AS DECIMAL(8,2)) AS VARCHAR) AS selection_value,
-      |  strftime(timezone('US/Eastern', timezone('UTC', make_timestamp((epoch_ms(l_shipdate) // 1000) * 1000000))), '$fmtRender') AS market_updated
+      |  $marketUpdatedSql AS market_updated
       |FROM base""".stripMargin
   }
+
+  /** DuckDB render of the fixture's epoch-shipdate in `tz`. */
+  private def muRenderSql(tz: String): String =
+    s"strftime(timezone('$tz', timezone('UTC', make_timestamp((epoch_ms(l_shipdate) // 1000) * 1000000))), '%Y-%m-%d %H:%M:%S')"
+
+  private val flagshipOracle: String = flagshipOracleWith(muRenderSql("US/Eastern"))
 
   private val xFlagshipFlatten = Q("x_flagship_flatten",
     (s, dir) => Flatten.flatten25(BettingFixture.sportEvents(s, dir)),
     Some(flagshipOracle), bench = true)
+
+  /** C4 strict parity: the reference rendered the no-lines branch's
+    * market_updated in the PROCESS-local zone (`src/main.py:172-174`); the
+    * engine's default normalizes both branches to US/Eastern (C3). This
+    * variant names the machine zone explicitly (America/Chicago here) —
+    * deterministic, so the one remaining semantic divergence from the
+    * reference is now covered by a hash-exact oracle instead of a doc note. */
+  private val xFlagshipC4Strict = Q("x_flagship_c4strict",
+    (s, dir) => Flatten.flatten25(BettingFixture.sportEvents(s, dir),
+      noLinesTz = Some("America/Chicago")),
+    Some(flagshipOracleWith(
+      s"""CASE WHEN l_linenumber % 2 = 0 THEN ${muRenderSql("US/Eastern")}
+         |       ELSE ${muRenderSql("America/Chicago")} END""".stripMargin)))
 
   /** X3 — branch union with differing column order, resolved by name. */
   private val x3BranchUnion = Q("x3_branch_union",
@@ -2552,7 +2574,7 @@ object Queries {
     aHistogram, sOrderbyLimit, cStringFns, cArrayFns, cMapFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     aggGroupingSets, jScalarSubquery,
-    xFlagshipFlatten, x3BranchUnion, xSetOps, seedingPipeline,
+    xFlagshipFlatten, xFlagshipC4Strict, x3BranchUnion, xSetOps, seedingPipeline,
     uMergeUpsert, uScd2History,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     fSampleBound, s1LadderScan, c11UuidWagers, c11UuidBound, fHashSample,

@@ -43,6 +43,15 @@ object TimeFns {
   def nanosToEastern(ns: Column): Column =
     from_utc_timestamp(nanosToTimestamp(ns), "US/Eastern")
 
+  /** C4 — epoch-nanoseconds → wall-clock in an EXPLICIT zone. The
+    * reference's no-lines branch rendered `updated_at` in whatever zone
+    * the process happened to run in (`src/main.py:172-174`) — an
+    * environment dependency, which is why the engine normalizes to C3 by
+    * default. Strict-parity callers name the machine zone here, which is
+    * exactly what makes the behavior deterministic and oracle-checkable. */
+  def nanosToZone(ns: Column, tz: String): Column =
+    from_utc_timestamp(nanosToTimestamp(ns), tz)
+
   /** C5 — render a timestamp the way the sheet sink stringifies it. */
   def render(ts: Column): Column = date_format(ts, RenderFormat)
 

@@ -27,10 +27,12 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   *    (`main.py:161-165`), the schedule string passes through unparsed
   *    (`main.py:148`), and *every* inner selection yields a row
   *    (`main.py:135-136`).
-  *  - market_updated: epoch-nanos → US/Eastern render in both branches —
-  *    the no-lines branch is normalized to C3 (the reference's
-  *    local-timezone C4 at `main.py:172-174` is a documented divergence,
-  *    SURVEY.md §2.6).
+  *  - market_updated: epoch-nanos → US/Eastern render in both branches by
+  *    default — the no-lines branch is normalized to C3 (the reference's
+  *    local-timezone C4 at `main.py:172-174` depends on where the process
+  *    runs, SURVEY.md §2.6). Strict C4 parity is opt-in: pass `noLinesTz`
+  *    naming the machine zone and the no-lines branch renders there,
+  *    reproducing the reference bit-for-bit for that deployment.
   *  - every field goes through `coalesce(col, default)` mirroring
   *    `.get(field, default)` (C15, `main.py:96-175`).
   */
@@ -50,8 +52,10 @@ object Flatten {
     "selection_id", "selection_name", "selection_odds",
     "event_status", "selection_stake", "selection_value", "market_updated")
 
-  /** nested sport_events (BettingFixture schema) → the 25-column sheet. */
-  def flatten25(sportEvents: DataFrame): DataFrame = {
+  /** nested sport_events (BettingFixture schema) → the 25-column sheet.
+    * `noLinesTz = Some(zone)` enables strict C4 parity (see class doc). */
+  def flatten25(sportEvents: DataFrame,
+      noLinesTz: Option[String] = None): DataFrame = {
     // Typed null line-struct for the no-lines branch, derived from the
     // input schema so the operator works on any conforming nested source.
     val marketType = sportEvents.schema("markets").dataType
@@ -98,8 +102,13 @@ object Flatten {
         s(col("market.name")).as("market_name"),
         s(col("market.type")).as("market_type"),
         s(col("market.status")).as("market_status"),
-        TimeFns.render(TimeFns.nanosToEastern(
-          coalesce(col("market.updated_at"), lit(0L)))).as("market_updated"),
+        {
+          val muNanos = coalesce(col("market.updated_at"), lit(0L))
+          val eastern = TimeFns.render(TimeFns.nanosToEastern(muNanos))
+          noLinesTz.fold(eastern)(tz =>
+            when(col("market.market_lines").isNotNull, eastern)
+              .otherwise(TimeFns.render(TimeFns.nanosToZone(muNanos, tz))))
+        }.as("market_updated"),
         col("market.market_lines").isNotNull.as("has_lines"),
         // no-lines markets get one synthetic null line so a single explode
         // path serves both variants

@@ -91,4 +91,23 @@ class FlattenSpec extends AnyFunSuite {
   test("column order matches the 25-column sheet schema") {
     assert(out.columns.toSeq == Flatten.SheetColumns)
   }
+
+  test("strict C4 mode renders the no-lines branch in the named machine zone only") {
+    val strict = Flatten.flatten25(
+      spark.createDataFrame(fixture.asJava, schema),
+      noLinesTz = Some("America/Chicago")).cache()
+    // Lines branch (event 1): unchanged — still US/Eastern.
+    val lines = strict.where(strict("selection_id") === "a").collect().head
+      .getValuesMap[String](Flatten.SheetColumns)
+    assert(lines("market_updated") == "2024-01-01 07:00:00")
+    // No-lines branch (event 2): UTC noon → Chicago 6am (CST, UTC−6).
+    val noLines = strict.where(strict("selection_id") === "d").collect().head
+      .getValuesMap[String](Flatten.SheetColumns)
+    assert(noLines("market_updated") == "2024-01-01 06:00:00")
+    // Every other column is identical to the default mode.
+    val diff = strict.drop("market_updated")
+      .exceptAll(out.drop("market_updated"))
+    assert(diff.isEmpty)
+    strict.unpersist()
+  }
 }
