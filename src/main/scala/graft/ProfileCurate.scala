@@ -40,6 +40,18 @@ object ProfileCurate {
       time(s"r$i curate_full")(
         noop(SparkEntry.queries("pipeline_curate_full")(spark, sfDir)))
     }
+    // Cap headroom on the real corpus: the band-bucket size distribution of
+    // the post-exact-dedup survivors (what the LSH self-join actually sees).
+    val survivors = Queries.curateSurvivorsFrom(Queries.curateGated(spark, sfDir))
+    val dist = Dedup.oversizedBuckets(
+        survivors.select(col("doc_id"), col("text")), 1)
+      .agg(max(col("bucket_n")).as("largest"),
+        count(when(col("bucket_n") > 1000, 1)).as("over_default_cap"),
+        count(lit(1)).as("multi_member_buckets"))
+      .head()
+    println(s"[profile] band buckets: largest=${dist.getAs[Int]("largest")} " +
+      s"over_default_cap=${dist.getAs[Long]("over_default_cap")} " +
+      s"multi_member=${dist.getAs[Long]("multi_member_buckets")}")
     spark.stop()
   }
 }

@@ -71,6 +71,9 @@ object WagerBook {
       .agg(max(struct(col("tsn"), col("event_id"))).as("ca"))
       .select(coalesce(col("ca.tsn"), lit(Long.MinValue)).as("ca_tsn"),
         coalesce(col("ca.event_id"), lit(Long.MinValue)).as("ca_eid"))
+    // lastCancelAll is a GLOBAL aggregate (no grouping key): exactly one
+    // row always — the coalesce defaults fill it when no CANCEL_ALL exists
+    // — so this crossJoin is a 1-row broadcast annotation, never a product.
     lastPerKey.crossJoin(broadcast(lastCancelAll))
       .where(col("op") === "PLACE" &&
         (col("tsn") > col("ca_tsn") ||
