@@ -43,6 +43,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exact-substr dedup: hash-keyed window + equi-join back, never a product") {
+    val p = plan(graft.operators.TextAnalysis.exactSubstrDedup(
+      Tables.documents(spark, sf), spanTokens = 10))
+    // The whole point of anchoring on the shingle HASH is that duplicate
+    // detection is one shuffle keyed on a 32-byte value — any product join
+    // here would be the all-pairs blowup the bucketing exists to avoid.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"exact-substr grew a product join:\n$p")
+    assert("Window ".r.findAllIn(p).length >= 1, "duplicate-occurrence window missing")
+  }
+
+  test("strict-C4 flagship keeps the default's plan shape (branch is a projection)") {
+    val p = plan(graft.operators.Flatten.flatten25(
+      graft.sources.BettingFixture.sportEvents(spark, sf),
+      noLinesTz = Some("America/Chicago")))
+    // The tz branch must stay a per-row when() projection — not a second
+    // scan, filter+union pair, or extra exchange over the default plan.
+    assert(shuffleCount(p) <= 2, s"strict C4 grew extra shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin Inner"))
+  }
+
   test("tfidf: vocab side of the term join stays broadcast-or-hash, never a product") {
     val p = plan(graft.operators.TextAnalysis.tfidfTopTerms(
       Tables.documents(spark, sf), k = 3))
