@@ -4,20 +4,32 @@ run graft.Verify first (writes <out>/<name>/ parquet + oracle_sql.json),
 then this script replays every oracle SQL in DuckDB over the same sf tables
 and diffs values column-sorted / row-sorted. NOT part of the engine.
 
-Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 dev/check_oracle.py <sfDir> <verifyOutDir> [skip1,skip2,…]
+
+The optional skip list names queries whose ORACLE is too expensive at the
+target SF (e.g. pipeline_decontam_topk's intentionally-quadratic brute
+baseline at sf1); each skipped name is reported as SKIP, never silently.
+Set CHECK_ORACLE_VERBOSE=1 for per-query progress + timing on stderr.
 """
-import json, sys, glob
+import json, sys, glob, os, time
 import duckdb
 
 sf, out = sys.argv[1], sys.argv[2]
+skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+verbose = os.environ.get("CHECK_ORACLE_VERBOSE") == "1"
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
-fails, passes = [], []
+fails, passes, skipped = [], [], []
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        skipped.append(name); continue
+    t0 = time.time()
+    if verbose:
+        print(f"[check] {name} ...", file=sys.stderr, flush=True)
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
         fails.append((name, "no spark output")); continue
@@ -36,6 +48,8 @@ for name, sql in sorted(oracle.items()):
         passes.append(name + "(empty)"); continue
     exp_s = exp.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values().reset_index(drop=True)
     got_s = got.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values().reset_index(drop=True)
+    if verbose:
+        print(f"[check] {name} done in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     if len(exp) == 0 or exp_s.equals(got_s):
         passes.append(name)
     else:
@@ -44,6 +58,8 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"values differ at sorted-row {i} ({diff.sum()} rows):\n  oracle: {exp_s[i][:300]}\n  spark : {got_s[i][:300]}"))
 
 print(f"PASS {len(passes)}: {' '.join(passes)}")
+if skipped:
+    print(f"SKIP {len(skipped)}: {' '.join(skipped)}")
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
 sys.exit(1 if fails else 0)
