@@ -1384,11 +1384,15 @@ object Queries {
     Some(minhashPairsSql), bench = true)
 
   /** Connected components over the near-dup pair graph; the oracle is the
-    * recursive-CTE transitive closure (min reachable id per node). */
+    * recursive-CTE transitive closure (min reachable id per node). `pairs`
+    * and `edges` are MATERIALIZED: `reach` references `edges` on every
+    * recursion iteration, and without the hint DuckDB may inline (and
+    * re-run) the whole minhash+Jaccard pipeline under it per iteration —
+    * unnoticeable at sf0.01, a multi-minute stall per evaluation at sf1. */
   private val dedupClusters = Q("dedup_clusters",
     (s, dir) => Dedup.nearDupClusters(Tables.documents(s, dir), 0.2),
-    Some(s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
-      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+    Some(s"""WITH RECURSIVE pairs AS MATERIALIZED ($minhashPairsSql),
+      |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach AS (SELECT a AS node, b AS reached FROM edges
       |          UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached)
@@ -1634,7 +1638,7 @@ object Queries {
   private val dedupEmbeddingClusters = Q("dedup_embedding_clusters",
     (s, dir) => Dedup.embeddingNearDupClusters(Tables.embeddings(s, dir), 0.2),
     Some(s"""WITH RECURSIVE ${duckLshPairsSql(multiProbe = true, 0.2).stripPrefix("WITH ")},
-      |edges AS (SELECT vec_a AS a, vec_b AS b FROM lshp
+      |edges AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM lshp
       |          UNION ALL SELECT vec_b, vec_a FROM lshp),
       |reach AS (SELECT a AS node, b AS reached FROM edges
       |          UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached)

@@ -206,21 +206,27 @@ object TextAnalysis {
     *   1. anchor every position p ∈ [0, n−k] with the md5 of its k-token
     *      shingle (hashing first keeps the shuffle key at 32 bytes no
     *      matter how long the span text is);
-    *   2. one window over the shingle hash marks every occurrence that is
-    *      not the global first of a duplicated shingle;
+    *   2. a hash AGGREGATE per shingle hash — occurrence count plus the
+    *      global first occurrence as `min(struct(doc_id, pos))` — filtered
+    *      to duplicated shingles and equi-joined back marks every non-first
+    *      occurrence. Deliberately NOT a row_number window: the aggregate
+    *      combines map-side (the shuffle carries one partial per hash per
+    *      partition, not every anchor), and a megahit boilerplate shingle
+    *      (1M copies of a cookie banner) costs a skewed-but-sortless join
+    *      probe that AQE skew-split handles, instead of a 1M-row sort
+    *      buffer in a single window partition;
     *   3. those occurrences explode to their k covered token positions
     *      (cost proportional to DUPLICATED content only, ≤ k× its size),
     *      dedup to a per-document sorted coverage array;
     *   4. one broadcast-free left join back to the tokenized docs and a
     *      narrow per-row rebuild keeps exactly the uncovered tokens.
     *
-    * Scale notes: the window shuffle is keyed on the hash — near-uniform
-    * except genuinely hot boilerplate shingles, whose window partitions
-    * are streamed/spilled by Spark's window buffering (cap upstream with a
-    * frequency pre-filter if a corpus has megahit boilerplate). Rebuild is
-    * O(n·|cov|) per document via array_contains — bounded by document
-    * length, not corpus size. Documents whose every token is covered
-    * survive with empty `clean_text` (the caller's drop policy, not ours).
+    * Scale notes: the duplicated-shingle side of step 2's join is tiny in
+    * a healthy corpus (dup shingles are the exception), so AQE turns it
+    * into a broadcast; rebuild is O(n·|cov|) per document via
+    * array_contains — bounded by document length, not corpus size.
+    * Documents whose every token is covered survive with empty
+    * `clean_text` (the caller's drop policy, not ours).
     * Output: (doc_id, n_tokens, n_removed, clean_text). */
   def exactSubstrDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
     require(spanTokens > 0, s"need spanTokens > 0, got $spanTokens")
@@ -234,11 +240,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"),
         md5(array_join(slice(col("w"), col("pos") + 1, lit(spanTokens)), " "))
           .as("h"))
-    val dupOccurrences = anchors
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
-      .where(col("cnt") > 1 && col("rn") > 1)
+    val dupFirsts = anchors
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("cnt") > 1)
+    val dupOccurrences = anchors.join(dupFirsts, "h")
+      .where(col("doc_id") =!= col("first.doc_id") ||
+        col("pos") =!= col("first.pos"))
     val covered = dupOccurrences
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (spanTokens - 1))).as("cpos"))

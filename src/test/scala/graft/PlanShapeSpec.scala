@@ -43,15 +43,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("exact-substr dedup: hash-keyed window + equi-join back, never a product") {
+  test("exact-substr dedup: sortless aggregate dup-marking, never a product or window") {
     val p = plan(graft.operators.TextAnalysis.exactSubstrDedup(
       Tables.documents(spark, sf), spanTokens = 10))
-    // The whole point of anchoring on the shingle HASH is that duplicate
-    // detection is one shuffle keyed on a 32-byte value — any product join
-    // here would be the all-pairs blowup the bucketing exists to avoid.
+    // Anchoring on the shingle HASH keeps duplicate detection equi-keyed on
+    // a 32-byte value — any product join would be the all-pairs blowup the
+    // bucketing avoids. Dup-marking must stay a map-side-combinable hash
+    // aggregate: a row_number window here would put a megahit boilerplate
+    // shingle's every occurrence into ONE sort buffer.
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"exact-substr grew a product join:\n$p")
-    assert("Window ".r.findAllIn(p).length >= 1, "duplicate-occurrence window missing")
+    assert(!p.contains("Window"), s"dup-marking regressed to a sort window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "per-shingle aggregate missing")
   }
 
   test("strict-C4 flagship keeps the default's plan shape (branch is a projection)") {
