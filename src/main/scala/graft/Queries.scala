@@ -2226,6 +2226,48 @@ object Queries {
       |  coalesce(string_agg(CASE WHEN cpos IS NULL THEN tokstr END, ' ' ORDER BY p), '') AS clean_text
       |FROM kept GROUP BY doc_id""".stripMargin))
 
+  /** Incremental ExactSubstr (TextAnalysis.exactSubstrDedupIncremental):
+    * the batch (doc_id % 7 ≠ 0) dedups spans against itself AND the
+    * persisted span index of history (doc_id % 7 = 0). The oracle
+    * re-derives the index from history's raw text — independent
+    * derivations agreeing, like dedup_minhash_incr. */
+  private val dedupExactSubstrIncr = Q("dedup_exact_substr_incr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.exactSubstrDedupIncremental(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        TextAnalysis.spanIndex(docs.where(pmod(col("doc_id"), lit(7)) === 0)),
+        spanTokens = 10)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |sized AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n FROM t WHERE len(w) > 0),
+      |banch AS (SELECT doc_id, w,
+      |  CAST(unnest(generate_series(0, n - 10)) AS INTEGER) AS pos
+      |  FROM sized WHERE n >= 10 AND doc_id % 7 <> 0),
+      |bhashed AS (SELECT doc_id, pos,
+      |  md5(array_to_string(list_slice(w, pos + 1, pos + 10), ' ')) AS h FROM banch),
+      |hanch AS (SELECT doc_id, w,
+      |  CAST(unnest(generate_series(0, n - 10)) AS INTEGER) AS pos
+      |  FROM sized WHERE n >= 10 AND doc_id % 7 = 0),
+      |hidx AS (SELECT DISTINCT
+      |  md5(array_to_string(list_slice(w, pos + 1, pos + 10), ' ')) AS h FROM hanch),
+      |marked AS (SELECT doc_id, pos,
+      |  count(*) OVER (PARTITION BY h) AS cnt,
+      |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+      |  h IN (SELECT h FROM hidx) AS in_hist FROM bhashed),
+      |cov AS (SELECT DISTINCT doc_id,
+      |  CAST(unnest(generate_series(pos, pos + 9)) AS INTEGER) AS cpos
+      |  FROM marked WHERE in_hist OR (cnt > 1 AND rn > 1)),
+      |tok AS (SELECT doc_id, n,
+      |  CAST(unnest(generate_series(1, n)) AS INTEGER) AS p, w FROM sized
+      |  WHERE doc_id % 7 <> 0),
+      |kept AS (SELECT k.doc_id, k.n, k.p, k.w[k.p] AS tokstr, c.cpos
+      |  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.p - 1 = c.cpos)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+      |  CAST(count(cpos) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN cpos IS NULL THEN tokstr END, ' ' ORDER BY p), '') AS clean_text
+      |FROM kept GROUP BY doc_id""".stripMargin))
+
   /** Per-document TF-IDF top terms (TextAnalysis.tfidfTopTerms): ranked by
     * the exact integer score (tf·1e6) div (df+1) with a term tie-break —
     * no float log reaches the comparison, so both engines rank
@@ -2592,6 +2634,7 @@ object Queries {
     textVocabBound, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, dedupExactSubstr,
+    dedupExactSubstrIncr,
     textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,

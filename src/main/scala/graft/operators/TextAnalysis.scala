@@ -230,29 +230,50 @@ object TextAnalysis {
     * Output: (doc_id, n_tokens, n_removed, clean_text). */
   def exactSubstrDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
     require(spanTokens > 0, s"need spanTokens > 0, got $spanTokens")
-    val toks = Stage(documents.select(col("doc_id"), col("text")),
+    val toks = substrToks(documents)
+    val anchors = substrAnchors(toks, spanTokens)
+    substrRebuild(toks, substrCovered(substrBatchDups(anchors), spanTokens))
+  }
+
+  /** Tokenized (doc_id, w, n) frame shared by the span-dedup family. */
+  private def substrToks(documents: DataFrame): DataFrame =
+    Stage(documents.select(col("doc_id"), col("text")),
       "w", TextFns.tokens(col("text")))
       .withColumn("n", size(col("w")))
       .where(col("n") > 0)
-    val anchors = toks
+
+  /** Every k-token span anchor: (doc_id, pos, h = md5 of the span). */
+  private def substrAnchors(toks: DataFrame, spanTokens: Int): DataFrame =
+    toks
       .where(col("n") >= spanTokens)
       .withColumn("pos", explode(sequence(lit(0), col("n") - spanTokens)))
       .select(col("doc_id"), col("pos"),
         md5(array_join(slice(col("w"), col("pos") + 1, lit(spanTokens)), " "))
           .as("h"))
+
+  /** Non-first occurrences of duplicated spans within one corpus (the
+    * sortless aggregate dup-marking — see [[exactSubstrDedup]] step 2). */
+  private def substrBatchDups(anchors: DataFrame): DataFrame = {
     val dupFirsts = anchors
       .groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .where(col("cnt") > 1)
-    val dupOccurrences = anchors.join(dupFirsts, "h")
+    anchors.join(dupFirsts, "h")
       .where(col("doc_id") =!= col("first.doc_id") ||
         col("pos") =!= col("first.pos"))
-    val covered = dupOccurrences
+  }
+
+  /** (doc_id, pos) duplicate occurrences → per-document sorted coverage. */
+  private def substrCovered(dups: DataFrame, spanTokens: Int): DataFrame =
+    dups
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (spanTokens - 1))).as("cpos"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("cpos"))).as("cov"))
+
+  /** Rebuild each document keeping exactly the uncovered tokens. */
+  private def substrRebuild(toks: DataFrame, covered: DataFrame): DataFrame =
     Stage(toks.join(covered, Seq("doc_id"), "left"),
       "covf", coalesce(col("cov"), array().cast("array<int>")))
       .select(col("doc_id"),
@@ -263,6 +284,36 @@ object TextAnalysis {
             filter(sequence(lit(0), col("n") - 1),
               i => !array_contains(col("covf"), i)),
             i => element_at(col("w"), i + 1)), " ").as("clean_text"))
+
+  /** The persistable SPAN INDEX of a corpus: its distinct k-token shingle
+    * hashes — what a daily pipeline stores (one 32-byte value per distinct
+    * span) so tomorrow's batch can excise spans already seen in ALL of
+    * history without rescanning a single historical text. The hash alone
+    * suffices: every historical occurrence precedes every new one, so a
+    * history hit means "not the global first" for EVERY new occurrence. */
+  def spanIndex(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
+    require(spanTokens > 0, s"need spanTokens > 0, got $spanTokens")
+    substrAnchors(substrToks(documents), spanTokens).select(col("h")).distinct()
+  }
+
+  /** [[exactSubstrDedup]] of a NEW batch, incrementally: a span is excised
+    * when it already exists in the persisted history [[spanIndex]] (ANY
+    * new occurrence — history always wins) or is a non-first duplicate
+    * within the batch itself. The asymmetric daily-crawl shape: the batch
+    * (small) anchors semi-join the index (huge) on the 32-byte hash — one
+    * equi-join, history texts never rescanned, index never rewritten; after
+    * the run, append `spanIndex(newDocs)` to the store (idempotent — the
+    * index is a distinct set). */
+  def exactSubstrDedupIncremental(newDocs: DataFrame, historyIndex: DataFrame,
+      spanTokens: Int = 10): DataFrame = {
+    require(spanTokens > 0, s"need spanTokens > 0, got $spanTokens")
+    val toks = substrToks(newDocs)
+    val anchors = substrAnchors(toks, spanTokens)
+    val histHits = anchors.join(
+      historyIndex.select(col("h")), Seq("h"), "left_semi")
+    val dups = substrBatchDups(anchors).select(col("doc_id"), col("pos"))
+      .unionByName(histHits.select(col("doc_id"), col("pos")))
+    substrRebuild(toks, substrCovered(dups, spanTokens))
   }
 
   /** Per-document TF-IDF top-k terms. The rank key is

@@ -642,6 +642,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row(4) == ((8L, 4L, "m n o p")), "within-doc repeat keeps first occurrence")
   }
 
+  test("exactSubstrDedupIncremental: history spans excise EVERY new occurrence; " +
+      "batch still dedups itself; index stores hashes only") {
+    val history = Seq(
+      (100L, "h1 h2 h3 h4 tail1 tail2")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d e f"),               // novel — untouched
+      (2L, "x1 h1 h2 h3 h4 x2"),         // history span at a new offset → excised
+      (3L, "h1 h2 h3 h4 y1 y2"),         // SAME history span again → ALSO excised
+                                          // (history wins; no "first in batch" keeps it)
+      (4L, "a b c d e f")                // within-batch dup of 1 → excised
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.spanIndex(history, spanTokens = 4)
+    assert(idx.columns.toSeq == Seq("h"), "the persisted index carries hashes only")
+    val out = TextAnalysis.exactSubstrDedupIncremental(batch, idx, spanTokens = 4)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_removed"), out(i).getAs[String]("clean_text"))
+    assert(row(0) == ((0L, "a b c d e f")))
+    assert(row(1) == ((4L, "x1 x2")))
+    assert(row(2) == ((4L, "y1 y2")),
+      "history precedence must excise every new occurrence, not keep a batch-first")
+    assert(row(3) == ((6L, "")))
+    // Appending the batch's own index after the run is idempotent set union.
+    val merged = idx.unionByName(TextAnalysis.spanIndex(batch, spanTokens = 4)).distinct()
+    assert(merged.count() > idx.count())
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; tie-break on term") {
     val docs = Seq(
       (1L, "common common rare1"),
