@@ -2268,6 +2268,21 @@ object Queries {
       |  coalesce(string_agg(CASE WHEN cpos IS NULL THEN tokstr END, ' ' ORDER BY p), '') AS clean_text
       |FROM kept GROUP BY doc_id""".stripMargin))
 
+  /** Bloom-prefiltered incremental span dedup: bit-identical to
+    * dedup_exact_substr_incr (the semi-join drops bloom-negative anchors
+    * anyway), so it shares that oracle, which knows nothing of blooms. */
+  private val dedupExactSubstrIncrBloom = Q("dedup_exact_substr_incr_bloom",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = TextAnalysis.spanIndex(
+        docs.where(pmod(col("doc_id"), lit(7)) === 0))
+      val bloom = Dedup.buildHashBloom(idx, "h", expectedItems = 1 << 17)
+      TextAnalysis.exactSubstrDedupIncremental(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0), idx,
+        spanTokens = 10, historySpanBloom = Some(bloom))
+    },
+    dedupExactSubstrIncr.oracle)
+
   /** Per-document TF-IDF top terms (TextAnalysis.tfidfTopTerms): ranked by
     * the exact integer score (tf·1e6) div (df+1) with a term tie-break —
     * no float log reaches the comparison, so both engines rank
@@ -2634,7 +2649,7 @@ object Queries {
     textVocabBound, textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, dedupExactSubstr,
-    dedupExactSubstrIncr,
+    dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,

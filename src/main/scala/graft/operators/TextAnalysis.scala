@@ -305,11 +305,20 @@ object TextAnalysis {
     * the run, append `spanIndex(newDocs)` to the store (idempotent — the
     * index is a distinct set). */
   def exactSubstrDedupIncremental(newDocs: DataFrame, historyIndex: DataFrame,
-      spanTokens: Int = 10): DataFrame = {
+      spanTokens: Int = 10,
+      historySpanBloom: Option[Array[Byte]] = None): DataFrame = {
     require(spanTokens > 0, s"need spanTokens > 0, got $spanTokens")
     val toks = substrToks(newDocs)
     val anchors = substrAnchors(toks, spanTokens)
-    val histHits = anchors.join(
+    // A persisted bloom over the index (Dedup.buildHashBloom on `h`)
+    // prefilters the batch side MAP-SIDE: most of a genuinely-novel
+    // batch's spans don't exist in history, and the semi-join would drop
+    // bloom-negative anchors anyway, so the filter is exact — false
+    // positives just proceed to the join and match nothing. Same contract
+    // as minhashCandidatesIncremental's band bloom.
+    val probed = historySpanBloom.fold(anchors)(bloom =>
+      anchors.where(Dedup.mightContainHash(bloom, col("h"))))
+    val histHits = probed.join(
       historyIndex.select(col("h")), Seq("h"), "left_semi")
     val dups = substrBatchDups(anchors).select(col("doc_id"), col("pos"))
       .unionByName(histHits.select(col("doc_id"), col("pos")))

@@ -666,6 +666,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     // Appending the batch's own index after the run is idempotent set union.
     val merged = idx.unionByName(TextAnalysis.spanIndex(batch, spanTokens = 4)).distinct()
     assert(merged.count() > idx.count())
+    // Bloom prefilter is exact at ANY fpp: a 1-item bloom is saturated with
+    // false positives, which just proceed to the semi-join and match
+    // nothing — output bit-identical to the unbloomed run.
+    val bloom = Dedup.buildHashBloom(idx, "h", expectedItems = 1, fpp = 0.5)
+    val bloomed = TextAnalysis.exactSubstrDedupIncremental(
+      batch, idx, spanTokens = 4, historySpanBloom = Some(bloom))
+      .orderBy("doc_id").collect()
+    assert(bloomed.toSeq == out.toSeq, "bloom changed the result")
   }
 
   test("tfidfTopTerms: rare terms outrank common ones; tie-break on term") {
