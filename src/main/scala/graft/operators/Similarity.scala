@@ -329,6 +329,27 @@ object Similarity {
 
   /** [[kmeansCentroids]]'s driver-side result, for interpolating the trained
     * centroids into an oracle as literals (index = cell id). */
+  /** Trained centroids → a persistable DataFrame (cell, centroid): the
+    * third leg of the artifact story next to [[Dedup.bandIndex]] (parquet)
+    * and the serialized blooms — write it once after training, and every
+    * later job loads the IVF index instead of re-running Lloyd passes
+    * over the corpus. Cell ids are the row's position, preserved
+    * explicitly so assignment is reproducible across save/load. */
+  def centroidsToDF(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+  }
+
+  /** Inverse of [[centroidsToDF]]: positional order restored from `cell`. */
+  def centroidsFromDF(df: DataFrame): Seq[Array[Double]] =
+    df.select(col("cell"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+      .toSeq
+
   def kmeansCentroidArrays(embeddings: DataFrame, nCells: Int, iters: Int = 4,
       initPasses: Int = 2): Seq[Array[Double]] = {
     val spark = embeddings.sparkSession

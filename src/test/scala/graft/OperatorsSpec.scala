@@ -454,6 +454,27 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(domAxes == Set(0, 1, 2), s"centroids missed an axis: $domAxes")
   }
 
+  test("centroid persistence round-trip: saved index reproduces every assignment") {
+    import graft.operators.Similarity
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 13 + d * 7).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val trained = Similarity.kmeansCentroidArrays(vecs, nCells = 5)
+    // Parquet round-trip through a temp dir — the artifact a production
+    // job writes after training and every later job loads.
+    val dir = java.nio.file.Files.createTempDirectory("centroids").toString
+    Similarity.centroidsToDF(spark, trained).write.mode("overwrite").parquet(dir)
+    val loaded = Similarity.centroidsFromDF(spark.read.parquet(dir))
+    assert(loaded.length == trained.length)
+    assert(loaded.zip(trained).forall { case (a, b) => a.sameElements(b) },
+      "centroid values or cell order changed across the round-trip")
+    val before = Similarity.kmeansAssignWith(vecs, trained)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val after = Similarity.kmeansAssignWith(vecs, loaded)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(before == after, "assignments diverged after reload")
+  }
+
   test("degenerate corpus: seed reduction emits distinct centroids, never duplicates") {
     // Only two distinct directions but nCells = 4: the greedy reduction must
     // stop at 2 distinct seeds rather than padding with copies of seed 0
