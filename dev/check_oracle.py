@@ -10,6 +10,9 @@ The optional skip list names queries whose ORACLE is too expensive at the
 target SF (e.g. pipeline_decontam_topk's intentionally-quadratic brute
 baseline at sf1); each skipped name is reported as SKIP, never silently.
 Set CHECK_ORACLE_VERBOSE=1 for per-query progress + timing on stderr.
+Set CHECK_ORACLE_RESULTS=<path.jsonl> to checkpoint one JSON line per
+query as it finishes (pass/fail + timing) AND to resume: queries already
+recorded in that file are not re-checked. Long sf1 runs survive a kill.
 """
 import json, sys, glob, os, time
 import duckdb
@@ -17,6 +20,19 @@ import duckdb
 sf, out = sys.argv[1], sys.argv[2]
 skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 verbose = os.environ.get("CHECK_ORACLE_VERBOSE") == "1"
+results_path = os.environ.get("CHECK_ORACLE_RESULTS")
+done = {}
+if results_path and os.path.exists(results_path):
+    with open(results_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            done[rec["name"]] = rec
+
+def record(name, ok, msg, secs):
+    if results_path:
+        with open(results_path, "a") as f:
+            f.write(json.dumps({"name": name, "ok": ok, "msg": msg,
+                                "secs": round(secs, 1)}) + "\n")
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -27,35 +43,48 @@ fails, passes, skipped = [], [], []
 for name, sql in sorted(oracle.items()):
     if name in skip:
         skipped.append(name); continue
+    if name in done:
+        rec = done[name]
+        (passes if rec["ok"] else fails).append(
+            name if rec["ok"] else (name, rec["msg"]))
+        continue
     t0 = time.time()
     if verbose:
         print(f"[check] {name} ...", file=sys.stderr, flush=True)
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
-        fails.append((name, "no spark output")); continue
+        fails.append((name, "no spark output"))
+        record(name, False, "no spark output", 0); continue
     try:
         exp = con.execute(sql).fetchdf()
     except Exception as e:
-        fails.append((name, f"duckdb error: {e}")); continue
+        fails.append((name, f"duckdb error: {e}"))
+        record(name, False, f"duckdb error: {e}", time.time()-t0); continue
     got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
     exp = exp.reindex(sorted(exp.columns), axis=1)
     got = got.reindex(sorted(got.columns), axis=1)
     if list(exp.columns) != list(got.columns):
-        fails.append((name, f"columns differ: oracle={list(exp.columns)} spark={list(got.columns)}")); continue
+        msg = f"columns differ: oracle={list(exp.columns)} spark={list(got.columns)}"
+        fails.append((name, msg)); record(name, False, msg, time.time()-t0); continue
     if len(exp) != len(got):
-        fails.append((name, f"rowcount differ: oracle={len(exp)} spark={len(got)}")); continue
+        msg = f"rowcount differ: oracle={len(exp)} spark={len(got)}"
+        fails.append((name, msg)); record(name, False, msg, time.time()-t0); continue
     if len(exp) == 0:
-        passes.append(name + "(empty)"); continue
+        passes.append(name + "(empty)")
+        record(name, True, "empty", time.time()-t0); continue
     exp_s = exp.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values().reset_index(drop=True)
     got_s = got.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values().reset_index(drop=True)
     if verbose:
         print(f"[check] {name} done in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     if len(exp) == 0 or exp_s.equals(got_s):
         passes.append(name)
+        record(name, True, None, time.time()-t0)
     else:
         diff = (exp_s != got_s)
         i = diff.idxmax()
-        fails.append((name, f"values differ at sorted-row {i} ({diff.sum()} rows):\n  oracle: {exp_s[i][:300]}\n  spark : {got_s[i][:300]}"))
+        msg = f"values differ at sorted-row {i} ({diff.sum()} rows):\n  oracle: {exp_s[i][:300]}\n  spark : {got_s[i][:300]}"
+        fails.append((name, msg))
+        record(name, False, msg, time.time()-t0)
 
 print(f"PASS {len(passes)}: {' '.join(passes)}")
 if skipped:

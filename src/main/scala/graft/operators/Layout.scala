@@ -117,6 +117,39 @@ object Layout {
     df.repartitionByRange(nFiles, key).sortWithinPartitions(key)
   }
 
+  /** Write `df` as a parquet table hash-bucketed on `key` into `nBuckets`
+    * buckets (rows sorted by `key` within each bucket), register it in the
+    * session catalog with its data at `path`, and return the catalog-backed
+    * frame. Bucketing is the JOIN half of write-time layout: a scan of a
+    * bucketed table reports `hashpartitioning(key, nBuckets)` to the
+    * planner, so an equi-join of two tables bucketed on the same key with
+    * the same count needs NO exchange on either side — the strategy for
+    * fact-to-fact joins where neither side can broadcast and a shuffle
+    * would move the whole table. The shuffle is paid ONCE at write time
+    * and amortized over every future join/aggregation on the key.
+    *
+    * The pre-write `repartition(nBuckets, key)` matters as much as the
+    * bucketing itself: Spark's bucketed write opens one file per bucket
+    * per task, so writing from N unaligned tasks yields N×nBuckets
+    * fragments. Repartitioning on the same hash (`repartition` and
+    * `bucketBy` both use Murmur3 mod nBuckets) lands each bucket's rows in
+    * exactly one task → exactly nBuckets files, and `sortBy` becomes one
+    * in-task sort. Size nBuckets ≈ table bytes / target file size at
+    * cluster scale, and use the SAME count on every table sharing the key
+    * (mismatched counts fall back to a shuffle unless bucket coalescing
+    * kicks in). */
+  def bucketedTable(df: DataFrame, table: String, path: String,
+      nBuckets: Int, key: String): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+    spark.table(table)
+  }
+
   private def curveShape(df: DataFrame, xCol: String, yCol: String,
       bits: Int, nFiles: Int, curve: (Column, Column, Int) => Column): DataFrame = {
     val hi = (1L << bits) - 1
