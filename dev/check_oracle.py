@@ -12,7 +12,9 @@ baseline at sf1); each skipped name is reported as SKIP, never silently.
 Set CHECK_ORACLE_VERBOSE=1 for per-query progress + timing on stderr.
 Set CHECK_ORACLE_RESULTS=<path.jsonl> to checkpoint one JSON line per
 query as it finishes (pass/fail + timing) AND to resume: queries already
-recorded in that file are not re-checked. Long sf1 runs survive a kill.
+recorded as PASSING in that file are not re-checked; recorded FAILURES are
+re-run (so a fix is picked up without editing the jsonl). Long sf1 runs
+survive a kill.
 """
 import json, sys, glob, os, time
 import duckdb
@@ -26,7 +28,10 @@ if results_path and os.path.exists(results_path):
     with open(results_path) as f:
         for line in f:
             rec = json.loads(line)
-            done[rec["name"]] = rec
+            # Resume skips only recorded passes; a recorded failure is
+            # re-checked so a fixed query stops reporting the stale FAIL.
+            if rec["ok"]:
+                done[rec["name"]] = rec
 
 def record(name, ok, msg, secs):
     if results_path:

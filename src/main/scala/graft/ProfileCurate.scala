@@ -45,10 +45,12 @@ object ProfileCurate {
     val survivors = Queries.curateSurvivorsFrom(Queries.curateGated(spark, sfDir))
     val dist = Dedup.oversizedBuckets(
         survivors.select(col("doc_id"), col("text")), 1)
-      .agg(max(col("bucket_n")).as("largest"),
+      .agg(coalesce(max(col("bucket_n")), lit(0)).as("largest"),
         count(when(col("bucket_n") > 1000, 1)).as("over_default_cap"),
         count(lit(1)).as("multi_member_buckets"))
       .head()
+    // coalesce above: max over an empty frame is null, and unboxing a null
+    // Int would NPE on a corpus with no multi-member band buckets.
     println(s"[profile] band buckets: largest=${dist.getAs[Int]("largest")} " +
       s"over_default_cap=${dist.getAs[Long]("over_default_cap")} " +
       s"multi_member=${dist.getAs[Long]("multi_member_buckets")}")

@@ -568,31 +568,24 @@ object Queries {
       |       CAST((min(CASE WHEN cum * 10 >= tot * 9 THEN bucket END) + 1) * 25000 AS BIGINT) AS p90_upper
       |FROM c""".stripMargin))
 
-  /** Mergeable KLL quantile sketch (plans.KllQuantilesAgg): p50/p90 of
-    * order totals. Rank-error-bounded but merge-order-sensitive in the
-    * last few digits ⇒ rows-only (like C11/F6); the ε-bound is
-    * property-tested in QuantileSketchProps, and the fixed-bin twin
-    * `sketch_quantile_hist` stays exactly oracled; `sketch_kll_bound`
-    * turns the rank-error guarantee into a hash-checked gate row. */
-  private val sketchKllQuantiles = Q("sketch_kll_quantiles",
-    (s, dir) => Sketch.kllQuantiles(Tables.orders(s, dir), "o_totalprice", 256, Seq(0.5, 0.9))
+  // The KLL estimate VALUES are merge-order-sensitive in their last digits,
+  // so the registered rows emit the published rank-error guarantee as a
+  // hash-checked verdict instead (the estimate's RANK within bound is a
+  // yes/no fact per corpus). The raw estimates stay exposed for specs via
+  // kllQuantilesRaw / kllByGroupRaw; ε-bounds are also property-tested in
+  // QuantileSketchProps, and `sketch_quantile_hist` is the exactly-oracled
+  // fixed-bin twin.
+  private[graft] def kllQuantilesRaw(s: SparkSession, dir: String): DataFrame =
+    Sketch.kllQuantiles(Tables.orders(s, dir), "o_totalprice", 256, Seq(0.5, 0.9))
       .select(round(element_at(col("qs"), 1), 2).as("p50_est"),
-        round(element_at(col("qs"), 2), 2).as("p90_est")),
-    None)
+        round(element_at(col("qs"), 2), 2).as("p90_est"))
 
-  /** Per-group KLL quantiles (Sketch.kllQuantilesBy): p50/p90 per market
-    * segment as one fixed-memory sketch per group — rows-only like the
-    * global KLL row (sketch merge order is nondeterministic), with
-    * a_percentiles as the exact same-grouping twin, the rank-error
-    * property suite as the bound, and `sketch_kll_group_bound` as the
-    * hash-checked per-group bound gate. */
-  private val sketchKllByGroup = Q("sketch_kll_by_group",
-    (s, dir) => Sketch.kllQuantilesBy(Tables.customer(s, dir),
+  private[graft] def kllByGroupRaw(s: SparkSession, dir: String): DataFrame =
+    Sketch.kllQuantilesBy(Tables.customer(s, dir),
         "c_mktsegment", "c_acctbal", 256, Seq(0.5, 0.9))
       .select(col("c_mktsegment"),
         round(element_at(col("qs"), 1), 2).as("p50_est"),
-        round(element_at(col("qs"), 2), 2).as("p90_est")),
-    None)
+        round(element_at(col("qs"), 2), 2).as("p90_est"))
 
   /** KLL rank-error bound for `k`-sketch quantile estimates, shared by the
     * two bound-check queries: 2·levels·n/k compaction slack (levels =
@@ -604,14 +597,16 @@ object Queries {
     greatest(levels * nD / k * 2.0, lit(3.0))
   }
 
-  /** sketch_kll_quantiles' CHECKED-BOUND twin: the KLL estimates are
-    * nondeterministic in their last digits (merge order), but whether each
-    * estimate's RANK lands within the published error bound of its target
-    * rank is a yes/no fact — so THAT is the query output, and the oracle
-    * (constant 1s) makes the gate fail if the sketch ever drifts out of
-    * bound. Rank of each estimate is measured against the full column in
-    * the same run. */
-  private val sketchKllBound = Q("sketch_kll_bound",
+  /** Mergeable KLL quantile sketch (plans.KllQuantilesAgg), p50/p90 of
+    * order totals, reported as its hash-checked rank-error verdict: the
+    * estimates are nondeterministic in their last digits (merge order),
+    * but whether each estimate's RANK lands within the published error
+    * bound of its target rank is a yes/no fact — so THAT is the query
+    * output, and the oracle (constant 1s) makes the gate fail if the
+    * sketch ever drifts out of bound. Rank of each estimate is measured
+    * against the full column in the same run. (Formerly the separate
+    * `sketch_kll_bound` twin; folded here so the driver row is oracled.) */
+  private val sketchKllQuantiles = Q("sketch_kll_quantiles",
     (s, dir) => {
       val est = Sketch.kllQuantiles(Tables.orders(s, dir), "o_totalprice",
           256, Seq(0.5, 0.9))
@@ -636,10 +631,12 @@ object Queries {
     Some("""SELECT 'p50' AS q, CAST(1 AS INTEGER) AS within_bound
       |UNION ALL SELECT 'p90', CAST(1 AS INTEGER)""".stripMargin))
 
-  /** sketch_kll_by_group's CHECKED-BOUND twin (same construction as
-    * sketch_kll_bound, per market segment): one row per group, 1 iff that
-    * group's p50/p90 estimate ranks within the KLL bound of the target. */
-  private val sketchKllGroupBound = Q("sketch_kll_group_bound",
+  /** Per-group KLL quantiles (Sketch.kllQuantilesBy) as the per-group
+    * rank-error verdict (same construction as sketch_kll_quantiles, per
+    * market segment): one row per group, 1 iff that group's p50/p90
+    * estimate ranks within the KLL bound of the target. a_percentiles is
+    * the exact same-grouping twin. */
+  private val sketchKllByGroup = Q("sketch_kll_by_group",
     (s, dir) => {
       val est = Sketch.kllQuantilesBy(Tables.customer(s, dir),
           "c_mktsegment", "c_acctbal", 256, Seq(0.5, 0.9))
@@ -1139,18 +1136,20 @@ object Queries {
       |  (epoch_ms(l_shipdate) // 1000) * 1000000000 AS updated_at
       |FROM lineitem WHERE l_orderkey % 2 = 0""".stripMargin), bench = true)
 
-  /** F6 — seeded Bernoulli sample. Not SQL-oracle-expressible (engine RNGs
-    * differ); registered for the rows-only check. `f_sample_bound` is the
-    * hash-checked concentration gate; `f_hash_sample` the exact twin. */
-  private val fSampleBernoulli = Q("f_sample_bernoulli",
-    (s, dir) => Tables.events(s, dir).sample(0.3, 42).select(col("event_id"), col("event_type")),
-    None)
+  /** The raw seeded Bernoulli sample (specs exercise it; the registered
+    * row below reports its hash-checked concentration verdict instead —
+    * the sampled id SET depends on engine RNG + partitioning, so it can
+    * never match a cross-engine oracle). */
+  private[graft] def sampleBernoulliRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).sample(0.3, 42).select(col("event_id"), col("event_type"))
 
-  /** f_sample_bernoulli's CHECKED-BOUND twin: the sampled id set depends on
-    * partitioning, but the sample FRACTION concentrates hard around 0.3 —
-    * the query emits whether it landed within 6 binomial sigmas, and the
-    * constant-1 oracle turns any broken sampler into a gate failure. */
-  private val fSampleBound = Q("f_sample_bound",
+  /** F6 — seeded Bernoulli sample, reported as its concentration gate:
+    * the sample FRACTION concentrates hard around 0.3, so the query emits
+    * whether it landed within 6 binomial sigmas and the constant-1 oracle
+    * turns any broken sampler into a gate failure. `f_hash_sample` is the
+    * exactly-oracled deterministic twin. (Formerly the separate
+    * `f_sample_bound` twin; folded here so the driver row is oracled.) */
+  private val fSampleBernoulli = Q("f_sample_bernoulli",
     (s, dir) => {
       val e = Tables.events(s, dir)
       e.agg(count(lit(1)).as("n_total"))
@@ -1191,34 +1190,41 @@ object Queries {
         |GROUP BY band_step""".stripMargin
     })
 
-  /** C11 — per-wager UUID generation (`uuid.uuid1()`,
-    * `src/mm_calls.py:245,265`). Nondeterministic by nature ⇒ rows-only;
-    * `c11_uuid_bound` hash-checks count/distinctness/v4 shape. */
-  private val c11UuidWagers = Q("c11_uuid_wagers",
-    (s, dir) => Tables.events(s, dir)
+  /** The raw per-wager UUID projection (specs exercise it; the registered
+    * row below verifies it per-row instead — the uuid VALUES are random
+    * and can never match a cross-engine oracle). */
+  private[graft] def uuidWagersRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .where(col("event_type") === "purchase")
       .select(expr("uuid()").as("external_id"), col("event_id").as("line_id"),
-        round(col("value"), 2).as("stake")),
-    None)
+        round(col("value"), 2).as("stake"))
 
-  /** c11_uuid_wagers' CHECKED-BOUND twin: the uuids themselves are random,
-    * but their count, mutual distinctness, and RFC-4122 v4 shape are exact
-    * facts — emitted as the query result so the constant oracle verifies
-    * them instead of recording an opaque row count. */
-  private val c11UuidBound = Q("c11_uuid_bound",
-    (s, dir) => Tables.events(s, dir)
-      .where(col("event_type") === "purchase")
-      .select(expr("uuid()").as("u"))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("u")).as("nd"),
-        sum(when(col("u").rlike(
-          "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"),
-          1L).otherwise(0L)).as("nfmt"))
-      .select(col("n_rows"),
-        (col("nd") === col("n_rows")).cast("int").as("all_distinct"),
-        (col("nfmt") === col("n_rows")).cast("int").as("all_v4_format")),
-    Some("""SELECT count(*) AS n_rows, CAST(1 AS INTEGER) AS all_distinct,
-      |  CAST(1 AS INTEGER) AS all_v4_format
+  /** C11 — per-wager UUID generation (`uuid.uuid1()`,
+    * `src/mm_calls.py:245,265`), verified per row: the uuids themselves
+    * are random, but each row's RFC-4122 v4 shape and the set's mutual
+    * distinctness are exact facts — so the query keeps one row per wager
+    * (deterministic keys + stake) with the uuid replaced by its verdicts,
+    * and the constant-1 oracle fails if generation ever breaks. (Formerly
+    * the separate aggregate-only `c11_uuid_bound` twin; folded here, at
+    * row granularity, so the driver row is oracled.) */
+  private val c11UuidWagers = Q("c11_uuid_wagers",
+    (s, dir) => {
+      val w = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(expr("uuid()").as("u"), col("event_id").as("line_id"),
+          round(col("value"), 2).as("stake"))
+      val distinctOk = w.agg(
+        (countDistinct(col("u")) === count(lit(1))).cast("int").as("all_distinct"))
+      // 1-row aggregate broadcast — the crossJoin never expands.
+      w.crossJoin(broadcast(distinctOk))
+        .select(col("line_id"), col("stake"),
+          col("u").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+            .cast("int").as("v4_format"),
+          col("all_distinct"))
+    },
+    Some("""SELECT event_id AS line_id, round(value, 2) AS stake,
+      |  CAST(1 AS INTEGER) AS v4_format, CAST(1 AS INTEGER) AS all_distinct
       |FROM events WHERE event_type = 'purchase'""".stripMargin))
 
   // ─────────────────────────── LLM-pipeline extensions ──────────────────────
@@ -1718,32 +1724,41 @@ object Queries {
       |SELECT count(DISTINCT token) AS n_vocab, count(*) AS n_tokens
       |FROM (SELECT unnest(w) AS token FROM toks)""".stripMargin))
 
-  /** HLL approximate vocabulary (sketch impls differ across engines ⇒
-    * rows-only; the exact twin above is the correctness anchor and
-    * `text_vocab_bound` hash-checks the 5% envelope). */
+  /** The raw HLL vocabulary estimate (specs exercise it; the registered
+    * row below reports its hash-checked envelope verdict instead — sketch
+    * register layouts differ across engines, so the estimate itself can
+    * never match a cross-engine oracle). */
+  private[graft] def vocabApproxRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .agg(approx_count_distinct(col("token")).as("n_vocab_approx"))
+
+  /** HLL++ relative standard deviation for the approx-vocab gate; the
+    * assertion envelope is derived from it (5σ) rather than hard-coded,
+    * so tightening or loosening the sketch keeps the gate calibrated. */
+  private val vocabRsd = 0.02
+  private val vocabEnvelopePct: Int = math.ceil(vocabRsd * 5 * 100).toInt // 10%
+
+  /** HLL approximate vocabulary, reported as its envelope verdict: the
+    * estimate is engine-internal, but |hll − exact| ≤ 5σ·exact is a
+    * deterministic fact for a given corpus (HLL has no RNG — its error is
+    * fixed per dataset), so the query emits the exact vocabulary plus that
+    * flag and the oracle recomputes the exact side. The envelope is 5×rsd
+    * (10% at rsd 0.02) — wide enough that an in-spec estimator deviation
+    * on a new corpus can't flip the gate, per round-7 advice. (Formerly
+    * the separate `text_vocab_bound` twin; folded here so the driver row
+    * is oracled.) */
   private val textVocabApprox = Q("text_vocab_approx",
     (s, dir) => Tables.documents(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("token"))
-      .agg(approx_count_distinct(col("token")).as("n_vocab_approx")),
-    None)
-
-  /** text_vocab_approx's CHECKED-BOUND twin: the HLL estimate is
-    * engine-internal, but |hll − exact| ≤ 5% of exact is a deterministic
-    * fact for a given corpus (HLL has no RNG — its error is fixed per
-    * dataset), so the query emits the exact vocabulary plus that flag and
-    * the oracle recomputes the exact side. rsd 0.02 keeps the default-5%
-    * assertion far from the estimator's own sigma. */
-  private val textVocabBound = Q("text_vocab_bound",
-    (s, dir) => Tables.documents(s, dir)
-      .select(explode(TextFns.tokens(col("text"))).as("token"))
       .agg(countDistinct(col("token")).as("n_vocab"),
-        approx_count_distinct(col("token"), 0.02).as("hll"))
+        approx_count_distinct(col("token"), vocabRsd).as("hll"))
       .select(col("n_vocab"),
-        (abs(col("hll") - col("n_vocab")) * 100 <= col("n_vocab") * 5)
-          .cast("int").as("hll_within_5pct")),
+        (abs(col("hll") - col("n_vocab")) * 100 <= col("n_vocab") * vocabEnvelopePct)
+          .cast("int").as("hll_within_bound")),
     Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents)
       |SELECT count(DISTINCT token) AS n_vocab,
-      |  CAST(1 AS INTEGER) AS hll_within_5pct
+      |  CAST(1 AS INTEGER) AS hll_within_bound
       |FROM (SELECT unnest(w) AS token FROM toks)""".stripMargin))
 
   private val textFingerprints = Q("text_fingerprints",
@@ -2638,7 +2653,7 @@ object Queries {
     xFlagshipFlatten, xFlagshipC4Strict, x3BranchUnion, xSetOps, seedingPipeline,
     uMergeUpsert, uScd2History,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
-    fSampleBound, s1LadderScan, c11UuidWagers, c11UuidBound, fHashSample,
+    s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
@@ -2646,7 +2661,7 @@ object Queries {
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox,
-    textVocabBound, textFingerprints,
+    textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, dedupParagraphs, dedupExactSubstr,
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
@@ -2657,7 +2672,7 @@ object Queries {
     pipelineDecontamLsh, pipelineTopicClusters, pipelineTopicSample,
     simCrossLshTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
-    sketchKllByGroup, sketchKllBound, sketchKllGroupBound,
+    sketchKllByGroup,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,
     multimodalFeatures, multimodalFrames, multimodalDecode)

@@ -41,10 +41,15 @@ object Tables {
     if (!tiny && estScanParts < target) df.repartition(target) else df
   }
 
-  /** Total bytes at `path` — a single parquet file or a directory of them. */
+  /** Total bytes at `path` — a single parquet file or a directory tree of
+    * them (recursive, so partitioned layouts with subdirectories are sized
+    * by their contents, not by the unspecified `File.length` of the
+    * directory entries themselves). */
   private def fileBytes(path: String): Long = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = apply(spark, sfDir, "lineitem")

@@ -141,6 +141,13 @@ object Layout {
   def bucketedTable(df: DataFrame, table: String, path: String,
       nBuckets: Int, key: String): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    // The name is interpolated into SQL below; restrict it to a safe
+    // identifier so quoting can never be broken out of. Note DROP on an
+    // external table only unregisters it — if the same name is re-created
+    // at a DIFFERENT path, the previous location's files are left behind
+    // (caller owns external storage lifecycle, as with any external table).
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table name must be a plain identifier, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     df.repartition(nBuckets, col(key))

@@ -21,18 +21,16 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql == Queries.oracleSql)
   }
 
-  test("rows-only queries are the documented exceptions, not silent gaps") {
+  test("every registered query is oracle-checked — zero rows-only entries") {
     val rowsOnly = Queries.queries.keySet -- Queries.oracleSql.keySet --
       Queries.all.filter(_.oracleFn.isDefined).map(_.name).toSet
-    // uuid/RNG queries can't have cross-engine oracles; HLL sketches differ
-    // per engine; KLL estimates are property-tested against an ε bound
-    // instead. The trained-IVF queries carry DERIVED oracles (centroid
-    // literals, materialized at verify time — see Queries.derivedOracleSql)
-    // so they no longer count as rows-only. Anything else appearing here is
-    // a missing oracle.
-    assert(rowsOnly == Set("c11_uuid_wagers", "f_sample_bernoulli",
-      "text_vocab_approx", "sketch_kll_quantiles", "sketch_kll_by_group"),
-      s"unexpected rows-only queries: $rowsOnly")
+    // The five formerly rows-only queries (uuid/RNG/HLL/KLL) now register
+    // their hash-checked bound verdicts under the same names (round-7
+    // verdict task 5), and the trained-IVF queries carry DERIVED oracles
+    // (centroid literals, materialized at verify time — see
+    // Queries.derivedOracleSql). Anything appearing here is a missing
+    // oracle.
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("no query has both a static and a derived oracle") {
