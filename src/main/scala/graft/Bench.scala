@@ -12,6 +12,19 @@ object Bench {
     * identical plans without touching the measured SF's data files. */
   val WarmupSfDir = "/root/testdata/sf0.001"
 
+  /** The 19 queries benched since round 1. The bench set was widened in
+    * round 8 (dedup/curation/decontam/profiling/multimodal families, per
+    * the round-7 verdict), which changes what `value` sums over — this
+    * subset's total is reported separately as `total_r1set` so every
+    * historical BENCH_r*.json stays directly comparable. */
+  val R1Set: Set[String] = Set(
+    "q1_pricing_summary", "j3_chain_agg", "j_asof_join", "a4_last_wins",
+    "w_topk_per_group", "w_topk_plan", "x_flagship_flatten",
+    "seeding_pipeline", "wager_book_replay", "t_window_hourly",
+    "t_session_windows", "decode_roundtrip", "dedup_minhash_pairs",
+    "text_stats", "text_top_terms", "sim_brute_topk", "sim_topk_agg",
+    "sim_ivf_topk", "sim_lsh_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,7 +97,9 @@ object Bench {
     // so cross-round totals never silently compare a partially-failed run
     // against a healthy one.
     val total = results.collect { case (_, v, None) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"repeats":$repeats,"agg":"min","sf":"$sfDir"}""")
+    val totalR1 = results.collect {
+      case (k, v, None) if v >= 0 && R1Set(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_r1set":$totalR1,"queries":$qs,"errors":$errs,"repeats":$repeats,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -291,7 +291,8 @@ object Queries {
       s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
          |  count(DISTINCT $c) AS n_distinct,
          |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
-         |FROM documents""".stripMargin).mkString("\nUNION ALL\n")))
+         |FROM documents""".stripMargin).mkString("\nUNION ALL\n")),
+    bench = true)
 
   /** Pre-flight skew report (Profiling.keySkew): top-20 heaviest event keys
     * with integral basis-point shares; deterministic (cnt desc, key) cut.
@@ -1346,7 +1347,7 @@ object Queries {
       |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents WHERE doc_id % 7 <> 0
       |  AND md5(text) NOT IN (SELECT text_md5 FROM hist)
-      |GROUP BY 1""".stripMargin))
+      |GROUP BY 1""".stripMargin), bench = true)
 
   /** Incremental near-dup candidates (Dedup.minhashCandidatesIncremental):
     * new batch vs the stored band index of history + within-batch pairs.
@@ -1471,7 +1472,7 @@ object Queries {
 
   private val pipelineDocsPrep = Q("pipeline_docs_prep",
     (s, dir) => docsPrepFrom(Tables.documents(s, dir)),
-    Some(docsPrepSql))
+    Some(docsPrepSql), bench = true)
 
   /** pipeline_docs_prep's oracle, factored so compositions (e.g.
     * pipeline_curate_full) can nest it as a derived table. */
@@ -1519,7 +1520,7 @@ object Queries {
       |SELECT split, shard, count(*) AS n_docs,
       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
       |  CAST(sum(quality_bp) AS BIGINT) AS sum_quality_bp
-      |FROM labeled GROUP BY 1, 2""".stripMargin))
+      |FROM labeled GROUP BY 1, 2""".stripMargin), bench = true)
 
   /** Sequence packing (TextAnalysis.packDocuments): which capacity-sized
     * block each document starts in after per-shard concat in doc_id
@@ -2100,7 +2101,7 @@ object Queries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
         |FROM r WHERE rank <= 3""".stripMargin
-    })
+    }, bench = true)
 
   /** Cross-corpus LSH top-k (Similarity.crossTopKLsh) on the embeddings
     * table — the decontamination scale path: both sides bucket on the same
@@ -2239,7 +2240,7 @@ object Queries {
       |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
       |  CAST(count(cpos) AS BIGINT) AS n_removed,
       |  coalesce(string_agg(CASE WHEN cpos IS NULL THEN tokstr END, ' ' ORDER BY p), '') AS clean_text
-      |FROM kept GROUP BY doc_id""".stripMargin))
+      |FROM kept GROUP BY doc_id""".stripMargin), bench = true)
 
   /** Incremental ExactSubstr (TextAnalysis.exactSubstrDedupIncremental):
     * the batch (doc_id % 7 ≠ 0) dedups spans against itself AND the
@@ -2635,7 +2636,7 @@ object Queries {
       |  CAST(2 * (2 + (doc_id * 3) % 10) AS BIGINT) AS rs_height,
       |  CAST((4 + doc_id % 30) * (2 + (doc_id * 3) % 10)
       |    * ((doc_id % 256) + ((doc_id * 7) % 256)) AS BIGINT) AS rs_sum_luma
-      |FROM documents""".stripMargin))
+      |FROM documents""".stripMargin), bench = true)
 
   // ──────────────────────────────── registry ────────────────────────────────
 

@@ -16,6 +16,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(Queries.oracleSql.keySet.subsetOf(Queries.queries.keySet))
   }
 
+  test("the r1 continuity subset stays inside the widened bench set") {
+    assert(Bench.R1Set.subsetOf(Queries.benchNames.toSet),
+      s"missing from bench: ${Bench.R1Set -- Queries.benchNames.toSet}")
+  }
+
   test("SparkEntry surfaces the registry verbatim") {
     assert(SparkEntry.queries.keySet == Queries.queries.keySet)
     assert(SparkEntry.oracleSql == Queries.oracleSql)
