@@ -2638,6 +2638,36 @@ object Queries {
       |    * ((doc_id % 256) + ((doc_id * 7) % 256)) AS BIGINT) AS rs_sum_luma
       |FROM documents""".stripMargin), bench = true)
 
+  /** Multimodal near-dup (Multimodal.nearDupImages): banded perceptual
+    * block-hash over REALLY decoded pixels — encode → exchange → decode →
+    * 4×4 block-mean signature → per-row nibble band keys → capped band
+    * self-join → exact Σ|Δblock| verify. The synthesized rasters make
+    * every block mean a closed-form function of doc_id (top rows a =
+    * id mod 256, bottom rows b = 7·id mod 256), so the oracle re-derives
+    * candidates and distances arithmetically: band keys reduce to the a/b
+    * nibbles and Σ|Δblock| to 8·|Δa| + 8·|Δb|. */
+  private val dedupMultimodal = Q("dedup_multimodal",
+    (s, dir) => Multimodal.nearDupImages(s,
+      Multimodal.synthesizeImages(s, Tables.documents(s, dir))
+        .repartition(col("asset_id"))),
+    Some("""WITH f AS (SELECT doc_id, doc_id % 256 AS a, (doc_id * 7) % 256 AS b
+      |  FROM documents),
+      |bk AS (SELECT doc_id, a, b, band,
+      |    CASE WHEN band < 2 THEN a // 16 ELSE b // 16 END AS key
+      |  FROM f CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands),
+      |capped AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+      |    FROM bk) WHERE rn <= 1000),
+      |cand AS (SELECT DISTINCT x.doc_id AS asset_a, y.doc_id AS asset_b
+      |  FROM capped x JOIN capped y
+      |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      |SELECT c.asset_a, c.asset_b,
+      |  CAST(8 * abs(fa.a - fb.a) + 8 * abs(fa.b - fb.b) AS BIGINT) AS sum_abs_diff
+      |FROM cand c
+      |JOIN f fa ON fa.doc_id = c.asset_a
+      |JOIN f fb ON fb.doc_id = c.asset_b
+      |WHERE 8 * abs(fa.a - fb.a) + 8 * abs(fa.b - fb.b) <= 128""".stripMargin))
+
   // ──────────────────────────────── registry ────────────────────────────────
 
   val all: Seq[Q] = Seq(
@@ -2676,7 +2706,7 @@ object Queries {
     sketchKllByGroup,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simLshTopk, simLshMultiprobe, simQuantize,
-    multimodalFeatures, multimodalFrames, multimodalDecode)
+    multimodalFeatures, multimodalFrames, multimodalDecode, dedupMultimodal)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   val oracleSql: Map[String, String] =

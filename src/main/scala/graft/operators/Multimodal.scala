@@ -157,6 +157,85 @@ object Multimodal {
     }
   }
 
+  final case class BlockSignature(asset_id: Long, blocks: Array[Long])
+
+  /** Perceptual block signature of each image: REAL `javax.imageio` decode,
+    * then the mean luma of each cell in a `grid`×`grid` partition of the
+    * raster — the blockhash-style fingerprint that survives re-encoding and
+    * small edits, computed from decoded pixels (not payload bytes). Cell
+    * boundaries are ⌊i·dim/grid⌋ so any dims work; means are floor-ints.
+    * Same `mapPartitions` justification as [[decodeImageFeatures]]. */
+  def blockSignatures(spark: SparkSession, images: Dataset[ImageRow],
+      grid: Int = 4): Dataset[BlockSignature] = {
+    import spark.implicits._
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        val w = img.getWidth
+        val h = img.getHeight
+        val blocks = new Array[Long](grid * grid)
+        var by = 0
+        while (by < grid) {
+          val y0 = by * h / grid; val y1 = (by + 1) * h / grid
+          var bx = 0
+          while (bx < grid) {
+            val x0 = bx * w / grid; val x1 = (bx + 1) * w / grid
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+              y += 1
+            }
+            val n = (y1 - y0).toLong * (x1 - x0)
+            blocks(by * grid + bx) = if (n == 0) 0L else sum / n
+            bx += 1
+          }
+          by += 1
+        }
+        BlockSignature(r.asset_id, blocks)
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs by banded perceptual hash — the multimodal
+    * tier of the dedup family, same scale shape as `Dedup.minhashCandidates`:
+    * one band per block-ROW of the signature, band key = that row's block
+    * means quantized to nibbles (>>4), candidates from a per-band equi-join
+    * (never all-pairs), buckets capped at `maxBucket` smallest asset_ids,
+    * then an exact verify over the full block vectors keeps pairs with
+    * Σ|blockA−blockB| ≤ `maxSumAbsDiff`. Output: (asset_a, asset_b,
+    * sum_abs_diff), asset_a < asset_b. Integer throughout ⇒ hash-exact
+    * cross-engine. */
+  def nearDupImages(spark: SparkSession, images: Dataset[ImageRow],
+      grid: Int = 4, maxSumAbsDiff: Long = 128, maxBucket: Int = 1000): DataFrame = {
+    val sig = blockSignatures(spark, images, grid).toDF()
+    val bands = sig.select(col("asset_id"),
+        posexplode(expr(s"transform(sequence(0, ${grid - 1}), r -> " +
+          s"array_join(transform(slice(blocks, r * $grid + 1, $grid), " +
+          "v -> string(v div 16)), '-'))")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
+    // Deterministic bucket cap (smallest ids win), as in minhashCandidates:
+    // a megahit key (e.g. near-black thumbnails) stays C(cap,2), not C(n,2).
+    val capped = bands
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key")).orderBy(col("asset_id"))))
+      .where(col("rn") <= maxBucket).drop("rn")
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("asset_id").as("asset_a"), col("blocks").as("ba")), "asset_a")
+      .join(sig.select(col("asset_id").as("asset_b"), col("blocks").as("bb")), "asset_b")
+      .withColumn("sum_abs_diff",
+        expr("aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"))
+      .where(col("sum_abs_diff") <= maxSumAbsDiff)
+      .select(col("asset_a"), col("asset_b"), col("sum_abs_diff"))
+  }
+
   final case class AssetRow(asset_id: Long, payload: Array[Byte], width: Int, height: Int)
   final case class DecodedRow(asset_id: Long, frames: Int, meanLuma: Double)
 

@@ -1128,4 +1128,22 @@ class MultimodalSpec extends AnyFunSuite {
         s"nearest-neighbor resample luma for $id: $f")
     }
   }
+
+  test("perceptual-hash near-dup: planted image dups found, far pairs rejected") {
+    // a = id%256, b = 7id%256 ⇒ 266 is an EXACT image dup of 10 (Δ=256
+    // wraps both bands); 11 is a near dup of both (Δa=1, Δb=7 ⇒ Σ=64);
+    // 13 shares 11's a-nibble band at the threshold edge (Σ=128, kept) but
+    // is too far from 10 (Σ=192, candidate rejected by verify); 100 shares
+    // no band nibble with any of them (never even a candidate).
+    val ids = Seq(10L, 11L, 13L, 100L, 266L)
+    val docs = ids.map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Multimodal.nearDupImages(spark,
+        Multimodal.synthesizeImages(spark, docs).repartition(2))
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("sum_abs_diff"))).toSet
+    assert(pairs == Set((10L, 11L, 64L), (10L, 266L, 0L), (11L, 266L, 64L),
+      (11L, 13L, 128L)), s"got $pairs")
+  }
 }
