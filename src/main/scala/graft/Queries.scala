@@ -2521,6 +2521,82 @@ object Queries {
       k = 10, stride = 20, nCells = 10, nProbes = 3),
     None, oracleFn = Some((s, dir) => ivfTrainedOracle(s, dir, nProbes = 3)))
 
+  /** Shared fixture for the incremental-IVF queries: train ONLY on history
+    * (vec_id % 10 ≠ 0), persist through the centroidsToDF round-trip, then
+    * assign history and the new batch against the LOADED index — no
+    * retraining pass touches the batch. */
+  private def ivfIncrAssignments(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val hist = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val index = Similarity.centroidsToDF(s,
+      Similarity.kmeansCentroidArrays(hist, nCells = 10))
+    Similarity.ivfAssignBatch(hist, index, "history")
+      .unionByName(Similarity.ivfAssignBatch(
+        e.where(pmod(col("vec_id"), lit(10)) === 0), index, "batch"))
+  }
+
+  /** The assignment/drift halves of the derived oracle share these CTEs:
+    * centroids trained on history interpolate as literals (deterministic
+    * training, as in ivfTrainedOracle), then DuckDB re-derives the round-6
+    * argmax assignment of BOTH origins against that one index. */
+  private def ivfIncrAssignedCtes(spark: SparkSession, dir: String): String = {
+    val cents = Similarity.kmeansCentroidArrays(
+      Tables.embeddings(spark, dir).where(pmod(col("vec_id"), lit(10)) =!= 0),
+      nCells = 10)
+    val values = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |c(cell, cv) AS (VALUES
+       |  $values),
+       |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+       |assigned AS (
+       |  SELECT vec_id, cell, cell_cos,
+       |    CASE WHEN vec_id % 10 = 0 THEN 'batch' ELSE 'history' END AS origin
+       |  FROM (
+       |    SELECT n.vec_id, cn.cell,
+       |      ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) + 0.0 AS cell_cos,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+       |    FROM n CROSS JOIN cn)
+       |  WHERE crn = 1)""".stripMargin
+  }
+
+  /** Incremental IVF maintenance (Similarity.ivfAssignBatch): the appended
+    * assignment table after a new batch lands against the persisted
+    * centroid index — the ANN leg of the incremental-index family
+    * (dedup_exact_incr / dedup_minhash_incr / dedup_exact_substr_incr).
+    * Derived oracle, same pattern as sim_ivf_kmeans_topk. */
+  private val simIvfIncr = Q("sim_ivf_incr",
+    (s, dir) => ivfIncrAssignments(s, dir),
+    None, oracleFn = Some { (s, dir) =>
+      s"""${ivfIncrAssignedCtes(s, dir)}
+         |SELECT vec_id, cell, cell_cos, origin FROM assigned""".stripMargin
+    })
+
+  /** The drift gate over the same appended table
+    * (Similarity.ivfDriftSignal): integral weak-share basis points per
+    * origin and the retrain flag. */
+  private val simIvfDrift = Q("sim_ivf_drift",
+    (s, dir) => Similarity.ivfDriftSignal(ivfIncrAssignments(s, dir)),
+    None, oracleFn = Some { (s, dir) =>
+      s"""${ivfIncrAssignedCtes(s, dir)},
+         |shares AS (
+         |  SELECT origin, (sum(CASE WHEN cell_cos < 0.7 THEN 1 ELSE 0 END) * 10000)
+         |      // count(*) AS weak_bp
+         |  FROM assigned GROUP BY origin)
+         |SELECT
+         |  CAST(max(CASE WHEN origin = 'history' THEN weak_bp END) AS BIGINT) AS hist_weak_bp,
+         |  CAST(max(CASE WHEN origin = 'batch' THEN weak_bp END) AS BIGINT) AS batch_weak_bp,
+         |  CAST(max(CASE WHEN origin = 'batch' THEN weak_bp END)
+         |    - max(CASE WHEN origin = 'history' THEN weak_bp END) AS BIGINT) AS degradation_bp,
+         |  CAST(CASE WHEN max(CASE WHEN origin = 'batch' THEN weak_bp END)
+         |    - max(CASE WHEN origin = 'history' THEN weak_bp END) > 500
+         |    THEN 1 ELSE 0 END AS INTEGER) AS retrain
+         |FROM shares""".stripMargin
+    })
+
   private val simLshTopk = Q("sim_lsh_topk",
     (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
     Some {
@@ -2705,6 +2781,7 @@ object Queries {
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     sketchKllByGroup,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
+    simIvfIncr, simIvfDrift,
     simLshTopk, simLshMultiprobe, simQuantize,
     multimodalFeatures, multimodalFrames, multimodalDecode, dedupMultimodal)
 

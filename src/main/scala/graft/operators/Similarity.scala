@@ -350,6 +350,47 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
       .toSeq
 
+  /** Incremental IVF index maintenance — the ANN leg of the persisted-index
+    * family (`Dedup.bandIndex` for MinHash bands, `TextAnalysis.spanIndex`
+    * for substring spans, this for centroids): a new batch is assigned
+    * against the LOADED centroid index ([[centroidsFromDF]] of a persisted
+    * [[centroidsToDF]]) without any retraining pass, tagged with its batch
+    * `origin`, and appended to the standing (vec_id, cell, cell_cos,
+    * origin) assignment table. One broadcast + one map-side-partial
+    * hash-aggregate per batch — history vectors are never rescanned.
+    * `cell_cos` is the round-6 assignment cosine ([[assignCellsWithCos]]),
+    * so every downstream drift statistic is bit-deterministic. */
+  def ivfAssignBatch(batch: DataFrame, centroidIndex: DataFrame,
+      origin: String): DataFrame =
+    assignCellsWithCos(prepared(batch),
+      centroidFrame(batch.sparkSession, centroidsFromDF(centroidIndex)))
+      .select(col("vec_id"), col("cell"),
+        (col("cell_cos") + lit(0.0)).as("cell_cos"), // normalize IEEE -0.0
+        lit(origin).as("origin"))
+
+  /** Drift gate for the incremental index: when the data distribution
+    * moves away from the trained centroids, new batches assign with weaker
+    * cosines. Compares the WEAK-assignment share (round-6 `cell_cos` <
+    * `weakCos`, in integral basis points) of each new batch against the
+    * history baseline and raises `retrain` when the share degrades by more
+    * than `maxDegradationBp`. Integer arithmetic throughout ⇒ the signal
+    * is oracle-checkable, not a float heuristic. Input: an appended
+    * assignment table with origins "history" and "batch". */
+  def ivfDriftSignal(assignments: DataFrame, weakCos: Double = 0.7,
+      maxDegradationBp: Long = 500): DataFrame =
+    assignments
+      .groupBy(col("origin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cell_cos") < weakCos, 1L).otherwise(0L)).as("weak"))
+      .select(col("origin"), expr("weak * 10000 div n").as("weak_bp"))
+      .agg(
+        max(when(col("origin") === "history", col("weak_bp"))).as("hist_weak_bp"),
+        max(when(col("origin") === "batch", col("weak_bp"))).as("batch_weak_bp"))
+      .select(col("hist_weak_bp"), col("batch_weak_bp"),
+        (col("batch_weak_bp") - col("hist_weak_bp")).as("degradation_bp"),
+        (col("batch_weak_bp") - col("hist_weak_bp") > maxDegradationBp)
+          .cast("int").as("retrain"))
+
   def kmeansCentroidArrays(embeddings: DataFrame, nCells: Int, iters: Int = 4,
       initPasses: Int = 2): Seq[Array[Double]] = {
     val spark = embeddings.sparkSession

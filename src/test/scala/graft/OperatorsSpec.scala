@@ -475,6 +475,49 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(before == after, "assignments diverged after reload")
   }
 
+  test("incremental IVF: batch assigned via loaded index == fresh index; drift gate fires on shifted batch") {
+    import graft.operators.Similarity
+    val hist = (0L until 50L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 13 + d * 7).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val batch = (100L until 120L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 13 + d * 7).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val trained = Similarity.kmeansCentroidArrays(hist, nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-incr").toString
+    Similarity.centroidsToDF(spark, trained).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    // The loaded-index batch assignment must equal assignment against the
+    // in-memory trained centroids — the append path never retrains.
+    val viaIndex = Similarity.ivfAssignBatch(batch, index, "batch")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val fresh = Similarity.kmeansAssignWith(batch, trained)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(viaIndex == fresh, "loaded-index assignment diverged from trained centroids")
+    // Appended table: every vector exactly once, tagged by origin.
+    val appended = Similarity.ivfAssignBatch(hist, index, "history")
+      .unionByName(Similarity.ivfAssignBatch(batch, index, "batch"))
+    assert(appended.count() == 70)
+    assert(appended.groupBy("origin").count().as[(String, Long)].collect().toMap
+      == Map("history" -> 50L, "batch" -> 20L))
+    // Drift: a same-distribution batch keeps retrain = 0; a batch pushed
+    // off-manifold (orthogonal noise direction dominates) must raise it.
+    val calm = Similarity.ivfDriftSignal(appended).head()
+    assert(calm.getAs[Int]("retrain") == 0,
+      s"same-distribution batch flagged for retraining: $calm")
+    val shifted = (100L until 120L).map { i =>
+      val v = Array.fill(4)(0.01f * ((i % 3) + 1).toFloat)
+      v((i % 2).toInt) = -3.0f // flipped sign: far from every trained centroid
+      (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val drifted = Similarity.ivfAssignBatch(hist, index, "history")
+      .unionByName(Similarity.ivfAssignBatch(shifted, index, "batch"))
+    val alarm = Similarity.ivfDriftSignal(drifted).head()
+    assert(alarm.getAs[Int]("retrain") == 1,
+      s"off-manifold batch not flagged: $alarm")
+    assert(alarm.getAs[Long]("degradation_bp") > calm.getAs[Long]("degradation_bp"))
+  }
+
   test("degenerate corpus: seed reduction emits distinct centroids, never duplicates") {
     // Only two distinct directions but nCells = 4: the greedy reduction must
     // stop at 2 distinct seeds rather than padding with copies of seed 0
