@@ -979,6 +979,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     val out = TextAnalysis.topTerms(df, 2).as[(String, Long)].collect()
     assert(out.toSeq == Seq(("a", 3L), ("b", 2L)))
   }
+
+  test("exact-substr megahit: a span occurring 100k times never becomes a skewed join partition") {
+    // The sortless rework exists precisely for this shape: a boilerplate
+    // span occurring ~100k times is a single shuffle KEY. The scale story
+    // the final adaptive plan must show (and this spec pins) is stronger
+    // than AQE skew-split rescuing a bad plan — the skew never REACHES a
+    // join shuffle at all:
+    //  1. dup-marking is a map-combining aggregate, so each task collapses
+    //     its ~25k megahit anchors to ONE partial row before the h-shuffle
+    //     (no 100k-row shuffle partition, no per-key sort buffer — and no
+    //     Window, which would buffer the full key group);
+    //  2. the join back probes dupFirsts — duplicated spans only, tiny in
+    //     any real corpus — which AQE broadcasts from runtime stats, so the
+    //     100k-occurrence probe side streams map-side with NO h-exchange.
+    //  (AQE's skew-split would not even pattern-match this join — the
+    //  aggregate sits between the build side's shuffle stage and the SMJ —
+    //  but with the build side broadcast there is no skewed SMJ to split.
+    //  Recorded in NOTES.md round 8.)
+    val boiler = (1 to 10).map("b" + _).mkString(" ")
+    val docs = spark.range(0, 100000)
+      .select(col("id").as("doc_id"),
+        concat(lit(boiler), lit(" uniq"), col("id")).as("text"))
+    val t0 = System.nanoTime()
+    val out = TextAnalysis.exactSubstrDedup(docs, spanTokens = 10)
+    val agg = out.agg(
+      count(lit(1)), sum(col("n_removed")),
+      countDistinct(col("clean_text")),
+      sum(when(col("n_removed") === 10, 1L).otherwise(0L))).head()
+    info(f"megahit 100k-occurrence dedup: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // Every doc except the global-first occurrence loses exactly the
+    // 10 boilerplate tokens and keeps its unique tail.
+    assert(agg.getLong(0) == 100000L)
+    assert(agg.getLong(1) == 99999L * 10)
+    assert(agg.getLong(2) == 100000L) // 99999 distinct tails + 1 full text
+    assert(agg.getLong(3) == 99999L)
+    val keeper = out.where(col("n_removed") === 0).head()
+    assert(keeper.getAs[Long]("doc_id") == 0L &&
+      keeper.getAs[String]("clean_text") == s"$boiler uniq0")
+    // Drive out's OWN physical plan (the asserts above each planned a
+    // fresh query) so AQE finalizes it, then read the adaptive result.
+    out.queryExecution.toRdd.count()
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("partial_min(struct(doc_id"),
+      s"dup-marking must partial-aggregate below the h-shuffle:\n$planStr")
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"dupFirsts (1 row here) must broadcast under AQE runtime stats:\n$planStr")
+    assert(!planStr.contains("Window"), "span dedup must stay window-free")
+  }
 }
 
 class FunnelSpec extends AnyFunSuite {
