@@ -461,9 +461,20 @@ object Dedup {
     * dropped, state older than the horizon is evicted (the only way exact
     * dedup state stays bounded on an unbounded 100 TB stream). `eventTime`
     * must be a timestamp column of the stream. */
+  /** Stamp a watermark ONCE per chain: if `eventTime` already carries
+    * watermark metadata from an upstream stage, reuse it. Spark 4's
+    * multiple-stateful-operator semantics DISALLOW redefining a watermark
+    * downstream of a stateful operator — and the failure is data-dependent
+    * (the AnalysisException fires only once the watermark has actually
+    * advanced past 0, so a short-horizon test corpus never sees it; the
+    * sf0.1 RocksDB profiling run did). */
+  private def stampWatermark(df: DataFrame, eventTime: String,
+      delay: String): DataFrame =
+    if (df.schema(eventTime).metadata.contains("spark.watermarkDelayMs")) df
+    else df.withWatermark(eventTime, delay)
+
   def streamingExactDedup(docs: DataFrame, eventTime: String, delay: String): DataFrame =
-    docs.withColumn("text_md5", md5(col("text")))
-      .withWatermark(eventTime, delay)
+    stampWatermark(docs.withColumn("text_md5", md5(col("text"))), eventTime, delay)
       .dropDuplicatesWithinWatermark("text_md5")
 
   /** Streaming near-dup filter at ingest: documents are keyed by their
@@ -480,9 +491,10 @@ object Dedup {
     val toks = Stage(docs, "w", TextFns.tokens(col("text")))
     val sh = Stage(toks, "sh", TextFns.shingles(col("w"), 3))
     val hs = Stage(sh, "hs", TextFns.shingleHashes(col("sh")))
-    hs.withColumn("minhash_sig",
-        concat_ws("|", (0 until 4).map(b => TextFns.minhashBandNum(col("hs"), b)): _*))
-      .withWatermark(eventTime, delay)
+    stampWatermark(
+        hs.withColumn("minhash_sig",
+          concat_ws("|", (0 until 4).map(b => TextFns.minhashBandNum(col("hs"), b)): _*)),
+        eventTime, delay)
       .dropDuplicatesWithinWatermark("minhash_sig")
       .drop("w", "sh", "hs")
   }

@@ -600,6 +600,7 @@ class KmeansIvfSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val derived = Queries.derivedOracleSql(spark, dir)
     assert(derived.keySet == Set("sim_ivf_kmeans_topk", "sim_ivf_multiprobe",
+      "sim_ivf_incr", "sim_ivf_drift",
       "pipeline_topic_clusters", "pipeline_topic_sample"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))

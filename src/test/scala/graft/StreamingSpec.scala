@@ -741,17 +741,25 @@ class StreamingCurationSpec extends AnyFunSuite {
     // the division of labor documented on streamingNearDupDedup.
     def periodic(fam: Int, reps: Int): String =
       Seq.fill(reps)(s"the qx${fam}a zr${fam}b").mkString(" ")
+    // Event times sit at a REALISTIC epoch (not epoch+100s) so the
+    // watermark genuinely ADVANCES past 0 between micro-batches — Spark 4
+    // raises "Redefining watermark is disallowed" for a re-stamped
+    // watermark only once it has advanced, so a small-seconds corpus
+    // would silently skip that regression (found by the sf0.1 RocksDB
+    // profiling run, fixed in Dedup.stampWatermark). Run-2 events stay
+    // inside run 1's 1-hour horizon, so cross-restart state still holds.
+    val T = 1700000000L
     val corpus: Seq[(Long, String, Long)] = Seq(
-      (1L, periodic(1, 40), 100L),  // family 1 canonical → kept
-      (2L, periodic(2, 40), 101L),  // family 2 canonical → kept
-      (3L, periodic(1, 41), 102L),  // near-dup of 1 (same shingle set) → dropped
-      (4L, "tiny doc", 103L),       // fails the quality gate (2 tokens)
-      (5L, Seq.fill(40)("der die und das ist ein").mkString(" "), 104L), // lang=de → gated
-      (6L, periodic(3, 40), 105L),  // family 3 canonical → kept
+      (1L, periodic(1, 40), T + 100L),  // family 1 canonical → kept
+      (2L, periodic(2, 40), T + 101L),  // family 2 canonical → kept
+      (3L, periodic(1, 41), T + 102L),  // near-dup of 1 (same shingle set) → dropped
+      (4L, "tiny doc", T + 103L),       // fails the quality gate (2 tokens)
+      (5L, Seq.fill(40)("der die und das ist ein").mkString(" "), T + 104L), // lang=de → gated
+      (6L, periodic(3, 40), T + 105L),  // family 3 canonical → kept
       // --- restart boundary: everything below arrives in run 2 ---
-      (7L, periodic(1, 40), 106L),  // EXACT dup of 1 across the restart → dropped
-      (8L, periodic(2, 42), 107L),  // near-dup of 2 across the restart → dropped
-      (9L, periodic(4, 40), 108L))  // family 4 canonical → kept
+      (7L, periodic(1, 40), T + 106L),  // EXACT dup of 1 across the restart → dropped
+      (8L, periodic(2, 42), T + 107L),  // near-dup of 2 across the restart → dropped
+      (9L, periodic(4, 40), T + 108L))  // family 4 canonical → kept
     val (part1, part2) = corpus.partition(_._1 <= 6L)
 
     val batchExpected = Queries.docsPrepFrom(
