@@ -23,7 +23,7 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/$name.parquet"
-    val df = spark.read.parquet(path)
+    val df = normalizeTs(spark.read.parquet(path))
     val target = math.min(spark.sparkContext.defaultParallelism, 32)
     // Tiny dims (region/nation) stay single-partition — they broadcast
     // anyway, and a repartition exchange before a BroadcastExchange is
@@ -40,6 +40,29 @@ object Tables {
     val estScanParts = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
     if (!tiny && estScanParts < target) df.repartition(target) else df
   }
+
+  /** The engine-wide contract for `events.ts` is epoch-NANOSECOND longs
+    * (the reference works with `updated_at` epoch-nanos integers —
+    * `src/main.py:126-128`). The driver's parquet has carried that column
+    * both as INT64 TIMESTAMP(NANOS) (read as raw longs via `nanosAsLong`)
+    * and, since the 2026-08-13 regeneration, as TIMESTAMP(MICROS) NTZ —
+    * so normalize here, at the single load boundary, instead of teaching
+    * every query both shapes. A timestamp-typed `ts` becomes
+    * `unix_micros * 1000`; the `to_utc_timestamp(cast, "UTC")` pair keeps
+    * the wall-clock reading session-timezone-independent (NTZ→TIMESTAMP
+    * cast attaches the session zone; to_utc_timestamp re-reads the same
+    * wall clock as UTC — matching DuckDB's `epoch_ns(ts)` on the naive
+    * column). Cheap scalar math inside whole-stage codegen; columns other
+    * than `ts` are untouched, and a long-typed `ts` passes through. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        import org.apache.spark.sql.functions._
+        df.withColumn("ts",
+          unix_micros(to_utc_timestamp(col("ts").cast("timestamp"), "UTC")) * lit(1000L))
+      case _ => df
+    }
 
   /** Total bytes at `path` — a single parquet file or a directory tree of
     * them (recursive, so partitioned layouts with subdirectories are sized
