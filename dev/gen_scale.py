@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Dev-only scale-step generator: builds sfN' = K x sfN from an existing
 driver-generated SF directory by concatenating K key-shifted copies of each
-table, preserving parquet schemas exactly (incl. events.ts TIMESTAMP(NANOS)).
+table, preserving parquet schemas exactly — whatever vintage the source has
+(events.ts was INT64 TIMESTAMP(NANOS) pre-2026-08-13, TIMESTAMP(MICROS) NTZ
+since; graft.Tables normalizes both at load).
 Used for the 10x scale-step bench evidence in NOTES.md. NOT part of the
 engine; the engine never reads anything derived from this at verify time.
 
