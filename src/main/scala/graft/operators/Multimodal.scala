@@ -210,7 +210,15 @@ object Multimodal {
     * cross-engine. */
   def nearDupImages(spark: SparkSession, images: Dataset[ImageRow],
       grid: Int = 4, maxSumAbsDiff: Long = 128, maxBucket: Int = 1000): DataFrame = {
+    // The signature subtree is referenced 4× below (both sides of the
+    // banded self-join + both sides of the verify re-join); without a
+    // persist each reference re-runs the imageio decode over every asset —
+    // the expensive stage at scale. The cached frame is tiny (asset_id +
+    // grid² longs, no pixels), and CacheManager keys entries by
+    // canonicalized plan so repeated calls on the same input share one
+    // LRU-evictable entry (same rationale as Queries.curateSurvivorsFrom).
     val sig = blockSignatures(spark, images, grid).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("asset_id"),
         posexplode(expr(s"transform(sequence(0, ${grid - 1}), r -> " +
           s"array_join(transform(slice(blocks, r * $grid + 1, $grid), " +

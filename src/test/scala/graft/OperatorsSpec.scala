@@ -1238,4 +1238,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((10L, 11L, 64L), (10L, 266L, 0L), (11L, 266L, 64L),
       (11L, 13L, 128L)), s"got $pairs")
   }
+
+  test("perceptual-hash near-dup: signatures decode once, reused from cache") {
+    // The plan references the signature frame 4x (banded self-join sides +
+    // verify re-join sides); the persist inside nearDupImages must serve
+    // all of them from ONE decode pass — at production image sizes the
+    // codec dominates, so a re-decode per reference is a 4x scale bug.
+    val docs = Seq(1L, 2L, 3L).map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val df = Multimodal.nearDupImages(spark,
+      Multimodal.synthesizeImages(spark, docs).repartition(2))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"signature subtree not served from cache:\n$plan")
+  }
 }
