@@ -340,6 +340,18 @@ object Dedup {
         coalesce(max(col("bucket_rn")), lit(0)).as("largest_bucket"))
       .where(col("bucket_rn") <= maxBucket)
       .drop("bucket_rn")
+      // Both sides of the candidate self-join reference this frame, and
+      // AQE does NOT reuse the band shuffle stage across them (the final
+      // adaptive plan shows two full tokenize→minhash→band pipelines), so
+      // without a persist the corpus is scanned and hashed twice. The
+      // cached frame is (doc_id, band, key) — a few short rows per doc,
+      // no text — which at any scale is far cheaper than a second full
+      // read+hash pass. Wall-clock at sf1 is unchanged (the pair join
+      // dominates there); the 2×→1× scan is the 100 TB argument. Same
+      // CacheManager canonicalization rationale as curateSurvivorsFrom;
+      // the observe() metric above still fires on materialization
+      // (DedupSpec's cap-headroom cases pin it).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bounded.alias("a"); val b = bounded.alias("b")
     metricName -> a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
