@@ -7,6 +7,12 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * runtime broadcast conversion, and skew-join splitting, which the
   * pre-execution `explain` (BenchOne --explain, DumpPlans) cannot show.
   * Usage: runMain graft.PlanFinal <queryName>
+  *
+  * Reading caveat: every InMemoryTableScan node reprints its entire cached
+  * derivation inline (nested caches recursively), so a raw FileScan count
+  * over the output wildly overstates real I/O — a cached subtree's scans
+  * execute once at materialization however many times they print. Count
+  * scans per distinct InMemoryRelation, not globally.
   */
 object PlanFinal {
   def main(args: Array[String]): Unit = {

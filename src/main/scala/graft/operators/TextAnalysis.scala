@@ -252,7 +252,16 @@ object TextAnalysis {
           .as("h"))
 
   /** Non-first occurrences of duplicated spans within one corpus (the
-    * sortless aggregate dup-marking — see [[exactSubstrDedup]] step 2). */
+    * sortless aggregate dup-marking — see [[exactSubstrDedup]] step 2).
+    *
+    * The anchor subtree is deliberately NOT persisted even though both the
+    * aggregate build side and the join probe side recompute it (the final
+    * adaptive plan shows two tokenize→explode→md5 pipelines). Unlike the
+    * minhash bands / multimodal signature caches — a few short rows per
+    * doc — the anchor set is one 32-byte hash PER TOKEN POSITION, i.e.
+    * several times the corpus itself; at 100 TB caching it costs far more
+    * than the second narrow scan+hash pass it would save. Recompute is
+    * the scale-correct trade here. */
   private def substrBatchDups(anchors: DataFrame): DataFrame = {
     val dupFirsts = anchors
       .groupBy(col("h"))
