@@ -246,7 +246,7 @@ object WagerBook {
       // (tsn/1000 + ttl): converting the cutoff back to µs would exclude any
       // wager whose tsn is not a whole millisecond, leaving it in state
       // forever once its (only) timer has fired.
-      val cutoffMs = expired.getExpiryTimeInMs - ttlMs
+      val cutoffMs = expired.getExpiryTimeInMs() - ttlMs
       val dead = book.iterator().filter(_._2.tsn / 1000 <= cutoffMs).toSeq
       dead.foreach { case (k, _) => book.removeKey(k) }
       dead.iterator.map { case (_, w) =>
