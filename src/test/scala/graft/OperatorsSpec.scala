@@ -1239,6 +1239,35 @@ class MultimodalSpec extends AnyFunSuite {
       (11L, 13L, 128L)), s"got $pairs")
   }
 
+  test("perceptual-hash near-dup: randomized sets match the JVM closed-form reference") {
+    // The synthesized raster is a on the top half, b on the bottom
+    // (a = id%256, b = 7id%256), so with grid=4 the block vector is
+    // [a×8, b×8]: candidates share an a-nibble (bands 0–1) or b-nibble
+    // (bands 2–3) and the verify distance is exactly 8|Δa| + 8|Δb|.
+    // Random id sets adversarially exercise nibble-boundary and
+    // threshold-edge pairs the planted case can't enumerate.
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val ids = rnd.shuffle((0L until 5000L).toVector).take(25).distinct
+      val docs = ids.map(i => (i, s"doc $i", "en", "s", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = Multimodal.nearDupImages(spark,
+          Multimodal.synthesizeImages(spark, docs).repartition(3))
+        .collect()
+        .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+          r.getAs[Long]("sum_abs_diff"))).toSet
+      val expect = (for {
+        i <- ids; j <- ids if i < j
+        ai = i % 256; bi = (i * 7) % 256
+        aj = j % 256; bj = (j * 7) % 256
+        if ai / 16 == aj / 16 || bi / 16 == bj / 16
+        d = 8 * math.abs(ai - aj) + 8 * math.abs(bi - bj)
+        if d <= 128
+      } yield (i, j, d)).toSet
+      assert(got == expect, s"round $round ids=$ids")
+    }
+  }
+
   test("perceptual-hash near-dup: signatures decode once, reused from cache") {
     // The plan references the signature frame 4x (banded self-join sides +
     // verify re-join sides); the persist inside nearDupImages must serve
