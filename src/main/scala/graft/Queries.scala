@@ -2574,6 +2574,10 @@ object Queries {
       s"""${ivfIncrAssignedCtes(s, dir)}
          |SELECT vec_id, cell, cell_cos, origin FROM assigned""".stripMargin
     })
+  // (not bench-flagged: the registered form re-trains k-means per call for
+  // oracle determinism, so its wall is training-dominated — redundant with
+  // sim_ivf_topk's benched assignment path and it would inflate the bench
+  // total ~25% with no new plan signal)
 
   /** The drift gate over the same appended table
     * (Similarity.ivfDriftSignal): integral weak-share basis points per
@@ -2742,7 +2746,8 @@ object Queries {
       |FROM cand c
       |JOIN f fa ON fa.doc_id = c.asset_a
       |JOIN f fb ON fb.doc_id = c.asset_b
-      |WHERE 8 * abs(fa.a - fb.a) + 8 * abs(fa.b - fb.b) <= 128""".stripMargin))
+      |WHERE 8 * abs(fa.a - fb.a) + 8 * abs(fa.b - fb.b) <= 128""".stripMargin),
+    bench = true)
 
   // ──────────────────────────────── registry ────────────────────────────────
 
