@@ -14,10 +14,13 @@ compare check_oracle.py uses. NOT part of the engine.
 
 Usage: python3 dev/check_closure_sf1.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, time
+import json, os, sys, glob, time
 import duckdb
 
 sf, out = sys.argv[1], sys.argv[2]
+# Same checkpoint file check_oracle.py appends to (CHECK_ORACLE_RESULTS),
+# so one jsonl feeds make_correctness_sf1.py for the whole board.
+results_path = os.environ.get("CHECK_ORACLE_RESULTS", "/tmp/sf1_results.jsonl")
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -108,6 +111,6 @@ for name in ["dedup_embedding_lsh_mp", "dedup_clusters", "dedup_embedding_cluste
     rec = {"name": name, "ok": msg is None,
            "msg": msg or "staged-closure compare", "secs": secs,
            "method": "staged_closure"}
-    with open("/tmp/sf1_results.jsonl", "a") as f:
+    with open(results_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
 sys.exit(1 if fails else 0)
