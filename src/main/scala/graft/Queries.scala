@@ -81,6 +81,40 @@ object Queries {
       |  CAST(coalesce(json_extract_string(props, '$.k'), '0') AS INTEGER) AS k, value
       |FROM events WHERE event_type = 'purchase'""".stripMargin))
 
+  /** F2's 100 TB shape (operators.VariantOps): the JSON text is parsed ONCE
+    * into Spark 4's binary VARIANT, then every field is a typed binary probe
+    * (`variant_get`) instead of a per-field text re-parse. The oracle never
+    * sees JSON — it recomputes from the base event columns, so a hash match
+    * proves the synthesize→parse→shred round-trip is lossless (same derived-
+    * oracle pattern as `multimodal_decode`). */
+  private val xVariantShred = Q("x_variant_shred",
+    (s, dir) => VariantOps.shred(VariantOps.eventPayload(Tables.events(s, dir)))
+      .where(col("etype").isin("purchase", "click"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("uid")).as("uid_sum"),
+        sum(col("k").cast("bigint")).as("k_sum"),
+        sum(col("val2").cast("decimal(18,2)")).cast("double").as("val2_sum")),
+    Some("""SELECT event_type AS etype, count(*) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS uid_sum,
+      |  CAST(sum(CAST(coalesce(json_extract_string(props, '$.k'), '0') AS INTEGER)) AS BIGINT) AS k_sum,
+      |  CAST(sum(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE) AS val2_sum
+      |FROM events WHERE event_type IN ('purchase', 'click')
+      |GROUP BY event_type""".stripMargin), bench = true)
+
+  /** Variant's per-row dynamic typing: `$.tag` is a number on every third
+    * event and a string otherwise. The typed read (`try_variant_get` int)
+    * must null exactly on the string rows; the string read covers both.
+    * Oracle derives the expected values from `event_id` directly. */
+  private val xVariantHetero = Q("x_variant_hetero",
+    (s, dir) => VariantOps.shred(VariantOps.eventPayload(Tables.events(s, dir)))
+      .select(col("event_id"), col("tag_int"), col("tag_str")),
+    Some("""SELECT event_id,
+      |  CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 100 AS INTEGER) END AS tag_int,
+      |  CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 100 AS VARCHAR)
+      |       ELSE 't-' || CAST(event_id % 100 AS VARCHAR) END AS tag_str
+      |FROM events""".stripMargin))
+
   private val j1JoinAgg = Q("j1_join_agg",
     (s, dir) => Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
@@ -2752,7 +2786,8 @@ object Queries {
   // ──────────────────────────────── registry ────────────────────────────────
 
   val all: Seq[Q] = Seq(
-    q1PricingSummary, f1IsinFilter, f2EqFilterJson,
+    q1PricingSummary, f1IsinFilter, f2EqFilterJson, xVariantShred,
+    xVariantHetero,
     j1JoinAgg, j1StrkeyJoin, j2SemiJoin, jAntiJoin, j3ChainAgg, jAsofJoin,
     jAsofNearest, jRangeJoin,
     a1Counts, a3CollectIds, a4LastWins, a5Scalar, aSaltedAgg, aPercentiles,
