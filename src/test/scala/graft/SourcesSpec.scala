@@ -21,6 +21,34 @@ class OddsLadderSourceSpec extends AnyFunSuite {
       .where($"odds" > 0 && $"band_step" === 1)
     assert(df.count() == 20) // positive step-1 band: 100..119
   }
+
+  test("DSv2 pushdown: predicates evaluate in the source, columns prune to the projection") {
+    val df = spark.read.format("graft.sources.OddsLadderSource").load()
+      .where($"odds" > 0 && $"band_step" === 1)
+      .select("odds")
+    // The scan itself reports the pushed predicates and the 1-column read
+    // schema — evidence the filter ran source-side and band_step was never
+    // emitted (on an endpoint-backed source this is the fetch reduction).
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("GreaterThan(odds,0)"), scanDesc)
+    assert(scanDesc.contains("EqualTo(band_step,1)"), scanDesc)
+    assert(scanDesc.contains("ReadSchema: struct<odds:int>"), scanDesc)
+    assert(df.as[Int].collect().sorted.toSeq == (100 to 119).toSeq)
+  }
+
+  test("DSv2 pushdown: unsupported filters stay residual and still apply") {
+    // odds % 200 = 0 is not a source-compilable predicate — it must return
+    // from pushFilters as a residual and Spark must still enforce it.
+    val df = spark.read.format("graft.sources.OddsLadderSource").load()
+      .where($"odds" % 200 === 0 && $"odds" > 0)
+    val got = df.select("odds").as[Int].collect().sorted.toSeq
+    val want = OddsFns.Ladder.filter(o => o % 200 == 0 && o > 0)
+    assert(got == want)
+    // count(*)-style scan: zero-column required schema still yields a row
+    // per ladder entry.
+    val n = spark.read.format("graft.sources.OddsLadderSource").load().count()
+    assert(n == OddsFns.Ladder.size)
+  }
 }
 
 class StreamingDedupSpec extends AnyFunSuite {
