@@ -59,6 +59,29 @@ class VariantSpec extends AnyFunSuite {
     }
   }
 
+  test("shred runs unchanged over readStream (gate-at-ingest shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val out = VariantOps.shred(input.toDF().toDF("event_id", "payload"))
+    val q = out.writeStream.format("memory").queryName("variantstream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (3L, """{"meta":{"type":"purchase","uid":9},"k":4,"vals":[1.5,3.0],"tag":3}"""),
+        (4L, """{"meta":{"type":"click","uid":8},"k":2,"vals":[2.5,5.0],"tag":"t-4"}"""))
+      q.processAllAvailable()
+      val rows = spark.table("variantstream")
+        .select("event_id", "uid", "etype", "k", "val2", "tag_int", "tag_str")
+        .collect().sortBy(_.getLong(0))
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 9 && rows(0).getString(2) == "purchase" &&
+        rows(0).getInt(3) == 4 && rows(0).getDouble(4) == 3.0 &&
+        rows(0).getInt(5) == 3 && rows(0).getString(6) == "3")
+      assert(rows(1).isNullAt(5) && rows(1).getString(6) == "t-4")
+    } finally q.stop()
+  }
+
   test("variant column persists to parquet and shreds identically after reload") {
     val out = java.nio.file.Files.createTempDirectory("variant-pq").toString
     payloads.select(col("event_id"), parse_json(col("payload")).as("v"))
