@@ -2783,6 +2783,54 @@ object Queries {
       |WHERE 8 * abs(fa.a - fb.a) + 8 * abs(fa.b - fb.b) <= 128""".stripMargin),
     bench = true)
 
+  /** Incremental multimodal near-dup: the batch (doc_id % 7 ≠ 0) probes a
+    * persisted signature index of the history (doc_id % 7 = 0) — history
+    * pixels never re-decoded, history-vs-history pairs never recomputed.
+    * Oracle re-derives both sides from the closed-form block means (top
+    * rows = doc_id mod 256, bottom rows = 7·doc_id mod 256), so Spark's
+    * imageio decode chain and DuckDB's arithmetic must agree pair-for-pair
+    * — two independent derivations, like dedup_minhash_incr. */
+  private val dedupMultimodalIncr = Q("dedup_multimodal_incr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val histIdx = Multimodal.signatureIndex(s,
+        Multimodal.synthesizeImages(s, docs.where(pmod(col("doc_id"), lit(7)) === 0))
+          .repartition(col("asset_id")))
+      Multimodal.nearDupImagesIncremental(s,
+        Multimodal.synthesizeImages(s, docs.where(pmod(col("doc_id"), lit(7)) =!= 0))
+          .repartition(col("asset_id")),
+        histIdx)
+    },
+    Some("""WITH f AS (SELECT doc_id, doc_id % 256 AS a, (doc_id * 7) % 256 AS b
+      |  FROM documents),
+      |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
+      |bk_n AS (SELECT doc_id, a, b, band,
+      |    CASE WHEN band < 2 THEN a // 16 ELSE b // 16 END AS key
+      |  FROM f CROSS JOIN bands WHERE doc_id % 7 <> 0),
+      |bk_h AS (SELECT doc_id, a, b, band,
+      |    CASE WHEN band < 2 THEN a // 16 ELSE b // 16 END AS key
+      |  FROM f CROSS JOIN bands WHERE doc_id % 7 = 0),
+      |capped_n AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+      |    FROM bk_n) WHERE rn <= 1000),
+      |capped_h AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+      |    FROM bk_h) WHERE rn <= 1000),
+      |cand AS (
+      |  SELECT DISTINCT n.doc_id AS asset_a, h.doc_id AS asset_b, 'history' AS origin
+      |  FROM capped_n n JOIN capped_h h ON n.band = h.band AND n.key = h.key
+      |  UNION
+      |  SELECT DISTINCT x.doc_id AS asset_a, y.doc_id AS asset_b, 'batch' AS origin
+      |  FROM capped_n x JOIN capped_n y
+      |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      |SELECT c.asset_a, c.asset_b,
+      |  CAST(8 * abs(fa.a - fb.a) + 8 * abs(fa.b - fb.b) AS BIGINT) AS sum_abs_diff,
+      |  c.origin
+      |FROM cand c
+      |JOIN f fa ON fa.doc_id = c.asset_a
+      |JOIN f fb ON fb.doc_id = c.asset_b
+      |WHERE 8 * abs(fa.a - fb.a) + 8 * abs(fa.b - fb.b) <= 128""".stripMargin))
+
   // ──────────────────────────────── registry ────────────────────────────────
 
   val all: Seq[Q] = Seq(
@@ -2823,7 +2871,8 @@ object Queries {
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift,
     simLshTopk, simLshMultiprobe, simQuantize,
-    multimodalFeatures, multimodalFrames, multimodalDecode, dedupMultimodal)
+    multimodalFeatures, multimodalFrames, multimodalDecode, dedupMultimodal,
+    dedupMultimodalIncr)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   val oracleSql: Map[String, String] =

@@ -199,6 +199,34 @@ object Multimodal {
     }
   }
 
+  /** Band view of a signature frame: one band per block-ROW, band key =
+    * that row's block means quantized to nibbles (>>4), joined with '-'.
+    * Pure integer expressions over the stored blocks — deriving bands from
+    * a persisted index never touches pixels. */
+  private def bandKeys(sig: DataFrame, grid: Int): DataFrame =
+    sig.select(col("asset_id"),
+        posexplode(expr(s"transform(sequence(0, ${grid - 1}), r -> " +
+          s"array_join(transform(slice(blocks, r * $grid + 1, $grid), " +
+          "v -> string(v div 16)), '-'))")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
+
+  /** Deterministic bucket cap (smallest ids win), as in minhashCandidates:
+    * a megahit key (e.g. near-black thumbnails) stays C(cap,2), not C(n,2). */
+  private def capBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key")).orderBy(col("asset_id"))))
+      .where(col("rn") <= maxBucket).drop("rn")
+
+  private def verifyPairs(cand: DataFrame, blocks: DataFrame,
+      maxSumAbsDiff: Long): DataFrame =
+    cand
+      .join(blocks.select(col("asset_id").as("asset_a"), col("blocks").as("ba")), "asset_a")
+      .join(blocks.select(col("asset_id").as("asset_b"), col("blocks").as("bb")), "asset_b")
+      .withColumn("sum_abs_diff",
+        expr("aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"))
+      .where(col("sum_abs_diff") <= maxSumAbsDiff)
+
   /** Near-duplicate image pairs by banded perceptual hash — the multimodal
     * tier of the dedup family, same scale shape as `Dedup.minhashCandidates`:
     * one band per block-ROW of the signature, band key = that row's block
@@ -219,29 +247,58 @@ object Multimodal {
     // LRU-evictable entry (same rationale as Queries.curateSurvivorsFrom).
     val sig = blockSignatures(spark, images, grid).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("asset_id"),
-        posexplode(expr(s"transform(sequence(0, ${grid - 1}), r -> " +
-          s"array_join(transform(slice(blocks, r * $grid + 1, $grid), " +
-          "v -> string(v div 16)), '-'))")))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
-    // Deterministic bucket cap (smallest ids win), as in minhashCandidates:
-    // a megahit key (e.g. near-black thumbnails) stays C(cap,2), not C(n,2).
-    val capped = bands
-      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("key")).orderBy(col("asset_id"))))
-      .where(col("rn") <= maxBucket).drop("rn")
+    val capped = capBuckets(bandKeys(sig, grid), maxBucket)
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"))
       .distinct()
-    cand
-      .join(sig.select(col("asset_id").as("asset_a"), col("blocks").as("ba")), "asset_a")
-      .join(sig.select(col("asset_id").as("asset_b"), col("blocks").as("bb")), "asset_b")
-      .withColumn("sum_abs_diff",
-        expr("aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"))
-      .where(col("sum_abs_diff") <= maxSumAbsDiff)
+    verifyPairs(cand, sig, maxSumAbsDiff)
       .select(col("asset_a"), col("asset_b"), col("sum_abs_diff"))
+  }
+
+  /** Persistable signature index for incremental multimodal near-dup:
+    * (asset_id, blocks ARRAY<BIGINT>) — grid² longs per asset, no pixels.
+    * The ANN-family mirror of `Dedup.bandIndex`/`TextAnalysis.spanIndex`:
+    * history payloads are decoded ONCE, when first indexed; every later
+    * batch probes the stored integers. */
+  def signatureIndex(spark: SparkSession, images: Dataset[ImageRow],
+      grid: Int = 4): DataFrame =
+    blockSignatures(spark, images, grid).toDF()
+
+  /** Incremental [[nearDupImages]]: a new batch of images against a stored
+    * [[signatureIndex]]. New-vs-history pairs come from an equi-join of the
+    * batch's band keys against bands derived from the stored index (asset_a
+    * = new, asset_b = historical, origin `history`); new-vs-new pairs from
+    * the standard banded self-join (asset_a < asset_b, origin `batch`).
+    * History PIXELS are never re-decoded — banding a stored signature is
+    * integer expressions only — and history-vs-history pairs are never
+    * recomputed (they were emitted when those batches were new). Both sides
+    * bucket-capped as in the batch operator; the same exact Σ|Δblock|
+    * verify runs over the union of batch signatures and the index. */
+  def nearDupImagesIncremental(spark: SparkSession, newImages: Dataset[ImageRow],
+      historyIndex: DataFrame, grid: Int = 4, maxSumAbsDiff: Long = 128,
+      maxBucket: Int = 1000): DataFrame = {
+    // Same 4-reference persist rationale as nearDupImages — only the NEW
+    // batch is decoded, once.
+    val newSig = blockSignatures(spark, newImages, grid).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = capBuckets(bandKeys(newSig, grid), maxBucket)
+    val histBands = capBuckets(bandKeys(historyIndex, grid), maxBucket)
+    val vsHistory = newBands.as("n")
+      .join(histBands.as("h"), Seq("band", "key"))
+      .select(col("n.asset_id").as("asset_a"), col("h.asset_id").as("asset_b"))
+      .distinct()
+      .withColumn("origin", lit("history"))
+    val vsBatch = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"))
+      .distinct()
+      .withColumn("origin", lit("batch"))
+    val blocksAll = newSig.unionByName(historyIndex)
+    verifyPairs(vsHistory.unionByName(vsBatch), blocksAll, maxSumAbsDiff)
+      .select(col("asset_a"), col("asset_b"), col("sum_abs_diff"), col("origin"))
   }
 
   final case class AssetRow(asset_id: Long, payload: Array[Byte], width: Int, height: Int)

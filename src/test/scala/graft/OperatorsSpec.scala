@@ -1268,6 +1268,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental image near-dup: batch-vs-index equals full run minus history-history") {
+    // Dups planted to STRADDLE the split (history = id % 7 == 0):
+    // 266 ≡ 10 exactly (both non-hist), 7 is hist and near 11 (Δa=4, Δb=49
+    // → too far) but 14 (hist) vs 15: Δa=1, Δb=7 → Σ=64; also random ids.
+    val ids = (Seq(10L, 11L, 13L, 14L, 15L, 266L, 7L, 21L, 22L) ++
+      new scala.util.Random(7).shuffle((0L until 3000L).toVector).take(20)).distinct
+    def docsOf(xs: Seq[Long]) = xs.map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hist = ids.filter(_ % 7 == 0)
+    val batch = ids.filter(_ % 7 != 0)
+    val idx = Multimodal.signatureIndex(spark,
+      Multimodal.synthesizeImages(spark, docsOf(hist)).repartition(2))
+    val inc = Multimodal.nearDupImagesIncremental(spark,
+        Multimodal.synthesizeImages(spark, docsOf(batch)).repartition(2), idx)
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("sum_abs_diff"), r.getAs[String]("origin")))
+    // origin is consistent with the split, orientation is new-first
+    inc.foreach { case (a, b, _, o) =>
+      assert(a % 7 != 0, s"asset_a must be from the batch: ($a,$b,$o)")
+      if (o == "history") assert(b % 7 == 0) else assert(b % 7 != 0 && a < b)
+    }
+    // pair set == full-corpus run minus history-vs-history pairs
+    val full = Multimodal.nearDupImages(spark,
+        Multimodal.synthesizeImages(spark, docsOf(ids)).repartition(3))
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("sum_abs_diff")))
+    val fullMinusHist = full.filterNot { case (a, b, _) => a % 7 == 0 && b % 7 == 0 }
+      .map { case (a, b, d) => (math.min(a, b), math.max(a, b), d) }.toSet
+    val incNorm = inc
+      .map { case (a, b, d, _) => (math.min(a, b), math.max(a, b), d) }.toSet
+    assert(incNorm == fullMinusHist,
+      s"incremental=${incNorm.toSeq.sorted} full=${fullMinusHist.toSeq.sorted}")
+  }
+
   test("perceptual-hash near-dup: signatures decode once, reused from cache") {
     // The plan references the signature frame 4x (banded self-join sides +
     // verify re-join sides); the persist inside nearDupImages must serve
