@@ -2793,9 +2793,13 @@ object Queries {
   private val dedupMultimodalIncr = Q("dedup_multimodal_incr",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // persist: stands in for the parquet-backed index load — without it
+      // the inline synthesize→decode chain would run once per reference
+      // (the operator references the index twice; see its scaladoc).
       val histIdx = Multimodal.signatureIndex(s,
         Multimodal.synthesizeImages(s, docs.where(pmod(col("doc_id"), lit(7)) === 0))
           .repartition(col("asset_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Multimodal.nearDupImagesIncremental(s,
         Multimodal.synthesizeImages(s, docs.where(pmod(col("doc_id"), lit(7)) =!= 0))
           .repartition(col("asset_id")),

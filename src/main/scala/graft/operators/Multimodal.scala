@@ -275,7 +275,14 @@ object Multimodal {
     * integer expressions only — and history-vs-history pairs are never
     * recomputed (they were emitted when those batches were new). Both sides
     * bucket-capped as in the batch operator; the same exact Σ|Δblock|
-    * verify runs over the union of batch signatures and the index. */
+    * verify runs over the union of batch signatures and the index.
+    *
+    * `historyIndex` is referenced TWICE in the plan (banding + verify).
+    * The intended backing is a parquet [[signatureIndex]] load — a few
+    * integers per asset, cheap to rescan — so the operator does not
+    * persist it; a caller passing a COMPUTED frame (e.g. an inline
+    * synthesize→index chain) should persist it first or the computation
+    * runs twice. */
   def nearDupImagesIncremental(spark: SparkSession, newImages: Dataset[ImageRow],
       historyIndex: DataFrame, grid: Int = 4, maxSumAbsDiff: Long = 128,
       maxBucket: Int = 1000): DataFrame = {
