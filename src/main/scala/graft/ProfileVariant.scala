@@ -79,6 +79,28 @@ object ProfileVariant {
     (1 to 3).foreach(i => time(s"parse_json once + variant_get x6 $i")(force(viaVariant)))
     (1 to 3).foreach(i => time(s"persisted binary variant, variant_get x6 $i")(force(binary)))
     // 1-field variants to separate parse cost from probe cost.
+    // Filter-after-shred shapes (the x_variant_shred question): (A) one
+    // projection + where — Catalyst pushes the etype predicate into the
+    // scan as a DataFilter that re-runs parse_json there, then the Project
+    // parses again in the next stage (no CSE across stages); (B) the parse
+    // staged behind a Generate barrier — structurally ONE parse, the
+    // filter probes the materialized variant binary.
+    def shredCols(v: org.apache.spark.sql.Column) = Seq(
+      variant_get(v, "$.meta.uid", "bigint").as("uid"),
+      variant_get(v, "$.meta.type", "string").as("etype"),
+      variant_get(v, "$.k", "int").as("k"),
+      variant_get(v, "$.vals[1]", "double").as("val2"),
+      variant_get(v, "$.tag", "string").as("tag_str"),
+      variant_get(v, "$.vals[0]", "double").as("val0"))
+    val filteredA = text.select(shredCols(parse_json(col("payload"))): _*)
+      .where(col("etype").isin("purchase", "click"))
+    val filteredB = graft.plans.Stage(text.select(col("payload")), "v",
+        parse_json(col("payload")))
+      .select(shredCols(col("v")): _*)
+      .where(col("etype").isin("purchase", "click"))
+    (1 to 3).foreach(i => time(s"filter-after-shred, inline parse (A) $i")(force(filteredA)))
+    (1 to 3).foreach(i => time(s"filter-after-shred, Stage-barriered parse (B) $i")(force(filteredB)))
+
     (1 to 3).foreach(i => time(s"get_json_object x1 $i") {
       text.select(g("meta.uid").cast("bigint").as("uid")).agg(sum("uid"))
         .collect().length.toLong

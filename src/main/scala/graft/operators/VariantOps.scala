@@ -54,20 +54,24 @@ object VariantOps {
         .as("payload"))
   }
 
-  /** Parse once → typed columns. One projection on purpose: `parse_json`
-    * and `variant_get` are codegen'd, so whole-stage codegen's
-    * subexpression elimination evaluates the parse once per row however
-    * many fields are shredded (measured in ProfileVariant — do NOT split
-    * this into chained selects, and no Stage barrier needed). */
-  def shred(payloads: DataFrame): DataFrame = {
-    val v = parse_json(col("payload"))
-    payloads.select(
-      col("event_id"),
-      variant_get(v, "$.meta.uid", "bigint").as("uid"),
-      variant_get(v, "$.meta.type", "string").as("etype"),
-      variant_get(v, "$.k", "int").as("k"),
-      variant_get(v, "$.vals[1]", "double").as("val2"),
-      try_variant_get(v, "$.tag", "int").as("tag_int"),
-      variant_get(v, "$.tag", "string").as("tag_str"))
-  }
+  /** Parse once → typed columns. The parse is routed through a
+    * `plans.Stage` Generate barrier, which buys two things (both measured
+    * in ProfileVariant at 10M rows): (1) within one projection codegen CSE
+    * already dedups the parse, but a downstream FILTER on a shredded
+    * column gets pushed into the scan as a DataFilter that re-runs
+    * `parse_json` in a different stage — no CSE across stages; the barrier
+    * pins the parse structurally to once per row (filter-after-shred:
+    * 3.5 s barriered vs 4.3 s inline); (2) every downstream reference
+    * probes the materialized variant BINARY, the decode_roundtrip
+    * one-core-pushdown fix applied to semi-structured data. */
+  def shred(payloads: DataFrame): DataFrame =
+    graft.plans.Stage(payloads, "v", parse_json(col("payload")))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.meta.uid", "bigint").as("uid"),
+        variant_get(col("v"), "$.meta.type", "string").as("etype"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        variant_get(col("v"), "$.vals[1]", "double").as("val2"),
+        try_variant_get(col("v"), "$.tag", "int").as("tag_int"),
+        variant_get(col("v"), "$.tag", "string").as("tag_str"))
 }
