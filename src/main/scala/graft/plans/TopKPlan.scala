@@ -25,12 +25,15 @@ final case class TopKBufferFactory(
     grouping: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    inputSchema: Seq[Attribute]) extends Serializable {
+    inputSchema: Seq[Attribute],
+    rankedOutput: Option[Seq[Attribute]] = None) extends Serializable {
   def create(): TopKHeapBuffer = {
     val keyProj = UnsafeProjection.create(grouping, inputSchema)
     val rowOrd = GenerateOrdering.generate(ordering, inputSchema)
       .asInstanceOf[Ordering[InternalRow]]
-    new TopKHeapBuffer(keyProj, rowOrd, k)
+    val rankedProj = rankedOutput
+      .map(out => UnsafeProjection.create(out, out)).orNull
+    new TopKHeapBuffer(keyProj, rowOrd, k, rankedProj)
   }
 }
 
@@ -43,7 +46,8 @@ final case class TopKBufferFactory(
 final class TopKHeapBuffer(
     keyProj: UnsafeProjection,
     rowOrd: Ordering[InternalRow],
-    k: Int) {
+    k: Int,
+    rankedProj: UnsafeProjection = null) {
   private val heaps = scala.collection.mutable.HashMap
     .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
 
@@ -64,6 +68,24 @@ final class TopKHeapBuffer(
     * [[TopKPlan.TopKFinalExec]] re-prunes and sorts post-exchange). */
   def result(): Iterator[UnsafeRow] =
     heaps.valuesIterator.flatMap(_.iterator.map(_.asInstanceOf[UnsafeRow]))
+
+  /** Survivors sorted best-first per key with a 1-based rank appended
+    * (final-operator output shape). The projection's output buffer is
+    * reused row-to-row — consumers that buffer must copy, hence
+    * `TopKFinalExec.needCopyResult = true`. */
+  def resultRanked(): Iterator[UnsafeRow] = {
+    require(rankedProj != null, "buffer was not built for ranked output")
+    val rankRow = new GenericInternalRow(1)
+    val joined = new JoinedRow
+    heaps.valuesIterator.flatMap { heap =>
+      val buf = scala.collection.mutable.ArrayBuffer.from[InternalRow](heap)
+      buf.sortInPlace()(rowOrd)
+      buf.iterator.zipWithIndex.map { case (row, i) =>
+        rankRow.setInt(0, i + 1)
+        rankedProj(joined(row, rankRow))
+      }
+    }
+  }
 }
 
 /** Whole-operator top-k-per-group as a custom plan — preference tier (c)
@@ -134,19 +156,16 @@ object TopKPlan {
     * materialization per input row); the admission test itself is the same
     * generated ordering either way. The fallback path below remains for
     * `spark.sql.codegen.wholeStage=false`. */
-  final case class TopKPartialExec(grouping: Seq[Expression],
-      ordering: Seq[SortOrder], k: Int, child: SparkPlan)
-    extends UnaryExecNode with BlockingOperatorWithCodegen {
-    override def output: Seq[Attribute] = child.output
-    // Per-partition pruning moves no rows: if the child is already
-    // hash-partitioned on the grouping keys (bucketed read, prior
-    // aggregate), EnsureRequirements sees it and plans NO exchange at all.
-    override def outputPartitioning: Partitioning = child.outputPartitioning
-    override protected def doExecute(): RDD[InternalRow] =
-      child.execute().mapPartitions({ iter =>
-        prunePartition(iter, grouping, ordering, k, child.output)
-          .flatMap(_._2)
-      }, preservesPartitioning = true)
+  /** Shared drain-then-emit codegen (the SortExec blocking pattern): the
+    * child's whole pipeline stays fused in one generated loop whose body is
+    * a single `insert` into the [[TopKHeapBuffer]]; once the input is
+    * drained the stage emits via `resultMethod`. Used by both physical
+    * operators — they differ only in buffer construction and which result
+    * iterator they drain. */
+  private[plans] trait TopKCodegen extends BlockingOperatorWithCodegen {
+    self: UnaryExecNode =>
+    protected def bufferFactory: TopKBufferFactory
+    protected def resultMethod: String
 
     override def inputRDDs(): Seq[RDD[InternalRow]] =
       child.asInstanceOf[CodegenSupport].inputRDDs()
@@ -158,8 +177,7 @@ object TopKPlan {
     override protected def doProduce(ctx: CodegenContext): String = {
       val needInput = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
         "topkNeedInput", v => s"$v = true;")
-      val factory = ctx.addReferenceObj("topkFactory",
-        TopKBufferFactory(grouping, ordering, k, child.output),
+      val factory = ctx.addReferenceObj("topkFactory", bufferFactory,
         classOf[TopKBufferFactory].getName)
       bufferTerm = ctx.addMutableState(classOf[TopKHeapBuffer].getName,
         "topkBuffer", v => s"$v = $factory.create();")
@@ -177,7 +195,7 @@ object TopKPlan {
         |if ($needInput) {
         |  $drainInput();
         |  $needInput = false;
-        |  $outIter = $bufferTerm.result();
+        |  $outIter = $bufferTerm.$resultMethod();
         |}
         |while ($limitNotReachedCond $outIter.hasNext()) {
         |  UnsafeRow $row = (UnsafeRow) $outIter.next();
@@ -193,6 +211,25 @@ object TopKPlan {
         |${row.code}
         |$bufferTerm.insert((UnsafeRow) ${row.value});
         |""".stripMargin
+  }
+
+  final case class TopKPartialExec(grouping: Seq[Expression],
+      ordering: Seq[SortOrder], k: Int, child: SparkPlan)
+    extends UnaryExecNode with TopKCodegen {
+    override def output: Seq[Attribute] = child.output
+    // Per-partition pruning moves no rows: if the child is already
+    // hash-partitioned on the grouping keys (bucketed read, prior
+    // aggregate), EnsureRequirements sees it and plans NO exchange at all.
+    override def outputPartitioning: Partitioning = child.outputPartitioning
+    override protected def doExecute(): RDD[InternalRow] =
+      child.execute().mapPartitions({ iter =>
+        prunePartition(iter, grouping, ordering, k, child.output)
+          .flatMap(_._2)
+      }, preservesPartitioning = true)
+
+    override protected def bufferFactory: TopKBufferFactory =
+      TopKBufferFactory(grouping, ordering, k, child.output)
+    override protected def resultMethod: String = "result"
 
     override def needCopyResult: Boolean = false // buffer rows are private copies
 
@@ -202,10 +239,12 @@ object TopKPlan {
 
   /** Post-shuffle merge: every group's surviving rows are co-located, so a
     * second bounded-heap pass yields the global top k; rows leave sorted
-    * with a 1-based rank column appended. */
+    * with a 1-based rank column appended. Codegen via [[TopKCodegen]]: the
+    * post-exchange insert loop fuses with the InputAdapter, and the ranked
+    * emit feeds the downstream stage without an iterator boundary. */
   final case class TopKFinalExec(grouping: Seq[Expression],
       ordering: Seq[SortOrder], k: Int, rankAttr: Attribute,
-      child: SparkPlan) extends UnaryExecNode {
+      child: SparkPlan) extends UnaryExecNode with TopKCodegen {
     override def output: Seq[Attribute] = child.output :+ rankAttr
     override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
     override def requiredChildDistribution: Seq[Distribution] =
@@ -214,6 +253,12 @@ object TopKPlan {
     // partitioning survives — a downstream groupBy/join on the same keys
     // plans shuffle-free on top of this operator.
     override def outputPartitioning: Partitioning = child.outputPartitioning
+
+    override protected def bufferFactory: TopKBufferFactory =
+      TopKBufferFactory(grouping, ordering, k, child.output, Some(output))
+    override protected def resultMethod: String = "resultRanked"
+    // resultRanked reuses its projection's output buffer row-to-row.
+    override def needCopyResult: Boolean = true
     override protected def doExecute(): RDD[InternalRow] = {
       val childOutput = child.output
       val allOutput = output

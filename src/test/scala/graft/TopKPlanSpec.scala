@@ -106,6 +106,10 @@ class TopKPlanSpec extends AnyFunSuite {
     // iterator boundary.
     assert("""\*\(\d+\) TopKPartial""".r.findFirstIn(p).isDefined,
       s"TopKPartialExec not codegen'd:\n$p")
+    // The final operator codegens too: its post-exchange insert loop and
+    // ranked emit run inside their own stage ("*(n) TopKFinal").
+    assert("""\*\(\d+\) TopKFinal""".r.findFirstIn(p).isDefined,
+      s"TopKFinalExec not codegen'd:\n$p")
     assert(df.count() > 0)
   }
 
