@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-time data layout for multi-dimensional scan pruning — the storage
@@ -155,6 +155,30 @@ object Layout {
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
     spark.table(table)
+  }
+
+  /** ANALYZE wrapper: table row count + per-column NDV/min/max/null stats
+    * for Catalyst's cost-based optimizer. Stats are the third leg of
+    * write-time layout (partitioning prunes, bucketing co-locates, stats
+    * let the PLANNER choose): with `spark.sql.cbo.enabled` +
+    * `spark.sql.cbo.joinReorder.enabled`, a multi-join is re-ordered by
+    * estimated intermediate size — at 100 TB the difference between
+    * filtering a dimension down to thousands of rows BEFORE it meets the
+    * fact table and materializing a fact-sized intermediate first.
+    * CostBasedJoinReorder silently skips any join whose inputs lack
+    * rowCount stats, so an un-analyzed table quietly disables the whole
+    * feature — run this after every bulk load/compaction, like the
+    * bucketed-write shuffle it amortizes over every future query.
+    * (CboSpec pins the reorder actually happening on an analyzed star.) */
+  def analyzeTable(spark: SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table name must be a plain identifier, got '$table'")
+    spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
+    if (columns.nonEmpty) {
+      val cols = columns.map(c => s"`${c.replace("`", "``")}`").mkString(", ")
+      spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
   }
 
   private def curveShape(df: DataFrame, xCol: String, yCol: String,
