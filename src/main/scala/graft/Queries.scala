@@ -1751,6 +1751,37 @@ object Queries {
     })
 
   /** Exact corpus vocabulary size (oracle-checked). */
+  /** Sharded mergeable HLL cardinality (Sketch.hllShardSketches): per-shard
+    * DataSketches binaries unioned to the global distinct-token count —
+    * register updates are max-merges, so the union over the md5-disjoint
+    * shards must estimate EXACTLY what one whole-corpus sketch estimates
+    * (merge_consistent pins that bit-equality), and the estimate must land
+    * within 10% (≈6σ at lgK=12's 1.6% rsd) of the exact count the oracle
+    * recomputes. Sketch registers differ across engines, so the estimate
+    * itself can never cross-engine-match — same bound-oracle style as
+    * sketch_kll_quantiles. */
+  private val sketchHllShards = Q("sketch_hll_shards",
+    (s, dir) => {
+      val toks = TextAnalysis.assignShards(Tables.documents(s, dir), 8)
+        .select(col("shard"), explode(TextFns.tokens(col("text"))).as("token"))
+      val merged = Sketch.hllMergedEstimate(
+        Sketch.hllShardSketches(toks, "shard", "token"))
+      val whole = toks.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("token"), 12)).as("whole_est"),
+        countDistinct(col("token")).as("n_vocab"))
+      merged.crossJoin(whole) // 1-row × 1-row
+        .select(col("n_vocab"),
+          (col("n_distinct_est") === col("whole_est")).cast("int")
+            .as("merge_consistent"),
+          (abs(col("n_distinct_est") - col("n_vocab")) * lit(100) <=
+            col("n_vocab") * lit(10)).cast("int").as("hll_within_bound"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents)
+      |SELECT count(DISTINCT token) AS n_vocab,
+      |  CAST(1 AS INTEGER) AS merge_consistent,
+      |  CAST(1 AS INTEGER) AS hll_within_bound
+      |FROM (SELECT unnest(w) AS token FROM toks)""".stripMargin))
+
   private val textVocab = Q("text_vocab",
     (s, dir) => Tables.documents(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("token"))
@@ -2871,7 +2902,7 @@ object Queries {
     pipelineDecontamLsh, pipelineTopicClusters, pipelineTopicSample,
     simCrossLshTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
-    sketchKllByGroup,
+    sketchKllByGroup, sketchHllShards,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift,
     simLshTopk, simLshMultiprobe, simQuantize,

@@ -119,4 +119,26 @@ object Sketch {
   def bucketSql(termSql: String, i: Int, width: Int): String =
     s"((${TextFns.md5Base28Sql(s"md5($termSql)")}) * ${TextFns.minhashA(i)} + " +
       s"${TextFns.minhashB(i)}) % ${TextFns.MinhashPrime} % $width"
+
+  /** Per-shard mergeable cardinality sketches (Spark's DataSketches HLL):
+    * one small BINARY per `shardCol` value — the incremental-index idea
+    * applied to cardinality. Persist the frame; a later batch sketches
+    * itself the same way and [[hllMergedEstimate]] over the UNION of the
+    * stored frames answers "distinct across everything so far" without
+    * rescanning any shard. Register updates are max-merges, so a union of
+    * sketches over disjoint row sets is bit-identical to one sketch over
+    * the whole — sharding costs no accuracy (SketchSpec pins estimate
+    * equality, and the rank error stays the published HLL bound:
+    * rsd ≈ 1.04/√2^lgK, 1.6% at the default lgK = 12). */
+  def hllShardSketches(df: DataFrame, shardCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(shardCol).as("shard"))
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Union the stored shard sketches (strict: mixed lgK is an error, not a
+    * silent downgrade) and estimate the global distinct count. */
+  def hllMergedEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(hll_sketch_estimate(
+      hll_union_agg(col("sketch"), false)).as("n_distinct_est"))
 }

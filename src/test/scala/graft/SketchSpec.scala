@@ -101,3 +101,57 @@ class KllQuantilesSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 }
+
+/** Mergeable HLL shard sketches (Sketch.hllShardSketches): union over
+  * disjoint shards ≡ one whole-corpus sketch, and the persisted-binary
+  * incremental path. */
+class HllShardSpec extends AnyFunSuite {
+  import graft.operators.{Sketch, TextAnalysis}
+  import graft.functions.TextFns
+  import org.apache.spark.sql.functions._
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def toks = TextAnalysis.assignShards(Tables.documents(spark, dir), 8)
+    .select(col("shard"), col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("token"))
+
+  test("union of disjoint shard sketches estimates EXACTLY the whole-corpus sketch") {
+    val merged = Sketch.hllMergedEstimate(
+        Sketch.hllShardSketches(toks, "shard", "token"))
+      .collect().head.getLong(0)
+    val whole = toks
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("token"), 12)))
+      .collect().head.getLong(0)
+    assert(merged == whole, s"merged=$merged whole=$whole")
+    val exact = toks.agg(countDistinct(col("token"))).collect().head.getLong(0)
+    assert(math.abs(merged - exact) * 100 <= exact * 10,
+      s"estimate $merged vs exact $exact outside 10%")
+  }
+
+  test("incremental: persisted batch sketches union with a new batch, no rescan") {
+    val out = java.nio.file.Files.createTempDirectory("hll-idx").toString
+    val batch1 = toks.where(col("doc_id") % 2 === 0)
+    val batch2 = toks.where(col("doc_id") % 2 =!= 0)
+    // Batch 1's sketches persist as the index; batch 1 rows are never read
+    // again. Shard by the SAME column so batch 2's sketches align.
+    Sketch.hllShardSketches(batch1, "shard", "token")
+      .write.mode("overwrite").parquet(out)
+    val stored = spark.read.parquet(out)
+    val fresh = Sketch.hllShardSketches(batch2, "shard", "token")
+    val inc = Sketch.hllMergedEstimate(stored.unionByName(fresh))
+      .collect().head.getLong(0)
+    val whole = Sketch.hllMergedEstimate(
+        Sketch.hllShardSketches(toks, "shard", "token"))
+      .collect().head.getLong(0)
+    assert(inc == whole, s"incremental=$inc whole=$whole")
+  }
+
+  test("sketch artifact is small: bytes per shard bounded by the register array") {
+    val sizes = Sketch.hllShardSketches(toks, "shard", "token")
+      .select(length(col("sketch"))).collect().map(_.getInt(0))
+    assert(sizes.length == 8)
+    // HLL_8 at lgK=12: ~4 KB of registers + header, corpus-size-invariant.
+    assert(sizes.forall(_ <= 8192), s"sketch sizes: ${sizes.toSeq}")
+  }
+}
