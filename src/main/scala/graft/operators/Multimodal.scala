@@ -277,6 +277,16 @@ object Multimodal {
     * bucket-capped as in the batch operator; the same exact Σ|Δblock|
     * verify runs over the union of batch signatures and the index.
     *
+    * Cap semantics (same contract as `Dedup.minhashCandidatesIncremental`):
+    * each SIDE truncates its own (band, key) buckets to the `maxBucket`
+    * smallest asset_ids. For buckets under the cap — the normal case; run
+    * exact dedup first so identical images never pile up — the output is
+    * exactly [[nearDupImages]] over the union minus its history-history
+    * pairs (the MultimodalSpec equivalence case). A bucket OVER the cap
+    * diverges deterministically from the single-corpus run (which caps
+    * across both sides at once) while keeping the same C(cap,2)-per-side
+    * blowup bound — the bound is the contract there, not equivalence.
+    *
     * `historyIndex` is referenced TWICE in the plan (banding + verify).
     * The intended backing is a parquet [[signatureIndex]] load — a few
     * integers per asset, cheap to rescan — so the operator does not

@@ -142,26 +142,18 @@ object TopKPlan {
     }
   }
 
-  /** Per-partition bounded heaps: for every group key seen in the
-    * partition, keep the k best rows; emit them unranked (map-side prune,
-    * shuffle-input shape).
-    *
-    * Codegen ([[BlockingOperatorWithCodegen]], the SortExec pattern): the
+  /** Shared drain-then-emit codegen (the SortExec blocking pattern): the
     * child's whole pipeline — scan, filters, projections — stays fused in
     * one generated loop whose body is a single `insert` into the
-    * [[TopKHeapBuffer]]; once the input is drained the stage emits the
-    * survivors. What this buys over the interpreted `doExecute` fallback
-    * is the removal of the per-row iterator boundary between the child's
-    * codegen stage and the heap (volatile hasNext/next calls + row
+    * [[TopKHeapBuffer]]; once the input is drained the stage emits via
+    * `resultMethod`. What this buys over the interpreted `doExecute`
+    * fallback is the removal of the per-row iterator boundary between the
+    * child's codegen stage and the heap (volatile hasNext/next calls + row
     * materialization per input row); the admission test itself is the same
-    * generated ordering either way. The fallback path below remains for
+    * generated ordering either way. Used by both physical operators — they
+    * differ only in buffer construction and which result iterator they
+    * drain; each keeps its interpreted fallback for
     * `spark.sql.codegen.wholeStage=false`. */
-  /** Shared drain-then-emit codegen (the SortExec blocking pattern): the
-    * child's whole pipeline stays fused in one generated loop whose body is
-    * a single `insert` into the [[TopKHeapBuffer]]; once the input is
-    * drained the stage emits via `resultMethod`. Used by both physical
-    * operators — they differ only in buffer construction and which result
-    * iterator they drain. */
   private[plans] trait TopKCodegen extends BlockingOperatorWithCodegen {
     self: UnaryExecNode =>
     protected def bufferFactory: TopKBufferFactory
@@ -213,6 +205,9 @@ object TopKPlan {
         |""".stripMargin
   }
 
+  /** Per-partition bounded heaps: for every group key seen in the
+    * partition, keep the k best rows; emit them unranked (map-side prune,
+    * shuffle-input shape). Codegen via [[TopKCodegen]]. */
   final case class TopKPartialExec(grouping: Seq[Expression],
       ordering: Seq[SortOrder], k: Int, child: SparkPlan)
     extends UnaryExecNode with TopKCodegen {

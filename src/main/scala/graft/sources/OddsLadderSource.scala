@@ -53,16 +53,22 @@ object OddsLadderSource {
     OddsFns.Ladder.map(v => (v, stepOf(math.abs(v))))
   }
 
+  /** The ONE name→accessor mapping, shared by filter compilation and the
+    * reader's projection so the two can never drift when a column is
+    * added. */
+  private[sources] def accessor(attr: String): Option[((Int, Int)) => Int] =
+    attr match {
+      case "odds" => Some(_._1)
+      case "band_step" => Some(_._2)
+      case _ => None
+    }
+
   /** Source-side predicate evaluation. Returns None for filters the source
     * cannot evaluate (they stay residual — Spark re-applies them), Some(p)
     * for the ones it can. Both columns are non-nullable ints, so IsNotNull
     * is trivially true. */
   private[sources] def compile(f: Filter): Option[(Int, Int) => Boolean] = {
-    def colv(attr: String): Option[((Int, Int)) => Int] = attr match {
-      case "odds" => Some(_._1)
-      case "band_step" => Some(_._2)
-      case _ => None
-    }
+    def colv(attr: String): Option[((Int, Int)) => Int] = accessor(attr)
     def num(v: Any): Option[Int] = v match {
       case i: Int => Some(i)
       case l: Long if l.isValidInt => Some(l.toInt)
@@ -143,12 +149,9 @@ private class LadderReaderFactory(pushed: Array[Filter], required: StructType)
     new PartitionReader[InternalRow] {
       private val preds = pushed.flatMap(OddsLadderSource.compile)
       private val proj: Array[((Int, Int)) => Int] =
-        required.fields.map(_.name match {
-          case "odds" => (r: (Int, Int)) => r._1
-          case "band_step" => (r: (Int, Int)) => r._2
-          case other => throw new IllegalArgumentException(
-            s"odds_ladder has no column $other")
-        })
+        required.fields.map(f => OddsLadderSource.accessor(f.name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"odds_ladder has no column ${f.name}")))
       private val it = OddsLadderSource.rows.iterator
         .filter(r => preds.forall(p => p(r._1, r._2)))
       private var current: (Int, Int) = _

@@ -80,12 +80,15 @@ class CboSpec extends AnyFunSuite {
   }
 
   test("analyzeTable records row counts the planner can read") {
-    val stats = spark.table("customer_cbo").queryExecution
-      .optimizedPlan.stats
+    // Self-contained: own table, so the test runs in isolation.
+    spark.sql("DROP TABLE IF EXISTS nation_cbo")
+    Tables.nation(spark, sf).write.saveAsTable("nation_cbo")
+    Layout.analyzeTable(spark, "nation_cbo", Seq("n_nationkey"))
+    val stats = spark.table("nation_cbo").queryExecution.optimizedPlan.stats
     // sizeInBytes is always populated; rowCount only via ANALYZE.
     withConf("spark.sql.cbo.enabled" -> "true") {
-      val s = spark.table("customer_cbo").queryExecution.optimizedPlan.stats
-      assert(s.rowCount.exists(_.toLong == 150L), s"rowCount: ${s.rowCount}")
+      val s = spark.table("nation_cbo").queryExecution.optimizedPlan.stats
+      assert(s.rowCount.exists(_.toLong == 25L), s"rowCount: ${s.rowCount}")
     }
     assert(stats.sizeInBytes > 0)
   }

@@ -1269,9 +1269,11 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("incremental image near-dup: batch-vs-index equals full run minus history-history") {
-    // Dups planted to STRADDLE the split (history = id % 7 == 0):
-    // 266 ≡ 10 exactly (both non-hist), 7 is hist and near 11 (Δa=4, Δb=49
-    // → too far) but 14 (hist) vs 15: Δa=1, Δb=7 → Σ=64; also random ids.
+    // Dups planted to STRADDLE the split (history = id % 7 == 0; note
+    // 266 = 7·38 is HISTORY): 266 ≡ 10 exactly (a history pair), 10-11 and
+    // 11-13 are batch-batch near dups (Σ=64, 128), 14 (hist) vs 15 (batch)
+    // Σ=64, 7 (hist) vs 11 shares no nibble band within reach (Δa=4,
+    // Δb=28 → Σ=256, verify-rejected); plus random ids for boundary pairs.
     val ids = (Seq(10L, 11L, 13L, 14L, 15L, 266L, 7L, 21L, 22L) ++
       new scala.util.Random(7).shuffle((0L until 3000L).toVector).take(20)).distinct
     def docsOf(xs: Seq[Long]) = xs.map(i => (i, s"doc $i", "en", "s", 5L))
