@@ -1306,6 +1306,35 @@ class MultimodalSpec extends AnyFunSuite {
       s"incremental=${incNorm.toSeq.sorted} full=${fullMinusHist.toSeq.sorted}")
   }
 
+  test("incremental image near-dup: over-cap buckets stay bounded, smallest ids win") {
+    // 6 EXACT image dups (ids ≡ 10 mod 256·? — use +256k steps so a and b
+    // both wrap identically): history gets 3, batch gets 3, cap = 2 per
+    // side. Every (band, key) bucket holds all 6; each side keeps its 2
+    // smallest asset_ids, so the output must be exactly the pairs among
+    // {batch: 2 smallest} × {hist: 2 smallest} plus the one batch-batch
+    // pair — bounded at C(cap,2) + cap², never C(6,2).
+    // 10 + 256k is ≡ 0 mod 7 iff k ≡ 1 mod 7: k ∈ {1, 8, 15} → history,
+    // k ∈ {0, 2, 3} → batch.
+    val ids = Seq(10L, 266L, 522L, 778L, 2058L, 3850L)
+    def docsOf(xs: Seq[Long]) = xs.map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hist = ids.filter(_ % 7 == 0)   // 266, 1034 (266=7·38, 1034=?)
+    val batch = ids.filterNot(_ % 7 == 0)
+    val idx = Multimodal.signatureIndex(spark,
+      Multimodal.synthesizeImages(spark, docsOf(hist)).repartition(2))
+    val got = Multimodal.nearDupImagesIncremental(spark,
+        Multimodal.synthesizeImages(spark, docsOf(batch)).repartition(2), idx,
+        maxBucket = 2)
+      .select("asset_a", "asset_b", "origin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val keptBatch = batch.sorted.take(2)
+    val keptHist = hist.sorted.take(2)
+    val want =
+      (for (a <- keptBatch; b <- keptHist) yield (a, b, "history")).toSet ++
+        (for (a <- keptBatch; b <- keptBatch if a < b) yield (a, b, "batch")).toSet
+    assert(got == want, s"got=$got want=$want (hist=$hist batch=$batch)")
+  }
+
   test("perceptual-hash near-dup: signatures decode once, reused from cache") {
     // The plan references the signature frame 4x (banded self-join sides +
     // verify re-join sides); the persist inside nearDupImages must serve
