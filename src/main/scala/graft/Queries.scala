@@ -1782,6 +1782,45 @@ object Queries {
       |  CAST(1 AS INTEGER) AS hll_within_bound
       |FROM (SELECT unnest(w) AS token FROM toks)""".stripMargin))
 
+  /** HLL distinct-overlap estimate (Sketch.hllOverlapEstimate): the
+    * inclusion–exclusion decontamination sizer — shared-vocabulary count
+    * between the train split and the eval split from two sketch scans and
+    * NO join. The bound is stated against the exact UNION size (each HLL
+    * term's error scales with the set it sketches, so the difference
+    * carries union-scale absolute error — that is the honest envelope for
+    * an inclusion–exclusion estimate, not a fraction of the overlap
+    * itself). Exact columns recomputed by DuckDB; bound flags oracled as
+    * constants like the other sketch gates. */
+  private val sketchHllOverlap = Q("sketch_hll_overlap",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def toks(f: DataFrame) =
+        f.select(explode(TextFns.tokens(col("text"))).as("token"))
+      val train = toks(docs.where(pmod(col("doc_id"), lit(7)) =!= 0))
+      val evalT = toks(docs.where(pmod(col("doc_id"), lit(7)) === 0))
+      val est = Sketch.hllOverlapEstimate(train, "token", evalT, "token")
+      val exact = train.select("token").distinct()
+        .join(evalT.select("token").distinct(), "token")
+        .agg(count(lit(1)).as("n_overlap_exact"))
+      val union = train.unionByName(evalT)
+        .agg(countDistinct(col("token")).as("n_union_exact"))
+      est.crossJoin(exact).crossJoin(union) // 1-row frames
+        .select(col("n_overlap_exact"), col("n_union_exact"),
+          (abs(col("n_intersect_est") - col("n_overlap_exact")) * lit(100) <=
+            col("n_union_exact") * lit(10)).cast("int").as("overlap_within_bound"),
+          (abs(col("n_union_est") - col("n_union_exact")) * lit(100) <=
+            col("n_union_exact") * lit(10)).cast("int").as("union_within_bound"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |occ AS (SELECT doc_id, unnest(w) AS token FROM toks),
+      |t AS (SELECT DISTINCT token FROM occ WHERE doc_id % 7 <> 0),
+      |e AS (SELECT DISTINCT token FROM occ WHERE doc_id % 7 = 0)
+      |SELECT
+      |  (SELECT count(*) FROM t JOIN e USING (token)) AS n_overlap_exact,
+      |  (SELECT count(*) FROM (SELECT token FROM t UNION SELECT token FROM e)) AS n_union_exact,
+      |  CAST(1 AS INTEGER) AS overlap_within_bound,
+      |  CAST(1 AS INTEGER) AS union_within_bound""".stripMargin))
+
   private val textVocab = Q("text_vocab",
     (s, dir) => Tables.documents(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("token"))
@@ -2902,7 +2941,7 @@ object Queries {
     pipelineDecontamLsh, pipelineTopicClusters, pipelineTopicSample,
     simCrossLshTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
-    sketchKllByGroup, sketchHllShards,
+    sketchKllByGroup, sketchHllShards, sketchHllOverlap,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift,
     simLshTopk, simLshMultiprobe, simQuantize,

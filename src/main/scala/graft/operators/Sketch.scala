@@ -141,4 +141,33 @@ object Sketch {
   def hllMergedEstimate(sketches: DataFrame): DataFrame =
     sketches.agg(hll_sketch_estimate(
       hll_union_agg(col("sketch"), false)).as("n_distinct_est"))
+
+  /** Distinct-overlap estimate between two value streams by
+    * inclusion–exclusion over HLL sketches: |A∩B| ≈ |A| + |B| − |A∪B|,
+    * each term one sketch estimate. The decontamination sizing tool: "how
+    * many distinct n-grams does the training corpus share with the eval
+    * set" over 100 TB costs two sketch scans (each persistable and
+    * shardable via [[hllShardSketches]]) and NO join — run it to decide
+    * whether the exact `TextAnalysis.contamination` join is worth
+    * scheduling.
+    *
+    * Error contract (document it wherever the number is shown): each term
+    * carries the HLL rsd (≈1.6% at lgK 12), so the DIFFERENCE carries an
+    * absolute error on the scale of |A∪B|·rsd — fine for overlaps that are
+    * a meaningful fraction of the union, meaningless for overlaps far
+    * below it (the estimate can even go negative; callers clamp at 0).
+    * Output: 1 row (n_a_est, n_b_est, n_union_est, n_intersect_est). */
+  def hllOverlapEstimate(dfA: DataFrame, colA: String,
+      dfB: DataFrame, colB: String, lgK: Int = 12): DataFrame = {
+    val sa = dfA.agg(hll_sketch_agg(col(colA), lgK).as("ska"))
+    val sb = dfB.agg(hll_sketch_agg(col(colB), lgK).as("skb"))
+    sa.crossJoin(sb) // 1-row × 1-row
+      .select(
+        hll_sketch_estimate(col("ska")).as("n_a_est"),
+        hll_sketch_estimate(col("skb")).as("n_b_est"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+          .as("n_union_est"))
+      .withColumn("n_intersect_est",
+        greatest(col("n_a_est") + col("n_b_est") - col("n_union_est"), lit(0L)))
+  }
 }

@@ -155,3 +155,32 @@ class HllShardSpec extends AnyFunSuite {
     assert(sizes.forall(_ <= 8192), s"sketch sizes: ${sizes.toSeq}")
   }
 }
+
+/** Inclusion–exclusion overlap estimation (Sketch.hllOverlapEstimate). */
+class HllOverlapSpec extends AnyFunSuite {
+  import graft.operators.Sketch
+  import org.apache.spark.sql.functions._
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("known overlap: ranges 0..999 and 500..1499 estimate ~500 within union-scale error") {
+    val a = (0 until 1000).map(i => s"tok-$i").toDF("t")
+    val b = (500 until 1500).map(i => s"tok-$i").toDF("t")
+    val r = Sketch.hllOverlapEstimate(a, "t", b, "t").collect().head
+    val (na, nb, nu, ni) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(math.abs(na - 1000) * 100 <= 1000 * 10, s"n_a_est=$na")
+    assert(math.abs(nb - 1000) * 100 <= 1000 * 10, s"n_b_est=$nb")
+    assert(math.abs(nu - 1500) * 100 <= 1500 * 10, s"n_union_est=$nu")
+    assert(math.abs(ni - 500) * 100 <= 1500 * 10,
+      s"n_intersect_est=$ni outside union-scale bound")
+  }
+
+  test("disjoint sets: estimate clamps at zero, never negative") {
+    val a = (0 until 500).map(i => s"left-$i").toDF("t")
+    val b = (0 until 500).map(i => s"right-$i").toDF("t")
+    val ni = Sketch.hllOverlapEstimate(a, "t", b, "t")
+      .select("n_intersect_est").collect().head.getLong(0)
+    assert(ni >= 0, s"clamp failed: $ni")
+    assert(ni * 100 <= 1000 * 10, s"disjoint estimate too large: $ni")
+  }
+}
