@@ -1790,7 +1790,10 @@ object Queries {
     * carries union-scale absolute error — that is the honest envelope for
     * an inclusion–exclusion estimate, not a fraction of the overlap
     * itself). Exact columns recomputed by DuckDB; bound flags oracled as
-    * constants like the other sketch gates. */
+    * constants like the other sketch gates. The Spark-side exact twins
+    * (distinct-join overlap, union countDistinct) exist ONLY to gate the
+    * estimate — they re-tokenize the corpus on purpose; the production
+    * operator is the two sketch scans alone. */
   private val sketchHllOverlap = Q("sketch_hll_overlap",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
