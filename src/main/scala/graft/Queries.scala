@@ -1038,6 +1038,39 @@ object Queries {
   /** SCD Type-2 history (Upsert.scd2FromChanges): every UPSERT becomes a
     * version row with [valid_from, valid_to); a later change of either op
     * closes the previous version. Same change log as u_merge_upsert. */
+  /** Dataset-version diff (Upsert.snapshotDiff): two snapshots derived
+    * from documents — A drops doc_id % 11 = 0, B drops % 13 = 0 and
+    * rewrites every % 5 = 0 text — and the diff must classify every key as
+    * added/removed/changed/unchanged via the length-prefixed md5
+    * fingerprint both engines recompute independently. */
+  private val uSnapshotDiff = Q("u_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val snapA = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+      val snapB = docs.where(pmod(col("doc_id"), lit(13)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Upsert.snapshotDiff(snapA, snapB, "doc_id", Seq("text", "lang"))
+    },
+    Some("""WITH a AS (SELECT doc_id,
+      |    md5(CAST(length(text) AS VARCHAR) || ' ' || text || ' ' ||
+      |        CAST(length(lang) AS VARCHAR) || ' ' || lang) AS fp_a
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |b0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text, lang
+      |  FROM documents WHERE doc_id % 13 <> 0),
+      |b AS (SELECT doc_id,
+      |    md5(CAST(length(text) AS VARCHAR) || ' ' || text || ' ' ||
+      |        CAST(length(lang) AS VARCHAR) || ' ' || lang) AS fp_b
+      |  FROM b0)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN fp_a <> fp_b THEN 'changed' ELSE 'unchanged' END AS status,
+      |  fp_a, fp_b
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin))
+
   private val uScd2History = Q("u_scd2_history",
     (s, dir) => {
       val changes = Tables.events(s, dir)
@@ -2923,7 +2956,7 @@ object Queries {
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
     aggGroupingSets, jScalarSubquery,
     xFlagshipFlatten, xFlagshipC4Strict, x3BranchUnion, xSetOps, seedingPipeline,
-    uMergeUpsert, uScd2History,
+    uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,

@@ -113,3 +113,39 @@ class UpsertSpec extends AnyFunSuite {
     assert(!rebuilt.exists(r => r._1 == 2L && r._5.isEmpty), "deleted key fully closed")
   }
 }
+
+/** Dataset-version diff (Upsert.snapshotDiff). */
+class SnapshotDiffSpec extends AnyFunSuite {
+  import graft.operators.Upsert
+  import org.apache.spark.sql.functions._
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("added/removed/changed/unchanged classification") {
+    val a = Seq((1L, "x", "en"), (2L, "y", "en"), (3L, "z", "de"))
+      .toDF("k", "t", "l")
+    val b = Seq((2L, "y", "en"), (3L, "z CHANGED", "de"), (4L, "w", "fr"))
+      .toDF("k", "t", "l")
+    val got = Upsert.snapshotDiff(a, b, "k", Seq("t", "l"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+  }
+
+  test("length-prefixed fingerprint: no cross-field collisions; null ≡ \"null\" is the one documented collision") {
+    // ("ab","c") vs ("a","bc"): naive space-concat would collide; the
+    // length prefix keeps them apart.
+    val a = Seq((1L, "ab", "c")).toDF("k", "t", "l")
+    val b = Seq((1L, "a", "bc")).toDF("k", "t", "l")
+    assert(Upsert.snapshotDiff(a, b, "k", Seq("t", "l"))
+      .select("status").as[String].head() == "changed")
+    // a real null differs from the literal string "null"... by length
+    // alone they match ("null" vs null -> both render "null" with len 4),
+    // so the contract is: null and "null" are NOT distinguished — pinned
+    // here so nobody assumes otherwise.
+    val an = Seq((1L, Option.empty[String], "l")).toDF("k", "t", "l")
+    val bn = Seq((1L, Option("null"), "l")).toDF("k", "t", "l")
+    assert(Upsert.snapshotDiff(an, bn, "k", Seq("t", "l"))
+      .select("status").as[String].head() == "unchanged")
+  }
+}
