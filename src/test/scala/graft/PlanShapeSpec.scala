@@ -198,6 +198,33 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE orders_b"); spark.sql("DROP TABLE lineitem_b")
   }
 
+  test("snapshotDiff on key-bucketed snapshots joins exchange-free") {
+    // The scale claim in Upsert.snapshotDiff's doc, proven: store each
+    // corpus version bucketed on the key and the version diff's full-outer
+    // join needs no shuffle at all — diffing two 100 TB snapshots moves
+    // only fingerprints within already-co-located buckets.
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, when}
+    val docs = Tables.documents(spark, sf)
+    val snapB = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")))
+    docs.write.bucketBy(4, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("snap_a_b")
+    snapB.write.bucketBy(4, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable("snap_b_b")
+    val diff = graft.operators.Upsert.snapshotDiff(
+      spark.table("snap_a_b"), spark.table("snap_b_b"), "doc_id", Seq("text"))
+    val p = plan(diff)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed snapshot diff must not shuffle:\n$p")
+    val byStatus = diff.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("changed", 0L) > 0 &&
+      byStatus.getOrElse("unchanged", 0L) > 0 &&
+      !byStatus.contains("added") && !byStatus.contains("removed"))
+    spark.sql("DROP TABLE snap_a_b"); spark.sql("DROP TABLE snap_b_b")
+  }
+
   test("runtime bloom filter injects into the big side of a selective shuffle join") {
     // The 100 TB shape: a selective dim filter grows a bloom filter that
     // prunes the fact scan BEFORE the shuffle. Note it only injects on a
