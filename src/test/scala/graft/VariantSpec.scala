@@ -59,6 +59,21 @@ class VariantSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed JSON: parse_json throws, try_parse_json nulls (quarantine gate)") {
+    val bad = Seq("""{"k": 1""", "not json", "").toDF("payload")
+    assertThrows[Exception] {
+      bad.select(parse_json(col("payload"))).collect()
+    }
+    // try_parse_json is the gate-at-ingest shape: corrupt rows become null
+    // variants to route to quarantine (same contract as the try_to_binary
+    // decode quarantine), clean rows shred normally.
+    val gated = bad.select(try_parse_json(col("payload")).as("v"))
+    assert(gated.where(col("v").isNull).count() == 3)
+    val mixed = Seq("""{"k":1}""", "nope").toDF("payload")
+      .select(try_parse_json(col("payload")).as("v"))
+    assert(mixed.where(col("v").isNotNull).count() == 1)
+  }
+
   test("shred runs unchanged over readStream (gate-at-ingest shape)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
