@@ -457,7 +457,7 @@ class KmeansIvfSpec extends AnyFunSuite {
   test("centroid persistence round-trip: saved index reproduces every assignment") {
     import graft.operators.Similarity
     val vecs = (0L until 60L).map { i =>
-      (i, Array.tabulate(4)(d => math.sin(i * 13 + d * 7).toFloat), 0)
+      (i, Array.tabulate(4)(d => math.sin((i * 13 + d * 7).toDouble).toFloat), 0)
     }.toDF("vec_id", "embedding", "label")
     val trained = Similarity.kmeansCentroidArrays(vecs, nCells = 5)
     // Parquet round-trip through a temp dir — the artifact a production
@@ -478,10 +478,10 @@ class KmeansIvfSpec extends AnyFunSuite {
   test("incremental IVF: batch assigned via loaded index == fresh index; drift gate fires on shifted batch") {
     import graft.operators.Similarity
     val hist = (0L until 50L).map { i =>
-      (i, Array.tabulate(4)(d => math.sin(i * 13 + d * 7).toFloat), 0)
+      (i, Array.tabulate(4)(d => math.sin((i * 13 + d * 7).toDouble).toFloat), 0)
     }.toDF("vec_id", "embedding", "label")
     val batch = (100L until 120L).map { i =>
-      (i, Array.tabulate(4)(d => math.sin(i * 13 + d * 7).toFloat), 0)
+      (i, Array.tabulate(4)(d => math.sin((i * 13 + d * 7).toDouble).toFloat), 0)
     }.toDF("vec_id", "embedding", "label")
     val trained = Similarity.kmeansCentroidArrays(hist, nCells = 4)
     val dir = java.nio.file.Files.createTempDirectory("ivf-incr").toString

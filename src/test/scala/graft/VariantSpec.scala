@@ -48,12 +48,12 @@ class VariantSpec extends AnyFunSuite {
     val df = Seq("""{"a":1}""").toDF("payload")
       .select(parse_json(col("payload")).as("v"))
     // Missing path: null in both modes (no error).
-    assert(df.select(variant_get(col("v"), "$.nope", "int")).head.isNullAt(0))
-    assert(df.select(try_variant_get(col("v"), "$.nope", "int")).head.isNullAt(0))
+    assert(df.select(variant_get(col("v"), "$.nope", "int")).head().isNullAt(0))
+    assert(df.select(try_variant_get(col("v"), "$.nope", "int")).head().isNullAt(0))
     // Failed typed read: try_ nulls; strict variant_get throws.
     val bad = Seq("""{"a":"xyz"}""").toDF("payload")
       .select(parse_json(col("payload")).as("v"))
-    assert(bad.select(try_variant_get(col("v"), "$.a", "int")).head.isNullAt(0))
+    assert(bad.select(try_variant_get(col("v"), "$.a", "int")).head().isNullAt(0))
     assertThrows[Exception] {
       bad.select(variant_get(col("v"), "$.a", "int")).collect()
     }
