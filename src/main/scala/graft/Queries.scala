@@ -1035,14 +1035,13 @@ object Queries {
       |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
       |WHERE l.op IS NULL OR l.op = 'UPSERT'""".stripMargin))
 
-  /** SCD Type-2 history (Upsert.scd2FromChanges): every UPSERT becomes a
-    * version row with [valid_from, valid_to); a later change of either op
-    * closes the previous version. Same change log as u_merge_upsert. */
   /** Dataset-version diff (Upsert.snapshotDiff): two snapshots derived
     * from documents — A drops doc_id % 11 = 0, B drops % 13 = 0 and
     * rewrites every % 5 = 0 text — and the diff must classify every key as
     * added/removed/changed/unchanged via the length-prefixed md5
-    * fingerprint both engines recompute independently. */
+    * fingerprint both engines recompute independently (the oracle
+    * coalesces each field to 'null' exactly like the Scala side, so a
+    * fixture regeneration introducing NULL text/lang stays hash-equal). */
   private val uSnapshotDiff = Q("u_snapshot_diff",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1054,15 +1053,15 @@ object Queries {
       Upsert.snapshotDiff(snapA, snapB, "doc_id", Seq("text", "lang"))
     },
     Some("""WITH a AS (SELECT doc_id,
-      |    md5(CAST(length(text) AS VARCHAR) || ' ' || text || ' ' ||
-      |        CAST(length(lang) AS VARCHAR) || ' ' || lang) AS fp_a
+      |    md5(CAST(length(coalesce(text, 'null')) AS VARCHAR) || ' ' || coalesce(text, 'null') || ' ' ||
+      |        CAST(length(coalesce(lang, 'null')) AS VARCHAR) || ' ' || coalesce(lang, 'null')) AS fp_a
       |  FROM documents WHERE doc_id % 11 <> 0),
       |b0 AS (SELECT doc_id,
       |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text, lang
       |  FROM documents WHERE doc_id % 13 <> 0),
       |b AS (SELECT doc_id,
-      |    md5(CAST(length(text) AS VARCHAR) || ' ' || text || ' ' ||
-      |        CAST(length(lang) AS VARCHAR) || ' ' || lang) AS fp_b
+      |    md5(CAST(length(coalesce(text, 'null')) AS VARCHAR) || ' ' || coalesce(text, 'null') || ' ' ||
+      |        CAST(length(coalesce(lang, 'null')) AS VARCHAR) || ' ' || coalesce(lang, 'null')) AS fp_b
       |  FROM b0)
       |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
       |  CASE WHEN a.doc_id IS NULL THEN 'added'
@@ -1071,6 +1070,9 @@ object Queries {
       |  fp_a, fp_b
       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin))
 
+  /** SCD Type-2 history (Upsert.scd2FromChanges): every UPSERT becomes a
+    * version row with [valid_from, valid_to); a later change of either op
+    * closes the previous version. Same change log as u_merge_upsert. */
   private val uScd2History = Q("u_scd2_history",
     (s, dir) => {
       val changes = Tables.events(s, dir)

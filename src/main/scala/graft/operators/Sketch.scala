@@ -155,7 +155,8 @@ object Sketch {
     * carries the HLL rsd (≈1.6% at lgK 12), so the DIFFERENCE carries an
     * absolute error on the scale of |A∪B|·rsd — fine for overlaps that are
     * a meaningful fraction of the union, meaningless for overlaps far
-    * below it (the estimate can even go negative; callers clamp at 0).
+    * below it (the raw inclusion–exclusion difference can go negative;
+    * the returned `n_intersect_est` is already clamped at 0 here).
     * Output: 1 row (n_a_est, n_b_est, n_union_est, n_intersect_est). */
   def hllOverlapEstimate(dfA: DataFrame, colA: String,
       dfB: DataFrame, colB: String, lgK: Int = 12): DataFrame = {

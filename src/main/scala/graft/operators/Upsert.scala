@@ -122,7 +122,14 @@ object Upsert {
     * + 32-byte hashes, never the payloads. ONE hash shuffle per side on
     * the key; at 100 TB run it on key-bucketed snapshots and the join is
     * exchange-free. Output: (key, status, fp_a, fp_b) with null fp on the
-    * absent side. */
+    * absent side.
+    *
+    * Precondition: `keyCol` must be unique and non-null within each
+    * snapshot (the contract of a published corpus version). A duplicated
+    * key cross-products in the full-outer join and double-counts the
+    * audit; a null key never equi-joins, so an identical null-keyed row
+    * reports as removed + added. Run exact dedup / a key-null gate before
+    * publishing if upstream can violate this. */
   def snapshotDiff(a: DataFrame, b: DataFrame, keyCol: String,
       fingerprintCols: Seq[String]): DataFrame = {
     require(fingerprintCols.nonEmpty, "need >= 1 fingerprint column")

@@ -1280,8 +1280,11 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val hist = ids.filter(_ % 7 == 0)
     val batch = ids.filter(_ % 7 != 0)
+    // persist: computed stand-in for the parquet-backed index load (the
+    // operator references the index twice — see its scaladoc).
     val idx = Multimodal.signatureIndex(spark,
-      Multimodal.synthesizeImages(spark, docsOf(hist)).repartition(2))
+        Multimodal.synthesizeImages(spark, docsOf(hist)).repartition(2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inc = Multimodal.nearDupImagesIncremental(spark,
         Multimodal.synthesizeImages(spark, docsOf(batch)).repartition(2), idx)
       .collect()
@@ -1313,15 +1316,18 @@ class MultimodalSpec extends AnyFunSuite {
     // smallest asset_ids, so the output must be exactly the pairs among
     // {batch: 2 smallest} × {hist: 2 smallest} plus the one batch-batch
     // pair — bounded at C(cap,2) + cap², never C(6,2).
-    // 10 + 256k is ≡ 0 mod 7 iff k ≡ 1 mod 7: k ∈ {1, 8, 15} → history,
-    // k ∈ {0, 2, 3} → batch.
+    // 10 + 256k is ≡ 0 mod 7 iff k ≡ 1 mod 7, so history = {266, 2058,
+    // 3850} (k = 1, 8, 15) and batch = {10, 522, 778} (k = 0, 2, 3).
     val ids = Seq(10L, 266L, 522L, 778L, 2058L, 3850L)
     def docsOf(xs: Seq[Long]) = xs.map(i => (i, s"doc $i", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val hist = ids.filter(_ % 7 == 0)   // 266, 1034 (266=7·38, 1034=?)
+    val hist = ids.filter(_ % 7 == 0)
     val batch = ids.filterNot(_ % 7 == 0)
+    // persist: computed stand-in for the parquet-backed index load (the
+    // operator references the index twice — see its scaladoc).
     val idx = Multimodal.signatureIndex(spark,
-      Multimodal.synthesizeImages(spark, docsOf(hist)).repartition(2))
+        Multimodal.synthesizeImages(spark, docsOf(hist)).repartition(2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val got = Multimodal.nearDupImagesIncremental(spark,
         Multimodal.synthesizeImages(spark, docsOf(batch)).repartition(2), idx,
         maxBucket = 2)

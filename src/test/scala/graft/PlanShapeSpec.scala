@@ -227,11 +227,14 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("runtime bloom filter injects into the big side of a selective shuffle join") {
     // The 100 TB shape: a selective dim filter grows a bloom filter that
-    // prunes the fact scan BEFORE the shuffle. Note it only injects on a
-    // plain scan leg — the micro-fixture fan-out repartition in Tables
-    // blocks the pattern (same class of effect as the decode_roundtrip
-    // pushdown lesson), so this guard drives raw scans. Thresholds are
-    // forced because local test files are tiny.
+    // prunes the fact scan BEFORE the shuffle. Raw scan legs keep this
+    // guard deterministic: whether a Tables-loaded leg also qualifies
+    // depends on whether its size-gated fan-out repartition engaged (tiny
+    // single-row-group files skip it, real layouts may not — same class
+    // of effect as the decode_roundtrip pushdown lesson). Thresholds are
+    // forced because local test files are tiny; the two size gates point
+    // OPPOSITE ways — creation (dim) side must be UNDER its threshold,
+    // application (fact) scan OVER its own.
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
@@ -299,47 +302,6 @@ class PlanShapeSpec extends AnyFunSuite {
       val finalPlan = joined.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
         s"AQE skew-join must split the hot partition:\n$finalPlan")
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
-    }
-  }
-
-  test("optimizer injects a runtime bloom filter on the fact side of a selective dim join") {
-    // InjectRuntimeFilter: when a dim side arrives filtered, Spark can
-    // build a bloom over its join keys and semi-filter the FACT scan before
-    // the shuffle — the optimizer-native version of Dedup's manual blooms,
-    // and at 100 TB the difference between shuffling the whole fact table
-    // and shuffling the ~selectivity fraction that can possibly match.
-    // Size thresholds (meant for real tables) are dropped so the tiny test
-    // tables qualify; the feature itself ships enabled by default.
-    val conf = spark.conf
-    // autoBroadcast off: a broadcast join needs no runtime filter (the
-    // whole dim rides to every task anyway) — the feature targets
-    // SHUFFLE joins, so force one, as a fact-fact join would at scale.
-    // The two size gates point OPPOSITE ways: the creation (dim) side must
-    // be UNDER its threshold (cheap to build), the application (fact) scan
-    // must be OVER its threshold (worth filtering; default 10 GB). Only
-    // the latter needs lowering for the tiny test tables.
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
-    keys.foreach { case (k, v) => conf.set(k, v) }
-    try {
-      import org.apache.spark.sql.functions.col
-      val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
-      val dim = Tables.orders(spark, sf)
-        .where(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey")
-      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
-      val optimized = joined.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("bloom_filter_agg") ||
-          optimized.contains("BloomFilterMightContain") ||
-          optimized.toLowerCase.contains("mightcontain"),
-        s"no runtime bloom filter injected:\n$optimized")
-      assert(joined.collect().nonEmpty) // and the filtered join still runs
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
