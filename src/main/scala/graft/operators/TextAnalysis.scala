@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 import graft.plans.Stage
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -207,7 +207,8 @@ object TextAnalysis {
     *      shingle (hashing first keeps the shuffle key at 32 bytes no
     *      matter how long the span text is);
     *   2. a hash AGGREGATE per shingle hash — occurrence count plus the
-    *      global first occurrence as `min(struct(doc_id, pos))` — filtered
+    *      global first occurrence as a packed-long min (see
+    *      [[packedFirst]]; BIGINT buffer ⇒ HashAggregate) — filtered
     *      to duplicated shingles and equi-joined back marks every non-first
     *      occurrence. Deliberately NOT a row_number window: the aggregate
     *      combines map-side (the shuffle carries one partial per hash per
@@ -262,15 +263,37 @@ object TextAnalysis {
     * several times the corpus itself; at 100 TB caching it costs far more
     * than the second narrow scan+hash pass it would save. Recompute is
     * the scale-correct trade here. */
+  /** Packed-long global-first encoding: min(doc_id·2^24 + pos) is the
+    * lexicographic (doc_id, pos) min whenever 0 ≤ pos < 2^24 and doc_id
+    * fits the remaining 39 bits. The payoff is the aggregation BUFFER
+    * type: a BIGINT min hash-aggregates (partial HashAggregate, no
+    * per-task sort), where the former min(struct(...)) planned as
+    * SortAggregate — the round-8 NOTES residual, now taken because the
+    * range assumption is GUARDED, not assumed: an out-of-range row
+    * raises with a clear message instead of silently mis-ranking. 2^24
+    * tokens per document is ~64 MB of text — far past any sane document
+    * splitter; chunk upstream (chunkDocuments) if a corpus violates it. */
+  private val PosBits = 24
+  private val PosCap: Long = 1L << PosBits
+  private val DocCap: Long = Long.MaxValue >> PosBits
+
+  private def packedFirst: Column =
+    when(col("pos") >= PosCap || col("doc_id") < 0 || col("doc_id") >= DocCap,
+      raise_error(concat(
+        lit(s"span packing needs 0 <= pos < $PosCap and 0 <= doc_id < $DocCap, got ("),
+        col("doc_id"), lit(", "), col("pos"), lit(")"))).cast("long"))
+      .otherwise(col("doc_id") * PosCap + col("pos"))
+
   private def substrBatchDups(anchors: DataFrame): DataFrame = {
     val dupFirsts = anchors
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .agg(count(lit(1)).as("cnt"), min(packedFirst).as("first_packed"))
       .where(col("cnt") > 1)
+    // Probe side re-packs without the guard arm: any out-of-range row is
+    // in BOTH subtrees (anchors is recomputed, not persisted), so the
+    // aggregate build is guaranteed to raise before a result can commit.
     anchors.join(dupFirsts, "h")
-      .where(col("doc_id") =!= col("first.doc_id") ||
-        col("pos") =!= col("first.pos"))
+      .where(col("doc_id") * PosCap + col("pos") =!= col("first_packed"))
   }
 
   /** (doc_id, pos) duplicate occurrences → per-document sorted coverage. */

@@ -1022,8 +1022,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     // fresh query) so AQE finalizes it, then read the adaptive result.
     out.queryExecution.toRdd.count()
     val planStr = out.queryExecution.executedPlan.toString
-    assert(planStr.contains("partial_min(struct(doc_id"),
+    assert(planStr.contains("partial_min("),
       s"dup-marking must partial-aggregate below the h-shuffle:\n$planStr")
+    // Packed-long min buffers as BIGINT ⇒ the dup-marking aggregate must
+    // be a HashAggregate, never the struct-min SortAggregate it once was.
+    assert(!planStr.contains("SortAggregate"),
+      s"dup-marking must hash-aggregate (packed-long min):\n$planStr")
     assert(planStr.contains("BroadcastHashJoin"),
       s"dupFirsts (1 row here) must broadcast under AQE runtime stats:\n$planStr")
     assert(!planStr.contains("Window"), "span dedup must stay window-free")
