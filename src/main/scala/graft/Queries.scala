@@ -854,6 +854,30 @@ object Queries {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
 
+  /** Incremental aggregate maintenance (IncrementalAgg): three year-sliced
+    * batches of orders each build mergeable per-key state; the merged +
+    * finalized result must equal one aggregate over everything — which is
+    * exactly what the oracle computes, knowing nothing of the split. In
+    * production the history state is a persisted artifact and only the new
+    * batch is aggregated; history raw rows are never rescanned. */
+  private val aggIncrMaintain = Q("agg_incr_maintain",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val y99 = lit("1999-01-01 00:00:00").cast("timestamp")
+      val y00 = lit("2000-01-01 00:00:00").cast("timestamp")
+      IncrementalAgg.finalizeState(IncrementalAgg.merge(Seq(
+        IncrementalAgg.orderState(orders.where(col("o_orderdate") < y99)),
+        IncrementalAgg.orderState(
+          orders.where(col("o_orderdate") >= y99 && col("o_orderdate") < y00)),
+        IncrementalAgg.orderState(orders.where(col("o_orderdate") >= y00)))))
+    },
+    Some("""SELECT o_custkey AS key, count(*) AS n_orders,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_total,
+      |  min(epoch_ms(o_orderdate) // 1000) AS first_ts,
+      |  max(epoch_ms(o_orderdate) // 1000) AS last_ts,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) // count(*) AS avg_cents
+      |FROM orders GROUP BY 1""".stripMargin))
+
   /** Correlated scalar subquery (decorrelated by Catalyst into a join —
     * the declarative form survives scale because the optimizer rewrites
     * it; left as a subquery in both engines' SQL). */
@@ -2557,6 +2581,59 @@ object Queries {
       |    AND stop_hits >= 1 AND n_alpha * 10 >= n_chars * 7 AS INTEGER) AS keep
       |FROM m""".stripMargin))
 
+  /** Classifier-based quality gate (TextAnalysis.qualityModelScore): integer
+    * linear model over the quality metrics, keep ⇔ logit > 0. Weights are
+    * fixed model artifacts; the oracle recomputes the identical integer
+    * arithmetic (DuckDB `//` ≡ Spark `div` on the non-negative operands
+    * used here). */
+  private val textQualityModel = Q("text_quality_model",
+    (s, dir) => TextAnalysis.qualityModelScore(Tables.documents(s, dir)),
+    Some(s"""WITH toks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(array_to_string(w, '')) AS BIGINT) AS sum_wlen,
+      |  CAST(len(list_filter(w, t -> list_contains(['the','of','and','to','in','is','a'], t))) AS BIGINT) AS stop_hits,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+      |  CAST(length(text) AS BIGINT) AS n_chars FROM toks),
+      |f AS (SELECT doc_id, n_tokens,
+      |  (sum_wlen * 100) // greatest(n_tokens, 1) AS wlen_x100,
+      |  (stop_hits * 1000) // greatest(n_tokens, 1) AS stop_x1000,
+      |  (n_alpha * 1000) // greatest(n_chars, 1) AS alpha_x1000 FROM m),
+      |s AS (SELECT doc_id, n_tokens, wlen_x100, stop_x1000, alpha_x1000,
+      |  -2600 + 6 * stop_x1000 + 3 * alpha_x1000
+      |    - 4 * abs(wlen_x100 - 450) - 5 * abs(n_tokens - 55) AS logit FROM f)
+      |SELECT doc_id, n_tokens, wlen_x100, stop_x1000, alpha_x1000, logit,
+      |  CAST(logit > 0 AS INTEGER) AS keep
+      |FROM s""".stripMargin))
+
+  /** Record linkage over a simulated second feed (EntityResolution): every
+    * customer name re-keyed with one deterministic character deletion at
+    * position `id % len + 1`, then linked back with symmetric-delete
+    * blocking + a levenshtein ≤ 1 verify. The result carries both the
+    * planted (i, i) links and the genuine cross-entity confusables the
+    * zero-padded ids create (deleting a pad zero of one id collides with a
+    * neighbor id's deletion) — exactly what a linkage pass surfaces. The
+    * oracle mirrors block generation and verify, so recall AND precision
+    * are both checked hash-exact. */
+  private val erFuzzyPairs = Q("er_fuzzy_pairs",
+    (s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val nm = EntityResolution.normalizeName(col("name"))
+      val pos = (col("id") % greatest(length(nm), lit(1))).cast("int") + 1
+      val corrupted = base.select(col("id"),
+        concat(nm.substr(lit(1), pos - 1), nm.substr(pos + 1, length(nm))).as("name"))
+      EntityResolution.fuzzyPairs(base, corrupted)
+    },
+    Some("""WITH a0 AS (SELECT c_custkey AS id, lower(trim(regexp_replace(c_name, '\s+', ' ', 'g'))) AS nm FROM customer),
+      |b0 AS (SELECT id, substr(nm, 1, CAST(id % greatest(length(nm), 1) AS INTEGER)) || substr(nm, CAST(id % greatest(length(nm), 1) AS INTEGER) + 2) AS nm FROM a0),
+      |ka AS (SELECT id AS id_a, nm AS na, unnest(list_distinct(list_transform(range(0, length(nm) + 1), i -> CASE WHEN i = 0 THEN nm ELSE substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1) END))) AS k FROM a0),
+      |kb AS (SELECT id AS id_b, nm AS nb, unnest(list_distinct(list_transform(range(0, length(nm) + 1), i -> CASE WHEN i = 0 THEN nm ELSE substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1) END))) AS k FROM b0),
+      |cand AS (SELECT DISTINCT id_a, na, id_b, nb FROM ka JOIN kb USING (k))
+      |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
+      |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin),
+    bench = true)
+
   private val simBruteTopk = Q("sim_brute_topk",
     (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2956,7 +3033,7 @@ object Queries {
     wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, wFirstNth,
     aHistogram, sOrderbyLimit, cStringFns, cArrayFns, cMapFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
-    aggGroupingSets, jScalarSubquery,
+    aggGroupingSets, aggIncrMaintain, jScalarSubquery,
     xFlagshipFlatten, xFlagshipC4Strict, x3BranchUnion, xSetOps, seedingPipeline,
     uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
@@ -2970,7 +3047,8 @@ object Queries {
     textStats, textLangid, textTopTerms, textVocab, textVocabApprox,
     textFingerprints,
     textRepetition, textContamination, textMixtureSample,
-    textPiiRedact, textQualityRules, dedupParagraphs, dedupExactSubstr,
+    textPiiRedact, textQualityRules, textQualityModel, erFuzzyPairs,
+    dedupParagraphs, dedupExactSubstr,
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,

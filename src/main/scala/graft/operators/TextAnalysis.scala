@@ -520,15 +520,7 @@ object TextAnalysis {
   def qualityRules(documents: DataFrame, minTokens: Int = 10,
       maxTokens: Int = 100000, carry: Seq[String] = Nil): DataFrame = {
     val keep = carry.map(col)
-    val toks = Stage(documents.select(Seq(col("doc_id"), col("text")) ++ keep: _*),
-      "w", TextFns.tokens(col("text")))
-    val m = toks.select(keep ++ Seq(col("doc_id"),
-      size(col("w")).cast("long").as("n_tokens"),
-      length(array_join(col("w"), "")).cast("long").as("sum_wlen"),
-      TextFns.markerHits(col("w"), TextFns.LangMarkers.head._2)
-        .cast("long").as("stop_hits"),
-      regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("n_alpha"),
-      length(col("text")).cast("long").as("n_chars")): _*)
+    val m = qualityMetrics(documents, keep)
     val okLen = col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
     val okWordLen = col("n_tokens") > 0 &&
       col("sum_wlen") >= col("n_tokens") * 3 &&
@@ -542,6 +534,43 @@ object TextAnalysis {
       okAlpha.cast("int").as("ok_alpha"),
       (okLen && okWordLen && okStopword && okAlpha).cast("int").as("keep")): _*)
   }
+
+  /** Shared per-document metric extraction for the rule- and model-based
+    * quality gates: token count, summed word length, English stop-hits,
+    * alphabetic char count, char count — all integral, all narrow. */
+  private def qualityMetrics(documents: DataFrame, keep: Seq[Column]): DataFrame = {
+    val toks = Stage(documents.select(Seq(col("doc_id"), col("text")) ++ keep: _*),
+      "w", TextFns.tokens(col("text")))
+    toks.select(keep ++ Seq(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      length(array_join(col("w"), "")).cast("long").as("sum_wlen"),
+      TextFns.markerHits(col("w"), TextFns.LangMarkers.head._2)
+        .cast("long").as("stop_hits"),
+      regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("n_alpha"),
+      length(col("text")).cast("long").as("n_chars")): _*)
+  }
+
+  /** Model-based quality gate: a fixed-weight linear classifier over the
+    * [[qualityRules]] metrics — the engine-side half of the
+    * quality-classifier stage modern pretraining pipelines run after the
+    * hard rules (fastText/logreg-style; weights come from offline training,
+    * scoring is what has to scale). Features are integral scaled ratios
+    * (floor-div with guarded denominators) and the logit is pure integer
+    * arithmetic, so the score is bit-identical cross-engine; the gate is
+    * `logit > 0` ⇔ sigmoid(logit) > ½ — no exp(), hence no float
+    * divergence between engines. Narrow per-row math inside whole-stage
+    * codegen; no shuffle — composes with [[qualityRules]] in the scan
+    * stage of a 100 TB pipeline. */
+  def qualityModelScore(documents: DataFrame): DataFrame =
+    qualityMetrics(documents, Nil)
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sum_wlen * 100 div greatest(n_tokens, 1)").as("wlen_x100"),
+        expr("stop_hits * 1000 div greatest(n_tokens, 1)").as("stop_x1000"),
+        expr("n_alpha * 1000 div greatest(n_chars, 1)").as("alpha_x1000"))
+      .withColumn("logit",
+        lit(-2600L) + lit(6L) * col("stop_x1000") + lit(3L) * col("alpha_x1000")
+          - lit(4L) * abs(col("wlen_x100") - 450) - lit(5L) * abs(col("n_tokens") - 55))
+      .withColumn("keep", (col("logit") > 0).cast("int"))
 
   /** Windowed corpus-quality drift monitor: per (event-time window, source),
     * document volume, keep rate in basis points, and per-rule failure

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.EntityResolution
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntityResolutionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("deletion neighborhood: string itself plus each single deletion, deduped") {
+    val out = Seq("abca").toDF("s")
+      .select(EntityResolution.deletionNeighborhood(col("s")))
+      .as[Seq[String]].head()
+    assert(out.toSet == Set("abca", "bca", "aca", "aba", "abc"))
+    val empty = Seq("").toDF("s")
+      .select(EntityResolution.deletionNeighborhood(col("s")))
+      .as[Seq[String]].head()
+    assert(empty == Seq(""))
+  }
+
+  test("fuzzyPairs finds every deletion, insertion, and substitution at dist 1") {
+    val left = Seq(
+      (1L, "Anthropic Research"), // substitution target
+      (2L, "spark engine"),       // deletion target
+      (3L, "graft"),              // insertion target
+      (4L, "unrelated name")      // no partner
+    ).toDF("id", "name")
+    val right = Seq(
+      (11L, "anthropic resaarch"), // substitution (+case/space normalize)
+      (12L, "spark engin"),        // deletion
+      (13L, "grafts"),             // insertion
+      (14L, "totally different")
+    ).toDF("id", "name")
+    val got = EntityResolution.fuzzyPairs(left, right)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 11L, 1), (2L, 12L, 1), (3L, 13L, 1)))
+  }
+
+  test("exactness against naive all-pairs on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    def mutate(s: String): String = {
+      val i = rnd.nextInt(s.length)
+      rnd.nextInt(3) match {
+        case 0 => s.substring(0, i) + s.substring(i + 1)                  // delete
+        case 1 => s.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + s  // insert
+        case _ => s.substring(0, i) + ('a' + rnd.nextInt(26)).toChar +
+          s.substring(i + 1)                                              // substitute
+      }
+    }
+    val names = (0 until 120).map(i => f"entity#$i%04d-${rnd.nextInt(100)}%02d")
+    val left = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+    val right = names.zipWithIndex.map { case (n, i) =>
+      (1000L + i, if (i % 3 == 0) mutate(n) else n)
+    }
+    val expected = (for {
+      (ia, na) <- left; (ib, nb) <- right
+      d = lev(na, nb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    val got = EntityResolution
+      .fuzzyPairs(left.toDF("id", "name"), right.toDF("id", "name"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected) // blocking loses nothing, verify adds nothing
+  }
+
+  test("oversizedKeys flags a hot shared default name before the join") {
+    val df = ((1L to 40L).map(i => (i, "unknown")) ++
+      Seq((100L, "alice"), (101L, "bob"))).toDF("id", "name")
+    val hot = EntityResolution.oversizedKeys(df, 10).collect()
+    assert(hot.nonEmpty && hot.forall(_.getAs[Long]("key_n") == 40L))
+    assert(EntityResolution.oversizedKeys(df, 40).isEmpty)
+  }
+
+  test("candidate join is an equi-join: no cartesian or nested-loop in the plan") {
+    val df = (1L to 50L).map(i => (i, f"name#$i%05d")).toDF("id", "name")
+    val plan = EntityResolution.fuzzyPairs(df, df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("maxDist beyond the depth-1 recall guarantee is rejected") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      EntityResolution.fuzzyPairs(df, df, maxDist = 2)
+    }
+  }
+}

@@ -861,6 +861,26 @@ class TextAnalysisSpec extends AnyFunSuite {
         .map(r(i).getAs[Int]).sum == 3, s"doc ${i + 1} fails exactly one rule")
   }
 
+  test("qualityModelScore: logit is exact integer math and keep = logit > 0") {
+    val good = "the " + Seq.fill(50)("data").mkString(" ") + " of the table"
+    val stopless = Seq.fill(54)("zork").mkString(" ")
+    val docs = Seq((1L, good), (2L, stopless), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityModelScore(docs).orderBy("doc_id").collect()
+    // doc 1 = "the" + 50×"data" + "of the table" → 54 tokens
+    val r1 = r(0)
+    assert(r1.getAs[Long]("n_tokens") == 54)
+    val expectLogit = -2600L + 6 * r1.getAs[Long]("stop_x1000") +
+      3 * r1.getAs[Long]("alpha_x1000") -
+      4 * math.abs(r1.getAs[Long]("wlen_x100") - 450) -
+      5 * math.abs(r1.getAs[Long]("n_tokens") - 55)
+    assert(r1.getAs[Long]("logit") == expectLogit)
+    assert(r(0).getAs[Int]("keep") == (if (expectLogit > 0) 1 else 0))
+    // no stopwords: 6·stop term collapses to 0, model rejects
+    assert(r(1).getAs[Long]("stop_x1000") == 0 && r(1).getAs[Int]("keep") == 0)
+    // empty doc: guarded denominators, no division error, strong reject
+    assert(r(2).getAs[Long]("n_tokens") == 0 && r(2).getAs[Int]("keep") == 0)
+  }
+
   test("classSample: exactly k per class (or all, when the class is smaller)") {
     val docs = (Seq.tabulate(20)(i => (i.toLong, "en")) ++
       Seq((100L, "fr"), (101L, "fr"))).map { case (id, l) => (id, l, s"text $id") }

@@ -149,3 +149,53 @@ class SnapshotDiffSpec extends AnyFunSuite {
       .select("status").as[String].head() == "unchanged")
   }
 }
+
+class IncrementalAggSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ordersDf(rows: Seq[(Long, Long, Double, String)]) = {
+    import org.apache.spark.sql.functions._
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+  }
+
+  test("IncrementalAgg: merged sliced state == state built in one pass, any grouping") {
+    import graft.operators.IncrementalAgg
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map { i =>
+      (i, rnd.nextInt(12).toLong, rnd.nextInt(100000) / 100.0,
+        f"199${rnd.nextInt(5)}-0${rnd.nextInt(9) + 1}-1${rnd.nextInt(9)} 00:00:00")
+    }
+    val full = IncrementalAgg.finalizeState(
+      IncrementalAgg.merge(Seq(IncrementalAgg.orderState(ordersDf(rows)))))
+      .collect().map(_.toSeq).toSet
+    // three disjoint arbitrary slices, merged flat
+    val slices = rows.grouped(70).map(s => IncrementalAgg.orderState(ordersDf(s))).toSeq
+    val flat = IncrementalAgg.finalizeState(IncrementalAgg.merge(slices))
+      .collect().map(_.toSeq).toSet
+    assert(flat == full)
+    // associativity: merge((a+b)) then + c ≡ flat
+    val nested = IncrementalAgg.finalizeState(IncrementalAgg.merge(Seq(
+      IncrementalAgg.merge(slices.take(2)), slices(2))))
+      .collect().map(_.toSeq).toSet
+    assert(nested == full)
+    // an empty batch is a no-op
+    val withEmpty = IncrementalAgg.finalizeState(IncrementalAgg.merge(
+      slices :+ IncrementalAgg.orderState(ordersDf(rows).limit(0))))
+      .collect().map(_.toSeq).toSet
+    assert(withEmpty == full)
+  }
+
+  test("IncrementalAgg: money merges as exact cents, never floats") {
+    import graft.operators.IncrementalAgg
+    // 0.1-style doubles that would drift under float summation order
+    val rows = (1L to 100L).map(i => (i, 1L, 0.1, "1999-01-01 00:00:00"))
+    val out = IncrementalAgg.finalizeState(IncrementalAgg.merge(
+      rows.grouped(7).map(s => IncrementalAgg.orderState(ordersDf(s))).toSeq))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("sum_total") == 10.0) // exactly, via cents
+    assert(out(0).getAs[Long]("avg_cents") == 10L)
+  }
+}
