@@ -2639,6 +2639,47 @@ object Queries {
       |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin),
     bench = true)
 
+  /** Incremental linkage (EntityResolution.fuzzyPairsIncremental): the
+    * full customer side is a prebuilt nameIndex artifact (stand-in for a
+    * loaded parquet index — history never re-normalized or re-keyed); the
+    * batch is the id%5==0 slice arriving corrupted from the second feed.
+    * Oracle re-derives both sides from raw names, knowing nothing of the
+    * index. */
+  private val erFuzzyIncr = Q("er_fuzzy_incr",
+    (s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"),
+          concat(col("c_name"), lit("-"),
+            md5(col("c_custkey").cast("string")).substr(1, 6)).as("name"))
+      val nm = EntityResolution.normalizeName(col("name"))
+      val pos = (col("id") % greatest(length(nm), lit(1))).cast("int") + 1
+      val batch = base.where(pmod(col("id"), lit(5)) === 0).select(col("id"),
+        concat(nm.substr(lit(1), pos - 1), nm.substr(pos + 1, length(nm))).as("name"))
+      EntityResolution.fuzzyPairsIncremental(EntityResolution.nameIndex(base), batch)
+    },
+    Some("""WITH a0 AS (SELECT c_custkey AS id, lower(trim(regexp_replace(c_name || '-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6), '\s+', ' ', 'g'))) AS nm FROM customer),
+      |b0 AS (SELECT id, substr(nm, 1, CAST(id % greatest(length(nm), 1) AS INTEGER)) || substr(nm, CAST(id % greatest(length(nm), 1) AS INTEGER) + 2) AS nm FROM a0 WHERE id % 5 = 0),
+      |ka AS (SELECT id AS id_a, nm AS na, unnest(list_distinct(list_transform(range(0, length(nm) + 1), i -> CASE WHEN i = 0 THEN nm ELSE substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1) END))) AS k FROM a0),
+      |kb AS (SELECT id AS id_b, nm AS nb, unnest(list_distinct(list_transform(range(0, length(nm) + 1), i -> CASE WHEN i = 0 THEN nm ELSE substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1) END))) AS k FROM b0),
+      |cand AS (SELECT DISTINCT id_a, na, id_b, nb FROM ka JOIN kb USING (k))
+      |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
+      |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin))
+
+  /** Epoch upsampling (TextAnalysis.epochUpsample): per-source fractional
+    * training epochs — src0 2.5×, src1 1×, src2 0.25×, default 1×. The
+    * oracle replays the md5-uniform fractional membership and
+    * generate_series full copies. */
+  private val pipelineEpochUpsample = Q("pipeline_epoch_upsample",
+    (s, dir) => TextAnalysis.epochUpsample(Tables.documents(s, dir),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25), defaultEpochs = 1.0),
+    Some("""WITH w AS (SELECT doc_id, source,
+      |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 0.25 ELSE 1.0 END AS e,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) / 16777216.0 AS u FROM documents),
+      |n AS (SELECT doc_id, source,
+      |  CAST(floor(e) AS INTEGER) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS n_copies FROM w)
+      |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS epoch
+      |FROM n WHERE n_copies > 0""".stripMargin))
+
   private val simBruteTopk = Q("sim_brute_topk",
     (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), k = 10, stride = 20),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3053,6 +3094,7 @@ object Queries {
     textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, textQualityModel, erFuzzyPairs,
+    erFuzzyIncr, pipelineEpochUpsample,
     dedupParagraphs, dedupExactSubstr,
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,

@@ -57,22 +57,40 @@ object EntityResolution {
       .groupBy(col("k")).agg(count(lit(1)).as("key_n"))
       .where(col("key_n") > minSize)
 
+  /** Persistable linkage index over the canonical side: `(k, id, nm)` —
+    * the normalized name and its precomputed neighborhood keys,
+    * ~|name|+1 rows per record. Write it once; later batches probe it via
+    * [[fuzzyPairsIncremental]] without re-normalizing or re-keying history
+    * — the linkage leg of the engine's incremental-index family (hash,
+    * band, span, bloom, centroid, signature, state indexes). */
+  def nameIndex(df: DataFrame): DataFrame =
+    df.select(col("id"), normalizeName(col("name")).as("nm"))
+      .withColumn("k", explode(deletionNeighborhood(col("nm"))))
+      .select(col("k"), col("id"), col("nm"))
+
   /** Link `left` to `right` (both `(id, name)`): all cross-side pairs with
     * normalized Levenshtein distance ≤ `maxDist`, as
     * `(id_a, id_b, dist)`. Exact — the symmetric-delete block generation
     * guarantees every qualifying pair becomes a candidate. */
-  def fuzzyPairs(left: DataFrame, right: DataFrame, maxDist: Int = 1): DataFrame = {
+  def fuzzyPairs(left: DataFrame, right: DataFrame, maxDist: Int = 1): DataFrame =
+    fuzzyPairsIncremental(nameIndex(left), right, maxDist)
+
+  /** [[fuzzyPairs]] with the left side already indexed (a loaded
+    * [[nameIndex]] artifact): link a new batch against history with one
+    * equi-join — history names are never re-normalized or re-keyed. */
+  def fuzzyPairsIncremental(index: DataFrame, batch: DataFrame,
+      maxDist: Int = 1): DataFrame = {
     require(maxDist == 1,
       s"depth-1 deletion neighborhood guarantees recall only for maxDist = 1, got $maxDist")
-    def keyed(df: DataFrame, idAs: String, nameAs: String): DataFrame =
-      df.select(col("id").as(idAs), normalizeName(col("name")).as(nameAs))
-        .withColumn("k", explode(deletionNeighborhood(col(nameAs))))
-    val cand = keyed(left, "id_a", "na")
-      .join(keyed(right, "id_b", "nb"), "k")
+    val kb = batch.select(col("id").as("id_b"), normalizeName(col("name")).as("nb"))
+      .withColumn("k", explode(deletionNeighborhood(col("nb"))))
+    index.select(col("k"), col("id").as("id_a"), col("nm").as("na"))
+      .join(kb, "k")
       // A pair can collide on several keys (one per shared deletion);
-      // dedup BEFORE the verify so levenshtein runs once per pair.
+      // dedup so each surviving pair is emitted once. (The optimizer pushes
+      // the levenshtein verify into the join, so the aggregate only sees
+      // qualifying pairs — see PlanFinal er_fuzzy_pairs.)
       .select(col("id_a"), col("na"), col("id_b"), col("nb")).distinct()
-    cand
       .withColumn("dist", levenshtein(col("na"), col("nb")).cast("int"))
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))

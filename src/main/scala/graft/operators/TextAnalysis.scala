@@ -658,6 +658,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_toks"))
   }
 
+  /** Training-mixture epoch upsampling: per-source FRACTIONAL epoch counts
+    * (the data-recipe knob — e.g. 2.5 epochs of a high-quality source =
+    * every doc twice plus a deterministic 50% of docs a third time). Full
+    * copies come from `explode(sequence(1, n))`; the fractional copy keeps
+    * docs by the same md5-uniform membership idiom as [[mixtureSample]], so
+    * growth never resamples and reruns are bit-identical. Narrow per-row
+    * explode — upsampling happens in the scan stage, no shuffle; the
+    * `epoch` column lets the trainer interleave copies instead of
+    * replaying a source back-to-back. */
+  def epochUpsample(documents: DataFrame, epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0 && e <= 100),
+      "epoch counts must be in [0, 100]")
+    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
+      case (acc, (src, v)) => when(col("source") === src, lit(v)).otherwise(acc)
+    }
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    val n = (floor(e).cast("int") +
+      when(u < e - floor(e), lit(1)).otherwise(lit(0))).as("n_copies")
+    documents.withColumn("n_copies", n)
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("epoch"))
+  }
+
   def mixtureSample(documents: DataFrame, rates: Map[String, Double],
       defaultRate: Double = 0.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),

@@ -95,4 +95,22 @@ class EntityResolutionSpec extends AnyFunSuite {
       EntityResolution.fuzzyPairs(df, df, maxDist = 2)
     }
   }
+
+  test("incremental probe of a parquet-round-tripped index == direct fuzzyPairs") {
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 80).map(i =>
+      (i.toLong, f"acct#$i%04d-${rnd.nextInt(1000)}%03d")).toDF("id", "name")
+    val right = (0 until 80).filter(_ % 3 == 0).map { i =>
+      val n = f"acct#$i%04d-xyz"
+      (500L + i, if (i % 2 == 0) n.substring(1) else n) // some near, some far
+    }.toDF("id", "name")
+    val direct = EntityResolution.fuzzyPairs(left, right)
+      .as[(Long, Long, Int)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("er-index").toString
+    EntityResolution.nameIndex(left).write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val viaIndex = EntityResolution.fuzzyPairsIncremental(loaded, right)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaIndex == direct)
+  }
 }

@@ -670,6 +670,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept.toSet == again.toSet)
   }
 
+  test("epochUpsample: integer epochs replicate exactly, fractions keep deterministically") {
+    val docs = (1L to 300L).map(i =>
+      (i, s"doc $i", Seq("a", "b", "c")(((i - 1) % 3).toInt))).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.epochUpsample(docs,
+        Map("a" -> 3.0, "b" -> 0.0, "c" -> 1.5))
+      .select("doc_id", "source", "epoch").as[(Long, String, Int)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("a") == 300, s"3.0 epochs = every a-doc exactly thrice: $bySrc")
+    assert(!bySrc.contains("b"), s"0.0 epochs drops the source: $bySrc")
+    val c = bySrc("c")
+    assert(c > 120 && c < 180, s"1.5 epochs ≈ 150 c-rows: $c")
+    // per-doc epochs are contiguous 1..n (the trainer's interleave key)
+    val epochsByDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    assert(epochsByDoc.values.forall(es => es.toSeq == (1 to es.length)))
+    // a doc kept for its fractional copy has ALL lower epochs too
+    assert(out.filter(_._2 == "c").groupBy(_._1).values.forall(g =>
+      g.map(_._3).toSet.subsetOf(Set(1, 2)) && g.map(_._3).contains(1)))
+    // deterministic
+    val again = graft.operators.TextAnalysis.epochUpsample(docs,
+        Map("a" -> 3.0, "b" -> 0.0, "c" -> 1.5))
+      .select("doc_id", "source", "epoch").as[(Long, String, Int)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("paragraphDedup: later copies of a paragraph are dropped, docs reassemble in order") {
     val docs = Seq(
       (1L, "a b c d e f g h"),            // paras (size 4): "a b c d", "e f g h"
