@@ -2665,6 +2665,52 @@ object Queries {
       |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
       |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin))
 
+  /** One unrolled integer-PageRank iteration for the DuckDB oracle —
+    * mirrors Graph.pageRank's update rule exactly (floored contribution
+    * div, BIGINT sums, base 150000). */
+  private def prIterSql(i: Int): String =
+    s"""c$i AS (SELECT e0.dst AS node, CAST(sum((s${i - 1}.r * 85) // (100 * deg.d)) AS BIGINT) AS c
+       |  FROM e0 JOIN deg USING (src) JOIN s${i - 1} ON s${i - 1}.node = e0.src GROUP BY 1),
+       |s$i AS (SELECT nodes.node, 150000 + coalesce(c$i.c, 0) AS r FROM nodes LEFT JOIN c$i USING (node))""".stripMargin
+
+  /** Link-graph authority scoring (Graph.pageRank): 5 iterations of
+    * integer PageRank over a deterministic synthetic citation graph on the
+    * documents table (ring + scatter edges, every 10th doc also cites the
+    * hub doc 0). Integer ppm scores make the ENTIRE iterative computation
+    * hash-exact cross-engine — the oracle unrolls the same five updates as
+    * CTEs. The hub ends up with the top rank; curation would weight
+    * documents by it. Non-contiguous doc_ids (the sf1 replication) make
+    * some modulus targets dangling pseudo-nodes; both sides derive the
+    * node set from the edge list, so the computation stays identical. */
+  private val graphPagerank = Q("graph_pagerank",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val nF = docs.agg((max(col("doc_id")) + 1).as("n"))
+      // 1-row broadcast crossJoin (the documented benign global-aggregate
+      // pattern) to parameterize the modulus
+      val base = docs.crossJoin(broadcast(nF))
+      val ring = struct(col("doc_id").as("src"),
+        pmod(col("doc_id") + 1, col("n")).as("dst"))
+      val scatter = struct(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, col("n")).as("dst"))
+      val hub = struct(col("doc_id").as("src"), lit(0L).as("dst"))
+      val edges = base.select(explode(
+        when(pmod(col("doc_id"), lit(10)) === 0, array(ring, scatter, hub))
+          .otherwise(array(ring, scatter))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Graph.pageRank(edges, 5)
+    },
+    Some(s"""WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents),
+      |e0 AS (
+      |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, nn
+      |  UNION ALL SELECT doc_id, (doc_id * 7 + 3) % n FROM documents, nn
+      |  UNION ALL SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0),
+      |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+      |deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+      |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |${(1 to 5).map(prIterSql).mkString(",\n")}
+      |SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM s5""".stripMargin))
+
   /** Epoch upsampling (TextAnalysis.epochUpsample): per-source fractional
     * training epochs — src0 2.5×, src1 1×, src2 0.25×, default 1×. The
     * oracle replays the md5-uniform fractional membership and
@@ -3094,7 +3140,7 @@ object Queries {
     textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, textQualityModel, erFuzzyPairs,
-    erFuzzyIncr, pipelineEpochUpsample,
+    erFuzzyIncr, pipelineEpochUpsample, graphPagerank,
     dedupParagraphs, dedupExactSubstr,
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for corpus curation. Web-scale pretraining
+  * pipelines weight documents by the authority of their source in the
+  * hyperlink graph (Common Crawl curation uses exactly this family —
+  * PageRank / harmonic centrality over the domain graph); the reference
+  * pipeline has no graph leg, so this is an engine extra alongside
+  * `Dedup.nearDupClusters` (the other graph operator, connected
+  * components).
+  *
+  * The rank here is FIXED-ITERATION INTEGER PageRank: scores are
+  * parts-per-million longs, each node starts at 1e6, and one iteration is
+  *
+  *   score'(v) = 150000 + Σ_{u→v} (score(u) · 85) div (100 · outDeg(u))
+  *
+  * i.e. damping 0.85 with every division floored. Integer arithmetic makes
+  * the result bit-identical across engines, partitionings, and summation
+  * orders — so the whole iterative computation is hash-oracle-checkable,
+  * which a float PageRank never is (float sums reorder under shuffle).
+  * Floor-div leaks ≤ outDeg(u) ppm of each node's mass per iteration —
+  * an error orders below the ranking granularity anyone uses PageRank at.
+  * Dangling nodes (no out-edges) simply do not contribute (the standard
+  * simplification; their mass decays toward the base term).
+  *
+  * Scale shape (100 TB graph): one iteration = one equi-join of scores to
+  * edges + one hash aggregate on dst — the Pregel message-passing step as
+  * two shuffles, both on node id; state between iterations is one row per
+  * node (persisted, previous iteration unpersisted — same training-window
+  * idiom as `Similarity`'s k-means loop). A hot dst (every page links to
+  * the hub) is a skewed AGGREGATE key — map-side partial aggregation
+  * absorbs it, unlike a skewed join key. Iterations are a fixed small
+  * constant; nothing grows with corpus size except the node/edge tables.
+  */
+object Graph {
+
+  val ScaleppM = 1000000L
+  val BasePpm = 150000L // (1 - 0.85) · 1e6
+
+  /** `edges(src, dst)` → `(node, rank_ppm)` after `iterations` rounds.
+    * Node set = every id appearing as src or dst; parallel edges are kept
+    * (each contributes — dedup upstream if that is not the semantics). */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    // (src, dst, out_deg) is loop-invariant: compute once, keep cached for
+    // the whole run (iterations re-scan it), drop before returning.
+    val linked = e.join(outDeg, "src").persist()
+    var scores = nodes.withColumn("rank_ppm", lit(ScaleppM)).persist()
+    scores.count() // materialize so each iteration starts from a frame
+    try {
+      for (_ <- 1 to iterations) {
+        val contrib = linked
+          .join(scores.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"),
+            expr("rank_ppm * 85 div (100 * out_deg)").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("contrib"))
+        val next = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(BasePpm) + coalesce(col("contrib"), lit(0L))).as("rank_ppm"))
+          .persist()
+        next.count()
+        scores.unpersist(false)
+        scores = next
+      }
+      // hand the caller an un-cached result; the last iteration's frame
+      // stays materialized until the plan is consumed
+      scores
+    } finally linked.unpersist(false)
+  }
+}
