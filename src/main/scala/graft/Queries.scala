@@ -878,6 +878,41 @@ object Queries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) // count(*) AS avg_cents
       |FROM orders GROUP BY 1""".stripMargin))
 
+  /** Incremental DISTINCT-count maintenance (IncrementalAgg.distinctState):
+    * three event_id-sliced batches each sketch distinct users per
+    * event_type; the per-key HLL union must estimate within 2% of one
+    * sketch over everything (dense-mode unions are bit-identical — the
+    * HllShardSpec claim; at sketch-mode boundaries coupon→dense promotion
+    * can differ by a count or two, hence a flag not an equality) and land
+    * within the published HLL envelope of the exact count (9% ≈ 5σ at
+    * lgK 12). The oracle recomputes the exact side and expects both flags
+    * true. */
+  private val aggIncrDistinct = Q("agg_incr_distinct",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val batches = (0 to 2).map(i =>
+        IncrementalAgg.distinctState(
+          ev.where(pmod(col("event_id"), lit(3)) === i), "event_type", "user_id"))
+      val merged = IncrementalAgg.finalizeDistinct(
+        IncrementalAgg.mergeDistinct(batches))
+      val whole = IncrementalAgg.finalizeDistinct(IncrementalAgg.mergeDistinct(
+          Seq(IncrementalAgg.distinctState(ev, "event_type", "user_id"))))
+        .withColumnRenamed("n_distinct_est", "whole_est")
+      val exact = ev.groupBy(col("event_type").as("key"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(whole, "key").join(exact, "key")
+        .select(col("key").as("event_type"), col("n_exact"),
+          (abs(col("n_distinct_est") - col("whole_est")) * 100
+            <= greatest(col("whole_est"), lit(1L)) * 2)
+            .cast("int").as("est_near_whole"),
+          (abs(col("n_distinct_est") - col("n_exact")) * 100 <= col("n_exact") * 9)
+            .cast("int").as("hll_within_bound"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      |  CAST(1 AS INTEGER) AS est_near_whole, CAST(1 AS INTEGER) AS hll_within_bound
+      |FROM events GROUP BY 1""".stripMargin))
+
   /** Correlated scalar subquery (decorrelated by Catalyst into a join —
     * the declarative form survives scale because the optimizer rewrites
     * it; left as a subquery in both engines' SQL). */
@@ -3125,7 +3160,7 @@ object Queries {
     wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, wFirstNth,
     aHistogram, sOrderbyLimit, cStringFns, cArrayFns, cMapFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
-    aggGroupingSets, aggIncrMaintain, jScalarSubquery,
+    aggGroupingSets, aggIncrMaintain, aggIncrDistinct, jScalarSubquery,
     xFlagshipFlatten, xFlagshipC4Strict, x3BranchUnion, xSetOps, seedingPipeline,
     uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,

@@ -53,6 +53,29 @@ object IncrementalAgg {
         min(col("min_ts")).as("min_ts"),
         max(col("max_ts")).as("max_ts"))
 
+  /** Per-key DISTINCT-count state: count distinct is the one standing
+    * metric that is NOT merge-closed in exact form (merging per-batch
+    * exact distinct counts over-counts shared values), so the state holds
+    * a mergeable DataSketches HLL per key — ~4 KB/key independent of
+    * cardinality. Register updates are max-merges, so the union of
+    * per-batch sketches is bit-identical to one sketch over all rows
+    * (same invariant `Sketch.hllShardSketches` pins): incremental
+    * maintenance costs NO accuracy vs resketching history. */
+  def distinctState(df: DataFrame, keyCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+
+  /** Merge per-batch distinct states (strict: mixed lgK errors out). */
+  def mergeDistinct(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("key"))
+      .agg(hll_union_agg(col("sketch"), false).as("sketch"))
+
+  def finalizeDistinct(state: DataFrame): DataFrame =
+    state.select(col("key"),
+      hll_sketch_estimate(col("sketch")).as("n_distinct_est"))
+
   /** Render merged state for consumers: totals plus the derived (non
     * merge-closed) average, as exact integral cents. */
   def finalizeState(state: DataFrame): DataFrame =

@@ -187,6 +187,42 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(withEmpty == full)
   }
 
+  test("IncrementalAgg: per-key HLL distinct state merges without accuracy loss") {
+    import graft.operators.IncrementalAgg
+    val rnd = new scala.util.Random(5)
+    // values shared ACROSS batches — exact per-batch counts would over-count
+    val rows = (1 to 3000).map(i =>
+      (s"k${i % 4}", s"v${rnd.nextInt(500)}")).toDF("key", "value")
+      .withColumnRenamed("key", "kc")
+      .select(org.apache.spark.sql.functions.col("kc").as("k"),
+        org.apache.spark.sql.functions.col("value"))
+    val slices = Seq(
+      rows.where("hash(value) % 3 = 0"),
+      rows.where("hash(value) % 3 = 1"),
+      rows.where("hash(value) % 3 != 0 AND hash(value) % 3 != 1"))
+    val merged = IncrementalAgg.finalizeDistinct(IncrementalAgg.mergeDistinct(
+        slices.map(s => IncrementalAgg.distinctState(s, "k", "value"))))
+      .as[(String, Long)].collect().toMap
+    // At low cardinality sketch-mode promotion (coupon → dense) can happen
+    // inside the union but not in the single whole-data sketch, so exact
+    // register equality is NOT guaranteed here (measured: 399 vs 398 on
+    // this corpus) — the dense-mode bit-equality claim lives in
+    // HllShardSpec where cardinality forces every sketch dense. The
+    // incremental-maintenance contract is the ESTIMATE envelope:
+    val whole = IncrementalAgg.finalizeDistinct(IncrementalAgg.mergeDistinct(
+        Seq(IncrementalAgg.distinctState(rows, "k", "value"))))
+      .as[(String, Long)].collect().toMap
+    for ((k, est) <- merged)
+      assert(math.abs(est - whole(k)) * 100 <= math.max(whole(k), 1) * 2,
+        s"$k: merged $est vs whole ${whole(k)} differ by more than 2%")
+    val exact = rows.groupBy("k")
+      .agg(org.apache.spark.sql.functions.countDistinct("value").as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((k, est) <- merged)
+      assert(math.abs(est - exact(k)) * 100 <= exact(k) * 9,
+        s"$k: est $est vs exact ${exact(k)} outside the 9% envelope")
+  }
+
   test("IncrementalAgg: money merges as exact cents, never floats") {
     import graft.operators.IncrementalAgg
     // 0.1-style doubles that would drift under float summation order
