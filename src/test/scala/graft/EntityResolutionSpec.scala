@@ -96,6 +96,37 @@ class EntityResolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming linkage: per-micro-batch probe of the static index == batch run") {
+    // The production streaming shape: names arrive on a stream and each
+    // micro-batch links against the static (persisted) index inside
+    // foreachBatch — the per-batch join sidesteps streaming-distinct
+    // restrictions and gives exactly batch semantics per arrival set.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val left = (0 until 60).map(i => (i.toLong, f"org#$i%04d")).toDF("id", "name")
+    val index = EntityResolution.nameIndex(left).persist()
+    val arrivals = (0 until 60).filter(_ % 4 == 0)
+      .map(i => (900L + i, f"org#$i%04d".drop(1))) // dist-1 re-arrivals
+    val collected = scala.collection.mutable.Set[(Long, Long, Int)]()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("id", "name").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= EntityResolution.fuzzyPairsIncremental(index, batch)
+          .as[(Long, Long, Int)].collect()
+        ()
+      }.start()
+    try {
+      input.addData(arrivals.take(7): _*)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(7): _*)
+      q.processAllAvailable()
+    } finally { q.stop(); index.unpersist(false) }
+    val batchRun = EntityResolution
+      .fuzzyPairs(left, arrivals.toDF("id", "name"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(collected.toSet == batchRun && batchRun.nonEmpty)
+  }
+
   test("incremental probe of a parquet-round-tripped index == direct fuzzyPairs") {
     val rnd = new scala.util.Random(23)
     val left = (0 until 80).map(i =>
