@@ -224,7 +224,12 @@ object Multimodal {
       .join(blocks.select(col("asset_id").as("asset_a"), col("blocks").as("ba")), "asset_a")
       .join(blocks.select(col("asset_id").as("asset_b"), col("blocks").as("bb")), "asset_b")
       .withColumn("sum_abs_diff",
-        expr("aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"))
+        // native codegen expression — the HOF fold it replaces is
+        // CodegenFallback and allocates per pair (see plans.SumAbsDiffL)
+        org.apache.spark.sql.graftbridge.GraftBridge.column(
+          graft.plans.SumAbsDiffL(
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(col("ba")),
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(col("bb")))))
       .where(col("sum_abs_diff") <= maxSumAbsDiff)
 
   /** Near-duplicate image pairs by banded perceptual hash — the multimodal

@@ -151,6 +151,69 @@ case class DotProductD(left: Expression, right: Expression)
       newRight: Expression): DotProductD = copy(left = newLeft, right = newRight)
 }
 
+/** `sum_abs_diff_l(a, b)` — Σ|aᵢ − bᵢ| over two `array<long>`, the exact
+  * perceptual-hash verify metric in `Multimodal.nearDupImages`. Same
+  * rationale as [[DotProductD]]: the `aggregate(zip_with(...))` fold it
+  * replaces is `CodegenFallback` and allocates an intermediate array per
+  * ROW — and the verify runs once per candidate PAIR (2.24M at sf1). One
+  * primitive loop in whole-stage codegen; null on length mismatch or null
+  * element (mirrors the fold's null semantics). */
+case class SumAbsDiffL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "sum_abs_diff_l"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(LongType, _),
+            org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sum_abs_diff_l requires array<bigint> on both sides, " +
+            s"got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += math.abs(a.getLong(i) - b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ac, bc) => {
+      val (n, i, acc, d) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("acc"), ctx.freshName("d"))
+      s"""
+        |int $n = $ac.numElements();
+        |if ($n != $bc.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  long $acc = 0L;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($ac.isNullAt($i) || $bc.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    long $d = $ac.getLong($i) - $bc.getLong($i);
+        |    $acc += ($d < 0) ? -$d : $d;
+        |  }
+        |  ${ev.value} = $acc;
+        |}
+        |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SumAbsDiffL = copy(left = newLeft, right = newRight)
+}
+
 /** `american_to_decimal(x)` — American → decimal (European) odds:
   * x > 0 ⇒ 1 + x/100, x < 0 ⇒ 1 + 100/(−x). */
 case class AmericanToDecimal(child: Expression) extends UnaryExpression {

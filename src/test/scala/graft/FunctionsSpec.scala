@@ -161,4 +161,37 @@ class SimFnsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("array<double>"), ex.getMessage)
   }
+
+  private def sumAbsDiff(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.SumAbsDiffL(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
+
+  test("sum_abs_diff_l equals the HOF fold it replaced, incl. null semantics") {
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 50).map(_ => (
+      Seq.fill(16)(rnd.nextInt(256).toLong), Seq.fill(16)(rnd.nextInt(256).toLong)))
+    val df = rows.toDF("ba", "bb")
+    val pairs = df.select(
+      sumAbsDiff($"ba", $"bb").as("native"),
+      expr("aggregate(zip_with(ba, bb, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)")
+        .as("hof")).as[(Long, Long)].collect()
+    assert(pairs.forall { case (n, h) => n == h })
+    val edge = Seq((
+      Seq[java.lang.Long](1L, null), Seq[java.lang.Long](2L, 3L),
+      Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 2L)))
+      .toDF("withNull", "clean", "len3", "len2")
+    val row = edge.select(
+      sumAbsDiff($"withNull", $"clean").as("nullElem"),
+      sumAbsDiff($"len3", $"len2").as("mismatch"),
+      sumAbsDiff($"len2", $"len2").as("ok")).head()
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.getLong(2) == 0L)
+    // int arrays must be rejected at analysis, not read as garbage longs
+    val bad = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(sumAbsDiff($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.contains("array<bigint>"), ex.getMessage)
+  }
 }
