@@ -2746,6 +2746,30 @@ object Queries {
       |${(1 to 5).map(prIterSql).mkString(",\n")}
       |SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM s5""".stripMargin))
 
+  /** Curriculum bucketing (TextAnalysis.curriculumBuckets): per-source
+    * quality deciles over the model logit, bucket 1 = best. Deterministic
+    * ntile with a total-order tie-break, so the oracle replays the same
+    * feature extraction + window. */
+  private val pipelineCurriculum = Q("pipeline_curriculum",
+    (s, dir) => TextAnalysis.curriculumBuckets(Tables.documents(s, dir), 10),
+    Some(s"""WITH toks AS (SELECT doc_id, source, text, $duckToks AS w FROM documents),
+      |m AS (SELECT doc_id, source,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(array_to_string(w, '')) AS BIGINT) AS sum_wlen,
+      |  CAST(len(list_filter(w, t -> list_contains(['the','of','and','to','in','is','a'], t))) AS BIGINT) AS stop_hits,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+      |  CAST(length(text) AS BIGINT) AS n_chars FROM toks),
+      |f AS (SELECT doc_id, source, n_tokens,
+      |  (sum_wlen * 100) // greatest(n_tokens, 1) AS wlen_x100,
+      |  (stop_hits * 1000) // greatest(n_tokens, 1) AS stop_x1000,
+      |  (n_alpha * 1000) // greatest(n_chars, 1) AS alpha_x1000 FROM m),
+      |sc AS (SELECT doc_id, source,
+      |  -2600 + 6 * stop_x1000 + 3 * alpha_x1000
+      |    - 4 * abs(wlen_x100 - 450) - 5 * abs(n_tokens - 55) AS logit FROM f)
+      |SELECT doc_id, source, logit,
+      |  CAST(ntile(10) OVER (PARTITION BY source ORDER BY logit DESC, doc_id) AS INTEGER) AS bucket
+      |FROM sc""".stripMargin))
+
   /** Epoch upsampling (TextAnalysis.epochUpsample): per-source fractional
     * training epochs — src0 2.5×, src1 1×, src2 0.25×, default 1×. The
     * oracle replays the md5-uniform fractional membership and
@@ -3175,7 +3199,7 @@ object Queries {
     textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, textQualityModel, erFuzzyPairs,
-    erFuzzyIncr, pipelineEpochUpsample, graphPagerank,
+    erFuzzyIncr, pipelineEpochUpsample, pipelineCurriculum, graphPagerank,
     dedupParagraphs, dedupExactSubstr,
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,

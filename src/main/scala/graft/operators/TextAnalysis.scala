@@ -561,16 +561,33 @@ object TextAnalysis {
     * divergence between engines. Narrow per-row math inside whole-stage
     * codegen; no shuffle — composes with [[qualityRules]] in the scan
     * stage of a 100 TB pipeline. */
-  def qualityModelScore(documents: DataFrame): DataFrame =
-    qualityMetrics(documents, Nil)
-      .select(col("doc_id"), col("n_tokens"),
+  def qualityModelScore(documents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    qualityMetrics(documents, carry.map(col))
+      .select(carry.map(col) ++ Seq(col("doc_id"), col("n_tokens"),
         expr("sum_wlen * 100 div greatest(n_tokens, 1)").as("wlen_x100"),
         expr("stop_hits * 1000 div greatest(n_tokens, 1)").as("stop_x1000"),
-        expr("n_alpha * 1000 div greatest(n_chars, 1)").as("alpha_x1000"))
+        expr("n_alpha * 1000 div greatest(n_chars, 1)").as("alpha_x1000")): _*)
       .withColumn("logit",
         lit(-2600L) + lit(6L) * col("stop_x1000") + lit(3L) * col("alpha_x1000")
           - lit(4L) * abs(col("wlen_x100") - 450) - lit(5L) * abs(col("n_tokens") - 55))
       .withColumn("keep", (col("logit") > 0).cast("int"))
+
+  /** Curriculum bucketing: per-source quality-ordered n-tiles over the
+    * [[qualityModelScore]] logit (bucket 1 = the source's highest-quality
+    * slice) — the training-order construction step (quality-first
+    * curricula, or bucket-stratified shuffling). Per-SOURCE windows keep
+    * the sort parallel across sources; a single giant source degenerates
+    * to one globally-sorted partition — at that shape use a range
+    * partitioner (`Layout.compactShape` territory) or threshold-based
+    * assignment instead. Total ordering (logit desc, doc_id) makes every
+    * bucket assignment deterministic and cross-engine exact. */
+  def curriculumBuckets(documents: DataFrame, nBuckets: Int = 10): DataFrame =
+    qualityModelScore(documents, carry = Seq("source"))
+      .withColumn("bucket", ntile(nBuckets).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("logit").desc, col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("logit"), col("bucket"))
 
   /** Windowed corpus-quality drift monitor: per (event-time window, source),
     * document volume, keep rate in basis points, and per-rule failure

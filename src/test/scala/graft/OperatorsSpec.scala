@@ -905,6 +905,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2).getAs[Long]("n_tokens") == 0 && r(2).getAs[Int]("keep") == 0)
   }
 
+  test("curriculumBuckets: bucket 1 holds each source's best logits, sizes balanced") {
+    val docs = (1L to 120L).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      // vary quality via stopword presence and length
+      val text = (if (i % 3 == 0) "the of and " else "zzz ") +
+        Seq.fill(10 + (i % 40).toInt)("data").mkString(" ")
+      (i, text, src)
+    }.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.curriculumBuckets(docs, 4)
+      .as[(Long, String, Long, Int)].collect()
+    for (src <- Seq("a", "b")) {
+      val g = out.filter(_._2 == src)
+      val sizes = g.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.keySet == Set(1, 2, 3, 4))
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src ntile balance: $sizes")
+      // every bucket-1 logit >= every bucket-4 logit within the source
+      assert(g.filter(_._4 == 1).map(_._3).min >= g.filter(_._4 == 4).map(_._3).max)
+    }
+    val again = TextAnalysis.curriculumBuckets(docs, 4)
+      .as[(Long, String, Long, Int)].collect()
+    assert(out.toSet == again.toSet, "total-order tie-break ⇒ deterministic")
+  }
+
   test("classSample: exactly k per class (or all, when the class is smaller)") {
     val docs = (Seq.tabulate(20)(i => (i.toLong, "en")) ++
       Seq((100L, "fr"), (101L, "fr"))).map { case (id, l) => (id, l, s"text $id") }
