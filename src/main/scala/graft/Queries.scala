@@ -854,6 +854,26 @@ object Queries {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
 
+  /** Wide → long unpivot (melt): the inverse of agg_pivot, Spark's native
+    * `unpivot` against DuckDB's UNPIVOT. Metrics are computed as exact
+    * decimals first so the melted value column is cross-engine stable. */
+  private val aggUnpivot = Q("agg_unpivot",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        decSum(col("o_totalprice")).as("sum_total"),
+        countDistinct(col("o_custkey")).cast("double").as("n_custs"))
+      .unpivot(Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("sum_total"), col("n_custs")),
+        "metric", "value"),
+    Some("""WITH w AS (SELECT o_orderstatus,
+      |  CAST(count(*) AS DOUBLE) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |  CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_custs
+      |FROM orders GROUP BY 1)
+      |UNPIVOT w ON n_orders, sum_total, n_custs INTO NAME metric VALUE value""".stripMargin))
+
   /** Incremental aggregate maintenance (IncrementalAgg): three year-sliced
     * batches of orders each build mergeable per-key state; the merged +
     * finalized result must equal one aggregate over everything — which is
@@ -3184,7 +3204,7 @@ object Queries {
     wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, wFirstNth,
     aHistogram, sOrderbyLimit, cStringFns, cArrayFns, cMapFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
-    aggGroupingSets, aggIncrMaintain, aggIncrDistinct, jScalarSubquery,
+    aggGroupingSets, aggUnpivot, aggIncrMaintain, aggIncrDistinct, jScalarSubquery,
     xFlagshipFlatten, xFlagshipC4Strict, x3BranchUnion, xSetOps, seedingPipeline,
     uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,

@@ -80,4 +80,25 @@ class FormatsSpec extends AnyFunSuite {
       .as[Int].collect().sorted
     assert(toks.toSeq == Seq(1, 2))
   }
+
+  test("schema evolution: mergeSchema unifies widened batches, old rows null the new column") {
+    // The standing-dataset reality: a later drop adds a column. Parquet's
+    // per-file schemas merge on read; pre-widening rows surface NULL and
+    // filters on ORIGINAL columns still push down across both vintages.
+    val out = java.nio.file.Files.createTempDirectory("fmt-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(df.columns.sorted.toSeq == Seq("batch", "id", "score", "v"))
+    val rows = df.select("id", "score").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)))
+    // pushdown on a pre-evolution column reaches both file vintages
+    val plan = df.where(col("id") === 3L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,3)"), plan)
+    // filtering on the NEW column keeps old-vintage rows out without error
+    assert(df.where(col("score") > 0).count() == 2)
+  }
 }
