@@ -41,7 +41,7 @@ object Queries {
   private def decSum(c: Column, scale: String = "18,2"): Column =
     sum(c.cast(s"decimal($scale)")).cast("double")
 
-  private val ladderSql = OddsFns.Ladder.mkString("[", ", ", "]")
+  private def ladderSql: String = OddsFns.Ladder.mkString("[", ", ", "]")
 
   // ───────────────────────────── relational parity ──────────────────────────
 
@@ -1378,14 +1378,14 @@ object Queries {
 
   // ─────────────────────────── LLM-pipeline extensions ──────────────────────
 
-  private val duckToks =
+  private def duckToks: String =
     """CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
       |       ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
 
   // Shared DuckDB fragments mirroring TextFns.qualityScore / langIdFromTokens
   // — single source for every oracle that gates on them (text_stats,
   // text_langid, pipeline_docs_prep). All reference columns `text` and `w`.
-  private val qualityBpSql =
+  private def qualityBpSql: String =
     """CAST(floor((least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4 +
       |    (1.0 - CASE WHEN len(w) = 0 THEN 0.0
       |       ELSE least(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / len(w), 1.0) END) * 0.3 +
@@ -1723,7 +1723,7 @@ object Queries {
       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS u
       |  FROM documents)""".stripMargin))
 
-  private val hash16Sql =
+  private def hash16Sql: String =
     """(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
       |(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
       |(strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 +
@@ -2766,6 +2766,29 @@ object Queries {
       |${(1 to 5).map(prIterSql).mkString(",\n")}
       |SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM s5""".stripMargin))
 
+  /** Robust outlier detection (Profiling.madOutliers): per-source
+    * median/MAD flags on document token counts — the data-quality monitor
+    * that catches a crawler regression (truncated or exploded docs)
+    * without float statistics; k = 3.5 passes as k100 = 350. Exact
+    * integer math end-to-end ⇒ hash-exact oracle. */
+  private val aOutliersMad = Q("a_outliers_mad",
+    (s, dir) => Profiling.madOutliers(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).as("n_tokens")),
+      "source", "doc_id", "n_tokens", 350),
+    Some(s"""WITH t AS (SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS x FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY x) AS rn,
+      |  count(*) OVER (PARTITION BY source) AS n FROM t),
+      |med AS (SELECT source, x AS med FROM r WHERE rn = (n + 1) // 2),
+      |d AS (SELECT t.doc_id, t.source, t.x, med.med, abs(t.x - med.med) AS adev
+      |  FROM t JOIN med USING (source)),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY adev) AS rn,
+      |  count(*) OVER (PARTITION BY source) AS n FROM d),
+      |mad AS (SELECT source, adev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT d.doc_id, d.source, d.x, d.med, mad.mad,
+      |  CAST(d.adev * 100 > mad.mad * 350 AS INTEGER) AS outlier
+      |FROM d JOIN mad USING (source)""".stripMargin))
+
   /** Curriculum bucketing (TextAnalysis.curriculumBuckets): per-source
     * quality deciles over the model logit, bucket 1 = best. Deterministic
     * ntile with a total-order tie-break, so the oracle replays the same
@@ -3204,7 +3227,8 @@ object Queries {
     wTopkPerGroup, wTopkPlan, wRunningSum, wLagLead, wNtile, wPctRank, wFirstNth,
     aHistogram, sOrderbyLimit, cStringFns, cArrayFns, cMapFns,
     cTimeFns, cNanosEastern, oddsDomain, oddsNativeExpr, aggRollup, aggCube, aggPivot,
-    aggGroupingSets, aggUnpivot, aggIncrMaintain, aggIncrDistinct, jScalarSubquery,
+    aggGroupingSets, aggUnpivot, aggIncrMaintain, aggIncrDistinct,
+    aOutliersMad, jScalarSubquery,
     xFlagshipFlatten, xFlagshipC4Strict, x3BranchUnion, xSetOps, seedingPipeline,
     uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,

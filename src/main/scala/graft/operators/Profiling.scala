@@ -82,4 +82,44 @@ object Profiling {
       .orderBy(col("cnt").desc, col("key").asc_nulls_last)
       .limit(topN)
   }
+
+  /** Robust per-group outlier flags on an INTEGER metric: median / MAD
+    * (median absolute deviation) instead of mean / stddev — mean-based
+    * z-scores are both float (cross-engine unstable) and themselves
+    * dragged by the outliers they're meant to find. Lower medians are
+    * taken as the value at sorted position `(n+1) div 2`, so everything
+    * stays in exact integer arithmetic and the flags hash-check against a
+    * SQL oracle. A row is an outlier when `|x − med| · 100 > k100 · MAD`
+    * (k100 = 100·k, so k = 3.5 passes as 350 — no float threshold).
+    * Degenerate groups where MAD = 0 (over half the values identical)
+    * flag ANY deviation, the standard MAD-rule edge; callers wanting
+    * leniency there should gate on `mad > 0`.
+    *
+    * Scale shape: two per-group rank windows (value, then |x − med|) and
+    * a broadcast of the O(groups) median frames — parallel across groups;
+    * a single giant group is one sorted partition (same caveat as every
+    * per-group window here, `curriculumBuckets` included). */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k100: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val grp = Window.partitionBy(col(groupCol))
+    val medPos = expr("(n + 1) div 2") // lower median, pure integer
+    val med = df.select(col(groupCol), v.as("x"))
+      .withColumn("rn", row_number().over(grp.orderBy(col("x"))))
+      .withColumn("n", count(lit(1)).over(grp))
+      .where(col("rn") === medPos)
+      .select(col(groupCol), col("x").as("med"))
+    val dev = df.select(col(groupCol), col(idCol), v.as("x"))
+      .join(broadcast(med), groupCol)
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev
+      .withColumn("rn", row_number().over(grp.orderBy(col("adev"))))
+      .withColumn("n", count(lit(1)).over(grp))
+      .where(col("rn") === medPos)
+      .select(col(groupCol), col("adev").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .select(col(idCol), col(groupCol), col("x"), col("med"), col("mad"),
+        (col("adev") * 100 > col("mad") * k100).cast("int").as("outlier"))
+  }
 }

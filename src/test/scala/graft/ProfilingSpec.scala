@@ -93,4 +93,25 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq == Seq("it's", "a`b"))
     assert(out.forall(_._3 == 3L))
   }
+
+  test("madOutliers: hand-computed medians/MAD, only the planted extremes flag") {
+    // group a: values 10,11,12,13,100 → med=12 (pos 3), adev=2,1,0,1,88 →
+    // mad=1 (pos 3 of 0,1,1,2,88); outlier iff adev·100 > 350 → only 100.
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 11L), (3L, "a", 12L), (4L, "a", 13L),
+      (5L, "a", 100L),
+      // group b: all identical → mad 0 → any deviation flags (6 rows so
+      // the even-n lower median is exercised: med at pos (6+1) div 2 = 3)
+      (6L, "b", 7L), (7L, "b", 7L), (8L, "b", 7L), (9L, "b", 7L),
+      (10L, "b", 7L), (11L, "b", 9L))
+      .toDF("doc_id", "source", "n")
+    val out = Profiling.madOutliers(rows, "source", "doc_id", "n", 350)
+      .as[(Long, String, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(5L) == ((5L, "a", 100L, 12L, 1L, 1)))
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._6 == 0), "in-band a-rows pass")
+    assert(out(5L)._4 == 12L && out(1L)._5 == 1L)
+    // degenerate group: mad 0, the single deviating row flags
+    assert(out(11L)._6 == 1 && out(6L)._6 == 0 && out(6L)._5 == 0L)
+  }
 }
