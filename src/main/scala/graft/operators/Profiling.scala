@@ -96,9 +96,11 @@ object Profiling {
     * leniency there should gate on `mad > 0`.
     *
     * Scale shape: two per-group rank windows (value, then |x − med|) and
-    * a broadcast of the O(groups) median frames — parallel across groups;
-    * a single giant group is one sorted partition (same caveat as every
-    * per-group window here, `curriculumBuckets` included). */
+    * joins against the O(groups)-row median frames — left unhinted so AQE
+    * broadcasts them when small but falls back to a shuffle join if group
+    * cardinality is huge; parallel across groups; a single giant group is
+    * one sorted partition (same caveat as every per-group window here,
+    * `curriculumBuckets` included). */
   def madOutliers(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, k100: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -111,14 +113,14 @@ object Profiling {
       .where(col("rn") === medPos)
       .select(col(groupCol), col("x").as("med"))
     val dev = df.select(col(groupCol), col(idCol), v.as("x"))
-      .join(broadcast(med), groupCol)
+      .join(med, groupCol)
       .withColumn("adev", abs(col("x") - col("med")))
     val mad = dev
       .withColumn("rn", row_number().over(grp.orderBy(col("adev"))))
       .withColumn("n", count(lit(1)).over(grp))
       .where(col("rn") === medPos)
       .select(col(groupCol), col("adev").as("mad"))
-    dev.join(broadcast(mad), groupCol)
+    dev.join(mad, groupCol)
       .select(col(idCol), col(groupCol), col("x"), col("med"), col("mad"),
         (col("adev") * 100 > col("mad") * k100).cast("int").as("outlier"))
   }
