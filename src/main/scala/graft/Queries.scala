@@ -2661,64 +2661,80 @@ object Queries {
       |  CAST(logit > 0 AS INTEGER) AS keep
       |FROM s""".stripMargin))
 
-  /** Record linkage over a simulated second feed (EntityResolution): every
-    * customer gets a realistic-entropy display name (`c_name` + a 6-hex-char
-    * md5 tag — bare `c_name` is a DENSE sequential id, where nearly every
-    * record has ~100 genuine distance-1 neighbors and linkage output grows
-    * superlinearly: measured 14.8M exact pairs at sf1; real names are not
-    * dense, and on dense keys you'd link on the id directly), then the feed
-    * copy is corrupted with one deterministic character deletion at
-    * position `id % len + 1` and linked back with symmetric-delete blocking
-    * + a levenshtein ≤ 1 verify. Output is the planted (i, i) links plus
-    * rare genuine tag collisions — linear in the corpus. The oracle mirrors
-    * block generation and verify, so recall AND precision are both checked
-    * hash-exact. */
+  /** customer with realistic-entropy display names, shared by both ER
+    * queries: `c_name` + a 6-hex-char md5 tag. Bare `c_name` is a DENSE
+    * sequential id, where nearly every record has ~100 genuine distance-1
+    * neighbors and linkage output grows superlinearly (measured 14.8M
+    * exact pairs at sf1); real names are not dense, and on dense keys you
+    * would link on the id directly. */
+  private def erNames(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      concat(col("c_name"), lit("-"),
+        md5(col("c_custkey").cast("string")).substr(1, 6)).as("name"))
+
+  /** The simulated second feed: one deterministic character deletion at
+    * position `id % len + 1` of the normalized name. */
+  private def erCorrupted(base: DataFrame): DataFrame = {
+    val nm = EntityResolution.normalizeName(col("name"))
+    val pos = (col("id") % greatest(length(nm), lit(1))).cast("int") + 1
+    base.select(col("id"),
+      concat(nm.substr(lit(1), pos - 1), nm.substr(pos + 1, length(nm))).as("name"))
+  }
+
+  // ── shared DuckDB fragments mirroring erNames / erCorrupted /
+  //    EntityResolution.deletionNeighborhood. b0 re-normalizes the
+  //    corrupted name exactly as the Scala side does (fuzzyPairs
+  //    normalizes its inputs): a deletion can merge tokens across a
+  //    space, and without the re-normalization the two engines would key
+  //    different strings on any space-bearing corpus. ──
+  private def erNorm(x: String): String =
+    s"lower(trim(regexp_replace($x, '\\s+', ' ', 'g')))"
+  private def erA0Sql: String =
+    s"a0 AS (SELECT c_custkey AS id, ${erNorm("c_name || '-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)")} AS nm FROM customer)"
+  private def erB0Sql(where: String): String =
+    s"b0 AS (SELECT id, ${erNorm("substr(nm, 1, CAST(id % greatest(length(nm), 1) AS INTEGER)) || substr(nm, CAST(id % greatest(length(nm), 1) AS INTEGER) + 2)")} AS nm FROM a0$where)"
+  private def erKeysSql(cte: String, idAs: String, nmAs: String, src: String): String =
+    s"$cte AS (SELECT id AS $idAs, nm AS $nmAs, unnest(list_distinct(list_transform(range(0, length(nm) + 1), i -> CASE WHEN i = 0 THEN nm ELSE substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1) END))) AS k FROM $src)"
+  private def erVerifySql: String =
+    """cand AS (SELECT DISTINCT id_a, na, id_b, nb FROM ka JOIN kb USING (k))
+      |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
+      |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin
+
+  /** Record linkage over the simulated second feed (EntityResolution):
+    * the corrupted copy of every name linked back with symmetric-delete
+    * blocking + a levenshtein <= 1 verify. Output is the planted (i, i)
+    * links plus rare genuine tag collisions -- linear in the corpus. The
+    * oracle mirrors block generation AND verify, so recall and precision
+    * are both checked hash-exact. */
   private val erFuzzyPairs = Q("er_fuzzy_pairs",
     (s, dir) => {
-      val base = Tables.customer(s, dir)
-        .select(col("c_custkey").as("id"),
-          concat(col("c_name"), lit("-"),
-            md5(col("c_custkey").cast("string")).substr(1, 6)).as("name"))
-      val nm = EntityResolution.normalizeName(col("name"))
-      val pos = (col("id") % greatest(length(nm), lit(1))).cast("int") + 1
-      val corrupted = base.select(col("id"),
-        concat(nm.substr(lit(1), pos - 1), nm.substr(pos + 1, length(nm))).as("name"))
-      EntityResolution.fuzzyPairs(base, corrupted)
+      val base = erNames(s, dir)
+      EntityResolution.fuzzyPairs(base, erCorrupted(base))
     },
-    Some("""WITH a0 AS (SELECT c_custkey AS id, lower(trim(regexp_replace(c_name || '-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6), '\s+', ' ', 'g'))) AS nm FROM customer),
-      |b0 AS (SELECT id, substr(nm, 1, CAST(id % greatest(length(nm), 1) AS INTEGER)) || substr(nm, CAST(id % greatest(length(nm), 1) AS INTEGER) + 2) AS nm FROM a0),
-      |ka AS (SELECT id AS id_a, nm AS na, unnest(list_distinct(list_transform(range(0, length(nm) + 1), i -> CASE WHEN i = 0 THEN nm ELSE substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1) END))) AS k FROM a0),
-      |kb AS (SELECT id AS id_b, nm AS nb, unnest(list_distinct(list_transform(range(0, length(nm) + 1), i -> CASE WHEN i = 0 THEN nm ELSE substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1) END))) AS k FROM b0),
-      |cand AS (SELECT DISTINCT id_a, na, id_b, nb FROM ka JOIN kb USING (k))
-      |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
-      |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin),
+    Some(s"""WITH $erA0Sql,
+      |${erB0Sql("")},
+      |${erKeysSql("ka", "id_a", "na", "a0")},
+      |${erKeysSql("kb", "id_b", "nb", "b0")},
+      |$erVerifySql""".stripMargin),
     bench = true)
 
   /** Incremental linkage (EntityResolution.fuzzyPairsIncremental): the
     * full customer side is a prebuilt nameIndex artifact (stand-in for a
-    * loaded parquet index — history never re-normalized or re-keyed); the
+    * loaded parquet index -- history never re-normalized or re-keyed); the
     * batch is the id%5==0 slice arriving corrupted from the second feed.
     * Oracle re-derives both sides from raw names, knowing nothing of the
     * index. */
   private val erFuzzyIncr = Q("er_fuzzy_incr",
     (s, dir) => {
-      val base = Tables.customer(s, dir)
-        .select(col("c_custkey").as("id"),
-          concat(col("c_name"), lit("-"),
-            md5(col("c_custkey").cast("string")).substr(1, 6)).as("name"))
-      val nm = EntityResolution.normalizeName(col("name"))
-      val pos = (col("id") % greatest(length(nm), lit(1))).cast("int") + 1
-      val batch = base.where(pmod(col("id"), lit(5)) === 0).select(col("id"),
-        concat(nm.substr(lit(1), pos - 1), nm.substr(pos + 1, length(nm))).as("name"))
+      val base = erNames(s, dir)
+      val batch = erCorrupted(base.where(pmod(col("id"), lit(5)) === 0))
       EntityResolution.fuzzyPairsIncremental(EntityResolution.nameIndex(base), batch)
     },
-    Some("""WITH a0 AS (SELECT c_custkey AS id, lower(trim(regexp_replace(c_name || '-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6), '\s+', ' ', 'g'))) AS nm FROM customer),
-      |b0 AS (SELECT id, substr(nm, 1, CAST(id % greatest(length(nm), 1) AS INTEGER)) || substr(nm, CAST(id % greatest(length(nm), 1) AS INTEGER) + 2) AS nm FROM a0 WHERE id % 5 = 0),
-      |ka AS (SELECT id AS id_a, nm AS na, unnest(list_distinct(list_transform(range(0, length(nm) + 1), i -> CASE WHEN i = 0 THEN nm ELSE substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1) END))) AS k FROM a0),
-      |kb AS (SELECT id AS id_b, nm AS nb, unnest(list_distinct(list_transform(range(0, length(nm) + 1), i -> CASE WHEN i = 0 THEN nm ELSE substr(nm, 1, CAST(i AS INTEGER) - 1) || substr(nm, CAST(i AS INTEGER) + 1) END))) AS k FROM b0),
-      |cand AS (SELECT DISTINCT id_a, na, id_b, nb FROM ka JOIN kb USING (k))
-      |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INTEGER) AS dist
-      |FROM cand WHERE levenshtein(na, nb) <= 1""".stripMargin))
+    Some(s"""WITH $erA0Sql,
+      |${erB0Sql(" WHERE id % 5 = 0")},
+      |${erKeysSql("ka", "id_a", "na", "a0")},
+      |${erKeysSql("kb", "id_b", "nb", "b0")},
+      |$erVerifySql""".stripMargin))
 
   /** One unrolled integer-PageRank iteration for the DuckDB oracle —
     * mirrors Graph.pageRank's update rule exactly (floored contribution

@@ -46,14 +46,23 @@ object Graph {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // Loop-invariant, referenced every iteration (left join) — checkpoint
+    // once so the distinct-over-edges job doesn't re-run per iteration.
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     // (src, dst, out_deg) is loop-invariant: compute once, keep cached for
     // the whole run (iterations re-scan it), drop before returning.
     val linked = e.join(outDeg, "src").persist()
-    var scores = nodes.withColumn("rank_ppm", lit(ScaleppM)).persist()
-    scores.count() // materialize so each iteration starts from a frame
+    // Eager localCheckpoint per iteration instead of persist+count: it
+    // BOTH truncates lineage (iteration k's plan does not nest k−1 plans)
+    // AND hands block lifecycle to the ContextCleaner — intermediate
+    // iterations' blocks are freed once unreferenced, and the returned
+    // frame's blocks go when the caller drops it. A plain persist here
+    // leaked one cached node-frame per call for the session lifetime.
+    var scores = nodes.withColumn("rank_ppm", lit(ScaleppM))
+      .localCheckpoint(true)
     try {
       for (_ <- 1 to iterations) {
         val contrib = linked
@@ -61,16 +70,11 @@ object Graph {
           .select(col("dst").as("node"),
             expr("rank_ppm * 85 div (100 * out_deg)").as("c"))
           .groupBy("node").agg(sum(col("c")).as("contrib"))
-        val next = nodes.join(contrib, Seq("node"), "left")
+        scores = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(BasePpm) + coalesce(col("contrib"), lit(0L))).as("rank_ppm"))
-          .persist()
-        next.count()
-        scores.unpersist(false)
-        scores = next
+          .localCheckpoint(true)
       }
-      // hand the caller an un-cached result; the last iteration's frame
-      // stays materialized until the plan is consumed
       scores
     } finally linked.unpersist(false)
   }

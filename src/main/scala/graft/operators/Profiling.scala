@@ -104,15 +104,22 @@ object Profiling {
   def madOutliers(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, k100: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = col(valueCol).cast("long")
     val grp = Window.partitionBy(col(groupCol))
     val medPos = expr("(n + 1) div 2") // lower median, pure integer
-    val med = df.select(col(groupCol), v.as("x"))
+    // The input subtree feeds the median derivation AND the deviation
+    // frame (which itself feeds the MAD derivation and the output) —
+    // checkpoint the 3-column projection once so an expensive upstream
+    // (tokenization, in the a_outliers_mad use) is not re-run per
+    // reference; blocks are freed by the ContextCleaner when the result
+    // is dropped.
+    val base = df.select(col(groupCol), col(idCol),
+      col(valueCol).cast("long").as("x")).localCheckpoint(false)
+    val med = base
       .withColumn("rn", row_number().over(grp.orderBy(col("x"))))
       .withColumn("n", count(lit(1)).over(grp))
       .where(col("rn") === medPos)
       .select(col(groupCol), col("x").as("med"))
-    val dev = df.select(col(groupCol), col(idCol), v.as("x"))
+    val dev = base
       .join(med, groupCol)
       .withColumn("adev", abs(col("x") - col("med")))
     val mad = dev

@@ -53,7 +53,8 @@ class EntityResolutionSpec extends AnyFunSuite {
       val i = rnd.nextInt(s.length)
       rnd.nextInt(3) match {
         case 0 => s.substring(0, i) + s.substring(i + 1)                  // delete
-        case 1 => s.substring(0, i) + ('a' + rnd.nextInt(26)).toChar + s  // insert
+        case 1 => s.substring(0, i) + ('a' + rnd.nextInt(26)).toChar +
+          s.substring(i)                                                  // insert
         case _ => s.substring(0, i) + ('a' + rnd.nextInt(26)).toChar +
           s.substring(i + 1)                                              // substitute
       }
