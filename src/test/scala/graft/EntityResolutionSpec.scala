@@ -31,13 +31,13 @@ class EntityResolutionSpec extends AnyFunSuite {
 
   test("fuzzyPairs finds every deletion, insertion, and substitution at dist 1") {
     val left = Seq(
-      (1L, "Anthropic Research"), // substitution target
+      (1L, "Northwind Research"), // substitution target
       (2L, "spark engine"),       // deletion target
       (3L, "graft"),              // insertion target
       (4L, "unrelated name")      // no partner
     ).toDF("id", "name")
     val right = Seq(
-      (11L, "anthropic resaarch"), // substitution (+case/space normalize)
+      (11L, "northwind resaarch"), // substitution (+case/space normalize)
       (12L, "spark engin"),        // deletion
       (13L, "grafts"),             // insertion
       (14L, "totally different")
