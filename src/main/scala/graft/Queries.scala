@@ -2753,34 +2753,56 @@ object Queries {
     * documents by it. Non-contiguous doc_ids (the sf1 replication) make
     * some modulus targets dangling pseudo-nodes; both sides derive the
     * node set from the edge list, so the computation stays identical. */
-  private val graphPagerank = Q("graph_pagerank",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val nF = docs.agg((max(col("doc_id")) + 1).as("n"))
-      // 1-row broadcast crossJoin (the documented benign global-aggregate
-      // pattern) to parameterize the modulus
-      val base = docs.crossJoin(broadcast(nF))
-      val ring = struct(col("doc_id").as("src"),
-        pmod(col("doc_id") + 1, col("n")).as("dst"))
-      val scatter = struct(col("doc_id").as("src"),
-        pmod(col("doc_id") * 7 + 3, col("n")).as("dst"))
-      val hub = struct(col("doc_id").as("src"), lit(0L).as("dst"))
-      val edges = base.select(explode(
-        when(pmod(col("doc_id"), lit(10)) === 0, array(ring, scatter, hub))
-          .otherwise(array(ring, scatter))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      Graph.pageRank(edges, 5)
-    },
-    Some(s"""WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents),
+  /** The deterministic synthetic citation graph both graph queries run
+    * on: ring + scatter edges, every 10th doc also cites the hub doc 0. */
+  private def docGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val nF = docs.agg((max(col("doc_id")) + 1).as("n"))
+    // 1-row broadcast crossJoin (the documented benign global-aggregate
+    // pattern) to parameterize the modulus
+    val base = docs.crossJoin(broadcast(nF))
+    val ring = struct(col("doc_id").as("src"),
+      pmod(col("doc_id") + 1, col("n")).as("dst"))
+    val scatter = struct(col("doc_id").as("src"),
+      pmod(col("doc_id") * 7 + 3, col("n")).as("dst"))
+    val hub = struct(col("doc_id").as("src"), lit(0L).as("dst"))
+    base.select(explode(
+      when(pmod(col("doc_id"), lit(10)) === 0, array(ring, scatter, hub))
+        .otherwise(array(ring, scatter))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** DuckDB mirror of [[docGraphEdges]] (`e0`). */
+  private def docGraphSql: String =
+    """nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents),
       |e0 AS (
       |  SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM documents, nn
       |  UNION ALL SELECT doc_id, (doc_id * 7 + 3) % n FROM documents, nn
-      |  UNION ALL SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0),
+      |  UNION ALL SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val graphPagerank = Q("graph_pagerank",
+    (s, dir) => Graph.pageRank(docGraphEdges(s, dir), 5),
+    Some(s"""WITH $docGraphSql,
       |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
       |deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
       |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
       |${(1 to 5).map(prIterSql).mkString(",\n")}
       |SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM s5""".stripMargin))
+
+  /** Per-node triangle counts (Graph.triangleCounts) on the same citation
+    * graph — the local clustering signal web-corpus analysis pairs with
+    * authority scores (link farms triangulate; organic graphs do less).
+    * Pure integer joins ⇒ hash-exact oracle via the same 3-way self-join. */
+  private val graphTriangles = Q("graph_triangles",
+    (s, dir) => Graph.triangleCounts(docGraphEdges(s, dir)),
+    Some(s"""WITH $docGraphSql,
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0 WHERE src <> dst),
+      |tri AS (SELECT t1.a, t1.b, t2.c
+      |  FROM und t1
+      |  JOIN (SELECT a AS b, b AS c FROM und) t2 USING (b)
+      |  JOIN (SELECT a, b AS c FROM und) t3 USING (a, c))
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1""".stripMargin))
 
   /** Robust outlier detection (Profiling.madOutliers): per-source
     * median/MAD flags on document token counts — the data-quality monitor
@@ -3260,6 +3282,7 @@ object Queries {
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, textQualityModel, erFuzzyPairs,
     erFuzzyIncr, pipelineEpochUpsample, pipelineCurriculum, graphPagerank,
+    graphTriangles,
     dedupParagraphs, dedupExactSubstr,
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,

@@ -78,4 +78,30 @@ object Graph {
       scores
     } finally linked.unpersist(false)
   }
+
+  /** Per-node triangle counts over `edges(src, dst)`, direction ignored:
+    * the local clustering signal (link farms triangulate; organic link
+    * graphs much less). Canonicalize each undirected edge as (a < b),
+    * drop self-loops and parallel duplicates, then enumerate each
+    * triangle exactly once as a < b < c via two equi-joins — wedges
+    * (a,b)(b,c) closed by (a,c). Output `(node, n_triangles)` for every
+    * node in at least one triangle.
+    *
+    * Scale shape: two equi-joins + one aggregate, all on node ids —
+    * never all-pairs. The id-ordering here is the oracle-parity choice;
+    * at web scale, orient edges low-degree → high-degree instead (the
+    * classic O(m^1.5) bound) so a celebrity node's wedge list does not
+    * explode — same join shape, different canonical order. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val tri = und
+      .join(und.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

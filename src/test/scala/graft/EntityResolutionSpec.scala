@@ -29,6 +29,21 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(empty == Seq(""))
   }
 
+  test("Spark deletionNeighborhood == the JVM mirror SymmetricDeleteProps pins") {
+    def nbhd(s: String): Set[String] =
+      (0 to s.length).map {
+        case 0 => s
+        case i => s.substring(0, i - 1) + s.substring(i)
+      }.toSet
+    val rnd = new scala.util.Random(41)
+    val samples = Seq("", "a", "ab#00", "zzzz") ++
+      (1 to 20).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString)
+    val got = samples.toDF("s")
+      .select(col("s"), EntityResolution.deletionNeighborhood(col("s")).as("n"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (s, n) => assert(n.toSet == nbhd(s), s"for '$s'") }
+  }
+
   test("fuzzyPairs finds every deletion, insertion, and substitution at dist 1") {
     val left = Seq(
       (1L, "Northwind Research"), // substitution target

@@ -44,6 +44,20 @@ class GraphSpec extends AnyFunSuite {
     assert(a == refRank(edges, 3))
   }
 
+  test("triangleCounts: hand graph, direction/duplicates/self-loops ignored") {
+    // triangle {1,2,3}, triangle {2,3,4}; 5 hangs off 1; self-loop on 2;
+    // duplicate + reversed edges must not double-count
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),        // tri A
+      (3L, 2L), (2L, 2L), (1L, 2L),        // reversed dup, self-loop, dup
+      (2L, 4L), (4L, 3L),                  // tri B closes via 2-3
+      (1L, 5L)                             // dangling edge
+    ).toDF("src", "dst")
+    val got = graft.operators.Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("iteration bounds are enforced") {
     val df = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(df, 0))

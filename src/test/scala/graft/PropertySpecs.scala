@@ -246,3 +246,52 @@ object TopKBufferProps extends Properties("TopKHeapBuffer") {
       got == want.toMap
     }
 }
+
+/** The symmetric-delete (SymSpell) blocking guarantee behind
+  * `EntityResolution.fuzzyPairs`: any two strings within Levenshtein
+  * distance 1 share at least one depth-1 deletion-neighborhood key. The
+  * JVM mirror here matches the Spark expression (bridge case pinned in
+  * EntityResolutionSpec's hand tests); these properties pin the MATH for
+  * thousands of random edits. */
+object SymmetricDeleteProps extends Properties("SymmetricDelete") {
+
+  private def nbhd(s: String): Set[String] =
+    (0 to s.length).map {
+      case 0 => s
+      case i => s.substring(0, i - 1) + s.substring(i)
+    }.toSet
+
+  private val genStr: Gen[String] = for {
+    n <- Gen.choose(1, 24)
+    cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'f') ++ Seq('#', '0', '1')))
+  } yield cs.mkString
+
+  private val genEdit: Gen[(String, String)] = for {
+    s <- genStr
+    i <- Gen.choose(0, s.length - 1)
+    c <- Gen.oneOf('a' to 'z')
+    kind <- Gen.choose(0, 2)
+  } yield kind match {
+    case 0 => (s, s.substring(0, i) + s.substring(i + 1))     // delete
+    case 1 => (s, s.substring(0, i) + c + s.substring(i))     // insert
+    case _ => (s, s.substring(0, i) + c + s.substring(i + 1)) // substitute
+  }
+
+  property("any single edit shares a neighborhood key") = forAll(genEdit) {
+    case (s, t) => nbhd(s).intersect(nbhd(t)).nonEmpty
+  }
+
+  property("neighborhood size is at most len + 1, every key within 1 deletion") =
+    forAll(genStr) { s =>
+      val n = nbhd(s)
+      n.size <= s.length + 1 &&
+        n.forall(k => k == s || k.length == s.length - 1)
+    }
+
+  property("unrelated strings of the same length rarely collide — keys discriminate") =
+    forAll(genStr, Gen.choose(0L, Long.MaxValue)) { (s, seed) =>
+      // a string differing in EVERY position shares no key
+      val t = s.map(c => if (c == 'z') 'y' else 'z')
+      nbhd(s).intersect(nbhd(t)).isEmpty || s.length <= 1
+    }
+}
