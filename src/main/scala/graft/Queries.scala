@@ -1828,6 +1828,25 @@ object Queries {
       |SELECT token, count(*) AS n FROM (SELECT unnest(w) AS token FROM toks)
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin), bench = true)
 
+  /** Collocation mining (TextAnalysis.collocations): top-40 adjacent
+    * bigrams by integer lift (the log-free PMI surrogate — identical
+    * ranking, exact cross-engine math); hapax tail cut at pair_n ≥ 5. */
+  private val textCollocations = Q("text_collocations",
+    (s, dir) => TextAnalysis.collocations(Tables.documents(s, dir), 40),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |uni AS (SELECT token, count(*) AS n FROM (SELECT unnest(w) AS token FROM toks) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM uni),
+      |bg AS (SELECT unnest(${duckShingles(2)}) AS bigram FROM toks WHERE len(w) >= 2),
+      |pairs AS (SELECT bigram, count(*) AS pair_n FROM bg GROUP BY 1 HAVING count(*) >= 5),
+      |sp AS (SELECT bigram, pair_n, string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2 FROM pairs)
+      |SELECT sp.bigram, sp.pair_n,
+      |  (sp.pair_n * tot.total * 1000) // (ua.n * ub.n) AS lift_x1000
+      |FROM sp
+      |JOIN uni ua ON ua.token = sp.w1
+      |JOIN uni ub ON ub.token = sp.w2
+      |CROSS JOIN tot
+      |ORDER BY lift_x1000 DESC, bigram LIMIT 40""".stripMargin))
+
   /** Count-min sketch heavy hitters (operators.Sketch): the 4×1024 CMS is
     * built from token occurrences, then the top-20 exact terms are
     * point-estimated against it. Every cell and estimate is md5-derived ⇒
@@ -3277,7 +3296,8 @@ object Queries {
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
-    textStats, textLangid, textTopTerms, textVocab, textVocabApprox,
+    textStats, textLangid, textTopTerms, textCollocations, textVocab,
+    textVocabApprox,
     textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, textQualityModel, erFuzzyPairs,

@@ -60,6 +60,38 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Collocation mining: top-k adjacent-token bigrams by integer LIFT —
+    * `lift_x1000 = (pair_n · total_tokens · 1000) div (n_a · n_b)`, the
+    * log-free PMI surrogate (same ranking as PMI for a fixed corpus since
+    * log is monotone), so the association score is exact integer math and
+    * hash-orderable cross-engine. `minPairN` filters the unstable tail
+    * (lift explodes for hapax pairs). Bigrams come from the shared
+    * [[TextFns.shingles]] stage — adjacent pairs only, LINEAR in corpus
+    * length, never token-pair-quadratic; one aggregate per side plus two
+    * small joins (unigram frame broadcast by AQE when small). */
+  def collocations(documents: DataFrame, k: Int, minPairN: Long = 5): DataFrame = {
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    val uni = toks.select(explode(col("w")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("total"))
+    val pairs = toks
+      .where(size(col("w")) >= 2)
+      .select(explode(TextFns.shingles(col("w"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("pair_n"))
+      .where(col("pair_n") >= minPairN)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    pairs
+      .join(uni.select(col("token").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("token").as("w2"), col("n").as("n_b")), "w2")
+      .crossJoin(broadcast(total)) // 1-row global aggregate (benign)
+      .select(col("bigram"), col("pair_n"),
+        expr("pair_n * total * 1000 div (n_a * n_b)").as("lift_x1000"))
+      .orderBy(col("lift_x1000").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Balanced per-class sample: exactly `k` documents per `byCol` class,
     * picked by md5 rank of doc_id — deterministic, uniform-within-class
     * (md5 is the seeded-PRNG stand-in, same rationale as f_hash_sample),

@@ -670,6 +670,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept.toSet == again.toSet)
   }
 
+  test("collocations: planted phrase tops the lift ranking, hand-checked math") {
+    // "data lake" always co-occurs (6 times); fillers are frequent but
+    // independently distributed, so their bigrams have low lift.
+    val phrase = Seq.fill(6)("data lake").mkString(" the a of ")
+    val noise = "the a of the a of the a of the a of"
+    val docs = Seq((1L, phrase), (2L, noise), (3L, noise)).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, 5, minPairN = 5)
+      .as[(String, Long, Long)].collect()
+    assert(out.head._1 == "data lake")
+    val (_, pairN, lift) = out.head
+    // corpus: 6×(data lake) + 5×(the a of) in doc1 + 2×8 filler tokens...
+    // verify against independently recomputed counts instead of constants:
+    val toks = docs.as[(Long, String)].collect()
+      .flatMap(_._2.toLowerCase.split("\\s+"))
+    val total = toks.length.toLong
+    val nData = toks.count(_ == "data").toLong
+    val nLake = toks.count(_ == "lake").toLong
+    assert(pairN == 6L)
+    assert(lift == pairN * total * 1000 / (nData * nLake))
+    assert(out.forall(r => r._3 <= lift), "planted phrase has max lift")
+  }
+
   test("epochUpsample: integer epochs replicate exactly, fractions keep deterministically") {
     val docs = (1L to 300L).map(i =>
       (i, s"doc $i", Seq("a", "b", "c")(((i - 1) % 3).toInt))).toDF("doc_id", "text", "source")
