@@ -1847,6 +1847,20 @@ object Queries {
       |CROSS JOIN tot
       |ORDER BY lift_x1000 DESC, bigram LIMIT 40""".stripMargin))
 
+  /** Corpus-familiarity fluency proxy (TextAnalysis.familiarityScore):
+    * per-doc mean bigram corpus frequency, integer floor-div; the
+    * LM-free gibberish gate. */
+  private val textFamiliarity = Q("text_familiarity",
+    (s, dir) => TextAnalysis.familiarityScore(Tables.documents(s, dir), minScore = 2),
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(${duckShingles(2)}) AS bigram FROM toks WHERE len(w) >= 2),
+      |cnt AS (SELECT bigram, count(*) AS bg_n FROM bg GROUP BY 1),
+      |agg AS (SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(cnt.bg_n) AS BIGINT) AS sum_bg
+      |  FROM bg JOIN cnt USING (bigram) GROUP BY 1)
+      |SELECT doc_id, n_bigrams, sum_bg // n_bigrams AS familiarity,
+      |  CAST(sum_bg // n_bigrams >= 2 AS INTEGER) AS keep
+      |FROM agg""".stripMargin))
+
   /** Count-min sketch heavy hitters (operators.Sketch): the 4×1024 CMS is
     * built from token occurrences, then the top-20 exact terms are
     * point-estimated against it. Every cell and estimate is md5-derived ⇒
@@ -3296,8 +3310,8 @@ object Queries {
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
-    textStats, textLangid, textTopTerms, textCollocations, textVocab,
-    textVocabApprox,
+    textStats, textLangid, textTopTerms, textCollocations, textFamiliarity,
+    textVocab, textVocabApprox,
     textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, textQualityModel, erFuzzyPairs,

@@ -92,6 +92,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-familiarity score: per-document MEAN corpus frequency of its
+    * adjacent bigrams (integer floor-div) — the LM-free fluency proxy (a
+    * KenLM-perplexity stand-in that needs no model): fluent text reuses
+    * the corpus's common transitions, gibberish and mojibake sit on rare
+    * ones and score low. `keep = score ≥ minScore` gates the tail.
+    * Scale shape: the bigram-count frame is O(vocab²-observed) rows,
+    * joined back to the per-doc bigram explode on the bigram key (AQE
+    * broadcasts it when small); everything is one shared tokenize stage +
+    * two aggregates — linear in corpus length. */
+  def familiarityScore(documents: DataFrame, minScore: Long = 2): DataFrame = {
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    val docBigrams = toks.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(TextFns.shingles(col("w"), 2)).as("bigram"))
+    val counts = docBigrams.groupBy("bigram").agg(count(lit(1)).as("bg_n"))
+    docBigrams.join(counts, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bg_n")).as("sum_bg"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_bg div n_bigrams").as("familiarity"))
+      .withColumn("keep", (col("familiarity") >= minScore).cast("int"))
+  }
+
   /** Balanced per-class sample: exactly `k` documents per `byCol` class,
     * picked by md5 rank of doc_id — deterministic, uniform-within-class
     * (md5 is the seeded-PRNG stand-in, same rationale as f_hash_sample),

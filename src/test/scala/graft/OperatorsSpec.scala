@@ -692,6 +692,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.forall(r => r._3 <= lift), "planted phrase has max lift")
   }
 
+  test("familiarityScore: fluent text outscores gibberish, hand-checked means") {
+    val fluent = "the quick fox and the quick dog and the quick cat"
+    val alsoFluent = "the quick fox and the quick dog"
+    val gibberish = "zxq wvv qpl mmt zxq kkj rrw uai"
+    val docs = Seq((1L, fluent), (2L, alsoFluent), (3L, gibberish))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.familiarityScore(docs, minScore = 2)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 > out(3L)._3, "shared transitions outscore unique ones")
+    assert(out(3L)._3 == 1L && out(3L)._4 == 0, "all-unique bigrams → score 1, gated")
+    assert(out(1L)._4 == 1 && out(2L)._4 == 1)
+    // hand-check doc 2: bigrams [the quick]x2-ish... recompute exactly
+    val allBigrams = docs.as[(Long, String)].collect().flatMap { case (_, t) =>
+      t.split(" ").sliding(2).map(_.mkString(" "))
+    }
+    val freq = allBigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val d2 = alsoFluent.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    assert(out(2L)._3 == d2.map(freq).sum / d2.length)
+  }
+
   test("epochUpsample: integer epochs replicate exactly, fractions keep deterministically") {
     val docs = (1L to 300L).map(i =>
       (i, s"doc $i", Seq("a", "b", "c")(((i - 1) % 3).toInt))).toDF("doc_id", "text", "source")
