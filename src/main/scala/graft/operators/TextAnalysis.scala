@@ -70,8 +70,11 @@ object TextAnalysis {
     * length, never token-pair-quadratic; one aggregate per side plus two
     * small joins (unigram frame broadcast by AQE when small). */
   def collocations(documents: DataFrame, k: Int, minPairN: Long = 5): DataFrame = {
+    // the unigram and bigram branches both consume the tokenize stage —
+    // checkpoint it once (PlanFinal showed 4 scans / 12 scan+generate
+    // nodes without it; ContextCleaner frees the blocks on GC)
     val toks = Stage(documents.select(col("doc_id"), col("text")),
-      "w", TextFns.tokens(col("text")))
+      "w", TextFns.tokens(col("text"))).drop("text").localCheckpoint(false)
     val uni = toks.select(explode(col("w")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
     val total = uni.agg(sum(col("n")).as("total"))
@@ -104,8 +107,12 @@ object TextAnalysis {
   def familiarityScore(documents: DataFrame, minScore: Long = 2): DataFrame = {
     val toks = Stage(documents.select(col("doc_id"), col("text")),
       "w", TextFns.tokens(col("text")))
+    // consumed by the count aggregate AND the join-back — checkpoint so
+    // the scan+tokenize+shingle subtree runs once (same rationale as
+    // collocations/madOutliers; blocks freed on GC)
     val docBigrams = toks.where(size(col("w")) >= 2)
       .select(col("doc_id"), explode(TextFns.shingles(col("w"), 2)).as("bigram"))
+      .localCheckpoint(false)
     val counts = docBigrams.groupBy("bigram").agg(count(lit(1)).as("bg_n"))
     docBigrams.join(counts, "bigram")
       .groupBy(col("doc_id"))
