@@ -1861,6 +1861,35 @@ object Queries {
       |  CAST(sum_bg // n_bigrams >= 2 AS INTEGER) AS keep
       |FROM agg""".stripMargin))
 
+  /** Corpus drift monitor (TextAnalysis.corpusDrift): doc_id parity
+    * splits the documents into two "snapshots"; per-token symmetric
+    * divergence in basis points over the combined top-100 tokens. */
+  private val textCorpusDrift = Q("text_corpus_drift",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.corpusDrift(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), 100)
+    },
+    Some(s"""WITH ta AS (SELECT doc_id, $duckToks AS w FROM documents WHERE doc_id % 2 = 0),
+      |tb AS (SELECT doc_id, $duckToks AS w FROM documents WHERE doc_id % 2 = 1),
+      |ca AS (SELECT token, count(*) AS n FROM (SELECT unnest(w) AS token FROM ta) GROUP BY 1),
+      |cb AS (SELECT token, count(*) AS n FROM (SELECT unnest(w) AS token FROM tb) GROUP BY 1),
+      |top AS (SELECT token, CAST(sum(n) AS BIGINT) AS n_both
+      |  FROM (SELECT * FROM ca UNION ALL SELECT * FROM cb)
+      |  GROUP BY 1 ORDER BY n_both DESC, token LIMIT 100),
+      |tots AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM ca) AS tot_a,
+      |                (SELECT CAST(sum(n) AS BIGINT) FROM cb) AS tot_b)
+      |SELECT top.token, top.n_both,
+      |  CAST(coalesce(ca.n, 0) AS BIGINT) AS n_a,
+      |  CAST(coalesce(cb.n, 0) AS BIGINT) AS n_b,
+      |  abs(coalesce(ca.n, 0) * tot_b - coalesce(cb.n, 0) * tot_a) * 10000
+      |    // greatest(coalesce(ca.n, 0) * tot_b + coalesce(cb.n, 0) * tot_a, 1) AS drift_bp
+      |FROM top
+      |LEFT JOIN ca USING (token)
+      |LEFT JOIN cb USING (token)
+      |CROSS JOIN tots""".stripMargin))
+
   /** Count-min sketch heavy hitters (operators.Sketch): the 4×1024 CMS is
     * built from token occurrences, then the top-20 exact terms are
     * point-estimated against it. Every cell and estimate is md5-derived ⇒
@@ -3311,7 +3340,7 @@ object Queries {
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textLangid, textTopTerms, textCollocations, textFamiliarity,
-    textVocab, textVocabApprox,
+    textCorpusDrift, textVocab, textVocabApprox,
     textFingerprints,
     textRepetition, textContamination, textMixtureSample,
     textPiiRedact, textQualityRules, textQualityModel, erFuzzyPairs,

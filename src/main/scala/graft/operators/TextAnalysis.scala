@@ -122,6 +122,43 @@ object TextAnalysis {
       .withColumn("keep", (col("familiarity") >= minScore).cast("int"))
   }
 
+  /** Corpus drift between two snapshots: per-token symmetric divergence in
+    * basis points over the combined top-`k` tokens —
+    * `drift_bp = |nA·totB − nB·totA| · 10000 div (nA·totB + nB·totA)`
+    * (0 = identical rates, 10000 = token exclusive to one side; the
+    * cross-products normalize away corpus-size difference without a
+    * single float). The monitor that catches a crawler or filter
+    * regression by comparing this batch's token distribution against the
+    * previous snapshot's PERSISTED counts — at scale side B is a stored
+    * (token, n) artifact, never a rescan. One aggregate per side, a
+    * top-k on the union, two joins; missing-on-one-side tokens count 0.
+    * Integer end-to-end ⇒ hash-exact cross-engine. */
+  def corpusDrift(snapshotA: DataFrame, snapshotB: DataFrame,
+      k: Int): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      Stage(df.select(col("doc_id"), col("text")), "w", TextFns.tokens(col("text")))
+        .select(explode(col("w")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    val ca = counts(snapshotA)
+    val cb = counts(snapshotB)
+    val top = ca.select(col("token"), col("n"))
+      .unionByName(cb.select(col("token"), col("n")))
+      .groupBy("token").agg(sum(col("n")).as("n_both"))
+      .orderBy(col("n_both").desc, col("token")).limit(k)
+    val tots = ca.agg(sum(col("n")).as("tot_a"))
+      .crossJoin(cb.agg(sum(col("n")).as("tot_b"))) // 1-row × 1-row
+    top
+      .join(ca.withColumnRenamed("n", "n_a"), Seq("token"), "left")
+      .join(cb.withColumnRenamed("n", "n_b"), Seq("token"), "left")
+      .crossJoin(broadcast(tots)) // 1-row global aggregate (benign)
+      .select(col("token"), col("n_both"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        expr("""abs(coalesce(n_a, 0) * tot_b - coalesce(n_b, 0) * tot_a) * 10000
+          div greatest(coalesce(n_a, 0) * tot_b + coalesce(n_b, 0) * tot_a, 1)""")
+          .as("drift_bp"))
+  }
+
   /** Balanced per-class sample: exactly `k` documents per `byCol` class,
     * picked by md5 rank of doc_id — deterministic, uniform-within-class
     * (md5 is the seeded-PRNG stand-in, same rationale as f_hash_sample),

@@ -692,6 +692,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.forall(r => r._3 <= lift), "planted phrase has max lift")
   }
 
+  test("corpusDrift: identical rates → 0 bp, exclusive token → 10000 bp") {
+    // A: 'x' and 'y' at equal rates; B: same rate of 'x', no 'y', plus 'z'
+    val a = Seq((0L, "x y x y x y")).toDF("doc_id", "text")
+    val b = Seq((1L, "x z x z x z")).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusDrift(a, b, 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("x")._5 == 0L, "same rate both sides → zero drift")
+    assert(out("y")._5 == 10000L && out("z")._5 == 10000L, "exclusive → full drift")
+    assert(out("y")._4 == 0L && out("z")._3 == 0L, "missing side coalesces to 0")
+    // hand-check an asymmetric case: rate 3/6 vs 1/6
+    val c = Seq((2L, "p q q q q q")).toDF("doc_id", "text")
+    val d = Seq((3L, "p p p q q q")).toDF("doc_id", "text")
+    val pq = TextAnalysis.corpusDrift(c, d, 10)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r._5).toMap
+    // p: |1*6 - 3*6|*10000 div (1*6 + 3*6) = 12/24*10000 = 5000
+    assert(pq("p") == 5000L && pq("q") == 2500L)
+  }
+
   test("familiarityScore: fluent text outscores gibberish, hand-checked means") {
     val fluent = "the quick fox and the quick dog and the quick cat"
     val alsoFluent = "the quick fox and the quick dog"
