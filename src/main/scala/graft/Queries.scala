@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DecodeFns, OddsFns, TextFns, TimeFns}
+import graft.functions.{Bpe, DecodeFns, OddsFns, TextFns, TimeFns}
 import graft.functions.SimFns.toDouble
 import graft.operators._
 import graft.sources.BettingFixture
@@ -1382,6 +1382,32 @@ object Queries {
     """CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
       |       ELSE string_split_regex(trim(lower(text)), '\s+') END""".stripMargin
 
+  // Shared real-BPE oracle fragments over `documents` (the merge table and
+  // recursion live in Bpe.duckBpeCtes so SQL and kernel stay in lock-step).
+  // Each must appear inside a `WITH RECURSIVE`.
+  private def duckBpeBlock: String = Bpe.duckBpeCtes(duckToks, "documents")
+
+  /** Per-doc real-BPE token count: relation `bpe_doc(doc_id, n_bpe)`. */
+  private def duckBpeDocCount: String =
+    s"""bpe_wcount AS (SELECT w, CAST(len(syms) AS BIGINT) AS n FROM bpe_enc_final),
+       |bpe_doc AS (SELECT d.doc_id, CAST(coalesce(sum(wc.n), 0) AS BIGINT) AS n_bpe
+       |  FROM documents d
+       |  LEFT JOIN (SELECT doc_id, unnest($duckToks) AS w FROM documents) u
+       |    ON u.doc_id = d.doc_id
+       |  LEFT JOIN bpe_wcount wc ON wc.w = u.w
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  /** Per-doc flattened BPE token array: relation `bpe_docarr(doc_id, w)`
+    * (documents with zero words are absent — matches the chunker's
+    * "empty docs emit no chunks"). */
+  private def duckBpeDocArr: String =
+    s"""bpe_docarr AS (
+       |  SELECT u.doc_id, flatten(list(f.syms ORDER BY u.pos)) AS w
+       |  FROM (SELECT doc_id, generate_subscripts($duckToks, 1) AS pos,
+       |        unnest($duckToks) AS wd FROM documents) u
+       |  JOIN bpe_enc_final f ON f.w = u.wd
+       |  GROUP BY u.doc_id)""".stripMargin
+
   // Shared DuckDB fragments mirroring TextFns.qualityScore / langIdFromTokens
   // — single source for every oracle that gates on them (text_stats,
   // text_langid, pipeline_docs_prep). All reference columns `text` and `w`.
@@ -1677,8 +1703,10 @@ object Queries {
   private val pipelinePackDocs = Q("pipeline_pack_docs",
     (s, dir) => TextAnalysis.packDocuments(Tables.documents(s, dir),
       capacityTokens = 2048, nShards = 8),
-    Some(s"""WITH t AS (SELECT doc_id, CAST(len($duckToks) AS INTEGER) AS n_tokens,
-      |  doc_id % 8 AS shard FROM documents),
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocCount,
+      |t AS (SELECT d.doc_id, CAST(b.n_bpe AS INTEGER) AS n_tokens,
+      |  d.doc_id % 8 AS shard FROM documents d JOIN bpe_doc b USING (doc_id)),
       |c AS (SELECT doc_id, shard, n_tokens,
       |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS start_tok
       |  FROM t)
@@ -1687,11 +1715,14 @@ object Queries {
       |FROM c""".stripMargin))
 
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
-    * per-document explode into ≤128-token windows overlapping by 32. */
+    * per-document explode into windows of ≤128 REAL BPE tokens
+    * overlapping by 32 (context windows are measured in model tokens). */
   private val pipelineChunkDocs = Q("pipeline_chunk_docs",
     (s, dir) => TextAnalysis.chunkDocuments(Tables.documents(s, dir),
       chunkTokens = 128, overlap = 32),
-    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocArr,
+      |t AS (SELECT doc_id, w FROM bpe_docarr),
       |sized AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n FROM t WHERE len(w) > 0),
       |counted AS (SELECT *, CASE WHEN n <= 128 THEN 1
       |    ELSE 1 + CAST(((n - 128 + 95) - ((n - 128 + 95) % 96)) / 96 AS INTEGER) END AS n_chunks
@@ -1802,16 +1833,52 @@ object Queries {
 
   private val textStats = Q("text_stats",
     (s, dir) => TextAnalysis.docStats(Tables.documents(s, dir)),
-    Some(s"""WITH toks AS (SELECT *, $duckToks AS w FROM documents)
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocCount,
+      |toks AS (SELECT *, $duckToks AS w FROM documents)
       |SELECT doc_id,
       |  CAST(len(text) AS INTEGER) AS n_chars_measured,
       |  CAST(len(w) AS INTEGER) AS n_tokens,
       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
       |  CAST(floor((CASE WHEN len(text) = 0 THEN 0.0
       |    ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) END) * 10000) AS BIGINT) AS alpha_bp,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+      |  CAST(bpe_doc.n_bpe AS INTEGER) AS n_bpe_tokens,
       |  $qualityBpSql AS quality_bp
-      |FROM toks""".stripMargin), bench = true)
+      |FROM toks JOIN bpe_doc USING (doc_id)""".stripMargin), bench = true)
+
+  /** Real BPE tokenizer APPLY (Bpe.encode, pinned 48-rank default vocab —
+    * VERDICT r8 #1): per document the word count, subword-token count,
+    * distinct-subword count, and the first 8 subword tokens verbatim (so
+    * the oracle checks token IDENTITY, not just arithmetic). The Spark
+    * side is the native memoizing kernel applied per document; the oracle
+    * re-derives the encode INDEPENDENTLY — a recursive CTE over the
+    * DISTINCT-word dictionary advancing one merge rank per step — and the
+    * two must agree hash-exact (same dual-derivation posture as
+    * e_funnel_users). Scale shape: one narrow projection, zero shuffles;
+    * the Zipf word cache makes the per-doc cost ~|words|, not
+    * |words|·|ranks|. */
+  private val textBpeTokens = Q("text_bpe_tokens",
+    (s, dir) => {
+      val toks = graft.plans.Stage(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text")))
+      val enc = graft.plans.Stage(toks, "bpe", Bpe.encode(col("w")))
+      enc.select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(col("bpe")).as("n_bpe_tokens"),
+        size(array_distinct(col("bpe"))).as("n_distinct_bpe"),
+        concat_ws(" ", slice(col("bpe"), 1, 8)).as("bpe_head"))
+    },
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocArr,
+      |base AS (SELECT doc_id, $duckToks AS toks FROM documents)
+      |SELECT base.doc_id,
+      |  CAST(len(base.toks) AS INTEGER) AS n_words,
+      |  CAST(len(coalesce(a.w, CAST([] AS VARCHAR[]))) AS INTEGER) AS n_bpe_tokens,
+      |  CAST(len(list_distinct(coalesce(a.w, CAST([] AS VARCHAR[])))) AS INTEGER) AS n_distinct_bpe,
+      |  array_to_string(list_slice(coalesce(a.w, CAST([] AS VARCHAR[])), 1, 8), ' ') AS bpe_head
+      |FROM base LEFT JOIN bpe_docarr a USING (doc_id)""".stripMargin),
+    bench = true)
 
   private val textLangid = Q("text_langid",
     (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
@@ -1821,6 +1888,33 @@ object Queries {
         |withbest AS (SELECT *, $langBestSql AS best FROM scored)
         |SELECT doc_id, labeled_lang, CASE $langCaseSql ELSE 'und' END AS predicted_lang
         |FROM withbest""".stripMargin))
+
+  /** Model-grade language ID (TextAnalysis.langIdModel — hashed
+    * char-trigram integer linear classifier, pinned offline weights,
+    * VERDICT r8 #3). All-integer scores ⇒ hash-exact; the oracle rebuilds
+    * the full model — trigrams, md5-nibble hash buckets, weight-table
+    * lookups, argmax with priority tie-break — in DuckDB. */
+  private val textLangidModel = Q("text_langid_model",
+    (s, dir) => TextAnalysis.langIdModel(Tables.documents(s, dir)),
+    Some {
+      import graft.functions.LangIdModel
+      val scoreCols = LangIdModel.Langs.zipWithIndex.map { case (l, i) =>
+        s"${LangIdModel.scoreSql("bk", "wall", i)} AS s_$l"
+      }.mkString(",\n      |  ")
+      s"""WITH base AS (SELECT doc_id, lang AS labeled_lang, lower(text) AS t FROM documents),
+      |tg AS (SELECT doc_id, labeled_lang, ${LangIdModel.trigramsSql("t")} AS tg FROM base),
+      |bk AS (SELECT doc_id, labeled_lang, len(tg) AS ntg,
+      |  list_transform(tg, g -> ${LangIdModel.hash16Sql("g")} % ${LangIdModel.B}) AS bk FROM tg),
+      |sc AS (SELECT doc_id, labeled_lang, ntg,
+      |  $scoreCols
+      |  FROM (SELECT *, ${LangIdModel.flatWeightsSql} AS wall FROM bk))
+      |SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
+      |  CASE WHEN ntg = 0 THEN 'und'
+      |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted_lang
+      |FROM sc""".stripMargin
+    })
 
   private val textTopTerms = Q("text_top_terms",
     (s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), 50),
@@ -2421,8 +2515,10 @@ object Queries {
   private val textTokenBudget = Q("text_token_budget",
     (s, dir) => TextAnalysis.tokenBudgetSample(Tables.documents(s, dir),
       Map("src0" -> 700L, "src1" -> 2000L), defaultBudget = 500L),
-    Some(s"""WITH d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS u,
-      |  CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocCount,
+      |d AS (SELECT dd.doc_id, dd.source, md5(CAST(dd.doc_id AS VARCHAR)) AS u,
+      |  b.n_bpe AS n_tokens FROM documents dd JOIN bpe_doc b ON b.doc_id = dd.doc_id),
       |b AS (SELECT *, CASE source WHEN 'src0' THEN 700 WHEN 'src1' THEN 2000
       |  ELSE 500 END AS budget FROM d),
       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
@@ -3339,7 +3435,8 @@ object Queries {
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
-    textStats, textLangid, textTopTerms, textCollocations, textFamiliarity,
+    textStats, textBpeTokens, textLangid, textLangidModel, textTopTerms,
+    textCollocations, textFamiliarity,
     textCorpusDrift, textVocab, textVocabApprox,
     textFingerprints,
     textRepetition, textContamination, textMixtureSample,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFns
+import graft.functions.{Bpe, TextFns}
 import graft.plans.Stage
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Per-document stats: token count, punctuation, alpha ratio, BPE-ish
-    * token estimate, composite quality score. Ratio columns are emitted as
-    * basis-point floors — see [[TextFns.qualityScore]] on why `round(x,4)`
-    * is not portable cross-engine for rational-valued ratios. */
+  /** Per-document stats: word count, punctuation, alpha ratio, REAL BPE
+    * subword-token count ([[Bpe]] encode under the pinned default vocab),
+    * composite quality score. Ratio columns are emitted as basis-point
+    * floors — see [[TextFns.qualityScore]] on why `round(x,4)` is not
+    * portable cross-engine for rational-valued ratios. */
   def docStats(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
@@ -26,7 +27,7 @@ object TextAnalysis {
       TextFns.tokenCount(col("text")).as("n_tokens"),
       TextFns.punctCount(col("text")).as("n_punct"),
       TextFns.basisPoints(TextFns.alphaRatio(col("text"))).as("alpha_bp"),
-      TextFns.bpeTokenEstimate(col("text")).as("n_bpe_tokens"),
+      Bpe.tokenCount(col("text")).as("n_bpe_tokens"),
       TextFns.basisPoints(TextFns.qualityScore(col("text"))).as("quality_bp"))
 
   /** Heuristic language ID next to the labeled lang. Tokens are staged —
@@ -36,6 +37,29 @@ object TextAnalysis {
       "w", TextFns.tokens(col("text")))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         TextFns.langIdFromTokens(col("w")).as("predicted_lang"))
+
+  /** Model-grade language ID ([[LangIdModel]] — hashed char-trigram
+    * integer linear classifier, fastText architecture, pinned offline
+    * weights): per document the four per-language integer scores and the
+    * argmax prediction ([[LangIdModel.Langs]] priority on ties, `und`
+    * below 3 chars). Narrow per-row pipeline, zero shuffles; every HOF
+    * input (trigram array, bucket array, weight table, score struct) is
+    * staged so interpreted lambdas only ever capture attributes. */
+  def langIdModel(documents: DataFrame): DataFrame = {
+    import graft.functions.LangIdModel
+    val base = documents.select(col("doc_id"), col("lang").as("labeled_lang"),
+      lower(col("text")).as("t"))
+    val tg = Stage(base, "tg", LangIdModel.trigrams(col("t")))
+    val bk = Stage(tg, "bk", LangIdModel.buckets(col("tg")))
+    val wl = Stage(bk, "wall", LangIdModel.weightArray)
+    val sc = Stage(wl, "sc", struct(LangIdModel.Langs.zipWithIndex.map {
+      case (l, i) => LangIdModel.score(col("bk"), col("wall"), i).as(s"s_$l")
+    }: _*))
+    val scores = LangIdModel.Langs.map(l => col(s"sc.s_$l"))
+    sc.select(Seq(col("doc_id"), col("labeled_lang")) ++
+      LangIdModel.Langs.map(l => col(s"sc.s_$l").as(s"s_$l")) :+
+      LangIdModel.predict(size(col("tg")), scores).as("predicted_lang"): _*)
+  }
 
   /** Document fingerprints (md5 + min/max shingle hash); tokens and
     * shingles staged once each ([[graft.plans.Stage]]). */
@@ -207,7 +231,10 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
     documents
-      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"))
+      // n_tokens = REAL BPE subword count (Bpe encode, pinned vocab) —
+      // packing capacity is a model context window, which is measured in
+      // model tokens, not whitespace words.
+      .select(col("doc_id"), Bpe.tokenCount(col("text")).as("n_tokens"))
       .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
       .withColumn("start_tok",
         (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
@@ -222,17 +249,19 @@ object TextAnalysis {
 
   /** Overlapping token-window chunking — the RAG/context-window splitter:
     * each document becomes ⌈(n−overlap)/(chunk−overlap)⌉ chunks of at most
-    * `chunkTokens` whitespace tokens, consecutive chunks sharing `overlap`
-    * tokens. Narrow per-document explode (no shuffle at all); tokens are
-    * staged once so the per-chunk slices reference a materialized array.
-    * Empty documents emit no chunks. All-integral arithmetic. */
+    * `chunkTokens` REAL BPE subword tokens ([[Bpe]] encode, pinned vocab —
+    * context windows are measured in model tokens), consecutive chunks
+    * sharing `overlap` tokens. Narrow per-document explode (no shuffle at
+    * all); the encoded token array is staged once so the per-chunk slices
+    * reference a materialized attribute. Empty documents emit no chunks.
+    * All-integral arithmetic. */
   def chunkDocuments(documents: DataFrame, chunkTokens: Int,
       overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
     val stride = chunkTokens - overlap
     val toks = Stage(documents.select(col("doc_id"), col("text")),
-      "w", TextFns.tokens(col("text")))
+      "w", Bpe.encode(TextFns.tokens(col("text"))))
       .withColumn("n", size(col("w")))
       .where(col("n") > 0)
     // extra = n - chunkTokens tokens remain after the first chunk; they
@@ -753,7 +782,8 @@ object TextAnalysis {
     }
     val base = documents.select(col("doc_id"), col("source"),
         md5(col("doc_id").cast("string")).as("u"),
-        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        // budgets are model-token budgets → count REAL BPE tokens.
+        Bpe.tokenCount(col("text")).cast("long").as("n_tokens"),
         budget.as("budget"))
       .withColumn("bucket", conv(substring(col("u"), 1, 2), 16, 10).cast("int"))
     val prefixes = base.groupBy(col("source").as("p_source"), col("bucket").as("p_bucket"))

@@ -879,8 +879,10 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("tokenBudgetSample: bucket-refined prefix equals the naive greedy prefix") {
+    // single-char word "t": BPE-identity, so n_tokens == word count and the
+    // naive reference below needs no tokenizer.
     val docs = (1L to 300L).map(i =>
-      (i, Seq.fill((i % 7).toInt + 1)("tok").mkString(" "), s"src${i % 3}"))
+      (i, Seq.fill((i % 7).toInt + 1)("t").mkString(" "), s"src${i % 3}"))
       .toDF("doc_id", "text", "source")
     val budgets = Map("src0" -> 120L, "src1" -> 0L)
     val got = TextAnalysis.tokenBudgetSample(docs, budgets, defaultBudget = 37L)
@@ -1040,10 +1042,11 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("chunkDocuments: overlapping windows cover every token, short docs = 1 chunk") {
+    // single-char words are BPE-identity, so windows are hand-checkable
     val docs = Seq(
-      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
-      (2L, "a b"),                                 // short: one chunk
-      (3L, ""))                                    // empty: no chunks
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // short: one chunk
+      (3L, ""))                    // empty: no chunks
       .toDF("doc_id", "text")
     val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
       .orderBy("doc_id", "chunk_idx").collect()
@@ -1052,9 +1055,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     // stride 3: windows [1..4],[4..7],[7..10] — 3 chunks, consecutive
     // chunks share one token, last chunk exactly fills.
     assert(d1.toSeq == Seq(
-      (0, "t1 t2 t3 t4", 4), (1, "t4 t5 t6 t7", 4), (2, "t7 t8 t9 t10", 4)))
+      (0, "a b c d", 4), (1, "d e f g", 4), (2, "g h i j", 4)))
     val d2 = out.filter(_.getLong(0) == 2L)
-    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "a b"
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "x y"
       && d2(0).getAs[Int]("chunk_tokens") == 2)
     assert(!out.exists(_.getLong(0) == 3L), "empty doc must emit no chunks")
   }
@@ -1072,9 +1075,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 32, overlap = overlap)
       .select("doc_id", "chunk_idx", "chunk_text").as[(Long, Int, String)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // reference token stream = real BPE encode of each word, flattened
+    // (independent JVM path through the kernel, not the Column API)
+    val kernel = new graft.plans.BpeKernel(
+      graft.functions.Bpe.DefaultMerges.map(m => Array(m._1, m._2)).toArray)
     docs.select("doc_id", "text").as[(Long, String)].collect().foreach {
       case (id, text) =>
         val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          .flatMap(w => kernel.encodeWord(w).map(_.toString))
         if (toks.isEmpty) assert(!out.contains(id), s"empty doc $id emitted chunks")
         else {
           val chunks = out(id).map(_.split(" ").toSeq)
@@ -1085,13 +1093,13 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("chunkDocuments: ragged tail gets its own shorter chunk") {
-    val docs = Seq((1L, (1 to 9).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
     val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
       .orderBy("chunk_idx")
       .select("chunk_text", "chunk_tokens").as[(String, Int)].collect()
     // 9 tokens, stride 3: [1..4],[4..7],[7..9] — tail chunk has 3 tokens.
     assert(out.toSeq == Seq(
-      ("t1 t2 t3 t4", 4), ("t4 t5 t6 t7", 4), ("t7 t8 t9", 3)))
+      ("a b c d", 4), ("d e f g", 4), ("g h i", 3)))
   }
 
   test("docStats counts tokens/punct and bounds ratios") {
