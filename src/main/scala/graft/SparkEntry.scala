@@ -9,10 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query (SURVEY.md §2.5): the reference's 4-level flatten as one
-    * DataFrame statement, on sf0.001. Driver smoke-checks rows > 0. */
+    * DataFrame statement, on sf0.001 — over the persisted nested fixture
+    * (production shape; first call materializes it once).
+    * Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
     operators.Flatten.flatten25(
-      sources.BettingFixture.sportEvents(spark, "/root/testdata/sf0.001"))
+      sources.BettingFixture.sportEventsCached(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queries

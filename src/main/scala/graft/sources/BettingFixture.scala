@@ -77,6 +77,35 @@ object BettingFixture {
     * orderkey-equi join are co-partitioned on the same key, so at scale this
     * is one exchange; in production the nested data would arrive in this
     * shape directly from the source (S2–S4). */
+  /** [[sportEvents]] persisted once as nested parquet and read back — the
+    * PRODUCTION shape: a frame log lands already nested (S2–S4 deliver
+    * event→markets→lines trees), so consumers scan a nested table; they do
+    * not re-synthesize it from relational parts per query. Keyed by the
+    * source files' size+mtime so a testdata regeneration invalidates the
+    * cache; the build is write-to-temp + atomic rename (safe across
+    * concurrent callers), and every later call — including later JVMs —
+    * is a pure parquet scan. This is bench hygiene (VERDICT r8 #4):
+    * ~80% of the flagship wall was fixture synthesis, not the flatten
+    * being measured. Results are bit-identical to [[sportEvents]]. */
+  def sportEventsCached(spark: SparkSession, sfDir: String): DataFrame = this.synchronized {
+    def stat(name: String): String = {
+      val f = new java.io.File(s"$sfDir/$name.parquet")
+      s"$name:${f.length}:${f.lastModified}"
+    }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((sfDir + Seq("orders", "lineitem", "region").map(stat).mkString(";"))
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(s"/tmp/graft_fixture_cache/sport_events_$key")
+    if (!dir.exists()) {
+      val tmp = new java.io.File(dir.getParentFile,
+        s"${dir.getName}.tmp${ProcessHandle.current().pid()}")
+      sportEvents(spark, sfDir).write.mode("overwrite").parquet(tmp.toString)
+      if (!tmp.renameTo(dir) && !dir.exists())
+        sys.error(s"fixture cache rename failed: $tmp -> $dir")
+    }
+    spark.read.parquet(dir.toString)
+  }
+
   def sportEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val r = Tables.region(spark, sfDir)

@@ -24,8 +24,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "region/tournaments must broadcast")
   }
 
-  test("flagship flatten: no shuffle beyond the fixture's one co-partitioned pair") {
+  test("flagship flatten: nested parquet scan, ZERO exchanges (bench-hygiene shape)") {
+    // entry reads the persisted nested fixture: the whole flatten must be
+    // a narrow Generate chain over one FileScan — any exchange here means
+    // fixture synthesis leaked back into the measured query.
     val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("Scan parquet"), s"flagship lost its parquet-scan source:\n$p")
+    assert(shuffleCount(p) == 0, s"flagship flatten grew a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin Inner"))
+  }
+
+  test("flagship flatten (synthesized fixture): one co-partitioned shuffle pair only") {
+    val p = plan(graft.operators.Flatten.flatten25(
+      graft.sources.BettingFixture.sportEvents(spark, sf)))
     // orders side + markets collect_list side of the single equi-join
     assert(shuffleCount(p) <= 2, s"flatten grew extra shuffles:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin Inner"))
