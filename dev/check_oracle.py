@@ -49,9 +49,10 @@ for name, sql in sorted(oracle.items()):
     if name in skip:
         skipped.append(name); continue
     if name in done:
-        rec = done[name]
-        (passes if rec["ok"] else fails).append(
-            name if rec["ok"] else (name, rec["msg"]))
+        # `done` holds PASSES only (see the resume loader above): a query
+        # present here was recorded green and is skipped; recorded failures
+        # were never loaded, so they always re-run and a fix clears them.
+        passes.append(name)
         continue
     t0 = time.time()
     if verbose:

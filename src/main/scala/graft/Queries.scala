@@ -1938,7 +1938,8 @@ object Queries {
       |pairs AS (SELECT bigram, count(*) AS pair_n FROM bg GROUP BY 1 HAVING count(*) >= 5),
       |sp AS (SELECT bigram, pair_n, string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2 FROM pairs)
       |SELECT sp.bigram, sp.pair_n,
-      |  (sp.pair_n * tot.total * 1000) // (ua.n * ub.n) AS lift_x1000
+      |  CAST((CAST(sp.pair_n AS HUGEINT) * tot.total * 1000)
+      |    // (CAST(ua.n AS HUGEINT) * ub.n) AS BIGINT) AS lift_x1000
       |FROM sp
       |JOIN uni ua ON ua.token = sp.w1
       |JOIN uni ub ON ub.token = sp.w2
@@ -1955,9 +1956,11 @@ object Queries {
       |cnt AS (SELECT bigram, count(*) AS bg_n FROM bg GROUP BY 1),
       |agg AS (SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(cnt.bg_n) AS BIGINT) AS sum_bg
       |  FROM bg JOIN cnt USING (bigram) GROUP BY 1)
-      |SELECT doc_id, n_bigrams, sum_bg // n_bigrams AS familiarity,
-      |  CAST(sum_bg // n_bigrams >= 2 AS INTEGER) AS keep
-      |FROM agg""".stripMargin))
+      |SELECT t.doc_id,
+      |  CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(agg.sum_bg // agg.n_bigrams, 0) AS BIGINT) AS familiarity,
+      |  CAST(coalesce(agg.sum_bg // agg.n_bigrams, 0) >= 2 AS INTEGER) AS keep
+      |FROM toks t LEFT JOIN agg ON agg.doc_id = t.doc_id""".stripMargin))
 
   /** Corpus drift monitor (TextAnalysis.corpusDrift): doc_id parity
     * splits the documents into two "snapshots"; per-token symmetric
@@ -1981,8 +1984,8 @@ object Queries {
       |SELECT top.token, top.n_both,
       |  CAST(coalesce(ca.n, 0) AS BIGINT) AS n_a,
       |  CAST(coalesce(cb.n, 0) AS BIGINT) AS n_b,
-      |  abs(coalesce(ca.n, 0) * tot_b - coalesce(cb.n, 0) * tot_a) * 10000
-      |    // greatest(coalesce(ca.n, 0) * tot_b + coalesce(cb.n, 0) * tot_a, 1) AS drift_bp
+      |  CAST(abs(CAST(coalesce(ca.n, 0) AS HUGEINT) * tot_b - CAST(coalesce(cb.n, 0) AS HUGEINT) * tot_a) * 10000
+      |    // greatest(CAST(coalesce(ca.n, 0) AS HUGEINT) * tot_b + CAST(coalesce(cb.n, 0) AS HUGEINT) * tot_a, 1) AS BIGINT) AS drift_bp
       |FROM top
       |LEFT JOIN ca USING (token)
       |LEFT JOIN cb USING (token)

@@ -57,6 +57,25 @@ object EntityResolution {
       .groupBy(col("k")).agg(count(lit(1)).as("key_n"))
       .where(col("key_n") > minSize)
 
+  /** Two-sided blocking-key audit for a [[fuzzyPairs]] join: the candidate
+    * blowup is the PRODUCT of the two sides' bucket sizes, so a key that
+    * is rare in the index but present in every batch row (a default name)
+    * is invisible to the one-sided audit (ADVICE r8) — this one joins the
+    * per-side key counts and flags keys whose `key_n_left · key_n_right`
+    * exceeds `pairBudget` candidate pairs. Run it on the frames exactly as
+    * the join will see them; an empty result bounds the join's worst
+    * bucket. */
+  def oversizedJoinKeys(left: DataFrame, right: DataFrame,
+      pairBudget: Long): DataFrame = {
+    def keyCounts(df: DataFrame, n: String): DataFrame =
+      df.select(explode(deletionNeighborhood(normalizeName(col("name")))).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as(n))
+    keyCounts(left, "key_n_left").join(keyCounts(right, "key_n_right"), "k")
+      .where(col("key_n_left") * col("key_n_right") > pairBudget)
+      .select(col("k"), col("key_n_left"), col("key_n_right"),
+        (col("key_n_left") * col("key_n_right")).as("candidate_pairs"))
+  }
+
   /** Persistable linkage index over the canonical side: `(k, id, nm)` —
     * the normalized name and its precomputed neighborhood keys,
     * ~|name|+1 rows per record. Write it once; later batches probe it via

@@ -57,14 +57,26 @@ object Graph {
     val linked = e.join(outDeg, "src").persist()
     // Eager localCheckpoint per iteration instead of persist+count: it
     // BOTH truncates lineage (iteration k's plan does not nest k−1 plans)
-    // AND hands block lifecycle to the ContextCleaner — intermediate
-    // iterations' blocks are freed once unreferenced, and the returned
-    // frame's blocks go when the caller drops it. A plain persist here
-    // leaked one cached node-frame per call for the session lifetime.
+    // AND materializes before the next step. The PREVIOUS iteration's
+    // blocks are unpersisted EXPLICITLY as soon as the next checkpoint
+    // exists (ADVICE r8: waiting for the ContextCleaner let a long run
+    // accumulate one node-frame per iteration until a GC happened); only
+    // the returned frame's blocks remain, freed when the caller drops it.
+    // Fault-tolerance caveat (inherent to localCheckpoint): blocks live in
+    // executor storage with NO recompute path — a lost executor aborts the
+    // run. Acceptable for the fixed small iteration counts here; a
+    // multi-hour 100 TB run should flip to reliable `checkpoint` (HDFS/S3
+    // checkpoint dir) at ~8× the per-iteration write cost, same loop.
+    def freeBlocks(df: DataFrame): Unit =
+      org.apache.spark.sql.graftbridge.GraftBridge.logicalPlan(df) match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
     var scores = nodes.withColumn("rank_ppm", lit(ScaleppM))
       .localCheckpoint(true)
     try {
       for (_ <- 1 to iterations) {
+        val prev = scores
         val contrib = linked
           .join(scores.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"),
@@ -74,6 +86,8 @@ object Graph {
           .select(col("node"),
             (lit(BasePpm) + coalesce(col("contrib"), lit(0L))).as("rank_ppm"))
           .localCheckpoint(true)
+        // the new checkpoint is materialized (eager) — prev is now dead
+        freeBlocks(prev)
       }
       scores
     } finally linked.unpersist(false)

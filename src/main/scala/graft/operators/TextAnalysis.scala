@@ -113,8 +113,16 @@ object TextAnalysis {
       .join(uni.select(col("token").as("w1"), col("n").as("n_a")), "w1")
       .join(uni.select(col("token").as("w2"), col("n").as("n_b")), "w2")
       .crossJoin(broadcast(total)) // 1-row global aggregate (benign)
+      // intermediates widened to DECIMAL: still exact integer math, but
+      // pair_n·total·1000 at the 100 TB corpus this targets (total ~1e13,
+      // frequent pair_n ~1e10) exceeds Long and non-ANSI Spark would wrap
+      // silently (ADVICE r8). The ~1e26 product fits decimal(38,0) with
+      // >10 digits of headroom; the quotient (≤ ~1000·total/max(n_a,n_b))
+      // is back in Long range, which `div` returns.
       .select(col("bigram"), col("pair_n"),
-        expr("pair_n * total * 1000 div (n_a * n_b)").as("lift_x1000"))
+        expr("""cast(pair_n as decimal(20,0)) * cast(total as decimal(20,0)) * 1000
+          div (cast(n_a as decimal(20,0)) * cast(n_b as decimal(20,0)))""")
+          .as("lift_x1000"))
       .orderBy(col("lift_x1000").desc, col("bigram"))
       .limit(k)
   }
@@ -138,11 +146,19 @@ object TextAnalysis {
       .select(col("doc_id"), explode(TextFns.shingles(col("w"), 2)).as("bigram"))
       .localCheckpoint(false)
     val counts = docBigrams.groupBy("bigram").agg(count(lit(1)).as("bg_n"))
-    docBigrams.join(counts, "bigram")
+    val scored = docBigrams.join(counts, "bigram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bg_n")).as("sum_bg"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_bg div n_bigrams").as("familiarity"))
+    // zero/one-token docs have no bigram and are exactly what a fluency
+    // gate must REJECT — emit them with keep = 0 rather than dropping
+    // them, so keep-joins and keep-anti-joins see the same doc set
+    // (ADVICE r8).
+    toks.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("familiarity"), lit(0L)).as("familiarity"))
       .withColumn("keep", (col("familiarity") >= minScore).cast("int"))
   }
 
@@ -175,11 +191,17 @@ object TextAnalysis {
       .join(ca.withColumnRenamed("n", "n_a"), Seq("token"), "left")
       .join(cb.withColumnRenamed("n", "n_b"), Seq("token"), "left")
       .crossJoin(broadcast(tots)) // 1-row global aggregate (benign)
+      // DECIMAL-widened cross-products (exact integer math): n·tot at the
+      // target scale (~1e10 · ~1e13 · 10⁴ ≈ 1e27) overflows Long silently
+      // in non-ANSI Spark (ADVICE r8); decimal(38,0) holds it exactly and
+      // the basis-point quotient is Long again.
       .select(col("token"), col("n_both"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
-        expr("""abs(coalesce(n_a, 0) * tot_b - coalesce(n_b, 0) * tot_a) * 10000
-          div greatest(coalesce(n_a, 0) * tot_b + coalesce(n_b, 0) * tot_a, 1)""")
+        expr("""abs(cast(coalesce(n_a, 0) as decimal(19,0)) * tot_b
+             - cast(coalesce(n_b, 0) as decimal(19,0)) * tot_a) * 10000
+          div greatest(cast(coalesce(n_a, 0) as decimal(19,0)) * tot_b
+             + cast(coalesce(n_b, 0) as decimal(19,0)) * tot_a, 1)""")
           .as("drift_bp"))
   }
 

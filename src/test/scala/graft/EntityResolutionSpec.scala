@@ -97,6 +97,20 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(EntityResolution.oversizedKeys(df, 40).isEmpty)
   }
 
+  test("oversizedJoinKeys: product-skew visible only two-sided is flagged") {
+    // 'unknown' is rare in the index (3 rows) but on EVERY batch row (50):
+    // one-sided audits at minSize 10 miss it on the left; the pair budget
+    // 100 < 3·50 = 150 catches the product.
+    val index = (Seq((1L, "alice"), (2L, "bob")) ++
+      (10L to 12L).map(i => (i, "unknown"))).toDF("id", "name")
+    val batch = (100L to 149L).map(i => (i, "unknown")).toDF("id", "name")
+    assert(EntityResolution.oversizedKeys(index, 10).isEmpty,
+      "one-sided audit must NOT see the product skew (that is the point)")
+    val hot = EntityResolution.oversizedJoinKeys(index, batch, 100).collect()
+    assert(hot.nonEmpty && hot.forall(_.getAs[Long]("candidate_pairs") == 150L))
+    assert(EntityResolution.oversizedJoinKeys(index, batch, 200).isEmpty)
+  }
+
   test("candidate join is an equi-join: no cartesian or nested-loop in the plan") {
     val df = (1L to 50L).map(i => (i, f"name#$i%05d")).toDF("id", "name")
     val plan = EntityResolution.fuzzyPairs(df, df)

@@ -731,6 +731,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L)._3 == d2.map(freq).sum / d2.length)
   }
 
+  test("familiarityScore: zero/one-token docs are emitted with keep = 0, not dropped") {
+    val docs = Seq((1L, "the quick fox and the quick dog"),
+      (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.familiarityScore(docs, minScore = 2)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "every input doc must appear")
+    assert(out(2L) == ((2L, 0L, 0L, 0)) && out(3L) == ((3L, 0L, 0L, 0)),
+      "short docs: no bigram, familiarity 0, gated out")
+  }
+
+  test("collocations lift survives counts that overflow Long (decimal intermediates)") {
+    // the exact product the operator forms: pair_n·total·1000 with
+    // 100 TB-scale magnitudes (1e10 · 1e13 · 1e3 = 1e26 ≫ Long.Max);
+    // non-ANSI Long math would wrap negative, decimal must stay exact.
+    val got = spark.sql(
+      """SELECT cast(10000000000 as decimal(20,0)) * cast(10000000000000 as decimal(20,0)) * 1000
+        |  div (cast(1000000000000 as decimal(20,0)) * cast(1000000000000 as decimal(20,0))) AS lift
+        |""".stripMargin).as[Long].head()
+    assert(got == 100L, s"expected exact 1e26/1e24 = 100, got $got")
+  }
+
   test("epochUpsample: integer epochs replicate exactly, fractions keep deterministically") {
     val docs = (1L to 300L).map(i =>
       (i, s"doc $i", Seq("a", "b", "c")(((i - 1) % 3).toInt))).toDF("doc_id", "text", "source")
