@@ -1445,6 +1445,42 @@ object Queries {
     Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin))
 
+  /** Canonical-URL dedup (Dedup.urlDedup — the cheapest crawl-dedup tier,
+    * VERDICT r8 #8). The synthetic corpus has no URL column, so the query
+    * PLANTS one per document from its key (same posture as
+    * text_pii_redact): scheme/host case, www., default port, trailing
+    * slash, tracking params and param order all vary by doc_id residues
+    * and must collapse to one canonical form. The oracle replays the
+    * identical normalization in DuckDB — hash-exact. */
+  private val dedupUrl = Q("dedup_url",
+    (s, dir) => {
+      val urls = Tables.documents(s, dir).select(col("doc_id"), concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("http")),
+        lit("://"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), pmod(col("doc_id"), lit(40)).cast("string"), lit(".Example.COM"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(":80")).otherwise(lit("")),
+        lit("/Docs/Page"), pmod(col("doc_id"), lit(20)).cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("&a=1")).as("url"))
+      Dedup.urlDedup(urls)
+    },
+    Some(s"""WITH u AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  'Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM' ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+      |  '/Docs/Page' || CAST(doc_id % 20 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |  '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1' AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url FROM u),
+      |k AS (SELECT doc_id, canonical_url,
+      |  min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id FROM c)
+      |SELECT doc_id, canonical_url, keep_id,
+      |  CAST(doc_id = keep_id AS INTEGER) AS is_canonical FROM k""".stripMargin))
+
   /** MinHash-LSH candidate-pair CTE chain over any (doc_id, text) relation
     * `src` — no leading WITH, so callers can prepend their own CTEs. Ends
     * in `pairs(doc_a, doc_b, jaccard)`. */
@@ -3436,7 +3472,7 @@ object Queries {
     uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
-    dedupExact, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
+    dedupExact, dedupUrl, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,

@@ -15,6 +15,37 @@ class DedupSpec extends AnyFunSuite {
     (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
     (5L, "")).toDF("doc_id", "text")
 
+  test("canonicalUrl: case, www, default port, trailing slash, tracking params, param order") {
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag",
+        "http://example.com/A/b?a=1&b=2"),
+      ("https://Example.com:443/", "https://example.com/"),
+      ("https://example.com:8443/x", "https://example.com:8443/x"), // non-default port kept
+      ("http://example.com", "http://example.com/"),
+      ("http://example.com/?fbclid=abc&gclid=x", "http://example.com/"),
+      ("http://www.example.com/p//", "http://example.com/p"),
+      ("http://wwwx.example.com/p", "http://wwwx.example.com/p")) // www. only as a label
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+      .select(col("doc_id"), graft.operators.Dedup.canonicalUrl(col("url")).as("c"))
+      .orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    cases.map(_._2).zip(got).foreach { case (want, have) =>
+      assert(have == want, s"expected $want got $have")
+    }
+  }
+
+  test("urlDedup: variants collapse to one canonical key, min doc_id survives") {
+    val urls = Seq(
+      (5L, "http://a.com/x?b=2&a=1"),
+      (3L, "HTTP://WWW.A.com:80/x/?a=1&b=2&utm_medium=m"),
+      (7L, "http://a.com/y")).toDF("doc_id", "url")
+    val out = graft.operators.Dedup.urlDedup(urls)
+      .as[(Long, String, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(3L)._2 == out(5L)._2 && out(3L)._3 == 3L && out(5L)._3 == 3L)
+    assert(out(3L)._4 == 1 && out(5L)._4 == 0)
+    assert(out(7L)._4 == 1 && out(7L)._3 == 7L)
+  }
+
   test("exact dedup groups identical texts, keeps min doc_id") {
     val out = Dedup.exact(docs).collect()
     assert(out.length == 4) // 1&4 merge
