@@ -42,6 +42,67 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin Inner"))
   }
 
+  test("bench board: exchange/scan counts pinned per query (duplicate-subtree guard)") {
+    // The regression class this catches (it has bitten three times: minhash
+    // bands, multimodal signatures, collocations/familiarity — VERDICT r8
+    // #7): an un-staged shared subtree silently duplicating, which shows up
+    // as extra `Scan parquet` leaves and/or extra exchanges. Ceilings are
+    // pinned at today's plan shapes; a query exceeding its ceiling (or a
+    // new bench query missing here) fails with the observed counts so the
+    // pin is a one-line update AFTER the plan is understood.
+    // (exchCeil counts shuffle exchanges; scans counts parquet leaves.)
+    val ceilings: Map[String, (Int, Int)] = Map( // name -> (exchanges, scans)
+      "q1_pricing_summary" -> (1, 1),
+      "x_variant_shred" -> (1, 1),
+      "j3_chain_agg" -> (2, 4),
+      "j_asof_join" -> (2, 2),
+      "a4_last_wins" -> (1, 1),
+      "a_column_profile" -> (2, 5),
+      "w_topk_per_group" -> (1, 1),
+      "w_topk_plan" -> (1, 1),
+      "x_flagship_flatten" -> (0, 1),
+      "seeding_pipeline" -> (1, 4),
+      "wager_book_replay" -> (2, 2),
+      "t_window_hourly" -> (1, 1),
+      "t_session_windows" -> (1, 1),
+      "decode_roundtrip" -> (2, 1),
+      "dedup_exact_incr_bloom" -> (3, 4),
+      "dedup_minhash_pairs" -> (3, 4),
+      "pipeline_docs_prep" -> (15, 10),
+      "pipeline_curate_full" -> (16, 10),
+      "text_stats" -> (0, 1),
+      "text_bpe_tokens" -> (0, 1),
+      "text_top_terms" -> (1, 1),
+      "er_fuzzy_pairs" -> (3, 2),
+      "dedup_exact_substr" -> (4, 3),
+      "pipeline_decontam_lsh" -> (4, 2),
+      "sim_brute_topk" -> (2, 2),
+      "sim_topk_agg" -> (1, 2),
+      "sim_ivf_topk" -> (5, 4),
+      "sim_lsh_topk" -> (3, 2),
+      "multimodal_decode" -> (1, 1),
+      "dedup_multimodal" -> (7, 4))
+    val failures = Queries.benchNames.flatMap { name =>
+      ceilings.get(name) match {
+        case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
+        case Some((exchCeil, scanCeil)) =>
+          val p = plan(Queries.queries(name)(spark, sf))
+          val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
+          val scans = "Scan parquet|Scan ExistingRDD".r.findAllIn(p).length
+          val product = p.contains("CartesianProduct") ||
+            p.contains("BroadcastNestedLoopJoin Inner")
+          Seq(
+            if (exch > exchCeil) Some(s"$name: $exch exchanges > ceiling $exchCeil")
+            else None,
+            if (scans > scanCeil) Some(s"$name: $scans scan leaves > ceiling $scanCeil (duplicate subtree?)")
+            else None,
+            if (product && name != "sim_brute_topk" && name != "sim_topk_agg")
+              Some(s"$name: product join appeared") else None).flatten
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("brute top-k: map-side WindowGroupLimit before the exchange") {
     val p = plan(Similarity.bruteTopK(Tables.embeddings(spark, sf), 10, 20))
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
