@@ -1998,6 +1998,46 @@ object Queries {
       |  CAST(coalesce(agg.sum_bg // agg.n_bigrams, 0) >= 2 AS INTEGER) AS keep
       |FROM toks t LEFT JOIN agg ON agg.doc_id = t.doc_id""".stripMargin))
 
+  /** KenLM-style bigram LM with stupid backoff (TextAnalysis.lmScore) in
+    * exact integer math — every log is a floored log₂ via
+    * `length(bin(n)) − 1`, bit-identical cross-engine. Trained on the
+    * even-doc_id half, scoring the odd half (held-out, so unseen bigrams
+    * exist and the backoff arm actually executes). */
+  private val textLmScore = Q("text_lm_score",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmScore(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    },
+    Some(s"""WITH tt AS (SELECT doc_id, $duckToks AS w FROM documents WHERE doc_id % 2 = 0),
+      |et AS (SELECT doc_id, $duckToks AS w FROM documents WHERE doc_id % 2 = 1),
+      |uni AS (SELECT token, count(*) AS n_uni FROM (SELECT unnest(w) AS token FROM tt) GROUP BY 1),
+      |bgc AS (SELECT bigram, count(*) AS n_bg FROM
+      |  (SELECT unnest(${duckShingles(2)}) AS bigram FROM tt WHERE len(w) >= 2) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_uni) AS BIGINT) AS lm_total FROM uni),
+      |eb AS (SELECT doc_id, bigram,
+      |    string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+      |  FROM (SELECT doc_id, unnest(${duckShingles(2)}) AS bigram FROM et WHERE len(w) >= 2)),
+      |sc AS (SELECT eb.doc_id,
+      |    CASE WHEN bgc.n_bg IS NOT NULL
+      |      THEN (length(bin(u1.n_uni)) - 1) - (length(bin(bgc.n_bg)) - 1)
+      |      ELSE 4 + (length(bin(tot.lm_total)) - 1)
+      |        - (length(bin(coalesce(u2.n_uni, 0) + 1)) - 1) END AS bits
+      |  FROM eb LEFT JOIN bgc USING (bigram)
+      |    LEFT JOIN uni u1 ON u1.token = eb.w1
+      |    LEFT JOIN uni u2 ON u2.token = eb.w2
+      |    CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(bits) AS BIGINT) AS sum_bits FROM sc GROUP BY 1)
+      |SELECT e.doc_id,
+      |  CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(agg.sum_bits, 0) AS BIGINT) AS sum_bits,
+      |  CAST(coalesce(agg.sum_bits // agg.n_bigrams, 0) AS BIGINT) AS mean_bits,
+      |  CAST(coalesce(agg.n_bigrams, 0) > 0
+      |    AND coalesce(agg.sum_bits // agg.n_bigrams, 0) <= 6 AS INTEGER) AS keep
+      |FROM et e LEFT JOIN agg USING (doc_id)""".stripMargin))
+
   /** Corpus drift monitor (TextAnalysis.corpusDrift): doc_id parity
     * splits the documents into two "snapshots"; per-token symmetric
     * divergence in basis points over the combined top-100 tokens. */
@@ -3479,7 +3519,7 @@ object Queries {
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textBpeTokens, textLangid, textLangidModel, textTopTerms,
-    textCollocations, textFamiliarity,
+    textCollocations, textFamiliarity, textLmScore,
     textCorpusDrift, textVocab, textVocabApprox,
     textFingerprints,
     textRepetition, textContamination, textMixtureSample,

@@ -783,6 +783,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == 100L, s"expected exact 1e26/1e24 = 100, got $got")
   }
 
+  test("lmScore: seen bigrams score low, unseen back off high; artifact round-trips") {
+    val train = Seq(
+      (2L, "the quick fox and the quick dog"),
+      (4L, "the quick fox runs and the dog runs")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the quick fox and the quick dog"), // all bigrams seen
+      (3L, "zxq wvv qpl mmt"),                 // nothing seen → backoff every time
+      (5L, "solo")).toDF("doc_id", "text")     // no bigram → keep 0
+    val out = TextAnalysis.lmScore(train, eval)
+      .as[(Long, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 < out(3L)._4, "fluent text must out-score gibberish")
+    assert(out(1L)._5 == 1 && out(3L)._5 == 0)
+    assert(out(5L) == ((5L, 0L, 0L, 0L, 0)))
+    // hand-check one seen bigram: "the quick" occurs 3x in train, "the" 4x
+    // → bits = floor(log2 4) - floor(log2 3) = 2 - 1 = 1; and one unseen:
+    // w2 "zxq-like" unseen → 4 + floor(log2 15) - floor(log2 1) = 4 + 3.
+    val trainToks = train.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).length
+    assert(trainToks == 15)
+    assert(out(3L)._3 == 3 * (4 + 3), "3 bigrams, all full-backoff")
+
+    // the persisted-artifact path scores identically
+    val (uni, bg, tot) = TextAnalysis.lmTrain(train)
+    val dir = java.nio.file.Files.createTempDirectory("lm-artifact")
+    uni.write.mode("overwrite").parquet(s"$dir/uni")
+    bg.write.mode("overwrite").parquet(s"$dir/bg")
+    tot.write.mode("overwrite").parquet(s"$dir/tot")
+    val viaArtifact = TextAnalysis.lmScoreFrom(
+        spark.read.parquet(s"$dir/uni"), spark.read.parquet(s"$dir/bg"),
+        spark.read.parquet(s"$dir/tot"), eval)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(viaArtifact == out.values.toSet)
+  }
+
   test("epochUpsample: integer epochs replicate exactly, fractions keep deterministically") {
     val docs = (1L to 300L).map(i =>
       (i, s"doc $i", Seq("a", "b", "c")(((i - 1) % 3).toInt))).toDF("doc_id", "text", "source")
