@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   *    per-partition-init `mapPartitions` boundary. The synthesized pixels
   *    are deterministic functions of the asset id, so the decoded
   *    dims/luma are DuckDB-oracle-checkable end to end.
+  *  - [[synthesizeAudio]] / [[decodeAudioFeatures]]: a REAL audio
+  *    round-trip — RIFF/WAVE PCM16 files parsed by
+  *    `javax.sound.sampled.AudioSystem`, integer signal features
+  *    (amplitude, energy, zero crossings) over the decoded samples.
   *  - [[StubCodec]]: the remaining stand-in for codecs this container
-  *    lacks (video/audio). A production build drops a JNI/javacv decoder
+  *    lacks (video). A production build drops a JNI/javacv decoder
   *    into [[Codec]] without touching the plan shape: the `mapPartitions`
   *    boundary is where per-batch native decoding belongs (one codec init
   *    per partition, not per row — same shape `mapInPandas` gives
@@ -321,6 +325,86 @@ object Multimodal {
     val blocksAll = newSig.unionByName(historyIndex)
     verifyPairs(vsHistory.unionByName(vsBatch), blocksAll, maxSumAbsDiff)
       .select(col("asset_a"), col("asset_b"), col("sum_abs_diff"), col("origin"))
+  }
+
+  final case class AudioRow(asset_id: Long, wav: Array[Byte])
+  final case class AudioFeatures(asset_id: Long, sample_rate: Long,
+    n_samples: Long, sum_abs: Long, max_abs: Long, n_zero_cross: Long,
+    sum_sq: Long)
+
+  /** REAL audio synthesis: a canonical 44-byte RIFF/WAVE PCM16-mono file
+    * per asset, carrying a square wave whose rate/length/amplitude/period
+    * are closed-form in the asset id — the audio leg of the
+    * [[synthesizeImages]] pattern, with the same payoff: every decoded
+    * feature is DuckDB-re-derivable arithmetically, so the WHOLE
+    * decode chain is hash-oracle-checkable. Sample i is +amp while
+    * ⌊i/period⌋ is even, −amp otherwise. */
+  def synthesizeAudio(spark: SparkSession, documents: DataFrame): Dataset[AudioRow] = {
+    import spark.implicits._
+    documents.select(
+        col("doc_id").as("asset_id"),
+        (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).cast("int").as("rate"),
+        (lit(400) + pmod(col("doc_id"), lit(50)) * 16).cast("int").as("n"),
+        (lit(1000) + pmod(col("doc_id"), lit(100)) * 250).cast("int").as("amp"),
+        (lit(2) + pmod(col("doc_id"), lit(9))).cast("int").as("period"))
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, rate, n, amp, period) =>
+          val dataLen = n * 2
+          val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) {
+            buf.putShort((if ((i / period) % 2 == 0) amp else -amp).toShort)
+            i += 1
+          }
+          AudioRow(id, buf.array())
+        }
+      }
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` parses the
+    * RIFF/WAVE container (format, rate, sample width — a malformed header
+    * throws, it is a genuine codec path, not a byte-slice), then the
+    * PCM16-LE samples feed integer signal features: total/max absolute
+    * amplitude, energy (Σs²) and zero-crossing count — the standard cheap
+    * audio-quality gates (silence, clipping, noise) a training pipeline
+    * runs before anything model-based. Same per-partition `mapPartitions`
+    * boundary as [[decodeImageFeatures]]; at 100 TB this streams inside
+    * the scan stage, one codec init per partition. */
+  def decodeAudioFeatures(spark: SparkSession,
+      audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unsupported WAV shape for asset ${r.asset_id}: $fmt")
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val n = bytes.length / 2
+        var sumAbs = 0L; var sumSq = 0L; var maxAbs = 0L; var zc = 0L
+        var prev = 0; var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+          val a = math.abs(s).toLong
+          sumAbs += a; sumSq += a * a
+          if (a > maxAbs) maxAbs = a
+          if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
+          prev = s; i += 1
+        }
+        AudioFeatures(r.asset_id, fmt.getSampleRate.toLong, n.toLong,
+          sumAbs, maxAbs, zc, sumSq)
+      }
+    }
   }
 
   final case class AssetRow(asset_id: Long, payload: Array[Byte], width: Int, height: Int)

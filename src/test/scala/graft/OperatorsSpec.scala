@@ -1388,6 +1388,33 @@ class MultimodalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("audio: WAV synth → AudioSystem decode round-trip matches closed forms") {
+    val docs = Seq(0L, 1L, 7L, 123L).map(i => (i, s"d$i", "en", "src", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeAudioFeatures(spark,
+        Multimodal.synthesizeAudio(spark, docs))
+      .collect().map(f => f.asset_id -> f).toMap
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val n = 400 + (id % 50) * 16
+      val amp = 1000 + (id % 100) * 250
+      val period = 2 + id % 9
+      val f = out(id)
+      assert(f.sample_rate == 8000 + (id % 3) * 4000)
+      assert(f.n_samples == n, s"id $id: decoded ${f.n_samples} samples, want $n")
+      assert(f.sum_abs == n * amp)
+      assert(f.max_abs == amp)
+      assert(f.n_zero_cross == (n - 1) / period)
+      assert(f.sum_sq == n * amp * amp)
+    }
+  }
+
+  test("audio: a malformed container is rejected by the codec, not mis-read") {
+    val bad = Seq(Multimodal.AudioRow(1L, Array[Byte](1, 2, 3, 4))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioFeatures(spark, bad).collect()
+    }
+  }
+
   test("binary asset round-trip: payload bytes measured, sha stable") {
     val df = Seq((7L, "hello", "en", "src", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val f = Multimodal.features(df).collect().head
