@@ -3433,6 +3433,31 @@ object Queries {
       |    * (1000 + (doc_id % 100) * 250) AS BIGINT) AS sum_sq
       |FROM documents""".stripMargin))
 
+  /** REAL multi-frame video decode (Multimodal.synthesizeVideos /
+    * decodeVideoFeatures): animated-GIF containers — the JRE's one true
+    * multi-frame codec (LZW, palettes, frame sequencing) — cross an
+    * exchange and are frame-walked by the GIF reader; uniform-gray frames
+    * make every decoded feature closed-form in (doc_id, frame index), so
+    * the oracle re-derives frame counts and luma totals arithmetically.
+    * With this, image (PNG), audio (WAV) and video (GIF) decode are all
+    * REAL codec paths; only richer codecs (JPEG-video etc.) remain behind
+    * StubCodec for lack of container libs. */
+  private val multimodalVideo = Q("multimodal_video",
+    (s, dir) => Multimodal.decodeVideoFeatures(s,
+      Multimodal.synthesizeVideos(s, Tables.documents(s, dir))
+        .repartition(col("asset_id")))
+      .toDF(),
+    Some("""SELECT doc_id AS asset_id,
+      |  CAST(2 + doc_id % 6 AS BIGINT) AS n_frames,
+      |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+      |  CAST(8 + (doc_id * 3) % 12 AS BIGINT) AS height,
+      |  CAST((8 + doc_id % 16) * (8 + (doc_id * 3) % 12)
+      |    * list_sum(list_transform(range(0, 2 + doc_id % 6),
+      |        k -> (5 * doc_id + 17 * k) % 256)) AS BIGINT) AS sum_luma_all,
+      |  CAST((5 * doc_id) % 256 AS BIGINT) AS first_mean_luma,
+      |  CAST((5 * doc_id + 17 * (1 + doc_id % 6)) % 256 AS BIGINT) AS last_mean_luma
+      |FROM documents""".stripMargin))
+
   /** Multimodal near-dup (Multimodal.nearDupImages): banded perceptual
     * block-hash over REALLY decoded pixels — encode → exchange → decode →
     * 4×4 block-mean signature → per-row nibble band keys → capped band
@@ -3563,7 +3588,7 @@ object Queries {
     simIvfIncr, simIvfDrift,
     simLshTopk, simLshMultiprobe, simQuantize,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalAudio,
-    dedupMultimodal,
+    multimodalVideo, dedupMultimodal,
     dedupMultimodalIncr)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -407,6 +407,103 @@ object Multimodal {
     }
   }
 
+  final case class VideoRow(asset_id: Long, gif: Array[Byte])
+  final case class VideoFeatures(asset_id: Long, n_frames: Long, width: Long,
+    height: Long, sum_luma_all: Long, first_mean_luma: Long,
+    last_mean_luma: Long)
+
+  /** REAL multi-frame video synthesis: an animated-GIF container per asset
+    * (the one genuine multi-frame codec the JRE ships — LZW compression,
+    * palettes, frame sequencing), frames being uniform-gray rasters whose
+    * value is closed-form in (asset id, frame index): v(k) = (5·id + 17·k)
+    * mod 256. Uniform frames palette-encode losslessly, so the decode is
+    * bit-exact and oracle-checkable like the PNG/WAV legs. One writer per
+    * partition (codec init boundary). */
+  def synthesizeVideos(spark: SparkSession, documents: DataFrame): Dataset[VideoRow] = {
+    import spark.implicits._
+    documents.select(
+        col("doc_id").as("asset_id"),
+        (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("w"),
+        (lit(8) + pmod(col("doc_id") * 3, lit(12))).cast("int").as("h"),
+        (lit(2) + pmod(col("doc_id"), lit(6))).cast("int").as("frames"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        rows.map { case (id, w, h, frames) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var k = 0
+          while (k < frames) {
+            val v = (5 * id + 17 * k) % 256
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (v << 16) | (v << 8) | v
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb.toInt); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            k += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          VideoRow(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL multi-frame decode: the GIF reader walks the container
+    * (`getNumImages(true)` forces a full parse; a malformed payload
+    * throws), decodes every frame raster and reduces it to integer luma
+    * features — frame count, dims, total luma across frames, first/last
+    * frame mean luma (the cheap scene-change/black-frame gates a video
+    * training pipeline runs before sampling). Per-partition reader init,
+    * rows stream through. */
+  def decodeVideoFeatures(spark: SparkSession,
+      videos: Dataset[VideoRow]): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    videos.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      rows.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.gif))
+        reader.setInput(iis, false, false)
+        val n = reader.getNumImages(true)
+        require(n >= 1, s"asset ${r.asset_id}: empty GIF container")
+        var total = 0L; var first = 0L; var last = 0L
+        var w = 0L; var h = 0L
+        var k = 0
+        while (k < n) {
+          val img = reader.read(k)
+          if (k == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          total += sum
+          val mean = sum / (img.getWidth.toLong * img.getHeight)
+          if (k == 0) first = mean
+          last = mean
+          k += 1
+        }
+        iis.close()
+        VideoFeatures(r.asset_id, n.toLong, w, h, total, first, last)
+      }
+    }
+  }
+
   final case class AssetRow(asset_id: Long, payload: Array[Byte], width: Int, height: Int)
   final case class DecodedRow(asset_id: Long, frames: Int, meanLuma: Double)
 

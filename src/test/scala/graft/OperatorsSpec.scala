@@ -1408,6 +1408,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("video: animated-GIF synth → frame-walk decode matches closed forms") {
+    val docs = Seq(0L, 1L, 9L, 251L).map(i => (i, s"d$i", "en", "src", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeVideoFeatures(spark,
+        Multimodal.synthesizeVideos(spark, docs))
+      .collect().map(f => f.asset_id -> f).toMap
+    for (id <- Seq(0L, 1L, 9L, 251L)) {
+      val (w, h, frames) = (8 + id % 16, 8 + (id * 3) % 12, 2 + id % 6)
+      def v(k: Long) = (5 * id + 17 * k) % 256
+      val f = out(id)
+      assert(f.n_frames == frames, s"id $id: ${f.n_frames} frames, want $frames")
+      assert(f.width == w && f.height == h)
+      assert(f.sum_luma_all == w * h * (0L until frames).map(v).sum,
+        s"id $id: GIF round-trip not lossless")
+      assert(f.first_mean_luma == v(0) && f.last_mean_luma == v(frames - 1))
+    }
+  }
+
   test("audio: a malformed container is rejected by the codec, not mis-read") {
     val bad = Seq(Multimodal.AudioRow(1L, Array[Byte](1, 2, 3, 4))).toDS()
     intercept[org.apache.spark.SparkException] {
