@@ -122,6 +122,73 @@ object Bpe {
     train(counts.toSeq, nMerges)
   }
 
+  /** One BPE merge applied simultaneously to a symbol-array column — the
+    * Column twin of the kernel's per-rank rewrite (and of the oracle CTE's
+    * recursion step): drop positions whose predecessor starts a match,
+    * fuse positions that start one. `when()` guards keep `element_at`
+    * index arithmetic in-bounds (no reliance on AND short-circuiting). */
+  private def applyMergeCol(syms: Column, a: String, b: String): Column = {
+    def prevStarts(i: Column) = when(i > 1,
+      element_at(syms, i - 1) === a && element_at(syms, i) === b)
+      .otherwise(lit(false))
+    def starts(i: Column) = element_at(syms, i) === a &&
+      coalesce(when(i < size(syms), element_at(syms, i + 1) === b)
+        .otherwise(lit(false)), lit(false))
+    transform(filter(sequence(lit(1), size(syms)), i => !prevStarts(i)),
+      i => when(starts(i), lit(a + b)).otherwise(element_at(syms, i)))
+  }
+
+  /** FULLY distributed BPE train — no dictionary collect at all: the
+    * (word, count, symbols) dictionary stays a DataFrame end to end; each
+    * rank costs one weighted adjacent-pair aggregate plus a ONE-ROW argmax
+    * collect (the only driver data per iteration), then the
+    * [[applyMergeCol]] rewrite with lineage truncated per iteration
+    * (eager localCheckpoint, previous blocks freed — the pageRank loop
+    * idiom). Same spec as [[train]] (count-desc then (a,b)-lex ties,
+    * a == b skipped), and `BpeSpec` pins the two trainers equal, so the
+    * bounded-collect trainer remains the cheap default and this is the
+    * path for a dictionary too large to sample. nMerges Spark jobs. */
+  def trainDistributed(documents: DataFrame, nMerges: Int): IndexedSeq[(String, String)] = {
+    def freeBlocks(df: DataFrame): Unit =
+      GraftBridge.logicalPlan(df) match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    var dict = documents
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("c"), filter(split(col("w"), ""), s => s =!= "").as("syms"))
+      .localCheckpoint(true)
+    val merges = Vector.newBuilder[(String, String)]
+    var r = 0
+    var exhausted = false
+    try {
+      while (r < nMerges && !exhausted) {
+        val best = dict.where(size(col("syms")) >= 2)
+          .select(col("c"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+          .where(col("p.a") =!= col("p.b"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b) = (best(0).getString(0), best(0).getString(1))
+          merges += ((a, b))
+          val prev = dict
+          dict = dict.select(col("c"),
+            applyMergeCol(col("syms"), a, b).as("syms")).localCheckpoint(true)
+          freeBlocks(prev)
+          r += 1
+        }
+      }
+      merges.result()
+    } finally freeBlocks(dict)
+  }
+
   // ─────────────────────────── oracle fragments ───────────────────────────
 
   /** `(rank, a, b)` VALUES rows for a DuckDB merges relation. */

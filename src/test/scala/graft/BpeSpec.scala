@@ -34,6 +34,16 @@ class BpeSpec extends AnyFunSuite {
       "trainer drift: retrain no longer matches the pinned default vocab")
   }
 
+  test("trainDistributed equals the in-memory trainer (greedy prefix property)") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // greedy training is sequential: the first k merges of a longer run
+    // equal a k-merge run, so 12 ranks suffice to pin the two trainers.
+    val dist = Bpe.trainDistributed(docs, nMerges = 12)
+    assert(dist == Bpe.DefaultMerges.take(12),
+      s"distributed trainer diverged: $dist")
+  }
+
   // ─────────────────────────────── apply ───────────────────────────────
 
   private def enc(words: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
