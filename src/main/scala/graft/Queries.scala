@@ -1920,6 +1920,50 @@ object Queries {
       |FROM base LEFT JOIN bpe_docarr a USING (doc_id)""".stripMargin),
     bench = true)
 
+  /** Corpus subword vocabulary under the pinned BPE vocab — the trained
+    * tokenizer's usage profile (which merges actually fire, the
+    * long-tail of partial splits). One explode + one map-side-combining
+    * aggregate; shuffle width = |subword vocab|. */
+  private val textBpeVocab = Q("text_bpe_vocab",
+    (s, dir) => Tables.documents(s, dir)
+      .select(explode(Bpe.encode(TextFns.tokens(col("text")))).as("subword"))
+      .groupBy(col("subword")).agg(count(lit(1)).as("n")),
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |wc AS (SELECT w, count(*) AS c
+      |  FROM (SELECT unnest($duckToks) AS w FROM documents) GROUP BY 1),
+      |sv AS (SELECT unnest(f.syms) AS subword, wc.c
+      |  FROM wc JOIN bpe_enc_final f ON f.w = wc.w)
+      |SELECT subword, CAST(sum(c) AS BIGINT) AS n FROM sv GROUP BY 1""".stripMargin))
+
+  /** Tokenizer-efficiency monitor: per source, characters per BPE token in
+    * basis points (`chars_per_tok_bp = 10000·Σchars div Σtokens`) — the
+    * compression-ratio metric a tokenizer owner tracks per corpus slice
+    * (a slice drifting toward char-level splits signals vocab mismatch).
+    * Integer end-to-end. */
+  private val textBpeCompression = Q("text_bpe_compression",
+    (s, dir) => {
+      val toks = graft.plans.Stage(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+        "bpe", Bpe.encode(TextFns.tokens(col("text"))))
+      toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(size(col("bpe"))).as("sum_bpe"))
+        .select(col("source"), col("n_docs"),
+          col("sum_chars").cast("long").as("sum_chars"),
+          col("sum_bpe").cast("long").as("sum_bpe"),
+          expr("sum_chars * 10000 div greatest(sum_bpe, 1)").as("chars_per_tok_bp"))
+    },
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocCount,
+      |j AS (SELECT d.source, d.doc_id, length(d.text) AS n_chars, b.n_bpe
+      |  FROM documents d JOIN bpe_doc b USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+      |  CAST(sum(n_chars) * 10000 // greatest(sum(n_bpe), 1) AS BIGINT) AS chars_per_tok_bp
+      |FROM j GROUP BY 1""".stripMargin))
+
   private val textLangid = Q("text_langid",
     (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)),
     Some(
@@ -3566,7 +3610,8 @@ object Queries {
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
-    textStats, textBpeTokens, textLangid, textLangidModel, textTopTerms,
+    textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
+    textLangidModel, textTopTerms,
     textCollocations, textFamiliarity, textLmScore,
     textCorpusDrift, textVocab, textVocabApprox,
     textFingerprints,

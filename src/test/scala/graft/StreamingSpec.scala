@@ -787,6 +787,54 @@ class StreamingIvfSpec extends AnyFunSuite {
   }
 }
 
+class StreamingBpeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("BPE token accounting on a stream: windowed per-source sums == batch") {
+    // The ingest-side token meter: the native BpeEncode expression runs
+    // inside a watermarked streaming aggregate exactly as in batch (the
+    // kernel is a plan-shipped reference object — no driver state, so
+    // micro-batch execution is just repeated codegen'd projection).
+    val T = 1700000000L
+    val rows = Seq(
+      (1L, "query window the", "src0", T + 10L),
+      (2L, "spark scan join",  "src1", T + 20L),
+      (3L, "the the vector",   "src0", T + 30L),
+      (4L, "merge group",      "src1", T + 4000L)) // second hour window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    def meter(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", $"secs".cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"source")
+      .agg(sum(graft.functions.Bpe.tokenCount($"text")).as("sum_bpe"))
+      .select($"window.start".cast("long").as("w_start"), $"source", $"sum_bpe")
+    val collected = scala.collection.mutable.Map[(Long, String), Long]()
+    val q = meter(input.toDF().toDF("doc_id", "text", "source", "secs"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, String, Long)].collect()
+          .foreach { case (w, s, n) => collected((w, s)) = n }
+        ()
+      }.start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = meter(rows.toDF("doc_id", "text", "source", "secs"))
+      .as[(Long, String, Long)].collect()
+      .map { case (w, s, n) => (w, s) -> n }.toMap
+    assert(collected.toMap == batch && batch.nonEmpty,
+      s"stream $collected != batch $batch")
+    // sanity on the real vocab: "query window the" = 1+1+3, "the the
+    // vector" = 3+3+2 → src0's hour-1 window sums to 13
+    assert(batch.exists { case ((_, s), n) => s == "src0" && n == 13 })
+  }
+}
+
 class StreamingCurationSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
