@@ -1754,6 +1754,35 @@ object Queries {
       |  CAST((start_tok - (start_tok % 2048)) / 2048 AS BIGINT) AS bin_id
       |FROM c""".stripMargin))
 
+  /** Sequence ASSEMBLY (TextAnalysis.packSequences): the actual
+    * fixed-length training sequences after per-shard concat-and-chunk of
+    * the BPE token streams — documents straddling a cut contribute slices
+    * to both sequences; the oracle checks the md5 of every sequence's
+    * space-joined token stream (content + order, not just layout). */
+  private val pipelinePackSequences = Q("pipeline_pack_sequences",
+    (s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir),
+      capacityTokens = 512, nShards = 8),
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocArr,
+      |base AS (SELECT doc_id, doc_id % 8 AS shard, w, CAST(len(w) AS BIGINT) AS n
+      |  FROM bpe_docarr WHERE len(w) > 0),
+      |st AS (SELECT *, CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT) AS strt
+      |  FROM base),
+      |ex AS (SELECT shard, doc_id, strt, w, n,
+      |    CAST(unnest(range(strt // 512, (strt + n - 1) // 512 + 1)) AS BIGINT) AS seq_id
+      |  FROM st),
+      |sl AS (SELECT shard, seq_id, strt,
+      |    list_slice(w, CAST(greatest(seq_id * 512, strt) - strt + 1 AS INTEGER),
+      |      CAST(least((seq_id + 1) * 512, strt + n) - strt AS INTEGER)) AS sl
+      |  FROM ex),
+      |g AS (SELECT shard, seq_id, count(*) AS n_docs,
+      |    flatten(list(sl ORDER BY strt)) AS seq
+      |  FROM sl GROUP BY 1, 2)
+      |SELECT shard, seq_id, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(len(seq) AS BIGINT) AS seq_len,
+      |  md5(array_to_string(seq, ' ')) AS seq_md5
+      |FROM g""".stripMargin))
+
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
     * per-document explode into windows of ≤128 REAL BPE tokens
     * overlapping by 32 (context windows are measured in model tokens). */
@@ -3608,7 +3637,8 @@ object Queries {
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
-    pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs, pipelineChunkDocs,
+    pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs,
+    pipelinePackSequences, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
     textLangidModel, textTopTerms,

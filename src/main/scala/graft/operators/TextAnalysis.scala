@@ -347,6 +347,57 @@ object TextAnalysis {
         col("start_tok"), col("bin_id"))
   }
 
+  /** Sequence ASSEMBLY — the step after [[packDocuments]]'s layout table:
+    * materialize the fixed-length training sequences themselves. Within
+    * each shard the documents' BPE token streams are (logically)
+    * concatenated in doc_id order and cut every `capacityTokens` tokens;
+    * a document straddling a cut contributes a slice to BOTH sequences
+    * (the standard pretraining concat-and-chunk — nothing is padded or
+    * dropped except the ragged tail sequence, which is emitted short).
+    * Output: one row per (shard, seq_id) with contributing-doc count,
+    * sequence length (== capacity except each shard's tail) and the md5
+    * of the space-joined token stream (the content witness the oracle
+    * checks — token IDENTITY and ORDER, not just counts).
+    *
+    * Scale shape: the per-shard running sum is the [[packDocuments]]
+    * window (nShards-way parallel); the straddle explode emits
+    * 1 + ⌈n/cap⌉-ish rows per doc; assembly is one aggregate keyed on
+    * (shard, seq) — rows per group ≤ docs-per-capacity, bounded by the
+    * capacity itself. No global sort, no driver loop. */
+  def packSequences(documents: DataFrame, capacityTokens: Int,
+      nShards: Int = 32): DataFrame = {
+    require(capacityTokens > 0, s"capacityTokens must be positive: $capacityTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    val cap = lit(capacityTokens.toLong)
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "bpe", graft.functions.Bpe.encode(TextFns.tokens(col("text"))))
+      .withColumn("n", size(col("bpe")).cast("long"))
+      .where(col("n") > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
+      .withColumn("start",
+        (sum(col("n")).over(w) - col("n")).cast("long"))
+    val exploded = toks
+      // integral div (start ≥ 0): no double quotients — packDocuments' rule
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start div $capacityTokens"),
+        expr(s"(start + n - 1) div $capacityTokens"))))
+      .withColumn("lo", greatest(col("seq_id") * cap, col("start")))
+      .withColumn("hi", least((col("seq_id") + 1) * cap, col("start") + col("n")))
+      .select(col("shard"), col("seq_id").cast("long").as("seq_id"), col("start"),
+        slice(col("bpe"), (col("lo") - col("start") + 1).cast("int"),
+          (col("hi") - col("lo")).cast("int")).as("sl"))
+    exploded
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("start"), col("sl")))),
+          s => s.getField("sl"))).as("seq"))
+      .select(col("shard"), col("seq_id"), col("n_docs"),
+        size(col("seq")).cast("long").as("seq_len"),
+        md5(concat_ws(" ", col("seq"))).as("seq_md5"))
+  }
+
   /** Overlapping token-window chunking — the RAG/context-window splitter:
     * each document becomes ⌈(n−overlap)/(chunk−overlap)⌉ chunks of at most
     * `chunkTokens` REAL BPE subword tokens ([[Bpe]] encode, pinned vocab —

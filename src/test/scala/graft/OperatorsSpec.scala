@@ -1127,6 +1127,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(starts == 4, "every shard must restart its concat at offset 0")
   }
 
+  test("packSequences: straddling docs split across cuts; reassembly is exact") {
+    // single-char words = BPE identity; one shard; capacity 5.
+    // streams: doc0 "a b c" (3), doc1 "d e f g" (4), doc2 "h i" (2) —
+    // concat = a b c d e f g h i (9 tokens) → seq0 = a b c d e (doc1
+    // straddles), seq1 = f g h i (short tail).
+    val docs = Seq((0L, "a b c"), (1L, "d e f g"), (2L, "h i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, capacityTokens = 5, nShards = 1)
+      .orderBy("seq_id")
+      .select("seq_id", "n_docs", "seq_len", "seq_md5")
+      .as[(Long, Long, Long, String)].collect()
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    assert(out.toSeq == Seq(
+      (0L, 2L, 5L, m("a b c d e")),
+      (1L, 2L, 4L, m("f g h i"))))
+  }
+
+  test("packSequences: every non-tail sequence is exactly capacity; total tokens conserved") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))("abcdefghij"(rnd.nextInt(10)).toString)
+        .mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, capacityTokens = 16, nShards = 4)
+      .select("shard", "seq_id", "seq_len").as[(Long, Long, Long)].collect()
+    val byShard = out.groupBy(_._1)
+    byShard.foreach { case (_, seqs) =>
+      val tail = seqs.map(_._2).max
+      seqs.foreach { case (_, sid, len) =>
+        if (sid != tail) assert(len == 16L, s"non-tail seq $sid has $len tokens")
+        else assert(len >= 1L && len <= 16L)
+      }
+    }
+    val total = out.map(_._3).sum
+    val expected = docs.as[(Long, String)].collect()
+      .map(_._2.split(" ").length).sum // single-char words: BPE identity
+    assert(total == expected, "concat-and-chunk must conserve every token")
+  }
+
   test("chunkDocuments: overlapping windows cover every token, short docs = 1 chunk") {
     // single-char words are BPE-identity, so windows are hand-checkable
     val docs = Seq(
