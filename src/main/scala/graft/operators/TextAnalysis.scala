@@ -181,6 +181,24 @@ object TextAnalysis {
     (uni, bg, tot)
   }
 
+  /** Incremental LM maintenance — fold a new document batch into a
+    * persisted [[lmTrain]] artifact WITHOUT rescanning history: n-gram
+    * counts are sum-mergeable (the property that makes count-based LMs
+    * incrementally maintainable at all), so the update is one aggregate
+    * over the batch plus a union + re-aggregate per count frame (map-side
+    * combine; shuffle width = |touched vocab|, not |history|). The
+    * returned frames are the same shapes [[lmScoreFrom]] consumes —
+    * `TextAnalysisSpec` pins update(A)+B ≡ train(A ∪ B). */
+  def lmUpdate(uni: DataFrame, bg: DataFrame, tot: DataFrame,
+      newDocs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (u2, b2, t2) = lmTrain(newDocs)
+    def merge(a: DataFrame, b: DataFrame, key: String, cnt: String): DataFrame =
+      a.select(col(key), col(cnt)).unionByName(b.select(col(key), col(cnt)))
+        .groupBy(col(key)).agg(sum(col(cnt)).as(cnt))
+    (merge(uni, u2, "token", "n_uni"), merge(bg, b2, "bigram", "n_bg"),
+      tot.unionByName(t2).agg(sum(col("lm_total")).as("lm_total")))
+  }
+
   /** KenLM-style n-gram LM scoring with backoff (VERDICT r8 missing #4 —
     * the production tier above [[familiarityScore]]'s frequency proxy),
     * in EXACT integer math so the whole model is oracle-checkable: all

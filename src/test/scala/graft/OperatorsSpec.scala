@@ -817,6 +817,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(viaArtifact == out.values.toSet)
   }
 
+  test("lmUpdate: folding a batch into the artifact equals retraining on the union") {
+    val histDocs = Seq((2L, "the quick fox and the quick dog"),
+      (4L, "the quick fox runs")).toDF("doc_id", "text")
+    val batch = Seq((6L, "the dog runs and runs"),
+      (8L, "quick quick fox")).toDF("doc_id", "text")
+    val eval = Seq((1L, "the quick dog runs"), (3L, "zxq wvv qpl"))
+      .toDF("doc_id", "text")
+    val (u0, b0, t0) = TextAnalysis.lmTrain(histDocs)
+    val (u1, b1, t1) = TextAnalysis.lmUpdate(u0, b0, t0, batch)
+    val viaUpdate = TextAnalysis.lmScoreFrom(u1, b1, t1, eval)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    val retrained = TextAnalysis.lmScore(histDocs.unionByName(batch), eval)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(viaUpdate == retrained && retrained.nonEmpty)
+  }
+
   test("epochUpsample: integer epochs replicate exactly, fractions keep deterministically") {
     val docs = (1L to 300L).map(i =>
       (i, s"doc $i", Seq("a", "b", "c")(((i - 1) % 3).toInt))).toDF("doc_id", "text", "source")
