@@ -3506,6 +3506,28 @@ object Queries {
       |    * (1000 + (doc_id % 100) * 250) AS BIGINT) AS sum_sq
       |FROM documents""".stripMargin))
 
+  /** REAL arbitrary-size resize (Multimodal.resizeImages): PNG decode →
+    * nearest-neighbor resample to 16×12 (src(⌊x·w/tw⌋, ⌊y·h/th⌋)) → real
+    * PNG re-encode. The two-band sources make the resampled luma
+    * closed-form: per target row, the source row index decides band a or
+    * b — the oracle recomputes the row mapping integer-exactly, so a
+    * rounding slip in the resampler breaks the hash. */
+  private val multimodalResize = Q("multimodal_resize",
+    (s, dir) => Multimodal.resizeImages(s,
+      Multimodal.synthesizeImages(s, Tables.documents(s, dir))
+        .repartition(col("asset_id")), targetW = 16, targetH = 12)
+      .toDF().drop("png"),
+    Some("""SELECT doc_id AS asset_id,
+      |  CAST(2 * (4 + doc_id % 30) AS BIGINT) AS src_width,
+      |  CAST(4 * (2 + (doc_id * 3) % 10) AS BIGINT) AS src_height,
+      |  CAST(16 AS BIGINT) AS width,
+      |  CAST(12 AS BIGINT) AS height,
+      |  CAST(16 * list_sum(list_transform(range(0, 12), ty ->
+      |    CASE WHEN (ty * (4 * (2 + (doc_id * 3) % 10))) // 12
+      |           < (4 * (2 + (doc_id * 3) % 10)) // 2
+      |         THEN doc_id % 256 ELSE (doc_id * 7) % 256 END)) AS BIGINT) AS sum_luma
+      |FROM documents""".stripMargin))
+
   /** REAL multi-frame video decode (Multimodal.synthesizeVideos /
     * decodeVideoFeatures): animated-GIF containers — the JRE's one true
     * multi-frame codec (LZW, palettes, frame sequencing) — cross an
@@ -3663,7 +3685,7 @@ object Queries {
     simIvfIncr, simIvfDrift,
     simLshTopk, simLshMultiprobe, simQuantize,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalAudio,
-    multimodalVideo, dedupMultimodal,
+    multimodalVideo, multimodalResize, dedupMultimodal,
     dedupMultimodalIncr)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -1463,6 +1463,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeImages: nearest-neighbor to arbitrary dims; output PNG decodes back") {
+    val docs = Seq(3L, 17L).map(i => (i, s"d$i", "en", "src", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.resizeImages(spark,
+        Multimodal.synthesizeImages(spark, docs), targetW = 16, targetH = 12)
+      .collect().map(r => r.asset_id -> r).toMap
+    for (id <- Seq(3L, 17L)) {
+      val (w, h) = (2 * (4 + id % 30), 4 * (2 + (id * 3) % 10))
+      val (a, b) = (id % 256, (id * 7) % 256)
+      val expect = 16L * (0 until 12).map { ty =>
+        if (ty * h / 12 < h / 2) a else b
+      }.sum
+      val r = out(id)
+      assert(r.src_width == w && r.src_height == h)
+      assert(r.sum_luma == expect, s"id $id: resample luma mismatch")
+      // the emitted payload is a REAL PNG of the resized raster
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+      assert(img.getWidth == 16 && img.getHeight == 12)
+      var sum = 0L
+      for (y <- 0 until 12; x <- 0 until 16) sum += (img.getRGB(x, y) & 0xff)
+      assert(sum == expect, "re-encoded PNG must decode to the same pixels")
+    }
+  }
+
   test("video: animated-GIF synth → frame-walk decode matches closed forms") {
     val docs = Seq(0L, 1L, 9L, 251L).map(i => (i, s"d$i", "en", "src", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
