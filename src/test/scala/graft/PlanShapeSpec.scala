@@ -103,6 +103,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("packSequences: shard window + straddle explode + one assembly aggregate, no products") {
+    val p = plan(graft.operators.TextAnalysis.packSequences(
+      Tables.documents(spark, sf), capacityTokens = 512, nShards = 8))
+    assert(shuffleCount(p) <= 2, s"packSequences grew extra shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("brute top-k: map-side WindowGroupLimit before the exchange") {
     val p = plan(Similarity.bruteTopK(Tables.embeddings(spark, sf), 10, 20))
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
