@@ -203,7 +203,14 @@ object Bpe {
     * One recursion step applies ONE merge rank simultaneously to every
     * word — the same rank-order spec as the Spark kernel; kept here next
     * to [[DefaultMerges]] so the two stay in lock-step (the TextFns
-    * `minhashNumSql` convention). */
+    * `minhashNumSql` convention).
+    *
+    * Scale note: recursion depth = |merges| and each step rewrites the
+    * whole distinct-word dictionary, so this oracle form is for the
+    * TEST-scale pinned vocab (~50 ranks); a production 50k-merge vocab is
+    * verified the other way around — the pinned JVM-reference spec
+    * pattern (`BpeSpec`), with the engine-side encode still one native
+    * expression regardless of vocab size. */
   def duckBpeCtes(tokExpr: String, src: String,
       merges: Seq[(String, String)] = DefaultMerges): String = {
     val r = merges.size
