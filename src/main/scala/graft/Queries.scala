@@ -1783,6 +1783,28 @@ object Queries {
       |  md5(array_to_string(seq, ' ')) AS seq_md5
       |FROM g""".stripMargin))
 
+  /** Dictionary encoding to dense token ids (TextAnalysis.tokenIds):
+    * frequency-ranked vocab ids, per-document ordered id sequences
+    * witnessed by md5 — the trainer-input tokenize step, end-to-end
+    * hash-exact. */
+  private val pipelineTokenIds = Q("pipeline_token_ids",
+    (s, dir) => TextAnalysis.tokenIds(Tables.documents(s, dir)),
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocArr,
+      |occ AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS subword
+      |  FROM bpe_docarr),
+      |vc AS (SELECT subword, count(*) AS n FROM occ GROUP BY 1),
+      |vid AS (SELECT subword,
+      |    CAST(row_number() OVER (ORDER BY n DESC, subword) - 1 AS BIGINT) AS token_id
+      |  FROM vc),
+      |j AS (SELECT occ.doc_id, occ.pos, vid.token_id FROM occ JOIN vid USING (subword)),
+      |g AS (SELECT doc_id, list(CAST(token_id AS VARCHAR) ORDER BY pos) AS ids
+      |  FROM j GROUP BY 1)
+      |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(ids, 1, 8), ' ') AS ids_head,
+      |  md5(array_to_string(ids, ' ')) AS ids_md5
+      |FROM g""".stripMargin))
+
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
     * per-document explode into windows of ≤128 REAL BPE tokens
     * overlapping by 32 (context windows are measured in model tokens). */
@@ -3660,7 +3682,7 @@ object Queries {
     dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs,
-    pipelinePackSequences, pipelineChunkDocs,
+    pipelinePackSequences, pipelineTokenIds, pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
     textLangidModel, textTopTerms,

@@ -416,6 +416,41 @@ object TextAnalysis {
         md5(concat_ws(" ", col("seq"))).as("seq_md5"))
   }
 
+  /** Dictionary encoding to dense token IDs — the final tokenize step a
+    * trainer actually consumes: subwords (BPE, pinned vocab) mapped to
+    * ids by corpus frequency rank (count desc, then subword — the
+    * conventional "id 0 = most frequent" layout), each document emitted
+    * as its ordered id sequence (witnessed by an md5 over the joined ids,
+    * plus the head for inspection). Completes tokenize → ids → pack.
+    *
+    * Scale shape: the subword occurrence frame is checkpointed once
+    * (consumed by the vocab count AND the id join); the id join is an
+    * equi-join on subword (AQE broadcasts the dimension-sized vocab);
+    * reassembly is one per-doc aggregate. The id-assignment window is a
+    * single-partition sort over |vocab| rows — dimension-sized by
+    * construction (≤ a few hundred k for any real tokenizer), not corpus
+    * data; at an extreme vocab switch to a two-phase range-rank. */
+  def tokenIds(documents: DataFrame): DataFrame = {
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "bpe", graft.functions.Bpe.encode(TextFns.tokens(col("text"))))
+    val occ = toks.select(col("doc_id"), posexplode(col("bpe")))
+      .toDF("doc_id", "pos", "subword")
+      .localCheckpoint(false)
+    val vocab = occ.groupBy(col("subword")).agg(count(lit(1)).as("n"))
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("subword"))) - 1).cast("long"))
+    occ.join(vocab.select(col("subword"), col("token_id")), "subword")
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("token_id")))),
+        s => s.getField("token_id").cast("string")).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("ids"), 1, 8)).as("ids_head"),
+        md5(concat_ws(" ", col("ids"))).as("ids_md5"))
+  }
+
   /** Overlapping token-window chunking — the RAG/context-window splitter:
     * each document becomes ⌈(n−overlap)/(chunk−overlap)⌉ chunks of at most
     * `chunkTokens` REAL BPE subword tokens ([[Bpe]] encode, pinned vocab —

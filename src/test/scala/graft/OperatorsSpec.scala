@@ -1143,6 +1143,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(starts == 4, "every shard must restart its concat at offset 0")
   }
 
+  test("tokenIds: frequency-ranked ids, order preserved, hand-checked") {
+    // single-char words are BPE-identity; counts: b=3, a=2, c=1
+    // → ids: b=0, a=1, c=2 (count desc, then subword).
+    val docs = Seq((1L, "a b c"), (2L, "b b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenIds(docs)
+      .select("doc_id", "n_tokens", "ids_head")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, "1 0 2")), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 3L, "0 0 1")), s"got ${out(2L)}")
+  }
+
   test("packSequences: straddling docs split across cuts; reassembly is exact") {
     // single-char words = BPE identity; one shard; capacity 5.
     // streams: doc0 "a b c" (3), doc1 "d e f g" (4), doc2 "h i" (2) —
