@@ -1806,24 +1806,31 @@ object Queries {
       |FROM g""".stripMargin))
 
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
-    * per-document explode into windows of ≤128 REAL BPE tokens
-    * overlapping by 32 (context windows are measured in model tokens). */
+    * windows of 128 REAL BPE tokens overlapping by 32; `chunk_text` is
+    * the ORIGINAL words whose token spans intersect the window (words
+    * straddling an edge appear whole in both chunks — round-9 review
+    * fix: never emit space-joined subword pieces). */
   private val pipelineChunkDocs = Q("pipeline_chunk_docs",
     (s, dir) => TextAnalysis.chunkDocuments(Tables.documents(s, dir),
       chunkTokens = 128, overlap = 32),
     Some(s"""WITH RECURSIVE $duckBpeBlock,
-      |$duckBpeDocArr,
-      |t AS (SELECT doc_id, w FROM bpe_docarr),
-      |sized AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n FROM t WHERE len(w) > 0),
-      |counted AS (SELECT *, CASE WHEN n <= 128 THEN 1
-      |    ELSE 1 + CAST(((n - 128 + 95) - ((n - 128 + 95) % 96)) / 96 AS INTEGER) END AS n_chunks
-      |  FROM sized),
-      |ex AS (SELECT doc_id, w, n, CAST(unnest(generate_series(0, n_chunks - 1)) AS INTEGER) AS chunk_idx
-      |  FROM counted)
-      |SELECT doc_id, chunk_idx,
-      |  array_to_string(list_slice(w, chunk_idx * 96 + 1, chunk_idx * 96 + 128), ' ') AS chunk_text,
-      |  CAST(least(n - chunk_idx * 96, 128) AS INTEGER) AS chunk_tokens
-      |FROM ex""".stripMargin))
+      |occ AS (SELECT doc_id, generate_subscripts(wd, 1) AS pos, unnest(wd) AS word
+      |  FROM (SELECT doc_id, $duckToks AS wd FROM documents)),
+      |wl AS (SELECT occ.doc_id, occ.pos, occ.word, CAST(len(f.syms) AS BIGINT) AS bl
+      |  FROM occ JOIN bpe_enc_final f ON f.w = occ.word),
+      |sp AS (SELECT *, CAST(sum(bl) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS e,
+      |    CAST(sum(bl) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM wl),
+      |sp2 AS (SELECT *, e - bl AS s,
+      |    CASE WHEN n <= 128 THEN 1 ELSE 1 + (n - 128 + 95) // 96 END AS nc FROM sp),
+      |ex AS (SELECT doc_id, pos, word, n,
+      |    CAST(unnest(range(
+      |      CASE WHEN s + 1 > 128 THEN (s - 128 + 96) // 96 ELSE 0 END,
+      |      least((e - 1) // 96, nc - 1) + 1)) AS BIGINT) AS chunk_idx
+      |  FROM sp2)
+      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+      |  CAST(least(any_value(n) - chunk_idx * 96, 128) AS INTEGER) AS chunk_tokens
+      |FROM ex GROUP BY doc_id, chunk_idx""".stripMargin))
 
   /** Balanced per-class sample (TextAnalysis.classSample): 5 docs per
     * lang by md5 rank, executed by the custom TopKPlan bounded heaps —

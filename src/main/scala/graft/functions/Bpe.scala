@@ -64,10 +64,26 @@ object Bpe {
 
   // ─────────────────────────────── train ───────────────────────────────
 
+  /** UTF-8 byte order (unsigned, lexicographic) — the collation Spark's
+    * UTF8String binary comparison uses. The in-memory trainer breaks ties
+    * with THIS ordering, not Scala's UTF-16 `String` order, so it stays
+    * bit-identical to [[trainDistributed]] (whose `orderBy` compares
+    * UTF8String bytes) on non-ASCII vocabularies too — the two diverge at
+    * supplementary code points otherwise (round-9 review). */
+  private val utf8Order: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (i < n && r == 0) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+    if (r != 0) r else a.length - b.length
+  }
+
   /** Greedy BPE train over a weighted word dictionary. Candidates with
     * `a == b` are skipped (oracle-equivalence restriction, documented on
     * [[graft.plans.BpeKernel]]); training stops early when no candidate
-    * pair remains. */
+    * pair remains. Ties break count-desc then (a, b) in UTF-8 byte order
+    * ([[utf8Order]] — identical to the distributed trainer's collation). */
   def train(wordCounts: Seq[(String, Long)], nMerges: Int): IndexedSeq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0: $nMerges")
     // word -> (symbols, weight); symbol atoms are code points.
@@ -85,6 +101,7 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
+        implicit val ord: Ordering[String] = utf8Order
         val (a, b) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += ((a, b))
         words = words.map { case (syms, c) =>

@@ -83,9 +83,14 @@ object Dedup {
     val params = array_sort(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
       p => p =!= "" && !p.startsWith("utm_") &&
         !p.startsWith("fbclid=") && !p.startsWith("gclid=")))
-    concat(scheme, lit("://"), host, path,
-      when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
-        .otherwise(lit("")))
+    // A row with no scheme://  prefix (relative reference, malformed crawl
+    // junk) is its OWN canonical key — normalizing it would collapse every
+    // schemeless row to one key and merge unrelated documents (round-9
+    // review).
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
+          .otherwise(lit(""))))
   }
 
   /** DuckDB expression mirroring [[canonicalUrl]] over variable `u` —
@@ -102,9 +107,10 @@ object Dedup {
     val params = s"""list_sort(list_filter(string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
        | p -> p <> '' AND NOT starts_with(p, 'utm_')
        |   AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid=')))""".stripMargin
-    s"""($scheme || '://' || $host || $path ||
+    s"""(CASE WHEN $scheme = '' THEN $u ELSE
+       | $scheme || '://' || $host || $path ||
        | CASE WHEN len($params) > 0
-       |   THEN '?' || array_to_string($params, '&') ELSE '' END)""".stripMargin
+       |   THEN '?' || array_to_string($params, '&') ELSE '' END END)""".stripMargin
   }
 
   /** Canonical-URL dedup: every row keyed by its [[canonicalUrl]], the

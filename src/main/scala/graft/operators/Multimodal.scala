@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   *    round-trip — RIFF/WAVE PCM16 files parsed by
   *    `javax.sound.sampled.AudioSystem`, integer signal features
   *    (amplitude, energy, zero crossings) over the decoded samples.
-  *  - [[StubCodec]]: the remaining stand-in for codecs this container
-  *    lacks (video). A production build drops a JNI/javacv decoder
-  *    into [[Codec]] without touching the plan shape: the `mapPartitions`
-  *    boundary is where per-batch native decoding belongs (one codec init
-  *    per partition, not per row — same shape `mapInPandas` gives
-  *    PySpark).
+  *  - [[synthesizeVideos]] / [[decodeVideoFeatures]]: a REAL multi-frame
+  *    round-trip — animated-GIF containers frame-walked by the GIF reader.
+  *  - [[StubCodec]]: the remaining stand-in for RICHER codecs this
+  *    container lacks (H.264-class video, JPEG). A production build drops
+  *    a JNI/javacv decoder into [[Codec]] without touching the plan
+  *    shape: the `mapPartitions` boundary is where per-batch native
+  *    decoding belongs (one codec init per partition, not per row — same
+  *    shape `mapInPandas` gives PySpark).
   */
 object Multimodal {
 
@@ -107,6 +109,10 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        // ImageIO.read signals "unrecognizable bytes" with null, not an
+        // exception — convert to the codec-error posture the audio/video
+        // decoders have (descriptive failure naming the asset).
+        require(src != null, s"undecodable image payload for asset ${r.asset_id}")
         val (w, h) = (src.getWidth, src.getHeight)
         val out = new java.awt.image.BufferedImage(targetW, targetH,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -183,6 +189,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"undecodable image payload for asset ${r.asset_id}")
         val w = img.getWidth
         val h = img.getHeight
         var sum = 0L
@@ -222,6 +229,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        require(img != null, s"undecodable image payload for asset ${r.asset_id}")
         val w = img.getWidth
         val h = img.getHeight
         val blocks = new Array[Long](grid * grid)
@@ -475,35 +483,57 @@ object Multimodal {
       .as[(Long, Int, Int, Int)]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
+        // One writer per PARTITION; a per-row failure must not leave it
+        // mid-sequence for the next row (round-9 review): each row closes
+        // its ImageOutputStream in finally, and the writer is disposed
+        // when the iterator is exhausted.
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
-        rows.map { case (id, w, h, frames) =>
+        val it = rows.map { case (id, w, h, frames) =>
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var k = 0
-          while (k < frames) {
-            val v = (5 * id + 17 * k) % 256
-            val img = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val rgb = (v << 16) | (v << 8) | v
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { img.setRGB(x, y, rgb.toInt); x += 1 }
-              y += 1
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var k = 0
+            while (k < frames) {
+              val v = (5 * id + 17 * k) % 256
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (v << 16) | (v << 8) | v
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, rgb.toInt); x += 1 }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              k += 1
             }
-            writer.writeToSequence(
-              new javax.imageio.IIOImage(img, null, null), null)
-            k += 1
-          }
-          writer.endWriteSequence()
-          ios.close()
+            writer.endWriteSequence()
+          } finally ios.close()
           VideoRow(id, bos.toByteArray)
         }
+        closeOnExhaustion(it)(writer.dispose())
       }
   }
+
+  /** Wrap an iterator so `cleanup` runs exactly once when it is drained —
+    * the codec-disposal hook for per-partition writers/readers. (Task
+    * ABORT paths don't drain iterators; the JVM-lifetime cost of an
+    * undisposed ImageIO plugin there is a few native buffers, reclaimed
+    * with the executor — acceptable, documented.) */
+  private def closeOnExhaustion[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; cleanup }
+        h
+      }
+      def next(): T = it.next()
+    }
 
   /** REAL multi-frame decode: the GIF reader walks the container
     * (`getNumImages(true)` forces a full parse; a malformed payload
@@ -519,34 +549,36 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("gif").next()
-      rows.map { r =>
+      val it = rows.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.gif))
-        reader.setInput(iis, false, false)
-        val n = reader.getNumImages(true)
-        require(n >= 1, s"asset ${r.asset_id}: empty GIF container")
-        var total = 0L; var first = 0L; var last = 0L
-        var w = 0L; var h = 0L
-        var k = 0
-        while (k < n) {
-          val img = reader.read(k)
-          if (k == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
-            y += 1
+        try {
+          reader.setInput(iis, false, false)
+          val n = reader.getNumImages(true)
+          require(n >= 1, s"asset ${r.asset_id}: empty GIF container")
+          var total = 0L; var first = 0L; var last = 0L
+          var w = 0L; var h = 0L
+          var k = 0
+          while (k < n) {
+            val img = reader.read(k)
+            if (k == 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+              y += 1
+            }
+            total += sum
+            val mean = sum / (img.getWidth.toLong * img.getHeight)
+            if (k == 0) first = mean
+            last = mean
+            k += 1
           }
-          total += sum
-          val mean = sum / (img.getWidth.toLong * img.getHeight)
-          if (k == 0) first = mean
-          last = mean
-          k += 1
-        }
-        iis.close()
-        VideoFeatures(r.asset_id, n.toLong, w, h, total, first, last)
+          VideoFeatures(r.asset_id, n.toLong, w, h, total, first, last)
+        } finally iis.close()
       }
+      closeOnExhaustion(it)(reader.dispose())
     }
   }
 

@@ -154,12 +154,15 @@ object TextAnalysis {
     // zero/one-token docs have no bigram and are exactly what a fluency
     // gate must REJECT — emit them with keep = 0 rather than dropping
     // them, so keep-joins and keep-anti-joins see the same doc set
-    // (ADVICE r8).
-    toks.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+    // (ADVICE r8). The doc-id side reads the documents frame directly
+    // (no second tokenize pass), and the explicit n_bigrams > 0 guard
+    // keeps the rejection true even at minScore ≤ 0 (round-9 review).
+    documents.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("familiarity"), lit(0L)).as("familiarity"))
-      .withColumn("keep", (col("familiarity") >= minScore).cast("int"))
+      .withColumn("keep",
+        (col("n_bigrams") > 0 && col("familiarity") >= minScore).cast("int"))
   }
 
   /** Bigram language-model TRAIN — the persistable LM artifact (the
@@ -452,35 +455,60 @@ object TextAnalysis {
   }
 
   /** Overlapping token-window chunking — the RAG/context-window splitter:
-    * each document becomes ⌈(n−overlap)/(chunk−overlap)⌉ chunks of at most
-    * `chunkTokens` REAL BPE subword tokens ([[Bpe]] encode, pinned vocab —
-    * context windows are measured in model tokens), consecutive chunks
-    * sharing `overlap` tokens. Narrow per-document explode (no shuffle at
-    * all); the encoded token array is staged once so the per-chunk slices
-    * reference a materialized attribute. Empty documents emit no chunks.
-    * All-integral arithmetic. */
+    * each document becomes ⌈(n−overlap)/(chunk−overlap)⌉ windows of
+    * `chunkTokens` REAL BPE tokens ([[Bpe]] encode, pinned vocab —
+    * context budgets are model tokens), consecutive windows sharing
+    * `overlap` tokens; `chunk_tokens` is the window's exact token count
+    * (capacity except the ragged tail). `chunk_text` is rebuilt from the
+    * ORIGINAL words whose token spans intersect the window — never from
+    * subword pieces (a space-joined subword window is not a substring of
+    * the document and cannot be re-indexed; round-9 review) — so a word
+    * straddling a window edge appears whole in BOTH neighbouring chunks.
+    * For a corpus where every word is one token the windows reduce to
+    * exact word slices. Empty documents emit no chunks. All-integral
+    * arithmetic.
+    *
+    * Scale shape: per-word token spans come from one posexplode + a
+    * doc-keyed running-sum window, membership is a tiny integer-range
+    * explode, and reassembly is one aggregate on the SAME (doc_id) key —
+    * near-uniform, co-partitioned exchanges. */
   def chunkDocuments(documents: DataFrame, chunkTokens: Int,
       overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
     val stride = chunkTokens - overlap
+    val cap = lit(chunkTokens.toLong)
     val toks = Stage(documents.select(col("doc_id"), col("text")),
-      "w", Bpe.encode(TextFns.tokens(col("text"))))
-      .withColumn("n", size(col("w")))
-      .where(col("n") > 0)
-    // extra = n - chunkTokens tokens remain after the first chunk; they
-    // need ceil(extra/stride) more windows: floor((extra + stride - 1)/stride).
-    val extra = col("n") - lit(chunkTokens) + lit(stride - 1)
-    val nChunks = when(col("n") <= lit(chunkTokens), lit(1))
-      .otherwise(lit(1) + (extra - pmod(extra, lit(stride))) / lit(stride))
-      .cast("int")
-    toks
-      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
-      .select(col("doc_id"), col("chunk_idx"),
-        array_join(slice(col("w"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
-          .as("chunk_text"),
-        least(col("n") - col("chunk_idx") * stride, lit(chunkTokens))
+      "w", TextFns.tokens(col("text"))).where(size(col("w")) > 0)
+    val words = toks.select(col("doc_id"), posexplode(col("w")))
+      .toDF("doc_id", "pos", "word")
+    // per-word BPE token count (kernel-memoized; Zipf words hit the cache)
+    val wl = Stage(words, "bl",
+      size(graft.functions.Bpe.encode(array(col("word")))).cast("long"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val spans = wl
+      .withColumn("e", sum(col("bl")).over(byDoc.orderBy(col("pos"))))
+      .withColumn("s", col("e") - col("bl"))
+      .withColumn("n", sum(col("bl")).over(byDoc))
+    // token-space window count: 1 window when n ≤ cap, else 1 + ⌈(n−cap)/stride⌉
+    val nChunks = when(col("n") <= cap, lit(1L))
+      .otherwise(lit(1L) + expr(s"(n - $chunkTokens + ${stride - 1}) div $stride"))
+    // word [s, e) intersects window [k·stride, k·stride+cap):
+    //   k·stride ≤ e−1  ∧  k·stride+cap ≥ s+1, clamped to the window count
+    val kMin = when(col("s") + 1 > cap,
+      expr(s"(s - $chunkTokens + $stride) div $stride")).otherwise(lit(0L))
+    val kMax = least(expr(s"(e - 1) div $stride"), nChunks - 1)
+    spans
+      .withColumn("chunk_idx", explode(sequence(kMin, kMax)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          p => p.getField("word"))).as("chunk_text"),
+        least(first(col("n")) - col("chunk_idx") * lit(stride.toLong), cap)
           .cast("int").as("chunk_tokens"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("chunk_text"), col("chunk_tokens"))
   }
 
   /** Paragraph-level exact dedup — the ExactSubstr-lite pass a training

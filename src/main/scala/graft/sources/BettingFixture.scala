@@ -99,11 +99,28 @@ object BettingFixture {
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         s"${dir.getName}.tmp${ProcessHandle.current().pid()}")
-      sportEvents(spark, sfDir).write.mode("overwrite").parquet(tmp.toString)
-      if (!tmp.renameTo(dir) && !dir.exists())
-        sys.error(s"fixture cache rename failed: $tmp -> $dir")
+      try {
+        sportEvents(spark, sfDir).write.mode("overwrite").parquet(tmp.toString)
+        if (!tmp.renameTo(dir) && !dir.exists())
+          sys.error(s"fixture cache rename failed: $tmp -> $dir")
+      } finally if (tmp.exists()) deleteTree(tmp) // losing racer / failed write
+      // Orphan hygiene: sweep .tmp<pid> leftovers from crashed builders.
+      // Live caches of OTHER keys are NOT pruned — each scale factor has
+      // its own legitimate key, so "not my key" ≠ stale; superseded keys
+      // (testdata regeneration) persist until /tmp is cleaned, bounded by
+      // one directory per (sfDir, vintage) in practice.
+      val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
+      Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.contains(".tmp") && f.getName.startsWith("sport_events_")
+          && f.lastModified() < staleMs) // never a concurrent builder's live tmp
+        .foreach(deleteTree)
     }
     spark.read.parquet(dir.toString)
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete()
   }
 
   def sportEvents(spark: SparkSession, sfDir: String): DataFrame = {

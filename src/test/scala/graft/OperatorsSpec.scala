@@ -24,7 +24,10 @@ class DedupSpec extends AnyFunSuite {
       ("http://example.com", "http://example.com/"),
       ("http://example.com/?fbclid=abc&gclid=x", "http://example.com/"),
       ("http://www.example.com/p//", "http://example.com/p"),
-      ("http://wwwx.example.com/p", "http://wwwx.example.com/p")) // www. only as a label
+      ("http://wwwx.example.com/p", "http://wwwx.example.com/p"), // www. only as a label
+      // schemeless / malformed rows stay their OWN keys — never collapsed
+      ("example.com/a", "example.com/a"),
+      ("not a url at all", "not a url at all"))
     val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("doc_id", "url")
       .select(col("doc_id"), graft.operators.Dedup.canonicalUrl(col("url")).as("c"))
@@ -1214,32 +1217,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.exists(_.getLong(0) == 3L), "empty doc must emit no chunks")
   }
 
-  test("chunkDocuments reconstruct: dropping each overlap rebuilds every doc") {
-    // Randomized docs (seeded): chunk0 ++ (chunkᵢ minus its leading overlap)
-    // must equal the original token stream exactly — no token lost,
-    // duplicated, or reordered. The tail chunk is always longer than the
-    // overlap by construction, so the drop never empties it.
+  test("chunkDocuments on multi-token words: JVM reference agrees window-for-window") {
+    // Randomized docs (seeded) with multi-BPE-token words ("t42" → t,4,2):
+    // an independent JVM reference computes per-word token spans through
+    // the kernel and derives every window's word membership + token count;
+    // the operator must agree exactly — chunk_text is ORIGINAL words (a
+    // straddling word appears whole in both neighbouring chunks), never
+    // subword pieces.
     val rnd = new scala.util.Random(7)
     val docs = (1L to 8L).map(i =>
       (i, Seq.fill(rnd.nextInt(300))("t" + rnd.nextInt(50)).mkString(" ")))
       .toDF("doc_id", "text")
-    val overlap = 8
-    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 32, overlap = overlap)
-      .select("doc_id", "chunk_idx", "chunk_text").as[(Long, Int, String)].collect()
-      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
-    // reference token stream = real BPE encode of each word, flattened
-    // (independent JVM path through the kernel, not the Column API)
+    val (cap, overlap) = (32, 8)
+    val stride = cap - overlap
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = cap, overlap = overlap)
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
     val kernel = new graft.plans.BpeKernel(
       graft.functions.Bpe.DefaultMerges.map(m => Array(m._1, m._2)).toArray)
     docs.select("doc_id", "text").as[(Long, String)].collect().foreach {
       case (id, text) =>
-        val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-          .flatMap(w => kernel.encodeWord(w).map(_.toString))
-        if (toks.isEmpty) assert(!out.contains(id), s"empty doc $id emitted chunks")
+        val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (words.isEmpty) assert(!out.contains(id), s"empty doc $id emitted chunks")
         else {
-          val chunks = out(id).map(_.split(" ").toSeq)
-          val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(overlap))
-          assert(rebuilt == toks, s"doc $id reconstruction mismatch")
+          val lens = words.map(w => kernel.encodeWord(w).length.toLong)
+          val ends = lens.scanLeft(0L)(_ + _).tail
+          val starts = ends.zip(lens).map { case (e, l) => e - l }
+          val n = ends.last
+          val nc = if (n <= cap) 1 else (1 + (n - cap + stride - 1) / stride).toInt
+          val expect = (0 until nc).map { k =>
+            val (ws, ks) = (words.indices.filter(i =>
+              starts(i) < k.toLong * stride + cap && ends(i) > k.toLong * stride), k)
+            (ws.map(words).mkString(" "),
+              math.min(n - ks.toLong * stride, cap.toLong).toInt)
+          }
+          assert(out(id) == expect, s"doc $id window mismatch")
         }
     }
   }
