@@ -1783,6 +1783,23 @@ object Queries {
       |  md5(array_to_string(seq, ' ')) AS seq_md5
       |FROM g""".stripMargin))
 
+  /** Temperature (inverse-√) source rebalancing
+    * (TextAnalysis.temperedSample): per-source keep rate k/√(BPE token
+    * total) — α = ½ temperature mixture. The float steps (√, ÷, compare)
+    * are correctly-rounded IEEE ops on exact operands, so the keep
+    * decisions hash-match cross-engine. */
+  private val pipelineTemperedSample = Q("pipeline_tempered_sample",
+    (s, dir) => TextAnalysis.temperedSample(Tables.documents(s, dir), k = 20.0),
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocCount,
+      |tot AS (SELECT d.source, CAST(sum(b.n_bpe) AS BIGINT) AS tok_source
+      |  FROM documents d JOIN bpe_doc b USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, d.source, tot.tok_source,
+      |  CAST((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+      |      / 16777216.0) < 20.0 / sqrt(CAST(tot.tok_source AS DOUBLE))
+      |    AS INTEGER) AS keep
+      |FROM documents d JOIN tot ON tot.source = d.source""".stripMargin))
+
   /** Dictionary encoding to dense token ids (TextAnalysis.tokenIds):
     * frequency-ranked vocab ids, per-document ordered id sequences
     * witnessed by md5 — the trainer-input tokenize step, end-to-end
@@ -3689,7 +3706,8 @@ object Queries {
     dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs,
-    pipelinePackSequences, pipelineTokenIds, pipelineChunkDocs,
+    pipelinePackSequences, pipelineTokenIds, pipelineTemperedSample,
+    pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
     textLangidModel, textTopTerms,

@@ -1073,4 +1073,34 @@ object TextAnalysis {
     }
     documents.where(u < rate)
   }
+
+  /** Temperature (inverse-√) source rebalancing — the multilingual /
+    * multi-source mixture standard (α = ½ exponent-smoothed source
+    * distribution, the XLM/mT5 family of temperature sampling): source s
+    * keeps each doc with rate k/√T_s where T_s is its REAL BPE token
+    * total, so oversized sources downsample ∝ 1/√size and the
+    * post-sample token mass follows √T_s — flattened without discarding
+    * small sources (rates ≥ 1 keep everything). Unlike [[mixtureSample]]
+    * (fixed rates: growth-stable), a source's own growth legitimately
+    * lowers its rate — that is the semantics of size-based temperature.
+    *
+    * Cross-engine exactness without integers: √ and ÷ are
+    * correctly-rounded IEEE-754 ops, and the operands are exact (integer
+    * token totals < 2⁵³, the md5 coin an exact dyadic rational), so the
+    * keep decision is bit-identical in Spark and DuckDB — the same
+    * argument as `qualityScore`'s float products. One token-count
+    * aggregate (dimension-sized, broadcast back), then a narrow per-row
+    * gate. */
+  def temperedSample(documents: DataFrame, k: Double): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val totals = documents
+      .select(col("source"), Bpe.tokenCount(col("text")).cast("long").as("nb"))
+      .groupBy(col("source")).agg(sum(col("nb")).as("tok_source"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    documents.join(broadcast(totals), "source")
+      .select(col("doc_id"), col("source"), col("tok_source"),
+        (u < lit(k) / sqrt(col("tok_source").cast("double")))
+          .cast("int").as("keep"))
+  }
 }

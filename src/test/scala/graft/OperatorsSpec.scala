@@ -820,6 +820,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(viaArtifact == out.values.toSet)
   }
 
+  test("temperedSample: inverse-sqrt rates match an exact JVM reference; big source thins") {
+    // source "big": 60 docs × 8 single-char tokens; "small": 6 docs × 8.
+    // Single-char words are BPE identity → T_big = 480, T_small = 48;
+    // k = 4 → rates 4/√480 ≈ 0.183 vs 4/√48 ≈ 0.577.
+    val docs = ((1L to 60L).map(i => (i, "a b c d e f g h", "big")) ++
+      (101L to 106L).map(i => (i, "a b c d e f g h", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.temperedSample(docs, k = 4.0)
+      .as[(Long, String, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def u(id: Long): Double = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString.take(6), 16) / 16777216.0
+    for ((id, (src, tot, keep)) <- out) {
+      val expT = if (src == "big") 480L else 48L
+      assert(tot == expT)
+      assert(keep == (if (u(id) < 4.0 / math.sqrt(expT.toDouble)) 1 else 0),
+        s"doc $id keep mismatch")
+    }
+    val bigRate = out.values.count(r => r._1 == "big" && r._3 == 1).toDouble / 60
+    val smallRate = out.values.count(r => r._1 == "small" && r._3 == 1).toDouble / 6
+    assert(bigRate < smallRate, "oversized source must thin harder")
+  }
+
   test("lmUpdate: folding a batch into the artifact equals retraining on the union") {
     val histDocs = Seq((2L, "the quick fox and the quick dog"),
       (4L, "the quick fox runs")).toDF("doc_id", "text")
