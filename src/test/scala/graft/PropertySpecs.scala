@@ -295,3 +295,54 @@ object SymmetricDeleteProps extends Properties("SymmetricDelete") {
       nbhd(s).intersect(nbhd(t)).isEmpty || s.length <= 1
     }
 }
+
+object BpeProps extends Properties("BpeKernel") {
+  import graft.functions.Bpe
+  import graft.plans.BpeKernel
+
+  private val genWord: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+
+  /** Random valid merge table: pairs of distinct single letters plus a few
+    * chained merges built from earlier results — arbitrary rank order
+    * (the kernel's SPEC is rank-order application, so ANY a≠b table is a
+    * legal input, not just trained ones). */
+  private val genMerges: Gen[List[(String, String)]] = for {
+    n <- Gen.chooseNum(0, 10)
+    pairs <- Gen.listOfN(n, for {
+      a <- Gen.alphaLowerChar
+      b <- Gen.alphaLowerChar if a != b
+    } yield (a.toString, b.toString))
+    chains <- Gen.listOfN(2, Gen.oneOf(pairs :+ (("x", "y"))))
+  } yield scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+    .shuffle(pairs ++ chains.map { case (a, b) => (a + b, a) }.filter(p => p._1 != p._2))
+
+  private def kernel(merges: Seq[(String, String)]): BpeKernel =
+    new BpeKernel(merges.map(m => Array(m._1, m._2)).toArray)
+
+  property("token concat reconstructs the word (no loss, no reorder)") =
+    forAll(genWord, genMerges) { (w, merges) =>
+      kernel(merges).encodeWord(w).map(_.toString).mkString("") == w
+    }
+
+  property("deterministic: fresh kernels on the same table agree (no hidden state)") =
+    forAll(genWord, genMerges) { (w, merges) =>
+      val once = kernel(merges).encodeWord(w).map(_.toString).toSeq
+      val again = kernel(merges).encodeWord(w).map(_.toString).toSeq
+      once == again
+    }
+
+  property("merging is monotone: more merges never increase token count") =
+    forAll(genWord, genMerges) { (w, merges) =>
+      val full = kernel(merges).encodeWord(w).length
+      val prefix = kernel(merges.dropRight(1)).encodeWord(w).length
+      merges.isEmpty || full <= prefix
+    }
+
+  property("train produces only a != b merges and respects nMerges") =
+    forAll(Gen.listOf(Gen.zip(genWord.suchThat(_.nonEmpty), Gen.chooseNum(1L, 9L))),
+      Gen.chooseNum(0, 6)) { (wc, n) =>
+      val merges = Bpe.train(wc, n)
+      merges.size <= n && merges.forall { case (a, b) => a != b }
+    }
+}
