@@ -339,8 +339,11 @@ object BpeProps extends Properties("BpeKernel") {
       merges.isEmpty || full <= prefix
     }
 
+  private val genNonEmptyWord: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+
   property("train produces only a != b merges and respects nMerges") =
-    forAll(Gen.listOf(Gen.zip(genWord.suchThat(_.nonEmpty), Gen.chooseNum(1L, 9L))),
+    forAll(Gen.listOf(Gen.zip(genNonEmptyWord, Gen.chooseNum(1L, 9L))),
       Gen.chooseNum(0, 6)) { (wc, n) =>
       val merges = Bpe.train(wc, n)
       merges.size <= n && merges.forall { case (a, b) => a != b }
