@@ -1457,23 +1457,27 @@ object Queries {
       val urls = Tables.documents(s, dir).select(col("doc_id"), concat(
         when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("http")),
         lit("://"),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("User:Pw@")).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
         lit("Site"), pmod(col("doc_id"), lit(40)).cast("string"), lit(".Example.COM"),
         when(pmod(col("doc_id"), lit(5)) === 0, lit(":80")).otherwise(lit("")),
         lit("/Docs/Page"), pmod(col("doc_id"), lit(20)).cast("string"),
         when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
         lit("?utm_source=feed&b="), pmod(col("doc_id"), lit(7)).cast("string"),
+        when(pmod(col("doc_id"), lit(8)) === 0, lit("&fbclid")).otherwise(lit("")),
         lit("&a=1")).as("url"))
       Dedup.urlDedup(urls)
     },
     Some(s"""WITH u AS (SELECT doc_id,
       |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN 'User:Pw@' ELSE '' END) ||
       |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
       |  'Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM' ||
       |  (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
       |  '/Docs/Page' || CAST(doc_id % 20 AS VARCHAR) ||
       |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
-      |  '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) || '&a=1' AS url
+      |  '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 8 = 0 THEN '&fbclid' ELSE '' END) || '&a=1' AS url
       |  FROM documents),
       |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url FROM u),
       |k AS (SELECT doc_id, canonical_url,

@@ -166,11 +166,7 @@ object Bpe {
     * bounded-collect trainer remains the cheap default and this is the
     * path for a dictionary too large to sample. nMerges Spark jobs. */
   def trainDistributed(documents: DataFrame, nMerges: Int): IndexedSeq[(String, String)] = {
-    def freeBlocks(df: DataFrame): Unit =
-      GraftBridge.logicalPlan(df) match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ => ()
-      }
+    def freeBlocks(df: DataFrame): Unit = GraftBridge.freeCheckpointBlocks(df)
     var dict = documents
       .select(explode(TextFns.tokens(col("text"))).as("w"))
       .where(col("w") =!= "")

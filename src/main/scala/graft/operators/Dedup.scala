@@ -63,16 +63,22 @@ object Dedup {
 
   /** URL canonicalization — the normalize step of the cheapest dedup tier
     * a crawl corpus runs BEFORE any content hashing (VERDICT r8 #8):
-    * lowercase scheme+host, strip a leading `www.`, strip the scheme's
-    * default port (`:80` http / `:443` https), strip trailing path
-    * slashes (bare host ⇒ `/`), drop the fragment, drop tracking params
-    * (`utm_*`, `fbclid`, `gclid`) and SORT the remaining query params.
-    * Path case is preserved (case-sensitive per RFC 3986). Built from
-    * regex/array ops in the Java∩RE2 syntax subset so the DuckDB oracle
-    * replays the exact same spans. Narrow per-row work, no shuffle. */
+    * lowercase scheme+host, strip userinfo (everything through `@` in the
+    * authority — credentials never belong in a dedup key), strip a
+    * leading `www.`, strip the scheme's default port (`:80` http / `:443`
+    * https), strip trailing path slashes (bare host ⇒ `/`), drop the
+    * fragment, drop tracking params (`utm_*`, `fbclid`, `gclid` — bare or
+    * `key=value` form) and SORT the remaining query params. Path case is
+    * preserved (case-sensitive per RFC 3986). Built from regex/array ops
+    * in the Java∩RE2 syntax subset so the DuckDB oracle replays the exact
+    * same spans. Narrow per-row work, no shuffle. */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val auth = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // Userinfo is stripped BEFORE the host normalization (ADVICE r9:
+    // lowercasing the whole authority first mangled 'WWW.user@host' —
+    // the www-strip and case-fold must only ever see the host).
+    val auth = lower(regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1), "^[^@]*@", ""))
     val noWww = regexp_replace(auth, "^www\\.", "")
     val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
       .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
@@ -80,9 +86,10 @@ object Dedup {
     val pStrip = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
     val path = when(pStrip === "", lit("/")).otherwise(pStrip)
+    // Tracking keys match with an optional '=' boundary, so a bare
+    // '?fbclid' (no value) is dropped like '?fbclid=x' (ADVICE r9).
     val params = array_sort(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
-      p => p =!= "" && !p.startsWith("utm_") &&
-        !p.startsWith("fbclid=") && !p.startsWith("gclid=")))
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=.*)?$")))
     // A row with no scheme://  prefix (relative reference, malformed crawl
     // junk) is its OWN canonical key — normalizing it would collapse every
     // schemeless row to one key and merge unrelated documents (round-9
@@ -98,15 +105,14 @@ object Dedup {
     * TextFns `minhashNumSql` convention). */
   def canonicalUrlSql(u: String): String = {
     val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    val noWww = s"regexp_replace(lower(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')"
+    val noWww = s"regexp_replace(lower(regexp_replace(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')), '^www\\.', '')"
     val host = s"""CASE WHEN $scheme = 'http' THEN regexp_replace($noWww, ':80$$', '')
        | WHEN $scheme = 'https' THEN regexp_replace($noWww, ':443$$', '')
        | ELSE $noWww END""".stripMargin
     val pStrip = s"regexp_replace(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '')"
     val path = s"CASE WHEN $pStrip = '' THEN '/' ELSE $pStrip END"
     val params = s"""list_sort(list_filter(string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
-       | p -> p <> '' AND NOT starts_with(p, 'utm_')
-       |   AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid=')))""".stripMargin
+       | p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$$')))""".stripMargin
     s"""(CASE WHEN $scheme = '' THEN $u ELSE
        | $scheme || '://' || $host || $path ||
        | CASE WHEN len($params) > 0

@@ -68,10 +68,7 @@ object Graph {
     // multi-hour 100 TB run should flip to reliable `checkpoint` (HDFS/S3
     // checkpoint dir) at ~8× the per-iteration write cost, same loop.
     def freeBlocks(df: DataFrame): Unit =
-      org.apache.spark.sql.graftbridge.GraftBridge.logicalPlan(df) match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ => ()
-      }
+      org.apache.spark.sql.graftbridge.GraftBridge.freeCheckpointBlocks(df)
     var scores = nodes.withColumn("rank_ppm", lit(ScaleppM))
       .localCheckpoint(true)
     try {

@@ -519,17 +519,24 @@ object Multimodal {
       }
   }
 
-  /** Wrap an iterator so `cleanup` runs exactly once when it is drained —
-    * the codec-disposal hook for per-partition writers/readers. (Task
-    * ABORT paths don't drain iterators; the JVM-lifetime cost of an
-    * undisposed ImageIO plugin there is a few native buffers, reclaimed
-    * with the executor — acceptable, documented.) */
+  /** Wrap an iterator so `cleanup` runs exactly once — the codec-disposal
+    * hook for per-partition writers/readers. Two release paths share one
+    * idempotence flag: the exhaustion hook frees eagerly on a full drain,
+    * and a task-completion listener covers everything else — early
+    * termination (limit/take/first stop consuming mid-iterator) and task
+    * abort both end in task completion without draining, and on a
+    * long-lived executor those would otherwise accumulate one undisposed
+    * ImageIO plugin instance per task (ADVICE r9). Outside a task (plain
+    * JVM tests) only the exhaustion hook applies. */
   private def closeOnExhaustion[T](it: Iterator[T])(cleanup: => Unit): Iterator[T] =
     new Iterator[T] {
       private var closed = false
+      private def close(): Unit = if (!closed) { closed = true; cleanup }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
       def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !closed) { closed = true; cleanup }
+        if (!h) close()
         h
       }
       def next(): T = it.next()

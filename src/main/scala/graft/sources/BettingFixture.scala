@@ -87,15 +87,24 @@ object BettingFixture {
     * is a pure parquet scan. This is bench hygiene (VERDICT r8 #4):
     * ~80% of the flagship wall was fixture synthesis, not the flatten
     * being measured. Results are bit-identical to [[sportEvents]]. */
+  /** Bumped on ANY change to [[sportEvents]]'s synthesis logic — the cache
+    * key folds it in, so an edited fixture can never be silently served
+    * from a stale persisted copy (ADVICE r9: size+mtime of the SOURCE
+    * files alone can't see logic changes). */
+  private val FixtureLogicVersion = 2
+
   def sportEventsCached(spark: SparkSession, sfDir: String): DataFrame = this.synchronized {
     def stat(name: String): String = {
       val f = new java.io.File(s"$sfDir/$name.parquet")
       s"$name:${f.length}:${f.lastModified}"
     }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((sfDir + Seq("orders", "lineitem", "region").map(stat).mkString(";"))
+      .digest((s"v$FixtureLogicVersion;" + sfDir +
+        Seq("orders", "lineitem", "region").map(stat).mkString(";"))
         .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val dir = new java.io.File(s"/tmp/graft_fixture_cache/sport_events_$key")
+    // Rooted under the build dir, not /tmp: not shared/world-readable
+    // across users, and swept by a clean build (ADVICE r9).
+    val dir = new java.io.File(s"target/graft_fixture_cache/sport_events_$key")
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         s"${dir.getName}.tmp${ProcessHandle.current().pid()}")

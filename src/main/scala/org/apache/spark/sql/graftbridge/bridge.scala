@@ -28,6 +28,20 @@ object GraftBridge {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
 
+  /** Release the cached blocks behind an eager `localCheckpoint` frame —
+    * the iterative-operator loop idiom (pageRank, distributed BPE train):
+    * each iteration checkpoints its new state, then frees the PREVIOUS
+    * iteration's blocks instead of waiting for the ContextCleaner. The
+    * subtlety this hoists to one place: a localCheckpoint's analyzed plan
+    * is a `LogicalRDD` over the checkpointed (cached) RDD, so unpersisting
+    * that RDD is what actually drops the blocks; any other plan shape is a
+    * no-op (nothing was checkpointed). */
+  def freeCheckpointBlocks(df: DataFrame): Unit =
+    logicalPlan(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** An isolated copy of the session (shared SparkContext, independent
     * SQLConf) — for running one job under modified confs without the
     * caller's session ever seeing them. */

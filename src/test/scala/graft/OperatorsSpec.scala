@@ -23,6 +23,14 @@ class DedupSpec extends AnyFunSuite {
       ("https://example.com:8443/x", "https://example.com:8443/x"), // non-default port kept
       ("http://example.com", "http://example.com/"),
       ("http://example.com/?fbclid=abc&gclid=x", "http://example.com/"),
+      // bare tracking keys (no '=') are dropped like their valued forms
+      ("http://example.com/?fbclid&b=1", "http://example.com/?b=1"),
+      // utm_ stays a PREFIX family: unknown utm_ keys dropped, lookalikes kept
+      ("http://example.com/?utm_x&utmx=1", "http://example.com/?utmx=1"),
+      // userinfo is stripped before host normalization — credentials never
+      // key the dedup, and 'WWW.user@host' can't mangle the www-strip
+      ("http://User:Pw@WWW.Example.com/p", "http://example.com/p"),
+      ("http://user@example.com:80/p", "http://example.com/p"),
       ("http://www.example.com/p//", "http://example.com/p"),
       ("http://wwwx.example.com/p", "http://wwwx.example.com/p"), // www. only as a label
       // schemeless / malformed rows stay their OWN keys — never collapsed
