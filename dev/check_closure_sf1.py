@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""Dev-only staged oracle compare for the two connected-components queries
-(`dedup_clusters`, `dedup_embedding_clusters`) plus the 2.37M-row pair set
-(`dedup_embedding_lsh_mp`) at large SF, where DuckDB's RECURSIVE-CTE
-closure re-evaluates the (heavy) pair stage per iteration and never
-finishes.
+"""Dev-only staged oracle compare for the connected-components queries
+(`dedup_clusters`, `dedup_embedding_clusters`, `dedup_survivor_quality`)
+plus the 2.37M-row pair set (`dedup_embedding_lsh_mp`) at large SF, where
+DuckDB's RECURSIVE-CTE closure re-evaluates the (heavy) pair stage per
+iteration and never finishes.
 
 Semantics preserved exactly: the oracle's recursive `reach` +
 `least(node, min(reached))` IS "label every node that appears in an edge
@@ -36,7 +36,7 @@ def pair_stage_sql(name):
         return sql, ("vec_a", "vec_b")   # the oracle IS the pair stage
     cut = sql.index(",\nedges AS")
     head = sql[:cut]
-    if name == "dedup_clusters":
+    if name in ("dedup_clusters", "dedup_survivor_quality"):
         # WITH RECURSIVE pairs AS ( <standalone statement> ) …
         inner = head[head.index("(") + 1:].rstrip()
         assert inner.endswith(")"), inner[-80:]
@@ -88,7 +88,8 @@ def components(edges):
 
 
 fails = 0
-for name in ["dedup_embedding_lsh_mp", "dedup_clusters", "dedup_embedding_clusters"]:
+for name in ["dedup_embedding_lsh_mp", "dedup_clusters",
+             "dedup_embedding_clusters", "dedup_survivor_quality"]:
     t0 = time.time()
     psql, (ca, cb) = pair_stage_sql(name)
     pairs = con.execute(psql).fetchdf()
@@ -96,6 +97,19 @@ for name in ["dedup_embedding_lsh_mp", "dedup_clusters", "dedup_embedding_cluste
           f"{time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     if name == "dedup_embedding_lsh_mp":
         msg = compare(name, pairs)           # the pair set IS the output
+    elif name == "dedup_survivor_quality":
+        # Python union-find replaces the recursive closure; the oracle's
+        # NON-recursive tail (quality + first_value window, everything from
+        # `,\nq AS`) runs verbatim in DuckDB over the spliced `comp` table.
+        lbl = components(zip(pairs[ca].tolist(), pairs[cb].tolist()))
+        import pandas as pd
+        comp_py = pd.DataFrame(sorted(lbl.items()), columns=["doc_id", "cluster"])
+        con.register("comp_py", comp_py)
+        tail = oracle[name]
+        tail = tail[tail.index(",\nq AS"):]
+        exp = con.execute(
+            "WITH comp AS (SELECT * FROM comp_py)" + tail).fetchdf()
+        msg = compare(name, exp)
     else:
         lbl = components(zip(pairs[ca].tolist(), pairs[cb].tolist()))
         idc = "doc_id" if name == "dedup_clusters" else "vec_id"

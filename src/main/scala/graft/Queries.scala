@@ -1624,6 +1624,32 @@ object Queries {
       |SELECT node AS doc_id, least(node, min(reached)) AS cluster
       |FROM reach GROUP BY node""".stripMargin))
 
+  /** Quality-argmax survivor per near-dup cluster (Dedup.qualitySurvivors):
+    * keep the BEST copy of each near-dup family, not the lowest id —
+    * argmax quality_bp, min-doc_id tie-break (total order ⇒ hash-exact).
+    * Oracle = the dedup_clusters closure + the shared quality fragment +
+    * the same first_value window. CTE names (`comp`, `q`) are load-bearing:
+    * dev/check_closure_sf1.py splices a Python union-find result in place
+    * of the recursive closure at sf1 by cutting at `,\nq AS`. */
+  private val dedupSurvivorQuality = Q("dedup_survivor_quality",
+    (s, dir) => Dedup.qualitySurvivors(Tables.documents(s, dir), 0.2),
+    Some(s"""WITH RECURSIVE pairs AS MATERIALIZED ($minhashPairsSql),
+      |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT a AS node, b AS reached FROM edges
+      |          UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached),
+      |comp AS (SELECT node AS doc_id, least(node, min(reached)) AS cluster
+      |         FROM reach GROUP BY node),
+      |q AS (SELECT doc_id, $qualityBpSql AS quality_bp
+      |      FROM (SELECT doc_id, text, $duckToks AS w FROM documents)),
+      |j AS (SELECT c.doc_id, c.cluster, q.quality_bp
+      |      FROM comp c JOIN q USING (doc_id)),
+      |k AS (SELECT doc_id, cluster, quality_bp,
+      |        first_value(doc_id) OVER (PARTITION BY cluster
+      |          ORDER BY quality_bp DESC, doc_id) AS keep_id FROM j)
+      |SELECT doc_id, cluster, quality_bp, keep_id,
+      |  CAST(doc_id = keep_id AS INTEGER) AS is_survivor FROM k""".stripMargin))
+
   /** End-to-end training-data prep (the composition demo: a reference user
     * runs their whole corpus-prep pass in this engine): quality gate →
     * language gate → exact dedup (min-id survivor) → greedy near-dup
@@ -3707,7 +3733,7 @@ object Queries {
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupUrl, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
     dedupMinhashIncrBloom,
-    dedupMinhashPairs, dedupClusters, dedupSimhash, dedupEmbedding,
+    dedupMinhashPairs, dedupClusters, dedupSurvivorQuality, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs,
     pipelinePackSequences, pipelineTokenIds, pipelineTemperedSample,

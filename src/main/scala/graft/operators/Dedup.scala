@@ -479,6 +479,34 @@ object Dedup {
       nearDupPairs(documents, minJaccard).select(col("doc_a"), col("doc_b")),
       maxIters)
 
+  /** Quality-argmax survivor selection within near-dup clusters — the
+    * curation refinement over [[nearDupClusters]]' min-id convention: when
+    * a cluster of near-duplicates collapses to one training document, keep
+    * the BEST copy (highest quality score), not the accidentally-lowest
+    * id. Survivor = argmax `quality_bp` per cluster, ties broken by min
+    * doc_id (a total order, so the pick is deterministic cross-engine).
+    * Output (clustered docs only, the [[nearDupClusters]] contract):
+    * (doc_id, cluster, quality_bp, keep_id, is_survivor).
+    *
+    * Scale shape: the cluster frame is pairs-sized (tiny vs the corpus);
+    * quality is one staged-tokenize scan; the argmax is a first_value
+    * window over clusters — one exchange on a small frame, and the
+    * doc_id equi-join broadcasts under AQE. */
+  def qualitySurvivors(documents: DataFrame, minJaccard: Double): DataFrame = {
+    val clusters = nearDupClusters(documents, minJaccard)
+    val quality = Stage(documents.select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text")))
+      .select(col("doc_id"), TextFns.basisPoints(
+        TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("quality_bp").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("keep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster"), col("quality_bp"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).cast("int").as("is_survivor"))
+  }
+
   /** Label-free embedding near-dup CLUSTERS: connected components over the
     * multi-probe LSH pair graph ([[embeddingNearDupsLshMultiProbe]]) — the
     * end of the label-free dedup pipeline (pairs → components → keep the

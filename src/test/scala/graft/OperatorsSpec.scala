@@ -86,6 +86,35 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.values.toSet == Set(1L))
   }
 
+  test("qualitySurvivors: argmax-quality survivor per cluster, min-id tie-break") {
+    // 1-2 near-dups, 1-4 exact dups → one cluster {1,2,4}. Doc 2 is made
+    // the QUALITY winner (longer alpha-dense text than its siblings would
+    // give equal scores, so plant a punctuation-heavy degradation on 1&4):
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank ..,!"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank ..,!"),
+      (3L, "completely unrelated text about spark catalyst optimizer rules and codegen"))
+      .toDF("doc_id", "text")
+    val out = Dedup.qualitySurvivors(corpus, 0.5)
+      .as[(Long, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L)) // unclustered doc 3 absent
+    assert(out.values.forall(_._2 == 1L)) // cluster label stays min id
+    // survivor is the HIGHEST-quality member, not the min id
+    assert(out(2L)._3 > out(1L)._3, "fixture must make doc 2 the quality winner")
+    assert(out.values.forall(_._4 == 2L))
+    assert(out(2L)._5 == 1 && out(1L)._5 == 0 && out(4L)._5 == 0)
+    // equal-quality tie (1 vs 4 are identical texts): keep_id falls back to
+    // min doc_id — verified by a corpus where the winner is ambiguous
+    val tied = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank now"))
+      .toDF("doc_id", "text")
+    val tout = Dedup.qualitySurvivors(tied, 0.5)
+      .as[(Long, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(tout(5L)._4 == 5L && tout(7L)._4 == 5L && tout(5L)._5 == 1)
+  }
+
   test("simhash of near-dups differs in few bits; unrelated docs differ in many") {
     val h = Dedup.simhash(docs).orderBy("doc_id").select("simhash").as[Int].collect()
     def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
