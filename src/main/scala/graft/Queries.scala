@@ -1852,6 +1852,44 @@ object Queries {
       |  md5(array_to_string(ids, ' ')) AS ids_md5
       |FROM g""".stripMargin))
 
+  /** Vocab-ID sequence assembly (TextAnalysis.packSequenceIds) — the
+    * trainer-bytes shape: pack_sequences' concat-and-chunk over the
+    * token_ids frequency-rank vocab, each fixed-length sequence witnessed
+    * by its first-8 ids and the md5 of the space-joined decimal id
+    * stream. Oracle = the token_ids vocab CTEs feeding the pack CTEs. */
+  private val pipelinePackIds = Q("pipeline_pack_ids",
+    (s, dir) => TextAnalysis.packSequenceIds(Tables.documents(s, dir),
+      capacityTokens = 512, nShards = 8),
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocArr,
+      |occ AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS subword
+      |  FROM bpe_docarr),
+      |vc AS (SELECT subword, count(*) AS n FROM occ GROUP BY 1),
+      |vid AS (SELECT subword,
+      |    CAST(row_number() OVER (ORDER BY n DESC, subword) - 1 AS BIGINT) AS token_id
+      |  FROM vc),
+      |ids AS (SELECT occ.doc_id, list(CAST(vid.token_id AS VARCHAR) ORDER BY occ.pos) AS w
+      |  FROM occ JOIN vid USING (subword) GROUP BY 1),
+      |base AS (SELECT doc_id, doc_id % 8 AS shard, w, CAST(len(w) AS BIGINT) AS n
+      |  FROM ids WHERE len(w) > 0),
+      |st AS (SELECT *, CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT) AS strt
+      |  FROM base),
+      |ex AS (SELECT shard, doc_id, strt, w, n,
+      |    CAST(unnest(range(strt // 512, (strt + n - 1) // 512 + 1)) AS BIGINT) AS seq_id
+      |  FROM st),
+      |sl AS (SELECT shard, seq_id, strt,
+      |    list_slice(w, CAST(greatest(seq_id * 512, strt) - strt + 1 AS INTEGER),
+      |      CAST(least((seq_id + 1) * 512, strt + n) - strt AS INTEGER)) AS sl
+      |  FROM ex),
+      |g AS (SELECT shard, seq_id, count(*) AS n_docs,
+      |    flatten(list(sl ORDER BY strt)) AS seq
+      |  FROM sl GROUP BY 1, 2)
+      |SELECT shard, seq_id, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(len(seq) AS BIGINT) AS seq_len,
+      |  array_to_string(list_slice(seq, 1, 8), ' ') AS ids_head,
+      |  md5(array_to_string(seq, ' ')) AS ids_md5
+      |FROM g""".stripMargin))
+
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
     * windows of 128 REAL BPE tokens overlapping by 32; `chunk_text` is
     * the ORIGINAL words whose token spans intersect the window (words
@@ -3736,7 +3774,7 @@ object Queries {
     dedupMinhashPairs, dedupClusters, dedupSurvivorQuality, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs,
-    pipelinePackSequences, pipelineTokenIds, pipelineTemperedSample,
+    pipelinePackSequences, pipelinePackIds, pipelineTokenIds, pipelineTemperedSample,
     pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
     textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,

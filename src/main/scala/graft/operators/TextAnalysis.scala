@@ -386,14 +386,32 @@ object TextAnalysis {
     * (shard, seq) — rows per group ≤ docs-per-capacity, bounded by the
     * capacity itself. No global sort, no driver loop. */
   def packSequences(documents: DataFrame, capacityTokens: Int,
-      nShards: Int = 32): DataFrame = {
+      nShards: Int = 32): DataFrame =
+    packCore(
+      Stage(documents.select(col("doc_id"), col("text")),
+        "bpe", graft.functions.Bpe.encode(TextFns.tokens(col("text"))))
+        .select(col("doc_id"), col("bpe").as("arr")),
+      capacityTokens, nShards)
+      .select(col("shard"), col("seq_id"), col("n_docs"),
+        size(col("seq")).cast("long").as("seq_len"),
+        md5(concat_ws(" ", col("seq"))).as("seq_md5"))
+
+  /** The shared concat-and-chunk core over any per-doc token-stream frame
+    * `(doc_id, arr: array<string>)` — per-shard doc_id-order concat, cut
+    * every `capacityTokens`, straddling docs contribute a slice to both
+    * neighbours, ragged tail emitted short. Returns one row per
+    * (shard, seq_id) with `n_docs` and the assembled `seq` array; callers
+    * pick the witness columns ([[packSequences]] hashes subwords,
+    * [[packSequenceIds]] hashes vocab ids). Scale shape documented at
+    * [[packSequences]]. */
+  private def packCore(perDoc: DataFrame, capacityTokens: Int,
+      nShards: Int): DataFrame = {
     require(capacityTokens > 0, s"capacityTokens must be positive: $capacityTokens")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
     val cap = lit(capacityTokens.toLong)
-    val toks = Stage(documents.select(col("doc_id"), col("text")),
-      "bpe", graft.functions.Bpe.encode(TextFns.tokens(col("text"))))
-      .withColumn("n", size(col("bpe")).cast("long"))
+    val toks = perDoc
+      .withColumn("n", size(col("arr")).cast("long"))
       .where(col("n") > 0)
       .withColumn("shard", pmod(col("doc_id"), lit(nShards)))
       .withColumn("start",
@@ -406,7 +424,7 @@ object TextAnalysis {
       .withColumn("lo", greatest(col("seq_id") * cap, col("start")))
       .withColumn("hi", least((col("seq_id") + 1) * cap, col("start") + col("n")))
       .select(col("shard"), col("seq_id").cast("long").as("seq_id"), col("start"),
-        slice(col("bpe"), (col("lo") - col("start") + 1).cast("int"),
+        slice(col("arr"), (col("lo") - col("start") + 1).cast("int"),
           (col("hi") - col("lo")).cast("int")).as("sl"))
     exploded
       .groupBy(col("shard"), col("seq_id"))
@@ -414,10 +432,51 @@ object TextAnalysis {
         flatten(transform(
           array_sort(collect_list(struct(col("start"), col("sl")))),
           s => s.getField("sl"))).as("seq"))
+  }
+
+  /** Vocab-ID sequence packing — [[packSequences]] composed with
+    * [[tokenIds]]' frequency-rank vocab: the fixed-length sequences a
+    * trainer actually consumes are INTEGER id streams, not subword
+    * strings. Subword occurrences are checkpointed once (vocab count +
+    * id join both read them), ids reassemble per doc in position order,
+    * then the shared [[packCore]] cuts the per-shard concat. Witness:
+    * first-8 ids + md5 over the space-joined decimal ids (content AND
+    * order). The vocab join is dimension-sized (AQE broadcasts it); the
+    * pack is the same nShards-parallel window as [[packSequences]]. */
+  def packSequenceIds(documents: DataFrame, capacityTokens: Int,
+      nShards: Int = 32): DataFrame = {
+    val occ = bpeOccurrences(documents)
+    val perDoc = occ.join(vocabIds(occ), "subword")
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("token_id")))),
+        s => s.getField("token_id").cast("string")).as("arr"))
+    packCore(perDoc, capacityTokens, nShards)
       .select(col("shard"), col("seq_id"), col("n_docs"),
         size(col("seq")).cast("long").as("seq_len"),
-        md5(concat_ws(" ", col("seq"))).as("seq_md5"))
+        concat_ws(" ", slice(col("seq"), 1, 8)).as("ids_head"),
+        md5(concat_ws(" ", col("seq"))).as("ids_md5"))
   }
+
+  /** Positional BPE subword occurrences `(doc_id, pos, subword)`,
+    * checkpointed once — consumed by the vocab count AND the id join in
+    * [[tokenIds]] / [[packSequenceIds]]. */
+  private def bpeOccurrences(documents: DataFrame): DataFrame =
+    Stage(documents.select(col("doc_id"), col("text")),
+      "bpe", graft.functions.Bpe.encode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), posexplode(col("bpe")))
+      .toDF("doc_id", "pos", "subword")
+      .localCheckpoint(false)
+
+  /** Frequency-rank vocab `(subword, token_id)` — count desc then subword
+    * (id 0 = most frequent). Single-partition sort over |vocab| rows:
+    * dimension-sized by construction, see [[tokenIds]]. */
+  private def vocabIds(occ: DataFrame): DataFrame =
+    occ.groupBy(col("subword")).agg(count(lit(1)).as("n"))
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("subword"))) - 1).cast("long"))
+      .select(col("subword"), col("token_id"))
 
   /** Dictionary encoding to dense token IDs — the final tokenize step a
     * trainer actually consumes: subwords (BPE, pinned vocab) mapped to
@@ -434,16 +493,8 @@ object TextAnalysis {
     * construction (≤ a few hundred k for any real tokenizer), not corpus
     * data; at an extreme vocab switch to a two-phase range-rank. */
   def tokenIds(documents: DataFrame): DataFrame = {
-    val toks = Stage(documents.select(col("doc_id"), col("text")),
-      "bpe", graft.functions.Bpe.encode(TextFns.tokens(col("text"))))
-    val occ = toks.select(col("doc_id"), posexplode(col("bpe")))
-      .toDF("doc_id", "pos", "subword")
-      .localCheckpoint(false)
-    val vocab = occ.groupBy(col("subword")).agg(count(lit(1)).as("n"))
-      .withColumn("token_id",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("subword"))) - 1).cast("long"))
-    occ.join(vocab.select(col("subword"), col("token_id")), "subword")
+    val occ = bpeOccurrences(documents)
+    occ.join(vocabIds(occ), "subword")
       .groupBy(col("doc_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("token_id")))),

@@ -1236,6 +1236,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, 2L, 4L, m("f g h i"))))
   }
 
+  test("packSequenceIds: hand-checked id streams; geometry matches packSequences") {
+    // single-char words = BPE identity; counts b=3, a=2, c=1, d..i=1 each
+    // → vocab (count desc, then subword): b=0, a=1, c=2, d=3 … i=8.
+    val docs = Seq((0L, "a b c"), (1L, "b b a"), (2L, "d e f"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequenceIds(docs, capacityTokens = 5, nShards = 1)
+      .orderBy("seq_id")
+      .select("seq_id", "n_docs", "seq_len", "ids_head", "ids_md5")
+      .as[(Long, Long, Long, String, String)].collect()
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    // concat in doc_id order: 1 0 2 | 0 0 1 | 3 4 5 → cut at 5:
+    // seq0 = 1 0 2 0 0 (doc1 straddles), seq1 = 1 3 4 5 (tail)
+    assert(out.toSeq == Seq(
+      (0L, 2L, 5L, "1 0 2 0 0", m("1 0 2 0 0")),
+      (1L, 2L, 4L, "1 3 4 5", m("1 3 4 5"))), s"got ${out.toSeq}")
+    // geometry (shard/seq/n_docs/seq_len) must match packSequences exactly —
+    // id streams are length-preserving re-encodings of the subword streams
+    val rnd = new scala.util.Random(7)
+    val big = (1L to 30L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(20))("abcdefghij"(rnd.nextInt(10)).toString)
+        .mkString(" "))).toDF("doc_id", "text")
+    val geomIds = TextAnalysis.packSequenceIds(big, 16, 4)
+      .select("shard", "seq_id", "n_docs", "seq_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val geomSub = TextAnalysis.packSequences(big, 16, 4)
+      .select("shard", "seq_id", "n_docs", "seq_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(geomIds == geomSub)
+  }
+
   test("packSequences: every non-tail sequence is exactly capacity; total tokens conserved") {
     val rnd = new scala.util.Random(11)
     val docs = (1L to 40L).map(i =>
