@@ -1434,6 +1434,30 @@ object Queries {
   private val langCaseSql: String = langScoreSets
     .map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }.mkString(" ")
 
+  /** Model-language CTE chain over `documents` — ends in relation
+    * `mlang(doc_id, predicted_lang)`: the LangIdModel argmax (trigrams →
+    * md5-nibble hash buckets → pinned integer weights → priority-tie-break
+    * CASE), the gate-side twin of text_langid_model's full-score oracle.
+    * Pre-stripped (no margin pipes) so callers embed it verbatim. */
+  private def langModelCtes: String = {
+    import graft.functions.LangIdModel
+    val scoreCols = LangIdModel.Langs.zipWithIndex.map { case (l, i) =>
+      s"${LangIdModel.scoreSql("bk", "wall", i)} AS s_$l"
+    }.mkString(",\n  ")
+    s"""mbase AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |mtg AS (SELECT doc_id, ${LangIdModel.trigramsSql("t")} AS tg FROM mbase),
+       |mbk AS (SELECT doc_id, len(tg) AS ntg,
+       |  list_transform(tg, g -> ${LangIdModel.hash16Sql("g")} % ${LangIdModel.B}) AS bk FROM mtg),
+       |msc AS (SELECT doc_id, ntg,
+       |  $scoreCols
+       |  FROM (SELECT *, ${LangIdModel.flatWeightsSql} AS wall FROM mbk)),
+       |mlang AS (SELECT doc_id,
+       |  CASE WHEN ntg = 0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted_lang FROM msc)""".stripMargin
+  }
+
   private def duckShingles(n: Int) =
     s"""CASE WHEN len(w) >= $n
       |  THEN list_transform(generate_series(1, len(w) - ${n - 1}),
@@ -1665,13 +1689,15 @@ object Queries {
   private[graft] def curateGateFrom(docs: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
     val keep = Seq("doc_id", "text") ++ carry
-    graft.plans.Stage(docs.select(keep.map(col): _*),
+    val measured = graft.plans.Stage(docs.select(keep.map(col): _*),
         "w", TextFns.tokens(col("text")))
       .select(keep.map(col) ++ Seq(
         size(col("w")).as("n_tokens"),
         TextFns.basisPoints(
-          TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp"),
-        TextFns.langIdFromTokens(col("w")).as("predicted_lang")): _*)
+          TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp")): _*)
+    // language gate = the MODEL-grade classifier (round-10 rebase; the
+    // marker-stopword langId stays available standalone as text_langid)
+    TextAnalysis.withModelLang(measured)
       .where(col("quality_bp") >= 7000 && col("predicted_lang") === "en")
       .drop("predicted_lang")
   }
@@ -1722,14 +1748,14 @@ object Queries {
     * pipeline_curate_full) can nest it as a derived table. */
   private lazy val docsPrepSql: String =
     s"""WITH dtoks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
+      |$langModelCtes,
       |meas AS (SELECT doc_id, text, w,
       |  CAST(len(w) AS INTEGER) AS n_tokens,
-      |  $qualityBpSql AS quality_bp,
-      |  $langScoresSql FROM dtoks),
+      |  $qualityBpSql AS quality_bp FROM dtoks),
       |gated AS (
-      |  SELECT doc_id, text, n_tokens, quality_bp FROM (
-      |    SELECT *, $langBestSql AS best FROM meas)
-      |  WHERE quality_bp >= 7000 AND (CASE $langCaseSql ELSE 'und' END) = 'en'),
+      |  SELECT m.doc_id, m.text, m.n_tokens, m.quality_bp
+      |  FROM meas m JOIN mlang USING (doc_id)
+      |  WHERE m.quality_bp >= 7000 AND mlang.predicted_lang = 'en'),
       |exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
       |survivors AS (SELECT g.* FROM gated g JOIN exact e ON e.doc_id = g.doc_id),
       |${minhashPairsCtes("survivors", 0.2)},

@@ -61,6 +61,28 @@ object TextAnalysis {
       LangIdModel.predict(size(col("tg")), scores).as("predicted_lang"): _*)
   }
 
+  /** Append `predicted_lang` (the [[LangIdModel]] argmax — same staged
+    * trigram→bucket→score pipeline as [[langIdModel]], scores not kept)
+    * to any frame with a `text` column, preserving every existing column.
+    * This is the MODEL-grade language gate the curation pipelines filter
+    * on (round-10 rebase off the marker-stopword heuristic); underscore
+    * intermediates so callers' columns can't collide. Narrow per-row
+    * expressions only — streaming-safe, no shuffle. */
+  private[graft] def withModelLang(df: DataFrame): DataFrame = {
+    import graft.functions.LangIdModel
+    val base = df.withColumn("_t", lower(col("text")))
+    val tg = Stage(base, "_tg", LangIdModel.trigrams(col("_t")))
+    val bk = Stage(tg, "_bk", LangIdModel.buckets(col("_tg")))
+    val wl = Stage(bk, "_wall", LangIdModel.weightArray)
+    val sc = Stage(wl, "_sc", struct(LangIdModel.Langs.zipWithIndex.map {
+      case (l, i) => LangIdModel.score(col("_bk"), col("_wall"), i).as(s"s_$l")
+    }: _*))
+    val scores = LangIdModel.Langs.map(l => col(s"_sc.s_$l"))
+    sc.withColumn("predicted_lang",
+        LangIdModel.predict(size(col("_tg")), scores))
+      .drop("_t", "_tg", "_bk", "_wall", "_sc")
+  }
+
   /** Document fingerprints (md5 + min/max shingle hash); tokens and
     * shingles staged once each ([[graft.plans.Stage]]). */
   def fingerprints(documents: DataFrame): DataFrame = {
