@@ -3623,6 +3623,28 @@ object Queries {
       |    * ((doc_id % 256) + ((doc_id * 7) % 256)) AS BIGINT) AS rs_sum_luma
       |FROM documents""".stripMargin), bench = true)
 
+  /** REAL lossy-codec decode (Multimodal.synthesizeJpegs →
+    * decodeJpegFeatures): javax.imageio JFIF/JPEG encode at default
+    * quality, an exchange, then JPEG decode + luma sums + 2× resample.
+    * The planted rasters are UNIFORM — the one input the DCT pipeline
+    * reproduces exactly (flat block ⇒ DC-only; quant step divides the
+    * scaled DC; exhaustive roundtrip spec) — so even a lossy codec sits
+    * under a closed-form arithmetic oracle: any quantization drift,
+    * chroma-subsample slip, or MCU-padding bug breaks the hash. */
+  private val multimodalJpeg = Q("multimodal_jpeg",
+    (s, dir) => Multimodal.decodeJpegFeatures(s,
+      Multimodal.synthesizeJpegs(s, Tables.documents(s, dir))
+        .repartition(col("asset_id")))
+      .toDF(),
+    Some("""SELECT doc_id AS asset_id,
+      |  CAST(8 + doc_id % 41 AS BIGINT) AS width,
+      |  CAST(6 + (doc_id * 3) % 29 AS BIGINT) AS height,
+      |  CAST((8 + doc_id % 41) * (6 + (doc_id * 3) % 29) * (doc_id % 256) AS BIGINT) AS sum_luma,
+      |  CAST((8 + doc_id % 41) // 2 AS BIGINT) AS rs_width,
+      |  CAST((6 + (doc_id * 3) % 29) // 2 AS BIGINT) AS rs_height,
+      |  CAST(((8 + doc_id % 41) // 2) * ((6 + (doc_id * 3) % 29) // 2) * (doc_id % 256) AS BIGINT) AS rs_sum_luma
+      |FROM documents""".stripMargin))
+
   /** REAL audio decode (Multimodal.synthesizeAudio/decodeAudioFeatures —
     * VERDICT r8 missing #5): RIFF/WAVE PCM16 square-wave files cross an
     * exchange, are container-parsed by javax.sound AudioSystem, and the
@@ -3825,7 +3847,7 @@ object Queries {
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift,
     simLshTopk, simLshMultiprobe, simQuantize,
-    multimodalFeatures, multimodalFrames, multimodalDecode, multimodalAudio,
+    multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
     dedupMultimodalIncr)
 

@@ -214,6 +214,57 @@ object Multimodal {
     }
   }
 
+  final case class JpegRow(asset_id: Long, jpeg: Array[Byte])
+
+  /** Deterministic synthetic JPEGs, REALLY encoded with `javax.imageio`'s
+    * lossy JFIF writer (default quality): per asset a UNIFORM grayscale
+    * raster, value v = id mod 256, width 8 + id mod 41, height
+    * 6 + 3·id mod 29. Uniform rasters are the one input a lossy DCT codec
+    * reproduces EXACTLY — a flat block has only a DC coefficient, whose
+    * quantization at the default quality divides the scaled value; MCU
+    * edge padding replicates the same value; and the fixed-point
+    * RGB↔YCbCr converters are exact on r=g=b — verified exhaustively for
+    * all 256 values and assorted (incl. odd, sub-MCU) dims in
+    * `MultimodalSpec`. That exactness is what lets a genuinely lossy
+    * codec sit under a hash-exact closed-form oracle
+    * (`multimodal_jpeg`). Per-partition codec init, rows stream. */
+  def synthesizeJpegs(spark: SparkSession, documents: DataFrame): Dataset[JpegRow] = {
+    import spark.implicits._
+    documents.select(
+        col("doc_id").as("asset_id"),
+        (lit(8) + pmod(col("doc_id"), lit(41))).cast("int").as("w"),
+        (lit(6) + pmod(col("doc_id") * 3, lit(29))).cast("int").as("h"),
+        pmod(col("doc_id"), lit(256)).cast("int").as("v"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { case (id, w, h, v) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (v << 16) | (v << 8) | v
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          JpegRow(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** JPEG decode + features: the same decoded-pixel feature chain as
+    * [[decodeImageFeatures]] (`ImageIO.read` sniffs the container, so the
+    * PNG pass's decode/luma/resample code runs unchanged on JFIF bytes) —
+    * the narrow rewrap is schema honesty, not a copy of the codec path. */
+  def decodeJpegFeatures(spark: SparkSession,
+      jpegs: Dataset[JpegRow]): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    decodeImageFeatures(spark, jpegs.map(j => ImageRow(j.asset_id, j.jpeg)))
+  }
+
   final case class BlockSignature(asset_id: Long, blocks: Array[Long])
 
   /** Perceptual block signature of each image: REAL `javax.imageio` decode,

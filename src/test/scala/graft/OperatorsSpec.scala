@@ -1580,6 +1580,48 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg: uniform rasters round-trip the lossy codec EXACTLY, all 256 values") {
+    // The closed-form multimodal_jpeg oracle rests on this exactness claim
+    // (flat block ⇒ DC-only; quant step divides the scaled DC; fixed-point
+    // RGB↔YCbCr exact on r=g=b) — verify it exhaustively off-Spark, over
+    // dims that exercise full MCUs, partial-MCU edge padding, and sub-MCU
+    // images.
+    javax.imageio.ImageIO.setUseCache(false)
+    for ((w, h) <- Seq((48, 32), (18, 10), (33, 17), (7, 5)); v <- 0 until 256) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      assert(dec.getWidth == w && dec.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = dec.getRGB(x, y)
+        assert((p & 0xff) == v && ((p >> 8) & 0xff) == v && ((p >> 16) & 0xff) == v,
+          s"${w}x$h v=$v decoded ${p.toHexString} at ($x,$y)")
+      }
+    }
+  }
+
+  test("jpeg: synth → decode features match closed forms through an exchange") {
+    val ids = Seq(0L, 1L, 7L, 255L, 300L)
+    val docs = ids.map(i => (i, s"d$i", "en", "src", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeJpegFeatures(spark,
+        Multimodal.synthesizeJpegs(spark, docs).repartition(col("asset_id")))
+      .collect().map(f => f.asset_id -> f).toMap
+    for (id <- ids) {
+      val (w, h, v) = (8 + id % 41, 6 + (id * 3) % 29, id % 256)
+      val f = out(id)
+      assert(f.width == w && f.height == h, s"id $id dims")
+      assert(f.sum_luma == w * h * v, s"id $id: lossy codec drifted")
+      assert(f.rs_width == w / 2 && f.rs_height == h / 2)
+      assert(f.rs_sum_luma == (w / 2) * (h / 2) * v)
+    }
+  }
+
   test("resizeImages: nearest-neighbor to arbitrary dims; output PNG decodes back") {
     val docs = Seq(3L, 17L).map(i => (i, s"d$i", "en", "src", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
