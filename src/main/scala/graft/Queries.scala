@@ -1434,28 +1434,39 @@ object Queries {
   private val langCaseSql: String = langScoreSets
     .map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }.mkString(" ")
 
+  /** The LangIdModel argmax CASE (priority tie-break = [[graft.functions.
+    * LangIdModel.Langs]] order, `und` with zero trigrams) — ONE copy of
+    * the load-bearing prediction text, shared by the standalone
+    * text_langid_model oracle and the curation-gate chain. */
+  private def langArgmaxCaseSql: String =
+    """CASE WHEN ntg = 0 THEN 'und'
+      |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END""".stripMargin
+
   /** Model-language CTE chain over `documents` — ends in relation
-    * `mlang(doc_id, predicted_lang)`: the LangIdModel argmax (trigrams →
-    * md5-nibble hash buckets → pinned integer weights → priority-tie-break
-    * CASE), the gate-side twin of text_langid_model's full-score oracle.
-    * Pre-stripped (no margin pipes) so callers embed it verbatim. */
-  private def langModelCtes: String = {
+    * `mlang(doc_id, <carry aliases>, s_en..s_es, predicted_lang)`: the
+    * LangIdModel re-derivation (trigrams → md5-nibble hash buckets →
+    * pinned integer weights → [[langArgmaxCaseSql]]). `carry` lists
+    * (baseExpr, alias) columns pulled from `documents` and threaded
+    * through the chain (text_langid_model carries the label; the gate
+    * carries nothing). Pre-stripped so callers embed it verbatim. */
+  private def langModelCtes(carry: Seq[(String, String)] = Nil): String = {
     import graft.functions.LangIdModel
+    val cSel = carry.map { case (e, a) => s", $e AS $a" }.mkString
+    val cFwd = carry.map { case (_, a) => s", $a" }.mkString
     val scoreCols = LangIdModel.Langs.zipWithIndex.map { case (l, i) =>
       s"${LangIdModel.scoreSql("bk", "wall", i)} AS s_$l"
     }.mkString(",\n  ")
-    s"""mbase AS (SELECT doc_id, lower(text) AS t FROM documents),
-       |mtg AS (SELECT doc_id, ${LangIdModel.trigramsSql("t")} AS tg FROM mbase),
-       |mbk AS (SELECT doc_id, len(tg) AS ntg,
+    s"""mbase AS (SELECT doc_id$cSel, lower(text) AS t FROM documents),
+       |mtg AS (SELECT doc_id$cFwd, ${LangIdModel.trigramsSql("t")} AS tg FROM mbase),
+       |mbk AS (SELECT doc_id$cFwd, len(tg) AS ntg,
        |  list_transform(tg, g -> ${LangIdModel.hash16Sql("g")} % ${LangIdModel.B}) AS bk FROM mtg),
-       |msc AS (SELECT doc_id, ntg,
+       |msc AS (SELECT doc_id$cFwd, ntg,
        |  $scoreCols
        |  FROM (SELECT *, ${LangIdModel.flatWeightsSql} AS wall FROM mbk)),
-       |mlang AS (SELECT doc_id,
-       |  CASE WHEN ntg = 0 THEN 'und'
-       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-       |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted_lang FROM msc)""".stripMargin
+       |mlang AS (SELECT doc_id$cFwd, s_en, s_de, s_fr, s_es,
+       |  $langArgmaxCaseSql AS predicted_lang FROM msc)""".stripMargin
   }
 
   private def duckShingles(n: Int) =
@@ -1748,7 +1759,7 @@ object Queries {
     * pipeline_curate_full) can nest it as a derived table. */
   private lazy val docsPrepSql: String =
     s"""WITH dtoks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
-      |$langModelCtes,
+      |${langModelCtes()},
       |meas AS (SELECT doc_id, text, w,
       |  CAST(len(w) AS INTEGER) AS n_tokens,
       |  $qualityBpSql AS quality_bp FROM dtoks),
@@ -2149,25 +2160,9 @@ object Queries {
     * lookups, argmax with priority tie-break — in DuckDB. */
   private val textLangidModel = Q("text_langid_model",
     (s, dir) => TextAnalysis.langIdModel(Tables.documents(s, dir)),
-    Some {
-      import graft.functions.LangIdModel
-      val scoreCols = LangIdModel.Langs.zipWithIndex.map { case (l, i) =>
-        s"${LangIdModel.scoreSql("bk", "wall", i)} AS s_$l"
-      }.mkString(",\n      |  ")
-      s"""WITH base AS (SELECT doc_id, lang AS labeled_lang, lower(text) AS t FROM documents),
-      |tg AS (SELECT doc_id, labeled_lang, ${LangIdModel.trigramsSql("t")} AS tg FROM base),
-      |bk AS (SELECT doc_id, labeled_lang, len(tg) AS ntg,
-      |  list_transform(tg, g -> ${LangIdModel.hash16Sql("g")} % ${LangIdModel.B}) AS bk FROM tg),
-      |sc AS (SELECT doc_id, labeled_lang, ntg,
-      |  $scoreCols
-      |  FROM (SELECT *, ${LangIdModel.flatWeightsSql} AS wall FROM bk))
-      |SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
-      |  CASE WHEN ntg = 0 THEN 'und'
-      |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-      |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-      |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted_lang
-      |FROM sc""".stripMargin
-    })
+    Some(s"""WITH ${langModelCtes(Seq("lang" -> "labeled_lang"))}
+      |SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es, predicted_lang
+      |FROM mlang""".stripMargin))
 
   private val textTopTerms = Q("text_top_terms",
     (s, dir) => TextAnalysis.topTerms(Tables.documents(s, dir), 50),

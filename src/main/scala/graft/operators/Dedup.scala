@@ -71,7 +71,10 @@ object Dedup {
     * `key=value` form) and SORT the remaining query params. Path case is
     * preserved (case-sensitive per RFC 3986). Built from regex/array ops
     * in the Java∩RE2 syntax subset so the DuckDB oracle replays the exact
-    * same spans. Narrow per-row work, no shuffle. */
+    * same spans — note every end anchor is `\z`, not `$`: Java's `$`
+    * matches BEFORE a trailing newline while RE2's is end-of-text, so on
+    * crawl junk like "?fbclid\n" the engines would diverge (round-10
+    * review). Narrow per-row work, no shuffle. */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     // Userinfo is stripped BEFORE the host normalization (ADVICE r9:
@@ -80,16 +83,16 @@ object Dedup {
     val auth = lower(regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1), "^[^@]*@", ""))
     val noWww = regexp_replace(auth, "^www\\.", "")
-    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
-      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+    val host = when(scheme === "http", regexp_replace(noWww, ":80\\z", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443\\z", ""))
       .otherwise(noWww)
     val pStrip = regexp_replace(
-      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+\\z", "")
     val path = when(pStrip === "", lit("/")).otherwise(pStrip)
     // Tracking keys match with an optional '=' boundary, so a bare
     // '?fbclid' (no value) is dropped like '?fbclid=x' (ADVICE r9).
     val params = array_sort(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
-      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=.*)?$")))
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=.*)?\\z")))
     // A row with no scheme://  prefix (relative reference, malformed crawl
     // junk) is its OWN canonical key — normalizing it would collapse every
     // schemeless row to one key and merge unrelated documents (round-9
@@ -106,13 +109,13 @@ object Dedup {
   def canonicalUrlSql(u: String): String = {
     val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val noWww = s"regexp_replace(lower(regexp_replace(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')), '^www\\.', '')"
-    val host = s"""CASE WHEN $scheme = 'http' THEN regexp_replace($noWww, ':80$$', '')
-       | WHEN $scheme = 'https' THEN regexp_replace($noWww, ':443$$', '')
+    val host = s"""CASE WHEN $scheme = 'http' THEN regexp_replace($noWww, ':80\\z', '')
+       | WHEN $scheme = 'https' THEN regexp_replace($noWww, ':443\\z', '')
        | ELSE $noWww END""".stripMargin
-    val pStrip = s"regexp_replace(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '')"
+    val pStrip = s"regexp_replace(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+\\z', '')"
     val path = s"CASE WHEN $pStrip = '' THEN '/' ELSE $pStrip END"
     val params = s"""list_sort(list_filter(string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
-       | p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$$')))""".stripMargin
+       | p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?\\z')))""".stripMargin
     s"""(CASE WHEN $scheme = '' THEN $u ELSE
        | $scheme || '://' || $host || $path ||
        | CASE WHEN len($params) > 0

@@ -103,8 +103,13 @@ object BettingFixture {
         Seq("orders", "lineitem", "region").map(stat).mkString(";"))
         .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     // Rooted under the build dir, not /tmp: not shared/world-readable
-    // across users, and swept by a clean build (ADVICE r9).
-    val dir = new java.io.File(s"target/graft_fixture_cache/sport_events_$key")
+    // across users, and swept by a clean build (ADVICE r9). "target/" is
+    // cwd-relative, so anchor it: GRAFT_FIXTURE_CACHE_DIR overrides for
+    // any launcher whose working directory is not the repo root
+    // (spark-submit of the assembled jar, IDE runners) — round-10 review.
+    val root = sys.env.getOrElse("GRAFT_FIXTURE_CACHE_DIR",
+      new java.io.File("target/graft_fixture_cache").getAbsolutePath)
+    val dir = new java.io.File(s"$root/sport_events_$key")
     if (!dir.exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         s"${dir.getName}.tmp${ProcessHandle.current().pid()}")
@@ -116,8 +121,9 @@ object BettingFixture {
       // Orphan hygiene: sweep .tmp<pid> leftovers from crashed builders.
       // Live caches of OTHER keys are NOT pruned — each scale factor has
       // its own legitimate key, so "not my key" ≠ stale; superseded keys
-      // (testdata regeneration) persist until /tmp is cleaned, bounded by
-      // one directory per (sfDir, vintage) in practice.
+      // (testdata regeneration, version bumps) persist until the next
+      // `sbt clean` sweeps target/, bounded by one directory per
+      // (sfDir, vintage) in practice.
       val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
       Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.contains(".tmp") && f.getName.startsWith("sport_events_")
