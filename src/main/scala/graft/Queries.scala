@@ -1487,23 +1487,27 @@ object Queries {
     * slash, tracking params and param order all vary by doc_id residues
     * and must collapse to one canonical form. The oracle replays the
     * identical normalization in DuckDB — hash-exact. */
-  private val dedupUrl = Q("dedup_url",
-    (s, dir) => {
-      val urls = Tables.documents(s, dir).select(col("doc_id"), concat(
-        when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("http")),
-        lit("://"),
-        when(pmod(col("doc_id"), lit(6)) === 0, lit("User:Pw@")).otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
-        lit("Site"), pmod(col("doc_id"), lit(40)).cast("string"), lit(".Example.COM"),
-        when(pmod(col("doc_id"), lit(5)) === 0, lit(":80")).otherwise(lit("")),
-        lit("/Docs/Page"), pmod(col("doc_id"), lit(20)).cast("string"),
-        when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
-        lit("?utm_source=feed&b="), pmod(col("doc_id"), lit(7)).cast("string"),
-        when(pmod(col("doc_id"), lit(8)) === 0, lit("&fbclid")).otherwise(lit("")),
-        lit("&a=1")).as("url"))
-      Dedup.urlDedup(urls)
-    },
-    Some(s"""WITH u AS (SELECT doc_id,
+  /** The planted URL column both URL-dedup queries share: scheme/host
+    * case, userinfo, www., default port, trailing slash, tracking params
+    * (incl. a bare `&fbclid`) and param order all vary by doc_id residues
+    * and must collapse to one canonical form. Scala + SQL twins kept
+    * adjacent (the canonicalUrlSql convention). */
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("http")),
+      lit("://"),
+      when(pmod(col("doc_id"), lit(6)) === 0, lit("User:Pw@")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), pmod(col("doc_id"), lit(40)).cast("string"), lit(".Example.COM"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(":80")).otherwise(lit("")),
+      lit("/Docs/Page"), pmod(col("doc_id"), lit(20)).cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&b="), pmod(col("doc_id"), lit(7)).cast("string"),
+      when(pmod(col("doc_id"), lit(8)) === 0, lit("&fbclid")).otherwise(lit("")),
+      lit("&a=1")).as("url"))
+
+  private def plantedUrlSql: String =
+    """SELECT doc_id,
       |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
       |  (CASE WHEN doc_id % 6 = 0 THEN 'User:Pw@' ELSE '' END) ||
       |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
@@ -1513,10 +1517,35 @@ object Queries {
       |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
       |  '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR) ||
       |  (CASE WHEN doc_id % 8 = 0 THEN '&fbclid' ELSE '' END) || '&a=1' AS url
-      |  FROM documents),
+      |  FROM documents""".stripMargin
+
+  private val dedupUrl = Q("dedup_url",
+    (s, dir) => Dedup.urlDedup(plantedUrls(s, dir)),
+    Some(s"""WITH u AS ($plantedUrlSql),
       |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url FROM u),
       |k AS (SELECT doc_id, canonical_url,
       |  min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id FROM c)
+      |SELECT doc_id, canonical_url, keep_id,
+      |  CAST(doc_id = keep_id AS INTEGER) AS is_canonical FROM k""".stripMargin))
+
+  /** Incremental canonical-URL dedup (Dedup.urlIndex +
+    * urlDedupIncremental): new crawl batch (doc_id % 7 ≠ 0) anti-joined
+    * against the persisted canonical-key index of the history slice —
+    * the recrawl shape for the cheapest dedup tier. */
+  private val dedupUrlIncr = Q("dedup_url_incr",
+    (s, dir) => {
+      val urls = plantedUrls(s, dir)
+      Dedup.urlDedupIncremental(
+        urls.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        Dedup.urlIndex(urls.where(pmod(col("doc_id"), lit(7)) === 0)))
+    },
+    Some(s"""WITH u AS ($plantedUrlSql),
+      |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url FROM u),
+      |hist AS (SELECT DISTINCT canonical_url FROM c WHERE doc_id % 7 = 0),
+      |nw AS (SELECT doc_id, canonical_url FROM c WHERE doc_id % 7 <> 0
+      |  AND canonical_url NOT IN (SELECT canonical_url FROM hist)),
+      |k AS (SELECT doc_id, canonical_url,
+      |  min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id FROM nw)
       |SELECT doc_id, canonical_url, keep_id,
       |  CAST(doc_id = keep_id AS INTEGER) AS is_canonical FROM k""".stripMargin))
 
@@ -2050,6 +2079,37 @@ object Queries {
       |          UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached)
       |SELECT node AS vec_id, least(node, min(reached)) AS cluster
       |FROM reach GROUP BY node""".stripMargin))
+
+  /** Unicode NFC normalization (native codegen NfcNormalize, tier (b)) —
+    * the hygiene pass before any content hashing: composed "é" (U+00E9)
+    * and decomposed "e"+U+0301 must dedup identically. The corpus text is
+    * ASCII, so each doc PLANTS a decomposed-é / composed-é / Hangul-Jamo
+    * suffix by doc_id residue; the oracle replays DuckDB's utf8proc
+    * nfc_normalize (both sides implement UAX #15, spec-pinned) and the
+    * md5 witnesses byte identity of the normalized text. */
+  private val textNormalize = Q("text_normalize",
+    (s, dir) => {
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nfc_normalize", exprs => graft.plans.NfcNormalize(exprs.head), "built-in")
+      Tables.documents(s, dir).select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" cafe\u0301"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(" caf\u00e9"))
+            .otherwise(lit(" \u1100\u1161"))).as("raw"))
+        .select(col("doc_id"), length(col("raw")).as("raw_len"),
+          expr("nfc_normalize(raw)").as("nfc"))
+        .select(col("doc_id"), col("raw_len"),
+          length(col("nfc")).as("nfc_len"), md5(col("nfc")).as("nfc_md5"))
+    },
+    Some("""WITH planted AS (SELECT doc_id, text ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+      |        WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+      |        ELSE ' ' || chr(4352) || chr(4449) END) AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, length(raw) AS raw_len, nfc_normalize(raw) AS nfc
+      |      FROM planted)
+      |SELECT doc_id, CAST(raw_len AS INTEGER) AS raw_len,
+      |  CAST(length(nfc) AS INTEGER) AS nfc_len, md5(nfc) AS nfc_md5
+      |FROM n""".stripMargin))
 
   private val textStats = Q("text_stats",
     (s, dir) => TextAnalysis.docStats(Tables.documents(s, dir)),
@@ -3812,7 +3872,7 @@ object Queries {
     uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
-    dedupExact, dedupUrl, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
+    dedupExact, dedupUrl, dedupUrlIncr, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSurvivorQuality, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
@@ -3820,7 +3880,7 @@ object Queries {
     pipelinePackSequences, pipelinePackIds, pipelineTokenIds, pipelineTemperedSample,
     pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit,
-    textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
+    textNormalize, textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
     textLangidModel, textTopTerms,
     textCollocations, textFamiliarity, textLmScore,
     textCorpusDrift, textVocab, textVocabApprox,

@@ -136,6 +136,31 @@ object Dedup {
         (col("doc_id") === col("keep_id")).cast("int").as("is_canonical"))
   }
 
+  /** Persisted artifact for incremental URL dedup: the DISTINCT canonical
+    * keys of an already-deduped history — what a crawl pipeline stores
+    * next to its frontier (one short key per known page; history URLs are
+    * never re-normalized on later days). */
+  def urlIndex(df: DataFrame, urlCol: String = "url"): DataFrame =
+    df.select(canonicalUrl(col(urlCol)).as("canonical_url")).distinct()
+
+  /** Canonical-URL dedup of a NEW crawl batch against a [[urlIndex]]
+    * history — the recrawl shape: normalize the batch, one left-anti
+    * equi-join on the persisted key set (history is never rescanned
+    * beyond its key column), then the standard within-batch min-id
+    * selection. Completes the incremental-index family for the cheapest
+    * dedup tier (hash / band / span / centroid / signature / URL key). */
+  def urlDedupIncremental(newDocs: DataFrame, historyKeys: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canonical_url"))
+    newDocs.select(col("doc_id"), col(urlCol).as("url"))
+      .withColumn("canonical_url", canonicalUrl(col("url")))
+      .join(historyKeys.select(col("canonical_url")).distinct(),
+        Seq("canonical_url"), "left_anti")
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canonical_url"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).cast("int").as("is_canonical"))
+  }
+
   /** Exact dedup: canonical survivor (min doc_id) per identical text, with
     * the md5 fingerprint and copy count. Hash-groupBy, map-side partial. */
   def exact(documents: DataFrame): DataFrame =

@@ -234,3 +234,57 @@ case class AmericanToDecimal(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "american_to_decimal"
 }
+
+/** `nfc_normalize(s)` — Unicode NFC normalization (canonical compose),
+  * the hygiene pass an LLM corpus runs BEFORE any content hashing: the
+  * same text crawled as composed "é" (U+00E9) and decomposed "e"+U+0301
+  * must hash/dedup/shingle identically. A native expression (tier (b)):
+  * the work stays inside whole-stage codegen, with a zero-allocation fast
+  * path — `Normalizer.isNormalized` is true for virtually every real-world
+  * string (all ASCII is NFC), so the already-normalized case returns the
+  * input `UTF8String` untouched and only genuinely decomposed rows pay
+  * the compose. JDK `java.text.Normalizer` and DuckDB's utf8proc
+  * `nfc_normalize` both implement UAX #15 canonical composition, so
+  * results are bit-identical cross-engine (spec-pinned on composed,
+  * combining-mark, multi-mark, and Hangul-Jamo cases). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+
+  // the SumAbsDiffL convention: reject non-string inputs at analysis time
+  // (AbstractDataType/ExpectsInputTypes is private[sql], so check directly)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("nfcStr")
+      s"""
+        |java.lang.String $s = $c.toString();
+        |if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+        |  ${ev.value} = $c;
+        |} else {
+        |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+        |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+        |}
+        |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}

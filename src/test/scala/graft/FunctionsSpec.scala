@@ -195,3 +195,53 @@ class SimFnsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("array<bigint>"), ex.getMessage)
   }
 }
+
+class NfcNormalizeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def nfc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.NfcNormalize(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(c)))
+
+  test("nfc_normalize: UAX#15 canonical compose, pinned cases (whole-stage codegen path)") {
+    // (input, expected) — decomposed sequences compose; composed + ASCII
+    // pass through; multi-mark keeps the non-composable mark; Hangul Jamo
+    // LV-composes. Expected strings double as the cross-engine contract
+    // (DuckDB's utf8proc nfc_normalize yields the same codepoints).
+    val cases = Seq(
+      ("e\u0301", "\u00e9"),
+      ("caf" + "e\u0301", "caf\u00e9"),
+      ("\u00c5", "\u00c5"),
+      ("A\u030a", "\u00c5"),
+      ("A\u0308\u0301", "\u00c4\u0301"),
+      ("\u1e0b\u0323", "\u1e0d\u0307"),
+      ("plain ascii", "plain ascii"),
+      ("\uac00", "\uac00"),
+      ("\u1100\u1161", "\uac00"))
+    val got = cases.map(_._1).zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("i", "s").select($"i", nfc($"s").as("n"))
+      .orderBy("i").as[(Int, String)].collect().map(_._2)
+    cases.map(_._2).zip(got).foreach { case (want, have) =>
+      assert(have == want,
+        s"want ${want.map(c => f"U+${c.toInt}%04X").mkString(" ")} " +
+          s"got ${have.map(c => f"U+${c.toInt}%04X").mkString(" ")}")
+    }
+    // and the JVM reference agrees (the interpreted-eval twin)
+    cases.foreach { case (in, want) =>
+      assert(java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC) == want)
+      assert(graft.plans.NfcNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal(in)).eval() ==
+        org.apache.spark.unsafe.types.UTF8String.fromString(want))
+    }
+  }
+
+  test("nfc_normalize: null in, null out; non-string rejected at analysis") {
+    val row = Seq(Tuple1[String](null)).toDF("s").select(nfc($"s")).head()
+    assert(row.isNullAt(0))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(1)).toDF("x").select(nfc($"x")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("string"), ex.getMessage)
+  }
+}

@@ -57,6 +57,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out(7L)._4 == 1 && out(7L)._3 == 7L)
   }
 
+  test("urlDedupIncremental: history keys suppress recrawls; batch dedups within itself") {
+    val hist = Seq((1L, "http://a.com/x?b=2&a=1")).toDF("doc_id", "url")
+    val batch = Seq(
+      (10L, "HTTP://WWW.A.com:80/x/?a=1&b=2"),  // variant of history → dropped
+      (12L, "http://b.com/y"),                  // new key, duplicated below
+      (11L, "http://B.com/y?utm_source=z"),     // variant of 12 → same key, min id 11 wins
+      (13L, "http://c.com/z")).toDF("doc_id", "url")
+    val out = Dedup.urlDedupIncremental(batch, Dedup.urlIndex(hist))
+      .as[(Long, String, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(10L), "history collision must be suppressed")
+    assert(out.keySet == Set(11L, 12L, 13L))
+    assert(out(11L)._3 == 11L && out(12L)._3 == 11L && out(12L)._4 == 0)
+    assert(out(13L)._4 == 1)
+  }
+
   test("exact dedup groups identical texts, keeps min doc_id") {
     val out = Dedup.exact(docs).collect()
     assert(out.length == 4) // 1&4 merge
