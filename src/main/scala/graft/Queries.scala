@@ -3051,6 +3051,36 @@ object Queries {
   /** Deterministic shard assignment audit (TextAnalysis.shardStats): the
     * md5-uniform mod-nShards layout a training write uses, with per-shard
     * doc / token / source balance. */
+  /** Dataset card (TextAnalysis.datasetCard): the per-source datasheet a
+    * corpus release ships — docs/chars, REAL BPE token totals, integer
+    * mean quality, exact-dup rate, model-language mode + share. Oracle
+    * composes the BPE, quality and model-lang fragments; all-integral
+    * arithmetic ⇒ hash-exact. */
+  private val pipelineDatasetCard = Q("pipeline_dataset_card",
+    (s, dir) => TextAnalysis.datasetCard(Tables.documents(s, dir)),
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocCount,
+      |${langModelCtes()},
+      |q AS (SELECT doc_id, source, length(text) AS n_chars, md5(text) AS tmd5,
+      |        $qualityBpSql AS quality_bp
+      |      FROM (SELECT doc_id, source, text, $duckToks AS w FROM documents)),
+      |j AS (SELECT q.*, b.n_bpe, m.predicted_lang
+      |      FROM q JOIN bpe_doc b USING (doc_id) JOIN mlang m USING (doc_id)),
+      |agg AS (SELECT source, count(*) AS n_docs,
+      |        CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+      |        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |        sum(quality_bp) AS sum_q,
+      |        count(DISTINCT tmd5) AS n_distinct FROM j GROUP BY 1),
+      |lc AS (SELECT source, predicted_lang, count(*) AS n FROM j GROUP BY 1, 2),
+      |lt AS (SELECT source, predicted_lang AS top_lang, n,
+      |       row_number() OVER (PARTITION BY source ORDER BY n DESC, predicted_lang) AS rn
+      |       FROM lc)
+      |SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs, a.n_tokens, a.n_chars,
+      |  CAST(a.sum_q // a.n_docs AS BIGINT) AS mean_quality_bp,
+      |  CAST((a.n_docs - a.n_distinct) * 10000 // a.n_docs AS BIGINT) AS dup_bp,
+      |  t.top_lang, CAST(t.n * 10000 // a.n_docs AS BIGINT) AS top_lang_share_bp
+      |FROM agg a JOIN lt t ON t.source = a.source AND t.rn = 1""".stripMargin))
+
   private val textShardStats = Q("text_shard_stats",
     (s, dir) => TextAnalysis.shardStats(Tables.documents(s, dir), nShards = 8),
     Some(s"""WITH sh AS (SELECT
@@ -3879,7 +3909,7 @@ object Queries {
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs,
     pipelinePackSequences, pipelinePackIds, pipelineTokenIds, pipelineTemperedSample,
     pipelineChunkDocs,
-    pipelineClassSample, pipelineTrainSplit,
+    pipelineClassSample, pipelineTrainSplit, pipelineDatasetCard,
     textNormalize, textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
     textLangidModel, textTopTerms,
     textCollocations, textFamiliarity, textLmScore,

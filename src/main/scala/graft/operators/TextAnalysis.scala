@@ -830,6 +830,46 @@ object TextAnalysis {
   /** Per-shard balance audit over [[assignShards]]: doc count, token
     * budget, and source spread per shard. One hash aggregate with map-side
     * partials — output cardinality is nShards. */
+  /** Dataset card — the per-source datasheet a corpus release ships
+    * (datasheets-for-datasets shape): doc/char counts, REAL BPE token
+    * totals, integer mean quality, exact-dup rate, and the model-language
+    * mode with its share. Everything integral (div / basis points) ⇒
+    * hash-exact cross-engine. One doc-level pass (staged tokenize → BPE →
+    * model-lang chain, all narrow), then two dimension-sized aggregates
+    * (per source, per (source, lang)) and a broadcast-sized join — output
+    * is #sources rows however big the corpus. */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val toks = Stage(documents.select(col("doc_id"), col("source"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    val bpe = Stage(toks, "bpe", graft.functions.Bpe.encode(col("w")))
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("tmd5"),
+        TextFns.basisPoints(
+          TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp"),
+        size(col("bpe")).cast("long").as("n_bpe"))
+    val perDoc = withModelLang(bpe).drop("text")
+    val agg = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_bpe")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(col("quality_bp")).as("sum_q"),
+      countDistinct(col("tmd5")).as("n_distinct"))
+    val topLang = perDoc.groupBy(col("source"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("predicted_lang"))))
+      .where(col("rn") === 1)
+      .select(col("source"), col("predicted_lang").as("top_lang"), col("n"))
+    agg.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("sum_q div n_docs").as("mean_quality_bp"),
+        expr("(n_docs - n_distinct) * 10000 div n_docs").as("dup_bp"),
+        col("top_lang"),
+        expr("n * 10000 div n_docs").as("top_lang_share_bp"))
+  }
+
   def shardStats(documents: DataFrame, nShards: Int = 8): DataFrame =
     assignShards(documents, nShards)
       .select(col("shard"), col("source"),

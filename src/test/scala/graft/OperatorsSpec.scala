@@ -1222,6 +1222,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(starts == 4, "every shard must restart its concat at offset 0")
   }
 
+  test("datasetCard: per-source counts, dup rate, lang mode — hand-checked") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s1"), (3L, "x y", "s1"),
+      (4L, "d e", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.datasetCard(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("n_tokens") == 8L)   // single-char words: BPE identity
+    assert(s1.getAs[Long]("n_chars") == 13L)   // 5 + 5 + 3
+    assert(s1.getAs[Long]("dup_bp") == 3333L)  // 1 of 3 docs is an exact dup
+    assert(out("s2").getAs[Long]("dup_bp") == 0L)
+    // mean quality and lang mode agree with the per-doc operators they
+    // summarize (independent plans over the same corpus)
+    val q = docs.select(col("source"), graft.functions.TextFns.basisPoints(
+        graft.functions.TextFns.qualityScore(col("text"))).as("q"))
+      .groupBy("source").agg((sum($"q") / count(lit(1))).as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(s1.getAs[Long]("mean_quality_bp") == q("s1").toLong)
+    val langs = TextAnalysis.langIdModel(docs.withColumn("lang", lit("?")))
+      .select(col("doc_id"), col("predicted_lang")).as[(Long, String)]
+      .collect().toMap
+    val expectTop = Seq(1L, 2L, 3L).map(langs).groupBy(identity)
+      .map { case (l, g) => (g.size, l) }.toSeq.sortBy(t => (-t._1, t._2)).head
+    assert(s1.getAs[String]("top_lang") == expectTop._2)
+    assert(s1.getAs[Long]("top_lang_share_bp") == expectTop._1 * 10000L / 3)
+  }
+
   test("tokenIds: frequency-ranked ids, order preserved, hand-checked") {
     // single-char words are BPE-identity; counts: b=3, a=2, c=1
     // → ids: b=0, a=1, c=2 (count desc, then subword).

@@ -103,6 +103,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("round-10 queries: exchange/scan counts pinned (duplicate-subtree guard)") {
+    // Same contract as the bench-board pin above, for the round-10
+    // additions (not on the bench board, so not auto-covered there).
+    // dedup_survivor_quality builds its cluster frame EAGERLY (the
+    // label-propagation loop runs at query-build time); its pinned plan is
+    // the final join+window over the checkpointed labels.
+    val ceilings: Map[String, (Int, Int)] = Map(
+      "dedup_url" -> (1, 1),
+      "dedup_url_incr" -> (2, 2),
+      "dedup_survivor_quality" -> (2, 2),
+      "pipeline_pack_ids" -> (4, 3),
+      "multimodal_jpeg" -> (1, 1),
+      "text_normalize" -> (0, 1),
+      // doc pass + per-source agg + (source, lang) agg + mode window + join
+      "pipeline_dataset_card" -> (6, 2))
+    val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
+      val p = plan(Queries.queries(name)(spark, sf))
+      val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
+      val scans = "Scan parquet|Scan ExistingRDD".r.findAllIn(p).length
+      val product = p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin Inner")
+      Seq(
+        if (exch > exchCeil) Some(s"$name: $exch exchanges > ceiling $exchCeil")
+        else None,
+        if (scans > scanCeil) Some(s"$name: $scans scan leaves > ceiling $scanCeil (duplicate subtree?)")
+        else None,
+        if (product) Some(s"$name: product join appeared") else None).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("packSequences: shard window + straddle explode + one assembly aggregate, no products") {
     val p = plan(graft.operators.TextAnalysis.packSequences(
       Tables.documents(spark, sf), capacityTokens = 512, nShards = 8))
