@@ -617,6 +617,22 @@ object Dedup {
     stampWatermark(docs.withColumn("text_md5", md5(col("text"))), eventTime, delay)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming canonical-URL dedup at ingest — the cheapest tier's
+    * streaming leg ([[urlDedup]]'s semantics, first-arrival survivor):
+    * rows are keyed by [[canonicalUrl]] and deduplicated within the
+    * watermark horizon, so a recrawled variant ('?utm_...' reshuffles,
+    * userinfo, case) of a recently-seen page never reaches content
+    * hashing. State = one short key per distinct canonical URL per
+    * horizon — bounded like [[streamingExactDedup]], and the key is the
+    * SAME normalization the batch tier and [[urlIndex]] persist, so batch
+    * and stream agree on what "the same page" means. */
+  def streamingUrlDedup(docs: DataFrame, eventTime: String, delay: String,
+      urlCol: String = "url"): DataFrame =
+    stampWatermark(
+      docs.withColumn("canonical_url", canonicalUrl(col(urlCol))),
+      eventTime, delay)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Streaming near-dup filter at ingest: documents are keyed by their
     * FULL MinHash signature (all 4 band keys) and deduplicated within the
     * watermark horizon — a doc is dropped iff a doc with an identical

@@ -74,6 +74,36 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingUrlDedup drops canonical-key recrawls within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Dedup.streamingUrlDedup(
+      input.toDF().toDF("ts", "doc_id", "url"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("urlstream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 10:01:00")
+      input.addData(
+        (t0, 1L, "http://a.com/x?b=2&a=1"),
+        (t0, 2L, "HTTP://WWW.A.com:80/x/?a=1&b=2&utm_medium=m"), // variant of 1
+        (t0, 3L, "http://b.com/y"))
+      q.processAllAvailable()
+      input.addData((t1, 4L, "http://user@a.com/x?a=1&b=2&fbclid")) // recrawl of 1
+      q.processAllAvailable()
+      val kept = spark.table("urlstream").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 3L),
+        "first arrival per canonical key survives; variants and recrawls drop")
+      // stream and batch agree on the key itself
+      val batchKeys = Dedup.urlDedup(
+        spark.table("urlstream").select($"doc_id", $"url"))
+        .select("canonical_url").as[String].collect().toSet
+      val streamKeys = spark.table("urlstream")
+        .select("canonical_url").as[String].collect().toSet
+      assert(streamKeys == batchKeys)
+    } finally q.stop()
+  }
+
   test("streaming LSH candidates pair a new arrival against ALL history") {
     implicit val sqlCtx = spark.sqlContext
     val boiler = "the same boilerplate cookie banner text repeated on every page"
