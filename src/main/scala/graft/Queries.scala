@@ -2111,6 +2111,32 @@ object Queries {
       |  CAST(length(nfc) AS INTEGER) AS nfc_len, md5(nfc) AS nfc_md5
       |FROM n""".stripMargin))
 
+  /** NFC → exact-dedup composition: the reason the normalize tier exists —
+    * the SAME text crawled composed vs decomposed must collapse to ONE
+    * dedup group. Each doc plants a suffix whose encoding varies by
+    * doc_id parity (composed é vs decomposed e+U+0301) over a shared
+    * doc_id%250 payload, so raw md5 sees two keys where NFC sees one; the
+    * oracle replays the grouping over utf8proc-normalized text. */
+  private val dedupExactNfc = Q("dedup_exact_nfc",
+    (s, dir) => {
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nfc_normalize", exprs => graft.plans.NfcNormalize(exprs.head), "built-in")
+      val planted = Tables.documents(s, dir).select(col("doc_id"), concat(
+        lit("shared payload "), pmod(col("doc_id"), lit(250)).cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(" caf\u00e9"))
+          .otherwise(lit(" cafe\u0301"))).as("text"))
+      Dedup.exact(planted.select(col("doc_id"),
+        expr("nfc_normalize(text)").as("text")))
+    },
+    Some("""WITH planted AS (SELECT doc_id, 'shared payload ' ||
+      |  CAST(doc_id % 250 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+      |        ELSE ' cafe' || chr(769) END) AS text
+      |  FROM documents)
+      |SELECT md5(nfc_normalize(text)) AS text_md5, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM planted GROUP BY 1""".stripMargin))
+
   private val textStats = Q("text_stats",
     (s, dir) => TextAnalysis.docStats(Tables.documents(s, dir)),
     Some(s"""WITH RECURSIVE $duckBpeBlock,
@@ -3902,7 +3928,7 @@ object Queries {
     uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
-    dedupExact, dedupUrl, dedupUrlIncr, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
+    dedupExact, dedupExactNfc, dedupUrl, dedupUrlIncr, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSurvivorQuality, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
