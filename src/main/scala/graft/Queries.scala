@@ -1786,23 +1786,34 @@ object Queries {
 
   /** pipeline_docs_prep's oracle, factored so compositions (e.g.
     * pipeline_curate_full) can nest it as a derived table. */
-  private lazy val docsPrepSql: String =
-    s"""WITH dtoks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
+  /** The docs-prep derivation as a CTE chain ending in
+    * `prepped(doc_id, text, n_tokens, quality_bp)` — shared by the
+    * pipeline_docs_prep / pipeline_curate_full oracles and the
+    * crawl-to-trainer capstone. `gateExtraJoin` injects an extra
+    * membership restriction into the gate (the capstone joins the
+    * URL-dedup survivor set); empty = the whole corpus. */
+  private def docsPrepCtes(gateExtraJoin: String = ""): String =
+    s"""dtoks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
       |${langModelCtes()},
       |meas AS (SELECT doc_id, text, w,
       |  CAST(len(w) AS INTEGER) AS n_tokens,
       |  $qualityBpSql AS quality_bp FROM dtoks),
       |gated AS (
       |  SELECT m.doc_id, m.text, m.n_tokens, m.quality_bp
-      |  FROM meas m JOIN mlang USING (doc_id)
+      |  FROM meas m JOIN mlang USING (doc_id) $gateExtraJoin
       |  WHERE m.quality_bp >= 7000 AND mlang.predicted_lang = 'en'),
       |exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
       |survivors AS (SELECT g.* FROM gated g JOIN exact e ON e.doc_id = g.doc_id),
       |${minhashPairsCtes("survivors", 0.2)},
-      |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
-      |SELECT s.doc_id, s.n_tokens, s.quality_bp
-      |FROM survivors s LEFT JOIN dropped d ON d.doc_id = s.doc_id
-      |WHERE d.doc_id IS NULL""".stripMargin
+      |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+      |prepped AS (
+      |  SELECT s.doc_id, s.text, s.n_tokens, s.quality_bp
+      |  FROM survivors s LEFT JOIN dropped d ON d.doc_id = s.doc_id
+      |  WHERE d.doc_id IS NULL)""".stripMargin
+
+  private lazy val docsPrepSql: String =
+    s"""WITH ${docsPrepCtes()}
+      |SELECT doc_id, n_tokens, quality_bp FROM prepped""".stripMargin
 
   /** The END-TO-END curation run: hygiene gate → exact dedup → near-dup
     * removal (= pipeline_docs_prep), then train/val/test split and
@@ -1855,29 +1866,40 @@ object Queries {
     * the BPE token streams — documents straddling a cut contribute slices
     * to both sequences; the oracle checks the md5 of every sequence's
     * space-joined token stream (content + order, not just layout). */
+  /** Concat-and-chunk CTE chain over `srcRel(doc_id, w)` (`w` a
+    * token-array column) — ends in `g(shard, seq_id, n_docs, seq)`; the
+    * SQL twin of `TextAnalysis.packCore`, shared by pack_sequences,
+    * pack_ids and the crawl-to-trainer capstone. */
+  private def packSeqCtes(srcRel: String, cap: Int, nShards: Int): String =
+    s"""base AS (SELECT doc_id, doc_id % $nShards AS shard, w, CAST(len(w) AS BIGINT) AS n
+      |  FROM $srcRel WHERE len(w) > 0),
+      |st AS (SELECT *, CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT) AS strt
+      |  FROM base),
+      |ex AS (SELECT shard, doc_id, strt, w, n,
+      |    CAST(unnest(range(strt // $cap, (strt + n - 1) // $cap + 1)) AS BIGINT) AS seq_id
+      |  FROM st),
+      |sl AS (SELECT shard, seq_id, strt,
+      |    list_slice(w, CAST(greatest(seq_id * $cap, strt) - strt + 1 AS INTEGER),
+      |      CAST(least((seq_id + 1) * $cap, strt + n) - strt AS INTEGER)) AS sl
+      |  FROM ex),
+      |g AS (SELECT shard, seq_id, count(*) AS n_docs,
+      |    flatten(list(sl ORDER BY strt)) AS seq
+      |  FROM sl GROUP BY 1, 2)""".stripMargin
+
+  /** The pack chain's standard witness projection (shared final SELECT). */
+  private def packSeqSelect: String =
+    """SELECT shard, seq_id, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(len(seq) AS BIGINT) AS seq_len,
+      |  md5(array_to_string(seq, ' ')) AS seq_md5
+      |FROM g""".stripMargin
+
   private val pipelinePackSequences = Q("pipeline_pack_sequences",
     (s, dir) => TextAnalysis.packSequences(Tables.documents(s, dir),
       capacityTokens = 512, nShards = 8),
     Some(s"""WITH RECURSIVE $duckBpeBlock,
       |$duckBpeDocArr,
-      |base AS (SELECT doc_id, doc_id % 8 AS shard, w, CAST(len(w) AS BIGINT) AS n
-      |  FROM bpe_docarr WHERE len(w) > 0),
-      |st AS (SELECT *, CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT) AS strt
-      |  FROM base),
-      |ex AS (SELECT shard, doc_id, strt, w, n,
-      |    CAST(unnest(range(strt // 512, (strt + n - 1) // 512 + 1)) AS BIGINT) AS seq_id
-      |  FROM st),
-      |sl AS (SELECT shard, seq_id, strt,
-      |    list_slice(w, CAST(greatest(seq_id * 512, strt) - strt + 1 AS INTEGER),
-      |      CAST(least((seq_id + 1) * 512, strt + n) - strt AS INTEGER)) AS sl
-      |  FROM ex),
-      |g AS (SELECT shard, seq_id, count(*) AS n_docs,
-      |    flatten(list(sl ORDER BY strt)) AS seq
-      |  FROM sl GROUP BY 1, 2)
-      |SELECT shard, seq_id, CAST(n_docs AS BIGINT) AS n_docs,
-      |  CAST(len(seq) AS BIGINT) AS seq_len,
-      |  md5(array_to_string(seq, ' ')) AS seq_md5
-      |FROM g""".stripMargin))
+      |${packSeqCtes("bpe_docarr", 512, 8)}
+      |$packSeqSelect""".stripMargin))
 
   /** Temperature (inverse-√) source rebalancing
     * (TextAnalysis.temperedSample): per-source keep rate k/√(BPE token
@@ -1936,25 +1958,51 @@ object Queries {
       |  FROM vc),
       |ids AS (SELECT occ.doc_id, list(CAST(vid.token_id AS VARCHAR) ORDER BY occ.pos) AS w
       |  FROM occ JOIN vid USING (subword) GROUP BY 1),
-      |base AS (SELECT doc_id, doc_id % 8 AS shard, w, CAST(len(w) AS BIGINT) AS n
-      |  FROM ids WHERE len(w) > 0),
-      |st AS (SELECT *, CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT) AS strt
-      |  FROM base),
-      |ex AS (SELECT shard, doc_id, strt, w, n,
-      |    CAST(unnest(range(strt // 512, (strt + n - 1) // 512 + 1)) AS BIGINT) AS seq_id
-      |  FROM st),
-      |sl AS (SELECT shard, seq_id, strt,
-      |    list_slice(w, CAST(greatest(seq_id * 512, strt) - strt + 1 AS INTEGER),
-      |      CAST(least((seq_id + 1) * 512, strt + n) - strt AS INTEGER)) AS sl
-      |  FROM ex),
-      |g AS (SELECT shard, seq_id, count(*) AS n_docs,
-      |    flatten(list(sl ORDER BY strt)) AS seq
-      |  FROM sl GROUP BY 1, 2)
+      |${packSeqCtes("ids", 512, 8)}
       |SELECT shard, seq_id, CAST(n_docs AS BIGINT) AS n_docs,
       |  CAST(len(seq) AS BIGINT) AS seq_len,
       |  array_to_string(list_slice(seq, 1, 8), ' ') AS ids_head,
       |  md5(array_to_string(seq, ' ')) AS ids_md5
       |FROM g""".stripMargin))
+
+  /** The CAPSTONE composition — a crawl lands, trainer bytes leave, ONE
+    * call: canonical-URL dedup (cheapest tier) → NFC normalization →
+    * quality + model-language gate → exact dedup → LSH near-dup removal →
+    * fixed-length sequence packing. Every stage is an already-oracled
+    * operator and the oracle chains the same shared fragments (the URL
+    * survivor set restricts the gate membership). The corpus text is
+    * ASCII, so the NFC pass is provably the identity HERE — it is applied
+    * for the contract and exercised with planted non-ASCII by
+    * text_normalize / dedup_exact_nfc. Output = the (shard, seq) trainer
+    * layout with a per-sequence content witness. */
+  private val pipelineCrawlToTrainer = Q("pipeline_crawl_to_trainer",
+    (s, dir) => {
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "nfc_normalize", exprs => graft.plans.NfcNormalize(exprs.head), "built-in")
+      val urlKeep = Dedup.urlDedup(plantedUrls(s, dir))
+        .where(col("is_canonical") === 1).select(col("doc_id"))
+      val corpus = Tables.documents(s, dir).join(urlKeep, "doc_id")
+        .select(col("doc_id"), expr("nfc_normalize(text)").as("text"))
+      val survivors = curateSurvivorsFrom(curateGateFrom(corpus))
+      val dropped = Dedup.nearDupPairs(
+          survivors.select(col("doc_id"), col("text")), 0.2)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val prepped = survivors.join(dropped, Seq("doc_id"), "left_anti")
+      TextAnalysis.packSequences(
+        prepped.select(col("doc_id"), col("text")), 512, 8)
+    },
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocArr,
+      |u AS ($plantedUrlSql),
+      |cu AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url FROM u),
+      |usv AS (SELECT doc_id FROM (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id
+      |  FROM cu) WHERE doc_id = keep_id),
+      |${docsPrepCtes("JOIN usv ON usv.doc_id = m.doc_id")},
+      |${packSeqCtes(
+        "(SELECT a.doc_id, a.w FROM bpe_docarr a JOIN prepped p ON p.doc_id = a.doc_id)",
+        512, 8)}
+      |$packSeqSelect""".stripMargin))
 
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
     * windows of 128 REAL BPE tokens overlapping by 32; `chunk_text` is
@@ -3933,7 +3981,7 @@ object Queries {
     dedupMinhashPairs, dedupClusters, dedupSurvivorQuality, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
     pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs,
-    pipelinePackSequences, pipelinePackIds, pipelineTokenIds, pipelineTemperedSample,
+    pipelinePackSequences, pipelinePackIds, pipelineCrawlToTrainer, pipelineTokenIds, pipelineTemperedSample,
     pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit, pipelineDatasetCard,
     textNormalize, textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,

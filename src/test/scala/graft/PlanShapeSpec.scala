@@ -117,7 +117,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "multimodal_jpeg" -> (1, 1),
       "text_normalize" -> (0, 1),
       // doc pass + per-source agg + (source, lang) agg + mode window + join
-      "pipeline_dataset_card" -> (6, 2))
+      "pipeline_dataset_card" -> (6, 2),
+      "dedup_exact_nfc" -> (1, 1),
+      // PRE-execution counts: the gate+URL subtree prints once per
+      // pre-persist reference (exact-keep agg + survivor join — the
+      // docs_prep persist boundary, audited there), and each carries the
+      // URL window/join, so the printed tree is ~2.4× docs_prep's. At
+      // execution the persisted survivors serve all downstream stages
+      // (PlanFinal: InMemoryTableScans + ReusedExchange, one URL shuffle).
+      "pipeline_crawl_to_trainer" -> (36, 20))
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
       val p = plan(Queries.queries(name)(spark, sf))
       val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
