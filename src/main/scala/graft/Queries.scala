@@ -2185,6 +2185,32 @@ object Queries {
       |  count(*) AS n_copies
       |FROM planted GROUP BY 1""".stripMargin))
 
+  /** Compressibility signal (TextAnalysis.compressionSignal — native
+    * DeflateLen): the entropy-proxy junk gate. Exact deflate byte counts
+    * are run-deterministic but NOT cross-engine constants (zlib build),
+    * and DuckDB has no SQL deflate — so the query emits what IS invariant
+    * (the established bound-twin pattern): per-doc byte bounds and
+    * repetition dominance (4×-concatenated text must deflate to well
+    * under 2× the single deflate — LZ77 back-references). The REAL
+    * lengths/ratios are exercised and order-pinned in CompressFnsSpec. */
+  private val textCompress = Q("text_compress",
+    (s, dir) => {
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "deflate_len", exprs => graft.plans.DeflateLen(exprs.head), "built-in")
+      Tables.documents(s, dir).select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("raw_bytes"),
+          expr("deflate_len(text)").cast("long").as("dl"),
+          expr("deflate_len(repeat(text, 4))").cast("long").as("dl4"))
+        .select(col("doc_id"), col("raw_bytes"),
+          (col("dl") >= 2 && col("dl") <= col("raw_bytes") + 64)
+            .cast("int").as("bounded"),
+          when(col("raw_bytes") >= 100, (col("dl4") < col("dl") * 2).cast("int"))
+            .otherwise(lit(1)).as("repetition_dominates"))
+    },
+    Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_bytes,
+      |  1 AS bounded, 1 AS repetition_dominates
+      |FROM documents""".stripMargin))
+
   private val textStats = Q("text_stats",
     (s, dir) => TextAnalysis.docStats(Tables.documents(s, dir)),
     Some(s"""WITH RECURSIVE $duckBpeBlock,
@@ -3984,7 +4010,7 @@ object Queries {
     pipelinePackSequences, pipelinePackIds, pipelineCrawlToTrainer, pipelineTokenIds, pipelineTemperedSample,
     pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit, pipelineDatasetCard,
-    textNormalize, textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
+    textNormalize, textCompress, textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
     textLangidModel, textTopTerms,
     textCollocations, textFamiliarity, textLmScore,
     textCorpusDrift, textVocab, textVocabApprox,

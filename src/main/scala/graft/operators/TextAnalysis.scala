@@ -830,6 +830,27 @@ object TextAnalysis {
   /** Per-shard balance audit over [[assignShards]]: doc count, token
     * budget, and source spread per shard. One hash aggregate with map-side
     * partials — output cardinality is nShards. */
+  /** Compressibility quality signal — the DEFLATE entropy proxy (see
+    * [[graft.functions.CompressFns]]): `compress_bp` = deflated bytes per
+    * 10000 raw bytes. Natural prose lands ~4000–6000, pathological
+    * repetition a few hundred, random noise ~10000+ — the gate that
+    * catches keyword-stuffed/boilerplate junk length heuristics miss.
+    * Narrow per-row codegen work (native [[graft.plans.DeflateLen]]), no
+    * shuffle; thresholding is the caller's policy. Exact deflate lengths
+    * are run-deterministic but not cross-engine constants, so the
+    * registered query (`text_compress`) oracles INVARIANTS and
+    * `CompressFnsSpec` pins the real orderings. */
+  def compressionSignal(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    def dl(c: Column): Column =
+      GraftBridge.column(graft.plans.DeflateLen(GraftBridge.expression(c)))
+    documents.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("raw_bytes"),
+        dl(col("text")).cast("long").as("deflate_bytes"))
+      .withColumn("compress_bp",
+        expr("deflate_bytes * 10000 div greatest(raw_bytes, 1)"))
+  }
+
   /** Dataset card — the per-source datasheet a corpus release ships
     * (datasheets-for-datasets shape): doc/char counts, REAL BPE token
     * totals, integer mean quality, exact-dup rate, and the model-language

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dot_d", exprs => DotProductD(exprs(0), exprs(1))))
     ext.injectFunction(fn("sum_abs_diff_l", exprs => SumAbsDiffL(exprs(0), exprs(1))))
     ext.injectFunction(fn("nfc_normalize", exprs => NfcNormalize(exprs.head)))
+    ext.injectFunction(fn("deflate_len", exprs => DeflateLen(exprs.head)))
     ext.injectPlannerStrategy(_ => TopKPlan.Strategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
   }

@@ -288,3 +288,35 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "nfc_normalize"
 }
+
+/** `deflate_len(s)` — deflated byte length of the string's UTF-8 bytes at
+  * the fixed [[graft.functions.CompressFns.Level]]: the compressibility /
+  * entropy-proxy quality signal (see CompressFns for the determinism
+  * posture — stable within a run, not a cross-engine constant, hence the
+  * invariant-style oracle). Codegen is a static call into the per-thread
+  * reusable Deflater kernel — no per-row codec allocation, stays inside
+  * whole-stage codegen. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"deflate_len requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.CompressFns.deflatedLen(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CompressFns.deflatedLen($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+
+  override def prettyName: String = "deflate_len"
+}

@@ -245,3 +245,47 @@ class NfcNormalizeSpec extends AnyFunSuite {
     assert(ex.getMessage.toLowerCase.contains("string"), ex.getMessage)
   }
 }
+
+class CompressFnsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.DeflateLen(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(c)))
+
+  test("deflate_len: repetition << prose << hex noise; deterministic; bounded") {
+    val repetitive = "spark catalyst " * 140              // ~2100 bytes, low entropy
+    val prose = ("the quick brown fox jumps over the lazy dog while catalyst " +
+      "optimizes declarative plans into pruned scans and broadcast joins ") * 18
+    val noise = (1 to 66).map(i => java.security.MessageDigest.getInstance("MD5")
+      .digest(s"n$i".getBytes).map("%02x".format(_)).mkString).mkString  // 2112 hex chars
+    val out = Seq(("rep", repetitive), ("prose", prose), ("noise", noise))
+      .toDF("k", "text")
+      .select($"k", org.apache.spark.sql.functions.octet_length($"text").as("raw"),
+        dl($"text").as("d"))
+      .as[(String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    def bp(t: (String, Int, Int)) = t._3 * 10000L / t._2
+    assert(bp(out("rep")) < 500, s"repetition should crush: ${bp(out("rep"))} bp")
+    assert(bp(out("prose")) > bp(out("rep")) && bp(out("prose")) < 8000,
+      s"prose in the natural band: ${bp(out("prose"))} bp")
+    assert(bp(out("noise")) > bp(out("prose")),
+      s"noise must compress worst: ${bp(out("noise"))} vs ${bp(out("prose"))}")
+    // deterministic across evaluations (same JVM/zlib): kernel twice + Column
+    assert(graft.functions.CompressFns.deflatedLen(
+      org.apache.spark.unsafe.types.UTF8String.fromString(prose)) == out("prose")._3)
+    // the text_compress invariants hold on these shapes too
+    for (t <- out.values) {
+      assert(t._3 >= 2 && t._3 <= t._2 + 64)
+    }
+  }
+
+  test("deflate_len: null in, null out; non-string rejected at analysis") {
+    val row = Seq(Tuple1[String](null)).toDF("s").select(dl($"s")).head()
+    assert(row.isNullAt(0))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(1)).toDF("x").select(dl($"x")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("string"), ex.getMessage)
+  }
+}
