@@ -1529,20 +1529,32 @@ object Queries {
       |  CAST(doc_id = keep_id AS INTEGER) AS is_canonical FROM k""".stripMargin))
 
   /** Incremental canonical-URL dedup (Dedup.urlIndex +
-    * urlDedupIncremental): new crawl batch (doc_id % 7 ≠ 0) anti-joined
+    * urlDedupIncremental): new crawl batch (doc_id % 3 ≠ 0) anti-joined
     * against the persisted canonical-key index of the history slice —
-    * the recrawl shape for the cheapest dedup tier. */
+    * the recrawl shape for the cheapest dedup tier. The history slice is
+    * shaped so the anti-join path is REAL at every SF (round-10 review —
+    * two failure modes): its residue is 3, which the planted canonical
+    * key does NOT depend on (site %40, page %20, b %7 — gcd(3, 280) = 1;
+    * the original %7 split made history and batch keys provably disjoint
+    * and the suppression path dead), and it is BOUNDED at doc_id < 600
+    * ("yesterday's crawl" — 200 docs covering 200 of the 280 key
+    * classes), because an unbounded slice saturates the whole key space
+    * at sf1 and empties the output instead. Bounded history is also the
+    * production posture: the index grows with DISTINCT pages, not with
+    * crawl volume. */
   private val dedupUrlIncr = Q("dedup_url_incr",
     (s, dir) => {
       val urls = plantedUrls(s, dir)
       Dedup.urlDedupIncremental(
-        urls.where(pmod(col("doc_id"), lit(7)) =!= 0),
-        Dedup.urlIndex(urls.where(pmod(col("doc_id"), lit(7)) === 0)))
+        urls.where(pmod(col("doc_id"), lit(3)) =!= 0),
+        Dedup.urlIndex(urls.where(
+          pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 600)))
     },
     Some(s"""WITH u AS ($plantedUrlSql),
       |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url FROM u),
-      |hist AS (SELECT DISTINCT canonical_url FROM c WHERE doc_id % 7 = 0),
-      |nw AS (SELECT doc_id, canonical_url FROM c WHERE doc_id % 7 <> 0
+      |hist AS (SELECT DISTINCT canonical_url FROM c
+      |         WHERE doc_id % 3 = 0 AND doc_id < 600),
+      |nw AS (SELECT doc_id, canonical_url FROM c WHERE doc_id % 3 <> 0
       |  AND canonical_url NOT IN (SELECT canonical_url FROM hist)),
       |k AS (SELECT doc_id, canonical_url,
       |  min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id FROM nw)
@@ -1772,13 +1784,19 @@ object Queries {
     * pipeline_docs_prep applies it to the documents table; the composed
     * streaming-curation spec applies it to the same corpus it streams, as
     * the equivalence oracle. */
-  private[graft] def docsPrepFrom(docs: DataFrame): DataFrame = {
+  /** The prep composition with `text` still aboard — ONE copy of the
+    * gate → exact-dedup → LSH-removal body; [[docsPrepFrom]] projects it
+    * for the registered query, the crawl-to-trainer capstone packs it
+    * (round-10 review: the capstone had inlined this body). */
+  private[graft] def docsPrepPrepped(docs: DataFrame): DataFrame = {
     val survivors = curateSurvivorsFrom(curateGateFrom(docs))
     val dropped = Dedup.nearDupPairs(survivors.select(col("doc_id"), col("text")), 0.2)
       .select(col("doc_b").as("doc_id")).distinct()
     survivors.join(dropped, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_tokens"), col("quality_bp"))
   }
+
+  private[graft] def docsPrepFrom(docs: DataFrame): DataFrame =
+    docsPrepPrepped(docs).select(col("doc_id"), col("n_tokens"), col("quality_bp"))
 
   private val pipelineDocsPrep = Q("pipeline_docs_prep",
     (s, dir) => docsPrepFrom(Tables.documents(s, dir)),
@@ -1983,13 +2001,8 @@ object Queries {
         .where(col("is_canonical") === 1).select(col("doc_id"))
       val corpus = Tables.documents(s, dir).join(urlKeep, "doc_id")
         .select(col("doc_id"), expr("nfc_normalize(text)").as("text"))
-      val survivors = curateSurvivorsFrom(curateGateFrom(corpus))
-      val dropped = Dedup.nearDupPairs(
-          survivors.select(col("doc_id"), col("text")), 0.2)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val prepped = survivors.join(dropped, Seq("doc_id"), "left_anti")
       TextAnalysis.packSequences(
-        prepped.select(col("doc_id"), col("text")), 512, 8)
+        docsPrepPrepped(corpus).select(col("doc_id"), col("text")), 512, 8)
     },
     Some(s"""WITH RECURSIVE $duckBpeBlock,
       |$duckBpeDocArr,
@@ -2204,7 +2217,12 @@ object Queries {
         .select(col("doc_id"), col("raw_bytes"),
           (col("dl") >= 2 && col("dl") <= col("raw_bytes") + 64)
             .cast("int").as("bounded"),
-          when(col("raw_bytes") >= 100, (col("dl4") < col("dl") * 2).cast("int"))
+          // dominance only holds while a repeat's copy can back-reference
+          // the previous one — i.e. inside DEFLATE's 32 KiB match window;
+          // beyond it dl4 ≈ 4·dl and the invariant is FALSE by design
+          // (round-10 review), so the guard is a byte RANGE, not a floor
+          when(col("raw_bytes").between(100, 32768),
+              (col("dl4") < col("dl") * 2).cast("int"))
             .otherwise(lit(1)).as("repetition_dominates"))
     },
     Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_bytes,

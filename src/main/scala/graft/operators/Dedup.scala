@@ -154,7 +154,11 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canonical_url"))
     newDocs.select(col("doc_id"), col(urlCol).as("url"))
       .withColumn("canonical_url", canonicalUrl(col("url")))
-      .join(historyKeys.select(col("canonical_url")).distinct(),
+      // no distinct() on the history side: a left-anti join is
+      // duplicate-insensitive, so deduplicating the key set here would
+      // only add an exchange + aggregate over the full history for zero
+      // semantic effect ([[urlIndex]] already emits distinct keys anyway)
+      .join(historyKeys.select(col("canonical_url")),
         Seq("canonical_url"), "left_anti")
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .select(col("doc_id"), col("canonical_url"), col("keep_id"),

@@ -869,7 +869,13 @@ object TextAnalysis {
         TextFns.basisPoints(
           TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp"),
         size(col("bpe")).cast("long").as("n_bpe"))
+    // the heavy doc-level chain feeds TWO aggregates (per-source and
+    // per-(source, lang)) — persist it once or the tokenize/BPE/model
+    // work runs per branch (round-10 review; the curateSurvivorsFrom
+    // CacheManager rationale: one keyed entry per input plan,
+    // LRU-evictable, no pixels/text beyond the projected columns)
     val perDoc = withModelLang(bpe).drop("text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = perDoc.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_bpe")).as("n_tokens"),

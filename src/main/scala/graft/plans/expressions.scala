@@ -239,11 +239,11 @@ case class AmericanToDecimal(child: Expression) extends UnaryExpression {
   * the hygiene pass an LLM corpus runs BEFORE any content hashing: the
   * same text crawled as composed "é" (U+00E9) and decomposed "e"+U+0301
   * must hash/dedup/shingle identically. A native expression (tier (b)):
-  * the work stays inside whole-stage codegen, with a zero-allocation fast
-  * path — `Normalizer.isNormalized` is true for virtually every real-world
-  * string (all ASCII is NFC), so the already-normalized case returns the
-  * input `UTF8String` untouched and only genuinely decomposed rows pay
-  * the compose. JDK `java.text.Normalizer` and DuckDB's utf8proc
+  * the work stays inside whole-stage codegen, with a genuinely
+  * zero-allocation ASCII fast path (numBytes == numChars ⇒ every byte is
+  * one char ⇒ NFC by definition — no String ever materializes); non-ASCII
+  * already-normalized strings pay one String copy for the `isNormalized`
+  * check, and only genuinely decomposed rows pay the compose. JDK `java.text.Normalizer` and DuckDB's utf8proc
   * `nfc_normalize` both implement UAX #15 canonical composition, so
   * results are bit-identical cross-engine (spec-pinned on composed,
   * combining-mark, multi-mark, and Hangul-Jamo cases). */
@@ -263,22 +263,33 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
       s"nfc_normalize requires a string argument, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val u = v.asInstanceOf[UTF8String]
+    // all-ASCII (every UTF-8 byte is one char) is NFC by definition — the
+    // dominant case returns the input with NO String materialized at all
+    // (round-10 review: toString-before-isNormalized allocated per row)
+    if (u.numBytes == u.numChars) v
+    else {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("nfcStr")
       s"""
-        |java.lang.String $s = $c.toString();
-        |if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+        |if ($c.numBytes() == $c.numChars()) {
         |  ${ev.value} = $c;
         |} else {
-        |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-        |    java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+        |  java.lang.String $s = $c.toString();
+        |  if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+        |    ${ev.value} = $c;
+        |  } else {
+        |    ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+        |      java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+        |  }
         |}
         |""".stripMargin
     })

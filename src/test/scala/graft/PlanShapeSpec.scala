@@ -119,6 +119,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // doc pass + per-source agg + (source, lang) agg + mode window + join
       "pipeline_dataset_card" -> (6, 2),
       "dedup_exact_nfc" -> (1, 1),
+      "text_compress" -> (0, 1),
       // PRE-execution counts: the gate+URL subtree prints once per
       // pre-persist reference (exact-keep agg + survivor join — the
       // docs_prep persist boundary, audited there), and each carries the

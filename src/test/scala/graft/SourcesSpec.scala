@@ -94,13 +94,19 @@ class StreamingDedupSpec extends AnyFunSuite {
       val kept = spark.table("urlstream").select("doc_id").as[Long].collect().sorted
       assert(kept.toSeq == Seq(1L, 3L),
         "first arrival per canonical key survives; variants and recrawls drop")
-      // stream and batch agree on the key itself
-      val batchKeys = Dedup.urlDedup(
-        spark.table("urlstream").select($"doc_id", $"url"))
-        .select("canonical_url").as[String].collect().toSet
-      val streamKeys = spark.table("urlstream")
-        .select("canonical_url").as[String].collect().toSet
-      assert(streamKeys == batchKeys)
+      // stream ≡ batch: batch urlDedup over the FULL input must pick the
+      // same survivors the stream kept (round-10 review: comparing keys
+      // derived from the stream's own output was vacuous)
+      val fullInput = Seq(
+        (1L, "http://a.com/x?b=2&a=1"),
+        (2L, "HTTP://WWW.A.com:80/x/?a=1&b=2&utm_medium=m"),
+        (3L, "http://b.com/y"),
+        (4L, "http://user@a.com/x?a=1&b=2&fbclid")).toDF("doc_id", "url")
+      val batchSurvivors = Dedup.urlDedup(fullInput)
+        .where($"is_canonical" === 1).select("doc_id").as[Long].collect().sorted
+      assert(batchSurvivors.toSeq == kept.toSeq,
+        "batch min-id survivors must equal the stream's first arrivals " +
+          "(same canonical key, arrival order = id order here)")
     } finally q.stop()
   }
 
