@@ -1649,6 +1649,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg: uniform-raster exactness holds across the encoder quality sweep") {
+    // The multimodal_jpeg oracle is pinned at ImageIO's DEFAULT quality,
+    // but the exactness argument (flat block ⇒ DC-only; the luma DC quant
+    // step divides the scaled DC 8·(v−128)) holds at EVERY quality whose
+    // DC step divides 8 — sweep explicit qualities to show the contract
+    // isn't an accident of the default. The boundary is real and was
+    // MEASURED, not assumed: at quality 0.5 the standard-table DC step is
+    // 16 > 8 and v=7 decodes to 6 — that is the genuinely lossy regime,
+    // which is exactly why the oracle pins the quality.
+    javax.imageio.ImageIO.setUseCache(false)
+    for (q <- Seq(0.75f, 0.9f, 1.0f); v <- Seq(0, 7, 128, 200, 255)) {
+      val img = new java.awt.image.BufferedImage(24, 18,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- 0 until 18; x <- 0 until 24) img.setRGB(x, y, rgb)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { ios.close(); writer.dispose() }
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      for (y <- 0 until 18; x <- 0 until 24) {
+        val px = dec.getRGB(x, y)
+        assert((px & 0xff) == v && ((px >> 8) & 0xff) == v && ((px >> 16) & 0xff) == v,
+          s"q=$q v=$v decoded ${px.toHexString} at ($x,$y)")
+      }
+    }
+  }
+
   test("jpeg: synth → decode features match closed forms through an exchange") {
     val ids = Seq(0L, 1L, 7L, 255L, 300L)
     val docs = ids.map(i => (i, s"d$i", "en", "src", 2L))
