@@ -2015,7 +2015,7 @@ object Queries {
       |${packSeqCtes(
         "(SELECT a.doc_id, a.w FROM bpe_docarr a JOIN prepped p ON p.doc_id = a.doc_id)",
         512, 8)}
-      |$packSeqSelect""".stripMargin))
+      |$packSeqSelect""".stripMargin), bench = true)
 
   /** Overlapping token-window chunking (TextAnalysis.chunkDocuments):
     * windows of 128 REAL BPE tokens overlapping by 32; `chunk_text` is
@@ -3197,7 +3197,7 @@ object Queries {
       |  CAST(a.sum_q // a.n_docs AS BIGINT) AS mean_quality_bp,
       |  CAST((a.n_docs - a.n_distinct) * 10000 // a.n_docs AS BIGINT) AS dup_bp,
       |  t.top_lang, CAST(t.n * 10000 // a.n_docs AS BIGINT) AS top_lang_share_bp
-      |FROM agg a JOIN lt t ON t.source = a.source AND t.rn = 1""".stripMargin))
+      |FROM agg a JOIN lt t ON t.source = a.source AND t.rn = 1""".stripMargin), bench = true)
 
   private val textShardStats = Q("text_shard_stats",
     (s, dir) => TextAnalysis.shardStats(Tables.documents(s, dir), nShards = 8),

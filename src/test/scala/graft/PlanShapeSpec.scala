@@ -81,7 +81,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_ivf_topk" -> (5, 4),
       "sim_lsh_topk" -> (3, 2),
       "multimodal_decode" -> (1, 1),
-      "dedup_multimodal" -> (7, 4))
+      "dedup_multimodal" -> (7, 4),
+      // round-10 board additions; capstone counts are pre-execution print
+      // inflation across the docs_prep persist boundary — see the
+      // round-10 pin test's comment for the executed shape
+      "pipeline_dataset_card" -> (6, 2),
+      "pipeline_crawl_to_trainer" -> (36, 20))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
