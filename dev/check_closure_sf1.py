@@ -87,10 +87,44 @@ def components(edges):
     return {v: find(v) for v in parent}
 
 
+# Queries whose docs-prep tail embeds the closure mid-chain (flat CTE
+# list: … pairs, edges, reach, comp, dropq, …). The splice materializes
+# the head once for the pair set, union-finds in Python, then re-runs
+# head + `comp AS (SELECT * FROM comp_py)` + the tail from `,\ndropq AS`
+# — the recursive reach (and the now-unreferenced pairs chain) drop out.
+PREPPED = ["pipeline_docs_prep", "pipeline_curate_full",
+           "pipeline_crawl_to_trainer"]
+
 fails = 0
 for name in ["dedup_embedding_lsh_mp", "dedup_clusters",
-             "dedup_embedding_clusters", "dedup_survivor_quality"]:
+             "dedup_embedding_clusters", "dedup_survivor_quality",
+             *PREPPED]:
     t0 = time.time()
+    if name in PREPPED:
+        sql = oracle[name]
+        head = sql[:sql.index(",\nedges AS")]
+        pairs = con.execute(head + "\nSELECT doc_a, doc_b FROM pairs").fetchdf()
+        print(f"[closure] {name}: pair stage {len(pairs)} rows in "
+              f"{time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+        lbl = components(zip(pairs["doc_a"].tolist(), pairs["doc_b"].tolist()))
+        import pandas as pd
+        comp_py = pd.DataFrame(sorted(lbl.items()), columns=["doc_id", "cluster"])
+        con.register("comp_py", comp_py)
+        exp = con.execute(head + ",\ncomp AS (SELECT * FROM comp_py)"
+                          + sql[sql.index(",\ndropq AS"):]).fetchdf()
+        msg = compare(name, exp)
+        secs = round(time.time() - t0, 1)
+        if msg:
+            fails += 1
+            print(f"FAIL {name}: {msg}")
+        else:
+            print(f"PASS {name} ({secs}s, staged closure)")
+        rec = {"name": name, "ok": msg is None,
+               "msg": msg or "staged-closure compare", "secs": secs,
+               "method": "staged_closure"}
+        with open(results_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        continue
     psql, (ca, cb) = pair_stage_sql(name)
     pairs = con.execute(psql).fetchdf()
     print(f"[closure] {name}: pair stage {len(pairs)} rows in "

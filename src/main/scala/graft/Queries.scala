@@ -1728,8 +1728,11 @@ object Queries {
 
   /** End-to-end training-data prep (the composition demo: a reference user
     * runs their whole corpus-prep pass in this engine): quality gate →
-    * language gate → exact dedup (min-id survivor) → greedy near-dup
-    * removal (drop the higher id of every LSH pair among survivors).
+    * language gate → exact dedup (min-id survivor) → near-dup cluster
+    * removal keeping the BEST copy per cluster (quality-argmax, the
+    * [[Dedup.qualitySurvivors]] convention — round-11 rebase from the
+    * earlier greedy drop-higher-id-of-every-pair rule, which could keep
+    * two docs of one cluster when neither faced the other directly).
     * Every stage reuses an already-oracle-checked operator; the oracle
     * composes the same fragments. */
   /** Stage 1 of docs-prep: the hygiene gate, over any (doc_id, text)
@@ -1790,8 +1793,21 @@ object Queries {
     * (round-10 review: the capstone had inlined this body). */
   private[graft] def docsPrepPrepped(docs: DataFrame): DataFrame = {
     val survivors = curateSurvivorsFrom(curateGateFrom(docs))
-    val dropped = Dedup.nearDupPairs(survivors.select(col("doc_id"), col("text")), 0.2)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // Clusters over the pair graph among survivors, then argmax quality_bp
+    // per cluster (min-doc_id tie-break — a total order, and the tie
+    // branch is what keeps the streaming twin equivalent: first-seen ==
+    // min-id when qualities tie). quality_bp rides along from the gate,
+    // so no second tokenize scan. The closure joins only the pairs-sized
+    // frame (tiny vs the corpus); survivors is persisted above.
+    val comp = Dedup.components(
+      Dedup.nearDupPairs(survivors.select(col("doc_id"), col("text")), 0.2)
+        .select(col("doc_a"), col("doc_b")))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality_bp").desc, col("doc_id").asc)
+    val dropped = comp.join(survivors.select(col("doc_id"), col("quality_bp")), "doc_id")
+      .withColumn("keep_id", first(col("doc_id")).over(w))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
     survivors.join(dropped, Seq("doc_id"), "left_anti")
   }
 
@@ -1810,6 +1826,19 @@ object Queries {
     * crawl-to-trainer capstone. `gateExtraJoin` injects an extra
     * membership restriction into the gate (the capstone joins the
     * URL-dedup survivor set); empty = the whole corpus. */
+  /** Min-label closure CTE block over `pairs(doc_a, doc_b)` — ends in
+    * `comp(doc_id, cluster)`. Identical text to the dedup_clusters
+    * closure; the `,\nedges AS` / trailing-CTE markers are load-bearing
+    * for dev/check_closure_sf1.py's staged splice at sf1 (DuckDB's
+    * recursive closure re-evaluates the pair stage per iteration there). */
+  private def closureCtes: String =
+    """edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT a AS node, b AS reached FROM edges
+      |          UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached),
+      |comp AS (SELECT node AS doc_id, least(node, min(reached)) AS cluster
+      |         FROM reach GROUP BY node)""".stripMargin
+
   private def docsPrepCtes(gateExtraJoin: String = ""): String =
     s"""dtoks AS (SELECT doc_id, text, $duckToks AS w FROM documents),
       |${langModelCtes()},
@@ -1823,14 +1852,19 @@ object Queries {
       |exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
       |survivors AS (SELECT g.* FROM gated g JOIN exact e ON e.doc_id = g.doc_id),
       |${minhashPairsCtes("survivors", 0.2)},
-      |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+      |$closureCtes,
+      |dropq AS (SELECT doc_id FROM (
+      |    SELECT c.doc_id, first_value(c.doc_id) OVER (PARTITION BY c.cluster
+      |        ORDER BY s.quality_bp DESC, c.doc_id) AS keep_id
+      |    FROM comp c JOIN survivors s ON s.doc_id = c.doc_id)
+      |  WHERE doc_id <> keep_id),
       |prepped AS (
       |  SELECT s.doc_id, s.text, s.n_tokens, s.quality_bp
-      |  FROM survivors s LEFT JOIN dropped d ON d.doc_id = s.doc_id
+      |  FROM survivors s LEFT JOIN dropq d ON d.doc_id = s.doc_id
       |  WHERE d.doc_id IS NULL)""".stripMargin
 
   private lazy val docsPrepSql: String =
-    s"""WITH ${docsPrepCtes()}
+    s"""WITH RECURSIVE ${docsPrepCtes()}
       |SELECT doc_id, n_tokens, quality_bp FROM prepped""".stripMargin
 
   /** The END-TO-END curation run: hygiene gate → exact dedup → near-dup
@@ -1849,7 +1883,7 @@ object Queries {
           sum(col("n_tokens").cast("long")).as("sum_tokens"),
           sum(col("quality_bp").cast("long")).as("sum_quality_bp"))
     },
-    Some(s"""WITH prepped AS ($docsPrepSql),
+    Some(s"""WITH RECURSIVE ${docsPrepCtes()},
       |labeled AS (SELECT n_tokens, quality_bp,
       |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train'
       |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'val'
@@ -3199,6 +3233,53 @@ object Queries {
       |  t.top_lang, CAST(t.n * 10000 // a.n_docs AS BIGINT) AS top_lang_share_bp
       |FROM agg a JOIN lt t ON t.source = a.source AND t.rn = 1""".stripMargin), bench = true)
 
+  /** Incremental/mergeable dataset card (TextAnalysis.datasetCardState /
+    * mergeCardStates / cardFromState): the corpus arrives as THREE
+    * disjoint batches, each reduced to a per-source state row (sums + HLL
+    * sketch + language histogram), states merged pairwise, card derived
+    * from the merged state — the corpus is never rescanned. Every scalar
+    * field equals the single-pass dataset_card exactly (monoid merges);
+    * the one estimate field (HLL distinct) is witnessed by the derived 3σ
+    * bound vs exact distinct, the text_vocab_approx pattern — DuckDB has
+    * no datasketches HLL, so the estimate itself is not cross-engine. */
+  private val pipelineDatasetCardIncr = Q("pipeline_dataset_card_incr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val state = (0 until 3).map(i => TextAnalysis.datasetCardState(
+          docs.where(pmod(col("doc_id"), lit(3)) === i)))
+        .reduce(TextAnalysis.mergeCardStates(_, _))
+      val card = TextAnalysis.cardFromState(state)
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(md5(col("text"))).as("n_exact"))
+      card.join(exact, "source").select(
+        col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("mean_quality_bp"), col("top_lang"), col("top_lang_share_bp"),
+        (abs(col("n_distinct_est") - col("n_exact")) * 100 <=
+          col("n_exact") * TextAnalysis.CardHllBoundPct)
+          .cast("int").as("hll_within_bound"))
+    },
+    Some(s"""WITH RECURSIVE $duckBpeBlock,
+      |$duckBpeDocCount,
+      |${langModelCtes()},
+      |q AS (SELECT doc_id, source, length(text) AS n_chars,
+      |        $qualityBpSql AS quality_bp
+      |      FROM (SELECT doc_id, source, text, $duckToks AS w FROM documents)),
+      |j AS (SELECT q.*, b.n_bpe, m.predicted_lang
+      |      FROM q JOIN bpe_doc b USING (doc_id) JOIN mlang m USING (doc_id)),
+      |agg AS (SELECT source, count(*) AS n_docs,
+      |        CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+      |        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |        sum(quality_bp) AS sum_q FROM j GROUP BY 1),
+      |lc AS (SELECT source, predicted_lang, count(*) AS n FROM j GROUP BY 1, 2),
+      |lt AS (SELECT source, predicted_lang AS top_lang, n,
+      |       row_number() OVER (PARTITION BY source ORDER BY n DESC, predicted_lang) AS rn
+      |       FROM lc)
+      |SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs, a.n_tokens, a.n_chars,
+      |  CAST(a.sum_q // a.n_docs AS BIGINT) AS mean_quality_bp,
+      |  t.top_lang, CAST(t.n * 10000 // a.n_docs AS BIGINT) AS top_lang_share_bp,
+      |  CAST(1 AS INTEGER) AS hll_within_bound
+      |FROM agg a JOIN lt t ON t.source = a.source AND t.rn = 1""".stripMargin))
+
   private val textShardStats = Q("text_shard_stats",
     (s, dir) => TextAnalysis.shardStats(Tables.documents(s, dir), nShards = 8),
     Some(s"""WITH sh AS (SELECT
@@ -4028,6 +4109,7 @@ object Queries {
     pipelinePackSequences, pipelinePackIds, pipelineCrawlToTrainer, pipelineTokenIds, pipelineTemperedSample,
     pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit, pipelineDatasetCard,
+    pipelineDatasetCardIncr,
     textNormalize, textCompress, textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
     textLangidModel, textTopTerms,
     textCollocations, textFamiliarity, textLmScore,

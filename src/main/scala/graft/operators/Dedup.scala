@@ -565,6 +565,12 @@ object Dedup {
     * count), so eager checkpoints change no semantics; a long-lived
     * production job on a real cluster should prefer `checkpoint()` with a
     * reliable checkpoint dir (localCheckpoint state dies with executors). */
+  /** [[connectedComponents]] for composed pipelines (docs-prep's
+    * quality-argmax survivor stage builds its clusters from an
+    * already-computed pair frame instead of re-deriving pairs from text). */
+  private[graft] def components(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponents(pairs, maxIters)
+
   private def connectedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

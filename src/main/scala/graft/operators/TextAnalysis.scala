@@ -851,15 +851,14 @@ object TextAnalysis {
         expr("deflate_bytes * 10000 div greatest(raw_bytes, 1)"))
   }
 
-  /** Dataset card — the per-source datasheet a corpus release ships
-    * (datasheets-for-datasets shape): doc/char counts, REAL BPE token
-    * totals, integer mean quality, exact-dup rate, and the model-language
-    * mode with its share. Everything integral (div / basis points) ⇒
-    * hash-exact cross-engine. One doc-level pass (staged tokenize → BPE →
-    * model-lang chain, all narrow), then two dimension-sized aggregates
-    * (per source, per (source, lang)) and a broadcast-sized join — output
-    * is #sources rows however big the corpus. */
-  def datasetCard(documents: DataFrame): DataFrame = {
+  /** The card's doc-level measurement chain (staged tokenize → BPE →
+    * model-lang, all narrow), shared by [[datasetCard]] and
+    * [[datasetCardState]]. Persisted because it feeds TWO aggregates
+    * (per-source and per-(source, lang)) — without it the tokenize/BPE/
+    * model work runs per branch (round-10 review; the
+    * curateSurvivorsFrom CacheManager rationale: one keyed entry per
+    * input plan, LRU-evictable, no text beyond the projected columns). */
+  private def cardPerDoc(documents: DataFrame, cache: Boolean = true): DataFrame = {
     val toks = Stage(documents.select(col("doc_id"), col("source"), col("text")),
       "w", TextFns.tokens(col("text")))
     val bpe = Stage(toks, "bpe", graft.functions.Bpe.encode(col("w")))
@@ -869,13 +868,26 @@ object TextAnalysis {
         TextFns.basisPoints(
           TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp"),
         size(col("bpe")).cast("long").as("n_bpe"))
-    // the heavy doc-level chain feeds TWO aggregates (per-source and
-    // per-(source, lang)) — persist it once or the tokenize/BPE/model
-    // work runs per branch (round-10 review; the curateSurvivorsFrom
-    // CacheManager rationale: one keyed entry per input plan,
-    // LRU-evictable, no pixels/text beyond the projected columns)
     val perDoc = withModelLang(bpe).drop("text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache=false for per-micro-batch callers (the streaming card sink):
+    // CacheManager keys on the plan, and every micro-batch is a fresh
+    // LogicalRDD — caching there would pin one dead entry per batch
+    // forever; recomputing the narrow chain twice per bounded batch is
+    // the cheaper side of that trade.
+    if (cache) perDoc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else perDoc
+  }
+
+  /** Dataset card — the per-source datasheet a corpus release ships
+    * (datasheets-for-datasets shape): doc/char counts, REAL BPE token
+    * totals, integer mean quality, exact-dup rate, and the model-language
+    * mode with its share. Everything integral (div / basis points) ⇒
+    * hash-exact cross-engine. One doc-level pass (staged tokenize → BPE →
+    * model-lang chain, all narrow), then two dimension-sized aggregates
+    * (per source, per (source, lang)) and a broadcast-sized join — output
+    * is #sources rows however big the corpus. */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val perDoc = cardPerDoc(documents)
     val agg = perDoc.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_bpe")).as("n_tokens"),
@@ -895,6 +907,91 @@ object TextAnalysis {
         expr("(n_docs - n_distinct) * 10000 div n_docs").as("dup_bp"),
         col("top_lang"),
         expr("n * 10000 div n_docs").as("top_lang_share_bp"))
+  }
+
+  /** HLL precision for the card's mergeable distinct-text sketch
+    * (datasketches lgConfigK; rsd = 1.04/√2^K ≈ 1.6%). */
+  private[graft] val CardHllLgK = 12
+
+  /** The documented estimate envelope vs exact distinct, DERIVED from the
+    * configured precision (3σ, ceil'd to whole percent — the round-8
+    * advice pattern: never hard-code a bound the rsd doesn't justify). */
+  private[graft] val CardHllBoundPct: Int =
+    math.ceil(3 * 104.0 / math.sqrt((1 << CardHllLgK).toDouble)).toInt
+
+  /** Mergeable dataset-card STATE, one row per source: every component is
+    * a monoid — doc/char/token/quality counts (sums), distinct texts as a
+    * datasketches HLL sketch (binary, union-mergeable, [[CardHllLgK]]),
+    * and the language histogram as a sorted-entry map (merged by entry
+    * sum). This is the 100 TB card shape: each shard/day/stream-batch
+    * writes its own tiny state (#sources rows), and the corpus-wide card
+    * is [[mergeCardStates]] + [[cardFromState]] over states — the corpus
+    * is never rescanned. Exact-dup rate is the one field that degrades to
+    * an estimate (±[[CardHllBoundPct]]% of exact, 3σ): a mergeable exact
+    * distinct would mean shipping every text hash. */
+  def datasetCardState(documents: DataFrame,
+      cache: Boolean = true): DataFrame = {
+    val perDoc = cardPerDoc(documents, cache)
+    val scalars = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_bpe")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(col("quality_bp")).as("sum_q"),
+      hll_sketch_agg(col("tmd5"), CardHllLgK).as("distinct_hll"))
+    val langs = perDoc.groupBy(col("source"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("predicted_lang"), col("n"))))).as("langs"))
+    scalars.join(langs, "source")
+  }
+
+  /** n-way state merge: union the state rows, re-reduce per source. Each
+    * component merges by its own monoid (sum / HLL union / histogram
+    * entry sum); associative and commutative, so any merge tree — two
+    * batches, a day of stream micro-batches, a thousand shards — yields
+    * the same scalar fields, and HLL-identical registers for the same
+    * input multiset. */
+  def mergeCardStates(states: DataFrame): DataFrame = {
+    val scalars = states.groupBy(col("source")).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(col("sum_q")).as("sum_q"),
+      hll_union_agg(col("distinct_hll"), lit(false)).as("distinct_hll"))
+    val langs = states
+      .select(col("source"), explode(col("langs")).as(Seq("lang", "n")))
+      .groupBy(col("source"), col("lang")).agg(sum(col("n")).as("n"))
+      .groupBy(col("source"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("lang"), col("n"))))).as("langs"))
+    scalars.join(langs, "source")
+  }
+
+  def mergeCardStates(a: DataFrame, b: DataFrame): DataFrame =
+    mergeCardStates(a.unionByName(b))
+
+  /** Derive the publishable card from a (merged) state. Scalar fields are
+    * EXACTLY the [[datasetCard]] values; the dup rate is the HLL estimate
+    * (`n_distinct_est`, `dup_est_bp`) with the [[CardHllBoundPct]]%
+    * envelope vs exact. */
+  def cardFromState(state: DataFrame): DataFrame = {
+    val top = state
+      .select(col("source"), explode(col("langs")).as(Seq("lang", "n")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("lang"))))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n"))
+    state.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("sum_q div n_docs").as("mean_quality_bp"),
+        round(hll_sketch_estimate(col("distinct_hll"))).cast("long")
+          .as("n_distinct_est"),
+        col("top_lang"),
+        expr("n * 10000 div n_docs").as("top_lang_share_bp"))
+      .withColumn("dup_est_bp",
+        expr("greatest(n_docs - n_distinct_est, 0L) * 10000 div n_docs"))
   }
 
   def shardStats(documents: DataFrame, nShards: Int = 8): DataFrame =

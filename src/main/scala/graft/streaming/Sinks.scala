@@ -68,6 +68,38 @@ object Sinks {
     (batch: Dataset[Row], batchId: Long) =>
       batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
+  /** Streaming dataset card at ingest: each micro-batch reduces to its
+    * per-source card state (TextAnalysis.datasetCardState — #sources
+    * rows of sums + HLL sketch + language histogram) written to
+    * `statePath/batch_id=N` under the [[idempotentBatchWriter]] contract:
+    * an at-least-once replay OVERWRITES the same directory, so a crash
+    * between write and commit can never double-count a batch. The
+    * publishable card is [[datasetCardRead]] — a merge over the batch
+    * states; merge order never matters (every component is a monoid), so
+    * the stream card equals the batch card on all scalar fields however
+    * the stream was sliced. State stays per-batch (not folded in place)
+    * because a fold-in-place update is NOT idempotent under replay. */
+  def datasetCardSink(docs: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.operators.TextAnalysis.datasetCardState(batch.toDF(), cache = false)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$statePath/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Derive the corpus-wide card from a [[datasetCardSink]] state dir. */
+  def datasetCardRead(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    graft.operators.TextAnalysis.cardFromState(
+      graft.operators.TextAnalysis.mergeCardStates(
+        spark.read.parquet(statePath)
+          .drop("batch_id"))) // partition-dir column, not state
+
   /** T7 — the reference's processing-time cadences as triggers
     * (`src/mm_calls.py:385-389`): place every 10 s, cancel every 9 s,
     * batch-cancel every 7 s. */

@@ -68,8 +68,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "decode_roundtrip" -> (2, 1),
       "dedup_exact_incr_bloom" -> (3, 4),
       "dedup_minhash_pairs" -> (3, 4),
-      "pipeline_docs_prep" -> (15, 10),
-      "pipeline_curate_full" -> (16, 10),
+      "pipeline_docs_prep" -> (7, 9),
+      "pipeline_curate_full" -> (8, 9),
       "text_stats" -> (0, 1),
       "text_bpe_tokens" -> (0, 1),
       "text_top_terms" -> (1, 1),
@@ -86,7 +86,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // inflation across the docs_prep persist boundary — see the
       // round-10 pin test's comment for the executed shape
       "pipeline_dataset_card" -> (6, 2),
-      "pipeline_crawl_to_trainer" -> (36, 20))
+      "pipeline_crawl_to_trainer" -> (20, 15))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
@@ -131,7 +131,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // URL window/join, so the printed tree is ~2.4× docs_prep's. At
       // execution the persisted survivors serve all downstream stages
       // (PlanFinal: InMemoryTableScans + ReusedExchange, one URL shuffle).
-      "pipeline_crawl_to_trainer" -> (36, 20))
+      "pipeline_crawl_to_trainer" -> (20, 15))
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
       val p = plan(Queries.queries(name)(spark, sf))
       val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length

@@ -851,6 +851,12 @@ class StreamingCurationSpec extends AnyFunSuite {
     // construction that makes stream ≡ batch assertable. Weak
     // partial-overlap near-dups are the nightly batch pass's job alone:
     // the division of labor documented on streamingNearDupDedup.
+    // SURVIVOR CHOICE: batch docs-prep keeps the quality-ARGMAX copy per
+    // cluster (round-11), streaming keeps first-seen; equivalence holds
+    // here because every family member scores the same quality_bp at bp
+    // granularity (identical char-class ratios, length saturated), so the
+    // argmax tie-breaks to min doc_id = arrival order. A fixture change
+    // that un-ties family quality would (correctly) split the two paths.
     def periodic(fam: Int, reps: Int): String =
       Seq.fill(reps)(s"the qx${fam}a zr${fam}b").mkString(" ")
     // Event times sit at a REALISTIC epoch (not epoch+100s) so the
