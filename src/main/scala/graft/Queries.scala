@@ -3289,6 +3289,192 @@ object Queries {
       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
       |FROM sh GROUP BY shard""".stripMargin))
 
+  // ───────────── line-level page cleaning (LineOps — the pre-gate tier) ──
+
+  /** Planted multi-line "crawled page" fixture over documents (same
+    * planted-fixture pattern as [[plantedUrls]] — the documents table is
+    * single-line word soup, so page structure is synthesized
+    * deterministically, twin expressions both sides). The line mix covers
+    * every rule: nav chrome (no terminal punct + corpus-frequent), a
+    * per-doc content sentence, a javascript interstitial (1/3 of docs),
+    * a second content line whose terminal punct flips on parity, a short
+    * teaser (1/4), a script line with braces (1/5), a within-doc repeat
+    * of the content sentence (1/6), and a footer that PASSES the c4 rules
+    * but is corpus-frequent (so only the boilerplate pass can remove it).
+    * Collision structure audited at both SFs per the round-10 lesson:
+    * every per-rule branch is non-empty and no rule kills all lines. */
+  private def plantedPages(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.plans.Stage(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    st.select(col("doc_id"), concat_ws("\n",
+      lit("Home | About | Contact"),
+      concat(concat_ws(" ", slice(col("w"), 1, 8)), lit(".")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("Please enable javascript to view this site.")),
+      concat(concat_ws(" ", slice(col("w"), 9, 6)),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(".")).otherwise(lit(""))),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("Read more")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("if (window.track) { trackPage(); }")),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(concat_ws(" ", slice(col("w"), 1, 8)), lit("."))),
+      lit("(c) 2026 Example Corp. All rights reserved.")).as("text"))
+  }
+
+  /** SQL twin of [[plantedPages]] — relation (doc_id, text). concat_ws
+    * skips NULL branches in both engines; list_slice is begin/END indexed
+    * in DuckDB vs begin/LENGTH in Spark (9..14 ≡ slice(w, 9, 6)). */
+  private def plantedPageSql: String =
+    s"""SELECT doc_id, concat_ws(chr(10),
+      |  'Home | About | Contact',
+      |  array_to_string(list_slice(w, 1, 8), ' ') || '.',
+      |  CASE WHEN doc_id % 3 = 0 THEN 'Please enable javascript to view this site.' END,
+      |  array_to_string(list_slice(w, 9, 14), ' ') ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END),
+      |  CASE WHEN doc_id % 4 = 0 THEN 'Read more' END,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'if (window.track) { trackPage(); }' END,
+      |  CASE WHEN doc_id % 6 = 0 THEN array_to_string(list_slice(w, 1, 8), ' ') || '.' END,
+      |  '(c) 2026 Example Corp. All rights reserved.') AS text
+      |FROM (SELECT doc_id, $duckToks AS w FROM documents)""".stripMargin
+
+  /** SQL twin of LineOps.c4KeepLine over a lambda-bound line `x`. */
+  private def c4KeepSql(x: String): String =
+    s"""len(string_split_regex(trim($x), '\\s+')) >= 5
+      |      AND right($x, 1) IN ('.', '!', '?')
+      |      AND instr(lower($x), 'javascript') = 0
+      |      AND instr(lower($x), 'lorem ipsum') = 0
+      |      AND instr(lower($x), 'cookie') = 0
+      |      AND instr(lower($x), '{') = 0""".stripMargin
+
+  /** C4 line rules (LineOps.cleanLines): drop short / unterminated /
+    * marker lines, rebuild the page. Narrow — zero exchanges. */
+  private val textCleanLines = Q("text_clean_lines",
+    (s, dir) => LineOps.cleanLines(plantedPages(s, dir)),
+    Some(s"""WITH p AS ($plantedPageSql),
+      |s AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM p),
+      |k AS (SELECT doc_id, l, list_filter(l, x -> ${c4KeepSql("x")}) AS k FROM s)
+      |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+      |  CAST(len(k) AS BIGINT) AS n_kept,
+      |  array_to_string(k, chr(10)) AS cleaned_text FROM k""".stripMargin))
+
+  /** Within-doc repeated-line removal (LineOps.dedupLinesWithinDoc):
+    * first occurrence wins, order preserved. `array_position` /
+    * `list_position` both return the FIRST index, so the keep-predicate
+    * is portable verbatim. Narrow — zero exchanges. */
+  private val textLineDedup = Q("text_line_dedup",
+    (s, dir) => LineOps.dedupLinesWithinDoc(plantedPages(s, dir)),
+    Some(s"""WITH p AS ($plantedPageSql),
+      |s AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM p),
+      |k AS (SELECT doc_id, l, list_filter(generate_series(1, len(l)),
+      |        i -> list_position(l, l[CAST(i AS INTEGER)]) = i) AS ki FROM s)
+      |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+      |  CAST(len(ki) AS BIGINT) AS n_unique,
+      |  array_to_string(list_transform(ki, i -> l[CAST(i AS INTEGER)]), chr(10))
+      |    AS deduped_text FROM k""".stripMargin))
+
+  /** Corpus-frequent boilerplate strip (LineOps.stripBoilerplate): lines
+    * in ≥ 30% of documents are chrome, removed everywhere — catches the
+    * footer that PASSES the c4 rules. The doc-frequency pass shuffles md5
+    * line keys (not raw strings); the frequent set joins back broadcast. */
+  private val textBoilerplate = Q("text_boilerplate",
+    (s, dir) => LineOps.stripBoilerplate(plantedPages(s, dir), 3000),
+    Some(s"""WITH p AS ($plantedPageSql),
+      |s AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM p),
+      |ex AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line FROM s),
+      |nd AS (SELECT count(*) AS n_docs FROM p),
+      |f AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS doc_freq FROM ex GROUP BY 1),
+      |b AS (SELECT lh FROM f, nd WHERE doc_freq * 10000 >= n_docs * 3000),
+      |j AS (SELECT e.doc_id, e.pos, e.line, (b.lh IS NOT NULL) AS is_b
+      |      FROM ex e LEFT JOIN b ON b.lh = md5(e.line))
+      |SELECT doc_id, count(*) AS n_lines,
+      |  CAST(count(*) FILTER (WHERE NOT is_b) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_b), '')
+      |    AS cleaned_text
+      |FROM j GROUP BY doc_id""".stripMargin))
+
+  /** The composed page-cleaning pass (LineOps.pageClean): boilerplate
+    * strip → c4 rules → within-doc dedup → doc-level gate (≥ 2 surviving
+    * content lines). Even docs keep 2 lines (second content line gets
+    * terminal punct), odd docs keep 1 and gate out — both branches of
+    * keep_doc are populated at every SF. */
+  private val pipelinePageClean = Q("pipeline_page_clean",
+    (s, dir) => LineOps.pageClean(plantedPages(s, dir)),
+    Some(s"""WITH p AS ($plantedPageSql),
+      |s AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM p),
+      |ex AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line FROM s),
+      |nd AS (SELECT count(*) AS n_docs FROM p),
+      |f AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS doc_freq FROM ex GROUP BY 1),
+      |b AS (SELECT lh FROM f, nd WHERE doc_freq * 10000 >= n_docs * 3000),
+      |deb AS (SELECT doc_id, count(*) AS n_lines,
+      |    coalesce(string_agg(line, chr(10) ORDER BY pos)
+      |      FILTER (WHERE b.lh IS NULL), '') AS text
+      |  FROM ex e LEFT JOIN b ON b.lh = md5(e.line) GROUP BY doc_id),
+      |c4 AS (SELECT doc_id, n_lines,
+      |    list_filter(string_split(text, chr(10)), x -> ${c4KeepSql("x")}) AS k
+      |  FROM deb),
+      |dd AS (SELECT doc_id, n_lines, k,
+      |    list_filter(generate_series(1, len(k)),
+      |      i -> list_position(k, k[CAST(i AS INTEGER)]) = i) AS ki FROM c4)
+      |SELECT doc_id, n_lines, CAST(len(ki) AS BIGINT) AS n_kept,
+      |  CAST(len(ki) >= 2 AS INTEGER) AS keep_doc,
+      |  array_to_string(list_transform(ki, i -> k[CAST(i AS INTEGER)]), chr(10))
+      |    AS cleaned_text
+      |FROM dd""".stripMargin))
+
+  // ───────────── sparse lexical retrieval (Retrieval — BM25 tier) ────────
+
+  /** The planted query batch for the BM25 family — one Seq is the single
+    * source for BOTH the Spark frame and the SQL VALUES twin. Terms are
+    * drawn from the documents vocabulary (multi-term, single-term, and
+    * mixed-frequency queries), so every query matches a non-degenerate
+    * candidate set at every SF. */
+  private val bmQueryTerms: Seq[(String, String)] = Seq(
+    "q1" -> "table", "q1" -> "scan",
+    "q2" -> "window", "q2" -> "agg",
+    "q3" -> "join", "q3" -> "merge", "q3" -> "batch",
+    "q4" -> "stream", "q4" -> "vector",
+    "q5" -> "slow", "q5" -> "fast",
+    "q6" -> "customer", "q6" -> "order")
+
+  private def bmQuerySql: String =
+    bmQueryTerms.map { case (q, t) => s"('$q', '$t')" }.mkString(
+      "q AS (SELECT * FROM (VALUES ", ", ", ") AS v(query_id, term))")
+
+  /** Integer-BM25 top-k retrieval (Retrieval.bm25TopK): inverted-index
+    * postings + df index + basis-point BM25 with floor division — the
+    * no-float discipline makes the scores hash-exact cross-engine. The
+    * oracle re-derives the identical arithmetic (Retrieval.bm25Sql, the
+    * single source for the SQL side). */
+  private val textBm25Topk = Q("text_bm25_topk",
+    (s, dir) => {
+      import s.implicits._
+      Retrieval.bm25TopK(Tables.documents(s, dir),
+        bmQueryTerms.toDF("query_id", "term"), k = 5)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin))
+
+  /** Mergeable term index (Retrieval.termIndex / mergeTermIndex): the
+    * corpus arrives as three disjoint doc batches, each reduced to its
+    * (term, df, tf_sum) index, merged pairwise — df and tf_sum are
+    * additive over disjoint batches, so the merged index equals the
+    * single-pass full-corpus index the oracle derives. The incremental
+    * posture for the retrieval tier: new crawl batches fold into the
+    * persisted index without rescanning history. */
+  private val textBm25Incr = Q("text_bm25_incr",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      (0 until 3).map(i =>
+          Retrieval.termIndex(docs.where(pmod(col("doc_id"), lit(3)) === i)))
+        .reduce(Retrieval.mergeTermIndex)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |post AS (SELECT term, doc_id, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY 1, 2)
+      |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_sum
+      |FROM post GROUP BY term""".stripMargin))
+
   /** Strict-order funnel per user (Funnel.userFunnel): the Spark side is a
     * single-shuffle sorted fold; the oracle is the equivalent cascaded
     * min-join formulation (step i = min ts of its type strictly after step
@@ -4122,6 +4308,8 @@ object Queries {
     dedupParagraphs, dedupExactSubstr,
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,
+    textCleanLines, textLineDedup, textBoilerplate, pipelinePageClean,
+    textBm25Topk, textBm25Incr,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Stage
+
+/** Line-level page cleaning — the tier a crawl corpus passes BEFORE
+  * document-level quality gates and dedup (C4's line rules, Gopher/CCNet's
+  * repeated-line removal, RefinedWeb's corpus-frequent boilerplate strip).
+  * The reference pipeline has no line tier (its payloads are API JSON,
+  * not crawled pages — /root/reference/src/main.py:61-101 flattens
+  * structured events); these are engine extensions for the LLM-data
+  * story, same charter as TextAnalysis (SURVEY.md §2.10).
+  *
+  * Everything here is built from portable primitives with bit-identical
+  * DuckDB twins (`split`/`instr`/`md5`, no regex anchors — the round-10
+  * `$`-vs-`\z` lesson is designed out by using `substring`/`instr`
+  * instead of anchored regexes).
+  *
+  * Scale posture: [[cleanLines]] and [[dedupLinesWithinDoc]] are NARROW —
+  * per-row array lambdas, zero exchanges, so they run at scan speed on
+  * any corpus size. [[stripBoilerplate]] is the one genuinely global op
+  * (doc-frequency needs the corpus): one distinct+count aggregation over
+  * exploded lines, then the (tiny) frequent-line set broadcast back onto
+  * the exploded frame — the CCNet shape. No driver-side collect; the
+  * boilerplate set size is bounded by the share threshold (≤ 1/share
+  * distinct lines can exceed a doc-share bound, e.g. ≤ 33 lines at 3%).
+  */
+object LineOps {
+
+  /** Split page text into lines. `split` never yields an empty array
+    * (splitting "" gives [""]), so downstream `sequence(1, size)` is safe. */
+  def lines(text: Column): Column = split(text, "\n")
+
+  /** C4 keep-predicate for one line (Raffel et al. 2020 §2.2, the public
+    * c4 rules): ≥ `minWords` words, terminal punctuation, and none of the
+    * javascript / lorem-ipsum / cookie / curly-brace markers. Substring
+    * checks via `instr` (portable); terminal punct via last-char `isin`
+    * (no regex anchor — engines disagree on `$`). */
+  def c4KeepLine(x: Column, minWords: Int = 5): Column = {
+    val words = size(split(trim(x), "\\s+"))
+    val lx = lower(x)
+    (words >= minWords) &&
+      substring(x, -1, 1).isin(".", "!", "?") &&
+      instr(lx, "javascript") === 0 &&
+      instr(lx, "lorem ipsum") === 0 &&
+      instr(lx, "cookie") === 0 &&
+      instr(lx, "{") === 0
+  }
+
+  /** C4-style line cleaning over (doc_id, text) pages: drop lines failing
+    * [[c4KeepLine]], rebuild the page, count kept/total. Narrow (no
+    * exchange): both the line array and the kept array are staged behind
+    * Generate barriers so neither lambda re-evaluates per consumer. */
+  def cleanLines(pages: DataFrame, minWords: Int = 5): DataFrame = {
+    val withLines = Stage(pages.select(col("doc_id"), col("text")),
+      "l", lines(col("text")))
+    val withKept = Stage(withLines,
+      "k", filter(col("l"), x => c4KeepLine(x, minWords)))
+    withKept.select(
+      col("doc_id"),
+      size(col("l")).cast("long").as("n_lines"),
+      size(col("k")).cast("long").as("n_kept"),
+      array_join(col("k"), "\n").as("cleaned_text"))
+  }
+
+  /** Within-document repeated-line removal (the Gopher/CCNet in-doc rule):
+    * keep each line's FIRST occurrence, preserving order. Narrow: the
+    * kept-index array is `filter(1..n, i -> first_index(l, l[i]) == i)` —
+    * `array_position` returns the first index in both engines, so the
+    * predicate is portable verbatim. */
+  def dedupLinesWithinDoc(pages: DataFrame): DataFrame = {
+    val withLines = Stage(pages.select(col("doc_id"), col("text")),
+      "l", lines(col("text")))
+    val withIdx = Stage(withLines,
+      "ki", filter(sequence(lit(1), size(col("l"))),
+        i => array_position(col("l"), element_at(col("l"), i)) === i))
+    withIdx.select(
+      col("doc_id"),
+      size(col("l")).cast("long").as("n_lines"),
+      size(col("ki")).cast("long").as("n_unique"),
+      array_join(transform(col("ki"), i => element_at(col("l"), i)), "\n")
+        .as("deduped_text"))
+  }
+
+  /** Corpus-frequent boilerplate-line removal (RefinedWeb/CCNet: a line
+    * appearing in ≥ `minDocShareBp`/10000 of documents is nav/footer
+    * chrome, not content — strip it everywhere). Global by necessity:
+    *
+    *  1. explode lines with position (one Generate, no shuffle),
+    *  2. doc-frequency per line = distinct (line, doc) then count — both
+    *     aggregations partial/map-side combinable,
+    *  3. the frequent set (tiny by construction: at most 10000/share
+    *     lines can each cover that doc share) joins back BROADCAST as a
+    *     null-marker left join,
+    *  4. one groupBy(doc_id) rebuilds pages — `collect_list` skips the
+    *     nulled boilerplate entries, so every doc survives (possibly with
+    *     an empty page), and `sort_array` on (pos, line) structs restores
+    *     order deterministically.
+    *
+    * Output: (doc_id, n_lines, n_kept, cleaned_text). */
+  def stripBoilerplate(pages: DataFrame, minDocShareBp: Int): DataFrame = {
+    // Two passes over the corpus — the canonical CCNet shape (a frequency
+    // pass and a strip pass); only the tiny frequent set crosses between
+    // them, so at 100 TB nothing corpus-sized is cached or broadcast.
+    // Lines travel the frequency shuffle as md5 keys (the repo-wide
+    // 128-bit text-equality convention), not raw strings.
+    val ex = Stage(pages.select(col("doc_id"), col("text")),
+        "l", lines(col("text")))
+      .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "line")))
+    val nDocs = pages.agg(count(lit(1)).as("n_docs"))
+    val frequent = ex.select(md5(col("line")).as("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("doc_freq"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("doc_freq") * 10000 >= col("n_docs") * minDocShareBp)
+      .select(col("lh"), lit(1).as("is_boiler"))
+    ex.join(broadcast(frequent), md5(col("line")) === col("lh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sort_array(collect_list(when(col("is_boiler").isNull,
+          struct(col("pos"), col("line"))))).as("kl"))
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        size(col("kl")).cast("long").as("n_kept"),
+        array_join(transform(col("kl"), s => s.getField("line")), "\n")
+          .as("cleaned_text"))
+  }
+
+  /** The composed page-cleaning pass a crawl corpus runs end-to-end:
+    * corpus-frequent boilerplate strip → C4 line rules → within-doc
+    * repeated-line removal, plus the C4 DOC-level gate (≥ `minKeptLines`
+    * surviving lines, else the page is flagged dropped — kept in the
+    * output with keep_doc = 0 so the caller sees what the gate cost).
+    * Output: (doc_id, n_lines, n_kept, keep_doc, cleaned_text). */
+  def pageClean(pages: DataFrame, minDocShareBp: Int = 3000,
+      minWords: Int = 5, minKeptLines: Int = 2): DataFrame = {
+    // One boilerplate pass, then the narrow per-doc stages run on the
+    // SURVIVING line arrays directly — no re-split round-trip and no
+    // self-join back to the stripped frame (the duplicate-subtree trap:
+    // reusing the stripBoilerplate frame on both sides of a join would
+    // run its scan + both shuffles twice).
+    val deb = stripBoilerplate(pages, minDocShareBp)
+      .select(col("doc_id"), col("n_lines"), col("cleaned_text").as("text"))
+    val withLines = Stage(deb, "l0", lines(col("text")))
+    // c4 over the stripped lines; an all-boilerplate page degenerates to
+    // one empty line (split("") = [""]) which c4 drops (0 words), so the
+    // kept array is exactly the content lines — no empty-page special case
+    val withKept = Stage(withLines,
+      "k", filter(col("l0"), x => c4KeepLine(x, minWords)))
+    // first-occurrence dedup on the kept array; guard size = 0 because
+    // Spark's sequence(1, 0) is DESCENDING ([1, 0]), not empty
+    val withIdx = Stage(withKept,
+      "ki", when(size(col("k")) === 0, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(1), size(col("k"))),
+          i => array_position(col("k"), element_at(col("k"), i)) === i)))
+    withIdx.select(
+      col("doc_id"), col("n_lines"),
+      size(col("ki")).cast("long").as("n_kept"),
+      (size(col("ki")) >= minKeptLines).cast("int").as("keep_doc"),
+      array_join(transform(col("ki"), i => element_at(col("k"), i)), "\n")
+        .as("cleaned_text"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.plans.Stage
+
+/** Sparse lexical retrieval — the inverted-index/BM25 tier of a training
+  * -data pipeline (benchmark-contamination lookup, RAG corpus probes,
+  * quality-by-query auditing). The reference has no retrieval surface;
+  * this is an engine extension in the TextAnalysis charter (SURVEY.md
+  * §2.10), complementing the dense ANN family in [[Similarity]].
+  *
+  * Scoring is INTEGER BM25 (Robertson-Spärck Jones k1/b in basis points,
+  * floor division at every step) so results are bit-exact across engines
+  * — the same no-float discipline as qualityModelScore / LangIdModel.
+  * The idf is the rational surrogate `(N − df) · 10⁴ // (df + 1)` —
+  * monotone in df like the log idf, but exactly representable; document
+  * the constant when comparing scores across corpora.
+  *
+  * Scale posture: postings and df are ONE map-side-combinable aggregation
+  * each over the exploded corpus (the index build — at 100 TB these are
+  * the persisted index tables, built once); a query batch touches only
+  * the postings of its own terms (query terms broadcast onto the
+  * postings shuffle), so query cost is candidate-sized, never
+  * corpus-sized. No driver-side collect anywhere.
+  */
+object Retrieval {
+
+  /** BM25 k1 = 1.2 in basis points. */
+  val K1Bp = 12000L
+  /** BM25 b = 0.75 in basis points. */
+  val BBp = 7500L
+
+  /** Inverted-index postings: one row per (term, doc) with term frequency
+    * and document length — `(term, doc_id, tf, dl)`. One explode + one
+    * partial-aggregated shuffle; `dl` rides in the grouping key (constant
+    * per doc) so no second pass joins it back. */
+  def postings(docs: DataFrame): DataFrame =
+    Stage(docs.select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text")))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document-frequency + term-frequency index per term — the mergeable
+    * index table `(term, df, tf_sum)`. Additive across DISJOINT document
+    * batches (df counts docs, so batches must partition the corpus). */
+  def termIndex(docs: DataFrame): DataFrame =
+    postings(docs).groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"))
+
+  /** Monoid merge of [[termIndex]] frames from disjoint doc batches. */
+  def mergeTermIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("tf_sum")).as("tf_sum"))
+
+  /** Integer BM25 top-k: `queries` is the exploded query-term relation
+    * (query_id, term); returns (query_id, doc_id, score, rnk) with the
+    * k best docs per query, ties broken by doc_id (total order ⇒
+    * hash-exact). All arithmetic is long basis points with floor
+    * division, mirrored verbatim by the DuckDB oracle. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1Bp: Long = K1Bp, bBp: Long = BBp): DataFrame = {
+    // The postings frame is consumed twice (tf side + df side). A shared
+    // lazy subtree does NOT dedupe here: column pruning drops the unused
+    // count from the df branch's partial aggregate, the exchange subtrees
+    // diverge, and ReusedExchange never fires — the corpus would explode
+    // twice. Persisting is also the production posture: postings ARE the
+    // index, materialized once (as a table at 100 TB; MEMORY_AND_DISK
+    // here). CacheManager keys by canonicalized plan, so repeated
+    // invocations on one sfDir share a single entry.
+    val post = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df over the FULL corpus per term (the index table); restricted to
+    // query terms immediately after — queries are tiny, so both this
+    // join and the join onto postings broadcast.
+    val qdf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
+    // corpus stats re-scan the (column-pruned) text column once — cheaper
+    // than a distinct-docs shuffle over the postings at corpus scale
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
+    val scored = post
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("norm_bp", expr("dl * n_docs * 10000 div total_tokens"))
+      .withColumn("xbp",
+        expr(s"10000 - $bBp + ($bBp * norm_bp div 10000)"))
+      .withColumn("denom", expr(s"tf * 10000 + ($k1Bp * xbp div 10000)"))
+      .withColumn("sat_bp",
+        expr(s"tf * (${k1Bp + 10000L}) * 10000 div denom"))
+      .withColumn("idf_bp", expr("(n_docs - df) * 10000 div (df + 1)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("idf_bp * sat_bp")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** SQL twin of the integer-BM25 derivation over relations
+    * `documents(doc_id, text)` and `q(query_id, term)`; `toksSql` is the
+    * tokenizer fragment (the caller's duckToks). Ends in the same
+    * (query_id, doc_id, score, rnk) shape as [[bm25TopK]]. */
+  def bm25Sql(toksSql: String, k: Int,
+      k1Bp: Long = K1Bp, bBp: Long = BBp): String =
+    s"""toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+      |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+      |scored AS (SELECT query_id, doc_id,
+      |    CAST(sum(idf_bp * sat_bp) AS BIGINT) AS score FROM (
+      |  SELECT q.query_id, p.doc_id,
+      |    (s.n_docs - t.df) * 10000 // (t.df + 1) AS idf_bp,
+      |    p.tf * ${k1Bp + 10000L} * 10000 //
+      |      (p.tf * 10000 + ($k1Bp * (10000 - $bBp +
+      |        ($bBp * (p.dl * s.n_docs * 10000 // s.total_tokens) // 10000))
+      |        // 10000)) AS sat_bp
+      |  FROM post p JOIN tdf t USING (term) JOIN q USING (term), stats s)
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rnk FROM scored)
+      |SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+      |FROM ranked WHERE rnk <= $k""".stripMargin
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.LineOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Line-level page cleaning: every c4 rule exercised individually,
+  * first-occurrence dedup order, boilerplate share boundary (≥, not >),
+  * the all-boilerplate degenerate page, composed-pass equivalence to the
+  * three standalone ops, and plan shape (narrow ops stay narrow). */
+class LineOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pages(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
+
+  test("c4 rules: each drop-reason fires alone; survivors keep order") {
+    val doc = Seq(
+      "This sentence has enough words to pass.",   // kept
+      "Too short.",                                // < 5 words
+      "this line has five words but no terminal punctuation", // punct
+      "Please enable JavaScript to view this page.",          // javascript
+      "We use cookie banners on this site today.",            // cookie
+      "Lorem ipsum dolor sit amet consectetur elit.",         // lorem ipsum
+      "var config = { tracking: true } please ignore.",       // brace
+      "And one more good closing sentence right here!"        // kept
+    ).mkString("\n")
+    val out = LineOps.cleanLines(pages((1L, doc))).collect().head
+    assert(out.getAs[Long]("n_lines") == 8)
+    assert(out.getAs[Long]("n_kept") == 2)
+    assert(out.getAs[String]("cleaned_text") ==
+      "This sentence has enough words to pass.\n" +
+      "And one more good closing sentence right here!")
+  }
+
+  test("c4: empty page and sub-minWords page keep nothing but stay in the output") {
+    val out = LineOps.cleanLines(pages((1L, ""), (2L, "tiny page here.")))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_lines") == 1)   // split("") = [""]
+    assert(out(0).getAs[Long]("n_kept") == 0)
+    assert(out(0).getAs[String]("cleaned_text") == "")
+    assert(out(1).getAs[Long]("n_kept") == 0)    // 3 words < 5
+  }
+
+  test("within-doc dedup: first occurrence wins, order preserved, " +
+      "interleaved repeats collapse") {
+    val doc = Seq("alpha", "beta", "alpha", "gamma", "beta", "alpha")
+      .mkString("\n")
+    val out = LineOps.dedupLinesWithinDoc(pages((1L, doc))).collect().head
+    assert(out.getAs[Long]("n_lines") == 6)
+    assert(out.getAs[Long]("n_unique") == 3)
+    assert(out.getAs[String]("deduped_text") == "alpha\nbeta\ngamma")
+  }
+
+  test("boilerplate: share boundary is >= (a line in exactly 30% of docs " +
+      "is stripped at 3000 bp); uniques survive") {
+    // 10 docs; "NAV" appears in docs 1-3 (exactly 30%), "RARE" in 1-2 (20%)
+    val ps = pages((1 to 10).map { i =>
+      val ls = Seq(s"content line $i") ++
+        (if (i <= 3) Seq("NAV") else Nil) ++
+        (if (i <= 2) Seq("RARE") else Nil)
+      (i.toLong, ls.mkString("\n"))
+    }: _*)
+    val out = LineOps.stripBoilerplate(ps, 3000)
+      .orderBy("doc_id").collect()
+    assert(out.forall(r => !r.getAs[String]("cleaned_text").contains("NAV")),
+      "a line at exactly the share threshold must be stripped")
+    assert(out(0).getAs[String]("cleaned_text").contains("RARE"),
+      "a line below the threshold must survive")
+    assert(out(0).getAs[Long]("n_kept") == 2 && out(0).getAs[Long]("n_lines") == 3)
+  }
+
+  test("boilerplate: the all-boilerplate page survives with an empty " +
+      "cleaned_text, not a missing row") {
+    val ps = pages(
+      (1L, "NAV\ncontent one stays here."),
+      (2L, "NAV\ncontent two stays here."),
+      (3L, "NAV"))
+    val out = LineOps.stripBoilerplate(ps, 5000).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(2).getAs[Long]("n_kept") == 0)
+    assert(out(2).getAs[String]("cleaned_text") == "")
+  }
+
+  test("pageClean == stripBoilerplate then cleanLines then " +
+      "dedupLinesWithinDoc, including the all-boilerplate degenerate") {
+    val ps = pages(
+      (1L, Seq("NAV", "Good content sentence number one stays.",
+        "Good content sentence number one stays.",
+        "Second good content sentence also stays!", "short.").mkString("\n")),
+      (2L, Seq("NAV", "Another page with one good sentence only.").mkString("\n")),
+      (3L, "NAV"))
+    val composed = LineOps.pageClean(ps, minDocShareBp = 5000)
+      .orderBy("doc_id").collect()
+    val chained = LineOps.dedupLinesWithinDoc(
+        LineOps.cleanLines(
+          LineOps.stripBoilerplate(ps, 5000)
+            .select($"doc_id", $"cleaned_text".as("text")))
+          .select($"doc_id", $"cleaned_text".as("text")))
+      .orderBy("doc_id").collect()
+    for ((c, h) <- composed.zip(chained)) {
+      assert(c.getAs[String]("cleaned_text") == h.getAs[String]("deduped_text"),
+        s"doc ${c.getAs[Long]("doc_id")} text diverged")
+    }
+    // doc 1: dup line collapsed, short line dropped -> 2 kept, gated in
+    assert(composed(0).getAs[Long]("n_kept") == 2 &&
+      composed(0).getAs[Int]("keep_doc") == 1)
+    // doc 2: one kept line -> gated out but present
+    assert(composed(1).getAs[Long]("n_kept") == 1 &&
+      composed(1).getAs[Int]("keep_doc") == 0)
+    // doc 3: all boilerplate -> 0 kept (the sequence(1,0) guard path)
+    assert(composed(2).getAs[Long]("n_kept") == 0 &&
+      composed(2).getAs[Int]("keep_doc") == 0)
+  }
+
+  test("plan shape: cleanLines and dedupLinesWithinDoc are NARROW (zero " +
+      "exchanges); stripBoilerplate carries exactly its three aggregation " +
+      "shuffles and broadcasts the frequent set") {
+    val ps = pages((1L, "a\nb"), (2L, "a\nc"))
+    assert(shuffles(plan(LineOps.cleanLines(ps))) == 0,
+      "c4 cleaning must not shuffle")
+    assert(shuffles(plan(LineOps.dedupLinesWithinDoc(ps))) == 0,
+      "within-doc dedup must not shuffle")
+    val p = plan(LineOps.stripBoilerplate(ps, 3000))
+    // distinct(lh, doc) + groupBy(lh) + groupBy(doc_id) (+ the one-row
+    // count's SinglePartition pair); the frequent set must join broadcast
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash <= 3, s"boilerplate grew extra hash exchanges ($hash):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"frequent set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"one-row n_docs attach must stay a broadcast nested loop:\n$p")
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integer BM25: postings/index correctness on a hand-computed corpus,
+  * index merge ≡ single pass over disjoint batches, the two classic
+  * ranking monotonicities (tf saturation, df discounting), and plan
+  * shape (query set broadcast, postings exchange reused for df). */
+class RetrievalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("postings: tf and dl per (term, doc)") {
+    val p = Retrieval.postings(docs(
+        (1L, "red red blue"), (2L, "blue")))
+      .orderBy("term", "doc_id")
+      .as[(String, Long, Long, Long)].collect()
+    assert(p.toSeq == Seq(
+      ("blue", 1L, 3L, 1L), ("blue", 2L, 1L, 1L), ("red", 1L, 3L, 2L)))
+  }
+
+  test("termIndex over disjoint batches merges to the single-pass index, " +
+      "any association order") {
+    val d = docs((1L, "a b a"), (2L, "b c"), (3L, "a"), (4L, "c c c"))
+    val whole = Retrieval.termIndex(d)
+      .as[(String, Long, Long)].collect().toSet
+    val parts = (0 until 3).map(i =>
+      Retrieval.termIndex(d.where(pmod($"doc_id", lit(3)) === i)))
+    val left = Retrieval.mergeTermIndex(
+      Retrieval.mergeTermIndex(parts(0), parts(1)), parts(2))
+    val right = Retrieval.mergeTermIndex(parts(0),
+      Retrieval.mergeTermIndex(parts(1), parts(2)))
+    assert(left.as[(String, Long, Long)].collect().toSet == whole)
+    assert(right.as[(String, Long, Long)].collect().toSet == whole)
+    assert(whole == Set(("a", 2L, 3L), ("b", 2L, 2L), ("c", 2L, 4L)))
+  }
+
+  test("ranking: higher tf at equal length ranks first; rarer term " +
+      "outweighs a common one") {
+    // corpus: 'rare' in one doc, 'common' in three; equal doc lengths
+    val d = docs(
+      (1L, "rare pad pad pad"),
+      (2L, "common common pad pad"),
+      (3L, "common pad pad pad"),
+      (4L, "common pad pad pad"))
+    val q = Seq(("qa", "common"), ("qb", "rare"), ("qb", "common"))
+      .toDF("query_id", "term")
+    val out = Retrieval.bm25TopK(d, q, k = 4)
+      .select($"query_id", $"doc_id", $"score", $"rnk")
+      .as[(String, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // qa: doc 2 (tf=2) beats docs 3/4 (tf=1); 3 before 4 on the tie-break
+    assert(out("qa").map(_._2).toSeq == Seq(2L, 3L, 4L))
+    // qb: the rare-term doc must beat every common-term doc
+    assert(out("qb").head._2 == 1L)
+    // saturation: doubling tf must NOT double the score contribution
+    val s2 = out("qa")(0)._3; val s1 = out("qa")(1)._3
+    assert(s2 > s1 && s2 < 2 * s1,
+      s"tf=2 score $s2 vs tf=1 score $s1: saturation violated")
+  }
+
+  test("shorter doc ranks above longer doc at equal tf (length " +
+      "normalization)") {
+    val d = docs(
+      (1L, "hit pad"), (2L, "hit pad pad pad pad pad pad pad"))
+    val q = Seq(("q", "hit")).toDF("query_id", "term")
+    val out = Retrieval.bm25TopK(d, q, k = 2)
+      .orderBy("rnk").select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("plan shape: query set broadcast; tf and df branches read the " +
+      "PERSISTED postings (one corpus explode), not two explodes") {
+    val d = docs((1L, "a b"), (2L, "b c"))
+    val q = Seq(("q", "b")).toDF("query_id", "term")
+    val df = Retrieval.bm25TopK(d, q, k = 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"query terms must broadcast:\n$p")
+    // both consumers must hit the cached postings — a shared lazy subtree
+    // does NOT dedupe (column pruning diverges the df branch's partial
+    // aggregate and ReusedExchange never fires; measured round 10)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"tf and df branches must both read the persisted postings:\n$p")
+    // the only nested-loop is the one-row stats attach
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+}
