@@ -148,6 +148,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("line-cleaning + retrieval families: exchange/scan counts pinned " +
+      "(duplicate-subtree guard)") {
+    // Same contract as the round-10 pin above. Shapes, by design:
+    //  - clean_lines / line_dedup: NARROW (0 exchanges, 1 scan);
+    //  - boilerplate / page_clean: the CCNet two-pass shape — frequency
+    //    pass (distinct + count) and strip pass share the corpus scan
+    //    lineage but scan separately (+1 pruned scan for n_docs), with
+    //    reassembly's groupBy(doc_id) = 4 exchanges / 3 scans;
+    //  - bm25_topk: persisted postings feed tf + df branches (cached plan
+    //    prints its build exchange), score agg + window + one-row stats =
+    //    6 exchanges / 3 scans, stats attach is the only nested loop
+    //    (Cross, one row);
+    //  - bm25_incr: three disjoint batch indexes (2 exchanges each) whose
+    //    merge agg folds in = 6 exchanges / 3 filter-pushed scans.
+    val ceilings: Map[String, (Int, Int)] = Map(
+      "text_clean_lines" -> (0, 1),
+      "text_line_dedup" -> (0, 1),
+      "text_boilerplate" -> (4, 3),
+      "pipeline_page_clean" -> (4, 3),
+      "text_bm25_topk" -> (6, 3),
+      "text_bm25_incr" -> (6, 3))
+    val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
+      val p = plan(Queries.queries(name)(spark, sf))
+      val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
+      val scans = "Scan parquet|Scan ExistingRDD".r.findAllIn(p).length
+      val product = p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin Inner")
+      Seq(
+        if (exch > exchCeil) Some(s"$name: $exch exchanges > ceiling $exchCeil")
+        else None,
+        if (scans > scanCeil) Some(s"$name: $scans scan leaves > ceiling $scanCeil (duplicate subtree?)")
+        else None,
+        if (product) Some(s"$name: product join appeared") else None).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("packSequences: shard window + straddle explode + one assembly aggregate, no products") {
     val p = plan(graft.operators.TextAnalysis.packSequences(
       Tables.documents(spark, sf), capacityTokens = 512, nShards = 8))
