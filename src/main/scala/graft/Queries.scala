@@ -3393,6 +3393,42 @@ object Queries {
       |    AS cleaned_text
       |FROM j GROUP BY doc_id""".stripMargin))
 
+  /** Incremental boilerplate strip (LineOps.boilerplateIndex +
+    * applyBoilerplate): the frequent-line index is built on YESTERDAY's
+    * crawl (the bounded %3==0 ∧ doc_id<600 history slice — same shape as
+    * dedup_url_incr: residue coprime to the planted structure, bounded so
+    * it saturates at no SF) and applied to today's batch (%3≠0) as a
+    * pure narrow filter — history is never rescanned per batch, and the
+    * apply side is stateless so the SAME operator cleans a streaming
+    * ingest (spec'd). Nav/footer live in 100% of history docs, so the
+    * suppression path is real at every SF; the javascript interstitial is
+    * history-frequent but absent from the batch (the index-miss path). */
+  private val textBoilerplateIncr = Q("text_boilerplate_incr",
+    (s, dir) => {
+      val pages = plantedPages(s, dir)
+      LineOps.applyBoilerplate(
+        pages.where(pmod(col("doc_id"), lit(3)) =!= 0),
+        LineOps.boilerplateIndex(
+          pages.where(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 600),
+          3000))
+    },
+    Some(s"""WITH p AS ($plantedPageSql),
+      |h AS (SELECT * FROM p WHERE doc_id % 3 = 0 AND doc_id < 600),
+      |hex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM h),
+      |hnd AS (SELECT count(*) AS n_docs FROM h),
+      |b AS (SELECT lh FROM (
+      |    SELECT md5(line) AS lh, count(DISTINCT doc_id) AS doc_freq
+      |    FROM hex GROUP BY 1) f, hnd
+      |  WHERE doc_freq * 10000 >= n_docs * 3000),
+      |bl AS (SELECT coalesce(list(lh), CAST([] AS VARCHAR[])) AS boiler FROM b),
+      |s AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM p
+      |      WHERE doc_id % 3 <> 0),
+      |k AS (SELECT doc_id, l, list_filter(l,
+      |        x -> NOT list_contains(boiler, md5(x))) AS k FROM s, bl)
+      |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+      |  CAST(len(k) AS BIGINT) AS n_kept,
+      |  array_to_string(k, chr(10)) AS cleaned_text FROM k""".stripMargin))
+
   /** The composed page-cleaning pass (LineOps.pageClean): boilerplate
     * strip → c4 rules → within-doc dedup → doc-level gate (≥ 2 surviving
     * content lines). Even docs keep 2 lines (second content line gets
@@ -4308,7 +4344,8 @@ object Queries {
     dedupParagraphs, dedupExactSubstr,
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,
-    textCleanLines, textLineDedup, textBoilerplate, pipelinePageClean,
+    textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
+    pipelinePageClean,
     textBm25Topk, textBm25Incr,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,

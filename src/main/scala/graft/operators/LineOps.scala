@@ -100,33 +100,50 @@ object LineOps {
     *     order deterministically.
     *
     * Output: (doc_id, n_lines, n_kept, cleaned_text). */
-  def stripBoilerplate(pages: DataFrame, minDocShareBp: Int): DataFrame = {
-    // Two passes over the corpus — the canonical CCNet shape (a frequency
-    // pass and a strip pass); only the tiny frequent set crosses between
-    // them, so at 100 TB nothing corpus-sized is cached or broadcast.
-    // Lines travel the frequency shuffle as md5 keys (the repo-wide
-    // 128-bit text-equality convention), not raw strings.
+  def stripBoilerplate(pages: DataFrame, minDocShareBp: Int): DataFrame =
+    applyBoilerplate(pages, boilerplateIndex(pages, minDocShareBp))
+
+  /** The frequent-line index — md5 keys (the repo-wide 128-bit
+    * text-equality convention) of every line appearing in ≥
+    * `minDocShareBp`/10000 of documents. This is the PERSISTED index of
+    * the incremental form (built on yesterday's crawl, applied to
+    * today's batches) and the only global pass of the tier: one distinct
+    * + one count aggregation, both map-side combinable, md5 keys through
+    * the shuffle rather than raw strings. The result is provably tiny —
+    * each entry covers ≥ share of all docs, so at most
+    * avgLinesPerDoc · 10⁴ / shareBp entries exist (≤ 27 here; ≤ ~33k
+    * even for 10⁴-line pages at 30%). */
+  def boilerplateIndex(pages: DataFrame, minDocShareBp: Int): DataFrame = {
     val ex = Stage(pages.select(col("doc_id"), col("text")),
         "l", lines(col("text")))
-      .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "line")))
+      .select(col("doc_id"), explode(col("l")).as("line"))
     val nDocs = pages.agg(count(lit(1)).as("n_docs"))
-    val frequent = ex.select(md5(col("line")).as("lh"), col("doc_id")).distinct()
+    ex.select(md5(col("line")).as("lh"), col("doc_id")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("doc_freq"))
       .crossJoin(broadcast(nDocs))
       .where(col("doc_freq") * 10000 >= col("n_docs") * minDocShareBp)
-      .select(col("lh"), lit(1).as("is_boiler"))
-    ex.join(broadcast(frequent), md5(col("line")) === col("lh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sort_array(collect_list(when(col("is_boiler").isNull,
-          struct(col("pos"), col("line"))))).as("kl"))
-      .select(
-        col("doc_id"),
-        col("n_lines"),
-        size(col("kl")).cast("long").as("n_kept"),
-        array_join(transform(col("kl"), s => s.getField("line")), "\n")
-          .as("cleaned_text"))
+      .select(col("lh"))
+  }
+
+  /** Apply a frequent-line index: STATELESS AND NARROW — the index
+    * collapses to a one-row array (bounded, see [[boilerplateIndex]]),
+    * broadcast onto every page, and the line array filters against it
+    * in place. No explode, no reassembly shuffle, order trivially
+    * preserved — and because nothing here is stateful, the same operator
+    * cleans a STREAMING frame against a static index unchanged (the
+    * ingest posture: yesterday's index, today's stream). */
+  def applyBoilerplate(pages: DataFrame, index: DataFrame): DataFrame = {
+    val bl = index.agg(collect_list(col("lh")).as("boiler"))
+    val withLines = Stage(pages.select(col("doc_id"), col("text")),
+        "l", lines(col("text")))
+      .crossJoin(broadcast(bl))
+    val withKept = Stage(withLines,
+      "k", filter(col("l"), x => !array_contains(col("boiler"), md5(x))))
+    withKept.select(
+      col("doc_id"),
+      size(col("l")).cast("long").as("n_lines"),
+      size(col("k")).cast("long").as("n_kept"),
+      array_join(col("k"), "\n").as("cleaned_text"))
   }
 
   /** The composed page-cleaning pass a crawl corpus runs end-to-end:

@@ -121,22 +121,49 @@ class LineOpsSpec extends AnyFunSuite {
       composed(2).getAs[Int]("keep_doc") == 0)
   }
 
-  test("plan shape: cleanLines and dedupLinesWithinDoc are NARROW (zero " +
-      "exchanges); stripBoilerplate carries exactly its three aggregation " +
-      "shuffles and broadcasts the frequent set") {
+  test("plan shape: cleanLines, dedupLinesWithinDoc AND the boilerplate " +
+      "APPLY side are NARROW; only the index build shuffles") {
     val ps = pages((1L, "a\nb"), (2L, "a\nc"))
     assert(shuffles(plan(LineOps.cleanLines(ps))) == 0,
       "c4 cleaning must not shuffle")
     assert(shuffles(plan(LineOps.dedupLinesWithinDoc(ps))) == 0,
       "within-doc dedup must not shuffle")
     val p = plan(LineOps.stripBoilerplate(ps, 3000))
-    // distinct(lh, doc) + groupBy(lh) + groupBy(doc_id) (+ the one-row
-    // count's SinglePartition pair); the frequent set must join broadcast
+    // index build only: distinct(lh, doc) + groupBy(lh); the n_docs count
+    // and the index->array collapse are one-row SinglePartition aggs; the
+    // corpus side stays a narrow lambda filter (no explode+reassembly)
     val hash = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hash <= 3, s"boilerplate grew extra hash exchanges ($hash):\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      s"frequent set must broadcast:\n$p")
+    assert(hash <= 2, s"boilerplate grew extra hash exchanges ($hash):\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"frequent-set array must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"one-row n_docs attach must stay a broadcast nested loop:\n$p")
+      s"one-row attaches must stay broadcast nested loops:\n$p")
+  }
+
+  test("applyBoilerplate cleans a STREAMING frame against a static index, " +
+      "result batch-identical (the ingest posture)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batchPages = pages(
+      (1L, "NAV\ncontent one stays here."),
+      (2L, "NAV\ncontent two stays here."),
+      (3L, "NAV"))
+    val index = LineOps.boilerplateIndex(batchPages, 5000)
+    val expected = LineOps.applyBoilerplate(batchPages, index)
+      .orderBy("doc_id").collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = LineOps.applyBoilerplate(
+        in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("stream_clean")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "NAV\ncontent one stays here."))
+      in.addData((2L, "NAV\ncontent two stays here."), (3L, "NAV"))
+      q.processAllAvailable()
+      val got = spark.table("stream_clean").orderBy("doc_id").collect().toSeq
+      assert(got == expected, s"stream diverged from batch:\n$got\n$expected")
+      assert(got.exists(_.getAs[Long]("n_kept") == 0),
+        "the all-boilerplate doc must flow through the stream too")
+    } finally q.stop()
   }
 }

@@ -166,6 +166,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_clean_lines" -> (0, 1),
       "text_line_dedup" -> (0, 1),
       "text_boilerplate" -> (4, 3),
+      "text_boilerplate_incr" -> (4, 3),
       "pipeline_page_clean" -> (4, 3),
       "text_bm25_topk" -> (6, 3),
       "text_bm25_incr" -> (6, 3))
