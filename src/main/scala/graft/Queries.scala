@@ -3458,6 +3458,79 @@ object Queries {
       |    AS cleaned_text
       |FROM dd""".stripMargin))
 
+  /** Planted raw-HTML fixture over documents — the WET-extraction input:
+    * title, headline + content paragraphs from the doc's tokens, a script
+    * block whose body contains a bare '<' (1/3 of docs — the non-greedy
+    * block-strip trap), an HTML comment (1/4), an entity-rich paragraph
+    * (always: &amp;, &lt;/&gt;, &quot;, &#39;, and the double-encoding
+    * probe &amp;lt; which must decode to the LITERAL '&lt;', not '<'),
+    * a style block (1/5), and nav chrome. Single-line by construction —
+    * the extractor's documented no-DOTALL contract. */
+  private def plantedHtml(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.plans.Stage(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    st.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><meta charset=\"utf-8\"></head><body><h1>"),
+      concat_ws(" ", slice(col("w"), 1, 3)), lit("</h1><p>"),
+      concat_ws(" ", slice(col("w"), 1, 8)), lit(".</p>"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("<script type=\"text/javascript\">var x = 1 < 2; track();</script>"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("<!-- hidden build marker -->")).otherwise(lit("")),
+      lit("<p>Fish &amp; Chips &lt;deal&gt; says &quot;today&quot; "),
+      lit("it&#39;s &amp;lt;escaped&amp;gt;</p>"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("<style>.nav { color: red; }</style>")).otherwise(lit("")),
+      lit("<div class=\"nav\">Home</div></body></html>")).as("html"))
+  }
+
+  private def plantedHtmlSql: String =
+    s"""SELECT doc_id, '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |  '</title><meta charset="utf-8"></head><body><h1>' ||
+      |  array_to_string(list_slice(w, 1, 3), ' ') || '</h1><p>' ||
+      |  array_to_string(list_slice(w, 1, 8), ' ') || '.</p>' ||
+      |  (CASE WHEN doc_id % 3 = 0
+      |    THEN '<script type="text/javascript">var x = 1 < 2; track();</script>'
+      |    ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN '<!-- hidden build marker -->' ELSE '' END) ||
+      |  '<p>Fish &amp; Chips &lt;deal&gt; says &quot;today&quot; ' ||
+      |  'it&#39;s &amp;lt;escaped&amp;gt;</p>' ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN '<style>.nav { color: red; }</style>' ELSE '' END) ||
+      |  '<div class="nav">Home</div></body></html>' AS html
+      |FROM (SELECT doc_id, $duckToks AS w FROM documents)""".stripMargin
+
+  /** WET-style HTML extraction (LineOps.htmlExtract): block/tag strip +
+    * entity decode + whitespace collapse, title pulled separately. The
+    * oracle chains the identical regexp_replace steps (with DuckDB's 'g'
+    * flag — its default is first-match-only, Spark's is global). */
+  private val textHtmlExtract = Q("text_html_extract",
+    (s, dir) => LineOps.htmlExtract(plantedHtml(s, dir)),
+    Some(s"""WITH p AS ($plantedHtmlSql),
+      |x AS (SELECT doc_id, html, trim(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(
+      |    html,
+      |    '<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '<style[^>]*>.*?</style>', ' ', 'g'),
+      |    '<!--.*?-->', ' ', 'g'),
+      |    '<[^>]*>', ' ', 'g'),
+      |    '&lt;', '<', 'g'),
+      |    '&gt;', '>', 'g'),
+      |    '&quot;', '"', 'g'),
+      |    '&#39;', '''', 'g'),
+      |    '&amp;', '&', 'g'),
+      |  '\\s+', ' ', 'g')) AS text FROM p)
+      |SELECT doc_id, regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+      |  text,
+      |  CAST(len(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS INTEGER)
+      |    AS n_tokens
+      |FROM x""".stripMargin))
+
   // ───────────── sparse lexical retrieval (Retrieval — BM25 tier) ────────
 
   /** The planted query batch for the BM25 family — one Seq is the single
@@ -4345,7 +4418,7 @@ object Queries {
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
-    pipelinePageClean,
+    pipelinePageClean, textHtmlExtract,
     textBm25Topk, textBm25Incr,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,

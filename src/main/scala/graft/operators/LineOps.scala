@@ -146,6 +146,37 @@ object LineOps {
       array_join(col("k"), "\n").as("cleaned_text"))
   }
 
+  /** WET-style HTML → text extraction — the step BEFORE any line/doc
+    * cleaning in a crawl pipeline: drop script/style blocks and comments,
+    * strip tags, decode the five core entities (&amp; LAST, so entity-
+    * encoded entities don't double-decode), collapse whitespace; pull the
+    * <title> out separately. Pure chained codegen'd regexp_replace —
+    * narrow, zero exchanges, streaming-safe. Patterns avoid DOTALL (both
+    * engines default '.' ∌ newline) — block bodies must be single-line,
+    * which the fixture guarantees and real WET extraction handles
+    * upstream by newline-normalizing first.
+    * Output: (doc_id, title, text, n_tokens). */
+  def htmlExtract(pages: DataFrame): DataFrame = {
+    val strips = List(
+      "<script[^>]*>.*?</script>" -> " ",
+      "<style[^>]*>.*?</style>" -> " ",
+      "<!--.*?-->" -> " ",
+      "<[^>]*>" -> " ")
+    val entities = List(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+    val stripped = (strips ++ entities).foldLeft(col("html")) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val staged = Stage(pages.select(col("doc_id"), col("html")),
+      "text", trim(regexp_replace(stripped, "\\s+", " ")))
+    staged.select(
+      col("doc_id"),
+      regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+      col("text"),
+      size(graft.functions.TextFns.tokens(col("text"))).as("n_tokens"))
+  }
+
   /** The composed page-cleaning pass a crawl corpus runs end-to-end:
     * corpus-frequent boilerplate strip → C4 line rules → within-doc
     * repeated-line removal, plus the C4 DOC-level gate (≥ `minKeptLines`
