@@ -3456,7 +3456,7 @@ object Queries {
       |  CAST(len(ki) >= 2 AS INTEGER) AS keep_doc,
       |  array_to_string(list_transform(ki, i -> k[CAST(i AS INTEGER)]), chr(10))
       |    AS cleaned_text
-      |FROM dd""".stripMargin))
+      |FROM dd""".stripMargin), bench = true)
 
   /** Planted raw-HTML fixture over documents — the WET-extraction input:
     * title, headline + content paragraphs from the doc's tokens, a script
@@ -3562,7 +3562,7 @@ object Queries {
         bmQueryTerms.toDF("query_id", "term"), k = 5)
     },
     Some(s"""WITH $bmQuerySql,
-      |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin))
+      |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin), bench = true)
 
   /** Mergeable term index (Retrieval.termIndex / mergeTermIndex): the
     * corpus arrives as three disjoint doc batches, each reduced to its

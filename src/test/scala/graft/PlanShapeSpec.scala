@@ -86,7 +86,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // inflation across the docs_prep persist boundary — see the
       // round-10 pin test's comment for the executed shape
       "pipeline_dataset_card" -> (6, 2),
-      "pipeline_crawl_to_trainer" -> (20, 15))
+      "pipeline_crawl_to_trainer" -> (20, 15),
+      "pipeline_page_clean" -> (4, 3),
+      "text_bm25_topk" -> (6, 3))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
