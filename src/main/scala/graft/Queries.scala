@@ -3434,12 +3434,13 @@ object Queries {
     * content lines). Even docs keep 2 lines (second content line gets
     * terminal punct), odd docs keep 1 and gate out — both branches of
     * keep_doc are populated at every SF. */
-  private val pipelinePageClean = Q("pipeline_page_clean",
-    (s, dir) => LineOps.pageClean(plantedPages(s, dir)),
-    Some(s"""WITH p AS ($plantedPageSql),
-      |s AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM p),
+  /** The pageClean derivation over any relation `rel(doc_id, text)` —
+    * CTE chain + final SELECT, shared by pipeline_page_clean and the
+    * wet-clean composition. */
+  private def pageCleanSql(rel: String): String =
+    s"""s AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM $rel),
       |ex AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line FROM s),
-      |nd AS (SELECT count(*) AS n_docs FROM p),
+      |nd AS (SELECT count(*) AS n_docs FROM $rel),
       |f AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS doc_freq FROM ex GROUP BY 1),
       |b AS (SELECT lh FROM f, nd WHERE doc_freq * 10000 >= n_docs * 3000),
       |deb AS (SELECT doc_id, count(*) AS n_lines,
@@ -3456,7 +3457,27 @@ object Queries {
       |  CAST(len(ki) >= 2 AS INTEGER) AS keep_doc,
       |  array_to_string(list_transform(ki, i -> k[CAST(i AS INTEGER)]), chr(10))
       |    AS cleaned_text
-      |FROM dd""".stripMargin), bench = true)
+      |FROM dd""".stripMargin
+
+  private val pipelinePageClean = Q("pipeline_page_clean",
+    (s, dir) => LineOps.pageClean(plantedPages(s, dir)),
+    Some(s"""WITH p AS ($plantedPageSql),
+      |${pageCleanSql("p")}""".stripMargin), bench = true)
+
+  /** The full crawl tier END-TO-END (LineOps.htmlExtract → pageClean):
+    * raw HTML in, gated clean pages out — extraction emits line-
+    * structured text, so the boilerplate/c4/dedup tier runs on REAL
+    * upstream output here, not only on the planted line fixture. The
+    * nav div, footer-less entity paragraph and title/h1 chrome land in
+    * the boilerplate or c4 buckets; the parity paragraph keeps keep_doc
+    * two-sided at every SF. */
+  private val pipelineWetClean = Q("pipeline_wet_clean",
+    (s, dir) => LineOps.pageClean(
+      LineOps.htmlExtract(plantedHtml(s, dir))
+        .select(col("doc_id"), col("text"))),
+    Some(s"""WITH $htmlExtractCtes,
+      |hpage AS (SELECT doc_id, text FROM hx),
+      |${pageCleanSql("hpage")}""".stripMargin))
 
   /** Planted raw-HTML fixture over documents — the WET-extraction input:
     * title, headline + content paragraphs from the doc's tokens, a script
@@ -3474,7 +3495,10 @@ object Queries {
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
       lit("</title><meta charset=\"utf-8\"></head><body><h1>"),
       concat_ws(" ", slice(col("w"), 1, 3)), lit("</h1><p>"),
-      concat_ws(" ", slice(col("w"), 1, 8)), lit(".</p>"),
+      concat_ws(" ", slice(col("w"), 1, 8)), lit(".</p><p>"),
+      concat_ws(" ", slice(col("w"), 9, 6)),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(".")).otherwise(lit("")),
+      lit("</p>"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         lit("<script type=\"text/javascript\">var x = 1 < 2; track();</script>"))
         .otherwise(lit("")),
@@ -3491,7 +3515,9 @@ object Queries {
     s"""SELECT doc_id, '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
       |  '</title><meta charset="utf-8"></head><body><h1>' ||
       |  array_to_string(list_slice(w, 1, 3), ' ') || '</h1><p>' ||
-      |  array_to_string(list_slice(w, 1, 8), ' ') || '.</p>' ||
+      |  array_to_string(list_slice(w, 1, 8), ' ') || '.</p><p>' ||
+      |  array_to_string(list_slice(w, 9, 14), ' ') ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) || '</p>' ||
       |  (CASE WHEN doc_id % 3 = 0
       |    THEN '<script type="text/javascript">var x = 1 < 2; track();</script>'
       |    ELSE '' END) ||
@@ -3502,34 +3528,29 @@ object Queries {
       |  '<div class="nav">Home</div></body></html>' AS html
       |FROM (SELECT doc_id, $duckToks AS w FROM documents)""".stripMargin
 
-  /** WET-style HTML extraction (LineOps.htmlExtract): block/tag strip +
-    * entity decode + whitespace collapse, title pulled separately. The
-    * oracle chains the identical regexp_replace steps (with DuckDB's 'g'
-    * flag — its default is first-match-only, Spark's is global). */
+  /** The extraction derivation as a CTE block ending in
+    * `hx(doc_id, html, text)` with LINE-STRUCTURED text — shared by the
+    * text_html_extract oracle and the wet-clean composition. The strip
+    * chain itself is generated from the SAME step list the Spark side
+    * folds (LineOps.htmlStripSql). */
+  private def htmlExtractCtes: String =
+    s"""hp AS ($plantedHtmlSql),
+      |hx AS (SELECT doc_id, html,
+      |  trim(${LineOps.htmlStripSql("html")}, ' ' || chr(10)) AS text FROM hp)""".stripMargin
+
+  /** WET-style HTML extraction (LineOps.htmlExtract): block tags become
+    * line breaks, inline tags spaces; entity decode; per-line whitespace
+    * normalization; raw title pull. */
   private val textHtmlExtract = Q("text_html_extract",
     (s, dir) => LineOps.htmlExtract(plantedHtml(s, dir)),
-    Some(s"""WITH p AS ($plantedHtmlSql),
-      |x AS (SELECT doc_id, html, trim(regexp_replace(
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |  regexp_replace(
-      |    html,
-      |    '<script[^>]*>.*?</script>', ' ', 'g'),
-      |    '<style[^>]*>.*?</style>', ' ', 'g'),
-      |    '<!--.*?-->', ' ', 'g'),
-      |    '<[^>]*>', ' ', 'g'),
-      |    '&lt;', '<', 'g'),
-      |    '&gt;', '>', 'g'),
-      |    '&quot;', '"', 'g'),
-      |    '&#39;', '''', 'g'),
-      |    '&amp;', '&', 'g'),
-      |  '\\s+', ' ', 'g')) AS text FROM p)
+    Some(s"""WITH $htmlExtractCtes
       |SELECT doc_id, regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
       |  text,
+      |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
       |  CAST(len(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
       |    ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS INTEGER)
       |    AS n_tokens
-      |FROM x""".stripMargin))
+      |FROM hx""".stripMargin))
 
   // ───────────── sparse lexical retrieval (Retrieval — BM25 tier) ────────
 
@@ -4418,7 +4439,7 @@ object Queries {
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
-    pipelinePageClean, textHtmlExtract,
+    pipelinePageClean, textHtmlExtract, pipelineWetClean,
     textBm25Topk, textBm25Incr,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,

@@ -146,34 +146,65 @@ object LineOps {
       array_join(col("k"), "\n").as("cleaned_text"))
   }
 
+  /** Block-level HTML tags — their boundaries become LINE BREAKS in the
+    * extracted text (the WET convention), so the downstream line tier
+    * ([[cleanLines]] / [[stripBoilerplate]] / [[pageClean]]) sees real
+    * page structure. Inline tags (a, b, span, …) fall through to the
+    * generic tag strip and become spaces. */
+  val BlockTags: String =
+    "p|div|h1|h2|h3|li|ul|ol|tr|table|br|head|body|html|title"
+
   /** WET-style HTML → text extraction — the step BEFORE any line/doc
     * cleaning in a crawl pipeline: drop script/style blocks and comments,
-    * strip tags, decode the five core entities (&amp; LAST, so entity-
-    * encoded entities don't double-decode), collapse whitespace; pull the
-    * <title> out separately. Pure chained codegen'd regexp_replace —
-    * narrow, zero exchanges, streaming-safe. Patterns avoid DOTALL (both
-    * engines default '.' ∌ newline) — block bodies must be single-line,
-    * which the fixture guarantees and real WET extraction handles
-    * upstream by newline-normalizing first.
-    * Output: (doc_id, title, text, n_tokens). */
+    * turn BLOCK tag boundaries into newlines and strip the remaining
+    * (inline) tags to spaces, decode the five core entities (&amp; LAST,
+    * so entity-encoded entities don't double-decode), then normalize
+    * whitespace per line and squeeze empty lines. Pure chained codegen'd
+    * regexp_replace — narrow, zero exchanges, streaming-safe. Patterns
+    * avoid DOTALL (both engines default '.' ∌ newline) — raw block
+    * bodies must be single-line, which the fixture guarantees and real
+    * WET extraction handles upstream by newline-normalizing first.
+    * Output: (doc_id, title, text, n_lines, n_tokens) with
+    * line-structured `text` that feeds [[pageClean]] directly. */
+  /** The extraction chain — ONE list drives both the Column fold and the
+    * SQL twin ([[htmlStripSql]]), so the engines cannot drift. Patterns
+    * stay inside the Java∩RE2 subset (no anchors, no DOTALL); the tab and
+    * newline characters are literal in both (RE2 reads the raw chars). */
+  private val HtmlSteps: List[(String, String)] = List(
+    "<script[^>]*>.*?</script>" -> " ",
+    "<style[^>]*>.*?</style>" -> " ",
+    "<!--.*?-->" -> " ",
+    s"</?($BlockTags)[^>]*>" -> "\n",
+    "<[^>]*>" -> " ",
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&amp;" -> "&",
+    // whitespace normalization: spaces collapse per line, line edges
+    // trim, empty lines squeeze — each step left-to-right in both engines
+    "[ \t]+" -> " ",
+    " ?\n ?" -> "\n",
+    "\n+" -> "\n")
+
+  /** SQL twin of the [[htmlExtract]] strip chain over expression `x`
+    * (DuckDB needs the 'g' flag — its regexp_replace defaults to
+    * first-match-only, Spark's is global). */
+  def htmlStripSql(x: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    HtmlSteps.foldLeft(x) { case (acc, (pat, repl)) =>
+      s"regexp_replace($acc, ${q(pat)}, ${q(repl)}, 'g')"
+    }
+  }
+
   def htmlExtract(pages: DataFrame): DataFrame = {
-    val strips = List(
-      "<script[^>]*>.*?</script>" -> " ",
-      "<style[^>]*>.*?</style>" -> " ",
-      "<!--.*?-->" -> " ",
-      "<[^>]*>" -> " ")
-    val entities = List(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&amp;" -> "&")
-    val stripped = (strips ++ entities).foldLeft(col("html")) {
+    val stripped = HtmlSteps.foldLeft(col("html")) {
       case (c, (pat, repl)) => regexp_replace(c, pat, repl)
     }
     val staged = Stage(pages.select(col("doc_id"), col("html")),
-      "text", trim(regexp_replace(stripped, "\\s+", " ")))
+      "text", trim(stripped, " \n"))
     staged.select(
       col("doc_id"),
       regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
       col("text"),
+      size(lines(col("text"))).cast("long").as("n_lines"),
       size(graft.functions.TextFns.tokens(col("text"))).as("n_tokens"))
   }
 

@@ -122,20 +122,22 @@ class LineOpsSpec extends AnyFunSuite {
   }
 
   test("htmlExtract: blocks stripped (script body with a bare '<'), " +
-      "entities decoded once (&amp;lt; stays literal), title pulled, " +
-      "whitespace collapsed; narrow plan") {
+      "entities decoded once (&amp;lt; stays literal), BLOCK tags become " +
+      "line breaks, inline tags spaces, title pulled; narrow plan") {
     val html = "<html><head><title>T &amp; U</title></head><body>" +
       "<h1>Head</h1><script>if (a < b) { go(); }</script>" +
       "<style>.x { color: red }</style><!-- note -->" +
-      "<p>A &quot;quoted&quot; it&#39;s &amp;lt;kept&amp;gt; &lt;real&gt;</p>" +
+      "<p>A &quot;quoted&quot; <b>bold</b> it&#39;s &amp;lt;kept&amp;gt; &lt;real&gt;</p>" +
       "</body></html>"
     val df = LineOps.htmlExtract(Seq((1L, html)).toDF("doc_id", "html"))
     val out = df.collect().head
     assert(out.getAs[String]("title") == "T &amp; U",
       "title is extracted RAW (decode is a body-text step)")
     assert(out.getAs[String]("text") ==
-      "T & U Head A \"quoted\" it's &lt;kept&gt; <real>")
-    assert(out.getAs[Int]("n_tokens") == 9)
+      "T & U\nHead\nA \"quoted\" bold it's &lt;kept&gt; <real>",
+      "block boundaries must become single line breaks, inline tags spaces")
+    assert(out.getAs[Long]("n_lines") == 3)
+    assert(out.getAs[Int]("n_tokens") == 10)
     assert("Exchange".r.findAllIn(
       df.queryExecution.executedPlan.toString).isEmpty,
       "html extraction must be narrow")

@@ -168,6 +168,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_clean_lines" -> (0, 1),
       "text_line_dedup" -> (0, 1),
       "text_html_extract" -> (0, 1),
+      "pipeline_wet_clean" -> (4, 3),
       "text_boilerplate" -> (4, 3),
       "text_boilerplate_incr" -> (4, 3),
       "pipeline_page_clean" -> (4, 3),
