@@ -3339,8 +3339,8 @@ object Queries {
       |FROM (SELECT doc_id, $duckToks AS w FROM documents)""".stripMargin
 
   /** SQL twin of LineOps.c4KeepLine over a lambda-bound line `x`. */
-  private def c4KeepSql(x: String): String =
-    s"""len(string_split_regex(trim($x), '\\s+')) >= 5
+  private def c4KeepSql(x: String, minWords: Int = 5): String =
+    s"""len(string_split_regex(trim($x), '\\s+')) >= $minWords
       |      AND right($x, 1) IN ('.', '!', '?')
       |      AND instr(lower($x), 'javascript') = 0
       |      AND instr(lower($x), 'lorem ipsum') = 0
@@ -3429,36 +3429,40 @@ object Queries {
       |  CAST(len(k) AS BIGINT) AS n_kept,
       |  array_to_string(k, chr(10)) AS cleaned_text FROM k""".stripMargin))
 
-  /** The composed page-cleaning pass (LineOps.pageClean): boilerplate
-    * strip → c4 rules → within-doc dedup → doc-level gate (≥ 2 surviving
-    * content lines). Even docs keep 2 lines (second content line gets
-    * terminal punct), odd docs keep 1 and gate out — both branches of
-    * keep_doc are populated at every SF. */
   /** The pageClean derivation over any relation `rel(doc_id, text)` —
     * CTE chain + final SELECT, shared by pipeline_page_clean and the
-    * wet-clean composition. */
-  private def pageCleanSql(rel: String): String =
+    * wet-clean composition. Thresholds are PARAMETERS mirroring
+    * LineOps.pageClean's signature (minWords rides inside
+    * [[c4KeepSql]]), so a caller with non-default knobs cannot silently
+    * hash-diverge from a default-built oracle. */
+  private def pageCleanSql(rel: String, minDocShareBp: Int = 3000,
+      minWords: Int = 5, minKeptLines: Int = 2): String =
     s"""s AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM $rel),
       |ex AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line FROM s),
       |nd AS (SELECT count(*) AS n_docs FROM $rel),
       |f AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS doc_freq FROM ex GROUP BY 1),
-      |b AS (SELECT lh FROM f, nd WHERE doc_freq * 10000 >= n_docs * 3000),
+      |b AS (SELECT lh FROM f, nd WHERE doc_freq * 10000 >= n_docs * $minDocShareBp),
       |deb AS (SELECT doc_id, count(*) AS n_lines,
       |    coalesce(string_agg(line, chr(10) ORDER BY pos)
       |      FILTER (WHERE b.lh IS NULL), '') AS text
       |  FROM ex e LEFT JOIN b ON b.lh = md5(e.line) GROUP BY doc_id),
       |c4 AS (SELECT doc_id, n_lines,
-      |    list_filter(string_split(text, chr(10)), x -> ${c4KeepSql("x")}) AS k
+      |    list_filter(string_split(text, chr(10)), x -> ${c4KeepSql("x", minWords)}) AS k
       |  FROM deb),
       |dd AS (SELECT doc_id, n_lines, k,
       |    list_filter(generate_series(1, len(k)),
       |      i -> list_position(k, k[CAST(i AS INTEGER)]) = i) AS ki FROM c4)
       |SELECT doc_id, n_lines, CAST(len(ki) AS BIGINT) AS n_kept,
-      |  CAST(len(ki) >= 2 AS INTEGER) AS keep_doc,
+      |  CAST(len(ki) >= $minKeptLines AS INTEGER) AS keep_doc,
       |  array_to_string(list_transform(ki, i -> k[CAST(i AS INTEGER)]), chr(10))
       |    AS cleaned_text
       |FROM dd""".stripMargin
 
+  /** The composed page-cleaning pass (LineOps.pageClean): boilerplate
+    * strip → c4 rules → within-doc dedup → doc-level gate (≥ 2 surviving
+    * content lines). Even docs keep 2 lines (second content line gets
+    * terminal punct), odd docs keep 1 and gate out — both branches of
+    * keep_doc are populated at every SF. */
   private val pipelinePageClean = Q("pipeline_page_clean",
     (s, dir) => LineOps.pageClean(plantedPages(s, dir)),
     Some(s"""WITH p AS ($plantedPageSql),
@@ -3473,8 +3477,13 @@ object Queries {
     * two-sided at every SF. */
   private val pipelineWetClean = Q("pipeline_wet_clean",
     (s, dir) => LineOps.pageClean(
+      // pageClean consumes its input lineage three times (index explode,
+      // n_docs count, narrow apply); persisting the extracted frame runs
+      // the 13-step regex chain ONCE instead of thrice — the same
+      // shared-consumer reason bm25TopK persists its postings.
       LineOps.htmlExtract(plantedHtml(s, dir))
-        .select(col("doc_id"), col("text"))),
+        .select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
     Some(s"""WITH $htmlExtractCtes,
       |hpage AS (SELECT doc_id, text FROM hx),
       |${pageCleanSql("hpage")}""".stripMargin))

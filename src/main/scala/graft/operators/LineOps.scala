@@ -86,19 +86,9 @@ object LineOps {
 
   /** Corpus-frequent boilerplate-line removal (RefinedWeb/CCNet: a line
     * appearing in ≥ `minDocShareBp`/10000 of documents is nav/footer
-    * chrome, not content — strip it everywhere). Global by necessity:
-    *
-    *  1. explode lines with position (one Generate, no shuffle),
-    *  2. doc-frequency per line = distinct (line, doc) then count — both
-    *     aggregations partial/map-side combinable,
-    *  3. the frequent set (tiny by construction: at most 10000/share
-    *     lines can each cover that doc share) joins back BROADCAST as a
-    *     null-marker left join,
-    *  4. one groupBy(doc_id) rebuilds pages — `collect_list` skips the
-    *     nulled boilerplate entries, so every doc survives (possibly with
-    *     an empty page), and `sort_array` on (pos, line) structs restores
-    *     order deterministically.
-    *
+    * chrome, not content — strip it everywhere): build the frequent-line
+    * index over this corpus ([[boilerplateIndex]], the only global pass)
+    * and apply it in place ([[applyBoilerplate]], narrow).
     * Output: (doc_id, n_lines, n_kept, cleaned_text). */
   def stripBoilerplate(pages: DataFrame, minDocShareBp: Int): DataFrame =
     applyBoilerplate(pages, boilerplateIndex(pages, minDocShareBp))
