@@ -3594,6 +3594,45 @@ object Queries {
     Some(s"""WITH $bmQuerySql,
       |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin), bench = true)
 
+  /** BM25F fielded retrieval (Retrieval.bm25FieldedTopK): title hits
+    * count 3× — tf and dl are field-weighted BEFORE saturation
+    * (Robertson & Zaragoza's simple BM25F), df counts docs with the term
+    * in EITHER field. The fielded fixture derives the title from the
+    * doc's own leading tokens so query terms genuinely hit titles. The
+    * oracle reuses the shared scoring tail over weighted postings. */
+  private val textBm25Fielded = Q("text_bm25_fielded",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val fields = graft.plans.Stage(
+          docs.select(col("doc_id"), col("text")),
+          "w", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("w"), 1, 3)).as("title"),
+          col("text").as("body"))
+      Retrieval.bm25FieldedTopK(fields,
+        bmQueryTerms.toDF("query_id", "term"), k = 5)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |fields AS (SELECT doc_id,
+      |    array_to_string(list_slice(w, 1, 3), ' ') AS title, text AS body
+      |  FROM (SELECT doc_id, text, $duckToks AS w FROM documents)),
+      |ft AS (SELECT doc_id,
+      |  CASE WHEN trim(lower(title)) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(lower(title)), '\\s+') END AS wt,
+      |  CASE WHEN trim(lower(body)) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(lower(body)), '\\s+') END AS wb
+      |  FROM fields),
+      |occ AS (SELECT doc_id, unnest(wt) AS term, 3 AS w FROM ft
+      |  UNION ALL SELECT doc_id, unnest(wb) AS term, 1 AS w FROM ft),
+      |dls AS (SELECT doc_id, CAST(3 * len(wt) + len(wb) AS BIGINT) AS dl FROM ft),
+      |post AS (SELECT term, o.doc_id, d.dl, CAST(sum(o.w) AS BIGINT) AS tf
+      |  FROM occ o JOIN dls d USING (doc_id) GROUP BY 1, 2, 3),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(3 * len(wt) + len(wb)) AS BIGINT) AS total_tokens FROM ft),
+      |${Retrieval.bm25ScoreTailSql(5)}""".stripMargin))
+
   /** Mergeable term index (Retrieval.termIndex / mergeTermIndex): the
     * corpus arrives as three disjoint doc batches, each reduced to its
     * (term, df, tf_sum) index, merged pairwise — df and tf_sum are
@@ -4449,7 +4488,7 @@ object Queries {
     textTfidf, textShardStats,
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
     pipelinePageClean, textHtmlExtract, pipelineWetClean,
-    textBm25Topk, textBm25Incr,
+    textBm25Topk, textBm25Incr, textBm25Fielded,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

@@ -58,32 +58,15 @@ object Retrieval {
     a.unionByName(b).groupBy(col("term"))
       .agg(sum(col("df")).as("df"), sum(col("tf_sum")).as("tf_sum"))
 
-  /** Integer BM25 top-k: `queries` is the exploded query-term relation
-    * (query_id, term); returns (query_id, doc_id, score, rnk) with the
-    * k best docs per query, ties broken by doc_id (total order ⇒
-    * hash-exact). All arithmetic is long basis points with floor
-    * division, mirrored verbatim by the DuckDB oracle. */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-      k1Bp: Long = K1Bp, bBp: Long = BBp): DataFrame = {
-    // The postings frame is consumed twice (tf side + df side). A shared
-    // lazy subtree does NOT dedupe here: column pruning drops the unused
-    // count from the df branch's partial aggregate, the exchange subtrees
-    // diverge, and ReusedExchange never fires — the corpus would explode
-    // twice. Persisting is also the production posture: postings ARE the
-    // index, materialized once (as a table at 100 TB; MEMORY_AND_DISK
-    // here). CacheManager keys by canonicalized plan, so repeated
-    // invocations on one sfDir share a single entry.
-    val post = postings(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // df over the FULL corpus per term (the index table); restricted to
-    // query terms immediately after — queries are tiny, so both this
-    // join and the join onto postings broadcast.
+  /** The shared scoring core over ANY postings frame `(term, doc_id,
+    * tf, dl)` + one-row stats `(n_docs, total_tokens)`: integer BM25
+    * saturation/idf, sum per (query, doc), top-k per query. [[bm25TopK]]
+    * feeds it plain postings; [[bm25FieldedTopK]] feeds FIELD-WEIGHTED
+    * tf/dl (the BM25F construction: weight tf before saturation). */
+  private def scoreTopK(post: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int, k1Bp: Long, bBp: Long): DataFrame = {
     val qdf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
-    // corpus stats re-scan the (column-pruned) text column once — cheaper
-    // than a distinct-docs shuffle over the postings at corpus scale
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
     val scored = post
       .join(broadcast(qdf), "term")
       .crossJoin(broadcast(stats))
@@ -104,20 +87,68 @@ object Retrieval {
         col("rnk").cast("int").as("rnk"))
   }
 
-  /** SQL twin of the integer-BM25 derivation over relations
-    * `documents(doc_id, text)` and `q(query_id, term)`; `toksSql` is the
-    * tokenizer fragment (the caller's duckToks). Ends in the same
-    * (query_id, doc_id, score, rnk) shape as [[bm25TopK]]. */
-  def bm25Sql(toksSql: String, k: Int,
+  /** Integer BM25 top-k: `queries` is the exploded query-term relation
+    * (query_id, term); returns (query_id, doc_id, score, rnk) with the
+    * k best docs per query, ties broken by doc_id (total order ⇒
+    * hash-exact). All arithmetic is long basis points with floor
+    * division, mirrored verbatim by the DuckDB oracle. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1Bp: Long = K1Bp, bBp: Long = BBp): DataFrame = {
+    // The postings frame is consumed twice (tf side + df side). A shared
+    // lazy subtree does NOT dedupe here: column pruning drops the unused
+    // count from the df branch's partial aggregate, the exchange subtrees
+    // diverge, and ReusedExchange never fires — the corpus would explode
+    // twice. Persisting is also the production posture: postings ARE the
+    // index, materialized once (as a table at 100 TB; MEMORY_AND_DISK
+    // here). CacheManager keys by canonicalized plan, so repeated
+    // invocations on one sfDir share a single entry.
+    val post = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus stats re-scan the (column-pruned) text column once — cheaper
+    // than a distinct-docs shuffle over the postings at corpus scale
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
+    scoreTopK(post, stats, queries, k, k1Bp, bBp)
+  }
+
+  /** BM25F top-k over FIELDED documents `(doc_id, title, body)`: term
+    * frequencies are field-weighted BEFORE saturation (Robertson &
+    * Zaragoza's simple BM25F — a title hit counts `titleWeight`×) and
+    * document length is weighted the same way, so the normalization
+    * stays consistent. df counts docs containing the term in EITHER
+    * field. Integer weights keep every step exact. */
+  def bm25FieldedTopK(fields: DataFrame, queries: DataFrame, k: Int,
+      titleWeight: Int = 3,
+      k1Bp: Long = K1Bp, bBp: Long = BBp): DataFrame = {
+    val tt = TextFns.tokens(col("title"))
+    val bt = TextFns.tokens(col("body"))
+    val weighted = Stage(Stage(
+        fields.select(col("doc_id"), col("title"), col("body")),
+        "wt", tt), "wb", TextFns.tokens(col("body")))
+      .select(col("doc_id"),
+        (size(col("wt")).cast("long") * titleWeight +
+          size(col("wb")).cast("long")).as("dl"),
+        explode(concat(
+          flatten(transform(col("wt"),
+            t => array_repeat(t, titleWeight))),
+          col("wb"))).as("term"))
+    val post = weighted
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = fields.agg(count(lit(1)).as("n_docs"),
+      sum(size(tt).cast("long") * titleWeight + size(bt).cast("long"))
+        .as("total_tokens"))
+    scoreTopK(post, stats, queries, k, k1Bp, bBp)
+  }
+
+  /** SQL twin of the shared scoring tail — requires CTEs `post(term,
+    * doc_id, dl, tf)`, `tdf(term, df)`, `stats(n_docs, total_tokens)`
+    * and `q(query_id, term)` in scope; ends in the (query_id, doc_id,
+    * score, rnk) shape of [[scoreTopK]]. */
+  def bm25ScoreTailSql(k: Int,
       k1Bp: Long = K1Bp, bBp: Long = BBp): String =
-    s"""toks AS (SELECT doc_id, $toksSql AS w FROM documents),
-      |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
-      |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
-      |  GROUP BY 1, 2, 3),
-      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-      |stats AS (SELECT count(*) AS n_docs,
-      |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
-      |scored AS (SELECT query_id, doc_id,
+    s"""scored AS (SELECT query_id, doc_id,
       |    CAST(sum(idf_bp * sat_bp) AS BIGINT) AS score FROM (
       |  SELECT q.query_id, p.doc_id,
       |    (s.n_docs - t.df) * 10000 // (t.df + 1) AS idf_bp,
@@ -132,4 +163,19 @@ object Retrieval {
       |      ORDER BY score DESC, doc_id) AS rnk FROM scored)
       |SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rnk
       |FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /** SQL twin of the integer-BM25 derivation over relations
+    * `documents(doc_id, text)` and `q(query_id, term)`; `toksSql` is the
+    * tokenizer fragment (the caller's duckToks). Ends in the same
+    * (query_id, doc_id, score, rnk) shape as [[bm25TopK]]. */
+  def bm25Sql(toksSql: String, k: Int,
+      k1Bp: Long = K1Bp, bBp: Long = BBp): String =
+    s"""toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+      |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+      |${bm25ScoreTailSql(k, k1Bp, bBp)}""".stripMargin
 }

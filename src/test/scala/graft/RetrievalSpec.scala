@@ -75,6 +75,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("BM25F: a title hit outranks the same term buried in a body of " +
+      "equal weighted length; either-field df") {
+    val fields = Seq(
+      (1L, "hit title here", "pad pad pad pad pad pad"),    // title hit
+      (2L, "other title here", "hit pad pad pad pad pad"),  // body hit
+      (3L, "no match at", "all pad pad pad pad pad"))
+      .toDF("doc_id", "title", "body")
+    val q = Seq(("q", "hit")).toDF("query_id", "term")
+    val out = Retrieval.bm25FieldedTopK(fields, q, k = 3)
+      .orderBy("rnk").select("doc_id").as[Long].collect()
+    // equal weighted dl (3*3 + 6 = 15 each): title weight decides
+    assert(out.toSeq == Seq(1L, 2L), s"title hit must rank first: ${out.toSeq}")
+  }
+
   test("plan shape: query set broadcast; tf and df branches read the " +
       "PERSISTED postings (one corpus explode), not two explodes") {
     val d = docs((1L, "a b"), (2L, "b c"))
