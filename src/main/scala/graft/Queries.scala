@@ -3347,6 +3347,48 @@ object Queries {
       |      AND instr(lower($x), 'cookie') = 0
       |      AND instr(lower($x), '{') = 0""".stripMargin
 
+  /** Planted robots.txt rule table — one Seq is the single source for
+    * both sides. The planted URL structure fixes each host's page
+    * (doc%40 = N ⇒ doc%20 = N%20), so the rules are shaped to make every
+    * verdict branch REAL at every SF: hosts N%4==0 get a broad /Docs
+    * disallow plus a longer /Docs/Page1 allow (pages 12/16 win the
+    * longest-match override, pages 0/4/8 stay blocked); hosts N%4==1 get
+    * their own exact page disallowed; the rest have no rules (default
+    * allow). */
+  private val robotsRules: Seq[(String, String, Int)] =
+    (0 until 40).flatMap { n =>
+      val h = s"site$n.example.com"
+      if (n % 4 == 0) Seq((h, "/Docs", 0), (h, "/Docs/Page1", 1))
+      else if (n % 4 == 1) Seq((h, s"/Docs/Page${n % 20}", 0))
+      else Nil
+    }
+
+  private def robotsRuleSql: String =
+    robotsRules.map { case (h, p, a) => s"('$h', '$p', $a)" }.mkString(
+      "r AS (SELECT * FROM (VALUES ", ", ", ") AS v(host, prefix, allow))")
+
+  /** robots.txt frontier filter (Dedup.robotsFilter): RFC 9309
+    * longest-prefix-wins, allow on ties, default allow. The Spark side
+    * decides via ONE struct-max aggregation (no self-join); the oracle
+    * derives the same verdict through an independent rank-window
+    * formulation. */
+  private val pipelineRobotsFilter = Q("pipeline_robots_filter",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.robotsFilter(plantedUrls(s, dir),
+        robotsRules.toDF("host", "prefix", "allow"))
+    },
+    Some(s"""WITH u AS ($plantedUrlSql),
+      |$robotsRuleSql,
+      |c AS (SELECT doc_id, ${Dedup.urlHostSql("url")} AS host,
+      |        ${Dedup.urlPathSql("url")} AS path FROM u),
+      |m AS (SELECT c.doc_id, r.allow, row_number() OVER (PARTITION BY c.doc_id
+      |        ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+      |      FROM c JOIN r ON r.host = c.host AND starts_with(c.path, r.prefix))
+      |SELECT c.doc_id, c.host, c.path,
+      |  CAST(coalesce(m.allow, 1) AS INTEGER) AS allowed
+      |FROM c LEFT JOIN m ON m.doc_id = c.doc_id AND m.rn = 1""".stripMargin))
+
   /** C4 line rules (LineOps.cleanLines): drop short / unterminated /
     * marker lines, rebuild the page. Narrow — zero exchanges. */
   private val textCleanLines = Q("text_clean_lines",
@@ -4465,7 +4507,8 @@ object Queries {
     uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
-    dedupExact, dedupExactNfc, dedupUrl, dedupUrlIncr, dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
+    dedupExact, dedupExactNfc, dedupUrl, dedupUrlIncr, pipelineRobotsFilter,
+    dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSurvivorQuality, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,

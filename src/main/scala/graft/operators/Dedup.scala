@@ -75,7 +75,11 @@ object Dedup {
     * matches BEFORE a trailing newline while RE2's is end-of-text, so on
     * crawl junk like "?fbclid\n" the engines would diverge (round-10
     * review). Narrow per-row work, no shuffle. */
-  def canonicalUrl(url: Column): Column = {
+  /** The canonical HOST of a URL — same normalization [[canonicalUrl]]
+    * applies (userinfo stripped FIRST, case-fold, www-strip, default
+    * port removal), exposed for host-keyed crawl ops ([[robotsFilter]],
+    * per-host profiles). */
+  def urlHost(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     // Userinfo is stripped BEFORE the host normalization (ADVICE r9:
     // lowercasing the whole authority first mangled 'WWW.user@host' —
@@ -83,12 +87,23 @@ object Dedup {
     val auth = lower(regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1), "^[^@]*@", ""))
     val noWww = regexp_replace(auth, "^www\\.", "")
-    val host = when(scheme === "http", regexp_replace(noWww, ":80\\z", ""))
+    when(scheme === "http", regexp_replace(noWww, ":80\\z", ""))
       .when(scheme === "https", regexp_replace(noWww, ":443\\z", ""))
       .otherwise(noWww)
+  }
+
+  /** The canonical PATH of a URL — trailing slashes stripped, empty path
+    * is "/" (same rule [[canonicalUrl]] applies). */
+  def urlPath(url: Column): Column = {
     val pStrip = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+\\z", "")
-    val path = when(pStrip === "", lit("/")).otherwise(pStrip)
+    when(pStrip === "", lit("/")).otherwise(pStrip)
+  }
+
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = urlHost(url)
+    val path = urlPath(url)
     // Tracking keys match with an optional '=' boundary, so a bare
     // '?fbclid' (no value) is dropped like '?fbclid=x' (ADVICE r9).
     val params = array_sort(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
@@ -106,14 +121,25 @@ object Dedup {
   /** DuckDB expression mirroring [[canonicalUrl]] over variable `u` —
     * kept adjacent so the two normalizations stay in lock-step (the
     * TextFns `minhashNumSql` convention). */
-  def canonicalUrlSql(u: String): String = {
+  /** SQL twin of [[urlHost]]. */
+  def urlHostSql(u: String): String = {
     val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val noWww = s"regexp_replace(lower(regexp_replace(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '')), '^www\\.', '')"
-    val host = s"""CASE WHEN $scheme = 'http' THEN regexp_replace($noWww, ':80\\z', '')
+    s"""CASE WHEN $scheme = 'http' THEN regexp_replace($noWww, ':80\\z', '')
        | WHEN $scheme = 'https' THEN regexp_replace($noWww, ':443\\z', '')
        | ELSE $noWww END""".stripMargin
+  }
+
+  /** SQL twin of [[urlPath]]. */
+  def urlPathSql(u: String): String = {
     val pStrip = s"regexp_replace(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+\\z', '')"
-    val path = s"CASE WHEN $pStrip = '' THEN '/' ELSE $pStrip END"
+    s"CASE WHEN $pStrip = '' THEN '/' ELSE $pStrip END"
+  }
+
+  def canonicalUrlSql(u: String): String = {
+    val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val host = urlHostSql(u)
+    val path = urlPathSql(u)
     val params = s"""list_sort(list_filter(string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
        | p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?\\z')))""".stripMargin
     s"""(CASE WHEN $scheme = '' THEN $u ELSE
@@ -121,6 +147,28 @@ object Dedup {
        | CASE WHEN len($params) > 0
        |   THEN '?' || array_to_string($params, '&') ELSE '' END END)""".stripMargin
   }
+
+  /** robots.txt-style frontier filter (RFC 9309 matching): `rules` is
+    * the parsed per-host rule table (host, prefix, allow) — tiny (one
+    * row per robots directive), so it BROADCASTS onto the URL frame; the
+    * longest matching prefix decides, allow wins exact ties, and a URL
+    * with no matching rule is allowed. One broadcast join + one
+    * aggregation over (doc, matching rules) — the verdict is an argmax
+    * via struct-max (Spark orders structs lexicographically), no
+    * self-join back to the URL frame.
+    * Output: (doc_id, host, path, allowed). */
+  def robotsFilter(docs: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    docs.select(col("doc_id"),
+        urlHost(col(urlCol)).as("host"), urlPath(col(urlCol)).as("path"))
+      .join(broadcast(rules.select(col("host"), col("prefix"), col("allow"))),
+        Seq("host"), "left")
+      .groupBy(col("doc_id"), col("host"), col("path"))
+      .agg(max(when(col("prefix").isNotNull &&
+          col("path").startsWith(col("prefix")),
+        struct(length(col("prefix")).as("l"), col("allow").as("a")))).as("best"))
+      .select(col("doc_id"), col("host"), col("path"),
+        coalesce(col("best").getField("a"), lit(1)).cast("int").as("allowed"))
 
   /** Canonical-URL dedup: every row keyed by its [[canonicalUrl]], the
     * survivor being the min doc_id per canonical key. ONE shuffle (the

@@ -57,6 +57,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out(7L)._4 == 1 && out(7L)._3 == 7L)
   }
 
+  test("robotsFilter: longest prefix wins, allow wins exact ties, " +
+      "unknown host and no-match default to allow") {
+    val urls = Seq(
+      (1L, "http://a.com/Docs/Sub/page"),   // /Docs disallow, /Docs/Sub allow (longer)
+      (2L, "http://a.com/Docs/other"),      // /Docs disallow only
+      (3L, "http://a.com/open"),            // rules exist for host, none match
+      (4L, "http://b.com/anything"),        // no rules for host
+      (5L, "http://a.com/Tie/x"))           // equal-length allow+disallow -> allow
+      .toDF("doc_id", "url")
+    val rules = Seq(
+      ("a.com", "/Docs", 0), ("a.com", "/Docs/Sub", 1),
+      ("a.com", "/Tie/", 0), ("a.com", "/Tie/", 1))
+      .toDF("host", "prefix", "allow")
+    val out = graft.operators.Dedup.robotsFilter(urls, rules)
+      .orderBy("doc_id").select("allowed").as[Int].collect()
+    assert(out.toSeq == Seq(1, 0, 1, 1, 1))
+  }
+
   test("urlDedupIncremental: history keys suppress recrawls; batch dedups within itself") {
     val hist = Seq((1L, "http://a.com/x?b=2&a=1")).toDF("doc_id", "url")
     val batch = Seq(

@@ -119,6 +119,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val ceilings: Map[String, (Int, Int)] = Map(
       "dedup_url" -> (1, 1),
       "dedup_url_incr" -> (2, 2),
+      "pipeline_robots_filter" -> (1, 1),
       "dedup_survivor_quality" -> (2, 2),
       "pipeline_pack_ids" -> (4, 3),
       "multimodal_jpeg" -> (1, 1),
