@@ -3389,6 +3389,47 @@ object Queries {
       |  CAST(coalesce(m.allow, 1) AS INTEGER) AS allowed
       |FROM c LEFT JOIN m ON m.doc_id = c.doc_id AND m.rn = 1""".stripMargin))
 
+  /** Per-host crawl profile (urlDedup ∘ robotsFilter → host rollup):
+    * the frontier report a crawl operator reads — pages fetched,
+    * distinct canonical pages, recrawl-duplication rate and
+    * robots-allowed share per host, all integer basis points. Output is
+    * #hosts rows at any corpus size. */
+  private val aHostProfile = Q("a_host_profile",
+    (s, dir) => {
+      import s.implicits._
+      val urls = plantedUrls(s, dir)
+      val dd = Dedup.urlDedup(urls).select(col("doc_id"), col("is_canonical"))
+      val rf = Dedup.robotsFilter(urls,
+        robotsRules.toDF("host", "prefix", "allow"))
+      rf.join(dd, "doc_id")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_canonical").cast("long")).as("n_pages"),
+          sum(col("allowed").cast("long")).as("n_allowed"))
+        .select(col("host"), col("n_docs"), col("n_pages"),
+          expr("(n_docs - n_pages) * 10000 div n_docs").as("dup_bp"),
+          expr("n_allowed * 10000 div n_docs").as("allowed_bp"))
+    },
+    Some(s"""WITH u AS ($plantedUrlSql),
+      |$robotsRuleSql,
+      |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url,
+      |        ${Dedup.urlHostSql("url")} AS host,
+      |        ${Dedup.urlPathSql("url")} AS path FROM u),
+      |k AS (SELECT doc_id, host, path,
+      |        CAST(doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+      |          AS INTEGER) AS is_canonical FROM c),
+      |m AS (SELECT k.doc_id, r.allow, row_number() OVER (PARTITION BY k.doc_id
+      |        ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+      |      FROM k JOIN r ON r.host = k.host AND starts_with(k.path, r.prefix)),
+      |v AS (SELECT k.doc_id, k.host, k.is_canonical,
+      |        coalesce(m.allow, 1) AS allowed
+      |      FROM k LEFT JOIN m ON m.doc_id = k.doc_id AND m.rn = 1)
+      |SELECT host, count(*) AS n_docs,
+      |  CAST(sum(is_canonical) AS BIGINT) AS n_pages,
+      |  (count(*) - CAST(sum(is_canonical) AS BIGINT)) * 10000 // count(*) AS dup_bp,
+      |  CAST(sum(allowed) AS BIGINT) * 10000 // count(*) AS allowed_bp
+      |FROM v GROUP BY host""".stripMargin))
+
   /** C4 line rules (LineOps.cleanLines): drop short / unterminated /
     * marker lines, rebuild the page. Narrow — zero exchanges. */
   private val textCleanLines = Q("text_clean_lines",
@@ -4508,6 +4549,7 @@ object Queries {
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip, fSampleBernoulli,
     s1LadderScan, c11UuidWagers, fHashSample,
     dedupExact, dedupExactNfc, dedupUrl, dedupUrlIncr, pipelineRobotsFilter,
+    aHostProfile,
     dedupExactIncr, dedupExactIncrBloom, dedupMinhashIncr,
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSurvivorQuality, dedupSimhash, dedupEmbedding,

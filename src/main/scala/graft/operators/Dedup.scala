@@ -148,27 +148,39 @@ object Dedup {
        |   THEN '?' || array_to_string($params, '&') ELSE '' END END)""".stripMargin
   }
 
-  /** robots.txt-style frontier filter (RFC 9309 matching): `rules` is
-    * the parsed per-host rule table (host, prefix, allow) — tiny (one
-    * row per robots directive), so it BROADCASTS onto the URL frame; the
-    * longest matching prefix decides, allow wins exact ties, and a URL
-    * with no matching rule is allowed. One broadcast join + one
-    * aggregation over (doc, matching rules) — the verdict is an argmax
-    * via struct-max (Spark orders structs lexicographically), no
-    * self-join back to the URL frame.
+  /** robots.txt-style frontier filter (RFC 9309 matching): the longest
+    * matching prefix decides, allow wins exact ties, and a URL with no
+    * matching rule is allowed. The rule table collapses to ONE row per
+    * host (rule array) and broadcasts, so the URL side is a pure NARROW
+    * pass — no doc-side shuffle at any corpus size, and the same
+    * operator filters a streaming frontier against a static rule table
+    * unchanged (the [[LineOps.applyBoilerplate]] posture). The verdict
+    * is an in-row HOF argmax over the (tiny) matching-rule array.
     * Output: (doc_id, host, path, allowed). */
   def robotsFilter(docs: DataFrame, rules: DataFrame,
-      urlCol: String = "url"): DataFrame =
-    docs.select(col("doc_id"),
+      urlCol: String = "url"): DataFrame = {
+    val hostRules = rules.groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rs"))
+    val emptyRules = array().cast("array<struct<prefix:string,allow:int>>")
+    val withRules = docs.select(col("doc_id"),
         urlHost(col(urlCol)).as("host"), urlPath(col(urlCol)).as("path"))
-      .join(broadcast(rules.select(col("host"), col("prefix"), col("allow"))),
-        Seq("host"), "left")
-      .groupBy(col("doc_id"), col("host"), col("path"))
-      .agg(max(when(col("prefix").isNotNull &&
-          col("path").startsWith(col("prefix")),
-        struct(length(col("prefix")).as("l"), col("allow").as("a")))).as("best"))
-      .select(col("doc_id"), col("host"), col("path"),
-        coalesce(col("best").getField("a"), lit(1)).cast("int").as("allowed"))
+      .join(broadcast(hostRules), Seq("host"), "left")
+    val matches = filter(coalesce(col("rs"), emptyRules),
+      r => col("path").startsWith(r.getField("prefix")))
+    // fold to the winning rule: longer prefix beats shorter, allow beats
+    // disallow at equal length; init (-1, allow) doubles as the default
+    val best = aggregate(matches,
+      struct(lit(-1).as("l"), lit(1).as("a")),
+      (acc, r) => {
+        val rl = length(r.getField("prefix"))
+        val ra = r.getField("allow")
+        when(rl > acc.getField("l") ||
+            (rl === acc.getField("l") && ra > acc.getField("a")),
+          struct(rl.as("l"), ra.as("a"))).otherwise(acc)
+      })
+    withRules.select(col("doc_id"), col("host"), col("path"),
+      best.getField("a").cast("int").as("allowed"))
+  }
 
   /** Canonical-URL dedup: every row keyed by its [[canonicalUrl]], the
     * survivor being the min doc_id per canonical key. ONE shuffle (the

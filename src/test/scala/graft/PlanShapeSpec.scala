@@ -120,6 +120,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "dedup_url" -> (1, 1),
       "dedup_url_incr" -> (2, 2),
       "pipeline_robots_filter" -> (1, 1),
+      "a_host_profile" -> (3, 2),
       "dedup_survivor_quality" -> (2, 2),
       "pipeline_pack_ids" -> (4, 3),
       "multimodal_jpeg" -> (1, 1),
