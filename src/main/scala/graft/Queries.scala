@@ -3677,6 +3677,40 @@ object Queries {
     Some(s"""WITH $bmQuerySql,
       |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin), bench = true)
 
+  /** Snippet generation for the BM25 top-k (Retrieval.bm25Snippets):
+    * the 7-token window around each hit doc's first query-term
+    * occurrence — the "present" step of the retrieval tier. Misses
+    * differ cross-engine (Spark array_position = 0, DuckDB
+    * list_position = NULL); both sides filter them before the min. */
+  private val textBm25Snippets = Q("text_bm25_snippets",
+    (s, dir) => {
+      import s.implicits._
+      Retrieval.bm25Snippets(Tables.documents(s, dir),
+        bmQueryTerms.toDF("query_id", "term"), k = 5)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+      |${Retrieval.bm25ScoreCtesSql()},
+      |topk AS (SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS rnk
+      |  FROM ranked WHERE rnk <= 5),
+      |qt AS (SELECT query_id, list(term) AS terms FROM q GROUP BY 1),
+      |j AS (SELECT t.query_id, t.doc_id, t.rnk, k.w, qt.terms
+      |  FROM topk t JOIN qt USING (query_id) JOIN toks k USING (doc_id)),
+      |hp AS (SELECT query_id, doc_id, rnk,
+      |  CAST(list_min(list_filter(list_transform(terms, x -> list_position(w, x)),
+      |    p -> p IS NOT NULL AND p > 0)) AS BIGINT) AS hit_pos, w FROM j)
+      |SELECT query_id, doc_id, rnk, hit_pos,
+      |  array_to_string(list_slice(w,
+      |    CAST(greatest(1, hit_pos - 3) AS INTEGER),
+      |    CAST(greatest(1, hit_pos - 3) + 6 AS INTEGER)), ' ') AS snippet
+      |FROM hp""".stripMargin))
+
   /** BM25F fielded retrieval (Retrieval.bm25FieldedTopK): title hits
     * count 3× — tf and dl are field-weighted BEFORE saturation
     * (Robertson & Zaragoza's simple BM25F), df counts docs with the term
@@ -4573,7 +4607,7 @@ object Queries {
     textTfidf, textShardStats,
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
     pipelinePageClean, textHtmlExtract, pipelineWetClean,
-    textBm25Topk, textBm25Incr, textBm25Fielded,
+    textBm25Topk, textBm25Incr, textBm25Fielded, textBm25Snippets,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

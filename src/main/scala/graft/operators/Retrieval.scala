@@ -142,12 +142,47 @@ object Retrieval {
     scoreTopK(post, stats, queries, k, k1Bp, bBp)
   }
 
+  /** Snippet generation for the top-k results: the `window`-token slice
+    * around each hit doc's FIRST query-term occurrence — the "present"
+    * step of the retrieval tier. The (tiny) ranked result + per-query
+    * term arrays broadcast onto one narrow corpus pass, so snippet cost
+    * is candidate-sized reading, never corpus-sized compute. Every
+    * ranked doc matched ≥ 1 term (score > 0 ⇒ a posting joined), so
+    * hit_pos is always defined.
+    * Output: (query_id, doc_id, rnk, hit_pos, snippet). */
+  def bm25Snippets(docs: DataFrame, queries: DataFrame, k: Int,
+      window: Int = 7): DataFrame = {
+    val top = bm25TopK(docs, queries, k)
+    val qTerms = queries.groupBy(col("query_id"))
+      .agg(collect_list(col("term")).as("terms"))
+    val toks = Stage(docs.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    val joined = toks.select(col("doc_id"), col("w"))
+      .join(broadcast(top.join(broadcast(qTerms), "query_id")), "doc_id")
+    // first occurrence of ANY query term: array_position is 0 when
+    // absent in Spark (NULL in DuckDB) — both sides filter the misses
+    val hitPos = array_min(filter(
+      transform(col("terms"), t => array_position(col("w"), t)),
+      p => p > 0))
+    val start = greatest(lit(1L), hitPos - (window / 2)).cast("int")
+    joined.select(col("query_id"), col("doc_id"), col("rnk"),
+      hitPos.as("hit_pos"),
+      array_join(slice(col("w"), start, lit(window)), " ").as("snippet"))
+  }
+
   /** SQL twin of the shared scoring tail — requires CTEs `post(term,
     * doc_id, dl, tf)`, `tdf(term, df)`, `stats(n_docs, total_tokens)`
     * and `q(query_id, term)` in scope; ends in the (query_id, doc_id,
     * score, rnk) shape of [[scoreTopK]]. */
   def bm25ScoreTailSql(k: Int,
       k1Bp: Long = K1Bp, bBp: Long = BBp): String =
+    s"""${bm25ScoreCtesSql(k1Bp, bBp)}
+      |SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+      |FROM ranked WHERE rnk <= $k""".stripMargin
+
+  /** The scoring CTEs only (`scored`, `ranked`) — for callers that keep
+    * composing past the rank (snippets). */
+  def bm25ScoreCtesSql(k1Bp: Long = K1Bp, bBp: Long = BBp): String =
     s"""scored AS (SELECT query_id, doc_id,
       |    CAST(sum(idf_bp * sat_bp) AS BIGINT) AS score FROM (
       |  SELECT q.query_id, p.doc_id,
@@ -160,9 +195,7 @@ object Retrieval {
       |  GROUP BY 1, 2),
       |ranked AS (SELECT query_id, doc_id, score,
       |    row_number() OVER (PARTITION BY query_id
-      |      ORDER BY score DESC, doc_id) AS rnk FROM scored)
-      |SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rnk
-      |FROM ranked WHERE rnk <= $k""".stripMargin
+      |      ORDER BY score DESC, doc_id) AS rnk FROM scored)""".stripMargin
 
   /** SQL twin of the integer-BM25 derivation over relations
     * `documents(doc_id, text)` and `q(query_id, term)`; `toksSql` is the

@@ -75,6 +75,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1, 0, 1, 1, 1))
   }
 
+  test("robotsFilter on a STREAMING frontier against a static rule " +
+      "table: verdicts batch-identical (the narrow-apply posture)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val urls = Seq((1L, "http://a.com/Docs/x"), (2L, "http://a.com/open"),
+      (3L, "http://b.com/y"))
+    val rules = Seq(("a.com", "/Docs", 0)).toDF("host", "prefix", "allow")
+    val expected = graft.operators.Dedup.robotsFilter(
+        urls.toDF("doc_id", "url"), rules)
+      .orderBy("doc_id").collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.robotsFilter(
+        in.toDF().toDF("doc_id", "url"), rules)
+      .writeStream.format("memory").queryName("stream_robots")
+      .outputMode("append").start()
+    try {
+      in.addData(urls: _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_robots").orderBy("doc_id").collect().toSeq
+      assert(got == expected, s"stream diverged from batch:\n$got\n$expected")
+    } finally q.stop()
+  }
+
   test("urlDedupIncremental: history keys suppress recrawls; batch dedups within itself") {
     val hist = Seq((1L, "http://a.com/x?b=2&a=1")).toDF("doc_id", "url")
     val batch = Seq(

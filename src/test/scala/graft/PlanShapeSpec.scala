@@ -176,7 +176,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "pipeline_page_clean" -> (4, 3),
       "text_bm25_topk" -> (6, 3),
       "text_bm25_incr" -> (6, 3),
-      "text_bm25_fielded" -> (6, 3))
+      "text_bm25_fielded" -> (6, 3),
+      "text_bm25_snippets" -> (7, 4))
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
       val p = plan(Queries.queries(name)(spark, sf))
       val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length

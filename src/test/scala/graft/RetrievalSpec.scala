@@ -89,6 +89,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L), s"title hit must rank first: ${out.toSeq}")
   }
 
+  test("snippets: window centers on the FIRST hit of any query term and " +
+      "clamps at the doc start") {
+    val d = docs(
+      (1L, "hit a b c d e f g h i j"),            // hit at pos 1 -> clamp
+      (2L, "a b c d e hit f g h i j"))            // hit at pos 6 -> centered
+    val q = Seq(("q", "hit"), ("q", "zzz")).toDF("query_id", "term")
+    val out = Retrieval.bm25Snippets(d, q, k = 2, window = 5)
+      .orderBy("doc_id")
+      .select($"hit_pos", $"snippet").as[(Long, String)].collect()
+    assert(out(0) == ((1L, "hit a b c d")), s"clamped window wrong: ${out(0)}")
+    assert(out(1) == ((6L, "d e hit f g")), s"centered window wrong: ${out(1)}")
+  }
+
   test("plan shape: query set broadcast; tf and df branches read the " +
       "PERSISTED postings (one corpus explode), not two explodes") {
     val d = docs((1L, "a b"), (2L, "b c"))
