@@ -3567,7 +3567,7 @@ object Queries {
       LineOps.htmlExtract(plantedHtml(s, dir))
         .select(col("doc_id"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
-    Some(s"""WITH $htmlExtractCtes,
+    Some(s"""WITH ${htmlExtractCtes()},
       |hpage AS (SELECT doc_id, text FROM hx),
       |${pageCleanSql("hpage")}""".stripMargin))
 
@@ -3625,8 +3625,8 @@ object Queries {
     * text_html_extract oracle and the wet-clean composition. The strip
     * chain itself is generated from the SAME step list the Spark side
     * folds (LineOps.htmlStripSql). */
-  private def htmlExtractCtes: String =
-    s"""hp AS ($plantedHtmlSql),
+  private def htmlExtractCtes(srcSql: String = plantedHtmlSql): String =
+    s"""hp AS ($srcSql),
       |hx AS (SELECT doc_id, html,
       |  trim(${LineOps.htmlStripSql("html")}, ' ' || chr(10)) AS text FROM hp)""".stripMargin
 
@@ -3635,7 +3635,7 @@ object Queries {
     * normalization; raw title pull. */
   private val textHtmlExtract = Q("text_html_extract",
     (s, dir) => LineOps.htmlExtract(plantedHtml(s, dir)),
-    Some(s"""WITH $htmlExtractCtes
+    Some(s"""WITH ${htmlExtractCtes()}
       |SELECT doc_id, regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
       |  text,
       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
@@ -3643,6 +3643,63 @@ object Queries {
       |    ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS INTEGER)
       |    AS n_tokens
       |FROM hx""".stripMargin))
+
+  /** The CRAWL-FRONTIER capstone — one call from today's raw crawl to
+    * gated clean pages, every stage an already-oracled operator:
+    *
+    *   1. robots gate (RFC 9309 verdict, narrow) on the new batch
+    *      (%3≠0 — the dedup_url_incr split),
+    *   2. incremental canonical-URL dedup against YESTERDAY's persisted
+    *      key index (bounded %3==0 ∧ doc_id<600 history),
+    *   3. WET HTML extraction of the admitted fresh fetches,
+    *   4. boilerplate/c4/line-dedup page cleaning + the doc gate.
+    *
+    * Funnel audited non-degenerate at both SFs: every stage culls some
+    * docs and none culls all (robots, recrawl suppression, within-batch
+    * dup collapse, and the keep_doc parity split all fire). The oracle
+    * chains the same shared fragments (robots rank-window, history
+    * anti-join, extract chain, pageClean CTEs). */
+  private val pipelineCrawlFrontier = Q("pipeline_crawl_frontier",
+    (s, dir) => {
+      import s.implicits._
+      val urls = plantedUrls(s, dir)
+      val batch = urls.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val admitted = Dedup.robotsFilter(batch,
+          robotsRules.toDF("host", "prefix", "allow"))
+        .where(col("allowed") === 1).select(col("doc_id"))
+      val hist = Dedup.urlIndex(urls.where(
+        pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 600))
+      val fresh = Dedup.urlDedupIncremental(batch.join(admitted, "doc_id"), hist)
+        .where(col("is_canonical") === 1).select(col("doc_id"))
+      // fetch set decided — extract + clean only those pages; the
+      // extracted frame persists (pageClean reads it three times)
+      LineOps.pageClean(
+        LineOps.htmlExtract(plantedHtml(s, dir).join(fresh, "doc_id"))
+          .select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    },
+    Some(s"""WITH u AS ($plantedUrlSql),
+      |$robotsRuleSql,
+      |bu AS (SELECT doc_id, url FROM u WHERE doc_id % 3 <> 0),
+      |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url,
+      |        ${Dedup.urlHostSql("url")} AS host,
+      |        ${Dedup.urlPathSql("url")} AS path FROM bu),
+      |m AS (SELECT c.doc_id, r.allow, row_number() OVER (PARTITION BY c.doc_id
+      |        ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+      |      FROM c JOIN r ON r.host = c.host AND starts_with(c.path, r.prefix)),
+      |adm AS (SELECT c.doc_id, c.canonical_url FROM c
+      |  LEFT JOIN m ON m.doc_id = c.doc_id AND m.rn = 1
+      |  WHERE coalesce(m.allow, 1) = 1),
+      |histc AS (SELECT DISTINCT ${Dedup.canonicalUrlSql("url")} AS k FROM u
+      |          WHERE doc_id % 3 = 0 AND doc_id < 600),
+      |fresh AS (SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id
+      |    FROM adm WHERE canonical_url NOT IN (SELECT k FROM histc))
+      |  WHERE doc_id = keep_id),
+      |${htmlExtractCtes(
+          s"SELECT p.* FROM ($plantedHtmlSql) p JOIN fresh USING (doc_id)")},
+      |hpage AS (SELECT doc_id, text FROM hx),
+      |${pageCleanSql("hpage")}""".stripMargin))
 
   // ───────────── sparse lexical retrieval (Retrieval — BM25 tier) ────────
 
@@ -4606,7 +4663,7 @@ object Queries {
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
-    pipelinePageClean, textHtmlExtract, pipelineWetClean,
+    pipelinePageClean, textHtmlExtract, pipelineWetClean, pipelineCrawlFrontier,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25Snippets,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,

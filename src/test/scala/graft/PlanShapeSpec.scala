@@ -177,7 +177,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_bm25_topk" -> (6, 3),
       "text_bm25_incr" -> (6, 3),
       "text_bm25_fielded" -> (6, 3),
-      "text_bm25_snippets" -> (7, 4))
+      "text_bm25_snippets" -> (7, 4),
+      // PRE-execution counts: the extracted-pages persist boundary prints
+      // its frontier subtree (robots verdict + history anti-join + fetch
+      // join) once per pageClean consumer — same print-inflation caveat
+      // as pipeline_crawl_to_trainer; PlanFinal shows InMemoryTableScans
+      "pipeline_crawl_frontier" -> (13, 12))
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
       val p = plan(Queries.queries(name)(spark, sf))
       val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
