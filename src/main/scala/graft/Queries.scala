@@ -3367,6 +3367,26 @@ object Queries {
     robotsRules.map { case (h, p, a) => s"('$h', '$p', $a)" }.mkString(
       "r AS (SELECT * FROM (VALUES ", ", ", ") AS v(host, prefix, allow))")
 
+  /** The robots verdict derivation over relation `src(doc_id, url)` —
+    * ONE fragment for every oracle that needs it (RFC 9309 semantics
+    * live in exactly two places: Dedup.robotsFilter and here). Emits
+    * CTEs `c(doc_id[, canonical_url], host, path)` and `m(doc_id,
+    * allow, rn)`; the verdict is `coalesce(m.allow, 1)` joined
+    * `ON m.doc_id = … AND m.rn = 1`. Requires `r(host, prefix, allow)`
+    * in scope; `withCanonical` adds the canonical-URL column for
+    * compositions that also dedup. */
+  private def robotsVerdictCtes(src: String,
+      withCanonical: Boolean = false): String = {
+    val canon =
+      if (withCanonical) s"${Dedup.canonicalUrlSql("url")} AS canonical_url,\n        "
+      else ""
+    s"""c AS (SELECT doc_id, $canon${Dedup.urlHostSql("url")} AS host,
+      |        ${Dedup.urlPathSql("url")} AS path FROM $src),
+      |m AS (SELECT c.doc_id, r.allow, row_number() OVER (PARTITION BY c.doc_id
+      |        ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+      |      FROM c JOIN r ON r.host = c.host AND starts_with(c.path, r.prefix))""".stripMargin
+  }
+
   /** robots.txt frontier filter (Dedup.robotsFilter): RFC 9309
     * longest-prefix-wins, allow on ties, default allow. The Spark side
     * decides via ONE struct-max aggregation (no self-join); the oracle
@@ -3380,11 +3400,7 @@ object Queries {
     },
     Some(s"""WITH u AS ($plantedUrlSql),
       |$robotsRuleSql,
-      |c AS (SELECT doc_id, ${Dedup.urlHostSql("url")} AS host,
-      |        ${Dedup.urlPathSql("url")} AS path FROM u),
-      |m AS (SELECT c.doc_id, r.allow, row_number() OVER (PARTITION BY c.doc_id
-      |        ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
-      |      FROM c JOIN r ON r.host = c.host AND starts_with(c.path, r.prefix))
+      |${robotsVerdictCtes("u")}
       |SELECT c.doc_id, c.host, c.path,
       |  CAST(coalesce(m.allow, 1) AS INTEGER) AS allowed
       |FROM c LEFT JOIN m ON m.doc_id = c.doc_id AND m.rn = 1""".stripMargin))
@@ -3412,15 +3428,10 @@ object Queries {
     },
     Some(s"""WITH u AS ($plantedUrlSql),
       |$robotsRuleSql,
-      |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url,
-      |        ${Dedup.urlHostSql("url")} AS host,
-      |        ${Dedup.urlPathSql("url")} AS path FROM u),
-      |k AS (SELECT doc_id, host, path,
+      |${robotsVerdictCtes("u", withCanonical = true)},
+      |k AS (SELECT doc_id, host,
       |        CAST(doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
       |          AS INTEGER) AS is_canonical FROM c),
-      |m AS (SELECT k.doc_id, r.allow, row_number() OVER (PARTITION BY k.doc_id
-      |        ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
-      |      FROM k JOIN r ON r.host = k.host AND starts_with(k.path, r.prefix)),
       |v AS (SELECT k.doc_id, k.host, k.is_canonical,
       |        coalesce(m.allow, 1) AS allowed
       |      FROM k LEFT JOIN m ON m.doc_id = k.doc_id AND m.rn = 1)
@@ -3681,12 +3692,7 @@ object Queries {
     Some(s"""WITH u AS ($plantedUrlSql),
       |$robotsRuleSql,
       |bu AS (SELECT doc_id, url FROM u WHERE doc_id % 3 <> 0),
-      |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url,
-      |        ${Dedup.urlHostSql("url")} AS host,
-      |        ${Dedup.urlPathSql("url")} AS path FROM bu),
-      |m AS (SELECT c.doc_id, r.allow, row_number() OVER (PARTITION BY c.doc_id
-      |        ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
-      |      FROM c JOIN r ON r.host = c.host AND starts_with(c.path, r.prefix)),
+      |${robotsVerdictCtes("bu", withCanonical = true)},
       |adm AS (SELECT c.doc_id, c.canonical_url FROM c
       |  LEFT JOIN m ON m.doc_id = c.doc_id AND m.rn = 1
       |  WHERE coalesce(m.allow, 1) = 1),

@@ -61,20 +61,6 @@ object Dedup {
       .drop("_brn")
   }
 
-  /** URL canonicalization — the normalize step of the cheapest dedup tier
-    * a crawl corpus runs BEFORE any content hashing (VERDICT r8 #8):
-    * lowercase scheme+host, strip userinfo (everything through `@` in the
-    * authority — credentials never belong in a dedup key), strip a
-    * leading `www.`, strip the scheme's default port (`:80` http / `:443`
-    * https), strip trailing path slashes (bare host ⇒ `/`), drop the
-    * fragment, drop tracking params (`utm_*`, `fbclid`, `gclid` — bare or
-    * `key=value` form) and SORT the remaining query params. Path case is
-    * preserved (case-sensitive per RFC 3986). Built from regex/array ops
-    * in the Java∩RE2 syntax subset so the DuckDB oracle replays the exact
-    * same spans — note every end anchor is `\z`, not `$`: Java's `$`
-    * matches BEFORE a trailing newline while RE2's is end-of-text, so on
-    * crawl junk like "?fbclid\n" the engines would diverge (round-10
-    * review). Narrow per-row work, no shuffle. */
   /** The canonical HOST of a URL — same normalization [[canonicalUrl]]
     * applies (userinfo stripped FIRST, case-fold, www-strip, default
     * port removal), exposed for host-keyed crawl ops ([[robotsFilter]],
@@ -100,6 +86,20 @@ object Dedup {
     when(pStrip === "", lit("/")).otherwise(pStrip)
   }
 
+  /** URL canonicalization — the normalize step of the cheapest dedup tier
+    * a crawl corpus runs BEFORE any content hashing (VERDICT r8 #8):
+    * lowercase scheme+host, strip userinfo (everything through `@` in the
+    * authority — credentials never belong in a dedup key), strip a
+    * leading `www.`, strip the scheme's default port (`:80` http / `:443`
+    * https), strip trailing path slashes (bare host ⇒ `/`), drop the
+    * fragment, drop tracking params (`utm_*`, `fbclid`, `gclid` — bare or
+    * `key=value` form) and SORT the remaining query params. Path case is
+    * preserved (case-sensitive per RFC 3986). Built from regex/array ops
+    * in the Java∩RE2 syntax subset so the DuckDB oracle replays the exact
+    * same spans — note every end anchor is `\z`, not `$`: Java's `$`
+    * matches BEFORE a trailing newline while RE2's is end-of-text, so on
+    * crawl junk like "?fbclid\n" the engines would diverge (round-10
+    * review). Narrow per-row work, no shuffle. */
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = urlHost(url)

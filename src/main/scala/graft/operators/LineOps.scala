@@ -144,33 +144,27 @@ object LineOps {
   val BlockTags: String =
     "p|div|h1|h2|h3|li|ul|ol|tr|table|br|head|body|html|title"
 
-  /** WET-style HTML → text extraction — the step BEFORE any line/doc
-    * cleaning in a crawl pipeline: drop script/style blocks and comments,
-    * turn BLOCK tag boundaries into newlines and strip the remaining
-    * (inline) tags to spaces, decode the five core entities (&amp; LAST,
-    * so entity-encoded entities don't double-decode), then normalize
-    * whitespace per line and squeeze empty lines. Pure chained codegen'd
-    * regexp_replace — narrow, zero exchanges, streaming-safe. Patterns
-    * avoid DOTALL (both engines default '.' ∌ newline) — raw block
-    * bodies must be single-line, which the fixture guarantees and real
-    * WET extraction handles upstream by newline-normalizing first.
-    * Output: (doc_id, title, text, n_lines, n_tokens) with
-    * line-structured `text` that feeds [[pageClean]] directly. */
   /** The extraction chain — ONE list drives both the Column fold and the
     * SQL twin ([[htmlStripSql]]), so the engines cannot drift. Patterns
-    * stay inside the Java∩RE2 subset (no anchors, no DOTALL); the tab and
-    * newline characters are literal in both (RE2 reads the raw chars). */
+    * stay inside the Java∩RE2 subset (no anchors, no DOTALL; `(?i)` is
+    * common to both); the tab and newline characters are literal in both
+    * (RE2 reads the raw chars). */
   private val HtmlSteps: List[(String, String)] = List(
-    "<script[^>]*>.*?</script>" -> " ",
-    "<style[^>]*>.*?</style>" -> " ",
+    "(?i)<script[^>]*>.*?</script>" -> " ",
+    "(?i)<style[^>]*>.*?</style>" -> " ",
     "<!--.*?-->" -> " ",
-    s"</?($BlockTags)[^>]*>" -> "\n",
+    // case-insensitive (legacy crawl pages shout <P>) with a tag-NAME
+    // boundary — without it <link>/<param>/<track> match via the
+    // li/p/tr alternatives and inject spurious line breaks
+    s"(?i)</?($BlockTags)(/?>|[ \t][^>]*>)" -> "\n",
     "<[^>]*>" -> " ",
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&amp;" -> "&",
-    // whitespace normalization: spaces collapse per line, line edges
-    // trim, empty lines squeeze — each step left-to-right in both engines
-    "[ \t]+" -> " ",
+    // whitespace normalization: spaces/tabs/CRs collapse per line (CRLF
+    // input must not leave \r on line ends — c4's terminal-punct check
+    // and the boilerplate md5 keys would both break), line edges trim,
+    // empty lines squeeze — each step left-to-right in both engines
+    "[ \t\r]+" -> " ",
     " ?\n ?" -> "\n",
     "\n+" -> "\n")
 
@@ -184,6 +178,19 @@ object LineOps {
     }
   }
 
+  /** WET-style HTML → text extraction — the step BEFORE any line/doc
+    * cleaning in a crawl pipeline: drop script/style blocks and comments,
+    * turn BLOCK tag boundaries into newlines and strip the remaining
+    * (inline) tags to spaces, decode the five core entities (&amp; LAST,
+    * so entity-encoded entities don't double-decode), then normalize
+    * whitespace per line and squeeze empty lines. Pure chained codegen'd
+    * regexp_replace — narrow, zero exchanges, streaming-safe. Patterns
+    * avoid DOTALL (both engines default '.' ∌ newline) — raw block
+    * bodies must be single-line, which the fixture guarantees and real
+    * WET extraction handles upstream by newline-normalizing first
+    * (stray CRs are folded by the whitespace steps).
+    * Output: (doc_id, title, text, n_lines, n_tokens) with
+    * line-structured `text` that feeds [[pageClean]] directly. */
   def htmlExtract(pages: DataFrame): DataFrame = {
     val stripped = HtmlSteps.foldLeft(col("html")) {
       case (c, (pat, repl)) => regexp_replace(c, pat, repl)

@@ -122,19 +122,26 @@ object Retrieval {
       k1Bp: Long = K1Bp, bBp: Long = BBp): DataFrame = {
     val tt = TextFns.tokens(col("title"))
     val bt = TextFns.tokens(col("body"))
-    val weighted = Stage(Stage(
+    // occurrences carry a WEIGHT column (tf = sum of weights) — one
+    // explode of |title|+|body| rows, not titleWeight× physical copies
+    // of every title token (round-10 review)
+    val occ = Stage(Stage(
         fields.select(col("doc_id"), col("title"), col("body")),
         "wt", tt), "wb", TextFns.tokens(col("body")))
       .select(col("doc_id"),
         (size(col("wt")).cast("long") * titleWeight +
           size(col("wb")).cast("long")).as("dl"),
         explode(concat(
-          flatten(transform(col("wt"),
-            t => array_repeat(t, titleWeight))),
-          col("wb"))).as("term"))
-    val post = weighted
+          transform(col("wt"),
+            t => struct(t.as("term"), lit(titleWeight).as("wgt"))),
+          transform(col("wb"),
+            t => struct(t.as("term"), lit(1).as("wgt"))))).as("o"))
+    val post = occ
+      .select(col("doc_id"), col("dl"),
+        col("o").getField("term").as("term"),
+        col("o").getField("wgt").as("wgt"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(sum(col("wgt")).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = fields.agg(count(lit(1)).as("n_docs"),
       sum(size(tt).cast("long") * titleWeight + size(bt).cast("long"))

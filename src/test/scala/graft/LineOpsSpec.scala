@@ -143,6 +143,20 @@ class LineOpsSpec extends AnyFunSuite {
       "html extraction must be narrow")
   }
 
+  test("htmlExtract robustness: uppercase block tags break lines, " +
+      "prefix-colliding inline tags (<link>, <param>, <track>) do NOT, " +
+      "and CRLF input leaves no \\r on line ends") {
+    val html = "<HTML><BODY><P>First real sentence here today.</P>\r\n" +
+      "<P>Second <link rel=\"x\"> sentence <param name=\"y\"> here too.</P>" +
+      "</BODY></HTML>"
+    val out = LineOps.htmlExtract(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().head
+    assert(out.getAs[String]("text") ==
+      "First real sentence here today.\nSecond sentence here too.",
+      s"got: ${out.getAs[String]("text").replace("\n", "\\n").replace("\r", "\\r")}")
+    assert(out.getAs[Long]("n_lines") == 2)
+  }
+
   test("plan shape: cleanLines, dedupLinesWithinDoc AND the boilerplate " +
       "APPLY side are NARROW; only the index build shuffles") {
     val ps = pages((1L, "a\nb"), (2L, "a\nc"))
