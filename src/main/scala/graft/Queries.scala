@@ -3740,6 +3740,23 @@ object Queries {
     Some(s"""WITH $bmQuerySql,
       |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin), bench = true)
 
+  /** Stopword-pruned BM25 (Retrieval.bm25TopK with maxDfShareBp): a
+    * query mixing a corpus-saturating term ('table', df ≈ 77% at every
+    * SF — the planted vocab is near-uniform) with a rare one ('dup',
+    * ≈ 5%); the 50% df-share prune drops the saturating term's whole
+    * posting list BEFORE the candidate join — the stopword-explosion
+    * guard — and ranking proceeds on the informative term. */
+  private val textBm25Pruned = Q("text_bm25_pruned",
+    (s, dir) => {
+      import s.implicits._
+      Retrieval.bm25TopK(Tables.documents(s, dir),
+        Seq(("q1", "table"), ("q1", "dup")).toDF("query_id", "term"),
+        k = 5, maxDfShareBp = 5000)
+    },
+    Some(s"""WITH q AS (SELECT * FROM (VALUES ('q1', 'table'), ('q1', 'dup'))
+      |  AS v(query_id, term)),
+      |${Retrieval.bm25Sql(duckToks, 5, maxDfShareBp = 5000)}""".stripMargin))
+
   /** Snippet generation for the BM25 top-k (Retrieval.bm25Snippets):
     * the 7-token window around each hit doc's first query-term
     * occurrence — the "present" step of the retrieval tier. Misses
@@ -4671,6 +4688,7 @@ object Queries {
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
     pipelinePageClean, textHtmlExtract, pipelineWetClean, pipelineCrawlFrontier,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25Snippets,
+    textBm25Pruned,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

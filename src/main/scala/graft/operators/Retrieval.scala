@@ -64,8 +64,21 @@ object Retrieval {
     * feeds it plain postings; [[bm25FieldedTopK]] feeds FIELD-WEIGHTED
     * tf/dl (the BM25F construction: weight tf before saturation). */
   private def scoreTopK(post: DataFrame, stats: DataFrame,
-      queries: DataFrame, k: Int, k1Bp: Long, bBp: Long): DataFrame = {
-    val qdf = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      queries: DataFrame, k: Int, k1Bp: Long, bBp: Long,
+      maxDfShareBp: Int = 10000): DataFrame = {
+    // STOPWORD GUARD: a query term with df ≈ N carries idf_bp ≈ 0 but
+    // still joins its whole posting list — at corpus scale that is the
+    // classic stopword candidate explosion. Pruning happens on the TINY
+    // df-index side (before the broadcast), so the posting join never
+    // materializes those candidates; at df = N the idf is exactly 0, so
+    // pruning there is result-identical. Default 10000 bp = off.
+    val dfIdx = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val pruned =
+      if (maxDfShareBp >= 10000) dfIdx
+      else dfIdx.crossJoin(broadcast(stats.select(col("n_docs"))))
+        .where(col("df") * 10000 <= col("n_docs") * maxDfShareBp)
+        .select(col("term"), col("df"))
+    val qdf = pruned
       .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
     val scored = post
       .join(broadcast(qdf), "term")
@@ -93,7 +106,8 @@ object Retrieval {
     * hash-exact). All arithmetic is long basis points with floor
     * division, mirrored verbatim by the DuckDB oracle. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-      k1Bp: Long = K1Bp, bBp: Long = BBp): DataFrame = {
+      k1Bp: Long = K1Bp, bBp: Long = BBp,
+      maxDfShareBp: Int = 10000): DataFrame = {
     // The postings frame is consumed twice (tf side + df side). A shared
     // lazy subtree does NOT dedupe here: column pruning drops the unused
     // count from the df branch's partial aggregate, the exchange subtrees
@@ -108,7 +122,7 @@ object Retrieval {
     // than a distinct-docs shuffle over the postings at corpus scale
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
-    scoreTopK(post, stats, queries, k, k1Bp, bBp)
+    scoreTopK(post, stats, queries, k, k1Bp, bBp, maxDfShareBp)
   }
 
   /** BM25F top-k over FIELDED documents `(doc_id, title, body)`: term
@@ -207,15 +221,21 @@ object Retrieval {
   /** SQL twin of the integer-BM25 derivation over relations
     * `documents(doc_id, text)` and `q(query_id, term)`; `toksSql` is the
     * tokenizer fragment (the caller's duckToks). Ends in the same
-    * (query_id, doc_id, score, rnk) shape as [[bm25TopK]]. */
+    * (query_id, doc_id, score, rnk) shape as [[bm25TopK]], including the
+    * optional stopword df-prune. */
   def bm25Sql(toksSql: String, k: Int,
-      k1Bp: Long = K1Bp, bBp: Long = BBp): String =
+      k1Bp: Long = K1Bp, bBp: Long = BBp,
+      maxDfShareBp: Int = 10000): String = {
+    val prune =
+      if (maxDfShareBp >= 10000) ""
+      else s"\n  HAVING count(*) * 10000 <= (SELECT n_docs FROM stats) * $maxDfShareBp"
     s"""toks AS (SELECT doc_id, $toksSql AS w FROM documents),
       |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
       |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
       |  GROUP BY 1, 2, 3),
-      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
       |stats AS (SELECT count(*) AS n_docs,
       |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1$prune),
       |${bm25ScoreTailSql(k, k1Bp, bBp)}""".stripMargin
+  }
 }

@@ -178,6 +178,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_bm25_incr" -> (6, 3),
       "text_bm25_fielded" -> (6, 3),
       "text_bm25_snippets" -> (7, 4),
+      "text_bm25_pruned" -> (7, 4),
       // PRE-execution counts: the extracted-pages persist boundary prints
       // its frontier subtree (robots verdict + history anti-join + fetch
       // join) once per pageClean consumer — same print-inflation caveat

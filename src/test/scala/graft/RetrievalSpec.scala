@@ -89,6 +89,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L), s"title hit must rank first: ${out.toSeq}")
   }
 
+  test("df-prune: a term in EVERY doc is dropped before the candidate " +
+      "join and the ranking equals the query without it") {
+    val d = docs(
+      (1L, "stop rare pad"), (2L, "stop pad pad"), (3L, "stop pad x"))
+    val both = Seq(("q", "stop"), ("q", "rare")).toDF("query_id", "term")
+    val rareOnly = Seq(("q", "rare")).toDF("query_id", "term")
+    // df(stop) = 3 = N -> idf_bp = 0 exactly, so pruning at 90% is
+    // result-identical to never having asked for the term
+    val pruned = Retrieval.bm25TopK(d, both, k = 3, maxDfShareBp = 9000)
+      .select($"doc_id", $"score").as[(Long, Long)].collect().toSet
+    val without = Retrieval.bm25TopK(d, rareOnly, k = 3)
+      .select($"doc_id", $"score").as[(Long, Long)].collect().toSet
+    assert(pruned == without, s"$pruned vs $without")
+    assert(pruned.map(_._1) == Set(1L), "only the rare-term doc ranks")
+  }
+
   test("snippets: window centers on the FIRST hit of any query term and " +
       "clamps at the doc start") {
     val d = docs(
