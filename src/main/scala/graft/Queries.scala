@@ -3552,6 +3552,30 @@ object Queries {
       |    AS cleaned_text
       |FROM dd""".stripMargin
 
+  /** Mergeable boilerplate-index state (LineOps.boilerplateState /
+    * mergeBoilerplateStates / indexFromState): the corpus arrives as
+    * THREE disjoint batches, each reduced to its (line-key,
+    * doc-frequency) state with an n_docs rider row; states merge
+    * pairwise and the share threshold applies at READ time over the
+    * merged state — so it must equal the single-pass full-corpus
+    * frequency table the oracle derives. Output = the full merged
+    * state (frequent AND infrequent lines; the NULL-key rider row
+    * carries the total doc count). */
+  private val textBoilerplateMerge = Q("text_boilerplate_merge",
+    (s, dir) => {
+      val pages = plantedPages(s, dir)
+      (0 until 3).map(i => LineOps.boilerplateState(
+          pages.where(pmod(col("doc_id"), lit(3)) === i)))
+        .reduce(LineOps.mergeBoilerplateStates)
+    },
+    Some(s"""WITH p AS ($plantedPageSql),
+      |ex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM p),
+      |f AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS cnt
+      |      FROM ex GROUP BY 1)
+      |SELECT lh, CAST(cnt AS BIGINT) AS cnt FROM f
+      |UNION ALL
+      |SELECT CAST(NULL AS VARCHAR) AS lh, count(*) AS cnt FROM p""".stripMargin))
+
   /** The composed page-cleaning pass (LineOps.pageClean): boilerplate
     * strip → c4 rules → within-doc dedup → doc-level gate (≥ 2 surviving
     * content lines). Even docs keep 2 lines (second content line gets
@@ -3739,6 +3763,27 @@ object Queries {
     },
     Some(s"""WITH $bmQuerySql,
       |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin), bench = true)
+
+  /** Exact-phrase search (Retrieval.phraseSearch): adjacency = bigram
+    * key, so phrase lookup is one equi-join on the bigram index. The
+    * planted set mixes frequent and rare adjacencies plus one absent
+    * phrase (contributes no rows — the honest miss branch). */
+  private val textPhraseSearch = Q("text_phrase_search",
+    (s, dir) => {
+      import s.implicits._
+      Retrieval.phraseSearch(Tables.documents(s, dir),
+        Seq(("p1", "table scan"), ("p2", "window agg"),
+          ("p3", "merge batch"), ("p4", "spark nonexistentword"))
+          .toDF("phrase_id", "phrase"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(${duckShingles(2)}) AS bigram FROM t),
+      |g AS (SELECT bigram, doc_id, count(*) AS n_hits FROM sh GROUP BY 1, 2),
+      |p AS (SELECT * FROM (VALUES ('p1', 'table scan'), ('p2', 'window agg'),
+      |  ('p3', 'merge batch'), ('p4', 'spark nonexistentword'))
+      |  AS v(phrase_id, bigram))
+      |SELECT p.phrase_id, g.doc_id, CAST(g.n_hits AS BIGINT) AS n_hits
+      |FROM g JOIN p USING (bigram)""".stripMargin))
 
   /** Stopword-pruned BM25 (Retrieval.bm25TopK with maxDfShareBp): a
     * query mixing a corpus-saturating term ('table', df ≈ 77% at every
@@ -4686,7 +4731,9 @@ object Queries {
     dedupExactSubstrIncr, dedupExactSubstrIncrBloom,
     textTfidf, textShardStats,
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
+    textBoilerplateMerge,
     pipelinePageClean, textHtmlExtract, pipelineWetClean, pipelineCrawlFrontier,
+    textPhraseSearch,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25Snippets,
     textBm25Pruned,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,

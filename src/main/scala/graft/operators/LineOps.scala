@@ -115,6 +115,43 @@ object LineOps {
       .select(col("lh"))
   }
 
+  /** Mergeable boilerplate-index STATE over a document batch: one row
+    * per distinct line key with its doc-frequency, plus a NULL-key row
+    * carrying the batch's doc count (the n_docs rider that makes the
+    * share threshold computable after any merge). States from DISJOINT
+    * batches fold with [[mergeBoilerplateStates]]; [[indexFromState]]
+    * applies the share threshold — so the threshold is a READ-time
+    * decision over the persisted state, and new crawl batches fold in
+    * without rescanning history (the termIndex/datasetCardState
+    * posture). */
+  def boilerplateState(pages: DataFrame): DataFrame = {
+    val freq = Stage(pages.select(col("doc_id"), col("text")),
+        "l", lines(col("text")))
+      .select(col("doc_id"), explode(col("l")).as("line"))
+      .select(md5(col("line")).as("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("cnt"))
+    freq.unionByName(
+      pages.agg(count(lit(1)).as("cnt"))
+        .select(lit(null).cast("string").as("lh"), col("cnt")))
+  }
+
+  /** Monoid merge of [[boilerplateState]] frames from disjoint batches
+    * (doc-frequencies and the NULL-key doc count are both additive). */
+  def mergeBoilerplateStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("lh")).agg(sum(col("cnt")).as("cnt"))
+
+  /** The frequent-line index from a (possibly merged) state: lines in ≥
+    * `minDocShareBp`/10000 of the state's total docs. Equals
+    * [[boilerplateIndex]] over the union of the state's batches. */
+  def indexFromState(state: DataFrame, minDocShareBp: Int): DataFrame = {
+    val nDocs = state.where(col("lh").isNull)
+      .agg(sum(col("cnt")).as("n_docs"))
+    state.where(col("lh").isNotNull)
+      .crossJoin(broadcast(nDocs))
+      .where(col("cnt") * 10000 >= col("n_docs") * minDocShareBp)
+      .select(col("lh"))
+  }
+
   /** Apply a frequent-line index: STATELESS AND NARROW — the index
     * collapses to a one-row array (bounded, see [[boilerplateIndex]]),
     * broadcast onto every page, and the line array filters against it

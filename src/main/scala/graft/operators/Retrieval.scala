@@ -163,6 +163,27 @@ object Retrieval {
     scoreTopK(post, stats, queries, k, k1Bp, bBp)
   }
 
+  /** Exact-phrase search via the bigram index (the standard phrase
+    * shortcut: adjacency IS the bigram, so a phrase query is one
+    * equi-join on the bigram key — no positional intersection needed
+    * for 2-term phrases). `phrases` is (phrase_id, phrase) with
+    * space-joined lowercase terms. Returns every (phrase_id, doc_id)
+    * with its occurrence count; docs are counted per OVERLAPPING
+    * occurrence ("x x x" has two "x x" hits). One explode + one
+    * map-combinable aggregate + a broadcast join — the bigram index is
+    * the persisted artifact at corpus scale. */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val bg = Stage(Stage(docs.select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text"))),
+        "sh", TextFns.shingles(col("w"), 2))
+      .select(col("doc_id"), explode(col("sh")).as("bigram"))
+      .groupBy(col("bigram"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    bg.join(broadcast(phrases.select(col("phrase_id"),
+        col("phrase").as("bigram"))), "bigram")
+      .select(col("phrase_id"), col("doc_id"), col("n_hits"))
+  }
+
   /** Snippet generation for the top-k results: the `window`-token slice
     * around each hit doc's FIRST query-term occurrence — the "present"
     * step of the retrieval tier. The (tiny) ranked result + per-query

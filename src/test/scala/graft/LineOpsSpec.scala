@@ -176,6 +176,32 @@ class LineOpsSpec extends AnyFunSuite {
       s"one-row attaches must stay broadcast nested loops:\n$p")
   }
 
+  test("boilerplate state: disjoint-batch merge equals the single-pass " +
+      "index at ANY read-time threshold, any association order") {
+    val ps = pages((1 to 10).map { i =>
+      val ls = Seq(s"content $i") ++
+        (if (i <= 5) Seq("HALF") else Nil) ++ Seq("ALL")
+      (i.toLong, ls.mkString("\n"))
+    }: _*)
+    val parts = (0 until 3).map(i =>
+      LineOps.boilerplateState(ps.where(pmod($"doc_id", lit(3)) === i)))
+    val left = LineOps.mergeBoilerplateStates(
+      LineOps.mergeBoilerplateStates(parts(0), parts(1)), parts(2))
+    val right = LineOps.mergeBoilerplateStates(parts(0),
+      LineOps.mergeBoilerplateStates(parts(1), parts(2)))
+    for (bp <- Seq(3000, 6000, 9900); st <- Seq(left, right)) {
+      val fromState = LineOps.indexFromState(st, bp)
+        .as[String].collect().toSet
+      val single = LineOps.boilerplateIndex(ps, bp)
+        .as[String].collect().toSet
+      assert(fromState == single, s"threshold $bp diverged")
+    }
+    // the thresholds genuinely separate: ALL (100%) at all three,
+    // HALF (50%) only at <= 50%
+    assert(LineOps.indexFromState(left, 3000).count() == 2)
+    assert(LineOps.indexFromState(left, 6000).count() == 1)
+  }
+
   test("applyBoilerplate cleans a STREAMING frame against a static index, " +
       "result batch-identical (the ingest posture)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

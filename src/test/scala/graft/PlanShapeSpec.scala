@@ -179,6 +179,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_bm25_fielded" -> (6, 3),
       "text_bm25_snippets" -> (7, 4),
       "text_bm25_pruned" -> (7, 4),
+      "text_phrase_search" -> (1, 1),
+      // three batch states x (distinct + count-by-key + n_docs rider)
+      // + the merge aggregate — the by-design disjoint-batch shape
+      "text_boilerplate_merge" -> (11, 6),
       // PRE-execution counts: the extracted-pages persist boundary prints
       // its frontier subtree (robots verdict + history anti-join + fetch
       // join) once per pageClean consumer — same print-inflation caveat

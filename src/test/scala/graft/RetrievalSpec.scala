@@ -89,6 +89,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L), s"title hit must rank first: ${out.toSeq}")
   }
 
+  test("phrase search: overlapping occurrences count, single-token docs " +
+      "never false-match, absent phrases contribute nothing") {
+    val d = docs(
+      (1L, "x x x pad"),          // "x x" twice (overlap)
+      (2L, "x pad x"),            // no adjacency
+      (3L, "x"))                  // 1-token doc: whole-doc shingle "x"
+    val p = Seq(("a", "x x"), ("b", "never here")).toDF("phrase_id", "phrase")
+    val out = Retrieval.phraseSearch(d, p)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 1L, 2L)), s"got $out")
+  }
+
   test("df-prune: a term in EVERY doc is dropped before the candidate " +
       "join and the ranking equals the query without it") {
     val d = docs(
