@@ -3764,6 +3764,58 @@ object Queries {
     Some(s"""WITH $bmQuerySql,
       |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin), bench = true)
 
+  /** Planted linked-page fixture — a nav line that is ALL anchor text,
+    * a content line with one small inline link, and a plain line. */
+  private def plantedLinkHtml(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.plans.Stage(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
+    st.select(col("doc_id"), concat(
+      lit("<html><body><div><a href=\"/\">Home</a> | " +
+        "<a href=\"/about\">About Us</a></div><p>"),
+      concat_ws(" ", slice(col("w"), 1, 8)),
+      lit(" see <a href=\"/d\">details</a> now.</p><p>"),
+      concat_ws(" ", slice(col("w"), 9, 6)),
+      lit(" plain text line here.</p></body></html>")).as("html"))
+  }
+
+  private def plantedLinkHtmlSql: String =
+    s"""SELECT doc_id, '<html><body><div><a href="/">Home</a> | ' ||
+      |  '<a href="/about">About Us</a></div><p>' ||
+      |  array_to_string(list_slice(w, 1, 8), ' ') ||
+      |  ' see <a href="/d">details</a> now.</p><p>' ||
+      |  array_to_string(list_slice(w, 9, 14), ' ') ||
+      |  ' plain text line here.</p></body></html>' AS html
+      |FROM (SELECT doc_id, $duckToks AS w FROM documents)""".stripMargin
+
+  /** Per-line link density (LineOps.linkDensity): the trafilatura-style
+    * main-content heuristic — nav chrome is mostly anchor text, prose is
+    * not. The nav line reads ~80% link chars (flagged), the content line
+    * a few percent, the plain line zero. Sentinel control chars travel
+    * both engines' literals/regexes verbatim. */
+  private val textLinkDensity = Q("text_link_density",
+    (s, dir) => LineOps.linkDensity(plantedLinkHtml(s, dir)),
+    Some {
+      val a1 = "\u0001"; val a2 = "\u0002"
+      s"""WITH p AS ($plantedLinkHtmlSql),
+      |x AS (SELECT doc_id,
+      |  trim(${LineOps.linkedStripSql("html")}, ' ' || chr(10)) AS text FROM p),
+      |e AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS raw
+      |      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM x)),
+      |c AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  regexp_replace(raw, '[$a1$a2]', '', 'g') AS line,
+      |  CAST(coalesce(list_sum(list_transform(
+      |    regexp_extract_all(raw, '$a1([^$a2]*)$a2', 1), s -> length(s))), 0)
+      |    AS BIGINT) AS link_chars FROM e),
+      |d AS (SELECT doc_id, pos, line,
+      |  CAST(length(line) AS BIGINT) AS n_chars, link_chars,
+      |  CAST(CASE WHEN length(line) = 0 THEN 0
+      |    ELSE link_chars * 10000 // length(line) END AS BIGINT) AS link_bp
+      |  FROM c)
+      |SELECT doc_id, pos, line, n_chars, link_chars, link_bp,
+      |  CAST(link_bp <= 5000 AS INTEGER) AS is_content FROM d""".stripMargin
+    })
+
   /** Exact-phrase search (Retrieval.phraseSearch): adjacency = bigram
     * key, so phrase lookup is one equi-join on the bigram index. The
     * planted set mixes frequent and rare adjacencies plus one absent
@@ -4733,7 +4785,7 @@ object Queries {
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
     textBoilerplateMerge,
     pipelinePageClean, textHtmlExtract, pipelineWetClean, pipelineCrawlFrontier,
-    textPhraseSearch,
+    textPhraseSearch, textLinkDensity,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25Snippets,
     textBm25Pruned,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,

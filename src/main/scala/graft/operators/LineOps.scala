@@ -215,6 +215,64 @@ object LineOps {
     }
   }
 
+  /** Sentinel characters bracketing anchor text through the
+    * [[linkDensity]] chain - control chars no whitespace step touches
+    * and no real page text contains. */
+  private val A1 = "\u0001"
+  private val A2 = "\u0002"
+
+  /** Anchor-marking steps for [[linkDensity]] - spliced into the
+    * extraction chain BEFORE the block/generic tag strips, so anchor
+    * text survives bracketed by the sentinels. */
+  private val AnchorMarkSteps: List[(String, String)] = List(
+    "(?i)<a(/?>|[ \t][^>]*>)" -> A1,
+    "(?i)</a[ \t]*>" -> A2)
+
+  private val LinkedSteps: List[(String, String)] =
+    HtmlSteps.take(3) ++ AnchorMarkSteps ++ HtmlSteps.drop(3)
+
+  /** SQL twin of the [[linkDensity]] strip chain over expression `x`. */
+  def linkedStripSql(x: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    LinkedSteps.foldLeft(x) { case (acc, (pat, repl)) =>
+      s"regexp_replace($acc, ${q(pat)}, ${q(repl)}, 'g')"
+    }
+  }
+
+  /** Per-line LINK DENSITY - the trafilatura-style main-content signal:
+    * nav/related/footer chrome is mostly anchor text, article prose is
+    * not. Anchors are sentinel-marked through the same extraction chain
+    * ([[LinkedSteps]]), then each line reports its anchor-char share in
+    * basis points with the sentinels removed from the output text.
+    * Narrow except the one posexplode Generate; integer bp => hash-exact.
+    * Unbalanced anchors (crawl junk) simply leave an unmatched sentinel
+    * that counts no chars and is stripped from the output.
+    * Output: (doc_id, pos, line, n_chars, link_chars, link_bp,
+    * is_content = link_bp <= maxLinkBp). */
+  def linkDensity(pages: DataFrame, maxLinkBp: Int = 5000): DataFrame = {
+    val stripped = LinkedSteps.foldLeft(col("html")) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val staged = Stage(pages.select(col("doc_id"), col("html")),
+      "text", trim(stripped, " \n"))
+    val exploded = staged
+      .select(col("doc_id"), posexplode(lines(col("text"))).as(Seq("p0", "raw")))
+    val withChars = Stage(Stage(exploded,
+        "link_chars", aggregate(
+          regexp_extract_all(col("raw"), lit(s"$A1([^$A2]*)$A2"), lit(1)),
+          lit(0L), (acc, s) => acc + length(s))),
+      "line", regexp_replace(col("raw"), s"[$A1$A2]", ""))
+    withChars.select(
+      col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+      col("line"),
+      length(col("line")).cast("long").as("n_chars"),
+      col("link_chars"),
+      expr("CASE WHEN length(line) = 0 THEN 0L " +
+        "ELSE link_chars * 10000 div length(line) END").as("link_bp"))
+      .withColumn("is_content",
+        (col("link_bp") <= maxLinkBp).cast("int"))
+  }
+
   /** WET-style HTML → text extraction — the step BEFORE any line/doc
     * cleaning in a crawl pipeline: drop script/style blocks and comments,
     * turn BLOCK tag boundaries into newlines and strip the remaining

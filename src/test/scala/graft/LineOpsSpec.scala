@@ -176,6 +176,30 @@ class LineOpsSpec extends AnyFunSuite {
       s"one-row attaches must stay broadcast nested loops:\n$p")
   }
 
+  test("linkDensity: nav line reads mostly-anchor, inline link small, " +
+      "plain line zero; unbalanced anchor counts nothing and leaves no " +
+      "sentinel in the output") {
+    val html = "<html><body>" +
+      "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+      "<p>prose with a <a href=\"x\">tiny</a> link inside it.</p>" +
+      "<p>no links at all here.</p>" +
+      "<p>broken <a href=\"y\">anchor never closes.</p>" +
+      "</body></html>"
+    val out = LineOps.linkDensity(
+        Seq((1L, html)).toDF("doc_id", "html"))
+      .orderBy("pos")
+      .select($"line", $"n_chars", $"link_chars", $"link_bp", $"is_content")
+      .as[(String, Long, Long, Long, Int)].collect()
+    assert(out(0) == (("Home About", 10L, 9L, 9000L, 0)), s"nav: ${out(0)}")
+    assert(out(1)._1 == "prose with a tiny link inside it." &&
+      out(1)._3 == 4L && out(1)._5 == 1, s"inline: ${out(1)}")
+    assert(out(2)._3 == 0L && out(2)._5 == 1)
+    // the unclosed anchor's sentinel matches nothing and is stripped
+    assert(out(3)._1 == "broken anchor never closes." && out(3)._3 == 0L,
+      s"unbalanced: ${out(3)}")
+    assert(!out.exists(r => r._1.exists(c => c == '\u0001' || c == '\u0002')))
+  }
+
   test("boilerplate state: disjoint-batch merge equals the single-pass " +
       "index at ANY read-time threshold, any association order") {
     val ps = pages((1 to 10).map { i =>
