@@ -3776,7 +3776,9 @@ object Queries {
       concat_ws(" ", slice(col("w"), 1, 8)),
       lit(" see <a href=\"/d\">details</a> now.</p><p>"),
       concat_ws(" ", slice(col("w"), 9, 6)),
-      lit(" plain text line here.</p></body></html>")).as("html"))
+      lit(" plain text line here"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(".")).otherwise(lit("")),
+      lit("</p></body></html>")).as("html"))
   }
 
   private def plantedLinkHtmlSql: String =
@@ -3785,7 +3787,9 @@ object Queries {
       |  array_to_string(list_slice(w, 1, 8), ' ') ||
       |  ' see <a href="/d">details</a> now.</p><p>' ||
       |  array_to_string(list_slice(w, 9, 14), ' ') ||
-      |  ' plain text line here.</p></body></html>' AS html
+      |  ' plain text line here' ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) ||
+      |  '</p></body></html>' AS html
       |FROM (SELECT doc_id, $duckToks AS w FROM documents)""".stripMargin
 
   /** Per-line link density (LineOps.linkDensity): the trafilatura-style
@@ -3814,6 +3818,45 @@ object Queries {
       |  FROM c)
       |SELECT doc_id, pos, line, n_chars, link_chars, link_bp,
       |  CAST(link_bp <= 5000 AS INTEGER) AS is_content FROM d""".stripMargin
+    })
+
+  /** Main-content extraction end-to-end (LineOps.contentExtract): the
+    * trafilatura composition - link-density gate -> sentinel strip ->
+    * c4 rules -> within-doc dedup -> doc gate, ALL narrow. The nav line
+    * dies to density (it survives c4: 5 words and the About-Us anchor
+    * text ends with no punct... it dies to punct too - the density gate
+    * is what kills link-heavy lines that DO look like sentences), the
+    * content line stays, the plain line's punct flips on parity so
+    * keep_doc is two-sided at every SF. */
+  private val pipelineContentExtract = Q("pipeline_content_extract",
+    (s, dir) => LineOps.contentExtract(plantedLinkHtml(s, dir)),
+    Some {
+      val a1 = "\u0001"; val a2 = "\u0002"
+      val clean = s"regexp_replace(x, '[$a1$a2]', '', 'g')"
+      val linkChars = "CAST(coalesce(list_sum(list_transform(" +
+        s"regexp_extract_all(x, '$a1([^$a2]*)$a2', 1), s -> length(s))), 0) AS BIGINT)"
+      s"""WITH p AS ($plantedLinkHtmlSql),
+      |x AS (SELECT doc_id,
+      |  trim(${LineOps.linkedStripSql("html")}, ' ' || chr(10)) AS text FROM p),
+      |sx AS (SELECT doc_id, string_split(text, chr(10)) AS l0 FROM x),
+      |cg AS (SELECT doc_id, l0, list_filter(l0, x ->
+      |    length($clean) = 0 OR
+      |    $linkChars * 10000 <= CAST(length($clean) AS BIGINT) * 5000) AS lc
+      |  FROM sx),
+      |cl AS (SELECT doc_id, l0,
+      |    list_transform(lc, x -> $clean) AS l FROM cg),
+      |c4 AS (SELECT doc_id, l0, l,
+      |    list_filter(l, x -> ${c4KeepSql("x")}) AS k FROM cl),
+      |dd AS (SELECT doc_id, l0, l, k,
+      |    list_filter(generate_series(1, len(k)),
+      |      i -> list_position(k, k[CAST(i AS INTEGER)]) = i) AS ki FROM c4)
+      |SELECT doc_id, CAST(len(l0) AS BIGINT) AS n_lines,
+      |  CAST(len(l) AS BIGINT) AS n_content,
+      |  CAST(len(ki) AS BIGINT) AS n_kept,
+      |  CAST(len(ki) >= 2 AS INTEGER) AS keep_doc,
+      |  array_to_string(list_transform(ki, i -> k[CAST(i AS INTEGER)]), chr(10))
+      |    AS main_text
+      |FROM dd""".stripMargin
     })
 
   /** Exact-phrase search (Retrieval.phraseSearch): adjacency = bigram
@@ -4785,7 +4828,7 @@ object Queries {
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
     textBoilerplateMerge,
     pipelinePageClean, textHtmlExtract, pipelineWetClean, pipelineCrawlFrontier,
-    textPhraseSearch, textLinkDensity,
+    textPhraseSearch, textLinkDensity, pipelineContentExtract,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25Snippets,
     textBm25Pruned,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,

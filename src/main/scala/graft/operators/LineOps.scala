@@ -273,6 +273,51 @@ object LineOps {
         (col("link_bp") <= maxLinkBp).cast("int"))
   }
 
+  /** MAIN-CONTENT extraction end-to-end (the trafilatura composition):
+    * extract with sentinel-marked anchors, drop lines whose link density
+    * exceeds `maxLinkBp` (nav/related/footer chrome), strip the
+    * sentinels, then the c4 rules, within-doc line dedup and the
+    * doc-level gate. FULLY NARROW - every stage is a per-row array
+    * lambda over the staged line array, so the whole pass runs at scan
+    * speed on any corpus size (no boilerplate frequency pass here; that
+    * tier composes separately when corpus-global chrome matters).
+    * Output: (doc_id, n_lines, n_content, n_kept, keep_doc, main_text). */
+  def contentExtract(pages: DataFrame, maxLinkBp: Int = 5000,
+      minWords: Int = 5, minKeptLines: Int = 2): DataFrame = {
+    val stripped = LinkedSteps.foldLeft(col("html")) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val withLines = Stage(Stage(pages.select(col("doc_id"), col("html")),
+      "text", trim(stripped, " \n")), "l0", lines(col("text")))
+    // density gate on the RAW (sentinel-bearing) lines; empty lines pass
+    // (c4 drops them next) so the zero-length division never happens
+    val withContent = Stage(withLines,
+      "lc", filter(col("l0"), x => {
+        val linkChars = aggregate(
+          regexp_extract_all(x, lit(s"$A1([^$A2]*)$A2"), lit(1)),
+          lit(0L), (acc, s) => acc + length(s))
+        val clean = regexp_replace(x, s"[$A1$A2]", "")
+        length(clean) === 0 ||
+          linkChars * 10000 <= length(clean).cast("long") * maxLinkBp
+      }))
+    val withClean = Stage(withContent,
+      "l", transform(col("lc"), x => regexp_replace(x, s"[$A1$A2]", "")))
+    val withKept = Stage(withClean,
+      "k", filter(col("l"), x => c4KeepLine(x, minWords)))
+    val withIdx = Stage(withKept,
+      "ki", when(size(col("k")) === 0, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(1), size(col("k"))),
+          i => array_position(col("k"), element_at(col("k"), i)) === i)))
+    withIdx.select(
+      col("doc_id"),
+      size(col("l0")).cast("long").as("n_lines"),
+      size(col("l")).cast("long").as("n_content"),
+      size(col("ki")).cast("long").as("n_kept"),
+      (size(col("ki")) >= minKeptLines).cast("int").as("keep_doc"),
+      array_join(transform(col("ki"), i => element_at(col("k"), i)), "\n")
+        .as("main_text"))
+  }
+
   /** WET-style HTML → text extraction — the step BEFORE any line/doc
     * cleaning in a crawl pipeline: drop script/style blocks and comments,
     * turn BLOCK tag boundaries into newlines and strip the remaining

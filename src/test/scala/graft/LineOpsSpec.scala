@@ -200,6 +200,30 @@ class LineOpsSpec extends AnyFunSuite {
     assert(!out.exists(r => r._1.exists(c => c == '\u0001' || c == '\u0002')))
   }
 
+  test("contentExtract: the density gate kills a link-heavy line that " +
+      "PASSES the c4 rules; prose survives; gate two-sided") {
+    val html = "<html><body>" +
+      // c4-passing (7 words, terminal '.') but 72% anchor chars
+      "<p>Read our <a href=\"r\">full detailed report about everything</a> here.</p>" +
+      "<p>This plain prose sentence clearly stays around.</p>" +
+      "<p>Second plain prose sentence also stays here.</p>" +
+      "</body></html>"
+    val out = LineOps.contentExtract(
+        Seq((1L, html)).toDF("doc_id", "html")).collect().head
+    assert(out.getAs[Long]("n_lines") == 3)
+    assert(out.getAs[Long]("n_content") == 2,
+      "the c4-passing link-farm line must die to DENSITY, not c4")
+    assert(out.getAs[Long]("n_kept") == 2 && out.getAs[Int]("keep_doc") == 1)
+    assert(out.getAs[String]("main_text") ==
+      "This plain prose sentence clearly stays around.\n" +
+      "Second plain prose sentence also stays here.")
+    // single-content doc gates out
+    val one = LineOps.contentExtract(Seq(
+      (2L, "<html><body><p>Only one good sentence here now.</p></body></html>"))
+      .toDF("doc_id", "html")).collect().head
+    assert(one.getAs[Int]("keep_doc") == 0)
+  }
+
   test("boilerplate state: disjoint-batch merge equals the single-pass " +
       "index at ANY read-time threshold, any association order") {
     val ps = pages((1 to 10).map { i =>

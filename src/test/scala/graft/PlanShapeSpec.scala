@@ -181,6 +181,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_bm25_pruned" -> (7, 4),
       "text_phrase_search" -> (1, 1),
       "text_link_density" -> (0, 1),
+      "pipeline_content_extract" -> (0, 1),
       // three batch states x (distinct + count-by-key + n_docs rider)
       // + the merge aggregate — the by-design disjoint-batch shape
       "text_boilerplate_merge" -> (11, 6),
