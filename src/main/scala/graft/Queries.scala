@@ -3880,6 +3880,44 @@ object Queries {
       |SELECT p.phrase_id, g.doc_id, CAST(g.n_hits AS BIGINT) AS n_hits
       |FROM g JOIN p USING (bigram)""".stripMargin))
 
+  /** Planted positional-phrase set — one Seq drives the Spark frame and
+    * the per-phrase oracle derivations. The trigram was verified present
+    * at sf0.01 AND sf0.1 (hence sf1); the absent phrase proves the miss
+    * branch. */
+  private val posPhrases: Seq[(String, Seq[String])] = Seq(
+    "p2" -> Seq("table", "scan"),
+    "p3" -> Seq("spark", "vector", "big"),
+    "px" -> Seq("spark", "duck", "pond"))
+
+  /** Positional n-term phrase search (Retrieval.phraseSearchPositional):
+    * arity-free positional-index join — offset-shifted positions
+    * collect all n_terms offsets exactly at true occurrences. The
+    * oracle derives each planted phrase INDEPENDENTLY as an explicit
+    * k-way self-join on pos+k (per-phrase SQL generated from the same
+    * Seq), so the two formulations must agree on every count. */
+  private val textPhrasePositional = Q("text_phrase_positional",
+    (s, dir) => {
+      import s.implicits._
+      Retrieval.phraseSearchPositional(Tables.documents(s, dir),
+        posPhrases.toDF("phrase_id", "terms"))
+    },
+    Some {
+      val perPhrase = posPhrases.map { case (pid, terms) =>
+        val joins = (1 until terms.size).map(k =>
+          s"JOIN occ a$k ON a$k.doc_id = a0.doc_id AND a$k.pos = a0.pos + $k").mkString("\n  ")
+        val conds = terms.zipWithIndex
+          .map { case (t, k) => s"a$k.term = '$t'" }.mkString(" AND ")
+        s"""SELECT '$pid' AS phrase_id, a0.doc_id, count(*) AS n_hits
+          |FROM occ a0
+          |  $joins
+          |WHERE $conds GROUP BY 1, 2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |occ AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+      |        unnest(w) AS term FROM t)
+      |$perPhrase""".stripMargin
+    })
+
   /** Stopword-pruned BM25 (Retrieval.bm25TopK with maxDfShareBp): a
     * query mixing a corpus-saturating term ('table', df ≈ 77% at every
     * SF — the planted vocab is near-uniform) with a rare one ('dup',
@@ -4828,7 +4866,8 @@ object Queries {
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
     textBoilerplateMerge,
     pipelinePageClean, textHtmlExtract, pipelineWetClean, pipelineCrawlFrontier,
-    textPhraseSearch, textLinkDensity, pipelineContentExtract,
+    textPhraseSearch, textPhrasePositional, textLinkDensity,
+    pipelineContentExtract,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25Snippets,
     textBm25Pruned,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,

@@ -184,6 +184,34 @@ object Retrieval {
       .select(col("phrase_id"), col("doc_id"), col("n_hits"))
   }
 
+  /** POSITIONAL phrase search for arbitrary-length phrases — the classic
+    * positional-index join, arity-free: an occurrence starts at position
+    * s iff every phrase offset k finds its term at s + k, i.e. the
+    * (phrase, doc, pos − off) triple collects ALL n_terms distinct
+    * offsets. One token-level explode immediately filtered by the
+    * broadcast (term, off) set, so the aggregation is candidate-sized;
+    * repeated terms inside a phrase ("the the") fall out naturally (one
+    * occ row joins both offsets). `phrases` is (phrase_id, terms:array).
+    * Output: (phrase_id, doc_id, n_hits). */
+  def phraseSearchPositional(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val occ = Stage(docs.select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
+    val pterms = phrases.select(col("phrase_id"),
+      posexplode(col("terms")).as(Seq("off", "term")))
+    val nterms = phrases.select(col("phrase_id"),
+      size(col("terms")).as("n_terms"))
+    occ.join(broadcast(pterms), "term")
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("off")).as("start"), col("off"))
+      .groupBy(col("phrase_id"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .join(broadcast(nterms), "phrase_id")
+      .where(col("n_off") === col("n_terms"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Snippet generation for the top-k results: the `window`-token slice
     * around each hit doc's FIRST query-term occurrence — the "present"
     * step of the retrieval tier. The (tiny) ranked result + per-query

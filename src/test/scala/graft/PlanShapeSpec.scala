@@ -180,6 +180,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_bm25_snippets" -> (7, 4),
       "text_bm25_pruned" -> (7, 4),
       "text_phrase_search" -> (1, 1),
+      // start-keyed distinct-offset agg (2, countDistinct is two-phase)
+      // + the per-(phrase, doc) rollup — all candidate-sized
+      "text_phrase_positional" -> (3, 1),
       "text_link_density" -> (0, 1),
       "pipeline_content_extract" -> (0, 1),
       // three batch states x (distinct + count-by-key + n_docs rider)

@@ -101,6 +101,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == Set(("a", 1L, 2L)), s"got $out")
   }
 
+  test("positional phrases: trigram with a decoy prefix, repeated-term " +
+      "phrase, overlap counting, and agreement with the bigram tier on " +
+      "2-term phrases") {
+    val d = docs(
+      (1L, "a b c pad a b x"),    // "a b c" once; decoy "a b" prefix at 5
+      (2L, "go go go stop"),      // "go go" overlaps: starts 1,2
+      (3L, "c b a"))              // reversed: no hit
+    val p = Seq(
+      ("t3", Seq("a", "b", "c")),
+      ("rep", Seq("go", "go")),
+      ("t2", Seq("a", "b")))
+      .toDF("phrase_id", "terms")
+    val out = Retrieval.phraseSearchPositional(d, p)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("t3", 1L, 1L), ("rep", 2L, 2L),
+      ("t2", 1L, 2L)), s"got $out")
+    // 2-term positional == bigram-tier counts on the same corpus
+    val bigram = Retrieval.phraseSearch(d,
+        Seq(("t2", "a b")).toDF("phrase_id", "phrase"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(bigram == out.filter(_._1 == "t2"))
+  }
+
   test("df-prune: a term in EVERY doc is dropped before the candidate " +
       "join and the ranking equals the query without it") {
     val d = docs(
