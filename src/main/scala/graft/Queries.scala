@@ -3809,7 +3809,7 @@ object Queries {
       |c AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
       |  regexp_replace(raw, '[$a1$a2]', '', 'g') AS line,
       |  CAST(coalesce(list_sum(list_transform(
-      |    regexp_extract_all(raw, '$a1([^$a2]*)$a2', 1), s -> length(s))), 0)
+      |    regexp_extract_all(raw, '$a1([^$a1$a2]*)$a2', 1), s -> length(s))), 0)
       |    AS BIGINT) AS link_chars FROM e),
       |d AS (SELECT doc_id, pos, line,
       |  CAST(length(line) AS BIGINT) AS n_chars, link_chars,
@@ -3817,7 +3817,7 @@ object Queries {
       |    ELSE link_chars * 10000 // length(line) END AS BIGINT) AS link_bp
       |  FROM c)
       |SELECT doc_id, pos, line, n_chars, link_chars, link_bp,
-      |  CAST(link_bp <= 5000 AS INTEGER) AS is_content FROM d""".stripMargin
+      |  CAST(link_chars * 10000 <= n_chars * 5000 AS INTEGER) AS is_content FROM d""".stripMargin
     })
 
   /** Main-content extraction end-to-end (LineOps.contentExtract): the
@@ -3834,7 +3834,7 @@ object Queries {
       val a1 = "\u0001"; val a2 = "\u0002"
       val clean = s"regexp_replace(x, '[$a1$a2]', '', 'g')"
       val linkChars = "CAST(coalesce(list_sum(list_transform(" +
-        s"regexp_extract_all(x, '$a1([^$a2]*)$a2', 1), s -> length(s))), 0) AS BIGINT)"
+        s"regexp_extract_all(x, '$a1([^$a1$a2]*)$a2', 1), s -> length(s))), 0) AS BIGINT)"
       s"""WITH p AS ($plantedLinkHtmlSql),
       |x AS (SELECT doc_id,
       |  trim(${LineOps.linkedStripSql("html")}, ' ' || chr(10)) AS text FROM p),

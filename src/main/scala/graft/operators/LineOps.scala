@@ -208,12 +208,22 @@ object LineOps {
   /** SQL twin of the [[htmlExtract]] strip chain over expression `x`
     * (DuckDB needs the 'g' flag — its regexp_replace defaults to
     * first-match-only, Spark's is global). */
-  def htmlStripSql(x: String): String = {
+  def htmlStripSql(x: String): String = stripSql(HtmlSteps, x)
+
+  /** SQL fold of any strip chain (shared by the plain and anchor-marked
+    * variants so the quoting convention lives once). */
+  private def stripSql(steps: List[(String, String)], x: String): String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
-    HtmlSteps.foldLeft(x) { case (acc, (pat, repl)) =>
+    steps.foldLeft(x) { case (acc, (pat, repl)) =>
       s"regexp_replace($acc, ${q(pat)}, ${q(repl)}, 'g')"
     }
   }
+
+  /** Column fold of any strip chain (shared likewise). */
+  private def stripFold(steps: List[(String, String)]): Column =
+    steps.foldLeft(col("html")) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
 
   /** Sentinel characters bracketing anchor text through the
     * [[linkDensity]] chain - control chars no whitespace step touches
@@ -232,12 +242,7 @@ object LineOps {
     HtmlSteps.take(3) ++ AnchorMarkSteps ++ HtmlSteps.drop(3)
 
   /** SQL twin of the [[linkDensity]] strip chain over expression `x`. */
-  def linkedStripSql(x: String): String = {
-    def q(s: String) = "'" + s.replace("'", "''") + "'"
-    LinkedSteps.foldLeft(x) { case (acc, (pat, repl)) =>
-      s"regexp_replace($acc, ${q(pat)}, ${q(repl)}, 'g')"
-    }
-  }
+  def linkedStripSql(x: String): String = stripSql(LinkedSteps, x)
 
   /** Per-line LINK DENSITY - the trafilatura-style main-content signal:
     * nav/related/footer chrome is mostly anchor text, article prose is
@@ -250,16 +255,14 @@ object LineOps {
     * Output: (doc_id, pos, line, n_chars, link_chars, link_bp,
     * is_content = link_bp <= maxLinkBp). */
   def linkDensity(pages: DataFrame, maxLinkBp: Int = 5000): DataFrame = {
-    val stripped = LinkedSteps.foldLeft(col("html")) {
-      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
-    }
+    val stripped = stripFold(LinkedSteps)
     val staged = Stage(pages.select(col("doc_id"), col("html")),
       "text", trim(stripped, " \n"))
     val exploded = staged
       .select(col("doc_id"), posexplode(lines(col("text"))).as(Seq("p0", "raw")))
     val withChars = Stage(Stage(exploded,
         "link_chars", aggregate(
-          regexp_extract_all(col("raw"), lit(s"$A1([^$A2]*)$A2"), lit(1)),
+          regexp_extract_all(col("raw"), lit(s"$A1([^$A1$A2]*)$A2"), lit(1)),
           lit(0L), (acc, s) => acc + length(s))),
       "line", regexp_replace(col("raw"), s"[$A1$A2]", ""))
     withChars.select(
@@ -270,7 +273,9 @@ object LineOps {
       expr("CASE WHEN length(line) = 0 THEN 0L " +
         "ELSE link_chars * 10000 div length(line) END").as("link_bp"))
       .withColumn("is_content",
-        (col("link_bp") <= maxLinkBp).cast("int"))
+        // EXACT-ratio comparison (not the floored link_bp) so this flag
+        // agrees with contentExtract's gate at every boundary
+        (col("link_chars") * 10000 <= col("n_chars") * maxLinkBp).cast("int"))
   }
 
   /** MAIN-CONTENT extraction end-to-end (the trafilatura composition):
@@ -284,30 +289,28 @@ object LineOps {
     * Output: (doc_id, n_lines, n_content, n_kept, keep_doc, main_text). */
   def contentExtract(pages: DataFrame, maxLinkBp: Int = 5000,
       minWords: Int = 5, minKeptLines: Int = 2): DataFrame = {
-    val stripped = LinkedSteps.foldLeft(col("html")) {
-      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
-    }
+    val stripped = stripFold(LinkedSteps)
     val withLines = Stage(Stage(pages.select(col("doc_id"), col("html")),
       "text", trim(stripped, " \n")), "l0", lines(col("text")))
-    // density gate on the RAW (sentinel-bearing) lines; empty lines pass
-    // (c4 drops them next) so the zero-length division never happens
-    val withContent = Stage(withLines,
-      "lc", filter(col("l0"), x => {
-        val linkChars = aggregate(
-          regexp_extract_all(x, lit(s"$A1([^$A2]*)$A2"), lit(1)),
-          lit(0L), (acc, s) => acc + length(s))
-        val clean = regexp_replace(x, s"[$A1$A2]", "")
-        length(clean) === 0 ||
-          linkChars * 10000 <= length(clean).cast("long") * maxLinkBp
-      }))
-    val withClean = Stage(withContent,
-      "l", transform(col("lc"), x => regexp_replace(x, s"[$A1$A2]", "")))
-    val withKept = Stage(withClean,
-      "k", filter(col("l"), x => c4KeepLine(x, minWords)))
-    val withIdx = Stage(withKept,
-      "ki", when(size(col("k")) === 0, array().cast("array<int>"))
-        .otherwise(filter(sequence(lit(1), size(col("k"))),
-          i => array_position(col("k"), element_at(col("k"), i)) === i)))
+    // ONE regex pass per line: clean text + anchor chars land in a
+    // struct, the density gate reads the struct fields (HOF lambdas
+    // re-evaluate every expression reference - the Stage lesson), and
+    // the anchor-span class excludes BOTH sentinels so an unclosed
+    // opener counts nothing
+    val withMeta = Stage(withLines,
+      "lm", transform(col("l0"), x => struct(
+        regexp_replace(x, s"[$A1$A2]", "").as("clean"),
+        aggregate(
+          regexp_extract_all(x, lit(s"$A1([^$A1$A2]*)$A2"), lit(1)),
+          lit(0L), (acc, s) => acc + length(s)).as("lc"))))
+    // EXACT-ratio gate (same comparison as linkDensity.is_content);
+    // empty lines pass - c4 drops them next
+    val withClean = Stage(withMeta,
+      "l", transform(filter(col("lm"), m =>
+          m.getField("lc") * 10000 <=
+            length(m.getField("clean")).cast("long") * maxLinkBp),
+        m => m.getField("clean")))
+    val withIdx = c4DedupIdx(withClean, "l", minWords)
     withIdx.select(
       col("doc_id"),
       size(col("l0")).cast("long").as("n_lines"),
@@ -332,9 +335,7 @@ object LineOps {
     * Output: (doc_id, title, text, n_lines, n_tokens) with
     * line-structured `text` that feeds [[pageClean]] directly. */
   def htmlExtract(pages: DataFrame): DataFrame = {
-    val stripped = HtmlSteps.foldLeft(col("html")) {
-      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
-    }
+    val stripped = stripFold(HtmlSteps)
     val staged = Stage(pages.select(col("doc_id"), col("html")),
       "text", trim(stripped, " \n"))
     staged.select(
@@ -344,6 +345,19 @@ object LineOps {
       size(lines(col("text"))).cast("long").as("n_lines"),
       size(graft.functions.TextFns.tokens(col("text"))).as("n_tokens"))
   }
+
+  /** Shared tail of the composed passes: c4-filter the `src` line
+    * array into `k`, then the first-occurrence dedup index `ki` (size-0
+    * guarded because Spark's sequence(1, 0) is DESCENDING, not empty).
+    * One copy of the guard/tie semantics for pageClean AND
+    * contentExtract. */
+  private def c4DedupIdx(df: DataFrame, src: String,
+      minWords: Int): DataFrame =
+    Stage(Stage(df,
+      "k", filter(col(src), x => c4KeepLine(x, minWords))),
+      "ki", when(size(col("k")) === 0, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(1), size(col("k"))),
+          i => array_position(col("k"), element_at(col("k"), i)) === i)))
 
   /** The composed page-cleaning pass a crawl corpus runs end-to-end:
     * corpus-frequent boilerplate strip → C4 line rules → within-doc
@@ -361,17 +375,7 @@ object LineOps {
     val deb = stripBoilerplate(pages, minDocShareBp)
       .select(col("doc_id"), col("n_lines"), col("cleaned_text").as("text"))
     val withLines = Stage(deb, "l0", lines(col("text")))
-    // c4 over the stripped lines; an all-boilerplate page degenerates to
-    // one empty line (split("") = [""]) which c4 drops (0 words), so the
-    // kept array is exactly the content lines — no empty-page special case
-    val withKept = Stage(withLines,
-      "k", filter(col("l0"), x => c4KeepLine(x, minWords)))
-    // first-occurrence dedup on the kept array; guard size = 0 because
-    // Spark's sequence(1, 0) is DESCENDING ([1, 0]), not empty
-    val withIdx = Stage(withKept,
-      "ki", when(size(col("k")) === 0, array().cast("array<int>"))
-        .otherwise(filter(sequence(lit(1), size(col("k"))),
-          i => array_position(col("k"), element_at(col("k"), i)) === i)))
+    val withIdx = c4DedupIdx(withLines, "l0", minWords)
     withIdx.select(
       col("doc_id"), col("n_lines"),
       size(col("ki")).cast("long").as("n_kept"),

@@ -75,7 +75,10 @@ object Retrieval {
     val dfIdx = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val pruned =
       if (maxDfShareBp >= 10000) dfIdx
-      else dfIdx.crossJoin(broadcast(stats.select(col("n_docs"))))
+      // the SAME stats frame the scoring side broadcasts — a projected
+      // copy would plan a second corpus-sized stats aggregate (the
+      // subtrees diverge and ReusedExchange never fires; round-10 review)
+      else dfIdx.crossJoin(broadcast(stats))
         .where(col("df") * 10000 <= col("n_docs") * maxDfShareBp)
         .select(col("term"), col("df"))
     val qdf = pruned

@@ -184,6 +184,7 @@ class LineOpsSpec extends AnyFunSuite {
       "<p>prose with a <a href=\"x\">tiny</a> link inside it.</p>" +
       "<p>no links at all here.</p>" +
       "<p>broken <a href=\"y\">anchor never closes.</p>" +
+      "<p>nested <a href=\"o\">x <a href=\"i\">inner</a> tail stays plain.</p>" +
       "</body></html>"
     val out = LineOps.linkDensity(
         Seq((1L, html)).toDF("doc_id", "html"))
@@ -197,6 +198,10 @@ class LineOpsSpec extends AnyFunSuite {
     // the unclosed anchor's sentinel matches nothing and is stripped
     assert(out(3)._1 == "broken anchor never closes." && out(3)._3 == 0L,
       s"unbalanced: ${out(3)}")
+    // NESTED anchor: only the innermost balanced span counts — the outer
+    // opener's text and trailing plain text never count as link chars
+    assert(out(4)._1 == "nested x inner tail stays plain." &&
+      out(4)._3 == 5L, s"nested: ${out(4)}")
     assert(!out.exists(r => r._1.exists(c => c == '\u0001' || c == '\u0002')))
   }
 
