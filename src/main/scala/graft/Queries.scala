@@ -4008,6 +4008,40 @@ object Queries {
       |    CAST(sum(3 * len(wt) + len(wb)) AS BIGINT) AS total_tokens FROM ft),
       |${Retrieval.bm25ScoreTailSql(5)}""".stripMargin))
 
+  /** BM25F over REAL extracted fields (the wet→retrieval composition):
+    * the h1 headline (discriminative — the fixture's h1 carries the
+    * doc's leading content tokens, unlike <title> which is site chrome)
+    * weights 3× against the extracted page body. Same scoring core and
+    * oracle tail as the standalone fielded query; the fields come from
+    * LineOps.htmlField + htmlExtract instead of a synthetic frame. */
+  private val textBm25FieldedWet = Q("text_bm25_fielded_wet",
+    (s, dir) => {
+      import s.implicits._
+      Retrieval.bm25FieldedTopK(
+        LineOps.htmlExtractFields(plantedHtml(s, dir)),
+        bmQueryTerms.toDF("query_id", "term"), k = 5)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |${htmlExtractCtes()},
+      |fields AS (SELECT doc_id,
+      |    regexp_extract(html, '(?i)<h1[^>]*>([^<]*)</h1>', 1) AS title,
+      |    text AS body FROM hx),
+      |ft AS (SELECT doc_id,
+      |  CASE WHEN trim(lower(title)) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(lower(title)), '\\s+') END AS wt,
+      |  CASE WHEN trim(lower(body)) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(lower(body)), '\\s+') END AS wb
+      |  FROM fields),
+      |occ AS (SELECT doc_id, unnest(wt) AS term, 3 AS w FROM ft
+      |  UNION ALL SELECT doc_id, unnest(wb) AS term, 1 AS w FROM ft),
+      |dls AS (SELECT doc_id, CAST(3 * len(wt) + len(wb) AS BIGINT) AS dl FROM ft),
+      |post AS (SELECT term, o.doc_id, d.dl, CAST(sum(o.w) AS BIGINT) AS tf
+      |  FROM occ o JOIN dls d USING (doc_id) GROUP BY 1, 2, 3),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(3 * len(wt) + len(wb)) AS BIGINT) AS total_tokens FROM ft),
+      |${Retrieval.bm25ScoreTailSql(5)}""".stripMargin))
+
   /** Mergeable term index (Retrieval.termIndex / mergeTermIndex): the
     * corpus arrives as three disjoint doc batches, each reduced to its
     * (term, df, tf_sum) index, merged pairwise — df and tf_sum are
@@ -4868,8 +4902,8 @@ object Queries {
     pipelinePageClean, textHtmlExtract, pipelineWetClean, pipelineCrawlFrontier,
     textPhraseSearch, textPhrasePositional, textLinkDensity,
     pipelineContentExtract,
-    textBm25Topk, textBm25Incr, textBm25Fielded, textBm25Snippets,
-    textBm25Pruned,
+    textBm25Topk, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
+    textBm25Snippets, textBm25Pruned,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

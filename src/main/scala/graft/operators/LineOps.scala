@@ -346,6 +346,22 @@ object LineOps {
       size(graft.functions.TextFns.tokens(col("text"))).as("n_tokens"))
   }
 
+  /** First occurrence of a tag's RAW inner text (the [[htmlExtract]]
+    * title convention generalized — decode is a body-text step). For
+    * field-weighted retrieval over extracted pages: the h1 usually
+    * carries the content headline where <title> is site chrome. */
+  def htmlField(html: Column, tag: String): Column =
+    regexp_extract(html, s"(?i)<$tag[^>]*>([^<]*)</$tag>", 1)
+
+  /** One-pass FIELDED extraction for retrieval: the h1 headline (raw,
+    * like the title convention) + the extracted body — no second scan
+    * and no self-join back to the raw frame. */
+  def htmlExtractFields(pages: DataFrame): DataFrame =
+    Stage(pages.select(col("doc_id"), col("html")),
+        "body", trim(stripFold(HtmlSteps), " \n"))
+      .select(col("doc_id"),
+        htmlField(col("html"), "h1").as("title"), col("body"))
+
   /** Shared tail of the composed passes: c4-filter the `src` line
     * array into `k`, then the first-occurrence dedup index `ki` (size-0
     * guarded because Spark's sequence(1, 0) is DESCENDING, not empty).

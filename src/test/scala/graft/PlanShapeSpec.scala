@@ -177,6 +177,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_bm25_topk" -> (6, 3),
       "text_bm25_incr" -> (6, 3),
       "text_bm25_fielded" -> (6, 3),
+      "text_bm25_fielded_wet" -> (6, 3),
       "text_bm25_snippets" -> (7, 4),
       "text_bm25_pruned" -> (7, 4),
       "text_phrase_search" -> (1, 1),
