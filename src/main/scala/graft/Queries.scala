@@ -3918,6 +3918,32 @@ object Queries {
       |$perPhrase""".stripMargin
     })
 
+  /** Proximity retrieval (Retrieval.proximitySearch): term pairs
+    * co-occurring within 3 positions in either order, one corpus pass
+    * with a persisted candidate frame feeding the range self-join. The
+    * oracle derives the same counts through a direct positional
+    * self-join on the exploded tokens. */
+  private val textProximity = Q("text_proximity",
+    (s, dir) => {
+      import s.implicits._
+      Retrieval.proximitySearch(Tables.documents(s, dir),
+        Seq(("x1", "table", "scan"), ("x2", "window", "agg"),
+          ("x3", "spark", "nonexistentword")).toDF("pair_id", "term_a", "term_b"),
+        window = 3)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |occ AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+      |        unnest(w) AS term FROM t),
+      |p AS (SELECT * FROM (VALUES ('x1', 'table', 'scan'),
+      |  ('x2', 'window', 'agg'), ('x3', 'spark', 'nonexistentword'))
+      |  AS v(pair_id, term_a, term_b))
+      |SELECT p.pair_id, a.doc_id, count(*) AS n_hits
+      |FROM p
+      |  JOIN occ a ON a.term = p.term_a
+      |  JOIN occ b ON b.doc_id = a.doc_id AND b.term = p.term_b
+      |    AND abs(a.pos - b.pos) <= 3
+      |GROUP BY 1, 2""".stripMargin))
+
   /** Stopword-pruned BM25 (Retrieval.bm25TopK with maxDfShareBp): a
     * query mixing a corpus-saturating term ('table', df ≈ 77% at every
     * SF — the planted vocab is near-uniform) with a rare one ('dup',
@@ -4900,7 +4926,7 @@ object Queries {
     textCleanLines, textLineDedup, textBoilerplate, textBoilerplateIncr,
     textBoilerplateMerge,
     pipelinePageClean, textHtmlExtract, pipelineWetClean, pipelineCrawlFrontier,
-    textPhraseSearch, textPhrasePositional, textLinkDensity,
+    textPhraseSearch, textPhrasePositional, textProximity, textLinkDensity,
     pipelineContentExtract,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned,

@@ -215,6 +215,40 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** PROXIMITY search: documents where a term PAIR co-occurs within
+    * `window` positions in either order, with the co-occurrence count
+    * (every qualifying position pair). The position lists of the two
+    * query terms are candidate-sized (the broadcast pair set filters
+    * the token explode immediately), so the |posA − posB| ≤ window
+    * range join runs on tiny per-doc frames, never the corpus.
+    * `pairs` is (pair_id, term_a, term_b). Output: (pair_id, doc_id,
+    * n_hits). Identical terms (a = b) are rejected — the self-pair
+    * would count trivial zero-distance matches. */
+  def proximitySearch(docs: DataFrame, pairs: DataFrame,
+      window: Int): DataFrame = {
+    val occ = Stage(docs.select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
+    val sides = pairs
+      .select(col("pair_id"), col("term_a").as("term"), lit("a").as("side"))
+      .unionByName(pairs
+        .select(col("pair_id"), col("term_b").as("term"), lit("b").as("side")))
+    // ONE corpus pass: the side-marked candidate frame is tiny and
+    // persists for its two self-join legs (a lazy reuse would re-explode
+    // the corpus — the postings lesson)
+    val cand = occ.join(broadcast(sides), "term")
+      .select(col("pair_id"), col("doc_id"), col("pos"), col("side"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.where(col("side") === "a")
+      .select(col("pair_id"), col("doc_id"), col("pos").as("pos_a"))
+      .join(cand.where(col("side") === "b")
+        .select(col("pair_id"), col("doc_id"), col("pos").as("pos_b")),
+        Seq("pair_id", "doc_id"))
+      .where(abs(col("pos_a") - col("pos_b")) <= window)
+      .groupBy(col("pair_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Snippet generation for the top-k results: the `window`-token slice
     * around each hit doc's FIRST query-term occurrence — the "present"
     * step of the retrieval tier. The (tiny) ranked result + per-query

@@ -184,6 +184,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // start-keyed distinct-offset agg (2, countDistinct is two-phase)
       // + the per-(phrase, doc) rollup — all candidate-sized
       "text_phrase_positional" -> (3, 1),
+      // persisted candidate frame's two legs + join + rollup
+      "text_proximity" -> (4, 2),
       "text_link_density" -> (0, 1),
       "pipeline_content_extract" -> (0, 1),
       // three batch states x (distinct + count-by-key + n_docs rider)

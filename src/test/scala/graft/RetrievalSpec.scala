@@ -124,6 +124,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bigram == out.filter(_._1 == "t2"))
   }
 
+  test("proximity: either order within the window, boundary inclusive, " +
+      "outside-window and missing-term pairs contribute nothing") {
+    val d = docs(
+      (1L, "a x x b"),      // |0-3| = 3 -> inside at window 3
+      (2L, "b x a"),        // reversed order, |2-0| = 2 -> inside
+      (3L, "a x x x b"),    // |0-4| = 4 -> outside
+      (4L, "a only here"))  // partner missing
+    val p = Seq(("w", "a", "b")).toDF("pair_id", "term_a", "term_b")
+    val out = Retrieval.proximitySearch(d, p, window = 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("w", 1L, 1L), ("w", 2L, 1L)), s"got $out")
+  }
+
   test("df-prune: a term in EVERY doc is dropped before the candidate " +
       "join and the ranking equals the query without it") {
     val d = docs(
