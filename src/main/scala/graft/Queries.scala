@@ -4001,17 +4001,21 @@ object Queries {
     * in EITHER field. The fielded fixture derives the title from the
     * doc's own leading tokens so query terms genuinely hit titles. The
     * oracle reuses the shared scoring tail over weighted postings. */
+  /** The fielded fixture shared by the BM25F queries: title = the doc's
+    * own 3 leading tokens (so query terms genuinely hit titles), body =
+    * the full text. */
+  private def bmFieldedFixture(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Stage(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), 1, 3)).as("title"),
+        col("text").as("body"))
+
   private val textBm25Fielded = Q("text_bm25_fielded",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val fields = graft.plans.Stage(
-          docs.select(col("doc_id"), col("text")),
-          "w", TextFns.tokens(col("text")))
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("w"), 1, 3)).as("title"),
-          col("text").as("body"))
-      Retrieval.bm25FieldedTopK(fields,
+      Retrieval.bm25FieldedTopK(bmFieldedFixture(s, dir),
         bmQueryTerms.toDF("query_id", "term"), k = 5)
     },
     Some(s"""WITH $bmQuerySql,
@@ -4087,6 +4091,134 @@ object Queries {
       |    SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY 1, 2)
       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_sum
       |FROM post GROUP BY term""".stripMargin))
+
+  /** Incremental POSITIONAL index (Retrieval.positionalIndex /
+    * mergePositionalIndex): the corpus arrives as three disjoint doc
+    * batches, each reduced to its (term, doc_id, positions) index,
+    * merged pairwise, and the merged index answers the SAME planted
+    * positional-phrase queries — so it must equal the single-pass index
+    * (the oracle derives every count from the full corpus directly).
+    * The incremental posture for the EXPENSIVE retrieval tier: new
+    * crawl batches fold into the persisted positional index without
+    * rescanning history, and phrase/proximity queries read the index
+    * instead of re-exploding documents per query batch. */
+  private val textPositionalIncr = Q("text_positional_incr",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merged = (0 until 3).map(i =>
+          Retrieval.positionalIndex(
+            docs.where(pmod(col("doc_id"), lit(3)) === i)))
+        .reduce(Retrieval.mergePositionalIndex)
+      Retrieval.phraseSearchPositionalIndexed(merged,
+        posPhrases.toDF("phrase_id", "terms"))
+    },
+    textPhrasePositional.oracle)
+
+  /** Incremental FIELDED term index (Retrieval.fieldedTermIndex +
+    * mergeTermIndex — same (term, df, tf_sum) monoid as the plain
+    * index): three disjoint batches of the fielded fixture, merged,
+    * must equal the single-pass full-corpus fielded index the oracle
+    * derives (df = docs with the term in EITHER field, tf_sum = sum of
+    * field-weighted tf). Completes the mergeable-index posture for the
+    * BM25F tier. */
+  private val textBm25FieldedIncr = Q("text_bm25_fielded_incr",
+    (s, dir) => {
+      val fields = bmFieldedFixture(s, dir)
+      (0 until 3).map(i =>
+          Retrieval.fieldedTermIndex(
+            fields.where(pmod(col("doc_id"), lit(3)) === i)))
+        .reduce(Retrieval.mergeTermIndex)
+    },
+    Some(s"""WITH fields AS (SELECT doc_id,
+      |    array_to_string(list_slice(w, 1, 3), ' ') AS title, text AS body
+      |  FROM (SELECT doc_id, text, $duckToks AS w FROM documents)),
+      |ft AS (SELECT doc_id,
+      |  CASE WHEN trim(lower(title)) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(lower(title)), '\\s+') END AS wt,
+      |  CASE WHEN trim(lower(body)) = '' THEN CAST([] AS VARCHAR[])
+      |    ELSE string_split_regex(trim(lower(body)), '\\s+') END AS wb
+      |  FROM fields),
+      |occ AS (SELECT doc_id, unnest(wt) AS term, 3 AS w FROM ft
+      |  UNION ALL SELECT doc_id, unnest(wb) AS term, 1 AS w FROM ft),
+      |post AS (SELECT term, doc_id, CAST(sum(w) AS BIGINT) AS tf
+      |  FROM occ GROUP BY 1, 2)
+      |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_sum
+      |FROM post GROUP BY term""".stripMargin))
+
+  /** The numeric-id query "documents" behind the hybrid query's dense
+    * tier: one row per query, text = its terms (the id is the q-suffix,
+    * so 'q' || id maps back to the sparse tier's string ids). */
+  private val bmQueryDocs: Seq[(Long, String)] =
+    bmQueryTerms.groupBy(_._1).toSeq
+      .map { case (q, ts) => (q.drop(1).toLong, ts.map(_._2).mkString(" ")) }
+      .sortBy(_._1)
+
+  /** HYBRID retrieval (Retrieval.rrfFuse): integer reciprocal-rank
+    * fusion of the sparse BM25 top-10 and a dense top-10 (feature-hash
+    * query embeddings against the document-embedding corpus through
+    * Similarity.crossTopK — the standard RAG two-tower composition, both
+    * tiers already oracled standalone). RRF contribution 10⁴//(60+rnk),
+    * floor division ⇒ hash-exact; the oracle composes the two rank
+    * derivations and the same fusion arithmetic. */
+  private val textHybridTopk = Q("text_hybrid_topk",
+    (s, dir) => {
+      import s.implicits._
+      val sparse = Retrieval.bm25TopK(Tables.documents(s, dir),
+          bmQueryTerms.toDF("query_id", "term"), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val qvecs = TextAnalysis.embedDocuments(
+          bmQueryDocs.toDF("doc_id", "text"), dim = 16)
+        .select(col("doc_id").as("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+        .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
+      val dense = Similarity.crossTopK(docVecs(s, dir), qvecs, k = 10)
+        .select(concat(lit("q"), col("query_id").cast("string")).as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |$docVecCtes,
+      |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |${Retrieval.bm25ScoreCtesSql()},
+      |sp AS (SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS rnk
+      |  FROM ranked WHERE rnk <= 10),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
+      |  WHERE list_dot_product(v, v) > 0),
+      |qhx AS (SELECT query_id, md5(term) AS m FROM q),
+      |qsig AS (SELECT query_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
+      |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM qhx),
+      |qagg AS (SELECT query_id, b, sum(s) AS w FROM qsig GROUP BY 1, 2),
+      |qgrid AS (SELECT query_id, r.range AS dim_idx
+      |  FROM (SELECT DISTINCT query_id FROM q) CROSS JOIN range(0, 16) r),
+      |qvec AS (SELECT g.query_id,
+      |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS qv
+      |  FROM qgrid g LEFT JOIN qagg a
+      |    ON a.query_id = g.query_id AND a.b = g.dim_idx
+      |  GROUP BY g.query_id),
+      |qn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qnrm
+      |  FROM qvec WHERE list_dot_product(qv, qv) > 0),
+      |dsc AS (SELECT qn.query_id, n.vec_id AS doc_id,
+      |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+      |  FROM qn CROSS JOIN n),
+      |dn AS (SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, doc_id) AS INTEGER) AS rnk FROM dsc),
+      |dtier AS (SELECT query_id, doc_id, rnk FROM dn WHERE rnk <= 10),
+      |u AS (SELECT query_id, doc_id, 10000 // (60 + rnk) AS c FROM sp
+      |  UNION ALL SELECT query_id, doc_id, 10000 // (60 + rnk) FROM dtier),
+      |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+      |    count(*) AS n_tiers FROM u GROUP BY 1, 2),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_score DESC, doc_id) AS rnk2 FROM f)
+      |SELECT query_id, doc_id, rrf_score, CAST(n_tiers AS BIGINT) AS n_tiers,
+      |  CAST(rnk2 AS INTEGER) AS rnk
+      |FROM rr WHERE rnk2 <= 5""".stripMargin), bench = true)
 
   /** Strict-order funnel per user (Funnel.userFunnel): the Spark side is a
     * single-shuffle sorted fold; the oracle is the equivalent cascaded
@@ -4929,7 +5061,8 @@ object Queries {
     textPhraseSearch, textPhrasePositional, textProximity, textLinkDensity,
     pipelineContentExtract,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
-    textBm25Snippets, textBm25Pruned,
+    textBm25Snippets, textBm25Pruned, textPositionalIncr,
+    textBm25FieldedIncr, textHybridTopk,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

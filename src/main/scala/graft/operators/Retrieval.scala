@@ -26,6 +26,23 @@ import graft.plans.Stage
   * the postings of its own terms (query terms broadcast onto the
   * postings shuffle), so query cost is candidate-sized, never
   * corpus-sized. No driver-side collect anywhere.
+  *
+  * CACHE-OWNERSHIP CONTRACT: [[bm25TopK]], [[bm25FieldedTopK]] and
+  * [[proximitySearchIndexed]] `persist(MEMORY_AND_DISK)` an internal
+  * index/candidate frame that their result plan consumes more than once
+  * (a shared LAZY subtree does not dedupe — column pruning diverges the
+  * consumers and ReusedExchange never fires, re-exploding the corpus;
+  * measured round 10). The entries are keyed by canonicalized plan, so
+  * repeated calls on the same input reuse ONE entry, and the cached
+  * postings ARE the production index artifact. But they are never
+  * unpersisted here: the operator cannot know when the caller has
+  * finished consuming the (lazy) result. A LONG-LIVED session cycling
+  * through many distinct corpora therefore accumulates one LRU-evictable
+  * entry per distinct input plan; reclaim eagerly with
+  * `spark.catalog.clearCache()` between corpora, or persist the index
+  * frames yourself ([[termIndex]] / [[positionalIndex]] / [[postings]])
+  * and manage their lifecycle — the `*Indexed` entry points take any
+  * pre-built index frame.
   */
 object Retrieval {
 
@@ -53,10 +70,52 @@ object Retrieval {
     postings(docs).groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"))
 
-  /** Monoid merge of [[termIndex]] frames from disjoint doc batches. */
+  /** Monoid merge of [[termIndex]] frames from disjoint doc batches.
+    * Also merges [[fieldedTermIndex]] frames — same (term, df, tf_sum)
+    * shape, same additivity. */
   def mergeTermIndex(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("term"))
       .agg(sum(col("df")).as("df"), sum(col("tf_sum")).as("tf_sum"))
+
+  /** The token-occurrence relation (doc_id, pos, term), pos 0-based —
+    * the shared explode feeding the positional tier. */
+  private def tokenOccurrences(docs: DataFrame): DataFrame =
+    Stage(docs.select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
+
+  /** POSITIONAL index: one row per (term, doc_id) with the sorted
+    * 0-based position array — the persisted artifact for the phrase/
+    * proximity tier (at 100 TB this is the index table, built once per
+    * corpus; query batches read it instead of re-exploding documents).
+    * One explode + one map-combinable aggregate, like [[postings]]. */
+  def positionalIndex(docs: DataFrame): DataFrame =
+    tokenOccurrences(docs)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Monoid merge of [[positionalIndex]] frames. Disjoint doc batches
+    * union trivially (no key collides); the regroup + flatten + sort
+    * also absorbs a doc whose occurrences were split across states, so
+    * the merge is associative and commutative unconditionally. Positions
+    * are absolute within the doc, so no rebasing is ever needed. */
+  def mergePositionalIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(flatten(collect_list(col("positions"))))
+        .as("positions"))
+
+  /** [[positionalIndex]] restricted to a term set — the ONE-SHOT path
+    * for the convenience wrappers: the broadcast term filter lands BELOW
+    * the index aggregation, so an ad-hoc query batch aggregates
+    * candidate-sized postings only, never the whole corpus. Result rows
+    * are exactly the full index's rows for those terms. */
+  private def positionalIndexFor(docs: DataFrame,
+      terms: DataFrame): DataFrame =
+    tokenOccurrences(docs)
+      .join(broadcast(terms.select(col("term")).distinct()), "term")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
 
   /** The shared scoring core over ANY postings frame `(term, doc_id,
     * tf, dl)` + one-row stats `(n_docs, total_tokens)`: integer BM25
@@ -139,12 +198,24 @@ object Retrieval {
       k1Bp: Long = K1Bp, bBp: Long = BBp): DataFrame = {
     val tt = TextFns.tokens(col("title"))
     val bt = TextFns.tokens(col("body"))
-    // occurrences carry a WEIGHT column (tf = sum of weights) — one
-    // explode of |title|+|body| rows, not titleWeight× physical copies
-    // of every title token (round-10 review)
-    val occ = Stage(Stage(
+    val post = fieldedPostings(fields, titleWeight)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = fields.agg(count(lit(1)).as("n_docs"),
+      sum(size(tt).cast("long") * titleWeight + size(bt).cast("long"))
+        .as("total_tokens"))
+    scoreTopK(post, stats, queries, k, k1Bp, bBp)
+  }
+
+  /** Field-weighted postings over `(doc_id, title, body)` — the BM25F
+    * index relation `(term, doc_id, dl, tf)` with tf = Σ field weights
+    * and dl the weighted doc length. Occurrences carry a WEIGHT column
+    * (tf = sum of weights) — one explode of |title|+|body| rows, not
+    * titleWeight× physical copies of every title token (round-10
+    * review). One map-combinable aggregate, like [[postings]]. */
+  def fieldedPostings(fields: DataFrame, titleWeight: Int = 3): DataFrame =
+    Stage(Stage(
         fields.select(col("doc_id"), col("title"), col("body")),
-        "wt", tt), "wb", TextFns.tokens(col("body")))
+        "wt", TextFns.tokens(col("title"))), "wb", TextFns.tokens(col("body")))
       .select(col("doc_id"),
         (size(col("wt")).cast("long") * titleWeight +
           size(col("wb")).cast("long")).as("dl"),
@@ -153,18 +224,19 @@ object Retrieval {
             t => struct(t.as("term"), lit(titleWeight).as("wgt"))),
           transform(col("wb"),
             t => struct(t.as("term"), lit(1).as("wgt"))))).as("o"))
-    val post = occ
       .select(col("doc_id"), col("dl"),
         col("o").getField("term").as("term"),
         col("o").getField("wgt").as("wgt"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(sum(col("wgt")).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = fields.agg(count(lit(1)).as("n_docs"),
-      sum(size(tt).cast("long") * titleWeight + size(bt).cast("long"))
-        .as("total_tokens"))
-    scoreTopK(post, stats, queries, k, k1Bp, bBp)
-  }
+
+  /** Fielded per-term index `(term, df, tf_sum)` — [[termIndex]]'s BM25F
+    * twin (df counts docs with the term in EITHER field; tf_sum sums
+    * field-weighted tf). Additive across DISJOINT doc batches; merge
+    * with [[mergeTermIndex]] (identical shape and monoid). */
+  def fieldedTermIndex(fields: DataFrame, titleWeight: Int = 3): DataFrame =
+    fieldedPostings(fields, titleWeight).groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"))
 
   /** Exact-phrase search via the bigram index (the standard phrase
     * shortcut: adjacency IS the bigram, so a phrase query is one
@@ -196,15 +268,25 @@ object Retrieval {
     * repeated terms inside a phrase ("the the") fall out naturally (one
     * occ row joins both offsets). `phrases` is (phrase_id, terms:array).
     * Output: (phrase_id, doc_id, n_hits). */
-  def phraseSearchPositional(docs: DataFrame, phrases: DataFrame): DataFrame = {
-    val occ = Stage(docs.select(col("doc_id"), col("text")),
-        "w", TextFns.tokens(col("text")))
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
+  def phraseSearchPositional(docs: DataFrame, phrases: DataFrame): DataFrame =
+    phraseSearchPositionalIndexed(
+      positionalIndexFor(docs,
+        phrases.select(explode(col("terms")).as("term"))), phrases)
+
+  /** [[phraseSearchPositional]] over a PRE-BUILT [[positionalIndex]] —
+    * the scale path: the (persisted) index joins the broadcast (term,
+    * off) set FIRST, so only matching posting rows ever explode their
+    * position arrays; query cost is posting-list-sized however large the
+    * corpus the index covers. */
+  def phraseSearchPositionalIndexed(index: DataFrame,
+      phrases: DataFrame): DataFrame = {
     val pterms = phrases.select(col("phrase_id"),
       posexplode(col("terms")).as(Seq("off", "term")))
     val nterms = phrases.select(col("phrase_id"),
       size(col("terms")).as("n_terms"))
-    occ.join(broadcast(pterms), "term")
+    index.join(broadcast(pterms), "term")
+      .select(col("phrase_id"), col("doc_id"), col("off"),
+        explode(col("positions")).as("pos"))
       .select(col("phrase_id"), col("doc_id"),
         (col("pos") - col("off")).as("start"), col("off"))
       .groupBy(col("phrase_id"), col("doc_id"), col("start"))
@@ -222,22 +304,36 @@ object Retrieval {
     * the token explode immediately), so the |posA − posB| ≤ window
     * range join runs on tiny per-doc frames, never the corpus.
     * `pairs` is (pair_id, term_a, term_b). Output: (pair_id, doc_id,
-    * n_hits). Identical terms (a = b) are rejected — the self-pair
-    * would count trivial zero-distance matches. */
+    * n_hits). Identical terms (a = b) are rejected — enforced by a
+    * filter, so a self-pair contributes no rows instead of counting
+    * trivial zero-distance matches and double-counting symmetric pairs
+    * (ADVICE r10). */
   def proximitySearch(docs: DataFrame, pairs: DataFrame,
+      window: Int): DataFrame =
+    proximitySearchIndexed(
+      positionalIndexFor(docs,
+        pairs.select(col("term_a").as("term"))
+          .unionByName(pairs.select(col("term_b").as("term")))),
+      pairs, window)
+
+  /** [[proximitySearch]] over a PRE-BUILT [[positionalIndex]] — same
+    * scale posture as [[phraseSearchPositionalIndexed]]: only the pair
+    * terms' posting rows explode, so the |posA − posB| ≤ window range
+    * join runs on candidate-sized frames however large the indexed
+    * corpus. Persists its (tiny) side-marked candidate frame for the two
+    * self-join legs — see the cache-ownership contract above. */
+  def proximitySearchIndexed(index: DataFrame, pairs: DataFrame,
       window: Int): DataFrame = {
-    val occ = Stage(docs.select(col("doc_id"), col("text")),
-        "w", TextFns.tokens(col("text")))
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
-    val sides = pairs
+    // self-pairs (term_a = term_b) rejected, not scored: every occurrence
+    // would self-join at distance 0 and symmetric pairs double-count
+    val p = pairs.where(col("term_a") =!= col("term_b"))
+    val sides = p
       .select(col("pair_id"), col("term_a").as("term"), lit("a").as("side"))
-      .unionByName(pairs
+      .unionByName(p
         .select(col("pair_id"), col("term_b").as("term"), lit("b").as("side")))
-    // ONE corpus pass: the side-marked candidate frame is tiny and
-    // persists for its two self-join legs (a lazy reuse would re-explode
-    // the corpus — the postings lesson)
-    val cand = occ.join(broadcast(sides), "term")
-      .select(col("pair_id"), col("doc_id"), col("pos"), col("side"))
+    val cand = index.join(broadcast(sides), "term")
+      .select(col("pair_id"), col("doc_id"),
+        explode(col("positions")).as("pos"), col("side"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.where(col("side") === "a")
       .select(col("pair_id"), col("doc_id"), col("pos").as("pos_a"))
@@ -275,6 +371,32 @@ object Retrieval {
     joined.select(col("query_id"), col("doc_id"), col("rnk"),
       hitPos.as("hit_pos"),
       array_join(slice(col("w"), start, lit(window)), " ").as("snippet"))
+  }
+
+  /** HYBRID retrieval fusion: reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009) of two or more ranked tiers — the one call that
+    * joins sparse BM25 ([[bm25TopK]]) and dense ANN ([[Similarity]])
+    * results into a single ranking. Each tier is a (query_id, doc_id,
+    * rnk) frame; a doc's fused score is Σ over the tiers that ranked it
+    * of `10⁴ // (kRrf + rnk)` — INTEGER RRF (floor division, the
+    * basis-point discipline), so fusion is hash-exact cross-engine.
+    * kRrf = 60 is the published default; ties break on doc_id. Each
+    * tier is candidate-sized (≤ k' rows per query), so fusion is one
+    * union + one aggregate over tiny frames — free at any corpus scale.
+    * Output: (query_id, doc_id, rrf_score, n_tiers, rnk ≤ k). */
+  def rrfFuse(tiers: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(tiers.nonEmpty, "need at least one ranked tier")
+    val contribs = tiers.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"10000 div ($kRrf + rnk)").cast("long").as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_score"), count(lit(1)).as("n_tiers"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"),
+        col("n_tiers"), col("rnk").cast("int").as("rnk"))
   }
 
   /** SQL twin of the shared scoring tail — requires CTEs `post(term,

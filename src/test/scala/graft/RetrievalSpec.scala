@@ -137,6 +137,95 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == Set(("w", 1L, 1L), ("w", 2L, 1L)), s"got $out")
   }
 
+  test("positional index merges to the single-pass index over disjoint " +
+      "batches, any association order; indexed phrase/proximity equal " +
+      "the one-shot forms") {
+    val d = docs(
+      (1L, "a b c pad a b x"), (2L, "go go go stop"),
+      (3L, "c b a"), (4L, "a x x b"), (5L, "b x a"))
+    val whole = Retrieval.positionalIndex(d)
+      .as[(String, Long, Seq[Int])].collect().toSet
+    val parts = (0 until 3).map(i =>
+      Retrieval.positionalIndex(d.where(pmod($"doc_id", lit(3)) === i)))
+    val left = Retrieval.mergePositionalIndex(
+      Retrieval.mergePositionalIndex(parts(0), parts(1)), parts(2))
+    val right = Retrieval.mergePositionalIndex(parts(0),
+      Retrieval.mergePositionalIndex(parts(1), parts(2)))
+    assert(left.as[(String, Long, Seq[Int])].collect().toSet == whole)
+    assert(right.as[(String, Long, Seq[Int])].collect().toSet == whole)
+    // positions are sorted 0-based: doc 1's 'a' at 0 and 4, 'b' at 1 and 5
+    assert(whole.contains(("a", 1L, Seq(0, 4))))
+    assert(whole.contains(("b", 1L, Seq(1, 5))))
+    // a doc SPLIT across states (not the disjoint contract, but the
+    // monoid must still absorb it): positions interleave and re-sort
+    val split = Retrieval.mergePositionalIndex(
+      Seq(("a", 9L, Seq(4))).toDF("term", "doc_id", "positions"),
+      Seq(("a", 9L, Seq(0, 7))).toDF("term", "doc_id", "positions"))
+      .as[(String, Long, Seq[Int])].collect().toSet
+    assert(split == Set(("a", 9L, Seq(0, 4, 7))))
+    // indexed forms over the merged index == the one-shot wrappers
+    val phrases = Seq(("t3", Seq("a", "b", "c")), ("rep", Seq("go", "go")))
+      .toDF("phrase_id", "terms")
+    val oneShot = Retrieval.phraseSearchPositional(d, phrases)
+      .as[(String, Long, Long)].collect().toSet
+    val viaIndex = Retrieval.phraseSearchPositionalIndexed(left, phrases)
+      .as[(String, Long, Long)].collect().toSet
+    assert(viaIndex == oneShot && oneShot.nonEmpty, s"$viaIndex vs $oneShot")
+    val pairs = Seq(("w", "a", "b")).toDF("pair_id", "term_a", "term_b")
+    val proxOne = Retrieval.proximitySearch(d, pairs, window = 3)
+      .as[(String, Long, Long)].collect().toSet
+    val proxIdx = Retrieval.proximitySearchIndexed(right, pairs, window = 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(proxIdx == proxOne && proxOne.nonEmpty, s"$proxIdx vs $proxOne")
+  }
+
+  test("proximity rejects self-pairs: term_a = term_b contributes no " +
+      "rows even when the term occurs many times") {
+    val d = docs((1L, "x x x"), (2L, "x pad x"))
+    val p = Seq(("self", "x", "x"), ("ok", "x", "pad"))
+      .toDF("pair_id", "term_a", "term_b")
+    val out = Retrieval.proximitySearch(d, p, window = 3)
+      .as[(String, Long, Long)].collect().toSet
+    assert(!out.exists(_._1 == "self"), s"self-pair must be rejected: $out")
+    assert(out == Set(("ok", 2L, 2L)), s"got $out")
+  }
+
+  test("fielded termIndex merges to the single-pass fielded index over " +
+      "disjoint batches (mergeTermIndex monoid)") {
+    val fields = Seq(
+      (1L, "hit title", "pad body text"),
+      (2L, "other one", "hit pad pad"),
+      (3L, "pad hit", "hit hit pad"))
+      .toDF("doc_id", "title", "body")
+    val whole = Retrieval.fieldedTermIndex(fields)
+      .as[(String, Long, Long)].collect().toSet
+    val merged = (0 until 2).map(i =>
+        Retrieval.fieldedTermIndex(fields.where(pmod($"doc_id", lit(2)) === i)))
+      .reduce(Retrieval.mergeTermIndex)
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == whole)
+    // hit: doc1 title only (tf 3), doc2 body (tf 1), doc3 both (3 + 2)
+    assert(whole.contains(("hit", 3L, 9L)), s"got $whole")
+  }
+
+  test("RRF fusion: a doc both tiers agree on beats each tier's own " +
+      "top hit; integer contributions are 10000 div (60 + rnk)") {
+    val tierA = Seq(("q", 10L, 1), ("q", 3L, 2), ("q", 11L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val tierB = Seq(("q", 20L, 1), ("q", 3L, 2), ("q", 21L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val fused = Retrieval.rrfFuse(Seq(tierA, tierB), k = 5)
+      .orderBy("rnk")
+      .as[(String, Long, Long, Long, Int)].collect()
+    // doc 3 is rank 2 in BOTH tiers yet fuses to rank 1 — the hybrid
+    // win neither tier alone produces (each ranks its own doc first)
+    assert(fused.head._2 == 3L, s"consensus doc must fuse first: ${fused.toSeq}")
+    assert(fused.head._3 == 2 * (10000 / 62), "integer RRF arithmetic")
+    assert(fused.head._4 == 2L, "n_tiers counts contributing tiers")
+    // single-tier docs tie at 10000 div 61 and break on doc_id
+    assert(fused(1)._2 == 10L && fused(2)._2 == 20L, s"${fused.toSeq}")
+  }
+
   test("df-prune: a term in EVERY doc is dropped before the candidate " +
       "join and the ranking equals the query without it") {
     val d = docs(
