@@ -3592,16 +3592,28 @@ object Queries {
     * upstream output here, not only on the planted line fixture. The
     * nav div, footer-less entity paragraph and title/h1 chrome land in
     * the boilerplate or c4 buckets; the parity paragraph keeps keep_doc
-    * two-sided at every SF. */
+    * two-sided at every SF. The boilerplate index comes through the
+    * MERGED-STATE path (three disjoint batches → boilerplateState →
+    * mergeBoilerplateStates → indexFromState) — the incremental line-
+    * tier posture exercised end-to-end; by the merge monoid
+    * (text_boilerplate_merge, LineOpsSpec) it equals the single-pass
+    * index, so the oracle is unchanged. */
   private val pipelineWetClean = Q("pipeline_wet_clean",
-    (s, dir) => LineOps.pageClean(
+    (s, dir) => {
       // pageClean consumes its input lineage three times (index explode,
       // n_docs count, narrow apply); persisting the extracted frame runs
       // the 13-step regex chain ONCE instead of thrice — the same
       // shared-consumer reason bm25TopK persists its postings.
-      LineOps.htmlExtract(plantedHtml(s, dir))
+      val pages = LineOps.htmlExtract(plantedHtml(s, dir))
         .select(col("doc_id"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val state = (0 until 3).map(i =>
+          LineOps.boilerplateState(
+            pages.where(pmod(col("doc_id"), lit(3)) === i)))
+        .reduce(LineOps.mergeBoilerplateStates)
+      LineOps.pageCleanWithIndex(pages,
+        LineOps.indexFromState(state, minDocShareBp = 3000))
+    },
     Some(s"""WITH ${htmlExtractCtes()},
       |hpage AS (SELECT doc_id, text FROM hx),
       |${pageCleanSql("hpage")}""".stripMargin))
@@ -3612,8 +3624,9 @@ object Queries {
     * block-strip trap), an HTML comment (1/4), an entity-rich paragraph
     * (always: &amp;, &lt;/&gt;, &quot;, &#39;, and the double-encoding
     * probe &amp;lt; which must decode to the LITERAL '&lt;', not '<'),
-    * a style block (1/5), and nav chrome. Single-line by construction —
-    * the extractor's documented no-DOTALL contract. */
+    * a style block (1/5), and nav chrome. The script body spans TWO
+    * LINES (real crawl JS is multi-line) — the `[\s\S]` block strips
+    * must swallow the newline, not leak JS into the extracted text. */
   private def plantedHtml(s: SparkSession, dir: String): DataFrame = {
     val st = graft.plans.Stage(
       Tables.documents(s, dir).select(col("doc_id"), col("text")),
@@ -3627,7 +3640,7 @@ object Queries {
       when(pmod(col("doc_id"), lit(2)) === 0, lit(".")).otherwise(lit("")),
       lit("</p>"),
       when(pmod(col("doc_id"), lit(3)) === 0,
-        lit("<script type=\"text/javascript\">var x = 1 < 2; track();</script>"))
+        lit("<script type=\"text/javascript\">var x = 1 < 2;\n track();</script>"))
         .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(4)) === 0,
         lit("<!-- hidden build marker -->")).otherwise(lit("")),
@@ -3646,7 +3659,7 @@ object Queries {
       |  array_to_string(list_slice(w, 9, 14), ' ') ||
       |  (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) || '</p>' ||
       |  (CASE WHEN doc_id % 3 = 0
-      |    THEN '<script type="text/javascript">var x = 1 < 2; track();</script>'
+      |    THEN '<script type="text/javascript">var x = 1 < 2;' || chr(10) || ' track();</script>'
       |    ELSE '' END) ||
       |  (CASE WHEN doc_id % 4 = 0 THEN '<!-- hidden build marker -->' ELSE '' END) ||
       |  '<p>Fish &amp; Chips &lt;deal&gt; says &quot;today&quot; ' ||

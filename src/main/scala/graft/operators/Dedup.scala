@@ -118,9 +118,6 @@ object Dedup {
           .otherwise(lit(""))))
   }
 
-  /** DuckDB expression mirroring [[canonicalUrl]] over variable `u` —
-    * kept adjacent so the two normalizations stay in lock-step (the
-    * TextFns `minhashNumSql` convention). */
   /** SQL twin of [[urlHost]]. */
   def urlHostSql(u: String): String = {
     val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
@@ -136,6 +133,9 @@ object Dedup {
     s"CASE WHEN $pStrip = '' THEN '/' ELSE $pStrip END"
   }
 
+  /** DuckDB expression mirroring [[canonicalUrl]] over variable `u` —
+    * kept adjacent so the two normalizations stay in lock-step (the
+    * TextFns `minhashNumSql` convention). */
   def canonicalUrlSql(u: String): String = {
     val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val host = urlHostSql(u)

@@ -183,13 +183,17 @@ object LineOps {
 
   /** The extraction chain — ONE list drives both the Column fold and the
     * SQL twin ([[htmlStripSql]]), so the engines cannot drift. Patterns
-    * stay inside the Java∩RE2 subset (no anchors, no DOTALL; `(?i)` is
-    * common to both); the tab and newline characters are literal in both
-    * (RE2 reads the raw chars). */
+    * stay inside the Java∩RE2 subset (no anchors, no DOTALL flag; `(?i)`
+    * is common to both); the tab and newline characters are literal in
+    * both (RE2 reads the raw chars). Block bodies (script/style/comment)
+    * match newlines via `[\s\S]` — identical semantics in both engines —
+    * so MULTI-LINE script bodies on real crawl HTML strip completely
+    * instead of leaking JS text into the extracted lines (ADVICE r10;
+    * the non-greedy `*?` keeps two blocks on one line separate). */
   private val HtmlSteps: List[(String, String)] = List(
-    "(?i)<script[^>]*>.*?</script>" -> " ",
-    "(?i)<style[^>]*>.*?</style>" -> " ",
-    "<!--.*?-->" -> " ",
+    "(?i)<script[^>]*>[\\s\\S]*?</script>" -> " ",
+    "(?i)<style[^>]*>[\\s\\S]*?</style>" -> " ",
+    "<!--[\\s\\S]*?-->" -> " ",
     // case-insensitive (legacy crawl pages shout <P>) with a tag-NAME
     // boundary — without it <link>/<param>/<track> match via the
     // li/p/tr alternatives and inject spurious line breaks
@@ -327,11 +331,10 @@ object LineOps {
     * (inline) tags to spaces, decode the five core entities (&amp; LAST,
     * so entity-encoded entities don't double-decode), then normalize
     * whitespace per line and squeeze empty lines. Pure chained codegen'd
-    * regexp_replace — narrow, zero exchanges, streaming-safe. Patterns
-    * avoid DOTALL (both engines default '.' ∌ newline) — raw block
-    * bodies must be single-line, which the fixture guarantees and real
-    * WET extraction handles upstream by newline-normalizing first
-    * (stray CRs are folded by the whitespace steps).
+    * regexp_replace — narrow, zero exchanges, streaming-safe. Block
+    * bodies (script/style/comment) strip across newlines ([[HtmlSteps]]'
+    * `[\s\S]` classes), so raw multi-line crawl HTML needs no upstream
+    * newline-normalizing; stray CRs are folded by the whitespace steps.
     * Output: (doc_id, title, text, n_lines, n_tokens) with
     * line-structured `text` that feeds [[pageClean]] directly. */
   def htmlExtract(pages: DataFrame): DataFrame = {
@@ -382,13 +385,23 @@ object LineOps {
     * output with keep_doc = 0 so the caller sees what the gate cost).
     * Output: (doc_id, n_lines, n_kept, keep_doc, cleaned_text). */
   def pageClean(pages: DataFrame, minDocShareBp: Int = 3000,
+      minWords: Int = 5, minKeptLines: Int = 2): DataFrame =
+    pageCleanWithIndex(pages, boilerplateIndex(pages, minDocShareBp),
+      minWords, minKeptLines)
+
+  /** [[pageClean]] against a PRE-BUILT frequent-line index (a
+    * [[boilerplateIndex]], or [[indexFromState]] over merged
+    * [[boilerplateState]]s) — the incremental/streaming posture:
+    * yesterday's persisted index cleans today's batch with the apply
+    * side fully narrow. */
+  def pageCleanWithIndex(pages: DataFrame, index: DataFrame,
       minWords: Int = 5, minKeptLines: Int = 2): DataFrame = {
     // One boilerplate pass, then the narrow per-doc stages run on the
     // SURVIVING line arrays directly — no re-split round-trip and no
     // self-join back to the stripped frame (the duplicate-subtree trap:
     // reusing the stripBoilerplate frame on both sides of a join would
     // run its scan + both shuffles twice).
-    val deb = stripBoilerplate(pages, minDocShareBp)
+    val deb = applyBoilerplate(pages, index)
       .select(col("doc_id"), col("n_lines"), col("cleaned_text").as("text"))
     val withLines = Stage(deb, "l0", lines(col("text")))
     val withIdx = c4DedupIdx(withLines, "l0", minWords)

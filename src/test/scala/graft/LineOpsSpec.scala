@@ -157,6 +157,28 @@ class LineOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_lines") == 2)
   }
 
+  test("htmlExtract: MULTI-LINE script/style/comment bodies strip " +
+      "completely — no JS/CSS text leaks into the extracted lines") {
+    val html = "<html><body><p>Real prose stays on this page.</p>" +
+      "<script>\nvar leak = 1;\nfunction go() {\n  return 2 < 3;\n}\n</script>" +
+      "<style>\n.nav {\n  color: red;\n}\n</style>" +
+      "<!-- build\nmarker\nspans lines -->" +
+      "<p>Second real sentence survives too.</p></body></html>"
+    val out = LineOps.htmlExtract(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().head
+    assert(out.getAs[String]("text") ==
+      "Real prose stays on this page.\nSecond real sentence survives too.",
+      s"got: ${out.getAs[String]("text").replace("\n", "\\n")}")
+    assert(out.getAs[Long]("n_lines") == 2)
+    // two same-line blocks stay separate (non-greedy): prose between
+    // them survives
+    val twoBlocks = "<p>Keep A.</p><script>x</script><p>Keep B.</p>" +
+      "<script>y</script><p>Keep C.</p>"
+    val t2 = LineOps.htmlExtract(Seq((1L, twoBlocks)).toDF("doc_id", "html"))
+      .collect().head.getAs[String]("text")
+    assert(t2 == "Keep A.\nKeep B.\nKeep C.", s"got: $t2")
+  }
+
   test("plan shape: cleanLines, dedupLinesWithinDoc AND the boilerplate " +
       "APPLY side are NARROW; only the index build shuffles") {
     val ps = pages((1L, "a\nb"), (2L, "a\nc"))
@@ -253,6 +275,27 @@ class LineOpsSpec extends AnyFunSuite {
     // HALF (50%) only at <= 50%
     assert(LineOps.indexFromState(left, 3000).count() == 2)
     assert(LineOps.indexFromState(left, 6000).count() == 1)
+  }
+
+  test("pageCleanWithIndex over a MERGED state equals single-pass " +
+      "pageClean (the incremental wet-clean posture)") {
+    val corpus = pages(
+      (1L, "Shared footer line.\nUnique first sentence stays here.\nSecond unique sentence stays too."),
+      (2L, "Shared footer line.\nAnother page keeps its own prose alive.\nIts second sentence also survives fine."),
+      (3L, "Shared footer line.\nThird page first proper sentence here.\nThird page second proper sentence here."),
+      (4L, "Shared footer line.\nFourth page first proper sentence here.\nFourth page second proper sentence here."))
+    val single = LineOps.pageClean(corpus, minDocShareBp = 5000)
+      .collect().map(_.toSeq).toSet
+    val state = (0 until 3).map(i =>
+        LineOps.boilerplateState(corpus.where(pmod($"doc_id", lit(3)) === i)))
+      .reduce(LineOps.mergeBoilerplateStates)
+    val viaState = LineOps.pageCleanWithIndex(corpus,
+      LineOps.indexFromState(state, minDocShareBp = 5000))
+      .collect().map(_.toSeq).toSet
+    assert(viaState == single && single.nonEmpty)
+    // the shared footer was actually stripped (the index is non-trivial)
+    assert(!single.exists(_.exists(v =>
+      v.toString.contains("Shared footer"))), s"footer must strip: $single")
   }
 
   test("applyBoilerplate cleans a STREAMING frame against a static index, " +
