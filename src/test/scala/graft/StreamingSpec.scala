@@ -932,3 +932,75 @@ class StreamingCurationSpec extends AnyFunSuite {
         s"extra=${got.toSet -- batchExpected}")
   }
 }
+
+class StreamingRetrievalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming term-index maintenance: per-batch termIndex merged into " +
+      "a persisted artifact inside foreachBatch equals the batch index " +
+      "over the same corpus (and positional index likewise)") {
+    import java.nio.file.Files
+    import graft.operators.Retrieval
+    // The production ingest posture for the retrieval tier: each
+    // micro-batch of NEW documents reduces to its (term, df, tf_sum)
+    // index, which folds monoidally into the persisted artifact — the
+    // corpus is never rescanned. The artifact is written as VERSIONED
+    // parquet (read vN-1, merge, write vN): a foreachBatch writer must
+    // never overwrite the directory it is reading in the same job, and
+    // versioning is what makes at-least-once redelivery safe to resume.
+    val corpus: Seq[(Long, String)] = Seq(
+      (1L, "spark scan join the table"),
+      (2L, "window agg the the stream"),
+      (3L, "vector merge batch"),
+      (4L, "spark vector big table scan"),
+      (5L, "the quick join"))
+    val root = Files.createTempDirectory("graft-termidx-").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    @volatile var latestTerm: Option[String] = None
+    @volatile var latestPos: Option[String] = None
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val tNew = Retrieval.termIndex(batch)
+        val tAll = latestTerm.map(p =>
+          Retrieval.mergeTermIndex(spark.read.parquet(p), tNew)).getOrElse(tNew)
+        tAll.write.mode("overwrite").parquet(s"$root/term/v$id")
+        latestTerm = Some(s"$root/term/v$id")
+        val pNew = Retrieval.positionalIndex(batch)
+        val pAll = latestPos.map(p =>
+          Retrieval.mergePositionalIndex(spark.read.parquet(p), pNew))
+          .getOrElse(pNew)
+        pAll.write.mode("overwrite").parquet(s"$root/pos/v$id")
+        latestPos = Some(s"$root/pos/v$id")
+        ()
+      }.start()
+    try {
+      input.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      input.addData(corpus.slice(2, 4): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedTerm = spark.read.parquet(latestTerm.get)
+      .as[(String, Long, Long)].collect().toSet
+    val batchTerm = Retrieval.termIndex(corpus.toDF("doc_id", "text"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamedTerm == batchTerm && batchTerm.nonEmpty,
+      s"stream $streamedTerm != batch $batchTerm")
+    // the merged positional index answers a phrase query identically to
+    // the batch-built index (the artifact is QUERYABLE, not just equal)
+    val phrases = Seq(("p", Seq("spark", "vector", "big")))
+      .toDF("phrase_id", "terms")
+    val viaArtifact = Retrieval.phraseSearchPositionalIndexed(
+        spark.read.parquet(latestPos.get), phrases)
+      .as[(String, Long, Long)].collect().toSet
+    val viaBatch = Retrieval.phraseSearchPositional(
+        corpus.toDF("doc_id", "text"), phrases)
+      .as[(String, Long, Long)].collect().toSet
+    assert(viaArtifact == viaBatch && viaBatch == Set(("p", 4L, 1L)),
+      s"artifact $viaArtifact != batch $viaBatch")
+  }
+}
