@@ -4654,6 +4654,47 @@ object Queries {
       k = 10, stride = 20, nCells = 10, nProbes = 3),
     None, oracleFn = Some((s, dir) => ivfTrainedOracle(s, dir, nProbes = 3)))
 
+  /** SemDeDup semantic dedup (Similarity.semanticDedup — Abbas et al.
+    * 2023): k-means cells scope the pairwise-cosine pass (never corpus
+    * all-pairs), and within a cell every vector with a higher-priority
+    * near-twin (round-4 cosine ≥ 0.2) is dropped — priority is the
+    * paper's keep-farthest-from-centroid rule, vec_id on ties. Training
+    * is bit-deterministic, so the oracle derives at verify time with the
+    * trained centroids as literals (the sim_ivf_kmeans pattern) and
+    * independently re-assigns, re-pairs and re-judges dominance. */
+  private val dedupSemantic = Q("dedup_semantic",
+    (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir),
+      minCosine = 0.2, nCells = 10),
+    None, oracleFn = Some { (s, dir) =>
+      val cents = Similarity.kmeansCentroidArrays(
+        Tables.embeddings(s, dir), nCells = 10)
+      val values = cents.zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c(cell, cv) AS (VALUES
+        |  $values),
+        |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, cell, cell_cos FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cn.cell,
+        |      ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) + 0.0 AS cell_cos,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn)
+        |  WHERE crn = 1),
+        |dropped AS (SELECT DISTINCT x.vec_id
+        |  FROM assigned x JOIN assigned y
+        |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= 0.2
+        |    AND (y.cell_cos < x.cell_cos
+        |      OR (y.cell_cos = x.cell_cos AND y.vec_id < x.vec_id)))
+        |SELECT a.vec_id, a.cell, a.cell_cos,
+        |  CAST(d.vec_id IS NULL AS INTEGER) AS is_survivor
+        |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin
+    })
+
   /** Shared fixture for the incremental-IVF queries: train ONLY on history
     * (vec_id % 10 ≠ 0), persist through the centroidsToDF round-trip, then
     * assign history and the new batch against the LOADED index — no
@@ -5084,7 +5125,7 @@ object Queries {
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     sketchKllByGroup, sketchHllShards, sketchHllOverlap,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
-    simIvfIncr, simIvfDrift,
+    simIvfIncr, simIvfDrift, dedupSemantic,
     simLshTopk, simLshMultiprobe, simQuantize,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,

@@ -505,6 +505,56 @@ object Similarity {
       centroidFrame(embeddings.sparkSession, cents))
       .select(col("vec_id"), col("cell"), col("cell_cos"))
 
+  /** SEMANTIC deduplication scoped by trained k-means cells — the
+    * SemDeDup construction (Abbas et al. 2023, public paper): cluster the
+    * embeddings, compute pairwise cosine WITHIN each cell only (the
+    * clustering is what avoids the corpus all-pairs), and drop every
+    * vector that has a higher-priority near-twin (round-4 cosine ≥
+    * `minCosine`) in its own cell. Priority follows the paper's
+    * keep-farthest-from-centroid rule: LOWER `cell_cos` wins, vec_id
+    * breaks ties — a total order, so survivorship is deterministic and
+    * hash-exact. No transitive closure: survivors are exactly the
+    * vectors with no dominating near-twin, a purely pairwise rule (the
+    * form an incremental pass can also apply against an index).
+    *
+    * Scale: the pair join is cell-scoped (cells are ~N/nCells by
+    * training, and nCells is the knob — the paper scales it with the
+    * corpus, so per-cell work stays bounded); centroids broadcast; one
+    * assignment aggregate + one cell-keyed self-join.
+    * Output: (vec_id, cell, cell_cos, is_survivor). */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double,
+      nCells: Int, iters: Int = 4): DataFrame =
+    semanticDedupWith(embeddings,
+      kmeansCentroidArrays(embeddings, nCells, iters), minCosine)
+
+  /** [[semanticDedup]] against PRE-TRAINED centroids (the persisted-index
+    * form: train once, [[centroidsToDF]] to parquet, dedup every later
+    * corpus slice against the loaded index). Persists the assignment
+    * frame — it feeds both legs of the cell self-join plus the output
+    * projection (see the Retrieval cache-ownership contract for the
+    * lifecycle semantics). */
+  def semanticDedupWith(embeddings: DataFrame, cents: Seq[Array[Double]],
+      minCosine: Double): DataFrame = {
+    val assigned = assignCellsWithCos(prepared(embeddings),
+        centroidFrame(embeddings.sparkSession, cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .where(round(cosinePrenormed(dot(col("x.v"), col("y.v")),
+        col("x.nrm"), col("y.nrm")), 4) >= minCosine)
+      // y dominates x: farther from the centroid (lower cell_cos), then
+      // lower vec_id on ties — cell_cos is a round-6 value both engines
+      // derive bit-identically (the pipeline_topic_clusters proof)
+      .where(col("y.cell_cos") < col("x.cell_cos") ||
+        (col("y.cell_cos") === col("x.cell_cos") &&
+          col("y.vec_id") < col("x.vec_id")))
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("_d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cell_cos"),
+        col("_d").isNull.cast("int").as("is_survivor"))
+  }
+
   /** IVF top-k over trained k-means‖ cells — the production path next to
     * the deterministic-reps [[ivfTopK]] (which stays the oracle query).
     * Same contract; recall@k vs [[bruteTopK]] is measured in

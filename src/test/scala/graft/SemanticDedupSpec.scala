@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup semantics on a hand-built 2-D fixture: near-twins inside a
+  * cell collapse to the copy FARTHEST from the centroid (the paper's
+  * diversity rule), below-threshold neighbors all survive, and the pair
+  * pass is cell-scoped. */
+class SemanticDedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("near-twins collapse to the farthest-from-centroid copy; " +
+      "below-threshold vectors survive; dominance is per-cell") {
+    // centroids: c0 along x, c1 along y
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (1L, 0, Seq(10.0f, 0.0f)),    // cell 0, on-axis (cell_cos = 1)
+      (2L, 0, Seq(10.0f, 0.1f)),    // cell 0, near-twin of 1, slightly off
+      (3L, 0, Seq(0.1f, 10.0f)),    // cell 1, slightly off-axis
+      (4L, 0, Seq(0.0f, 10.0f)),    // cell 1, near-twin of 3, on-axis
+      (5L, 0, Seq(7.0f, 7.0f)))     // cell 0 (tie -> min cell), no near-twin
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.semanticDedupWith(vecs, cents, minCosine = 0.99)
+      .orderBy("vec_id")
+      .as[(Long, Int, Double, Int)].collect()
+    val survivors = out.filter(_._4 == 1).map(_._1).toSet
+    // 1 vs 2: cos ~ 0.99995 >= 0.99; 2 is farther from c0 -> 2 survives.
+    // 3 vs 4: 3 is farther from c1 -> 3 survives. 5 has no twin.
+    assert(survivors == Set(2L, 3L, 5L), s"got $out")
+    // cell assignment sanity: 1, 2, 5 -> cell 0; 3, 4 -> cell 1
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0))
+    // the on-axis member reads cell_cos = 1.0 exactly (round-6)
+    assert(out.find(_._1 == 1L).get._3 == 1.0)
+  }
+
+  test("tie on cell_cos breaks to the LOWER vec_id surviving") {
+    // identical vectors: same cell, same cell_cos, cosine 1.0 pair
+    val cents = Seq(Array(1.0, 0.0))
+    val vecs = Seq(
+      (7L, 0, Seq(3.0f, 4.0f)),
+      (9L, 0, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.semanticDedupWith(vecs, cents, minCosine = 0.99)
+      .as[(Long, Int, Double, Int)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out == Map(7L -> 1, 9L -> 0), s"got $out")
+  }
+}
