@@ -2056,27 +2056,36 @@ object Queries {
     * the ORIGINAL words whose token spans intersect the window (words
     * straddling an edge appear whole in both chunks — round-9 review
     * fix: never emit space-joined subword pieces). */
-  private val pipelineChunkDocs = Q("pipeline_chunk_docs",
-    (s, dir) => TextAnalysis.chunkDocuments(Tables.documents(s, dir),
-      chunkTokens = 128, overlap = 32),
-    Some(s"""WITH RECURSIVE $duckBpeBlock,
-      |occ AS (SELECT doc_id, generate_subscripts(wd, 1) AS pos, unnest(wd) AS word
+  /** The chunk derivation as a CTE chain ending in `chunks(doc_id,
+    * chunk_idx, chunk_text, chunk_tokens)` — shared by the
+    * pipeline_chunk_docs oracle and the RAG retrieval capstone (CTE names
+    * are c_-prefixed so the chain composes with the hybrid fragment's
+    * occ/sp names). Must appear inside WITH RECURSIVE (the BPE block). */
+  private def chunkDocsCtes: String =
+    s"""$duckBpeBlock,
+      |c_occ AS (SELECT doc_id, generate_subscripts(wd, 1) AS pos, unnest(wd) AS word
       |  FROM (SELECT doc_id, $duckToks AS wd FROM documents)),
-      |wl AS (SELECT occ.doc_id, occ.pos, occ.word, CAST(len(f.syms) AS BIGINT) AS bl
-      |  FROM occ JOIN bpe_enc_final f ON f.w = occ.word),
-      |sp AS (SELECT *, CAST(sum(bl) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS e,
-      |    CAST(sum(bl) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM wl),
-      |sp2 AS (SELECT *, e - bl AS s,
-      |    CASE WHEN n <= 128 THEN 1 ELSE 1 + (n - 128 + 95) // 96 END AS nc FROM sp),
-      |ex AS (SELECT doc_id, pos, word, n,
+      |c_wl AS (SELECT c_occ.doc_id, c_occ.pos, c_occ.word, CAST(len(f.syms) AS BIGINT) AS bl
+      |  FROM c_occ JOIN bpe_enc_final f ON f.w = c_occ.word),
+      |c_sp AS (SELECT *, CAST(sum(bl) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS e,
+      |    CAST(sum(bl) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c_wl),
+      |c_sp2 AS (SELECT *, e - bl AS s,
+      |    CASE WHEN n <= 128 THEN 1 ELSE 1 + (n - 128 + 95) // 96 END AS nc FROM c_sp),
+      |c_ex AS (SELECT doc_id, pos, word, n,
       |    CAST(unnest(range(
       |      CASE WHEN s + 1 > 128 THEN (s - 128 + 96) // 96 ELSE 0 END,
       |      least((e - 1) // 96, nc - 1) + 1)) AS BIGINT) AS chunk_idx
-      |  FROM sp2)
-      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |  FROM c_sp2),
+      |chunks AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
       |  string_agg(word, ' ' ORDER BY pos) AS chunk_text,
       |  CAST(least(any_value(n) - chunk_idx * 96, 128) AS INTEGER) AS chunk_tokens
-      |FROM ex GROUP BY doc_id, chunk_idx""".stripMargin))
+      |FROM c_ex GROUP BY doc_id, chunk_idx)""".stripMargin
+
+  private val pipelineChunkDocs = Q("pipeline_chunk_docs",
+    (s, dir) => TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+      chunkTokens = 128, overlap = 32),
+    Some(s"""WITH RECURSIVE $chunkDocsCtes
+      |SELECT doc_id, chunk_idx, chunk_text, chunk_tokens FROM chunks""".stripMargin))
 
   /** Balanced per-class sample (TextAnalysis.classSample): 5 docs per
     * lang by md5 rank, executed by the custom TopKPlan bounded heaps —
@@ -2805,11 +2814,14 @@ object Queries {
     * topic-clustering pipelines: feature-hash embed at dim 16, cast to
     * double, zero vectors dropped (no cosine), constant label 0 (the
     * similarity ops' prepared() contract). */
-  private def docVecs(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.embedDocuments(Tables.documents(s, dir), dim = 16)
+  private def docVecsFrom(docs: DataFrame): DataFrame =
+    TextAnalysis.embedDocuments(docs, dim = 16)
       .select(col("doc_id").as("vec_id"), lit(0).as("label"),
         transform(col("embedding"), _.cast("double")).as("embedding"))
       .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
+
+  private def docVecs(s: SparkSession, dir: String): DataFrame =
+    docVecsFrom(Tables.documents(s, dir))
 
   /** Trained doc-topic centroids, memoized per (sfDir, nCells): training
     * is bit-deterministic, so the four consumers (two topic query fns +
@@ -2827,21 +2839,24 @@ object Queries {
     docCentroidCache.computeIfAbsent((dir, nCells),
       _ => Similarity.kmeansCentroidArrays(docVecs(s, dir), nCells))
 
-  /** [[docVecs]]'s DuckDB re-derivation, shared by every embed-pipeline
-    * oracle: CTEs `toks`…`vec` (vec_id, v) — append an `n` CTE for norms /
-    * buckets per query. Pre-stripped; interpolate directly after WITH. */
-  private lazy val docVecCtes: String =
-    s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+  /** [[docVecsFrom]]'s DuckDB re-derivation over any source relation
+    * `src(doc_id, text)`: CTEs `toks`…`vec` (vec_id, v) — append an `n`
+    * CTE for norms / buckets per query. Pre-stripped; interpolate
+    * directly after WITH. */
+  private def docVecCtesFor(src: String): String =
+    s"""toks AS (SELECT doc_id, $duckToks AS w FROM $src),
       |occ AS (SELECT doc_id, unnest(w) AS t FROM toks),
       |hx AS (SELECT doc_id, md5(t) AS m FROM occ),
       |sig AS (SELECT doc_id, (${TextFns.md5Base28Sql("m")}) % 16 AS b,
       |  (((${TextFns.md5Base28Sql("m")}) // 16) % 2) * 2 - 1 AS s FROM hx),
       |agg AS (SELECT doc_id, b, sum(s) AS w FROM sig GROUP BY 1, 2),
-      |grid AS (SELECT doc_id, r.range AS dim_idx FROM documents CROSS JOIN range(0, 16) r),
+      |grid AS (SELECT doc_id, r.range AS dim_idx FROM $src CROSS JOIN range(0, 16) r),
       |vec AS (SELECT g.doc_id AS vec_id,
       |    list(CAST(coalesce(a.w, 0) AS DOUBLE) ORDER BY g.dim_idx) AS v
       |  FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.b = g.dim_idx
       |  GROUP BY g.doc_id)""".stripMargin
+
+  private lazy val docVecCtes: String = docVecCtesFor("documents")
 
   /** Semantic decontamination (Similarity.crossTopK over
     * TextAnalysis.embedDocuments): every 10th document plays the held-out
@@ -4167,31 +4182,34 @@ object Queries {
       .map { case (q, ts) => (q.drop(1).toLong, ts.map(_._2).mkString(" ")) }
       .sortBy(_._1)
 
-  /** HYBRID retrieval (Retrieval.rrfFuse): integer reciprocal-rank
-    * fusion of the sparse BM25 top-10 and a dense top-10 (feature-hash
-    * query embeddings against the document-embedding corpus through
-    * Similarity.crossTopK — the standard RAG two-tower composition, both
-    * tiers already oracled standalone). RRF contribution 10⁴//(60+rnk),
-    * floor division ⇒ hash-exact; the oracle composes the two rank
-    * derivations and the same fusion arithmetic. */
-  private val textHybridTopk = Q("text_hybrid_topk",
-    (s, dir) => {
-      import s.implicits._
-      val sparse = Retrieval.bm25TopK(Tables.documents(s, dir),
-          bmQueryTerms.toDF("query_id", "term"), k = 10)
-        .select(col("query_id"), col("doc_id"), col("rnk"))
-      val qvecs = TextAnalysis.embedDocuments(
-          bmQueryDocs.toDF("doc_id", "text"), dim = 16)
-        .select(col("doc_id").as("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("embedding"))
-        .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
-      val dense = Similarity.crossTopK(docVecs(s, dir), qvecs, k = 10)
-        .select(concat(lit("q"), col("query_id").cast("string")).as("query_id"),
-          col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
-      Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
-    },
-    Some(s"""WITH $bmQuerySql,
-      |$docVecCtes,
+  /** The hybrid (sparse BM25 ⊕ dense ANN) fusion over any corpus frame
+    * `(doc_id, text)` — ONE body for the documents query and the RAG
+    * chunk capstone: BM25 top-10, feature-hash query embeddings against
+    * the corpus embeddings through Similarity.crossTopK top-10, integer
+    * RRF fusion to the top-5. */
+  private def hybridTopKFrom(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sparse = Retrieval.bm25TopK(docs,
+        bmQueryTerms.toDF("query_id", "term"), k = 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val qvecs = TextAnalysis.embedDocuments(
+        bmQueryDocs.toDF("doc_id", "text"), dim = 16)
+      .select(col("doc_id").as("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+      .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
+    val dense = Similarity.crossTopK(docVecsFrom(docs), qvecs, k = 10)
+      .select(concat(lit("q"), col("query_id").cast("string")).as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
+    Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+  }
+
+  /** SQL twin of [[hybridTopKFrom]] over source relation `src(doc_id,
+    * text)`: the two rank derivations + the integer RRF fusion, ending in
+    * `rr(query_id, doc_id, rrf_score, n_tiers, rnk2)`. Requires `q` (the
+    * query-term relation) already in scope; callers append their final
+    * SELECT. */
+  private def hybridCtesFor(src: String): String =
+    s"""${docVecCtesFor(src)},
       |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
       |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
       |  GROUP BY 1, 2, 3),
@@ -4228,8 +4246,57 @@ object Queries {
       |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
       |    count(*) AS n_tiers FROM u GROUP BY 1, 2),
       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
-      |    ORDER BY rrf_score DESC, doc_id) AS rnk2 FROM f)
+      |    ORDER BY rrf_score DESC, doc_id) AS rnk2 FROM f)""".stripMargin
+
+  /** HYBRID retrieval (Retrieval.rrfFuse): integer reciprocal-rank
+    * fusion of the sparse BM25 top-10 and a dense top-10 (feature-hash
+    * query embeddings against the document-embedding corpus through
+    * Similarity.crossTopK — the standard RAG two-tower composition, both
+    * tiers already oracled standalone). RRF contribution 10⁴//(60+rnk),
+    * floor division ⇒ hash-exact; the oracle composes the two rank
+    * derivations and the same fusion arithmetic. */
+  private val textHybridTopk = Q("text_hybrid_topk",
+    (s, dir) => hybridTopKFrom(s, Tables.documents(s, dir)),
+    Some(s"""WITH $bmQuerySql,
+      |${hybridCtesFor("documents")}
       |SELECT query_id, doc_id, rrf_score, CAST(n_tiers AS BIGINT) AS n_tiers,
+      |  CAST(rnk2 AS INTEGER) AS rnk
+      |FROM rr WHERE rnk2 <= 5""".stripMargin), bench = true)
+
+  /** RAG retrieval capstone (TextAnalysis.chunkDocuments ∘
+    * hybridTopKFrom): the full retrieval-augmented-generation data path —
+    * context-window chunking (128 BPE tokens, 32 overlap), then HYBRID
+    * sparse ⊕ dense retrieval over the CHUNKS, returning the top-5
+    * (doc, chunk) contexts per query. Chunk keys pack as
+    * doc_id·1000 + chunk_idx (the fixture's docs are far below 1000
+    * chunks; a production corpus would carry a composite key column) and
+    * unpack in the output. Every stage — BPE encode, token-window
+    * chunking, BM25, feature-hash embed, cosine ranking, integer RRF —
+    * is already oracled standalone; the capstone composes their SQL
+    * fragments and must hash-match end to end. The chunk frame persists:
+    * it feeds the postings build, the corpus stats and the dense embed
+    * (three consumers through the BPE window chain). */
+  private val pipelineRagRetrieval = Q("pipeline_rag_retrieval",
+    (s, dir) => {
+      val cdocs = TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+          chunkTokens = 128, overlap = 32)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+          col("chunk_text").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hybridTopKFrom(s, cdocs).select(
+        col("query_id"),
+        expr("doc_id div 1000").as("doc_id"),
+        pmod(col("doc_id"), lit(1000)).cast("int").as("chunk_idx"),
+        col("rrf_score"), col("n_tiers"), col("rnk"))
+    },
+    Some(s"""WITH RECURSIVE $bmQuerySql,
+      |$chunkDocsCtes,
+      |cd AS (SELECT doc_id * 1000 + chunk_idx AS doc_id,
+      |  chunk_text AS text FROM chunks),
+      |${hybridCtesFor("cd")}
+      |SELECT query_id, doc_id // 1000 AS doc_id,
+      |  CAST(doc_id % 1000 AS INTEGER) AS chunk_idx,
+      |  rrf_score, CAST(n_tiers AS BIGINT) AS n_tiers,
       |  CAST(rnk2 AS INTEGER) AS rnk
       |FROM rr WHERE rnk2 <= 5""".stripMargin), bench = true)
 
@@ -5116,7 +5183,7 @@ object Queries {
     pipelineContentExtract,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr,
-    textBm25FieldedIncr, textHybridTopk,
+    textBm25FieldedIncr, textHybridTopk, pipelineRagRetrieval,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,
