@@ -4174,6 +4174,45 @@ object Queries {
       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_sum
       |FROM post GROUP BY term""".stripMargin))
 
+  /** Pseudo-relevance-feedback retrieval (Retrieval.bm25PrfTopK — the
+    * integer RM3 reduction): pass 1 is plain BM25, the 3 highest-tf
+    * terms across each query's top-5 docs (originals excluded, term-
+    * string tie-break) expand the query at weight 5 vs the originals'
+    * 10, pass 2 re-ranks with the weighted core over the SAME persisted
+    * postings. The oracle replays both passes and the expansion
+    * selection from the shared scoring fragments. */
+  private val textBm25Prf = Q("text_bm25_prf",
+    (s, dir) => {
+      import s.implicits._
+      Retrieval.bm25PrfTopK(Tables.documents(s, dir),
+        bmQueryTerms.toDF("query_id", "term"), k = 5)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |${Retrieval.bm25ScoreCtesSql()},
+      |topf AS (SELECT query_id, doc_id FROM ranked WHERE rnk <= 5),
+      |fbtf AS (SELECT r.query_id, p.term, CAST(sum(p.tf) AS BIGINT) AS tfs
+      |  FROM post p JOIN topf r USING (doc_id) GROUP BY 1, 2),
+      |expt AS (SELECT query_id, term FROM (
+      |    SELECT f.query_id, f.term,
+      |      row_number() OVER (PARTITION BY f.query_id
+      |        ORDER BY f.tfs DESC, f.term) AS tr
+      |    FROM fbtf f LEFT JOIN q
+      |      ON q.query_id = f.query_id AND q.term = f.term
+      |    WHERE q.term IS NULL)
+      |  WHERE tr <= 3),
+      |q2 AS (SELECT query_id, term, 10 AS wgt FROM q
+      |  UNION ALL SELECT query_id, term, 5 FROM expt),
+      |${Retrieval.bm25ScoreWeightedCtesSql()}
+      |SELECT query_id, doc_id, score, CAST(rnk2 AS INTEGER) AS rnk
+      |FROM ranked2 WHERE rnk2 <= 5""".stripMargin))
+
   /** The numeric-id query "documents" behind the hybrid query's dense
     * tier: one row per query, text = its terms (the id is the q-suffix,
     * so 'q' || id maps back to the sparse tier's string ids). */
@@ -5183,7 +5222,7 @@ object Queries {
     pipelineContentExtract,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr,
-    textBm25FieldedIncr, textHybridTopk, pipelineRagRetrieval,
+    textBm25FieldedIncr, textHybridTopk, pipelineRagRetrieval, textBm25Prf,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

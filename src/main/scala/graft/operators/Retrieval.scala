@@ -124,6 +124,17 @@ object Retrieval {
     * tf/dl (the BM25F construction: weight tf before saturation). */
   private def scoreTopK(post: DataFrame, stats: DataFrame,
       queries: DataFrame, k: Int, k1Bp: Long, bBp: Long,
+      maxDfShareBp: Int = 10000): DataFrame =
+    scoreTopKWeighted(post, stats,
+      queries.select(col("query_id"), col("term"), lit(1L).as("wgt")),
+      k, k1Bp, bBp, maxDfShareBp)
+
+  /** [[scoreTopK]] over WEIGHTED query terms `(query_id, term, wgt)`:
+    * a term's contribution is `wgt · idf_bp · sat_bp` — the relevance-
+    * feedback form ([[bm25PrfTopK]] scores original terms above
+    * expansion terms). wgt = 1 reduces to plain BM25 exactly. */
+  private def scoreTopKWeighted(post: DataFrame, stats: DataFrame,
+      queriesW: DataFrame, k: Int, k1Bp: Long, bBp: Long,
       maxDfShareBp: Int = 10000): DataFrame = {
     // STOPWORD GUARD: a query term with df ≈ N carries idf_bp ≈ 0 but
     // still joins its whole posting list — at corpus scale that is the
@@ -141,7 +152,8 @@ object Retrieval {
         .where(col("df") * 10000 <= col("n_docs") * maxDfShareBp)
         .select(col("term"), col("df"))
     val qdf = pruned
-      .join(broadcast(queries.select(col("query_id"), col("term"))), "term")
+      .join(broadcast(queriesW
+        .select(col("query_id"), col("term"), col("wgt"))), "term")
     val scored = post
       .join(broadcast(qdf), "term")
       .crossJoin(broadcast(stats))
@@ -153,7 +165,7 @@ object Retrieval {
         expr(s"tf * (${k1Bp + 10000L}) * 10000 div denom"))
       .withColumn("idf_bp", expr("(n_docs - df) * 10000 div (df + 1)"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(expr("idf_bp * sat_bp")).as("score"))
+      .agg(sum(expr("wgt * idf_bp * sat_bp")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -373,6 +385,45 @@ object Retrieval {
       array_join(slice(col("w"), start, lit(window)), " ").as("snippet"))
   }
 
+  /** PSEUDO-RELEVANCE-FEEDBACK retrieval (RM3-style query expansion,
+    * integer form — Abdul-Jaleel et al. 2004's RM3 reduced to tf-ranked
+    * expansion with fixed integer weights so every step stays
+    * hash-exact): pass 1 ranks with plain BM25, the top `fbTerms` terms
+    * by summed tf across each query's top `fbDocs` documents (original
+    * terms excluded; ties break on the term string) join the query with
+    * weight `expWgt` against the originals' `origWgt`, and pass 2
+    * re-ranks with the weighted scoring core. Two candidate-sized passes
+    * over the SAME persisted postings — the corpus explodes once; the
+    * feedback extraction broadcasts the (queries × fbDocs)-row pass-1
+    * result onto the postings, so expansion cost is feedback-doc-sized.
+    * Output: (query_id, doc_id, score, rnk ≤ k). */
+  def bm25PrfTopK(docs: DataFrame, queries: DataFrame, k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 3,
+      origWgt: Long = 10L, expWgt: Long = 5L,
+      k1Bp: Long = K1Bp, bBp: Long = BBp): DataFrame = {
+    val post = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 1-row stats frame, consumed by both scoring passes — persisted so
+    // the corpus token count is scanned once
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q1 = queries.select(col("query_id"), col("term"))
+    val topf = scoreTopK(post, stats, q1, fbDocs, k1Bp, bBp)
+      .select(col("query_id"), col("doc_id"))
+    val fbTf = post.join(broadcast(topf), "doc_id")
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("tfs"))
+    val expTop = fbTf.join(q1, Seq("query_id", "term"), "left_anti")
+      .withColumn("tr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("tfs").desc, col("term").asc)))
+      .where(col("tr") <= fbTerms)
+      .select(col("query_id"), col("term"))
+    val q2 = q1.withColumn("wgt", lit(origWgt))
+      .unionByName(expTop.withColumn("wgt", lit(expWgt)))
+    scoreTopKWeighted(post, stats, q2, k, k1Bp, bBp)
+  }
+
   /** HYBRID retrieval fusion: reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher 2009) of two or more ranked tiers — the one call that
     * joins sparse BM25 ([[bm25TopK]]) and dense ANN ([[Similarity]])
@@ -425,6 +476,25 @@ object Retrieval {
       |ranked AS (SELECT query_id, doc_id, score,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY score DESC, doc_id) AS rnk FROM scored)""".stripMargin
+
+  /** SQL twin of the WEIGHTED scoring tail — like [[bm25ScoreCtesSql]]
+    * but over `q2(query_id, term, wgt)`, ending in CTEs `scored2`,
+    * `ranked2` (rank column `rnk2`). Kept adjacent to the Column form so
+    * the two stay in lock-step. */
+  def bm25ScoreWeightedCtesSql(k1Bp: Long = K1Bp, bBp: Long = BBp): String =
+    s"""scored2 AS (SELECT query_id, doc_id,
+      |    CAST(sum(wgt * idf_bp * sat_bp) AS BIGINT) AS score FROM (
+      |  SELECT q2.query_id, q2.wgt, p.doc_id,
+      |    (s.n_docs - t.df) * 10000 // (t.df + 1) AS idf_bp,
+      |    p.tf * ${k1Bp + 10000L} * 10000 //
+      |      (p.tf * 10000 + ($k1Bp * (10000 - $bBp +
+      |        ($bBp * (p.dl * s.n_docs * 10000 // s.total_tokens) // 10000))
+      |        // 10000)) AS sat_bp
+      |  FROM post p JOIN tdf t USING (term) JOIN q2 USING (term), stats s)
+      |  GROUP BY 1, 2),
+      |ranked2 AS (SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rnk2 FROM scored2)""".stripMargin
 
   /** SQL twin of the integer-BM25 derivation over relations
     * `documents(doc_id, text)` and `q(query_id, term)`; `toksSql` is the

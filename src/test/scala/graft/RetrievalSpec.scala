@@ -242,6 +242,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pruned.map(_._1) == Set(1L), "only the rare-term doc ranks")
   }
 
+  test("PRF expansion recovers a vocabulary-mismatch doc pass 1 cannot " +
+      "reach; zero expansion terms reduce to plain BM25 ranking scaled " +
+      "by the original weight") {
+    val d = docs(
+      (1L, "car motor wheel"),        // the feedback doc
+      (2L, "motor wheel engine"),     // no 'car' — invisible to pass 1
+      (3L, "banana fruit pad"))
+    val q = Seq(("q", "car")).toDF("query_id", "term")
+    val out = Retrieval.bm25PrfTopK(d, q, k = 3, fbDocs = 2, fbTerms = 2)
+      .orderBy("rnk")
+      .as[(String, Long, Long, Int)].collect()
+    // expansion = {motor, wheel} from doc 1 -> doc 2 is now retrievable;
+    // doc 1 (original + both expansion terms) stays first; doc 3 never
+    assert(out.map(_._2).toSeq == Seq(1L, 2L), s"got ${out.toSeq}")
+    // fbTerms = 0: ranking identical to plain BM25, scores = 10x
+    val plain = Retrieval.bm25TopK(d, q, k = 3)
+      .as[(String, Long, Long, Int)].collect().toSet
+    val noExp = Retrieval.bm25PrfTopK(d, q, k = 3, fbTerms = 0)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(noExp == plain.map { case (a, b, s, r) => (a, b, 10 * s, r) },
+      s"$noExp vs $plain")
+  }
+
   test("snippets: window centers on the FIRST hit of any query term and " +
       "clamps at the doc start") {
     val d = docs(
