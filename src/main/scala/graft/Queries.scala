@@ -3622,10 +3622,9 @@ object Queries {
       val pages = LineOps.htmlExtract(plantedHtml(s, dir))
         .select(col("doc_id"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val state = (0 until 3).map(i =>
-          LineOps.boilerplateState(
-            pages.where(pmod(col("doc_id"), lit(3)) === i)))
-        .reduce(LineOps.mergeBoilerplateStates)
+      val state = LineOps.mergeBoilerplateStatesAll((0 until 3).map(i =>
+        LineOps.boilerplateState(
+          pages.where(pmod(col("doc_id"), lit(3)) === i))))
       LineOps.pageCleanWithIndex(pages,
         LineOps.indexFromState(state, minDocShareBp = 3000))
     },

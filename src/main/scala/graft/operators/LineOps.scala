@@ -138,7 +138,16 @@ object LineOps {
   /** Monoid merge of [[boilerplateState]] frames from disjoint batches
     * (doc-frequencies and the NULL-key doc count are both additive). */
   def mergeBoilerplateStates(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("lh")).agg(sum(col("cnt")).as("cnt"))
+    mergeBoilerplateStatesAll(Seq(a, b))
+
+  /** N-way [[mergeBoilerplateStates]] — ONE union + ONE aggregate for a
+    * backfill over many batch states (folding N states pairwise plans
+    * N − 1 aggregates; the monoid collapses them into one exchange). */
+  def mergeBoilerplateStatesAll(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(col("lh")).agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** The frequent-line index from a (possibly merged) state: lines in ≥
     * `minDocShareBp`/10000 of the state's total docs. Equals

@@ -105,17 +105,16 @@ object Retrieval {
       .agg(sort_array(flatten(collect_list(col("positions"))))
         .as("positions"))
 
-  /** [[positionalIndex]] restricted to a term set — the ONE-SHOT path
-    * for the convenience wrappers: the broadcast term filter lands BELOW
-    * the index aggregation, so an ad-hoc query batch aggregates
-    * candidate-sized postings only, never the whole corpus. Result rows
-    * are exactly the full index's rows for those terms. */
-  private def positionalIndexFor(docs: DataFrame,
+  /** A [[positionalIndex]] restricted to a term set and re-exploded to
+    * the (doc_id, term, pos) occurrence shape the positional cores
+    * consume — the read path of the persisted artifact: the broadcast
+    * term filter lands on the INDEX rows, so only matching posting rows
+    * ever explode their position arrays. */
+  private def indexOccurrences(index: DataFrame,
       terms: DataFrame): DataFrame =
-    tokenOccurrences(docs)
-      .join(broadcast(terms.select(col("term")).distinct()), "term")
-      .groupBy(col("term"), col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    index.join(broadcast(terms.select(col("term")).distinct()), "term")
+      .select(col("doc_id"), col("term"),
+        explode(col("positions")).as("pos"))
 
   /** The shared scoring core over ANY postings frame `(term, doc_id,
     * tf, dl)` + one-row stats `(n_docs, total_tokens)`: integer BM25
@@ -281,24 +280,30 @@ object Retrieval {
     * occ row joins both offsets). `phrases` is (phrase_id, terms:array).
     * Output: (phrase_id, doc_id, n_hits). */
   def phraseSearchPositional(docs: DataFrame, phrases: DataFrame): DataFrame =
-    phraseSearchPositionalIndexed(
-      positionalIndexFor(docs,
-        phrases.select(explode(col("terms")).as("term"))), phrases)
+    phraseCore(tokenOccurrences(docs), phrases)
 
   /** [[phraseSearchPositional]] over a PRE-BUILT [[positionalIndex]] —
-    * the scale path: the (persisted) index joins the broadcast (term,
-    * off) set FIRST, so only matching posting rows ever explode their
-    * position arrays; query cost is posting-list-sized however large the
-    * corpus the index covers. */
+    * the scale path: the (persisted) index joins the broadcast term set
+    * FIRST, so only matching posting rows ever explode their position
+    * arrays; query cost is posting-list-sized however large the corpus
+    * the index covers. The one-shot wrapper above skips the index
+    * entirely (aggregating positions into arrays just to re-explode them
+    * would add a corpus-keyed exchange for nothing — the artifact only
+    * pays off when it is BUILT ONCE and persisted). */
   def phraseSearchPositionalIndexed(index: DataFrame,
-      phrases: DataFrame): DataFrame = {
+      phrases: DataFrame): DataFrame =
+    phraseCore(indexOccurrences(index,
+      phrases.select(explode(col("terms")).as("term"))), phrases)
+
+  /** The positional-intersection core over ANY (doc_id, term, pos)
+    * occurrence frame — one shape for the corpus-explode and index-read
+    * paths. */
+  private def phraseCore(occ: DataFrame, phrases: DataFrame): DataFrame = {
     val pterms = phrases.select(col("phrase_id"),
       posexplode(col("terms")).as(Seq("off", "term")))
     val nterms = phrases.select(col("phrase_id"),
       size(col("terms")).as("n_terms"))
-    index.join(broadcast(pterms), "term")
-      .select(col("phrase_id"), col("doc_id"), col("off"),
-        explode(col("positions")).as("pos"))
+    occ.join(broadcast(pterms), "term")
       .select(col("phrase_id"), col("doc_id"),
         (col("pos") - col("off")).as("start"), col("off"))
       .groupBy(col("phrase_id"), col("doc_id"), col("start"))
@@ -322,19 +327,24 @@ object Retrieval {
     * (ADVICE r10). */
   def proximitySearch(docs: DataFrame, pairs: DataFrame,
       window: Int): DataFrame =
-    proximitySearchIndexed(
-      positionalIndexFor(docs,
-        pairs.select(col("term_a").as("term"))
-          .unionByName(pairs.select(col("term_b").as("term")))),
-      pairs, window)
+    proximityCore(tokenOccurrences(docs), pairs, window)
 
   /** [[proximitySearch]] over a PRE-BUILT [[positionalIndex]] — same
     * scale posture as [[phraseSearchPositionalIndexed]]: only the pair
     * terms' posting rows explode, so the |posA − posB| ≤ window range
     * join runs on candidate-sized frames however large the indexed
-    * corpus. Persists its (tiny) side-marked candidate frame for the two
-    * self-join legs — see the cache-ownership contract above. */
+    * corpus. */
   def proximitySearchIndexed(index: DataFrame, pairs: DataFrame,
+      window: Int): DataFrame =
+    proximityCore(indexOccurrences(index,
+      pairs.select(col("term_a").as("term"))
+        .unionByName(pairs.select(col("term_b").as("term")))),
+      pairs, window)
+
+  /** The proximity core over ANY (doc_id, term, pos) occurrence frame.
+    * Persists its (tiny) side-marked candidate frame for the two
+    * self-join legs — see the cache-ownership contract above. */
+  private def proximityCore(occ: DataFrame, pairs: DataFrame,
       window: Int): DataFrame = {
     // self-pairs (term_a = term_b) rejected, not scored: every occurrence
     // would self-join at distance 0 and symmetric pairs double-count
@@ -343,9 +353,8 @@ object Retrieval {
       .select(col("pair_id"), col("term_a").as("term"), lit("a").as("side"))
       .unionByName(p
         .select(col("pair_id"), col("term_b").as("term"), lit("b").as("side")))
-    val cand = index.join(broadcast(sides), "term")
-      .select(col("pair_id"), col("doc_id"),
-        explode(col("positions")).as("pos"), col("side"))
+    val cand = occ.join(broadcast(sides), "term")
+      .select(col("pair_id"), col("doc_id"), col("pos"), col("side"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.where(col("side") === "a")
       .select(col("pair_id"), col("doc_id"), col("pos").as("pos_a"))

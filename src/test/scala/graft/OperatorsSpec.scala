@@ -728,7 +728,7 @@ class KmeansIvfSpec extends AnyFunSuite {
     val derived = Queries.derivedOracleSql(spark, dir)
     assert(derived.keySet == Set("sim_ivf_kmeans_topk", "sim_ivf_multiprobe",
       "sim_ivf_incr", "sim_ivf_drift",
-      "pipeline_topic_clusters", "pipeline_topic_sample"))
+      "pipeline_topic_clusters", "pipeline_topic_sample", "dedup_semantic"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }

@@ -88,7 +88,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "pipeline_dataset_card" -> (6, 2),
       "pipeline_crawl_to_trainer" -> (20, 15),
       "pipeline_page_clean" -> (4, 3),
-      "text_bm25_topk" -> (6, 3))
+      "text_bm25_topk" -> (6, 3),
+      // round-11 hybrid tier: bm25 branch (persisted postings, 6) + the
+      // dense branch (embed is narrow; rank window 1) + RRF fusion agg +
+      // fused rank window; the RAG capstone adds the chunk build's
+      // doc-keyed window/assembly exchanges over the persisted chunk
+      // frame (scan counts are pre-execution persist-boundary prints,
+      // the crawl_to_trainer caveat)
+      "text_hybrid_topk" -> (9, 4),
+      "pipeline_rag_retrieval" -> (13, 4))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
@@ -170,7 +178,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_clean_lines" -> (0, 1),
       "text_line_dedup" -> (0, 1),
       "text_html_extract" -> (0, 1),
-      "pipeline_wet_clean" -> (4, 3),
+      // round-11 rebase onto the merged-state path: 3 batch states ×
+      // (membership distinct + per-key count + the n_docs rider count)
+      // + ONE N-way merge aggregate (mergeBoilerplateStatesAll) + the
+      // read-time threshold attach — all over tiny line-hash frames; the
+      // scan count is persist-boundary print inflation (extracted pages
+      // cached once, printed per consumer — the crawl_frontier caveat)
+      "pipeline_wet_clean" -> (10, 7),
       "text_boilerplate" -> (4, 3),
       "text_boilerplate_incr" -> (4, 3),
       "pipeline_page_clean" -> (4, 3),
@@ -196,6 +210,39 @@ class PlanShapeSpec extends AnyFunSuite {
       // join) once per pageClean consumer — same print-inflation caveat
       // as pipeline_crawl_to_trainer; PlanFinal shows InMemoryTableScans
       "pipeline_crawl_frontier" -> (13, 12))
+    val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
+      val p = plan(Queries.queries(name)(spark, sf))
+      val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
+      val scans = "Scan parquet|Scan ExistingRDD".r.findAllIn(p).length
+      val product = p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin Inner")
+      Seq(
+        if (exch > exchCeil) Some(s"$name: $exch exchanges > ceiling $exchCeil")
+        else None,
+        if (scans > scanCeil) Some(s"$name: $scans scan leaves > ceiling $scanCeil (duplicate subtree?)")
+        else None,
+        if (product) Some(s"$name: product join appeared") else None).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("round-11 queries: exchange/scan counts pinned (duplicate-subtree guard)") {
+    // Same contract as the bench-board pin. Shapes, briefly:
+    //  - positional_incr: 3 batch positional-index aggregates + the
+    //    N-way merge + the phrase core's start-keyed countDistinct pair
+    //    and rollup — the by-design disjoint-batch demo;
+    //  - fielded_incr: 3 batch fielded postings+index aggregates folding
+    //    into one merge aggregate;
+    //  - bm25_prf: TWO scoring passes over the persisted postings (agg +
+    //    rank window each) + the feedback tf aggregate + expansion rank
+    //    window — all candidate-sized after the pass-1 broadcast;
+    //  - dedup_semantic: assignment aggregate + the cell-keyed self-join
+    //    legs over the persisted assignment + survivors join.
+    val ceilings: Map[String, (Int, Int)] = Map(
+      "text_positional_incr" -> (7, 3),
+      "text_bm25_fielded_incr" -> (6, 3),
+      "text_bm25_prf" -> (15, 7),
+      "dedup_semantic" -> (7, 3))
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
       val p = plan(Queries.queries(name)(spark, sf))
       val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
