@@ -4767,37 +4767,88 @@ object Queries {
     * is bit-deterministic, so the oracle derives at verify time with the
     * trained centroids as literals (the sim_ivf_kmeans pattern) and
     * independently re-assigns, re-pairs and re-judges dominance. */
+  /** The centroid-literal assignment CTEs shared by the semantic-dedup
+    * oracles: e/n/c/cn/assigned over the embeddings table, `assigned`
+    * carrying (vec_id, v, nrm, cell, cell_cos). */
+  private def semAssignedCtes(cents: Seq[Array[Double]]): String = {
+    val values = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |c(cell, cv) AS (VALUES
+      |  $values),
+      |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, cell, cell_cos FROM (
+      |    SELECT n.vec_id, n.v, n.nrm, cn.cell,
+      |      ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) + 0.0 AS cell_cos,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+      |    FROM n CROSS JOIN cn)
+      |  WHERE crn = 1)""".stripMargin
+  }
+
+  /** Dominated-vec_id subquery body over relation `rel` (the SemDeDup
+    * drop rule: a same-cell near-twin farther from the centroid, vec_id
+    * tie-break). */
+  private def semDominatedSql(rel: String): String =
+    s"""SELECT DISTINCT x.vec_id
+      |  FROM $rel x JOIN $rel y
+      |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= 0.2
+      |    AND (y.cell_cos < x.cell_cos
+      |      OR (y.cell_cos = x.cell_cos AND y.vec_id < x.vec_id))""".stripMargin
+
   private val dedupSemantic = Q("dedup_semantic",
     (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir),
       minCosine = 0.2, nCells = 10),
     None, oracleFn = Some { (s, dir) =>
       val cents = Similarity.kmeansCentroidArrays(
         Tables.embeddings(s, dir), nCells = 10)
-      val values = cents.zipWithIndex.map { case (v, i) =>
-        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
-      }.mkString(",\n  ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c(cell, cv) AS (VALUES
-        |  $values),
-        |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
-        |assigned AS (
-        |  SELECT vec_id, v, nrm, cell, cell_cos FROM (
-        |    SELECT n.vec_id, n.v, n.nrm, cn.cell,
-        |      ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) + 0.0 AS cell_cos,
-        |      row_number() OVER (PARTITION BY n.vec_id
-        |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
-        |    FROM n CROSS JOIN cn)
-        |  WHERE crn = 1),
-        |dropped AS (SELECT DISTINCT x.vec_id
-        |  FROM assigned x JOIN assigned y
-        |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
-        |  WHERE ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) >= 0.2
-        |    AND (y.cell_cos < x.cell_cos
-        |      OR (y.cell_cos = x.cell_cos AND y.vec_id < x.vec_id)))
+      s"""WITH ${semAssignedCtes(cents)},
+        |dropped AS (${semDominatedSql("assigned")})
         |SELECT a.vec_id, a.cell, a.cell_cos,
         |  CAST(d.vec_id IS NULL AS INTEGER) AS is_survivor
         |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""".stripMargin
+    })
+
+  /** Incremental SemDeDup (Similarity.semanticDedupIncremental): the
+    * batch (vec_id % 7 ≠ 0) probes a persisted SURVIVOR index built from
+    * the history (vec_id % 7 = 0) with centroids trained on history only
+    * — history vectors are never re-scored against each other and a
+    * stored twin always drops the arrival (history immutable; the
+    * first-seen posture of every incremental dedup tier here).
+    * Batch-internal drops use the standard dominance rule. Derived
+    * oracle re-runs both stages from the centroid literals. */
+  private val dedupSemanticIncr = Q("dedup_semantic_incr",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = e.where(pmod(col("vec_id"), lit(7)) === 0)
+      val cents = Similarity.kmeansCentroidArrays(hist, nCells = 10)
+      Similarity.semanticDedupIncremental(
+        e.where(pmod(col("vec_id"), lit(7)) =!= 0), cents,
+        Similarity.semanticIndex(hist, cents, minCosine = 0.2),
+        minCosine = 0.2)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val cents = Similarity.kmeansCentroidArrays(
+        Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(7)) === 0),
+        nCells = 10)
+      s"""WITH ${semAssignedCtes(cents)},
+        |hist AS (SELECT * FROM assigned WHERE vec_id % 7 = 0),
+        |hdrop AS (${semDominatedSql("hist")}),
+        |hsurv AS (SELECT h.* FROM hist h LEFT JOIN hdrop d
+        |  ON d.vec_id = h.vec_id WHERE d.vec_id IS NULL),
+        |batch AS (SELECT * FROM assigned WHERE vec_id % 7 <> 0),
+        |vhist AS (SELECT DISTINCT b.vec_id FROM batch b
+        |  JOIN hsurv h ON b.cell = h.cell
+        |  WHERE ROUND(list_dot_product(b.v, h.v) / (b.nrm * h.nrm), 4) >= 0.2),
+        |bdrop AS (${semDominatedSql("batch")}),
+        |drops AS (SELECT vec_id FROM vhist UNION SELECT vec_id FROM bdrop)
+        |SELECT b.vec_id, b.cell, b.cell_cos,
+        |  CAST(d.vec_id IS NULL AS INTEGER) AS is_survivor
+        |FROM batch b LEFT JOIN drops d ON d.vec_id = b.vec_id""".stripMargin
     })
 
   /** Shared fixture for the incremental-IVF queries: train ONLY on history
@@ -5230,7 +5281,7 @@ object Queries {
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     sketchKllByGroup, sketchHllShards, sketchHllOverlap,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
-    simIvfIncr, simIvfDrift, dedupSemantic,
+    simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,

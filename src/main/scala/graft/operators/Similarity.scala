@@ -538,17 +538,76 @@ object Similarity {
     val assigned = assignCellsWithCos(prepared(embeddings),
         centroidFrame(embeddings.sparkSession, cents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropped = assigned.as("x").join(assigned.as("y"),
+    assigned
+      .join(semanticDominated(assigned, assigned, minCosine)
+        .withColumn("_d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cell_cos"),
+        col("_d").isNull.cast("int").as("is_survivor"))
+  }
+
+  /** Dropped vec_ids of `x`: every vector with a DOMINATING near-twin
+    * (round-4 cosine ≥ minCosine) among `y` in its own cell. Dominance:
+    * farther from the centroid (lower cell_cos) wins, then lower vec_id
+    * on ties — cell_cos is a round-6 value both engines derive
+    * bit-identically (the pipeline_topic_clusters proof). Both frames
+    * carry (vec_id, v, nrm, cell, cell_cos). */
+  private def semanticDominated(x: DataFrame, y: DataFrame,
+      minCosine: Double): DataFrame =
+    x.as("x").join(y.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
       .where(round(cosinePrenormed(dot(col("x.v"), col("y.v")),
         col("x.nrm"), col("y.nrm")), 4) >= minCosine)
-      // y dominates x: farther from the centroid (lower cell_cos), then
-      // lower vec_id on ties — cell_cos is a round-6 value both engines
-      // derive bit-identically (the pipeline_topic_clusters proof)
       .where(col("y.cell_cos") < col("x.cell_cos") ||
         (col("y.cell_cos") === col("x.cell_cos") &&
           col("y.vec_id") < col("x.vec_id")))
       .select(col("x.vec_id").as("vec_id")).distinct()
+
+  /** Persistable SURVIVOR index for incremental semantic dedup: the
+    * survivors' (vec_id, cell, cell_cos, v) — the vectors ride along
+    * because cosine needs them (the ANN-family mirror of
+    * [[graft.operators.Multimodal]]'s signatureIndex storing block
+    * means). Write after a [[semanticDedupWith]] pass; later batches
+    * probe the stored rows without re-scoring history. */
+  def semanticIndex(embeddings: DataFrame, cents: Seq[Array[Double]],
+      minCosine: Double): DataFrame = {
+    val assigned = assignCellsWithCos(prepared(embeddings),
+        centroidFrame(embeddings.sparkSession, cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned
+      .join(semanticDominated(assigned, assigned, minCosine),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("cell_cos"), col("v"))
+  }
+
+  /** Incremental [[semanticDedup]]: a NEW batch against a stored
+    * [[semanticIndex]] — history vectors are never re-scored against
+    * each other and history survivorship is never revoked. A new vector
+    * is dropped iff it has ANY near-twin among the stored survivors of
+    * its cell (history is immutable, so it wins regardless of the
+    * centroid-distance rule — the first-seen posture every incremental
+    * dedup tier here uses), or a DOMINATING near-twin within its own
+    * batch. Matches the full-corpus run exactly whenever history's
+    * survivors dominate their cells (the exact-dedup-first normal case);
+    * a batch arrival farther from the centroid than a stored twin
+    * deliberately defers to history — divergence documented, same
+    * contract shape as nearDupImagesIncremental's cap semantics.
+    * Output: batch rows only — (vec_id, cell, cell_cos, is_survivor). */
+  def semanticDedupIncremental(newBatch: DataFrame,
+      cents: Seq[Array[Double]], historyIndex: DataFrame,
+      minCosine: Double): DataFrame = {
+    val assigned = assignCellsWithCos(prepared(newBatch),
+        centroidFrame(newBatch.sparkSession, cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = historyIndex
+      .select(col("cell"), col("v").as("hv"))
+      .withColumn("hnrm", l2Norm(col("hv")))
+    val vsHistory = assigned.join(hist, "cell")
+      .where(round(cosinePrenormed(dot(col("v"), col("hv")),
+        col("nrm"), col("hnrm")), 4) >= minCosine)
+      .select(col("vec_id")).distinct()
+    val dropped = vsHistory
+      .unionByName(semanticDominated(assigned, assigned, minCosine))
+      .distinct()
     assigned
       .join(dropped.withColumn("_d", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("cell_cos"),

@@ -728,7 +728,8 @@ class KmeansIvfSpec extends AnyFunSuite {
     val derived = Queries.derivedOracleSql(spark, dir)
     assert(derived.keySet == Set("sim_ivf_kmeans_topk", "sim_ivf_multiprobe",
       "sim_ivf_incr", "sim_ivf_drift",
-      "pipeline_topic_clusters", "pipeline_topic_sample", "dedup_semantic"))
+      "pipeline_topic_clusters", "pipeline_topic_sample", "dedup_semantic",
+      "dedup_semantic_incr"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }

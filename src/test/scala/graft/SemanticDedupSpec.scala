@@ -36,6 +36,35 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(out.find(_._1 == 1L).get._3 == 1.0)
   }
 
+  test("incremental: a stored survivor drops a batch near-twin even when " +
+      "the arrival is farther from the centroid (history wins); " +
+      "batch-internal dominance unchanged; history never re-judged") {
+    val cents = Seq(Array(1.0, 0.0))
+    val hist = Seq(
+      (1L, 0, Seq(10.0f, 0.0f)),     // dominated by 3 within history
+      (3L, 0, Seq(10.0f, 0.1f)))     // history survivor -> the index
+      .toDF("vec_id", "label", "embedding")
+    val index = Similarity.semanticIndex(hist, cents, minCosine = 0.99)
+    assert(index.select("vec_id").as[Long].collect().toSet == Set(3L),
+      "index holds only history survivors")
+    val batch = Seq(
+      (2L, 0, Seq(10.0f, 0.05f)),    // twin of stored 3 -> dropped
+      (4L, 0, Seq(10.0f, 0.5f)),     // twin of 3, FARTHER from centroid:
+                                     // full run would keep 4; incremental
+                                     // defers to immutable history
+      (5L, 0, Seq(0.0f, 10.0f)),     // no history twin; beats 6 in-batch
+      (6L, 0, Seq(0.1f, 10.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.semanticDedupIncremental(batch, cents, index,
+        minCosine = 0.99)
+      .as[(Long, Int, Double, Int)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // 6 is FARTHER from the centroid than 5 (cell_cos 0.01 vs 0.0)? No:
+    // 5's cell_cos is 0.0 (orthogonal), 6's is ~0.01 — 5 is farther, 5
+    // survives, 6 drops to it.
+    assert(out == Map(2L -> 0, 4L -> 0, 5L -> 1, 6L -> 0), s"got $out")
+  }
+
   test("tie on cell_cos breaks to the LOWER vec_id surviving") {
     // identical vectors: same cell, same cell_cos, cosine 1.0 pair
     val cents = Seq(Array(1.0, 0.0))
