@@ -4212,6 +4212,66 @@ object Queries {
       |SELECT query_id, doc_id, score, CAST(rnk2 AS INTEGER) AS rnk
       |FROM ranked2 WHERE rnk2 <= 5""".stripMargin))
 
+  /** Retrieval evaluation (Retrieval.evalRanking): BM25 top-10 scored
+    * against boolean-AND qrels (a doc is relevant to a query iff it
+    * carries ALL the query's terms within its LEADING 8 tokens — the
+    * "answer in the opening" proxy, derivable in both engines from the
+    * tokens, no judgment file needed; strict enough that the ranker
+    * genuinely misses some and first ranks vary). Per query: hits in the
+    * top 10, first relevant rank, integer MRR in basis points. */
+  private val textRetrievalEval = Q("text_retrieval_eval",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val q = bmQueryTerms.toDF("query_id", "term")
+      val nterms = q.groupBy(col("query_id"))
+        .agg(countDistinct(col("term")).as("n_terms"))
+      val lead = graft.plans.Stage(
+          docs.select(col("doc_id"), col("text")),
+          "w", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(array_distinct(slice(col("w"), 1, 8))).as("term"))
+      val qrels = lead.join(broadcast(q), "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(countDistinct(col("term")).as("n_match"))
+        .join(broadcast(nterms), "query_id")
+        .where(col("n_match") === col("n_terms"))
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.evalRanking(
+        Retrieval.bm25TopK(docs, q, k = 10), qrels, k = 10)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |${Retrieval.bm25ScoreCtesSql()},
+      |topk AS (SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS rnk
+      |  FROM ranked WHERE rnk <= 10),
+      |qn AS (SELECT query_id, count(DISTINCT term) AS n_terms FROM q GROUP BY 1),
+      |lead AS (SELECT doc_id, unnest(list_distinct(list_slice(w, 1, 8))) AS term
+      |  FROM toks),
+      |qrels AS (SELECT l.term, l.doc_id, q.query_id FROM lead l JOIN q USING (term)),
+      |rels AS (SELECT query_id, doc_id FROM (
+      |    SELECT r.query_id, r.doc_id, count(DISTINCT r.term) AS n_match
+      |    FROM qrels r GROUP BY 1, 2) m
+      |  JOIN qn USING (query_id) WHERE m.n_match = qn.n_terms),
+      |j AS (SELECT t.query_id, t.rnk,
+      |    CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      |  FROM topk t LEFT JOIN rels r
+      |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
+      |a AS (SELECT query_id, count(*) AS n_ranked,
+      |    CAST(sum(rel) AS BIGINT) AS n_hits,
+      |    min(CASE WHEN rel = 1 THEN rnk END) AS fr
+      |  FROM j GROUP BY 1)
+      |SELECT query_id, n_ranked, n_hits,
+      |  CAST(coalesce(fr, 0) AS INTEGER) AS first_rel_rnk,
+      |  CAST(CASE WHEN fr IS NULL THEN 0 ELSE 10000 // fr END AS BIGINT) AS mrr_bp
+      |FROM a""".stripMargin))
+
   /** The numeric-id query "documents" behind the hybrid query's dense
     * tier: one row per query, text = its terms (the id is the q-suffix,
     * so 'q' || id maps back to the sparse tier's string ids). */
@@ -5273,6 +5333,7 @@ object Queries {
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr,
     textBm25FieldedIncr, textHybridTopk, pipelineRagRetrieval, textBm25Prf,
+    textRetrievalEval,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

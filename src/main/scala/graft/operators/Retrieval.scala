@@ -433,6 +433,31 @@ object Retrieval {
     scoreTopKWeighted(post, stats, q2, k, k1Bp, bBp)
   }
 
+  /** Ranking-quality evaluation over ANY ranked frame (query_id, doc_id,
+    * rnk) against a qrels relation (query_id, doc_id): per query, the
+    * ranked-row count, the relevant-hit count within the top `k`, the
+    * rank of the first relevant hit and its INTEGER reciprocal rank
+    * (10⁴ // first_rank; 0 when no relevant doc ranked) — the MRR/
+    * recall probe a retrieval tier runs after every index or ranker
+    * change, applicable to the BM25, fielded, PRF and fused tiers alike.
+    * One row per query that RANKED anything (a query with zero results
+    * vanishes with its ranking — evaluate result presence separately).
+    * Candidate-sized: one broadcast join + one aggregate.
+    * Output: (query_id, n_ranked, n_hits, first_rel_rnk, mrr_bp). */
+  def evalRanking(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame =
+    ranked.where(col("rnk") <= k)
+      .join(broadcast(qrels
+        .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(coalesce(col("rel"), lit(0L))).as("n_hits"),
+        min(when(col("rel") === 1L, col("rnk"))).as("fr"))
+      .select(col("query_id"), col("n_ranked"), col("n_hits"),
+        coalesce(col("fr"), lit(0)).cast("int").as("first_rel_rnk"),
+        when(col("fr").isNull, lit(0L))
+          .otherwise(expr("10000 div fr")).as("mrr_bp"))
+
   /** HYBRID retrieval fusion: reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher 2009) of two or more ranked tiers — the one call that
     * joins sparse BM25 ([[bm25TopK]]) and dense ANN ([[Similarity]])

@@ -265,6 +265,23 @@ class RetrievalSpec extends AnyFunSuite {
       s"$noExp vs $plain")
   }
 
+  test("evalRanking: hits counted within k only, first relevant rank, " +
+      "integer MRR, all-miss query reports zeros") {
+    val ranked = Seq(
+      ("qa", 10L, 1), ("qa", 20L, 2), ("qa", 30L, 3), ("qa", 40L, 4),
+      ("qb", 50L, 1), ("qb", 60L, 2))
+      .toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq(("qa", 20L), ("qa", 40L), ("qa", 99L), ("qb", 99L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.evalRanking(ranked, qrels, k = 3)
+      .as[(String, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // qa: rank 4 is OUTSIDE k=3 — 1 hit, first at rank 2, MRR 5000
+    assert(out("qa") == (("qa", 3L, 1L, 2, 5000L)), s"got ${out("qa")}")
+    // qb: no relevant doc ranked — zeros, not a missing row
+    assert(out("qb") == (("qb", 2L, 0L, 0, 0L)), s"got ${out("qb")}")
+  }
+
   test("snippets: window centers on the FIRST hit of any query term and " +
       "clamps at the doc start") {
     val d = docs(
