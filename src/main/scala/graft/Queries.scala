@@ -4378,7 +4378,15 @@ object Queries {
     (s, dir) => {
       val cdocs = TextAnalysis.chunkDocuments(Tables.documents(s, dir),
           chunkTokens = 128, overlap = 32)
-        .select((col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+        // LOUD overflow guard: a ≥ 93k-token doc would wrap chunk_idx
+        // into the next doc's key space — and the oracle packs the same
+        // way, so a silent collision would still hash-match (review r11).
+        // raise_error makes the violated packing contract fail the run.
+        .select(when(col("chunk_idx") < 1000,
+            col("doc_id") * 1000 + col("chunk_idx"))
+          .otherwise(raise_error(concat(
+            lit("chunk_idx overflows the packed (doc, chunk) key: "),
+            col("chunk_idx").cast("string")))).as("doc_id"),
           col("chunk_text").as("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       hybridTopKFrom(s, cdocs).select(

@@ -27,8 +27,11 @@ import graft.plans.Stage
   * postings shuffle), so query cost is candidate-sized, never
   * corpus-sized. No driver-side collect anywhere.
   *
-  * CACHE-OWNERSHIP CONTRACT: [[bm25TopK]], [[bm25FieldedTopK]] and
-  * [[proximitySearchIndexed]] `persist(MEMORY_AND_DISK)` an internal
+  * CACHE-OWNERSHIP CONTRACT: the multi-consumer operators in this family
+  * — [[bm25TopK]], [[bm25FieldedTopK]], [[bm25PrfTopK]] (postings AND
+  * its 1-row stats frame), [[proximitySearch]] /
+  * [[proximitySearchIndexed]], and [[graft.operators.Similarity]]'s
+  * semanticDedup* siblings — `persist(MEMORY_AND_DISK)` an internal
   * index/candidate frame that their result plan consumes more than once
   * (a shared LAZY subtree does not dedupe — column pruning diverges the
   * consumers and ReusedExchange never fires, re-exploding the corpus;
@@ -327,7 +330,7 @@ object Retrieval {
     * (ADVICE r10). */
   def proximitySearch(docs: DataFrame, pairs: DataFrame,
       window: Int): DataFrame =
-    proximityCore(tokenOccurrences(docs), pairs, window)
+    proximityCore(tokenOccurrences(docs), nonSelfPairs(pairs), window)
 
   /** [[proximitySearch]] over a PRE-BUILT [[positionalIndex]] — same
     * scale posture as [[phraseSearchPositionalIndexed]]: only the pair
@@ -335,20 +338,29 @@ object Retrieval {
     * join runs on candidate-sized frames however large the indexed
     * corpus. */
   def proximitySearchIndexed(index: DataFrame, pairs: DataFrame,
-      window: Int): DataFrame =
+      window: Int): DataFrame = {
+    // reject self-pairs BEFORE deriving the index term filter — a
+    // self-pair on a frequent term would otherwise explode that term's
+    // whole posting list only for the core to discard it (review r11)
+    val p = nonSelfPairs(pairs)
     proximityCore(indexOccurrences(index,
-      pairs.select(col("term_a").as("term"))
-        .unionByName(pairs.select(col("term_b").as("term")))),
-      pairs, window)
+      p.select(col("term_a").as("term"))
+        .unionByName(p.select(col("term_b").as("term")))),
+      p, window)
+  }
 
-  /** The proximity core over ANY (doc_id, term, pos) occurrence frame.
+  /** Self-pairs (term_a = term_b) rejected, not scored: every occurrence
+    * would self-join at distance 0 and symmetric pairs double-count
+    * (ADVICE r10). */
+  private def nonSelfPairs(pairs: DataFrame): DataFrame =
+    pairs.where(col("term_a") =!= col("term_b"))
+
+  /** The proximity core over ANY (doc_id, term, pos) occurrence frame;
+    * `p` must already be self-pair-filtered ([[nonSelfPairs]]).
     * Persists its (tiny) side-marked candidate frame for the two
     * self-join legs — see the cache-ownership contract above. */
-  private def proximityCore(occ: DataFrame, pairs: DataFrame,
+  private def proximityCore(occ: DataFrame, p: DataFrame,
       window: Int): DataFrame = {
-    // self-pairs (term_a = term_b) rejected, not scored: every occurrence
-    // would self-join at distance 0 and symmetric pairs double-count
-    val p = pairs.where(col("term_a") =!= col("term_b"))
     val sides = p
       .select(col("pair_id"), col("term_a").as("term"), lit("a").as("side"))
       .unionByName(p
@@ -440,6 +452,9 @@ object Retrieval {
     * (10⁴ // first_rank; 0 when no relevant doc ranked) — the MRR/
     * recall probe a retrieval tier runs after every index or ranker
     * change, applicable to the BM25, fielded, PRF and fused tiers alike.
+    * `qrels` is deduplicated internally (free — the frame broadcasts
+    * anyway), so unioned judgment files with overlaps cannot fan out a
+    * ranked row and inflate the counts.
     * One row per query that RANKED anything (a query with zero results
     * vanishes with its ranking — evaluate result presence separately).
     * Candidate-sized: one broadcast join + one aggregate.
@@ -447,7 +462,8 @@ object Retrieval {
   def evalRanking(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame =
     ranked.where(col("rnk") <= k)
       .join(broadcast(qrels
-        .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))),
+        .select(col("query_id"), col("doc_id")).distinct()
+        .withColumn("rel", lit(1L))),
         Seq("query_id", "doc_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_ranked"),
