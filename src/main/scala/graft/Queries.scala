@@ -1741,7 +1741,10 @@ object Queries {
     * same materialized token array — no joins of separately-derived
     * per-doc tables. `carry` names extra input columns to keep (e.g. the
     * event-time column a streaming caller watermarks on). */
-  private[graft] def curateGateFrom(docs: DataFrame,
+  /** The MEASURED frame behind the hygiene gate — every doc with its
+    * n_tokens, quality_bp and model-predicted language, UNfiltered (the
+    * drop-attribution report reads this; the gate filters it). */
+  private[graft] def curateMeasured(docs: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
     val keep = Seq("doc_id", "text") ++ carry
     val measured = graft.plans.Stage(docs.select(keep.map(col): _*),
@@ -1750,12 +1753,16 @@ object Queries {
         size(col("w")).as("n_tokens"),
         TextFns.basisPoints(
           TextFns.qualityScoreFromTokens(col("text"), col("w"))).as("quality_bp")): _*)
-    // language gate = the MODEL-grade classifier (round-10 rebase; the
+    // language = the MODEL-grade classifier (round-10 rebase; the
     // marker-stopword langId stays available standalone as text_langid)
     TextAnalysis.withModelLang(measured)
+  }
+
+  private[graft] def curateGateFrom(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    curateMeasured(docs, carry)
       .where(col("quality_bp") >= 7000 && col("predicted_lang") === "en")
       .drop("predicted_lang")
-  }
 
   /** [[curateGateFrom]] over the documents table — the registered-query
     * form, exposed (package-private) so ProfileCurate can time each stage
@@ -1791,24 +1798,28 @@ object Queries {
     * gate → exact-dedup → LSH-removal body; [[docsPrepFrom]] projects it
     * for the registered query, the crawl-to-trainer capstone packs it
     * (round-10 review: the capstone had inlined this body). */
-  private[graft] def docsPrepPrepped(docs: DataFrame): DataFrame = {
-    val survivors = curateSurvivorsFrom(curateGateFrom(docs))
-    // Clusters over the pair graph among survivors, then argmax quality_bp
-    // per cluster (min-doc_id tie-break — a total order, and the tie
-    // branch is what keeps the streaming twin equivalent: first-seen ==
-    // min-id when qualities tie). quality_bp rides along from the gate,
-    // so no second tokenize scan. The closure joins only the pairs-sized
-    // frame (tiny vs the corpus); survivors is persisted above.
+  /** Near-dup DROPPED doc_ids among the exact-dedup survivors: clusters
+    * over the pair graph, then argmax quality_bp per cluster (min-doc_id
+    * tie-break — a total order, and the tie branch is what keeps the
+    * streaming twin equivalent: first-seen == min-id when qualities
+    * tie). quality_bp rides along from the gate, so no second tokenize
+    * scan. The closure joins only the pairs-sized frame (tiny vs the
+    * corpus); `survivors` must be the persisted frame. */
+  private def nearDupDropsFrom(survivors: DataFrame): DataFrame = {
     val comp = Dedup.components(
       Dedup.nearDupPairs(survivors.select(col("doc_id"), col("text")), 0.2)
         .select(col("doc_a"), col("doc_b")))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("quality_bp").desc, col("doc_id").asc)
-    val dropped = comp.join(survivors.select(col("doc_id"), col("quality_bp")), "doc_id")
+    comp.join(survivors.select(col("doc_id"), col("quality_bp")), "doc_id")
       .withColumn("keep_id", first(col("doc_id")).over(w))
       .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"))
-    survivors.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  private[graft] def docsPrepPrepped(docs: DataFrame): DataFrame = {
+    val survivors = curateSurvivorsFrom(curateGateFrom(docs))
+    survivors.join(nearDupDropsFrom(survivors), Seq("doc_id"), "left_anti")
   }
 
   private[graft] def docsPrepFrom(docs: DataFrame): DataFrame =
@@ -1817,6 +1828,57 @@ object Queries {
   private val pipelineDocsPrep = Q("pipeline_docs_prep",
     (s, dir) => docsPrepFrom(Tables.documents(s, dir)),
     Some(docsPrepSql), bench = true)
+
+  /** DROP-ATTRIBUTION report for the docs-prep pipeline — the "why did
+    * my corpus shrink" audit a curator reads next to the dataset card:
+    * every document attributed to the FIRST stage that killed it
+    * (quality gate → language gate → exact dedup → near-dup removal) or
+    * 'kept', summarized per stage with doc and token mass. Composes the
+    * exact fragments docs_prep runs (same measured frame, same survivor
+    * sets), so kept == pipeline_docs_prep's output by construction; the
+    * oracle nests the shared docsPrepCtes derivation and re-attributes
+    * independently. Output: (stage, n_docs, sum_tokens). */
+  /** The drop-attribution body over any (doc_id, text) frame — factored
+    * so the spec can exercise EVERY arm on a planted corpus (the sf
+    * fixture populates exact_dup only at larger SFs). */
+  private[graft] def dropReportFrom(docs: DataFrame): DataFrame = {
+    val m = curateMeasured(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = m
+      .where(col("quality_bp") >= 7000 && col("predicted_lang") === "en")
+      .drop("predicted_lang")
+    val survivors = curateSurvivorsFrom(gated)
+    val nearDrops = nearDupDropsFrom(survivors)
+    m.join(survivors.select(col("doc_id"), lit(1).as("_sv")),
+        Seq("doc_id"), "left")
+      .join(nearDrops.select(col("doc_id"), lit(1).as("_nd")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("quality_bp") < 7000, lit("quality"))
+          .when(col("predicted_lang") =!= "en", lit("lang"))
+          .when(col("_sv").isNull, lit("exact_dup"))
+          .when(col("_nd").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"))
+  }
+
+  private val pipelineDropReport = Q("pipeline_drop_report",
+    (s, dir) => dropReportFrom(Tables.documents(s, dir)),
+    Some(s"""WITH RECURSIVE ${docsPrepCtes()},
+      |rep AS (SELECT m.doc_id, m.n_tokens, CASE
+      |    WHEN m.quality_bp < 7000 THEN 'quality'
+      |    WHEN ml.predicted_lang <> 'en' THEN 'lang'
+      |    WHEN s.doc_id IS NULL THEN 'exact_dup'
+      |    WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+      |    ELSE 'kept' END AS stage
+      |  FROM meas m JOIN mlang ml USING (doc_id)
+      |  LEFT JOIN survivors s ON s.doc_id = m.doc_id
+      |  LEFT JOIN dropq d ON d.doc_id = m.doc_id)
+      |SELECT stage, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM rep GROUP BY stage""".stripMargin))
 
   /** pipeline_docs_prep's oracle, factored so compositions (e.g.
     * pipeline_curate_full) can nest it as a derived table. */
@@ -5316,7 +5378,7 @@ object Queries {
     dedupMinhashIncrBloom,
     dedupMinhashPairs, dedupClusters, dedupSurvivorQuality, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, dedupEmbeddingLshMp, dedupEmbeddingClusters,
-    pipelineDocsPrep, pipelineCurateFull, pipelinePackDocs,
+    pipelineDocsPrep, pipelineDropReport, pipelineCurateFull, pipelinePackDocs,
     pipelinePackSequences, pipelinePackIds, pipelineCrawlToTrainer, pipelineTokenIds, pipelineTemperedSample,
     pipelineChunkDocs,
     pipelineClassSample, pipelineTrainSplit, pipelineDatasetCard,

@@ -78,3 +78,35 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(out == Map(7L -> 1, 9L -> 0), s"got $out")
   }
 }
+
+/** Drop-attribution report: every arm exercised on a planted corpus —
+  * first-kill attribution order (quality before lang), exact dedup among
+  * the gated, near-dup attribution of the cluster loser, and kept mass
+  * equal to the docs-prep output. */
+class DropReportSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("every stage arm fires; kept equals the docs-prep survivor count") {
+    def periodic(fam: Int, reps: Int): String =
+      Seq.fill(reps)(s"the qx${fam}a zr${fam}b").mkString(" ")
+    val corpus = Seq(
+      (1L, periodic(1, 40)),    // kept (cluster survivor: quality tie -> min id)
+      (2L, periodic(1, 41)),    // near_dup of 1 (same shingle SET, distinct string)
+      (3L, periodic(1, 40)),    // exact_dup of 1 (identical text, higher id)
+      (4L, Seq.fill(40)("der die und das ist ein").mkString(" ")), // lang: de
+      (5L, "tiny doc"))         // quality: 2 tokens, fails the length term
+      .toDF("doc_id", "text")
+    val rep = Queries.dropReportFrom(corpus)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep.keySet == Set("kept", "near_dup", "exact_dup", "lang", "quality"),
+      s"got $rep")
+    assert(rep("kept")._1 == 1L && rep("near_dup")._1 == 1L &&
+      rep("exact_dup")._1 == 1L && rep("lang")._1 == 1L &&
+      rep("quality")._1 == 1L, s"got $rep")
+    // attribution must agree with the pipeline itself
+    val kept = Queries.docsPrepPrepped(corpus).count()
+    assert(kept == rep("kept")._1, s"report kept ${rep("kept")._1} != pipeline $kept")
+  }
+}
