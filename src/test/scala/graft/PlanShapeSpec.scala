@@ -238,11 +238,21 @@ class PlanShapeSpec extends AnyFunSuite {
     //    window — all candidate-sized after the pass-1 broadcast;
     //  - dedup_semantic: assignment aggregate + the cell-keyed self-join
     //    legs over the persisted assignment + survivors join.
+    //  - drop_report: the docs_prep family's counts + the attribution
+    //    joins over the persisted measured frame;
+    //  - semantic_incr: history index + batch assignment persist
+    //    boundaries print their subtrees pre-execution (the
+    //    crawl_frontier caveat) around the two dominance self-joins;
+    //  - retrieval_eval: bm25's pinned 6 + the two countDistinct qrel
+    //    aggregates + the per-query eval aggregate.
     val ceilings: Map[String, (Int, Int)] = Map(
       "text_positional_incr" -> (7, 3),
       "text_bm25_fielded_incr" -> (6, 3),
       "text_bm25_prf" -> (15, 7),
-      "dedup_semantic" -> (7, 3))
+      "dedup_semantic" -> (7, 3),
+      "pipeline_drop_report" -> (8, 10),
+      "dedup_semantic_incr" -> (18, 7),
+      "text_retrieval_eval" -> (10, 4))
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
       val p = plan(Queries.queries(name)(spark, sf))
       val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
