@@ -4930,12 +4930,24 @@ object Queries {
       |    AND (y.cell_cos < x.cell_cos
       |      OR (y.cell_cos = x.cell_cos AND y.vec_id < x.vec_id))""".stripMargin
 
+  /** Trained embedding-table centroids, memoized per (sfDir, key) — the
+    * docCentroidCache pattern for the semantic-dedup queries: each query
+    * fn AND its derived oracle need the same bit-deterministic training,
+    * so the four consumers share two runs per JVM instead of four. Same
+    * immutable-sfDir assumption as docCentroidCache. */
+  private val embCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Array[Double]]]()
+  private def embCentroids(s: SparkSession, dir: String, key: String,
+      frame: => DataFrame): Seq[Array[Double]] =
+    embCentroidCache.computeIfAbsent((dir, key),
+      _ => Similarity.kmeansCentroidArrays(frame, nCells = 10))
+
   private val dedupSemantic = Q("dedup_semantic",
-    (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir),
-      minCosine = 0.2, nCells = 10),
+    (s, dir) => Similarity.semanticDedupWith(Tables.embeddings(s, dir),
+      embCentroids(s, dir, "all", Tables.embeddings(s, dir)),
+      minCosine = 0.2),
     None, oracleFn = Some { (s, dir) =>
-      val cents = Similarity.kmeansCentroidArrays(
-        Tables.embeddings(s, dir), nCells = 10)
+      val cents = embCentroids(s, dir, "all", Tables.embeddings(s, dir))
       s"""WITH ${semAssignedCtes(cents)},
         |dropped AS (${semDominatedSql("assigned")})
         |SELECT a.vec_id, a.cell, a.cell_cos,
@@ -4955,16 +4967,15 @@ object Queries {
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
       val hist = e.where(pmod(col("vec_id"), lit(7)) === 0)
-      val cents = Similarity.kmeansCentroidArrays(hist, nCells = 10)
+      val cents = embCentroids(s, dir, "hist7", hist)
       Similarity.semanticDedupIncremental(
         e.where(pmod(col("vec_id"), lit(7)) =!= 0), cents,
         Similarity.semanticIndex(hist, cents, minCosine = 0.2),
         minCosine = 0.2)
     },
     None, oracleFn = Some { (s, dir) =>
-      val cents = Similarity.kmeansCentroidArrays(
-        Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(7)) === 0),
-        nCells = 10)
+      val cents = embCentroids(s, dir, "hist7",
+        Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(7)) === 0))
       s"""WITH ${semAssignedCtes(cents)},
         |hist AS (SELECT * FROM assigned WHERE vec_id % 7 = 0),
         |hdrop AS (${semDominatedSql("hist")}),
