@@ -4321,7 +4321,13 @@ object Queries {
       |    SELECT r.query_id, r.doc_id, count(DISTINCT r.term) AS n_match
       |    FROM qrels r GROUP BY 1, 2) m
       |  JOIN qn USING (query_id) WHERE m.n_match = qn.n_terms),
-      |j AS (SELECT t.query_id, t.rnk,
+      |$evalTailSql""".stripMargin))
+
+  /** SQL twin of Retrieval.evalRanking's tail — expects CTEs
+    * `topk(query_id, doc_id, rnk)` and `rels(query_id, doc_id)` in
+    * scope; shared by the BM25 and RAG evaluation oracles. */
+  private def evalTailSql: String =
+    """j AS (SELECT t.query_id, t.rnk,
       |    CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
       |  FROM topk t LEFT JOIN rels r
       |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
@@ -4332,7 +4338,7 @@ object Queries {
       |SELECT query_id, n_ranked, n_hits,
       |  CAST(coalesce(fr, 0) AS INTEGER) AS first_rel_rnk,
       |  CAST(CASE WHEN fr IS NULL THEN 0 ELSE 10000 // fr END AS BIGINT) AS mrr_bp
-      |FROM a""".stripMargin))
+      |FROM a""".stripMargin
 
   /** The numeric-id query "documents" behind the hybrid query's dense
     * tier: one row per query, text = its terms (the id is the q-suffix,
@@ -4436,21 +4442,28 @@ object Queries {
     * fragments and must hash-match end to end. The chunk frame persists:
     * it feeds the postings build, the corpus stats and the dense embed
     * (three consumers through the BPE window chain). */
+  /** The packed-key chunk corpus behind the RAG queries: context-window
+    * chunks as (doc_id·1000 + chunk_idx, chunk_text) documents,
+    * persisted (the BPE window chain feeds the postings build, the
+    * corpus stats, the dense embed — and the eval twin's qrels). */
+  private def ragChunkDocs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+        chunkTokens = 128, overlap = 32)
+      // LOUD overflow guard: a ≥ 93k-token doc would wrap chunk_idx
+      // into the next doc's key space — and the oracle packs the same
+      // way, so a silent collision would still hash-match (review r11).
+      // raise_error makes the violated packing contract fail the run.
+      .select(when(col("chunk_idx") < 1000,
+          col("doc_id") * 1000 + col("chunk_idx"))
+        .otherwise(raise_error(concat(
+          lit("chunk_idx overflows the packed (doc, chunk) key: "),
+          col("chunk_idx").cast("string")))).as("doc_id"),
+        col("chunk_text").as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   private val pipelineRagRetrieval = Q("pipeline_rag_retrieval",
     (s, dir) => {
-      val cdocs = TextAnalysis.chunkDocuments(Tables.documents(s, dir),
-          chunkTokens = 128, overlap = 32)
-        // LOUD overflow guard: a ≥ 93k-token doc would wrap chunk_idx
-        // into the next doc's key space — and the oracle packs the same
-        // way, so a silent collision would still hash-match (review r11).
-        // raise_error makes the violated packing contract fail the run.
-        .select(when(col("chunk_idx") < 1000,
-            col("doc_id") * 1000 + col("chunk_idx"))
-          .otherwise(raise_error(concat(
-            lit("chunk_idx overflows the packed (doc, chunk) key: "),
-            col("chunk_idx").cast("string")))).as("doc_id"),
-          col("chunk_text").as("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cdocs = ragChunkDocs(s, dir)
       hybridTopKFrom(s, cdocs).select(
         col("query_id"),
         expr("doc_id div 1000").as("doc_id"),
@@ -4467,6 +4480,51 @@ object Queries {
       |  rrf_score, CAST(n_tiers AS BIGINT) AS n_tiers,
       |  CAST(rnk2 AS INTEGER) AS rnk
       |FROM rr WHERE rnk2 <= 5""".stripMargin), bench = true)
+
+  /** RAG retriever MEASUREMENT (Retrieval.evalRanking over the fused
+    * chunk ranking): the build → index → fuse → measure loop closed in
+    * one call. Chunk-level qrels are boolean-AND matches over each
+    * chunk's LEADING 8 tokens (the same answer-in-the-opening proxy as
+    * text_retrieval_eval — whole-chunk AND is too easy for the fused
+    * ranker and every column degenerates to a perfect score). Output:
+    * per-query hits@5, first relevant rank, integer MRR. */
+  private val pipelineRagEval = Q("pipeline_rag_eval",
+    (s, dir) => {
+      import s.implicits._
+      val cdocs = ragChunkDocs(s, dir)
+      val q = bmQueryTerms.toDF("query_id", "term")
+      val fused = hybridTopKFrom(s, cdocs)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val nterms = q.groupBy(col("query_id"))
+        .agg(countDistinct(col("term")).as("n_terms"))
+      val lead = graft.plans.Stage(
+          cdocs.select(col("doc_id"), col("text")),
+          "w", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(array_distinct(slice(col("w"), 1, 8))).as("term"))
+      val qrels = lead.join(broadcast(q), "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(countDistinct(col("term")).as("n_match"))
+        .join(broadcast(nterms), "query_id")
+        .where(col("n_match") === col("n_terms"))
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.evalRanking(fused, qrels, k = 5)
+    },
+    Some(s"""WITH RECURSIVE $bmQuerySql,
+      |$chunkDocsCtes,
+      |cd AS (SELECT doc_id * 1000 + chunk_idx AS doc_id,
+      |  chunk_text AS text FROM chunks),
+      |${hybridCtesFor("cd")},
+      |topk AS (SELECT query_id, doc_id, CAST(rnk2 AS INTEGER) AS rnk
+      |  FROM rr WHERE rnk2 <= 5),
+      |qcnt AS (SELECT query_id, count(DISTINCT term) AS n_terms FROM q GROUP BY 1),
+      |clead AS (SELECT doc_id, unnest(list_distinct(list_slice(w, 1, 8))) AS term
+      |  FROM toks),
+      |rels AS (SELECT query_id, doc_id FROM (
+      |    SELECT q.query_id, l.doc_id, count(DISTINCT l.term) AS n_match
+      |    FROM clead l JOIN q USING (term) GROUP BY 1, 2) m
+      |  JOIN qcnt USING (query_id) WHERE m.n_match = qcnt.n_terms),
+      |$evalTailSql""".stripMargin))
 
   /** Strict-order funnel per user (Funnel.userFunnel): the Spark side is a
     * single-shuffle sorted fold; the oracle is the equivalent cascaded
@@ -5414,7 +5472,7 @@ object Queries {
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr,
     textBm25FieldedIncr, textHybridTopk, pipelineRagRetrieval, textBm25Prf,
-    textRetrievalEval,
+    textRetrievalEval, pipelineRagEval,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,
