@@ -252,7 +252,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "dedup_semantic" -> (7, 3),
       "pipeline_drop_report" -> (8, 10),
       "dedup_semantic_incr" -> (18, 7),
-      "text_retrieval_eval" -> (10, 4))
+      "text_retrieval_eval" -> (10, 4),
+      // the RAG capstone's fused counts + the chunk-level qrel
+      // aggregates + the eval aggregate, printed across the persisted
+      // chunk frame's boundary (the crawl_frontier caveat)
+      "pipeline_rag_eval" -> (18, 5))
     val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
       val p = plan(Queries.queries(name)(spark, sf))
       val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
