@@ -242,6 +242,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(pruned.map(_._1) == Set(1L), "only the rare-term doc ranks")
   }
 
+  test("RRF fusion: tier order never matters, and a third tier composes " +
+      "(contributions just add)") {
+    val a = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq(("q", 2L, 1), ("q", 3L, 2)).toDF("query_id", "doc_id", "rnk")
+    val c = Seq(("q", 3L, 1), ("q", 1L, 2)).toDF("query_id", "doc_id", "rnk")
+    def run(ts: Seq[org.apache.spark.sql.DataFrame]) =
+      Retrieval.rrfFuse(ts, k = 5)
+        .as[(String, Long, Long, Long, Int)].collect().toSet
+    val abc = run(Seq(a, b, c))
+    assert(run(Seq(c, a, b)) == abc && run(Seq(b, c, a)) == abc,
+      "tier permutation changed the fusion")
+    // every doc: one rank-1 (163) + one rank-2 (161) contribution from
+    // its two tiers — full three-way tie, broken by doc_id
+    val exp = (10000L / 61) + (10000L / 62)
+    assert(abc == Set(("q", 1L, exp, 2L, 1), ("q", 2L, exp, 2L, 2),
+      ("q", 3L, exp, 2L, 3)), s"got $abc")
+  }
+
   test("PRF expansion recovers a vocabulary-mismatch doc pass 1 cannot " +
       "reach; zero expansion terms reduce to plain BM25 ranking scaled " +
       "by the original weight") {
