@@ -4204,6 +4204,25 @@ object Queries {
     },
     textPhrasePositional.oracle)
 
+  /** Delta-encoded positional index round-trip (Retrieval.
+    * positionalIndexDelta / FromDelta — the postings-compression step of
+    * the persisted artifact): the planted positional phrases are
+    * answered THROUGH the encode → decode round-trip, so the query is
+    * green only if the compressed artifact is losslessly queryable; the
+    * oracle is the same per-phrase derivation from the raw corpus. The
+    * delta CONTENT (first + gaps, not just any self-inverse pair) is
+    * pinned separately in RetrievalSpec. */
+  private val textPositionalDelta = Q("text_positional_delta",
+    (s, dir) => {
+      import s.implicits._
+      Retrieval.phraseSearchPositionalIndexed(
+        Retrieval.positionalIndexFromDelta(
+          Retrieval.positionalIndexDelta(
+            Retrieval.positionalIndex(Tables.documents(s, dir)))),
+        posPhrases.toDF("phrase_id", "terms"))
+    },
+    textPhrasePositional.oracle)
+
   /** Incremental FIELDED term index (Retrieval.fieldedTermIndex +
     * mergeTermIndex — same (term, df, tf_sum) monoid as the plain
     * index): three disjoint batches of the fielded fixture, merged,
@@ -5470,7 +5489,7 @@ object Queries {
     textPhraseSearch, textPhrasePositional, textProximity, textLinkDensity,
     pipelineContentExtract,
     textBm25Topk, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
-    textBm25Snippets, textBm25Pruned, textPositionalIncr,
+    textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textHybridTopk, pipelineRagRetrieval, textBm25Prf,
     textRetrievalEval, pipelineRagEval,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,

@@ -108,6 +108,32 @@ object Retrieval {
       .agg(sort_array(flatten(collect_list(col("positions"))))
         .as("positions"))
 
+  /** DELTA-encoded positional index: each (term, doc_id) row's sorted
+    * positions stored as first-position + gaps — the classic postings
+    * compression step (Manning, Raghavan & Schütze, IIR §5): gaps are
+    * small near-constant ints that parquet's bit-packed/RLE encodings
+    * store far tighter than raising absolute positions, which is what
+    * the artifact's storage bill is made of at 100 TB. Pure per-row
+    * expressions, zero exchanges over an existing index. */
+  def positionalIndexDelta(index: DataFrame): DataFrame =
+    index.select(col("term"), col("doc_id"),
+      transform(col("positions"), (p, i) =>
+        // i is 0-based; element_at is 1-based, so element_at(ps, i) IS
+        // the previous element — gap = p − prev, first kept absolute
+        when(i === 0, p)
+          .otherwise(p - element_at(col("positions"), i))).as("deltas"))
+
+  /** Inverse of [[positionalIndexDelta]]: running prefix sums restore
+    * the absolute positions (narrow, per-row). */
+  def positionalIndexFromDelta(delta: DataFrame): DataFrame =
+    delta.select(col("term"), col("doc_id"),
+      aggregate(col("deltas"), array().cast("array<int>"),
+        (acc, d) => concat(acc,
+          // try_element_at: -1 on the empty accumulator is NULL (ANSI
+          // element_at throws), coalesced to the 0 base
+          array(coalesce(try_element_at(acc, lit(-1)), lit(0)) + d)))
+        .as("positions"))
+
   /** A [[positionalIndex]] restricted to a term set and re-exploded to
     * the (doc_id, term, pos) occurrence shape the positional cores
     * consume — the read path of the persisted artifact: the broadcast

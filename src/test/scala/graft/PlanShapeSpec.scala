@@ -247,6 +247,8 @@ class PlanShapeSpec extends AnyFunSuite {
     //    aggregates + the per-query eval aggregate.
     val ceilings: Map[String, (Int, Int)] = Map(
       "text_positional_incr" -> (7, 3),
+      // full index build + encode/decode (narrow) + the phrase core
+      "text_positional_delta" -> (5, 1),
       "text_bm25_fielded_incr" -> (6, 3),
       "text_bm25_prf" -> (15, 7),
       "dedup_semantic" -> (7, 3),

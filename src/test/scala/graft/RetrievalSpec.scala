@@ -179,6 +179,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(proxIdx == proxOne && proxOne.nonEmpty, s"$proxIdx vs $proxOne")
   }
 
+  test("delta encoding stores first + gaps exactly (not merely any " +
+      "self-inverse pair) and round-trips to the identical index") {
+    val d = docs((1L, "a b a x a"), (2L, "a"))
+    val idx = Retrieval.positionalIndex(d)
+    val enc = Retrieval.positionalIndexDelta(idx)
+      .as[(String, Long, Seq[Int])].collect().toSet
+    // doc 1 'a' at 0,2,4 -> first 0, gaps 2,2; single occurrence stays
+    assert(enc.contains(("a", 1L, Seq(0, 2, 2))), s"got $enc")
+    assert(enc.contains(("a", 2L, Seq(0))))
+    assert(enc.contains(("b", 1L, Seq(1))) && enc.contains(("x", 1L, Seq(3))))
+    val back = Retrieval.positionalIndexFromDelta(
+        Retrieval.positionalIndexDelta(idx))
+      .as[(String, Long, Seq[Int])].collect().toSet
+    assert(back == idx.as[(String, Long, Seq[Int])].collect().toSet)
+  }
+
   test("proximity rejects self-pairs: term_a = term_b contributes no " +
       "rows even when the term occurs many times") {
     val d = docs((1L, "x x x"), (2L, "x pad x"))
