@@ -123,16 +123,20 @@ object Retrieval {
         when(i === 0, p)
           .otherwise(p - element_at(col("positions"), i))).as("deltas"))
 
-  /** Inverse of [[positionalIndexDelta]]: running prefix sums restore
-    * the absolute positions (narrow, per-row). */
+  /** Inclusive prefix sum over an `array<int>` column — the delta-decode
+    * kernel, a native codegen loop ([[graft.plans.PrefixSumI]]): linear in
+    * the array length (the HOF fold it replaced copied the accumulator
+    * array per element — O(n²) per posting row; ADVICE r11). */
+  private def prefixSumI(c: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.plans.PrefixSumI(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(c)))
+
+  /** Inverse of [[positionalIndexDelta]]: running prefix sums restore the
+    * absolute positions (narrow, per-row, linear — [[prefixSumI]]). */
   def positionalIndexFromDelta(delta: DataFrame): DataFrame =
     delta.select(col("term"), col("doc_id"),
-      aggregate(col("deltas"), array().cast("array<int>"),
-        (acc, d) => concat(acc,
-          // try_element_at: -1 on the empty accumulator is NULL (ANSI
-          // element_at throws), coalesced to the 0 base
-          array(coalesce(try_element_at(acc, lit(-1)), lit(0)) + d)))
-        .as("positions"))
+      prefixSumI(col("deltas")).as("positions"))
 
   /** A [[positionalIndex]] restricted to a term set and re-exploded to
     * the (doc_id, term, pos) occurrence shape the positional cores
@@ -144,6 +148,17 @@ object Retrieval {
     index.join(broadcast(terms.select(col("term")).distinct()), "term")
       .select(col("doc_id"), col("term"),
         explode(col("positions")).as("pos"))
+
+  /** [[indexOccurrences]] over a DELTA-encoded index — the direct read
+    * path of the compressed artifact: the broadcast term filter lands on
+    * the ENCODED rows, so only matching posting rows are ever decoded
+    * (prefix-summed) and exploded; everything else stays gap-encoded on
+    * disk. Decode is the linear [[prefixSumI]] kernel. */
+  private def deltaOccurrences(delta: DataFrame,
+      terms: DataFrame): DataFrame =
+    delta.join(broadcast(terms.select(col("term")).distinct()), "term")
+      .select(col("doc_id"), col("term"),
+        explode(prefixSumI(col("deltas"))).as("pos"))
 
   /** The shared scoring core over ANY postings frame `(term, doc_id,
     * tf, dl)` + one-row stats `(n_docs, total_tokens)`: integer BM25
@@ -160,7 +175,19 @@ object Retrieval {
   /** [[scoreTopK]] over WEIGHTED query terms `(query_id, term, wgt)`:
     * a term's contribution is `wgt · idf_bp · sat_bp` — the relevance-
     * feedback form ([[bm25PrfTopK]] scores original terms above
-    * expansion terms). wgt = 1 reduces to plain BM25 exactly. */
+    * expansion terms). wgt = 1 reduces to plain BM25 exactly.
+    *
+    * OVERFLOW HEADROOM (the score is a Long of basis-point products):
+    * per (query, doc, term), `wgt · idf_bp · sat_bp` with
+    * idf_bp ≤ (n_docs − 1)·10⁴ / 2 (df ≥ 1 for any posting) and
+    * sat_bp < k1Bp + 10⁴ (= 2.2·10⁴ at the default k1), so a doc matching
+    * all `t` terms of a query sums to < wgt · t · 1.1·10⁸ · n_docs. At the
+    * PRF default wgt = 10 and t = 10 terms that crosses Long.MaxValue
+    * around n_docs ≈ 8·10⁸ — i.e. the arithmetic is exact up to
+    * ~10⁸-doc index SHARDS. Beyond that, partition the corpus into index
+    * shards (n_docs, and therefore the bound, is per-shard — merging is
+    * rank fusion, not score addition) rather than rescaling idf_bp, which
+    * would silently change every published score. */
   private def scoreTopKWeighted(post: DataFrame, stats: DataFrame,
       queriesW: DataFrame, k: Int, k1Bp: Long, bBp: Long,
       maxDfShareBp: Int = 10000): DataFrame = {
@@ -324,6 +351,17 @@ object Retrieval {
     phraseCore(indexOccurrences(index,
       phrases.select(explode(col("terms")).as("term"))), phrases)
 
+  /** [[phraseSearchPositionalIndexed]] over the DELTA-encoded artifact
+    * ([[positionalIndexDelta]]) — term-filter FIRST, decode only the
+    * matching posting rows ([[deltaOccurrences]]): the compressed index
+    * is queried without ever materializing the absolute-position form of
+    * the whole artifact (the r11 round-trip decoded everything before
+    * filtering). Result ≡ the plain-index path (spec-pinned). */
+  def phraseSearchPositionalDelta(delta: DataFrame,
+      phrases: DataFrame): DataFrame =
+    phraseCore(deltaOccurrences(delta,
+      phrases.select(explode(col("terms")).as("term"))), phrases)
+
   /** The positional-intersection core over ANY (doc_id, term, pos)
     * occurrence frame — one shape for the corpus-explode and index-read
     * paths. */
@@ -370,6 +408,18 @@ object Retrieval {
     // whole posting list only for the core to discard it (review r11)
     val p = nonSelfPairs(pairs)
     proximityCore(indexOccurrences(index,
+      p.select(col("term_a").as("term"))
+        .unionByName(p.select(col("term_b").as("term")))),
+      p, window)
+  }
+
+  /** [[proximitySearchIndexed]] over the DELTA-encoded artifact — same
+    * read-path posture as [[phraseSearchPositionalDelta]]: only the pair
+    * terms' encoded rows are decoded and exploded. */
+  def proximitySearchDelta(delta: DataFrame, pairs: DataFrame,
+      window: Int): DataFrame = {
+    val p = nonSelfPairs(pairs)
+    proximityCore(deltaOccurrences(delta,
       p.select(col("term_a").as("term"))
         .unionByName(p.select(col("term_b").as("term")))),
       p, window)

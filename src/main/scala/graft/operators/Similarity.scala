@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** (vec_id, label, v, nrm) — the prep for ops that genuinely consume
+    * `label` (only [[ivfTopK]]'s deterministic per-label representatives).
+    * Everything label-free goes through [[preparedVecs]], so a caller with
+    * a plain (vec_id, embedding) frame never hits a spurious
+    * AnalysisException over a column the op would ignore (ADVICE r11). */
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
@@ -63,7 +68,7 @@ object Similarity {
 
   /** Exact brute-force top-k cosine for queries (vec_id ≡ 0 mod `stride`). */
   def bruteTopK(embeddings: DataFrame, k: Int, stride: Int): DataFrame = {
-    val corpus = prepared(embeddings)
+    val corpus = preparedVecs(embeddings)
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     rankTopK(scoreAgainst(corpus, queries, Nil, excludeSelf = true), k)
@@ -74,7 +79,7 @@ object Similarity {
     * map side, so the shuffle carries |queries|×k rows regardless of
     * corpus size. Same contract and results as [[bruteTopK]]. */
   def bruteTopKAgg(embeddings: DataFrame, k: Int, stride: Int): DataFrame = {
-    val corpus = prepared(embeddings)
+    val corpus = preparedVecs(embeddings)
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = scoreAgainst(corpus, queries, Nil, excludeSelf = true)
@@ -362,7 +367,7 @@ object Similarity {
     * so every downstream drift statistic is bit-deterministic. */
   def ivfAssignBatch(batch: DataFrame, centroidIndex: DataFrame,
       origin: String): DataFrame =
-    assignCellsWithCos(prepared(batch),
+    assignCellsWithCos(preparedVecs(batch),
       centroidFrame(batch.sparkSession, centroidsFromDF(centroidIndex)))
       .select(col("vec_id"), col("cell"),
         (col("cell_cos") + lit(0.0)).as("cell_cos"), // normalize IEEE -0.0
@@ -401,7 +406,7 @@ object Similarity {
     // scheduling/codegen (measured flat) — but at corpus scale each pass
     // is a full re-scan, so cache for the training window and unpersist
     // before returning.
-    val corpus = prepared(embeddings).persist()
+    val corpus = preparedVecs(embeddings).persist()
     try kmeansTrainOn(spark, corpus, nCells, iters, initPasses)
     finally corpus.unpersist(false)
   }
@@ -501,7 +506,7 @@ object Similarity {
     * pass entirely. */
   def kmeansAssignWith(embeddings: DataFrame,
       cents: Seq[Array[Double]]): DataFrame =
-    assignCellsWithCos(prepared(embeddings),
+    assignCellsWithCos(preparedVecs(embeddings),
       centroidFrame(embeddings.sparkSession, cents))
       .select(col("vec_id"), col("cell"), col("cell_cos"))
 
@@ -535,7 +540,7 @@ object Similarity {
     * lifecycle semantics). */
   def semanticDedupWith(embeddings: DataFrame, cents: Seq[Array[Double]],
       minCosine: Double): DataFrame = {
-    val assigned = assignCellsWithCos(prepared(embeddings),
+    val assigned = assignCellsWithCos(preparedVecs(embeddings),
         centroidFrame(embeddings.sparkSession, cents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned
@@ -570,7 +575,7 @@ object Similarity {
     * probe the stored rows without re-scoring history. */
   def semanticIndex(embeddings: DataFrame, cents: Seq[Array[Double]],
       minCosine: Double): DataFrame = {
-    val assigned = assignCellsWithCos(prepared(embeddings),
+    val assigned = assignCellsWithCos(preparedVecs(embeddings),
         centroidFrame(embeddings.sparkSession, cents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned
@@ -595,7 +600,7 @@ object Similarity {
   def semanticDedupIncremental(newBatch: DataFrame,
       cents: Seq[Array[Double]], historyIndex: DataFrame,
       minCosine: Double): DataFrame = {
-    val assigned = assignCellsWithCos(prepared(newBatch),
+    val assigned = assignCellsWithCos(preparedVecs(newBatch),
         centroidFrame(newBatch.sparkSession, cents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = historyIndex
@@ -620,7 +625,7 @@ object Similarity {
     * `KmeansIvfSpec` and recorded in NOTES.md. */
   def ivfTopKKmeans(embeddings: DataFrame, k: Int, stride: Int, nCells: Int,
       iters: Int = 4, nProbes: Int = 1): DataFrame = {
-    val corpus = prepared(embeddings)
+    val corpus = preparedVecs(embeddings)
     val cents = kmeansCentroids(embeddings, nCells, iters)
     val assigned = assignCells(corpus, cents)
     if (nProbes <= 1) searchAssigned(assigned, k, stride)

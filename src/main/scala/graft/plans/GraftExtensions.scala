@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("sum_abs_diff_l", exprs => SumAbsDiffL(exprs(0), exprs(1))))
     ext.injectFunction(fn("nfc_normalize", exprs => NfcNormalize(exprs.head)))
     ext.injectFunction(fn("deflate_len", exprs => DeflateLen(exprs.head)))
+    ext.injectFunction(fn("prefix_sum_i", exprs => PrefixSumI(exprs.head)))
     ext.injectPlannerStrategy(_ => TopKPlan.Strategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
   }

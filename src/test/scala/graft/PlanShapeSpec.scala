@@ -96,6 +96,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // frame (scan counts are pre-execution persist-boundary prints,
       // the crawl_to_trainer caveat)
       "text_hybrid_topk" -> (9, 4),
+      // r12 LSH twin: same fusion shape; the dense leg's cross join
+      // becomes a broadcast hash join on bucket (keys are narrow
+      // projections — no extra exchange)
+      "text_hybrid_lsh" -> (9, 4),
       "pipeline_rag_retrieval" -> (13, 4))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
@@ -285,6 +289,32 @@ class PlanShapeSpec extends AnyFunSuite {
   test("brute top-k: map-side WindowGroupLimit before the exchange") {
     val p = plan(Similarity.bruteTopK(Tables.embeddings(spark, sf), 10, 20))
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+  }
+
+  test("hybrid/RAG LSH twins: the dense leg is a BUCKET equi-join — " +
+      "strictly fewer nested-loop joins than the brute twin (only the " +
+      "1-row stats attaches remain)") {
+    // The whole point of the r12 `_lsh` twins: the corpus×queries vector
+    // scan (a Cross BroadcastNestedLoopJoin in the brute dense leg)
+    // becomes a BroadcastHashJoin keyed on the sign-LSH bucket, so the
+    // dense candidate set is bucket-sized at ANY corpus size. Pin both
+    // halves: the bucket hash join exists, and the nested-loop count
+    // DROPS vs the brute twin (what's left is the 1-row BM25 stats
+    // attach, which is a broadcast of one row, not a scan product).
+    val bnlj = "BroadcastNestedLoopJoin".r
+    val bucketJoin = "BroadcastHashJoin \\[[^\\]]*bucket".r
+    for ((brute, lsh) <- Seq(
+        ("text_hybrid_topk", "text_hybrid_lsh"),
+        ("pipeline_rag_retrieval", "pipeline_rag_lsh"))) {
+      val pB = plan(Queries.queries(brute)(spark, sf))
+      val pL = plan(Queries.queries(lsh)(spark, sf))
+      assert(bucketJoin.findFirstIn(pL).isDefined,
+        s"$lsh: dense leg must equi-join on the LSH bucket:\n$pL")
+      assert(bnlj.findAllIn(pL).length < bnlj.findAllIn(pB).length,
+        s"$lsh: nested-loop joins must drop vs $brute " +
+          s"(${bnlj.findAllIn(pL).length} vs ${bnlj.findAllIn(pB).length})")
+      assert(!pL.contains("CartesianProduct"), s"$lsh grew a cartesian:\n$pL")
+    }
   }
 
   test("paragraph dedup: rank-limit pushes a map-side WindowGroupLimit; no product joins") {

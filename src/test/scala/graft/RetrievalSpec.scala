@@ -195,6 +195,54 @@ class RetrievalSpec extends AnyFunSuite {
     assert(back == idx.as[(String, Long, Seq[Int])].collect().toSet)
   }
 
+  test("delta artifact is queried DIRECTLY: phrase/proximity over the " +
+      "encoded index ≡ the plain-index path (term-filter before decode)") {
+    val d = docs(
+      (1L, "a b c a b c go go"), (2L, "a x b pad c"), (3L, "go pad go"))
+    val idx = Retrieval.positionalIndex(d)
+    val delta = Retrieval.positionalIndexDelta(idx)
+    val phrases = Seq(("t3", Seq("a", "b", "c")), ("rep", Seq("go", "go")))
+      .toDF("phrase_id", "terms")
+    val plain = Retrieval.phraseSearchPositionalIndexed(idx, phrases)
+      .as[(String, Long, Long)].collect().toSet
+    val direct = Retrieval.phraseSearchPositionalDelta(delta, phrases)
+      .as[(String, Long, Long)].collect().toSet
+    assert(direct == plain && plain.nonEmpty, s"$direct vs $plain")
+    val pairs = Seq(("w", "a", "c"), ("self", "go", "go"))
+      .toDF("pair_id", "term_a", "term_b")
+    val proxPlain = Retrieval.proximitySearchIndexed(idx, pairs, window = 2)
+      .as[(String, Long, Long)].collect().toSet
+    val proxDirect = Retrieval.proximitySearchDelta(delta, pairs, window = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(proxDirect == proxPlain && proxPlain.nonEmpty,
+      s"$proxDirect vs $proxPlain")
+    // the self-pair guard fires before the term filter on the delta path too
+    assert(!proxDirect.exists(_._1 == "self"))
+  }
+
+  test("prefix_sum_i: linear decode kernel — inclusive running sum, " +
+      "empty array, null element, null array; codegen ≡ interpreted") {
+    val df = Seq(
+      (1L, Some(Seq(Some(0), Some(2), Some(2)))),
+      (2L, Some(Seq.empty[Option[Int]])),
+      (3L, Some(Seq(Some(5), None, Some(1)))),
+      (4L, Option.empty[Seq[Option[Int]]]))
+      .toDF("id", "deltas")
+    def run(codegen: String): Map[Long, Option[Seq[Int]]] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try Retrieval.positionalIndexFromDelta(
+          df.select(lit("t").as("term"), $"id".as("doc_id"), $"deltas"))
+        .select($"doc_id", $"positions")
+        .as[(Long, Option[Seq[Int]])].collect().toMap
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val expected = Map(
+      1L -> Some(Seq(0, 2, 4)), 2L -> Some(Seq.empty[Int]),
+      3L -> None, 4L -> None)
+    assert(run("true") == expected)
+    assert(run("false") == expected)
+  }
+
   test("proximity rejects self-pairs: term_a = term_b contributes no " +
       "rows even when the term occurs many times") {
     val d = docs((1L, "x x x"), (2L, "x pad x"))
@@ -327,6 +375,43 @@ class RetrievalSpec extends AnyFunSuite {
       .select($"hit_pos", $"snippet").as[(Long, String)].collect()
     assert(out(0) == ((1L, "hit a b c d")), s"clamped window wrong: ${out(0)}")
     assert(out(1) == ((6L, "d e hit f g")), s"centered window wrong: ${out(1)}")
+  }
+
+  test("eval-gated ranker quality: PRF MRR ≥ plain BM25 MRR on the " +
+      "vocabulary-mismatch fixture, and RRF fusion MRR ≥ either tier's — " +
+      "the regression guard every ranker/index change must keep green") {
+    // qrels: the ONLY relevant doc for q lacks the query term entirely —
+    // plain BM25 cannot rank it (MRR 0); PRF reaches it via expansion
+    // terms shared with the feedback doc, so its MRR is strictly higher.
+    val d = docs(
+      (1L, "car motor wheel"),        // feedback doc (has the query term)
+      (2L, "motor wheel engine"),     // relevant, but no 'car'
+      (3L, "banana fruit pad"))
+    val q = Seq(("q", "car")).toDF("query_id", "term")
+    val qrels = Seq(("q", 2L)).toDF("query_id", "doc_id")
+    def mrr(ranked: org.apache.spark.sql.DataFrame): Long =
+      Retrieval.evalRanking(ranked, qrels, k = 3)
+        .select($"mrr_bp").as[Long].collect().headOption.getOrElse(0L)
+    val plainMrr = mrr(Retrieval.bm25TopK(d, q, k = 3))
+    val prfMrr = mrr(Retrieval.bm25PrfTopK(d, q, k = 3,
+      fbDocs = 2, fbTerms = 2))
+    assert(prfMrr >= plainMrr,
+      s"PRF must not degrade MRR on the planted fixture: $prfMrr < $plainMrr")
+    assert(plainMrr == 0L && prfMrr == 5000L,
+      s"pinned values moved: plain=$plainMrr prf=$prfMrr (doc 2 must be " +
+        "unreachable for pass 1 and rank 2 after expansion)")
+    // fusion: each tier ranks its own pet doc first and the relevant doc
+    // second; RRF's consensus puts the relevant doc first, so the fused
+    // MRR strictly beats both tier MRRs (10000 vs 5000)
+    val tierA = Seq(("q", 10L, 1), ("q", 2L, 2)).toDF("query_id", "doc_id", "rnk")
+    val tierB = Seq(("q", 20L, 1), ("q", 2L, 2)).toDF("query_id", "doc_id", "rnk")
+    val fusedMrr = mrr(Retrieval.rrfFuse(Seq(tierA, tierB), k = 3)
+      .select($"query_id", $"doc_id", $"rnk"))
+    val (aMrr, bMrr) = (mrr(tierA), mrr(tierB))
+    assert(fusedMrr >= math.max(aMrr, bMrr),
+      s"fusion must not degrade MRR here: $fusedMrr < max($aMrr, $bMrr)")
+    assert(fusedMrr == 10000L && aMrr == 5000L && bMrr == 5000L,
+      s"pinned values moved: fused=$fusedMrr a=$aMrr b=$bMrr")
   }
 
   test("plan shape: query set broadcast; tf and df branches read the " +
