@@ -71,17 +71,23 @@ object ProfileRetrievalR12 {
     val brute = Similarity.crossTopK(corpus, qvecs, k = 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val lsh = Similarity.crossTopKLsh(corpus, qvecs, k = 10,
-        nPlanes = 6, dim = 16)
-      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = brute.map { case (q, b) =>
-      q -> (lsh.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size)
+    def recallOf(label: String, ranked: DataFrame): Unit = {
+      val got = ranked
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = brute.map { case (q, b) =>
+        q -> (got.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size)
+      }
+      println(f"[r12] dense recall@10 ($label vs brute), per query: " +
+        recalls.toSeq.sortBy(_._1)
+          .map { case (q, r) => f"q$q=$r%.2f" }.mkString(" ") +
+        f"; mean=${recalls.values.sum / recalls.size}%.3f")
     }
-    println(f"[r12] dense recall@10 (LSH 6 planes vs brute), per query: " +
-      recalls.toSeq.sortBy(_._1)
-        .map { case (q, r) => f"q$q=$r%.2f" }.mkString(" ") +
-      f"; mean=${recalls.values.sum / recalls.size}%.3f")
+    recallOf("LSH 6 planes, own bucket",
+      Similarity.crossTopKLsh(corpus, qvecs, k = 10, nPlanes = 6, dim = 16))
+    recallOf("LSH 6 planes, MULTI-PROBE own+Hamming-1",
+      Similarity.crossTopKLshMultiProbe(corpus, qvecs, k = 10,
+        nPlanes = 6, dim = 16))
 
     // fused top-5 overlap + MRR of both fused variants on leading-8 qrels
     val fusedBrute = Queries.queries("text_hybrid_topk")(spark, sfDir)
@@ -157,6 +163,22 @@ object ProfileRetrievalR12 {
     time("delta full decode (linear prefix_sum_i over the whole artifact)")(
       Retrieval.positionalIndexFromDelta(delta)
         .agg(sum(size($"positions"))).as[Long].head())
+
+    // LONG-doc twin of the size measurement: postings delta compression
+    // (IIR §5) pays off when absolute positions grow large while gaps
+    // stay small — short-doc corpora (the testdata's ~100-token docs)
+    // bit-pack both forms identically. 50× repeated text ⇒ ~5k-token
+    // docs, frequent-term positions in the thousands, gaps unchanged.
+    val longDocs = docs.limit(2000)
+      .select($"doc_id", concat_ws(" ", array_repeat($"text", 50)).as("text"))
+    val idxL = Retrieval.positionalIndex(longDocs)
+    idxL.write.mode("overwrite").parquet(absPath + "_long")
+    Retrieval.positionalIndexDelta(idxL)
+      .write.mode("overwrite").parquet(dltPath + "_long")
+    println(f"[r12] positional artifact bytes, 5k-token docs: " +
+      f"absolute=${dirBytes(absPath + "_long")}%,d " +
+      f"delta=${dirBytes(dltPath + "_long")}%,d " +
+      f"ratio=${dirBytes(dltPath + "_long").toDouble / dirBytes(absPath + "_long")}%.3f")
 
     spark.stop()
   }

@@ -3125,6 +3125,38 @@ object Queries {
         |FROM r WHERE rank <= 10""".stripMargin
     })
 
+  /** Multi-probe cross-corpus LSH top-k (Similarity.crossTopKLshMultiProbe
+    * — Lv et al. 2007's recall knob on the two-table bucket path): each
+    * query probes its own plus every Hamming-1 bucket; the probe explode
+    * stays on the tiny broadcast query side, the corpus keeps one bucket
+    * per row, so no dedup is ever needed. Deterministic ⇒ oracled: the
+    * DuckDB twin unnests the same xor probe list. */
+  private val simCrossLshMp = Q("sim_cross_lsh_mp",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.crossTopKLshMultiProbe(
+        e.where(pmod(col("vec_id"), lit(5)) =!= 0),
+        e.where(pmod(col("vec_id"), lit(5)) === 0), k = 10)
+    },
+    Some {
+      val planes = Similarity.lshPlanes(6, 64)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val probes = (Seq("bucket") ++ (0 until 6).map(p =>
+        s"xor(bucket, ${1 << p})")).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM e),
+        |q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id % 5 = 0),
+        |q AS (SELECT query_id, qv, qnrm, unnest($probes) AS bucket FROM q0),
+        |s AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        |        ROUND(list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm), 4) + 0.0 AS cosine
+        |      FROM q JOIN n USING (bucket) WHERE n.vec_id % 5 <> 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 10""".stripMargin
+    })
+
   /** Token-budget mixture (TextAnalysis.tokenBudgetSample): greedy prefix
     * in portable md5 order until each source's token budget fills. The
     * Spark side is the bucket-refined prefix-sum (256-way parallel); the
@@ -4421,10 +4453,13 @@ object Queries {
     *
     * `denseLsh` picks the dense leg: false = brute crossTopK (exact —
     * the recall baseline, one full corpus vector scan per query batch);
-    * true = crossTopKLsh on the shared dim-16 hyperplanes (the 100-TB
-    * posture — both sides bucket once and the search is one equi-join
-    * however large the corpus; each query scores ~1/2⁶ of it). Both legs
-    * are deterministic, so both fusions are hash-exact. */
+    * true = MULTI-PROBE crossTopKLsh on the shared dim-16 hyperplanes
+    * (the 100-TB posture — both sides bucket once and the search is one
+    * equi-join however large the corpus; each query scores its own plus
+    * every Hamming-1 bucket, ≈7/2⁶ of the corpus — the Lv et al. 2007
+    * recall knob, measured vs single-bucket and brute in
+    * ProfileRetrievalR12 / NOTES). Both legs are deterministic, so both
+    * fusions are hash-exact. */
   private def hybridTopKFrom(s: SparkSession, docs: DataFrame,
       denseLsh: Boolean = false): DataFrame = {
     import s.implicits._
@@ -4437,8 +4472,8 @@ object Queries {
         transform(col("embedding"), _.cast("double")).as("embedding"))
       .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
     val ranked =
-      if (denseLsh) Similarity.crossTopKLsh(docVecsFrom(docs), qvecs,
-        k = 10, nPlanes = 6, dim = 16)
+      if (denseLsh) Similarity.crossTopKLshMultiProbe(docVecsFrom(docs),
+        qvecs, k = 10, nPlanes = 6, dim = 16)
       else Similarity.crossTopK(docVecsFrom(docs), qvecs, k = 10)
     val dense = ranked
       .select(concat(lit("q"), col("query_id").cast("string")).as("query_id"),
@@ -4450,9 +4485,11 @@ object Queries {
     * text)`: the two rank derivations + the integer RRF fusion, ending in
     * `rr(query_id, doc_id, rrf_score, n_tiers, rnk2)`. Requires `q` (the
     * query-term relation) already in scope; callers append their final
-    * SELECT. `lsh` = true mirrors the bucketed dense leg: both sides
-    * derive the same dim-16 sign-LSH bucket from the interpolated plane
-    * literals and the cross join becomes `JOIN … USING (bucket)`. */
+    * SELECT. `lsh` = true mirrors the MULTI-PROBE bucketed dense leg:
+    * both sides derive the same dim-16 sign-LSH bucket from the
+    * interpolated plane literals, the query side unnests its own plus
+    * every Hamming-1 probe bucket (xor with each plane bit), and the
+    * cross join becomes `JOIN … USING (bucket)`. */
   private def hybridCtesFor(src: String, lsh: Boolean = false): String = {
     def bucketExpr(v: String) = {
       val planes = Similarity.lshPlanes(6, 16)
@@ -4462,7 +4499,12 @@ object Queries {
     }
     val bucket = if (lsh) bucketExpr("v") else ""
     val qbucket = if (lsh) bucketExpr("qv") else ""
-    val denseJoin = if (lsh) "FROM qn JOIN n USING (bucket)" else "FROM qn CROSS JOIN n"
+    val probes = (Seq("bucket") ++ (0 until 6).map(p =>
+      s"xor(bucket, ${1 << p})")).mkString("[", ", ", "]")
+    val denseJoin =
+      if (lsh) s"""FROM (SELECT query_id, qv, qnrm,
+        |      unnest($probes) AS bucket FROM qn) qn JOIN n USING (bucket)""".stripMargin
+      else "FROM qn CROSS JOIN n"
     s"""${docVecCtesFor(src)},
       |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
       |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
@@ -5617,7 +5659,7 @@ object Queries {
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,
     pipelineDecontamLsh, pipelineTopicClusters, pipelineTopicSample,
-    simCrossLshTopk,
+    simCrossLshTopk, simCrossLshMp,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     sketchKllByGroup, sketchHllShards, sketchHllOverlap,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,

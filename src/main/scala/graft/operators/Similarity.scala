@@ -130,6 +130,30 @@ object Similarity {
       excludeSelf = false), k)
   }
 
+  /** Multi-probe [[crossTopKLsh]] — the recall knob for the cross-corpus
+    * bucket path ([[lshTopKMultiProbe]]'s two-table twin, Lv et al.
+    * 2007): each query probes its own bucket PLUS every Hamming-1 bucket
+    * (one flipped hyperplane sign), where a near-miss neighbor most
+    * likely landed. The probe explode is QUERY-side only (tiny,
+    * broadcast, nPlanes+1 rows per query); each corpus row keeps its one
+    * bucket and probes are distinct, so a (query, neighbor) pair matches
+    * at most once — still one equi-join, no dedup, at ANY corpus size.
+    * Scanned fraction ≈ (nPlanes+1)/2^nPlanes of the corpus per query
+    * (7/64 at the default) vs the single bucket's 1/64 — measured on the
+    * hybrid dense leg in ProfileRetrievalR12 / NOTES. Deterministic ⇒
+    * oracle-checkable. */
+  def crossTopKLshMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val probeArr = array(
+      (col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+    val q = lshCorpus(queries, nPlanes, dim)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), explode(probeArr).as("bucket"))
+    rankTopK(scoreAgainst(lshCorpus(corpus, nPlanes, dim), q, Seq("bucket"),
+      excludeSelf = false), k)
+  }
+
   /** Random-hyperplane LSH planes: `nPlanes`×`dim` ±1 signs from a fixed
     * seed — data-independent constants shared verbatim with the DuckDB
     * oracle (interpolated as literals). */
