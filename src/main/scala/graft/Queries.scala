@@ -3157,6 +3157,54 @@ object Queries {
         |FROM r WHERE rank <= 10""".stripMargin
     })
 
+  /** Cross-corpus IVF top-k against the PERSISTED centroid index
+    * (Similarity.crossTopKIvf, nProbes = 2): centroids are trained on
+    * the corpus side once and loaded from the parquet artifact
+    * (embCentroids — the same index dedup_semantic shares); the corpus
+    * assigns to cells with the round-6 argmax, each query probes its 2
+    * nearest cells — the trained-index sibling of sim_cross_lsh_topk.
+    * Derived oracle: centroid literals, DuckDB re-derives assignment,
+    * probe ranking and the search identically. */
+  private val simCrossIvfTopk = Q("sim_cross_ivf_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      Similarity.crossTopKIvf(corpus,
+        e.where(pmod(col("vec_id"), lit(5)) === 0), k = 10,
+        embCentroids(s, dir, "corp5", corpus), nProbes = 2)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val cents = embCentroids(s, dir, "corp5",
+        Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(5)) =!= 0))
+      val values = cents.zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c(cell, cv) AS (VALUES
+        |  $values),
+        |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, cell FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn WHERE n.vec_id % 5 <> 0)
+        |  WHERE crn = 1),
+        |q AS (SELECT query_id, qv, qnrm, cell FROM (
+        |    SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qnrm, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(n.v, cn.cv) / (n.nrm * cn.cnrm), 6) DESC, cn.cell) AS pr
+        |    FROM n CROSS JOIN cn WHERE n.vec_id % 5 = 0)
+        |  WHERE pr <= 2),
+        |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+        |        ROUND(list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm), 4) + 0.0 AS cosine
+        |      FROM q JOIN assigned a ON a.cell = q.cell),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 10""".stripMargin
+    })
+
   /** Token-budget mixture (TextAnalysis.tokenBudgetSample): greedy prefix
     * in portable md5 order until each source's token budget fills. The
     * Spark side is the bucket-refined prefix-sum (256-way parallel); the
@@ -3922,6 +3970,26 @@ object Queries {
     },
     Some(s"""WITH $bmQuerySql,
       |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin), bench = true)
+
+  /** BM25 from the PERSISTED index (Retrieval.bm25TopKIndexed): the
+    * postings + corpus-stats artifacts are staged to parquet once
+    * (parquetArtifact) and the query scores from the LOADED index — the
+    * lexical tier's production read path, where a query batch never
+    * touches the documents table at all. Same queries, same k, same
+    * oracle as text_bm25_topk: the read path must reproduce the
+    * build-and-score form bit-exactly through the parquet round-trip. */
+  private val textBm25Indexed = Q("text_bm25_indexed",
+    (s, dir) => {
+      import s.implicits._
+      val post = parquetArtifact(s, dir, "bm25_postings")(
+        Retrieval.postings(Tables.documents(s, dir)))
+      val stats = parquetArtifact(s, dir, "bm25_stats")(
+        Retrieval.corpusStats(Tables.documents(s, dir)))
+      Retrieval.bm25TopKIndexed(post, stats,
+        bmQueryTerms.toDF("query_id", "term"), k = 5)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |${Retrieval.bm25Sql(duckToks, 5)}""".stripMargin))
 
   /** Planted linked-page fixture — a nav line that is ALL anchor text,
     * a content line with one small inline link, and a plain line. */
@@ -5650,7 +5718,7 @@ object Queries {
     pipelinePageClean, textHtmlExtract, pipelineWetClean, pipelineCrawlFrontier,
     textPhraseSearch, textPhrasePositional, textProximity, textLinkDensity,
     pipelineContentExtract,
-    textBm25Topk, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
+    textBm25Topk, textBm25Indexed, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textHybridTopk, textHybridLsh, pipelineRagRetrieval,
     pipelineRagLsh, textBm25Prf,
@@ -5659,7 +5727,7 @@ object Queries {
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,
     pipelineDecontamLsh, pipelineTopicClusters, pipelineTopicSample,
-    simCrossLshTopk, simCrossLshMp,
+    simCrossLshTopk, simCrossLshMp, simCrossIvfTopk,
     sketchCmsHeavyHitters, sketchQuantileHist, sketchKllQuantiles,
     sketchKllByGroup, sketchHllShards, sketchHllOverlap,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,

@@ -254,6 +254,35 @@ object Retrieval {
     scoreTopK(post, stats, queries, k, k1Bp, bBp, maxDfShareBp)
   }
 
+  /** The 1-row corpus-stats companion of [[postings]]: (n_docs,
+    * total_tokens) — persist it NEXT TO the postings artifact (same
+    * corpus pass contract), and the whole BM25 read path never touches
+    * the documents again. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
+
+  /** BM25 top-k over a PRE-BUILT postings index `(term, doc_id, tf, dl)`
+    * plus its [[corpusStats]] frame — the READ path of the persisted
+    * lexical artifact ([[bm25TopK]] is the build-and-score form; at
+    * 100 TB postings and stats are stored tables built once, and a query
+    * batch runs THIS). The broadcast query-term filter lands on the
+    * index rows FIRST, so both the df derivation and the scoring join
+    * are posting-list-sized, never index-sized — df(term) over the
+    * term-filtered rows is exact, since a term's df needs only its own
+    * posting list. The candidate frame persists (df + tf consumers —
+    * see the cache-ownership contract above; it is query-batch-sized,
+    * not corpus-sized). Results are bit-identical to [[bm25TopK]] on the
+    * same corpus (spec-pinned). */
+  def bm25TopKIndexed(post: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int, k1Bp: Long = K1Bp, bBp: Long = BBp,
+      maxDfShareBp: Int = 10000): DataFrame = {
+    val cand = post
+      .join(broadcast(queries.select(col("term")).distinct()), "term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoreTopK(cand, stats, queries, k, k1Bp, bBp, maxDfShareBp)
+  }
+
   /** BM25F top-k over FIELDED documents `(doc_id, title, body)`: term
     * frequencies are field-weighted BEFORE saturation (Robertson &
     * Zaragoza's simple BM25F — a title hit counts `titleWeight`×) and

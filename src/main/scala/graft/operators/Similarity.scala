@@ -154,6 +154,38 @@ object Similarity {
       excludeSelf = false), k)
   }
 
+  /** Cross-corpus IVF top-k against PRE-TRAINED centroids (a persisted
+    * [[centroidsToDF]] index, loaded with [[centroidsFromDF]]) — the
+    * trained-index sibling of [[crossTopKLsh]] and the search face of
+    * the incremental assignment table [[ivfAssignBatch]] maintains: the
+    * corpus is assigned to cells once (at scale that assignment IS the
+    * stored table; here it is one broadcast + one map-side-partial
+    * hash-aggregate), and each query probes only its `nProbes` nearest
+    * cells by centroid cosine (round-6, min-cell tie-break — the same
+    * total order as assignment, so results are bit-deterministic and
+    * the oracle can re-derive them from the centroid literals). Like
+    * every cross-corpus op, no id-equality exclusion — overlapping id
+    * spaces can never silently drop a neighbor. Probes are distinct
+    * cells and a corpus row lives in ONE cell, so no dedup is needed.
+    * Scanned fraction ≈ nProbes/|cells| of the corpus per query. */
+  def crossTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Seq[Array[Double]], nProbes: Int = 1): DataFrame = {
+    val cdf = centroidFrame(corpus.sparkSession, cents)
+    val assigned = assignCells(preparedVecs(corpus), cdf)
+    val probes = preparedVecs(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("ccos", round(
+        cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell"))))
+      .where(col("pr") <= nProbes)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
+    rankTopK(scoreAgainst(assigned, probes, Seq("cell"),
+      excludeSelf = false), k)
+  }
+
   /** Random-hyperplane LSH planes: `nPlanes`×`dim` ±1 signs from a fixed
     * seed — data-independent constants shared verbatim with the DuckDB
     * oracle (interpolated as literals). */

@@ -556,6 +556,51 @@ class SimilaritySpec extends AnyFunSuite {
       .where(col("mx") =!= col("n")).count()
     assert(ranks == 0L, "ranks must be dense 1..n per query")
   }
+
+  test("crossTopKLshMultiProbe: candidates are a SUPERSET of the " +
+      "single-bucket ones (probe rank 1 is the own bucket) and still " +
+      "corpus-only, dedup-free dense ranks") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = e.where(col("vec_id") % 5 =!= 0)
+    val queries = e.where(col("vec_id") % 5 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = pairs(Similarity.crossTopKLsh(corpus, queries, k = 1000))
+    val multi = pairs(Similarity.crossTopKLshMultiProbe(corpus, queries,
+      k = 1000))
+    // k far above candidate counts ⇒ the sets ARE the candidate sets
+    assert(single.subsetOf(multi),
+      s"multi-probe must contain every single-bucket candidate " +
+        s"(missing ${single.diff(multi).take(3)})")
+    assert(multi.size > single.size, "Hamming-1 probes must add candidates")
+    assert(multi.forall { case (_, n) => n % 5 != 0 }, "corpus-only")
+    // a (query, neighbor) pair appears at most once — probes are
+    // distinct buckets and each corpus row has ONE bucket
+    val dup = Similarity.crossTopKLshMultiProbe(corpus, queries, k = 1000)
+      .groupBy("query_id", "neighbor_id").count()
+      .where(col("count") > 1).count()
+    assert(dup == 0L, "no pair may be scored twice")
+  }
+
+  test("crossTopKIvf: corpus-only neighbors from the probed cells; " +
+      "nProbes=|cells| recovers exact brute-force results") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = e.where(col("vec_id") % 5 =!= 0)
+    val queries = e.where(col("vec_id") % 5 === 0)
+    val cents = Similarity.kmeansCentroidArrays(corpus, nCells = 4)
+    val ivf = Similarity.crossTopKIvf(corpus, queries, k = 10, cents,
+        nProbes = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty && ivf.forall { case (_, n) => n % 5 != 0 })
+    // probing EVERY cell = scanning the whole corpus = exact crossTopK
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(rows(Similarity.crossTopKIvf(corpus, queries, k = 5, cents,
+        nProbes = 4)) ==
+      rows(Similarity.crossTopK(corpus, queries, k = 5)),
+      "all-cells probe must equal brute force exactly")
+  }
 }
 
 class KmeansIvfSpec extends AnyFunSuite {
@@ -727,7 +772,7 @@ class KmeansIvfSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val derived = Queries.derivedOracleSql(spark, dir)
     assert(derived.keySet == Set("sim_ivf_kmeans_topk", "sim_ivf_multiprobe",
-      "sim_ivf_incr", "sim_ivf_drift",
+      "sim_ivf_incr", "sim_ivf_drift", "sim_cross_ivf_topk",
       "pipeline_topic_clusters", "pipeline_topic_sample", "dedup_semantic",
       "dedup_semantic_incr"))
     derived.values.foreach { sql =>

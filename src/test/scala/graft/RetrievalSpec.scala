@@ -377,6 +377,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(1) == ((6L, "d e hit f g")), s"centered window wrong: ${out(1)}")
   }
 
+  test("bm25TopKIndexed: scoring from the pre-built postings + stats " +
+      "index reproduces bm25TopK bit-exactly, including the df-prune arm") {
+    val d = docs(
+      (1L, "stop rare pad pad"), (2L, "stop pad pad"),
+      (3L, "stop pad x rare"), (4L, "stop y z"))
+    val q = Seq(("qa", "rare"), ("qa", "stop"), ("qb", "x"))
+      .toDF("query_id", "term")
+    val post = Retrieval.postings(d)
+    val stats = Retrieval.corpusStats(d)
+    def rows(df: DataFrame) =
+      df.as[(String, Long, Long, Int)].collect().toSet
+    // plain: identical rows AND scores (df over the term-filtered index
+    // rows is exact — a term's df needs only its own posting list)
+    assert(rows(Retrieval.bm25TopKIndexed(post, stats, q, k = 4)) ==
+      rows(Retrieval.bm25TopK(d, q, k = 4)))
+    // df-prune arm: 'stop' (df = N) pruned identically on both paths
+    assert(rows(Retrieval.bm25TopKIndexed(post, stats, q, k = 4,
+        maxDfShareBp = 9000)) ==
+      rows(Retrieval.bm25TopK(d, q, k = 4, maxDfShareBp = 9000)))
+  }
+
   test("eval-gated ranker quality: PRF MRR ≥ plain BM25 MRR on the " +
       "vocabulary-mismatch fixture, and RRF fusion MRR ≥ either tier's — " +
       "the regression guard every ranker/index change must keep green") {

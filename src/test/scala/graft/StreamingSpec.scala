@@ -1004,3 +1004,93 @@ class StreamingRetrievalSpec extends AnyFunSuite {
       s"artifact $viaArtifact != batch $viaBatch")
   }
 }
+
+class StreamingSemanticDedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming SemDeDup maintenance: per-batch incremental dedup " +
+      "against a versioned survivor-index artifact — stream-folded index " +
+      "equals the eager batch-by-batch fold, survivors accumulate, " +
+      "dropped vectors never pollute the index") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    // The streaming face of dedup_semantic_incr: each micro-batch of new
+    // embeddings probes the PERSISTED survivor index (history immutable,
+    // stored twins win), batch survivors append, and the artifact is
+    // versioned parquet (read vN-1, union survivors, write vN) — same
+    // at-least-once-safe posture as StreamingRetrievalSpec.
+    val cents = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val minCos = 0.95
+    // batch 0: two survivors in distinct cells. batch 1: 30 is a
+    // near-twin of 10 (dropped vs history), 40 is same-cell as 20 but
+    // below the threshold (survives, joins the index). batch 2: 50 is a
+    // near-twin of BATCH-1 survivor 40 (dropped — proves the index
+    // grew), 60 is far from every survivor (survives; it is closer to 30
+    // than to anything stored, and 30 was dropped — dropped vectors must
+    // not pollute the index).
+    val batches: Seq[Seq[(Long, Array[Float])]] = Seq(
+      Seq(10L -> Array(1f, 0f, 0f, 0f), 20L -> Array(0f, 1f, 0f, 0f)),
+      Seq(30L -> Array(0.99f, 0.14f, 0f, 0f), 40L -> Array(0f, 0.9f, 0.44f, 0f)),
+      Seq(50L -> Array(0f, 0.89f, 0.45f, 0f), 60L -> Array(0f, 0.44f, 0.9f, 0f)))
+    def vecsOf(rows: Seq[(Long, Array[Float])]) =
+      rows.toDF("vec_id", "embedding")
+    // survivors of a processed batch, with the vector riding along — the
+    // rows a survivor index stores (Similarity.semanticIndex's shape)
+    def survivorRows(batch: org.apache.spark.sql.DataFrame,
+        result: org.apache.spark.sql.DataFrame) =
+      result.where(col("is_survivor") === 1)
+        .join(batch, "vec_id")
+        .select(col("vec_id"), col("cell"), col("cell_cos"),
+          org.apache.spark.sql.functions.transform(
+            col("embedding"), _.cast("double")).as("v"))
+
+    val root = Files.createTempDirectory("graft-semidx-").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    @volatile var latest: Option[String] = None
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val res = latest match {
+          case Some(p) => Similarity.semanticDedupIncremental(
+            batch, cents, spark.read.parquet(p), minCos)
+          case None =>
+            // first batch: no history — the full-dedup form IS the fold
+            // base (semanticIndex = its survivors)
+            Similarity.semanticDedupWith(batch, cents, minCos)
+        }
+        val next = latest match {
+          case Some(p) => spark.read.parquet(p)
+            .unionByName(survivorRows(batch, res))
+          case None => survivorRows(batch, res)
+        }
+        next.write.mode("overwrite").parquet(s"$root/v$id")
+        latest = Some(s"$root/v$id")
+        ()
+      }.start()
+    try batches.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(latest.get)
+      .select("vec_id").as[Long].collect().toSet
+    assert(streamed == Set(10L, 20L, 40L, 60L),
+      s"survivor index diverged: $streamed")
+    // eager fold of the SAME batches through the non-streaming entry
+    // points must land on the identical index content
+    var eager = Similarity.semanticIndex(vecsOf(batches.head), cents, minCos)
+    for (b <- batches.tail) {
+      val res = Similarity.semanticDedupIncremental(
+        vecsOf(b), cents, eager, minCos)
+      eager = eager.unionByName(survivorRows(vecsOf(b), res))
+    }
+    val eagerRows = eager
+      .select(col("vec_id"), col("cell"), (col("cell_cos") + lit(0.0)).as("c"))
+      .as[(Long, Int, Double)].collect().toSet
+    val streamRows = spark.read.parquet(latest.get)
+      .select(col("vec_id"), col("cell"), (col("cell_cos") + lit(0.0)).as("c"))
+      .as[(Long, Int, Double)].collect().toSet
+    assert(streamRows == eagerRows, s"stream $streamRows != eager $eagerRows")
+  }
+}
