@@ -4769,6 +4769,93 @@ object Queries {
       |  JOIN qcnt USING (query_id) WHERE m.n_match = qcnt.n_terms),
       |$evalTailSql""".stripMargin))
 
+  /** Shared leading-8 boolean-AND qrels over any (doc_id, text) corpus —
+    * the derivable relevance proxy of text_retrieval_eval, reused by the
+    * training-data ops below. */
+  private def leading8Qrels(docs: DataFrame, q: DataFrame): DataFrame = {
+    val nterms = q.groupBy(col("query_id"))
+      .agg(countDistinct(col("term")).as("n_terms"))
+    val lead = graft.plans.Stage(docs.select(col("doc_id"), col("text")),
+        "w", TextFns.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(slice(col("w"), 1, 8))).as("term"))
+    lead.join(broadcast(q), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_match"))
+      .join(broadcast(nterms), "query_id")
+      .where(col("n_match") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+  }
+
+  /** The shared SQL half: BM25 top-10 (`topk`) + leading-8 qrels
+    * (`rels`) + the non-relevant ranked rows with their dense negative
+    * rank (`neg`) — the CTE chain under both training-data ops. */
+  private def hardNegCtesSql: String =
+    s"""toks AS (SELECT doc_id, $duckToks AS w FROM documents),
+      |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |${Retrieval.bm25ScoreCtesSql()},
+      |topk AS (SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS rnk
+      |  FROM ranked WHERE rnk <= 10),
+      |qcnt AS (SELECT query_id, count(DISTINCT term) AS n_terms FROM q GROUP BY 1),
+      |lead AS (SELECT doc_id, unnest(list_distinct(list_slice(w, 1, 8))) AS term
+      |  FROM toks),
+      |rels AS (SELECT query_id, doc_id FROM (
+      |    SELECT q.query_id, l.doc_id, count(DISTINCT l.term) AS n_match
+      |    FROM lead l JOIN q USING (term) GROUP BY 1, 2) m
+      |  JOIN qcnt USING (query_id) WHERE m.n_match = qcnt.n_terms),
+      |neg AS (SELECT t.query_id, t.doc_id, t.rnk,
+      |    row_number() OVER (PARTITION BY t.query_id ORDER BY t.rnk) AS nr
+      |  FROM topk t LEFT JOIN rels r
+      |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+      |  WHERE r.doc_id IS NULL)""".stripMargin
+
+  /** Hard-negative mining (Retrieval.hardNegatives — DPR, Karpukhin et
+    * al. 2020): per query, the 3 highest-BM25-ranked documents that are
+    * NOT relevant under the leading-8 qrels — the negatives a
+    * contrastive retriever trains against. Candidate-sized: broadcast
+    * anti-join + a window over ≤ 10 rows per query. */
+  private val pipelineHardNegatives = Q("pipeline_hard_negatives",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val q = bmQueryTerms.toDF("query_id", "term")
+      Retrieval.hardNegatives(
+        Retrieval.bm25TopK(docs, q, k = 10), leading8Qrels(docs, q),
+        nNeg = 3)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |$hardNegCtesSql
+      |SELECT query_id, doc_id, rnk, CAST(nr AS INTEGER) AS neg_rnk
+      |FROM neg WHERE nr <= 3""".stripMargin))
+
+  /** Contrastive training triplets (Retrieval.contrastiveTriplets):
+    * every RANKED relevant doc × its query's 3 hard negatives — the
+    * (query, positive, negative) emission a dual-encoder trains on; a
+    * relevant doc the ranker never surfaced cannot appear as a positive
+    * (the DPR retrieved-positives construction). */
+  private val pipelineContrastiveTriplets = Q("pipeline_contrastive_triplets",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val q = bmQueryTerms.toDF("query_id", "term")
+      Retrieval.contrastiveTriplets(
+        Retrieval.bm25TopK(docs, q, k = 10), leading8Qrels(docs, q),
+        nNeg = 3)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |$hardNegCtesSql,
+      |pos AS (SELECT t.query_id, t.doc_id AS pos_doc_id, t.rnk AS pos_rnk
+      |  FROM topk t JOIN rels r
+      |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id)
+      |SELECT p.query_id, p.pos_doc_id, p.pos_rnk,
+      |  n.doc_id AS neg_doc_id, CAST(n.nr AS INTEGER) AS neg_rnk
+      |FROM pos p JOIN neg n ON n.query_id = p.query_id WHERE n.nr <= 3""".stripMargin))
+
   /** Strict-order funnel per user (Funnel.userFunnel): the Spark side is a
     * single-shuffle sorted fold; the oracle is the equivalent cascaded
     * min-join formulation (step i = min ts of its type strictly after step
@@ -5722,7 +5809,8 @@ object Queries {
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textHybridTopk, textHybridLsh, pipelineRagRetrieval,
     pipelineRagLsh, textBm25Prf,
-    textRetrievalEval, pipelineRagEval,
+    textRetrievalEval, pipelineRagEval, pipelineHardNegatives,
+    pipelineContrastiveTriplets,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
     eTopPaths,
     textTokenBudget, pipelineEmbedDocs, pipelineEmbedTopk, pipelineDecontamTopk,

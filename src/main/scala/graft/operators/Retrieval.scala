@@ -579,6 +579,48 @@ object Retrieval {
         when(col("fr").isNull, lit(0L))
           .otherwise(expr("10000 div fr")).as("mrr_bp"))
 
+  /** HARD-NEGATIVE mining over ANY ranked frame (query_id, doc_id, rnk)
+    * vs a qrels relation — the retrieval-training data-prep step (DPR,
+    * Karpukhin et al. 2020: the best negatives for contrastive training
+    * are the top-ranked NON-relevant documents, not random ones): per
+    * query, the `nNeg` highest-ranked docs that are NOT in qrels, with
+    * both the original rank and the dense negative rank. qrels is
+    * deduplicated internally (same posture as [[evalRanking]]).
+    * Candidate-sized: one broadcast anti-join + one window over ≤ k rows
+    * per query. Output: (query_id, doc_id, rnk, neg_rnk). */
+  def hardNegatives(ranked: DataFrame, qrels: DataFrame,
+      nNeg: Int): DataFrame =
+    ranked.join(broadcast(qrels
+        .select(col("query_id"), col("doc_id")).distinct()),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rnk").asc)))
+      .where(col("neg_rnk") <= nNeg)
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        col("neg_rnk").cast("int").as("neg_rnk"))
+
+  /** CONTRASTIVE training triplets (query, positive, hard negative) —
+    * the emission step after [[hardNegatives]]: every RANKED relevant
+    * doc of a query pairs with each of its `nNeg` hard negatives. A
+    * relevant doc the ranker never surfaced cannot appear as a positive
+    * (the DPR construction trains on retrieved positives; evaluate
+    * recall separately with [[evalRanking]]). Both sides are
+    * candidate-sized, so the pairing is a broadcast-joined product of
+    * ≤ k × nNeg rows per query — free at any corpus scale.
+    * Output: (query_id, pos_doc_id, pos_rnk, neg_doc_id, neg_rnk). */
+  def contrastiveTriplets(ranked: DataFrame, qrels: DataFrame,
+      nNeg: Int): DataFrame = {
+    val q = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val positives = ranked.join(broadcast(q), Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id").as("pos_doc_id"),
+        col("rnk").as("pos_rnk"))
+    positives.join(
+      hardNegatives(ranked, q, nNeg)
+        .select(col("query_id"), col("doc_id").as("neg_doc_id"),
+          col("neg_rnk")),
+      "query_id")
+  }
+
   /** HYBRID retrieval fusion: reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher 2009) of two or more ranked tiers — the one call that
     * joins sparse BM25 ([[bm25TopK]]) and dense ANN ([[Similarity]])

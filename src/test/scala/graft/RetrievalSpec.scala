@@ -435,6 +435,30 @@ class RetrievalSpec extends AnyFunSuite {
       s"pinned values moved: fused=$fusedMrr a=$aMrr b=$bMrr")
   }
 
+  test("hard negatives + contrastive triplets: relevant docs never " +
+      "appear as negatives, unranked relevant docs never as positives, " +
+      "duplicate qrels don't fan out") {
+    // ranked list for one query: docs 1..4 at ranks 1..4; doc 2 relevant,
+    // doc 99 relevant but NEVER ranked
+    val ranked = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3), ("q", 4L, 4))
+      .toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq(("q", 2L), ("q", 2L), ("q", 99L)) // dup judgment
+      .toDF("query_id", "doc_id")
+    val neg = Retrieval.hardNegatives(ranked, qrels, nNeg = 2)
+      .orderBy("neg_rnk")
+      .as[(String, Long, Int, Int)].collect()
+    // negatives = top-ranked NON-relevant: docs 1 (rnk 1) and 3 (rnk 3),
+    // with dense neg ranks 1, 2; relevant doc 2 excluded
+    assert(neg.toSeq == Seq(("q", 1L, 1, 1), ("q", 3L, 3, 2)), s"${neg.toSeq}")
+    val trip = Retrieval.contrastiveTriplets(ranked, qrels, nNeg = 2)
+      .orderBy("neg_rnk")
+      .as[(String, Long, Int, Long, Int)].collect()
+    // exactly one RANKED positive (doc 2; doc 99 never surfaced) × the
+    // two negatives — the duplicate judgment must not double the rows
+    assert(trip.toSeq == Seq(
+      ("q", 2L, 2, 1L, 1), ("q", 2L, 2, 3L, 2)), s"${trip.toSeq}")
+  }
+
   test("plan shape: query set broadcast; tf and df branches read the " +
       "PERSISTED postings (one corpus explode), not two explodes") {
     val d = docs((1L, "a b"), (2L, "b c"))
