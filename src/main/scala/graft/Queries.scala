@@ -50,9 +50,7 @@ object Queries {
     * load it afterwards, across JVMs (Verify builds, Bench reads warm).
     * Lives under java.io.tmpdir, keyed by the sanitized sfDir + a name
     * that must encode every build parameter (the `v1` tag versions the
-    * layout so a format change never reads a stale artifact). ASSUMES
-    * the data under sfDir is immutable for the artifact's lifetime —
-    * the same contract the in-process centroid memoization documents. */
+    * layout so a format change never reads a stale artifact). */
   private def artifactPath(dir: String, name: String): String = {
     val root = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
@@ -61,21 +59,44 @@ object Queries {
     new java.io.File(root, name).getAbsolutePath
   }
 
+  /** One lock object per artifact path: sbt runs suites concurrently in
+    * ONE JVM, so two threads building the same artifact must serialize
+    * (review r12 — a shared pid-keyed tmp dir could rename a torn write
+    * into place). Cross-JVM the tmp names differ (pid + nanos) and the
+    * rename race stays benign: both builds are deterministic, the loser
+    * deletes its copy. */
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Write-once/load-after parquet artifact: `build` runs only when the
     * artifact is absent, writing through a temp dir + atomic rename so a
-    * concurrent second JVM either sees the complete artifact or builds
-    * its own copy (identical content — every builder is deterministic).
-    * The `_SUCCESS` probe guards against a torn non-atomic write. */
-  private def parquetArtifact(s: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame = {
-    val path = artifactPath(dir, name)
+    * concurrent second builder either sees the complete artifact or
+    * builds its own identical copy. The `_SUCCESS` probe guards against
+    * a torn non-atomic write. `fpTable` names the source parquet whose
+    * (size, mtime) fingerprint keys the artifact: regenerating the data
+    * under an sfDir changes the fingerprint, so a stale artifact built
+    * from the OLD data can never be served (review r12 — the in-JVM
+    * memoization this replaced could not go stale across sessions; the
+    * on-disk form can, hence the fingerprint). The fingerprint also
+    * disambiguates distinct dirs whose sanitized names collide. */
+  private def parquetArtifact(s: SparkSession, dir: String, name: String,
+      fpTable: String)(build: => DataFrame): DataFrame = {
+    val src = new java.io.File(s"$dir/$fpTable.parquet")
+    val path = artifactPath(dir,
+      s"${name}_${src.length()}_${src.lastModified()}")
     val done = new java.io.File(path, "_SUCCESS")
     if (!done.exists()) {
-      val tmp = path + "_tmp_" + java.lang.ProcessHandle.current().pid()
-      build.write.mode("overwrite").parquet(tmp)
-      if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
-        // lost the race — someone else completed it; drop our copy
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      artifactLocks.computeIfAbsent(path, _ => new Object).synchronized {
+        if (!done.exists()) {
+          val tmp = path + "_tmp_" + java.lang.ProcessHandle.current().pid() +
+            "_" + System.nanoTime()
+          build.write.mode("overwrite").parquet(tmp)
+          if (!new java.io.File(tmp).renameTo(new java.io.File(path))) {
+            // lost a cross-JVM race — the winner's artifact is complete
+            // and identical; drop our copy
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          }
+        }
       }
     }
     s.read.parquet(path)
@@ -3981,9 +4002,9 @@ object Queries {
   private val textBm25Indexed = Q("text_bm25_indexed",
     (s, dir) => {
       import s.implicits._
-      val post = parquetArtifact(s, dir, "bm25_postings")(
+      val post = parquetArtifact(s, dir, "bm25_postings", "documents")(
         Retrieval.postings(Tables.documents(s, dir)))
-      val stats = parquetArtifact(s, dir, "bm25_stats")(
+      val stats = parquetArtifact(s, dir, "bm25_stats", "documents")(
         Retrieval.corpusStats(Tables.documents(s, dir)))
       Retrieval.bm25TopKIndexed(post, stats,
         bmQueryTerms.toDF("query_id", "term"), k = 5)
@@ -4340,7 +4361,7 @@ object Queries {
       // e.g. Bench after Verify) reads three small parquet dirs and pays
       // only the merge + query.
       val merged = (0 until 3).map(i =>
-          parquetArtifact(s, dir, s"posidx_batch$i")(
+          parquetArtifact(s, dir, s"posidx_batch$i", "documents")(
             Retrieval.positionalIndex(
               docs.where(pmod(col("doc_id"), lit(3)) === i))))
         .reduce(Retrieval.mergePositionalIndex)
@@ -4452,21 +4473,8 @@ object Queries {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val q = bmQueryTerms.toDF("query_id", "term")
-      val nterms = q.groupBy(col("query_id"))
-        .agg(countDistinct(col("term")).as("n_terms"))
-      val lead = graft.plans.Stage(
-          docs.select(col("doc_id"), col("text")),
-          "w", TextFns.tokens(col("text")))
-        .select(col("doc_id"),
-          explode(array_distinct(slice(col("w"), 1, 8))).as("term"))
-      val qrels = lead.join(broadcast(q), "term")
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(countDistinct(col("term")).as("n_match"))
-        .join(broadcast(nterms), "query_id")
-        .where(col("n_match") === col("n_terms"))
-        .select(col("query_id"), col("doc_id"))
       Retrieval.evalRanking(
-        Retrieval.bm25TopK(docs, q, k = 10), qrels, k = 10)
+        Retrieval.bm25TopK(docs, q, k = 10), leading8Qrels(docs, q), k = 10)
     },
     Some(s"""WITH $bmQuerySql,
       |toks AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -4738,20 +4746,7 @@ object Queries {
       val q = bmQueryTerms.toDF("query_id", "term")
       val fused = hybridTopKFrom(s, cdocs)
         .select(col("query_id"), col("doc_id"), col("rnk"))
-      val nterms = q.groupBy(col("query_id"))
-        .agg(countDistinct(col("term")).as("n_terms"))
-      val lead = graft.plans.Stage(
-          cdocs.select(col("doc_id"), col("text")),
-          "w", TextFns.tokens(col("text")))
-        .select(col("doc_id"),
-          explode(array_distinct(slice(col("w"), 1, 8))).as("term"))
-      val qrels = lead.join(broadcast(q), "term")
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(countDistinct(col("term")).as("n_match"))
-        .join(broadcast(nterms), "query_id")
-        .where(col("n_match") === col("n_terms"))
-        .select(col("query_id"), col("doc_id"))
-      Retrieval.evalRanking(fused, qrels, k = 5)
+      Retrieval.evalRanking(fused, leading8Qrels(cdocs, q), k = 5)
     },
     Some(s"""WITH RECURSIVE $bmQuerySql,
       |$chunkDocsCtes,
@@ -4809,7 +4804,7 @@ object Queries {
       |    FROM lead l JOIN q USING (term) GROUP BY 1, 2) m
       |  JOIN qcnt USING (query_id) WHERE m.n_match = qcnt.n_terms),
       |neg AS (SELECT t.query_id, t.doc_id, t.rnk,
-      |    row_number() OVER (PARTITION BY t.query_id ORDER BY t.rnk) AS nr
+      |    row_number() OVER (PARTITION BY t.query_id ORDER BY t.rnk, t.doc_id) AS nr
       |  FROM topk t LEFT JOIN rels r
       |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
       |  WHERE r.doc_id IS NULL)""".stripMargin
@@ -5332,7 +5327,7 @@ object Queries {
       frame: => DataFrame): Seq[Array[Double]] =
     embCentroidCache.computeIfAbsent((dir, key),
       _ => Similarity.centroidsFromDF(
-        parquetArtifact(s, dir, s"centroids_emb_${key}_c10")(
+        parquetArtifact(s, dir, s"centroids_emb_${key}_c10", "embeddings")(
           Similarity.centroidsToDF(s,
             Similarity.kmeansCentroidArrays(frame, nCells = 10)))))
 

@@ -29,7 +29,9 @@ import graft.plans.Stage
   *
   * CACHE-OWNERSHIP CONTRACT: the multi-consumer operators in this family
   * — [[bm25TopK]], [[bm25FieldedTopK]], [[bm25PrfTopK]] (postings AND
-  * its 1-row stats frame), [[proximitySearch]] /
+  * its 1-row stats frame), [[bm25TopKIndexed]] (its candidate frame —
+  * keyed per query batch, see its note), [[contrastiveTriplets]] (its
+  * ranked input), [[proximitySearch]] /
   * [[proximitySearchIndexed]], and [[graft.operators.Similarity]]'s
   * semanticDedup* siblings — `persist(MEMORY_AND_DISK)` an internal
   * index/candidate frame that their result plan consumes more than once
@@ -248,10 +250,11 @@ object Retrieval {
     val post = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus stats re-scan the (column-pruned) text column once — cheaper
-    // than a distinct-docs shuffle over the postings at corpus scale
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
-    scoreTopK(post, stats, queries, k, k1Bp, bBp, maxDfShareBp)
+    // than a distinct-docs shuffle over the postings at corpus scale;
+    // the SAME builder the persisted-stats artifact uses (corpusStats),
+    // so the build path and the bm25TopKIndexed read path can never
+    // drift apart (review r12)
+    scoreTopK(post, corpusStats(docs), queries, k, k1Bp, bBp, maxDfShareBp)
   }
 
   /** The 1-row corpus-stats companion of [[postings]]: (n_docs,
@@ -271,9 +274,13 @@ object Retrieval {
     * are posting-list-sized, never index-sized — df(term) over the
     * term-filtered rows is exact, since a term's df needs only its own
     * posting list. The candidate frame persists (df + tf consumers —
-    * see the cache-ownership contract above; it is query-batch-sized,
-    * not corpus-sized). Results are bit-identical to [[bm25TopK]] on the
-    * same corpus (spec-pinned). */
+    * the cache-ownership contract above applies, with one sharper edge:
+    * the entry is keyed per (index, QUERY BATCH), not per corpus, so a
+    * long-lived session serving many distinct batches accumulates one
+    * small candidate-sized entry per batch — reclaim with
+    * `spark.catalog.clearCache()` between batches, or unpersist after
+    * materializing the result). Results are bit-identical to
+    * [[bm25TopK]] on the same corpus (spec-pinned). */
   def bm25TopKIndexed(post: DataFrame, stats: DataFrame,
       queries: DataFrame, k: Int, k1Bp: Long = K1Bp, bBp: Long = BBp,
       maxDfShareBp: Int = 10000): DataFrame = {
@@ -530,9 +537,9 @@ object Retrieval {
     val post = postings(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1-row stats frame, consumed by both scoring passes — persisted so
-    // the corpus token count is scanned once
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
+    // the corpus token count is scanned once (same corpusStats builder
+    // as everywhere else)
+    val stats = corpusStats(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q1 = queries.select(col("query_id"), col("term"))
     val topf = scoreTopK(post, stats, q1, fbDocs, k1Bp, bBp)
@@ -585,16 +592,26 @@ object Retrieval {
     * are the top-ranked NON-relevant documents, not random ones): per
     * query, the `nNeg` highest-ranked docs that are NOT in qrels, with
     * both the original rank and the dense negative rank. qrels is
-    * deduplicated internally (same posture as [[evalRanking]]).
+    * deduplicated internally (same posture as [[evalRanking]]); ties on
+    * rnk (a caller may pass a rank()-derived or unioned frame) break on
+    * doc_id, so neg_rnk is a total order like every ranking here.
     * Candidate-sized: one broadcast anti-join + one window over ≤ k rows
     * per query. Output: (query_id, doc_id, rnk, neg_rnk). */
   def hardNegatives(ranked: DataFrame, qrels: DataFrame,
       nNeg: Int): DataFrame =
-    ranked.join(broadcast(qrels
-        .select(col("query_id"), col("doc_id")).distinct()),
-        Seq("query_id", "doc_id"), "left_anti")
+    hardNegativesFrom(ranked,
+      qrels.select(col("query_id"), col("doc_id")).distinct(), nNeg)
+
+  /** [[hardNegatives]] over an ALREADY-deduplicated qrels projection —
+    * shared with [[contrastiveTriplets]] so the pair never dedups (or
+    * broadcasts) the judgments twice. */
+  private def hardNegativesFrom(ranked: DataFrame, qrelsDistinct: DataFrame,
+      nNeg: Int): DataFrame =
+    ranked.join(broadcast(qrelsDistinct), Seq("query_id", "doc_id"),
+        "left_anti")
       .withColumn("neg_rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("rnk").asc)))
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rnk").asc, col("doc_id").asc)))
       .where(col("neg_rnk") <= nNeg)
       .select(col("query_id"), col("doc_id"), col("rnk"),
         col("neg_rnk").cast("int").as("neg_rnk"))
@@ -606,16 +623,21 @@ object Retrieval {
     * (the DPR construction trains on retrieved positives; evaluate
     * recall separately with [[evalRanking]]). Both sides are
     * candidate-sized, so the pairing is a broadcast-joined product of
-    * ≤ k × nNeg rows per query — free at any corpus scale.
+    * ≤ k × nNeg rows per query — free at any corpus scale. `ranked` is
+    * PERSISTED (two consumers — the positives semi-join and the
+    * negatives anti-join; without it the upstream ranking chain runs
+    * twice: see the cache-ownership contract above).
     * Output: (query_id, pos_doc_id, pos_rnk, neg_doc_id, neg_rnk). */
   def contrastiveTriplets(ranked: DataFrame, qrels: DataFrame,
       nNeg: Int): DataFrame = {
+    val r = ranked
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = qrels.select(col("query_id"), col("doc_id")).distinct()
-    val positives = ranked.join(broadcast(q), Seq("query_id", "doc_id"))
+    val positives = r.join(broadcast(q), Seq("query_id", "doc_id"))
       .select(col("query_id"), col("doc_id").as("pos_doc_id"),
         col("rnk").as("pos_rnk"))
     positives.join(
-      hardNegatives(ranked, q, nNeg)
+      hardNegativesFrom(r, q, nNeg)
         .select(col("query_id"), col("doc_id").as("neg_doc_id"),
           col("neg_rnk")),
       "query_id")
