@@ -4732,6 +4732,33 @@ object Queries {
       |  CAST(rnk2 AS INTEGER) AS rnk
       |FROM rr WHERE rnk2 <= 5""".stripMargin))
 
+  /** RAG context DELIVERY — the step after retrieval: the fused top-5
+    * chunk ids joined back to their chunk TEXT, i.e. the actual context
+    * strings a generator consumes (retrieval alone hands back keys; a
+    * RAG pipeline ships text). Dense leg on the indexed LSH path (the
+    * 100-TB posture); the ranked side is |queries|×5 rows, so the
+    * text-attach join broadcasts it against the persisted chunk frame —
+    * one candidate-sized join, never a corpus re-scan. */
+  private val pipelineRagContexts = Q("pipeline_rag_contexts",
+    (s, dir) => {
+      val cdocs = ragChunkDocs(s, dir)
+      hybridTopKFrom(s, cdocs, denseLsh = true)
+        .join(cdocs.select(col("doc_id"), col("text").as("context")),
+          "doc_id")
+        .select((col("query_id") +: ragUnpack) ++ Seq(
+          col("rnk"), col("context")): _*)
+    },
+    Some(s"""WITH RECURSIVE $bmQuerySql,
+      |$chunkDocsCtes,
+      |cd AS (SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)
+      |  AS doc_id, chunk_text AS text FROM chunks),
+      |${hybridCtesFor("cd", lsh = true)}
+      |SELECT rr.query_id,
+      |  CAST(string_split(rr.doc_id, ':')[1] AS BIGINT) AS doc_id,
+      |  CAST(string_split(rr.doc_id, ':')[2] AS INTEGER) AS chunk_idx,
+      |  CAST(rr.rnk2 AS INTEGER) AS rnk, cd.text AS context
+      |FROM rr JOIN cd ON cd.doc_id = rr.doc_id WHERE rr.rnk2 <= 5""".stripMargin))
+
   /** RAG retriever MEASUREMENT (Retrieval.evalRanking over the fused
     * chunk ranking): the build → index → fuse → measure loop closed in
     * one call. Chunk-level qrels are boolean-AND matches over each
@@ -5803,7 +5830,7 @@ object Queries {
     textBm25Topk, textBm25Indexed, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textHybridTopk, textHybridLsh, pipelineRagRetrieval,
-    pipelineRagLsh, textBm25Prf,
+    pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,
     pipelineContrastiveTriplets,
     eFunnelUsers, eFunnelSummary, eRetention, eSessionize, eAttribution,
