@@ -2228,6 +2228,31 @@ object Queries {
       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS u
       |  FROM documents)""".stripMargin))
 
+  /** Leakage-safe GROUPED split (TextAnalysis.groupSplit): split assigned
+    * by md5-percentile of the `source` group key, so every document of a
+    * source lands in the same split — near-duplicates (which cluster
+    * within a group) can never straddle train/test and inflate eval
+    * scores. The per-source coherence itself is part of the oracled
+    * output: n_source_splits counts DISTINCT splits within the doc's
+    * source and must be 1 everywhere, checked by DuckDB's independent
+    * re-derivation, not just claimed. */
+  private val pipelineGroupSplit = Q("pipeline_group_split",
+    (s, dir) => TextAnalysis.groupSplit(Tables.documents(s, dir),
+        "source", 80, 10)
+      .withColumn("n_source_splits", size(collect_set(col("split")).over(
+        Window.partitionBy(col("source")))).cast("long"))
+      .select(col("doc_id"), col("source"), col("split"),
+        col("n_source_splits")),
+    Some("""WITH g AS (SELECT doc_id, source,
+      |  CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(source), 1, 4)) AS INTEGER) % 100 AS u
+      |    FROM documents))
+      |SELECT doc_id, source, split,
+      |  CAST(count(DISTINCT split) OVER (PARTITION BY source) AS BIGINT)
+      |    AS n_source_splits
+      |FROM g""".stripMargin))
+
   private def hash16Sql: String =
     """(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
       |(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
@@ -5808,7 +5833,7 @@ object Queries {
     pipelineDocsPrep, pipelineDropReport, pipelineCurateFull, pipelinePackDocs,
     pipelinePackSequences, pipelinePackIds, pipelineCrawlToTrainer, pipelineTokenIds, pipelineTemperedSample,
     pipelineChunkDocs,
-    pipelineClassSample, pipelineTrainSplit, pipelineDatasetCard,
+    pipelineClassSample, pipelineTrainSplit, pipelineGroupSplit, pipelineDatasetCard,
     pipelineDatasetCardIncr,
     textNormalize, textCompress, textStats, textBpeTokens, textBpeVocab, textBpeCompression, textLangid,
     textLangidModel, textTopTerms,

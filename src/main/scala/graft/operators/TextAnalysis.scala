@@ -356,6 +356,32 @@ object TextAnalysis {
         .otherwise("test"))
   }
 
+  /** LEAKAGE-SAFE grouped split: the split is assigned by md5-percentile
+    * of `groupCol` (host, source, dedup-cluster id, …), so EVERY
+    * document of a group lands in the SAME split — the GroupShuffleSplit
+    * construction. This is what [[trainSplit]] cannot give you when
+    * near-duplicates cluster within a group (a crawl host's boilerplate
+    * twins, a dedup cluster's survivors + variants): a doc-keyed split
+    * puts twins on both sides of the train/test fence and inflates eval
+    * scores with memorized near-copies. Same determinism contract as
+    * trainSplit (pure projection — stable across runs, partitionings and
+    * engines; adding documents never reassigns existing groups). A NULL
+    * group falls back to the doc's own key under a reserved prefix, so
+    * ungrouped docs spread uniformly instead of all landing in one
+    * split. No shuffle — the group key is hashed in place per row. */
+  def groupSplit(documents: DataFrame, groupCol: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need train + val < 100, got $trainPct + $valPct")
+    val key = coalesce(col(groupCol).cast("string"),
+      concat(lit(" doc:"), col("doc_id").cast("string")))
+    val u = conv(substring(md5(key), 1, 4), 16, 10).cast("int") % 100
+    documents.withColumn("split",
+      when(u < trainPct, "train")
+        .when(u < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Sequence packing — the LLM-pretraining "concat-and-chunk" layout:
     * documents are (logically) concatenated in doc_id order within each of
     * `nShards` hash shards, and `bin_id` is which `capacityTokens`-sized

@@ -1288,6 +1288,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(s1.forall { case (id, sp) => s2(id) == sp })
   }
 
+  test("groupSplit: every member of a group shares one split; null " +
+      "groups spread instead of pooling; growth never reassigns a group") {
+    val docs = (for (g <- 0 until 40; i <- 0 until 5)
+      yield ((g * 5 + i).toLong, if (g < 35) s"host$g" else null, "t"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.groupSplit(docs, "source", 80, 10)
+      .select("doc_id", "source", "split")
+      .as[(Long, Option[String], String)].collect()
+    // leakage guard: one split per group — no group straddles the fence
+    val perGroup = out.filter(_._2.isDefined)
+      .groupBy(_._2.get).view.mapValues(_.map(_._3).toSet)
+    assert(perGroup.values.forall(_.size == 1),
+      s"a group straddles splits: ${perGroup.filter(_._2.size > 1)}")
+    // null groups fall back to the doc key: the 25 ungrouped docs must
+    // NOT all share one split (they'd all pool under md5(null) otherwise)
+    val nullSplits = out.filter(_._2.isEmpty).map(_._3).toSet
+    assert(nullSplits.size > 1, s"null groups pooled: $nullSplits")
+    // growth property inherited from the hash-of-key construction
+    val grown = (for (g <- 0 until 80; i <- 0 until 5)
+      yield ((g * 5 + i).toLong, s"host$g", "t"))
+      .toDF("doc_id", "source", "text")
+    val s2 = TextAnalysis.groupSplit(grown, "source", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.filter(_._2.isDefined).foreach { case (id, _, sp) =>
+      assert(s2(id) == sp, s"doc $id reassigned on growth") }
+  }
+
   test("packDocuments: per-shard greedy concat layout, integral bins") {
     // One shard (nShards=1) so the layout is hand-checkable: docs of
     // 3/4/5/2 tokens concat to offsets 0,3,7,12 — capacity 5 ⇒ bins 0,0,1,2.
