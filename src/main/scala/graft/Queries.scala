@@ -2246,7 +2246,9 @@ object Queries {
     Some("""WITH g AS (SELECT doc_id, source,
       |  CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val' ELSE 'test' END AS split
       |  FROM (SELECT doc_id, source,
-      |    CAST(('0x' || substr(md5(source), 1, 4)) AS INTEGER) % 100 AS u
+      |    CAST(('0x' || substr(md5(
+      |      coalesce(source, chr(0) || 'doc:' || CAST(doc_id AS VARCHAR))
+      |    ), 1, 4)) AS INTEGER) % 100 AS u
       |    FROM documents))
       |SELECT doc_id, source, split,
       |  CAST(count(DISTINCT split) OVER (PARTITION BY source) AS BIGINT)
@@ -4767,7 +4769,7 @@ object Queries {
   private val pipelineRagContexts = Q("pipeline_rag_contexts",
     (s, dir) => {
       val cdocs = ragChunkDocs(s, dir)
-      hybridTopKFrom(s, cdocs, denseLsh = true)
+      broadcast(hybridTopKFrom(s, cdocs, denseLsh = true))
         .join(cdocs.select(col("doc_id"), col("text").as("context")),
           "doc_id")
         .select((col("query_id") +: ragUnpack) ++ Seq(

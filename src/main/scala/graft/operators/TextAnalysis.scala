@@ -345,15 +345,24 @@ object TextAnalysis {
     * rest → test. A pure projection — stable across runs, partitionings,
     * retries, and engines; adding documents never reassigns existing ones
     * (the property a random split lacks). */
-  def trainSplit(documents: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+  def trainSplit(documents: DataFrame, trainPct: Int, valPct: Int): DataFrame =
+    documents.withColumn("split",
+      splitByKey(col("doc_id").cast("string"), trainPct, valPct))
+
+  /** The one md5-percentile split assignment both split forms share
+    * (review r12 — [[trainSplit]] and [[groupSplit]] must never drift):
+    * bucket = first 16 md5 bits of `key` mod 100. A NULL key RAISES —
+    * md5(NULL) is NULL and every NULL-keyed row would otherwise silently
+    * pool in 'test', the exact failure the split exists to avoid. */
+  private def splitByKey(key: Column, trainPct: Int, valPct: Int): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"need train + val < 100, got $trainPct + $valPct")
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
-    documents.withColumn("split",
-      when(u < trainPct, "train")
-        .when(u < trainPct + valPct, "val")
-        .otherwise("test"))
+    val u = conv(substring(md5(key), 1, 4), 16, 10).cast("int") % 100
+    when(key.isNull, raise_error(
+        lit("split key is NULL — NULL-keyed rows would silently pool")))
+      .when(u < trainPct, lit("train"))
+      .when(u < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
   }
 
   /** LEAKAGE-SAFE grouped split: the split is assigned by md5-percentile
@@ -370,17 +379,14 @@ object TextAnalysis {
     * ungrouped docs spread uniformly instead of all landing in one
     * split. No shuffle — the group key is hashed in place per row. */
   def groupSplit(documents: DataFrame, groupCol: String,
-      trainPct: Int, valPct: Int): DataFrame = {
-    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
-      s"need train + val < 100, got $trainPct + $valPct")
-    val key = coalesce(col(groupCol).cast("string"),
-      concat(lit(" doc:"), col("doc_id").cast("string")))
-    val u = conv(substring(md5(key), 1, 4), 16, 10).cast("int") % 100
+      trainPct: Int, valPct: Int): DataFrame =
     documents.withColumn("split",
-      when(u < trainPct, "train")
-        .when(u < trainPct + valPct, "val")
-        .otherwise("test"))
-  }
+      splitByKey(coalesce(col(groupCol).cast("string"),
+          // NUL-prefixed fallback key: no real group value can collide
+          // with it (the LineOps sentinel discipline); a row NULL in
+          // BOTH keys raises via splitByKey's guard
+          concat(lit("\u0000doc:"), col("doc_id").cast("string"))),
+        trainPct, valPct))
 
   /** Sequence packing — the LLM-pretraining "concat-and-chunk" layout:
     * documents are (logically) concatenated in doc_id order within each of
