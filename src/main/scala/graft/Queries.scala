@@ -4313,6 +4313,24 @@ object Queries {
       |    CAST(sum(3 * len(wt) + len(wb)) AS BIGINT) AS total_tokens FROM ft),
       |${Retrieval.bm25ScoreTailSql(5)}""".stripMargin))
 
+  /** BM25F from the PERSISTED fielded index (Retrieval.bm25TopKIndexed
+    * over staged fieldedPostings + fieldedCorpusStats artifacts): the
+    * scoring core is shape-agnostic — field-weighted (term, doc_id, dl,
+    * tf) rows score through the SAME indexed read path as the plain
+    * tier, so the fielded tier also never touches the documents at
+    * query time. Same queries, k and oracle as text_bm25_fielded. */
+  private val textBm25FieldedIndexed = Q("text_bm25_fielded_indexed",
+    (s, dir) => {
+      import s.implicits._
+      val post = parquetArtifact(s, dir, "bm25f_postings", "documents")(
+        Retrieval.fieldedPostings(bmFieldedFixture(s, dir)))
+      val stats = parquetArtifact(s, dir, "bm25f_stats", "documents")(
+        Retrieval.fieldedCorpusStats(bmFieldedFixture(s, dir)))
+      Retrieval.bm25TopKIndexed(post, stats,
+        bmQueryTerms.toDF("query_id", "term"), k = 5)
+    },
+    textBm25Fielded.oracle)
+
   /** BM25F over REAL extracted fields (the wet→retrieval composition):
     * the h1 headline (discriminative — the fixture's h1 carries the
     * doc's leading content tokens, unlike <title> which is site chrome)
@@ -5856,7 +5874,7 @@ object Queries {
     pipelineContentExtract,
     textBm25Topk, textBm25Indexed, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
-    textBm25FieldedIncr, textHybridTopk, textHybridLsh, pipelineRagRetrieval,
+    textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh, pipelineRagRetrieval,
     pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,
     pipelineContrastiveTriplets,

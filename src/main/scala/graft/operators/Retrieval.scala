@@ -299,15 +299,20 @@ object Retrieval {
   def bm25FieldedTopK(fields: DataFrame, queries: DataFrame, k: Int,
       titleWeight: Int = 3,
       k1Bp: Long = K1Bp, bBp: Long = BBp): DataFrame = {
-    val tt = TextFns.tokens(col("title"))
-    val bt = TextFns.tokens(col("body"))
     val post = fieldedPostings(fields, titleWeight)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = fields.agg(count(lit(1)).as("n_docs"),
-      sum(size(tt).cast("long") * titleWeight + size(bt).cast("long"))
-        .as("total_tokens"))
-    scoreTopK(post, stats, queries, k, k1Bp, bBp)
+    scoreTopK(post, fieldedCorpusStats(fields, titleWeight), queries,
+      k, k1Bp, bBp)
   }
+
+  /** [[corpusStats]]'s BM25F twin over `(doc_id, title, body)`: n_docs +
+    * field-WEIGHTED total tokens — the 1-row companion of
+    * [[fieldedPostings]], shared by the build-and-score form and the
+    * persisted-artifact read path so the two can never drift. */
+  def fieldedCorpusStats(fields: DataFrame, titleWeight: Int = 3): DataFrame =
+    fields.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextFns.tokens(col("title"))).cast("long") * titleWeight +
+        size(TextFns.tokens(col("body"))).cast("long")).as("total_tokens"))
 
   /** Field-weighted postings over `(doc_id, title, body)` — the BM25F
     * index relation `(term, doc_id, dl, tf)` with tf = Σ field weights
