@@ -349,3 +349,47 @@ object BpeProps extends Properties("BpeKernel") {
       merges.size <= n && merges.forall { case (a, b) => a != b }
     }
 }
+
+object PrefixSumProps extends Properties("PrefixSumI") {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeArrayData}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  // interpreted-eval the kernel directly (the codegen path is pinned
+  // against it in RetrievalSpec) — pure JVM, thousands of cases
+  private def run(a: ArrayData): Any =
+    graft.plans.PrefixSumI(
+      BoundReference(0, ArrayType(IntegerType, containsNull = true),
+        nullable = true))
+      .eval(InternalRow(a))
+
+  private def ints(a: Any): Seq[Int] =
+    a.asInstanceOf[ArrayData].toIntArray().toSeq
+
+  property("kernel == scanLeft running sum (incl. Int wrap semantics)") =
+    forAll(Gen.listOf(Gen.chooseNum(Int.MinValue / 2, Int.MaxValue / 2))) { xs =>
+      ints(run(UnsafeArrayData.fromPrimitiveArray(xs.toArray))) ==
+        xs.scanLeft(0)(_ + _).drop(1)
+    }
+
+  property("decode inverts the first+gaps delta encoding for any sorted " +
+      "strictly-increasing position list (the positional-index law)") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 1 << 20))) { raw =>
+      val xs = raw.distinct.sorted // positions: distinct ascending
+      val deltas =
+        if (xs.isEmpty) Array.empty[Int]
+        else (xs.head +: xs.sliding(2).collect {
+          case Seq(a, b) => b - a }.toSeq).toArray
+      ints(run(UnsafeArrayData.fromPrimitiveArray(deltas))) == xs
+    }
+
+  property("a null element poisons the whole result to NULL, never a " +
+      "silently-partial array") =
+    forAll(Gen.listOf(Gen.option(Gen.chooseNum(-100, 100)))) { xs =>
+      val out = run(new GenericArrayData(
+        xs.map(_.map(Integer.valueOf).orNull).toArray[Any]))
+      if (xs.contains(None)) out == null
+      else ints(out) == xs.flatten.scanLeft(0)(_ + _).drop(1)
+    }
+}
