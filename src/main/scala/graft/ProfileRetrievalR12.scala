@@ -88,6 +88,16 @@ object ProfileRetrievalR12 {
     recallOf("LSH 6 planes, MULTI-PROBE own+Hamming-1",
       Similarity.crossTopKLshMultiProbe(corpus, qvecs, k = 10,
         nPlanes = 6, dim = 16))
+    // nPlanes sensitivity: the bucket-count/recall knob — fewer planes =
+    // bigger buckets = higher recall at a larger scanned fraction
+    // ((p+1)/2^p of bucket space for multi-probe)
+    for (p <- Seq(4, 8)) {
+      recallOf(s"LSH $p planes, own bucket",
+        Similarity.crossTopKLsh(corpus, qvecs, k = 10, nPlanes = p, dim = 16))
+      recallOf(s"LSH $p planes, MULTI-PROBE",
+        Similarity.crossTopKLshMultiProbe(corpus, qvecs, k = 10,
+          nPlanes = p, dim = 16))
+    }
 
     // fused top-5 overlap + MRR of both fused variants on leading-8 qrels
     val fusedBrute = Queries.queries("text_hybrid_topk")(spark, sfDir)

@@ -1005,6 +1005,63 @@ class StreamingRetrievalSpec extends AnyFunSuite {
   }
 }
 
+class StreamingRetrievalServeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming query serving from the persisted index: each query " +
+      "micro-batch scores through bm25TopKIndexed against the STORED " +
+      "postings + stats artifacts and equals the batch-mode ranking") {
+    import java.nio.file.Files
+    import graft.operators.Retrieval
+    // The ONLINE face of the read path: the index is built once and
+    // stored (the text_bm25_indexed posture); query batches then arrive
+    // as a stream and score without ever touching the documents table —
+    // corpus stats are frozen in the artifact, so a query's ranking is
+    // independent of which batch carried it (pin below).
+    val corpus = Seq(
+      (1L, "spark scan join the table"),
+      (2L, "window agg the the stream"),
+      (3L, "vector merge batch"),
+      (4L, "spark vector big table scan"),
+      (5L, "the quick join")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-serve-").toString
+    Retrieval.postings(corpus).write.parquet(s"$root/post")
+    Retrieval.corpusStats(corpus).write.parquet(s"$root/stats")
+    val post = spark.read.parquet(s"$root/post")
+    val stats = spark.read.parquet(s"$root/stats")
+
+    val queries = Seq(
+      ("qa", "spark"), ("qa", "table"),
+      ("qb", "vector"), ("qc", "join"), ("qd", "quick"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("query_id", "term")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Retrieval.bm25TopKIndexed(post, stats, batch, k = 3)
+          .write.mode("append").parquet(s"$root/out")
+        ()
+      }.start()
+    try {
+      // a query's terms arrive within ONE batch (the serving unit);
+      // different queries may arrive in different batches
+      input.addData(queries.take(2): _*) // qa
+      q.processAllAvailable()
+      input.addData(queries.drop(2): _*) // qb, qc, qd
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val served = spark.read.parquet(s"$root/out")
+      .as[(String, Long, Long, Int)].collect().toSet
+    val batchMode = Retrieval.bm25TopK(corpus,
+        queries.toDF("query_id", "term"), k = 3)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(served == batchMode && batchMode.nonEmpty,
+      s"served $served != batch $batchMode")
+  }
+}
+
 class StreamingSemanticDedupSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
