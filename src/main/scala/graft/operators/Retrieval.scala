@@ -61,8 +61,15 @@ object Retrieval {
     * partial-aggregated shuffle; `dl` rides in the grouping key (constant
     * per doc) so no second pass joins it back. */
   def postings(docs: DataFrame): DataFrame =
+    // null text ≡ empty text (coalesce BEFORE tokenizing): tokens(null)
+    // is null, and while explode(null) happens to drop the row anyway,
+    // the stats side would count size(null) = -1 under Spark's legacy
+    // sizeOfNull — the one null-text doc per million that silently skews
+    // every other doc's length norm (review r12). One convention, both
+    // sides: a null-text doc contributes zero postings and zero tokens
+    // but still counts in n_docs.
     Stage(docs.select(col("doc_id"), col("text")),
-        "w", TextFns.tokens(col("text")))
+        "w", TextFns.tokens(coalesce(col("text"), lit(""))))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
         explode(col("w")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -86,7 +93,7 @@ object Retrieval {
     * the shared explode feeding the positional tier. */
   private def tokenOccurrences(docs: DataFrame): DataFrame =
     Stage(docs.select(col("doc_id"), col("text")),
-        "w", TextFns.tokens(col("text")))
+        "w", TextFns.tokens(coalesce(col("text"), lit(""))))
       .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
 
   /** POSITIONAL index: one row per (term, doc_id) with the sorted
@@ -199,6 +206,15 @@ object Retrieval {
     // df-index side (before the broadcast), so the posting join never
     // materializes those candidates; at df = N the idf is exactly 0, so
     // pruning there is result-identical. Default 10000 bp = off.
+    //
+    // The df aggregate here is INDEX-WIDE by design: `post` is the
+    // caller's persisted frame, so this is one map-combinable pass over
+    // cached data, and a candidate-first variant inside THIS shared core
+    // would make the term-filtered frame a second lazy multi-consumer —
+    // the diverged-subtree re-explosion documented in the header
+    // (measured r12: PRF ballooned 15 → 41 exchanges). The
+    // candidate-first df lives where it belongs: [[bm25TopKIndexed]],
+    // which term-filters ONCE and persists the candidate frame.
     val dfIdx = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val pruned =
       if (maxDfShareBp >= 10000) dfIdx
@@ -253,8 +269,13 @@ object Retrieval {
     // than a distinct-docs shuffle over the postings at corpus scale;
     // the SAME builder the persisted-stats artifact uses (corpusStats),
     // so the build path and the bm25TopKIndexed read path can never
-    // drift apart (review r12)
-    scoreTopK(post, corpusStats(docs), queries, k, k1Bp, bBp, maxDfShareBp)
+    // drift apart (review r12). PERSISTED because the df-prune branch is
+    // a SECOND consumer whose column pruning diverges the subtree
+    // (count-only vs count+sum — ReusedExchange never fires, a second
+    // corpus scan would run whenever pruning is on; review r12).
+    val stats = corpusStats(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoreTopK(post, stats, queries, k, k1Bp, bBp, maxDfShareBp)
   }
 
   /** The 1-row corpus-stats companion of [[postings]]: (n_docs,
@@ -263,7 +284,8 @@ object Retrieval {
     * the documents again. */
   def corpusStats(docs: DataFrame): DataFrame =
     docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
+      sum(size(TextFns.tokens(coalesce(col("text"), lit(""))))
+        .cast("long")).as("total_tokens"))
 
   /** BM25 top-k over a PRE-BUILT postings index `(term, doc_id, tf, dl)`
     * plus its [[corpusStats]] frame — the READ path of the persisted
@@ -311,8 +333,10 @@ object Retrieval {
     * persisted-artifact read path so the two can never drift. */
   def fieldedCorpusStats(fields: DataFrame, titleWeight: Int = 3): DataFrame =
     fields.agg(count(lit(1)).as("n_docs"),
-      sum(size(TextFns.tokens(col("title"))).cast("long") * titleWeight +
-        size(TextFns.tokens(col("body"))).cast("long")).as("total_tokens"))
+      sum(size(TextFns.tokens(coalesce(col("title"), lit(""))))
+          .cast("long") * titleWeight +
+        size(TextFns.tokens(coalesce(col("body"), lit(""))))
+          .cast("long")).as("total_tokens"))
 
   /** Field-weighted postings over `(doc_id, title, body)` — the BM25F
     * index relation `(term, doc_id, dl, tf)` with tf = Σ field weights
@@ -321,9 +345,14 @@ object Retrieval {
     * titleWeight× physical copies of every title token (round-10
     * review). One map-combinable aggregate, like [[postings]]. */
   def fieldedPostings(fields: DataFrame, titleWeight: Int = 3): DataFrame =
+    // null field ≡ empty field: without the coalesce, ONE null field
+    // nulls the concat and explode drops the whole doc — every posting
+    // of a title-less page would vanish while the stats side still
+    // counted it (review r12)
     Stage(Stage(
         fields.select(col("doc_id"), col("title"), col("body")),
-        "wt", TextFns.tokens(col("title"))), "wb", TextFns.tokens(col("body")))
+        "wt", TextFns.tokens(coalesce(col("title"), lit("")))),
+        "wb", TextFns.tokens(coalesce(col("body"), lit(""))))
       .select(col("doc_id"),
         (size(col("wt")).cast("long") * titleWeight +
           size(col("wb")).cast("long")).as("dl"),
@@ -356,13 +385,23 @@ object Retrieval {
     * map-combinable aggregate + a broadcast join — the bigram index is
     * the persisted artifact at corpus scale. */
   def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    // the bigram shortcut is EXACTLY a 2-term operator: a 3+-term phrase
+    // would silently match nothing and a 1-term phrase only whole-doc
+    // shingles — raise instead (review r12); arbitrary arity lives in
+    // phraseSearchPositional
+    val checked = phrases.select(col("phrase_id"),
+      when(size(split(col("phrase"), " ")) === 2, col("phrase"))
+        .otherwise(raise_error(concat(
+          lit("phraseSearch is the 2-term bigram shortcut; got: "),
+          col("phrase"), lit(" — use phraseSearchPositional"))))
+        .as("phrase"))
     val bg = Stage(Stage(docs.select(col("doc_id"), col("text")),
         "w", TextFns.tokens(col("text"))),
         "sh", TextFns.shingles(col("w"), 2))
       .select(col("doc_id"), explode(col("sh")).as("bigram"))
       .groupBy(col("bigram"), col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
-    bg.join(broadcast(phrases.select(col("phrase_id"),
+    bg.join(broadcast(checked.select(col("phrase_id"),
         col("phrase").as("bigram"))), "bigram")
       .select(col("phrase_id"), col("doc_id"), col("n_hits"))
   }

@@ -54,6 +54,14 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
           .as("cosine"))
+      // a null cosine (zero-norm vector, or a corpus/query embedding
+      // LENGTH mismatch — dot_d yields null) must never rank: without
+      // this filter the rank window orders nulls last but still EMITS
+      // them, and a full-mismatch input would return k arbitrary
+      // neighbors with cosine=null instead of an (immediately
+      // noticeable) empty result; bruteTopKAgg would even crash
+      // deserializing null into Scored.score (review r12)
+      .where(col("cosine").isNotNull)
   }
 
   /** Shared deterministic ranking: top-k per query, cosine desc with
@@ -144,9 +152,7 @@ object Similarity {
     * oracle-checkable. */
   def crossTopKLshMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
-    val probeArr = array(
-      (col("bucket") +: (0 until nPlanes).map(p =>
-        col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+    val probeArr = hamming1Probes(nPlanes)
     val q = lshCorpus(queries, nPlanes, dim)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), explode(probeArr).as("bucket"))
@@ -186,6 +192,13 @@ object Similarity {
       excludeSelf = false), k)
   }
 
+  /** The multi-probe bucket list: own bucket + every Hamming-1 bucket
+    * (one flipped hyperplane sign) — ONE builder for the self-join and
+    * cross-corpus multi-probe forms (review r12). */
+  private def hamming1Probes(nPlanes: Int): Column =
+    array((col("bucket") +: (0 until nPlanes).map(p =>
+      col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+
   /** Random-hyperplane LSH planes: `nPlanes`×`dim` ±1 signs from a fixed
     * seed — data-independent constants shared verbatim with the DuckDB
     * oracle (interpolated as literals). */
@@ -208,7 +221,16 @@ object Similarity {
     val planes = lshPlanes(nPlanes, dim)
     def bucketOf(v: Column): Column =
       (0 until nPlanes).map { p =>
-        when(dot(v, typedLit(planes(p))) > 0, lit(1 << p)).otherwise(lit(0))
+        // dot_d is null ONLY on a length mismatch (the dim/embedding
+        // disagreement this scaladoc warns about) — RAISE instead of
+        // falling to 0, which would silently collapse every row into one
+        // bucket and turn the bucketed search into the quadratic cross
+        // join it exists to avoid (review r12)
+        when(dot(v, typedLit(planes(p))).isNull, raise_error(concat(
+            lit(s"lsh dim=$dim does not match embedding length "),
+            size(v).cast("string"))))
+          .when(dot(v, typedLit(planes(p))) > 0, lit(1 << p))
+          .otherwise(lit(0))
       }.reduce(_ + _)
     Stage(
       embeddings.select(col("vec_id"), col("embedding")),
@@ -222,8 +244,9 @@ object Similarity {
     * is the bucket key; a query probes only its own bucket (~N/2^nPlanes of
     * the corpus). Buckets are a plain `groupBy`-free equi-join key, so the
     * whole search is one hash join however large the corpus. */
-  def lshTopK(embeddings: DataFrame, k: Int, stride: Int, nPlanes: Int = 6): DataFrame = {
-    val corpus = lshCorpus(embeddings, nPlanes)
+  def lshTopK(embeddings: DataFrame, k: Int, stride: Int, nPlanes: Int = 6,
+      dim: Int = 64): DataFrame = {
+    val corpus = lshCorpus(embeddings, nPlanes, dim)
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket"))
@@ -241,11 +264,9 @@ object Similarity {
     * matches at most once and needs no dedup). Fully deterministic ⇒
     * oracle-checkable, unlike the trained-centroid paths. */
   def lshTopKMultiProbe(embeddings: DataFrame, k: Int, stride: Int,
-      nPlanes: Int = 6): DataFrame = {
-    val corpus = lshCorpus(embeddings, nPlanes)
-    val probeArr = array(
-      (col("bucket") +: (0 until nPlanes).map(p =>
-        col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val corpus = lshCorpus(embeddings, nPlanes, dim)
+    val probeArr = hamming1Probes(nPlanes)
     val queries = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), explode(probeArr).as("bucket"))
@@ -388,8 +409,6 @@ object Similarity {
       .select(col("cell"), col("cv"), l2Norm(col("cv")).as("cnrm"))
   }
 
-  /** [[kmeansCentroids]]'s driver-side result, for interpolating the trained
-    * centroids into an oracle as literals (index = cell id). */
   /** Trained centroids → a persistable DataFrame (cell, centroid): the
     * third leg of the artifact story next to [[Dedup.bandIndex]] (parquet)
     * and the serialized blooms — write it once after training, and every
