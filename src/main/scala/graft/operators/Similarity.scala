@@ -219,19 +219,21 @@ object Similarity {
   private[operators] def lshCorpus(embeddings: DataFrame, nPlanes: Int,
       dim: Int = 64): DataFrame = {
     val planes = lshPlanes(nPlanes, dim)
-    def bucketOf(v: Column): Column =
-      (0 until nPlanes).map { p =>
-        // dot_d is null ONLY on a length mismatch (the dim/embedding
-        // disagreement this scaladoc warns about) — RAISE instead of
-        // falling to 0, which would silently collapse every row into one
-        // bucket and turn the bucketed search into the quadratic cross
-        // join it exists to avoid (review r12)
-        when(dot(v, typedLit(planes(p))).isNull, raise_error(concat(
-            lit(s"lsh dim=$dim does not match embedding length "),
-            size(v).cast("string"))))
-          .when(dot(v, typedLit(planes(p))) > 0, lit(1 << p))
-          .otherwise(lit(0))
+    def bucketOf(v: Column): Column = {
+      val raw = (0 until nPlanes).map { p =>
+        when(dot(v, typedLit(planes(p))) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
+      // RAISE on a dim/embedding-length mismatch (dot_d would be null,
+      // every plane test would fall to 0, and ALL rows would silently
+      // share bucket 0 — the quadratic degeneration this scaladoc warns
+      // about). ONE cheap size probe per row, not a per-plane null check
+      // (a per-plane guard doubled the dot evaluations and measurably
+      // slowed the sim_lsh hot loop — review r12).
+      when(size(v) =!= dim, raise_error(concat(
+          lit(s"lsh dim=$dim does not match embedding length "),
+          size(v).cast("string"))))
+        .otherwise(raw)
+    }
     Stage(
       embeddings.select(col("vec_id"), col("embedding")),
       "v", toDouble(col("embedding")))
