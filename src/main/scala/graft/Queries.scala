@@ -1581,7 +1581,8 @@ object Queries {
   private val dedupUrl = Q("dedup_url",
     (s, dir) => Dedup.urlDedup(plantedUrls(s, dir)),
     Some(s"""WITH u AS ($plantedUrlSql),
-      |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url FROM u),
+      |c AS (SELECT doc_id, coalesce(${Dedup.canonicalUrlSql("url")},
+      |    chr(0) || 'doc:' || CAST(doc_id AS VARCHAR)) AS canonical_url FROM u),
       |k AS (SELECT doc_id, canonical_url,
       |  min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id FROM c)
       |SELECT doc_id, canonical_url, keep_id,
@@ -1610,7 +1611,8 @@ object Queries {
           pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 600)))
     },
     Some(s"""WITH u AS ($plantedUrlSql),
-      |c AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url FROM u),
+      |c AS (SELECT doc_id, coalesce(${Dedup.canonicalUrlSql("url")},
+      |    chr(0) || 'doc:' || CAST(doc_id AS VARCHAR)) AS canonical_url FROM u),
       |hist AS (SELECT DISTINCT canonical_url FROM c
       |         WHERE doc_id % 3 = 0 AND doc_id < 600),
       |nw AS (SELECT doc_id, canonical_url FROM c WHERE doc_id % 3 <> 0
@@ -2162,7 +2164,8 @@ object Queries {
     Some(s"""WITH RECURSIVE $duckBpeBlock,
       |$duckBpeDocArr,
       |u AS ($plantedUrlSql),
-      |cu AS (SELECT doc_id, ${Dedup.canonicalUrlSql("url")} AS canonical_url FROM u),
+      |cu AS (SELECT doc_id, coalesce(${Dedup.canonicalUrlSql("url")},
+      |    chr(0) || 'doc:' || CAST(doc_id AS VARCHAR)) AS canonical_url FROM u),
       |usv AS (SELECT doc_id FROM (
       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id
       |  FROM cu) WHERE doc_id = keep_id),
@@ -3621,7 +3624,10 @@ object Queries {
   private def robotsVerdictCtes(src: String,
       withCanonical: Boolean = false): String = {
     val canon =
-      if (withCanonical) s"${Dedup.canonicalUrlSql("url")} AS canonical_url,\n        "
+      if (withCanonical)
+        s"coalesce(${Dedup.canonicalUrlSql("url")}, " +
+          "chr(0) || 'doc:' || CAST(doc_id AS VARCHAR)) " +
+          "AS canonical_url,\n        "
       else ""
     s"""c AS (SELECT doc_id, $canon${Dedup.urlHostSql("url")} AS host,
       |        ${Dedup.urlPathSql("url")} AS path FROM $src),

@@ -106,7 +106,12 @@ object Dedup {
     val path = urlPath(url)
     // Tracking keys match with an optional '=' boundary, so a bare
     // '?fbclid' (no value) is dropped like '?fbclid=x' (ADVICE r9).
-    val params = array_sort(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+    // the lazy pre-fragment prefix ([^#]*?) pins the '?' BEFORE any '#':
+    // an SPA-style '?' living inside the fragment ("/page#/route?tab=1")
+    // must not leak fragment content into the canonical query (review
+    // r12 — both engines shared the unanchored bug, so oracles could
+    // never catch it)
+    val params = array_sort(filter(split(regexp_extract(url, "^[^#]*?\\?([^#]*)", 1), "&"),
       p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=.*)?\\z")))
     // A row with no scheme://  prefix (relative reference, malformed crawl
     // junk) is its OWN canonical key — normalizing it would collapse every
@@ -140,7 +145,7 @@ object Dedup {
     val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val host = urlHostSql(u)
     val path = urlPathSql(u)
-    val params = s"""list_sort(list_filter(string_split(regexp_extract($u, '\\?([^#]*)', 1), '&'),
+    val params = s"""list_sort(list_filter(string_split(regexp_extract($u, '^[^#]*?\\?([^#]*)', 1), '&'),
        | p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?\\z')))""".stripMargin
     s"""(CASE WHEN $scheme = '' THEN $u ELSE
        | $scheme || '://' || $host || $path ||
@@ -187,10 +192,19 @@ object Dedup {
     * min-over-key window — no sort, no join-back); at crawl scale this
     * tier removes the bulk of duplicates for the price of a string
     * normalize + one exchange, before MinHash ever runs. */
+  /** The canonical key with a per-doc fallback for a NULL url: a missing
+    * URL asserts no equality with anything, so the doc must be its OWN
+    * cluster — without this, every null-URL doc lands in ONE null
+    * partition and all but one are discarded (review r12). NUL-prefixed
+    * so no real canonical can collide (the groupSplit sentinel). */
+  private def canonicalKey(url: Column, docId: Column): Column =
+    coalesce(canonicalUrl(url),
+      concat(lit("\u0000doc:"), docId.cast("string")))
+
   def urlDedup(df: DataFrame, urlCol: String = "url"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canonical_url"))
     df.select(col("doc_id"), col(urlCol).as("url"))
-      .withColumn("canonical_url", canonicalUrl(col("url")))
+      .withColumn("canonical_url", canonicalKey(col("url"), col("doc_id")))
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .select(col("doc_id"), col("canonical_url"), col("keep_id"),
         (col("doc_id") === col("keep_id")).cast("int").as("is_canonical"))
@@ -213,7 +227,7 @@ object Dedup {
       urlCol: String = "url"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canonical_url"))
     newDocs.select(col("doc_id"), col(urlCol).as("url"))
-      .withColumn("canonical_url", canonicalUrl(col("url")))
+      .withColumn("canonical_url", canonicalKey(col("url"), col("doc_id")))
       // no distinct() on the history side: a left-anti join is
       // duplicate-insensitive, so deduplicating the key set here would
       // only add an exchange + aggregate over the full history for zero
@@ -276,7 +290,11 @@ object Dedup {
     * `historyHashes` needs a `text_md5` column. */
   def exactIncremental(newDocs: DataFrame, historyHashes: DataFrame): DataFrame =
     newDocs.select(col("doc_id"), md5(col("text")).as("text_md5"))
-      .join(historyHashes.select(col("text_md5")).distinct(),
+      // no distinct() on the history side — a left-anti join is
+      // duplicate-insensitive, so deduplicating the key set would only
+      // add an exchange + aggregate over the FULL history for zero
+      // semantic effect (the urlDedupIncremental rule; review r12)
+      .join(historyHashes.select(col("text_md5")),
         Seq("text_md5"), "left_anti")
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -537,7 +555,13 @@ object Dedup {
   /** Candidate pairs re-ranked by exact 3-gram Jaccard (rounded for stable
     * cross-engine comparison), thresholded. */
   def nearDupPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
+    // the shingle frame feeds BOTH verify-join sides — persist, or each
+    // side replans a full tokenize->shingle pass over the corpus (the
+    // minhashCandidatesNamed rationale; review r12). Cache-ownership
+    // contract as in Retrieval: never unpersisted here, reclaim with
+    // clearCache between corpora.
     val sh = withShingles(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashCandidates(documents)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -699,7 +723,11 @@ object Dedup {
   def streamingUrlDedup(docs: DataFrame, eventTime: String, delay: String,
       urlCol: String = "url"): DataFrame =
     stampWatermark(
-      docs.withColumn("canonical_url", canonicalUrl(col(urlCol))),
+      // doc-keyed fallback for NULL urls (docs must carry the engine-wide
+      // doc_id key): without it every null-URL arrival after the first
+      // would be silently dropped as a "recrawl" of NULL (review r12)
+      docs.withColumn("canonical_url",
+        canonicalKey(col(urlCol), col("doc_id"))),
       eventTime, delay)
       .dropDuplicatesWithinWatermark("canonical_url")
 
@@ -806,7 +834,14 @@ object Dedup {
     * State for the dedup stage is bounded by the horizon, exactly like
     * [[streamingExactDedup]]; pairs re-surfacing AFTER the horizon can
     * repeat — the documented contract, now enforced instead of delegated
-    * to every consumer. Output: (doc_a, doc_b, band, event_time) where
+    * to every consumer. SECOND deviation from the raw stream (review
+    * r12): a pair whose event time is already BELOW the watermark when
+    * it reaches the dedup stage (a very late doc) is DROPPED by
+    * `dropDuplicatesWithinWatermark`, not deduplicated — late-arrival
+    * recall is bounded by `delay`, the standard watermark trade; size
+    * `delay` for the source's real lateness, or consume the raw
+    * [[streamingNearDupCandidates]] and dedup downstream where the full
+    * horizon is known. Output: (doc_a, doc_b, band, event_time) where
     * band is the first-seen band of the pair inside the horizon. */
   def streamingNearDupCandidatesDeduped(docs: DataFrame, eventTime: String,
       delay: String, maxBucket: Int = 1000,

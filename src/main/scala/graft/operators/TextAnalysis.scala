@@ -255,6 +255,13 @@ object TextAnalysis {
     val surprise =
       when(col("n_bg").isNotNull,
         log2f(col("n_w1")) - log2f(col("n_bg")))
+      // an EMPTY training artifact (lm_total NULL — sum over zero rows)
+      // must RAISE: every surprise would be NULL, sum_bits NULL, the
+      // final coalesce would turn mean_bits into 0 and the gate would
+      // ADMIT every doc — the exact inversion of a quality filter's job
+      // (review r12)
+      .when(col("lm_total").isNull, raise_error(lit(
+        "lmScoreFrom: empty LM artifact (lm_total is NULL) — train before gating")))
       .otherwise(lit(backoffPenaltyBits.toLong) + log2f(col("lm_total"))
         - log2f(coalesce(col("n_w2"), lit(0L)) + 1))
     val scored = evalBg
@@ -300,8 +307,12 @@ object TextAnalysis {
       Stage(df.select(col("doc_id"), col("text")), "w", TextFns.tokens(col("text")))
         .select(explode(col("w")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
-    val ca = counts(snapshotA)
-    val cb = counts(snapshotB)
+    // each count frame feeds THREE consumers (top-k union, per-token
+    // join, totals) — checkpoint so each snapshot is scanned+tokenized
+    // once, not three times (the collocations localCheckpoint rationale;
+    // review r12)
+    val ca = counts(snapshotA).localCheckpoint(false)
+    val cb = counts(snapshotB).localCheckpoint(false)
     val top = ca.select(col("token"), col("n"))
       .unionByName(cb.select(col("token"), col("n")))
       .groupBy("token").agg(sum(col("n")).as("n_both"))
@@ -403,6 +414,7 @@ object TextAnalysis {
   def packDocuments(documents: DataFrame, capacityTokens: Int,
       nShards: Int = 32): DataFrame = {
     require(capacityTokens > 0, s"capacityTokens must be positive: $capacityTokens")
+    require(nShards > 0, s"nShards must be positive: $nShards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
     documents
@@ -461,6 +473,7 @@ object TextAnalysis {
   private def packCore(perDoc: DataFrame, capacityTokens: Int,
       nShards: Int): DataFrame = {
     require(capacityTokens > 0, s"capacityTokens must be positive: $capacityTokens")
+    require(nShards > 0, s"nShards must be positive: $nShards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
     val cap = lit(capacityTokens.toLong)
