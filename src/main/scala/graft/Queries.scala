@@ -3587,7 +3587,7 @@ object Queries {
   /** SQL twin of LineOps.c4KeepLine over a lambda-bound line `x`. */
   private def c4KeepSql(x: String, minWords: Int = 5): String =
     s"""len(string_split_regex(trim($x), '\\s+')) >= $minWords
-      |      AND right($x, 1) IN ('.', '!', '?')
+      |      AND right(trim($x), 1) IN ('.', '!', '?')
       |      AND instr(lower($x), 'javascript') = 0
       |      AND instr(lower($x), 'lorem ipsum') = 0
       |      AND instr(lower($x), 'cookie') = 0
@@ -3932,7 +3932,7 @@ object Queries {
   private val textHtmlExtract = Q("text_html_extract",
     (s, dir) => LineOps.htmlExtract(plantedHtml(s, dir)),
     Some(s"""WITH ${htmlExtractCtes()}
-      |SELECT doc_id, regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+      |SELECT doc_id, regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1) AS title,
       |  text,
       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
       |  CAST(len(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
@@ -5626,7 +5626,7 @@ object Queries {
       |  FROM documents),
       |f AS (SELECT asset_id, text,
       |    unnest(generate_series(0, greatest(n_frames - 1, 0), 2)) AS frame_idx
-      |  FROM a)
+      |  FROM a WHERE n_frames > 0)
       |SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
       |  CAST(len(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS INTEGER) AS n_bytes,
       |  sha256(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_sha

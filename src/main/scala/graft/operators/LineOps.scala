@@ -42,7 +42,11 @@ object LineOps {
     val words = size(split(trim(x), "\\s+"))
     val lx = lower(x)
     (words >= minWords) &&
-      substring(x, -1, 1).isin(".", "!", "?") &&
+      // terminal punctuation on the TRIMMED line, like the word count —
+      // a trailing space (pre-extracted corpora that never went through
+      // htmlExtract's whitespace normalization) must not veto an
+      // otherwise-valid sentence (review r12)
+      substring(trim(x), -1, 1).isin(".", "!", "?") &&
       instr(lx, "javascript") === 0 &&
       instr(lx, "lorem ipsum") === 0 &&
       instr(lx, "cookie") === 0 &&
@@ -206,7 +210,11 @@ object LineOps {
     // case-insensitive (legacy crawl pages shout <P>) with a tag-NAME
     // boundary — without it <link>/<param>/<track> match via the
     // li/p/tr alternatives and inject spurious line breaks
-    s"(?i)</?($BlockTags)(/?>|[ \t][^>]*>)" -> "\n",
+    // [ \t\r\n] (not just space/tab): template engines emit the first
+    // attribute on its own line — "<div\nclass=…>" must still be a block
+    // boundary, or separate paragraphs merge into one c4/boilerplate line
+    // (review r12)
+    s"(?i)</?($BlockTags)(/?>|[ \t\r\n][^>]*>)" -> "\n",
     "<[^>]*>" -> " ",
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&amp;" -> "&",
@@ -248,8 +256,11 @@ object LineOps {
     * extraction chain BEFORE the block/generic tag strips, so anchor
     * text survives bracketed by the sentinels. */
   private val AnchorMarkSteps: List[(String, String)] = List(
-    "(?i)<a(/?>|[ \t][^>]*>)" -> A1,
-    "(?i)</a[ \t]*>" -> A2)
+    // same multi-line-tag tolerance as the block step: "<a\nhref=…>"
+    // must still open an anchor span, or its chars count as content and
+    // nav chrome passes the density gate (review r12)
+    "(?i)<a(/?>|[ \t\r\n][^>]*>)" -> A1,
+    "(?i)</a[ \t\r\n]*>" -> A2)
 
   private val LinkedSteps: List[(String, String)] =
     HtmlSteps.take(3) ++ AnchorMarkSteps ++ HtmlSteps.drop(3)
@@ -267,6 +278,15 @@ object LineOps {
     * that counts no chars and is stripped from the output.
     * Output: (doc_id, pos, line, n_chars, link_chars, link_bp,
     * is_content = link_bp <= maxLinkBp). */
+  /* KNOWN LIMITATION (review r12, kept by design): link chars are
+   * counted PER LINE, so an anchor wrapping block elements ("<a><div>…"
+   * — its open and close sentinels land on different lines) contributes
+   * zero link chars to each line it spans. This is a structural property
+   * of line-wise density heuristics (trafilatura-class extractors share
+   * it); fixing it needs cross-line span state that a per-row array
+   * lambda cannot carry. Corpus-frequent nav of this shape is still
+   * killed by the boilerplate tier, which keys on line content, not
+   * density. */
   def linkDensity(pages: DataFrame, maxLinkBp: Int = 5000): DataFrame = {
     val stripped = stripFold(LinkedSteps)
     val staged = Stage(pages.select(col("doc_id"), col("html")),
@@ -352,7 +372,10 @@ object LineOps {
       "text", trim(stripped, " \n"))
     staged.select(
       col("doc_id"),
-      regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+      // (?i) + [^>]* — the same shouting-tag/attribute tolerance as the
+      // block step and htmlField (a legacy <TITLE> or <title lang=…>
+      // must not yield an empty title; review r12)
+      regexp_extract(col("html"), "(?i)<title[^>]*>([^<]*)</title>", 1).as("title"),
       col("text"),
       size(lines(col("text"))).cast("long").as("n_lines"),
       size(graft.functions.TextFns.tokens(col("text"))).as("n_tokens"))

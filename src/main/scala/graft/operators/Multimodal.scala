@@ -56,11 +56,17 @@ object Multimodal {
     * dropped frames never pay decode cost). Pure column ops: one row per
     * sampled frame with its index and bytes. */
   def sampleFrames(documents: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive: $frameBytes")
+    require(stride > 0, s"stride must be positive: $stride")
     val a = assets(documents)
       .select(col("asset_id"), col("payload"),
         ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("int")
           .as("n_frames"))
-    a.select(col("asset_id"), col("n_frames"),
+    // an EMPTY payload has zero frames — without the filter, the
+    // greatest(n_frames − 1, 0) clamp would emit one phantom frame_idx=0
+    // row with sha256('') for it (review r12)
+    a.where(col("n_frames") > 0)
+      .select(col("asset_id"), col("n_frames"),
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride)))
           .as("frame_idx"),
         col("payload"))
@@ -410,12 +416,29 @@ object Multimodal {
   def nearDupImagesIncremental(spark: SparkSession, newImages: Dataset[ImageRow],
       historyIndex: DataFrame, grid: Int = 4, maxSumAbsDiff: Long = 128,
       maxBucket: Int = 1000): DataFrame = {
+    // GRID-MISMATCH GUARD: a stored index built at a different grid
+    // would slice garbage band keys and SumAbsDiffL's length-mismatch
+    // null would silently drop every verify — a plausible-looking EMPTY
+    // result for a misconfiguration (review r12; the loud-degeneration
+    // posture of lshCorpus's dim probe). One cheap size probe per row.
+    val hist = historyIndex.withColumn("blocks",
+      when(size(col("blocks")) =!= grid * grid, raise_error(concat(
+          lit(s"historyIndex grid mismatch: expected ${grid * grid} blocks, got "),
+          size(col("blocks")).cast("string"))))
+        .otherwise(col("blocks")))
     // Same 4-reference persist rationale as nearDupImages — only the NEW
-    // batch is decoded, once.
+    // batch is decoded, once. A batch asset ALREADY in the index
+    // (retry/backfill re-ingest) is skipped: it was deduped when history
+    // absorbed it, and keeping it would self-pair on its own band keys
+    // and fan out every verify row through the doubled signature
+    // (review r12 — the incremental tiers assume disjoint batches; this
+    // makes the assumption enforced instead of implicit).
     val newSig = blockSignatures(spark, newImages, grid).toDF()
+      .join(historyIndex.select(col("asset_id")), Seq("asset_id"),
+        "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = capBuckets(bandKeys(newSig, grid), maxBucket)
-    val histBands = capBuckets(bandKeys(historyIndex, grid), maxBucket)
+    val histBands = capBuckets(bandKeys(hist, grid), maxBucket)
     val vsHistory = newBands.as("n")
       .join(histBands.as("h"), Seq("band", "key"))
       .select(col("n.asset_id").as("asset_a"), col("h.asset_id").as("asset_b"))
@@ -427,7 +450,7 @@ object Multimodal {
       .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"))
       .distinct()
       .withColumn("origin", lit("batch"))
-    val blocksAll = newSig.unionByName(historyIndex)
+    val blocksAll = newSig.unionByName(hist)
     verifyPairs(vsHistory.unionByName(vsBatch), blocksAll, maxSumAbsDiff)
       .select(col("asset_a"), col("asset_b"), col("sum_abs_diff"), col("origin"))
   }

@@ -324,4 +324,38 @@ class LineOpsSpec extends AnyFunSuite {
         "the all-boilerplate doc must flow through the stream too")
     } finally q.stop()
   }
+
+  test("multi-line tags: a newline before the attributes still opens a " +
+      "block boundary and an anchor span; <TITLE> with attributes " +
+      "extracts; trailing whitespace never vetoes c4 punctuation") {
+    // block tag with the first attribute on its own line — must break
+    val ext = LineOps.htmlExtract(Seq((1L,
+      "<html><body><div\nclass=\"a\">First paragraph stays here fine." +
+        "</div><div>Second paragraph also stays here fine.</div>" +
+        "</body></html>")).toDF("doc_id", "html"))
+      .select("text").as[String].head()
+    assert(ext.count(_ == '\n') >= 1,
+      s"multi-line <div> must still be a block boundary: ${ext.replace("\n", "\\n")}")
+    // anchor with a newline before href: its chars must count as link
+    val ld = LineOps.linkDensity(Seq((1L,
+      "<html><body><p><a\nhref=\"/x\">Home link</a></p></body></html>"))
+      .toDF("doc_id", "html"))
+      .where($"n_chars" > 0)
+      .select("link_bp").as[Long].collect()
+    assert(ld.nonEmpty && ld.forall(_ == 10000L),
+      s"multi-line <a> must still mark an anchor span: ${ld.toSeq}")
+    // shouting/attributed <TITLE>
+    val t = LineOps.htmlExtract(Seq((1L,
+      "<html><head><TITLE lang=\"en\">The Title</TITLE></head>" +
+        "<body><p>Body text sentence here okay.</p></body></html>"))
+      .toDF("doc_id", "html"))
+      .select("title").as[String].head()
+    assert(t == "The Title", s"got '$t'")
+    // c4: terminal punct judged on the TRIMMED line
+    import org.apache.spark.sql.functions.lit
+    val keep = Seq(1).toDF("x")
+      .select(LineOps.c4KeepLine(lit("A perfectly good sentence here. "))
+        .as("k")).as[Boolean].head()
+    assert(keep, "trailing space must not veto the punctuation rule")
+  }
 }

@@ -35,7 +35,12 @@ class DedupSpec extends AnyFunSuite {
       ("http://wwwx.example.com/p", "http://wwwx.example.com/p"), // www. only as a label
       // schemeless / malformed rows stay their OWN keys — never collapsed
       ("example.com/a", "example.com/a"),
-      ("not a url at all", "not a url at all"))
+      ("not a url at all", "not a url at all"),
+      // a '?' living INSIDE the fragment is NOT a query — SPA-style
+      // "#/route?tab=1" must canonicalize like the fragment-free page,
+      // never leak fragment params into the key (review r12)
+      ("http://example.com/page#/route?tab=1", "http://example.com/page"),
+      ("http://example.com/page", "http://example.com/page"))
     val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("doc_id", "url")
       .select(col("doc_id"), graft.operators.Dedup.canonicalUrl(col("url")).as("c"))
@@ -43,6 +48,16 @@ class DedupSpec extends AnyFunSuite {
     cases.map(_._2).zip(got).foreach { case (want, have) =>
       assert(have == want, s"expected $want got $have")
     }
+  }
+
+  test("urlDedup: NULL urls never merge — each null-URL doc is its own " +
+      "cluster (a missing key asserts no equality)") {
+    val urls = Seq((1L, Some("http://a.com/x")), (2L, None), (3L, None))
+      .toDF("doc_id", "url")
+    val out = graft.operators.Dedup.urlDedup(urls)
+      .select("doc_id", "is_canonical").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 1),
+      s"every null-URL doc must survive as its own canonical: $out")
   }
 
   test("urlDedup: variants collapse to one canonical key, min doc_id survives") {
@@ -2009,6 +2024,34 @@ class MultimodalSpec extends AnyFunSuite {
       .map { case (a, b, d, _) => (math.min(a, b), math.max(a, b), d) }.toSet
     assert(incNorm == fullMinusHist,
       s"incremental=${incNorm.toSeq.sorted} full=${fullMinusHist.toSeq.sorted}")
+  }
+
+  test("incremental image near-dup: a RE-INGESTED batch asset (already " +
+      "in the history index) is skipped — no self-pairs, no fan-out; a " +
+      "grid-mismatched index raises instead of returning empty") {
+    def docsOf(xs: Seq[Long]) = xs.map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // history = {14}; batch re-ingests 14 (retry/backfill) alongside 15
+    // (a genuine near-twin of 14: Σ=64 in the planted raster space)
+    val idx = Multimodal.signatureIndex(spark,
+        Multimodal.synthesizeImages(spark, docsOf(Seq(14L))).repartition(2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = Multimodal.nearDupImagesIncremental(spark,
+        Multimodal.synthesizeImages(spark, docsOf(Seq(14L, 15L))).repartition(2), idx)
+      .select("asset_a", "asset_b", "origin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(!out.exists(p => p._1 == p._2), s"self-pair emitted: $out")
+    assert(out == Set((15L, 14L, "history")),
+      s"re-ingested 14 must be skipped (already deduped in history): $out")
+    // grid mismatch must fail LOUD, not return a plausible empty frame
+    val ex = intercept[Exception] {
+      Multimodal.nearDupImagesIncremental(spark,
+        Multimodal.synthesizeImages(spark, docsOf(Seq(15L))).repartition(2),
+        idx, grid = 8).collect()
+    }
+    assert(ex.getMessage != null && ex.toString.contains("grid mismatch")
+        || Option(ex.getCause).exists(_.toString.contains("grid mismatch")),
+      s"expected the grid-mismatch raise, got: $ex")
   }
 
   test("incremental image near-dup: over-cap buckets stay bounded, smallest ids win") {
