@@ -319,8 +319,15 @@ object TopKPlan {
     if (!spark.experimental.extraStrategies.contains(Strategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Strategy
     val analyzed = df.queryExecution.analyzed
-    val byName = analyzed.output.groupBy(_.name)
-    def resolve(n: String) = byName.getOrElse(n,
+    // honor the session's name-resolution mode: with the default
+    // spark.sql.caseSensitive=false, "EVENT_ID" must resolve event_id
+    // exactly as df.select would (review r12 — an exact-equality lookup
+    // here diverged from the analyzer's semantics)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def canon(n: String) = if (caseSensitive) n else n.toLowerCase
+    val byName = analyzed.output.groupBy(a => canon(a.name))
+    def resolve(n: String) = byName.getOrElse(canon(n),
       throw new IllegalArgumentException(
         s"no column $n in ${analyzed.output.map(_.name)}")) match {
       case Seq(a) => a

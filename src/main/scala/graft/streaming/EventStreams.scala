@@ -81,15 +81,29 @@ object EventStreams {
     * on malformed base64 — plain `unbase64` THROWS and would kill the
     * task); `get_json_object` is null-safe; so the verdict is one extra
     * projection and there is no exception path at all. */
-  def decodeFramesWithQuarantine(frames: DataFrame): DataFrame =
-    decodeSelect(frames,
-        try_to_binary(jsonGet(col("raw"), "payload"), lit("base64")).cast("string"))
+  def decodeFramesWithQuarantine(frames: DataFrame): DataFrame = {
+    val payload =
+      try_to_binary(jsonGet(col("raw"), "payload"), lit("base64")).cast("string")
+    decodeSelect(frames, payload)
+      .withColumn("_payload_ok",
+        // payload decodes to SOME json object (envelope carried one and
+        // base64+json survived) even if it isn't a market update
+        payload.isNotNull && get_json_object(payload, "$").isNotNull)
       .withColumn("decode_reason",
         when(col("channel").isNull, "bad_envelope")
+          // bad_payload = genuinely undecodable (missing/corrupt base64
+          // or non-JSON payload) — the replayable-corruption class;
+          // non_market = VALID payload that just isn't a market update
+          // (heartbeat/status frames) — replaying those would fail
+          // identically forever, so consumers must be able to tell the
+          // classes apart (review r12)
+          .when(!col("_payload_ok"), "bad_payload")
           .when(col("update.market_id").isNull || col("update.event_id").isNull,
-            "bad_payload")
+            "non_market")
           .otherwise(lit(null).cast("string")))
       .withColumn("decode_ok", col("decode_reason").isNull)
+      .drop("_payload_ok")
+  }
 
   /** T1 — broadcast-channel leg (`'broadcast' in channel_name`). */
   def broadcastLeg(decoded: DataFrame): DataFrame =
@@ -105,8 +119,11 @@ object EventStreams {
     decoded.where(!col("channel").contains("broadcast"))
 
   /** Event-time tumbling windows over decoded updates: per-window ×
-    * tournament counts and last odds. `withWatermark` bounds state; in
-    * batch the same expression runs un-watermarked. */
+    * tournament update counts and the min/max odds extremes (no
+    * last-value aggregate — event-time "last" needs a max_by on the
+    * update timestamp, which callers can add; the doc previously
+    * over-promised; review r12). `withWatermark` bounds state; in batch
+    * the same expression runs un-watermarked. */
   def windowedOddsStats(decoded: DataFrame, windowLen: String,
       watermark: Option[String]): DataFrame = {
     val ts = decoded.select(
@@ -162,8 +179,12 @@ object EventStreams {
         joinType)
       .select(col("external_id"), col("c_event_id").as("event_id"),
         col("market_id"), col("odds"),
-        unix_timestamp(col("c_time")).as("placed_at"),
-        unix_timestamp(col("u_time")).as("update_at"))
+        // MICROS, not seconds: the join predicate compares at µs
+        // resolution, and two updates 500 ms apart must stay ordered in
+        // the output (whole-second truncation destroyed the gap a
+        // consumer reconstructs; review r12)
+        unix_micros(col("c_time")).as("placed_at_us"),
+        unix_micros(col("u_time")).as("update_at_us"))
   }
 
   /** Fixture-builder: turn deterministic rows into encoded Pusher-style

@@ -18,8 +18,15 @@ object Sinks {
 
   /** K1 — append-mode sink (the Sheets stand-in): every micro-batch appends
     * atomically; errors are logged and swallowed like the reference's
-    * `except → log` (`src/main.py:34-37`). */
-  def appendSink(stream: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    * `except → log` (`src/main.py:34-37`). RECOVERY CAVEAT (review r12):
+    * the swallow makes a failed batch's rows UNRECOVERABLE — the
+    * checkpoint advances past them, and unlike the reference (whose next
+    * cadence re-extracts the FULL current state, self-healing the lost
+    * tick) a row-stream source never re-offers them. Pipelines that
+    * cannot afford the loss use [[idempotentAppendSink]], whose writer
+    * RETHROWS so Spark retries the batch from the checkpoint. */
+  def appendSink(stream: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         try batch.write.mode("append").parquet(path)
@@ -28,22 +35,47 @@ object Sinks {
         }
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** K2/K3 — place-wager sink: groups each micro-batch into request-sized
     * chunks (batch_n = 3, `src/mm_calls.py:264`) and hands them to the
-    * transport. Runs on executors, one transport per partition. */
+    * transport. Runs on executors, one transport per partition.
+    *
+    * DELIVERY CONTRACT (review r12): foreachBatch is AT-LEAST-ONCE — a
+    * crash after `transport` succeeds but before the batch commits
+    * replays the whole batch, and a retried task replays its partition.
+    * This plain form matches the reference's fire-and-forget POST
+    * (`src/mm_calls.py:256-264`, no idempotency key there either); a
+    * transport that must not double-place uses [[placeWagerSinkKeyed]],
+    * which hands over a deterministic idempotency key per chunk. */
   def placeWagerSink(commands: DataFrame, checkpoint: String,
-      transport: Seq[Row] => Unit, batchN: Int = 3): StreamingQuery =
+      transport: Seq[Row] => Unit, batchN: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    placeWagerSinkKeyed(commands, checkpoint,
+      (_: String, rows: Seq[Row]) => transport(rows), batchN, trigger)
+
+  /** [[placeWagerSink]] with a DETERMINISTIC per-chunk idempotency key
+    * `"<batchId>:<partitionId>:<chunkIdx>"`: identical on every replay of
+    * the same batch (same data, same partitioning from the checkpoint,
+    * same in-partition order), so a transport that records sent keys —
+    * or forwards the key as the downstream request id — upgrades wager
+    * placement to effective exactly-once, the wager-side analogue of
+    * [[idempotentAppendSink]]. */
+  def placeWagerSinkKeyed(commands: DataFrame, checkpoint: String,
+      transport: (String, Seq[Row]) => Unit, batchN: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     commands.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.foreachPartition { rows: Iterator[Row] =>
-          rows.grouped(batchN).foreach(transport)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          rows.grouped(batchN).zipWithIndex.foreach { case (chunk, i) =>
+            transport(s"$batchId:$pid:$i", chunk)
+          }
         }
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Exactly-once variant of the append sink: each micro-batch lands in a
@@ -54,12 +86,13 @@ object Sinks {
     * effective exactly-once. Readers see one atomic directory per batch;
     * `spark.read.parquet(path)` unions them. */
   def idempotentAppendSink(stream: DataFrame, path: String,
-      checkpoint: String, outputMode: String = "append"): StreamingQuery =
+      checkpoint: String, outputMode: String = "append",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .outputMode(outputMode) // "update" when the stream is a stateful book
       .foreachBatch(idempotentBatchWriter(path))
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** The writer itself, factored out so batch replay is directly testable:
@@ -102,7 +135,14 @@ object Sinks {
 
   /** T7 — the reference's processing-time cadences as triggers
     * (`src/mm_calls.py:385-389`): place every 10 s, cancel every 9 s,
-    * batch-cancel every 7 s. */
+    * batch-cancel every 7 s. [[cadence]] builds the Trigger for the
+    * sinks above (every builder takes a `trigger` parameter — review
+    * r12: previously they hardcoded AvailableNow and the cadence helper
+    * could not be composed with anything); withCadence applies it to a
+    * caller-built writer. */
+  def cadence(seconds: Int): Trigger =
+    Trigger.ProcessingTime(s"$seconds seconds")
+
   def withCadence(w: DataStreamWriter[Row], seconds: Int): DataStreamWriter[Row] =
-    w.trigger(Trigger.ProcessingTime(s"$seconds seconds"))
+    w.trigger(cadence(seconds))
 }

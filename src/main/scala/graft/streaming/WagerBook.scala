@@ -106,7 +106,17 @@ object WagerBook {
   }
 
   /** Streaming book: sharded `flatMapGroupsWithState`, emitting the full
-    * shard snapshot each update (Update mode). */
+    * shard snapshot each update (Update mode).
+    *
+    * CONSUMER CONTRACT (review r12; applies equally to [[streamTws]] and
+    * the bootstrapped/expiring variants): there are NO tombstones — a
+    * canceled wager simply stops appearing in its shard's next snapshot.
+    * A sink must therefore treat each micro-batch as the COMPLETE truth
+    * for every shard key it contains (whole-shard replace), never upsert
+    * by (shard, external_id): a per-wager upserter would retain canceled
+    * wagers forever. The snapshot-per-shard emission is the whole point
+    * (the reference also rewrites its full book each cadence); per-key
+    * change events would need a diff against the previous state. */
   def stream(spark: SparkSession, commands: Dataset[Command], nShards: Int): DataFrame = {
     import spark.implicits._
     sharded(spark, commands, nShards)
@@ -128,6 +138,26 @@ object WagerBook {
     * (RocksDB-backed) store instead of rewriting a whole map value per
     * batch; CANCEL_ALL is the one whole-shard `clear()`. Requires the
     * RocksDB state-store provider. Semantics identical to [[stream]]. */
+  /** The ONE MapState transition kernel every transformWithState
+    * processor applies (review r12 — the case-match existed in three
+    * copies; the batch/stream equivalence specs guard drift, but one
+    * kernel removes the possibility). Mirrors [[applyCommand]]'s rules
+    * exactly: PLACE upserts on 200, CANCEL removes on 200 OR 404 (the
+    * idempotent-delete rule), CANCEL_ALL clears on 200, everything else
+    * is a no-op. `onPlace` hooks the expiring processor's timer
+    * registration. */
+  private def applyToMapState(book: MapState[String, Wager], c: Command,
+      onPlace: Command => Unit = _ => ()): Unit =
+    c.op match {
+      case "PLACE" if c.http == 200 =>
+        book.updateValue(c.externalId, Wager(c.externalId, c.wagerId, c.tsn, c.stake))
+        onPlace(c)
+      case "CANCEL" if c.http == 200 || c.http == 404 =>
+        book.removeKey(c.externalId)
+      case "CANCEL_ALL" if c.http == 200 => book.clear()
+      case _ => ()
+    }
+
   class Processor extends StatefulProcessor[Int, ShardedCommand, BookSnapshot] {
     @transient private var book: MapState[String, Wager] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -135,17 +165,8 @@ object WagerBook {
         "book", Encoders.STRING, ExpressionEncoder[Wager](), TTLConfig.NONE)
     override def handleInputRows(shard: Int, rows: Iterator[ShardedCommand],
         timers: TimerValues): Iterator[BookSnapshot] = {
-      rows.toSeq.sortBy(sc => (sc.cmd.tsn, sc.cmd.eventId)).foreach { sc =>
-        val c = sc.cmd
-        c.op match {
-          case "PLACE" if c.http == 200 =>
-            book.updateValue(c.externalId, Wager(c.externalId, c.wagerId, c.tsn, c.stake))
-          case "CANCEL" if c.http == 200 || c.http == 404 =>
-            book.removeKey(c.externalId)
-          case "CANCEL_ALL" if c.http == 200 => book.clear()
-          case _ => ()
-        }
-      }
+      rows.toSeq.sortBy(sc => (sc.cmd.tsn, sc.cmd.eventId))
+        .foreach(sc => applyToMapState(book, sc.cmd))
       book.values().map(w => BookSnapshot(shard, w.externalId, w.wagerId, w.stake))
     }
   }
@@ -175,17 +196,8 @@ object WagerBook {
       book.updateValue(row.externalId, Wager(row.externalId, row.wagerId, 0L, row.stake))
     override def handleInputRows(shard: Int, rows: Iterator[ShardedCommand],
         timers: TimerValues): Iterator[BookSnapshot] = {
-      rows.toSeq.sortBy(sc => (sc.cmd.tsn, sc.cmd.eventId)).foreach { sc =>
-        val c = sc.cmd
-        c.op match {
-          case "PLACE" if c.http == 200 =>
-            book.updateValue(c.externalId, Wager(c.externalId, c.wagerId, c.tsn, c.stake))
-          case "CANCEL" if c.http == 200 || c.http == 404 =>
-            book.removeKey(c.externalId)
-          case "CANCEL_ALL" if c.http == 200 => book.clear()
-          case _ => ()
-        }
-      }
+      rows.toSeq.sortBy(sc => (sc.cmd.tsn, sc.cmd.eventId))
+        .foreach(sc => applyToMapState(book, sc.cmd))
       book.values().map(w => BookSnapshot(shard, w.externalId, w.wagerId, w.stake))
     }
   }
@@ -226,18 +238,9 @@ object WagerBook {
         "book", Encoders.STRING, ExpressionEncoder[Wager](), TTLConfig.NONE)
     override def handleInputRows(shard: Int, rows: Iterator[TimedCommand],
         timers: TimerValues): Iterator[BookEvent] = {
-      rows.toSeq.sortBy(tc => (tc.cmd.tsn, tc.cmd.eventId)).foreach { tc =>
-        val c = tc.cmd
-        c.op match {
-          case "PLACE" if c.http == 200 =>
-            book.updateValue(c.externalId, Wager(c.externalId, c.wagerId, c.tsn, c.stake))
-            getHandle.registerTimer(c.tsn / 1000 + ttlMs)
-          case "CANCEL" if c.http == 200 || c.http == 404 =>
-            book.removeKey(c.externalId)
-          case "CANCEL_ALL" if c.http == 200 => book.clear()
-          case _ => ()
-        }
-      }
+      rows.toSeq.sortBy(tc => (tc.cmd.tsn, tc.cmd.eventId))
+        .foreach(tc => applyToMapState(book, tc.cmd,
+          onPlace = c => getHandle.registerTimer(c.tsn / 1000 + ttlMs)))
       book.values().map(w => BookEvent(shard, w.externalId, w.wagerId, w.stake, "live"))
     }
     override def handleExpiredTimer(shard: Int, timers: TimerValues,
