@@ -82,6 +82,12 @@ object Queries {
   private def parquetArtifact(s: SparkSession, dir: String, name: String,
       fpTable: String)(build: => DataFrame): DataFrame = {
     val src = new java.io.File(s"$dir/$fpTable.parquet")
+    // a missing fingerprint source (typo'd fpTable, future layout change)
+    // would make length()/lastModified() both 0 — a CONSTANT fingerprint
+    // that silently serves a stale artifact after data regeneration.
+    // Fail loudly instead (ADVICE r12).
+    require(src.isFile || src.isDirectory,
+      s"artifact fingerprint source missing: $src")
     val path = artifactPath(dir,
       s"${name}_${src.length()}_${src.lastModified()}")
     val done = new java.io.File(path, "_SUCCESS")
@@ -3932,7 +3938,7 @@ object Queries {
   private val textHtmlExtract = Q("text_html_extract",
     (s, dir) => LineOps.htmlExtract(plantedHtml(s, dir)),
     Some(s"""WITH ${htmlExtractCtes()}
-      |SELECT doc_id, regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1) AS title,
+      |SELECT doc_id, regexp_extract(html, '(?i)<title(>|[ \t\r\n][^>]*>)([^<]*)</title>', 2) AS title,
       |  text,
       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
       |  CAST(len(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
@@ -4353,7 +4359,7 @@ object Queries {
     Some(s"""WITH $bmQuerySql,
       |${htmlExtractCtes()},
       |fields AS (SELECT doc_id,
-      |    regexp_extract(html, '(?i)<h1[^>]*>([^<]*)</h1>', 1) AS title,
+      |    regexp_extract(html, '(?i)<h1(>|[ \t\r\n][^>]*>)([^<]*)</h1>', 2) AS title,
       |    text AS body FROM hx),
       |ft AS (SELECT doc_id,
       |  CASE WHEN trim(lower(title)) = '' THEN CAST([] AS VARCHAR[])

@@ -372,10 +372,12 @@ object LineOps {
       "text", trim(stripped, " \n"))
     staged.select(
       col("doc_id"),
-      // (?i) + [^>]* — the same shouting-tag/attribute tolerance as the
-      // block step and htmlField (a legacy <TITLE> or <title lang=…>
-      // must not yield an empty title; review r12)
-      regexp_extract(col("html"), "(?i)<title[^>]*>([^<]*)</title>", 1).as("title"),
+      // (?i) + the BlockTags tag-name boundary `(>|[ \t\r\n][^>]*>)` — a
+      // legacy <TITLE> or <title lang=…> must not yield an empty title
+      // (review r12), and a tag merely STARTING with "title"
+      // (<titlefoo …>) must not be mistaken for one (ADVICE r12)
+      regexp_extract(col("html"),
+        "(?i)<title(>|[ \t\r\n][^>]*>)([^<]*)</title>", 2).as("title"),
       col("text"),
       size(lines(col("text"))).cast("long").as("n_lines"),
       size(graft.functions.TextFns.tokens(col("text"))).as("n_tokens"))
@@ -386,7 +388,7 @@ object LineOps {
     * field-weighted retrieval over extracted pages: the h1 usually
     * carries the content headline where <title> is site chrome. */
   def htmlField(html: Column, tag: String): Column =
-    regexp_extract(html, s"(?i)<$tag[^>]*>([^<]*)</$tag>", 1)
+    regexp_extract(html, s"(?i)<$tag(>|[ \t\r\n][^>]*>)([^<]*)</$tag>", 2)
 
   /** One-pass FIELDED extraction for retrieval: the h1 headline (raw,
     * like the title convention) + the extracted body — no second scan

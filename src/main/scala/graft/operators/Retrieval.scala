@@ -296,20 +296,25 @@ object Retrieval {
     * are posting-list-sized, never index-sized — df(term) over the
     * term-filtered rows is exact, since a term's df needs only its own
     * posting list. The candidate frame persists (df + tf consumers —
-    * the cache-ownership contract above applies, with one sharper edge:
-    * the entry is keyed per (index, QUERY BATCH), not per corpus, so a
-    * long-lived session serving many distinct batches accumulates one
-    * small candidate-sized entry per batch — reclaim with
-    * `spark.catalog.clearCache()` between batches, or unpersist after
-    * materializing the result). Results are bit-identical to
-    * [[bm25TopK]] on the same corpus (spec-pinned). */
+    * the diverged-subtree contract above), but only for the DURATION of
+    * this call: the result is eagerly materialized (it is tiny —
+    * |queries|×k rows — so the localCheckpoint costs one small job) and
+    * the candidate entry unpersisted before returning. Without that, a
+    * long-lived serving session (one call per query micro-batch, the
+    * StreamingRetrievalServeSpec posture) would accumulate one
+    * candidate-sized cache entry per batch FOREVER — the entry is keyed
+    * per (index, QUERY BATCH), so CacheManager never dedupes them
+    * (ADVICE r12). Results are bit-identical to [[bm25TopK]] on the
+    * same corpus (spec-pinned). */
   def bm25TopKIndexed(post: DataFrame, stats: DataFrame,
       queries: DataFrame, k: Int, k1Bp: Long = K1Bp, bBp: Long = BBp,
       maxDfShareBp: Int = 10000): DataFrame = {
     val cand = post
       .join(broadcast(queries.select(col("term")).distinct()), "term")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scoreTopK(cand, stats, queries, k, k1Bp, bBp, maxDfShareBp)
+    try scoreTopK(cand, stats, queries, k, k1Bp, bBp, maxDfShareBp)
+      .localCheckpoint(true)
+    finally cand.unpersist(false)
   }
 
   /** BM25F top-k over FIELDED documents `(doc_id, title, body)`: term

@@ -44,24 +44,43 @@ object Similarity {
     * frames can never silently drop a real neighbor. */
   private def scoreAgainst(corpus: DataFrame, queries: DataFrame,
       joinKeys: Seq[String], excludeSelf: Boolean): DataFrame = {
+    // null-cosine causes are guarded WITHOUT touching the dot: a
+    // zero/null norm (Spark Divide yields null on a 0 divisor) is a
+    // per-ROW property, dropped here before the pair loop; the length
+    // mismatch is a cross-side property, handled below. A per-pair
+    // `cosine.isNotNull` filter is the one thing this method must
+    // never grow: Catalyst substitutes the alias and pushes it into
+    // the join CONDITION, so dot_d runs twice per query×corpus pair —
+    // doubling the dominant flop term of every brute scorer
+    // (VERDICT r12; plan-pinned in PlanShapeSpec).
     val joined =
-      if (joinKeys.isEmpty) corpus.crossJoin(broadcast(queries))
-      else corpus.join(broadcast(queries), joinKeys)
+      if (joinKeys.isEmpty)
+        corpus.where(col("nrm") > 0)
+          .crossJoin(broadcast(queries.where(col("qnrm") > 0)))
+      else
+        corpus.where(col("nrm") > 0)
+          .join(broadcast(queries.where(col("qnrm") > 0)), joinKeys)
     val pairs =
       if (excludeSelf) joined.where(col("vec_id") =!= col("query_id"))
       else joined
-    pairs
+    // a query/corpus embedding-LENGTH mismatch (dot_d would yield null)
+    // is guarded by a size-equality pair predicate: O(1) per pair (two
+    // stored array lengths — Catalyst folds it into the join condition,
+    // which is exactly where a cross-side predicate belongs), and a
+    // full-mismatch input yields the same immediately-noticeable EMPTY
+    // result the r12 fix established. Written `a - b = 0` rather than
+    // `a = b` ON PURPOSE: ExtractEquiJoinKeys would turn the plain
+    // equality into a hash-JOIN KEY, disguising the brute pair loop as
+    // a BroadcastHashJoin keyed on array size (one degenerate bucket) —
+    // same pairs, but the plan lies about its shape and the LSH-vs-
+    // brute nested-loop pins stop discriminating. A CASE WHEN/
+    // raise_error guard in the projection measured 4× slower on the agg
+    // path, and a per-pair isNotNull(cosine) filter is the r12
+    // double-dot defect — neither may return here.
+    pairs.where(size(col("qv")) - size(col("v")) === 0)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
           .as("cosine"))
-      // a null cosine (zero-norm vector, or a corpus/query embedding
-      // LENGTH mismatch — dot_d yields null) must never rank: without
-      // this filter the rank window orders nulls last but still EMITS
-      // them, and a full-mismatch input would return k arbitrary
-      // neighbors with cosine=null instead of an (immediately
-      // noticeable) empty result; bruteTopKAgg would even crash
-      // deserializing null into Scored.score (review r12)
-      .where(col("cosine").isNotNull)
   }
 
   /** Shared deterministic ranking: top-k per query, cosine desc with

@@ -325,7 +325,11 @@ object TopKPlan {
     // here diverged from the analyzer's semantics)
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    def canon(n: String) = if (caseSensitive) n else n.toLowerCase
+    // Locale.ROOT: Spark's analyzer is locale-insensitive; a default-
+    // locale lowercase under tr-TR maps "ID" -> "ıd" and fails to
+    // resolve `id` (ADVICE r12)
+    def canon(n: String) =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     val byName = analyzed.output.groupBy(a => canon(a.name))
     def resolve(n: String) = byName.getOrElse(canon(n),
       throw new IllegalArgumentException(

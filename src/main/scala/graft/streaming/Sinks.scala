@@ -56,23 +56,36 @@ object Sinks {
       (_: String, rows: Seq[Row]) => transport(rows), batchN, trigger)
 
   /** [[placeWagerSink]] with a DETERMINISTIC per-chunk idempotency key
-    * `"<batchId>:<partitionId>:<chunkIdx>"`: identical on every replay of
-    * the same batch (same data, same partitioning from the checkpoint,
-    * same in-partition order), so a transport that records sent keys —
-    * or forwards the key as the downstream request id — upgrades wager
-    * placement to effective exactly-once, the wager-side analogue of
-    * [[idempotentAppendSink]]. */
+    * `"<batchId>:<partitionId>:<chunkIdx>"`, so a transport that records
+    * sent keys — or forwards the key as the downstream request id —
+    * upgrades wager placement to effective exactly-once, the wager-side
+    * analogue of [[idempotentAppendSink]].
+    *
+    * For the key to name the SAME row set on every replay, both the
+    * partition contents and the in-partition order must be replay-stable.
+    * Contents are (checkpoint replays the same data through the same
+    * partitioner), but in-partition ORDER is not — shuffle block fetch
+    * order is nondeterministic across retries, so a positional key over
+    * raw iterator order could both drop never-sent wagers and
+    * double-place others (ADVICE r12). Hence each partition is sorted on
+    * `orderBy` (default: every column — content-deterministic with no
+    * schema assumption; callers with a natural key, e.g. `tsn`, can
+    * narrow it) before chunking. The sort is per-partition
+    * (`sortWithinPartitions`) — no shuffle. */
   def placeWagerSinkKeyed(commands: DataFrame, checkpoint: String,
       transport: (String, Seq[Row]) => Unit, batchN: Int = 3,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      orderBy: Seq[String] = Nil): StreamingQuery =
     commands.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        batch.foreachPartition { rows: Iterator[Row] =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          rows.grouped(batchN).zipWithIndex.foreach { case (chunk, i) =>
-            transport(s"$batchId:$pid:$i", chunk)
+        val cols = if (orderBy.nonEmpty) orderBy else batch.columns.toSeq
+        batch.sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
+          .foreachPartition { rows: Iterator[Row] =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            rows.grouped(batchN).zipWithIndex.foreach { case (chunk, i) =>
+              transport(s"$batchId:$pid:$i", chunk)
+            }
           }
-        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

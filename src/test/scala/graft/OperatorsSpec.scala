@@ -536,6 +536,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q2 == Seq(3L, 4L))
   }
 
+  test("degenerate inputs never rank: zero-norm rows drop, a full " +
+      "dim-mismatch yields an EMPTY result (not k null-scored rows)") {
+    // r12 intent, r13 mechanics: the guards are a per-row nrm>0 filter
+    // plus a size-equality pair predicate — never a per-pair filter
+    // over the cosine (the double-dot defect, VERDICT r12).
+    val zeroNorm = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f), 0), // zero-norm: cannot rank, must not null-crash
+      (2L, Array(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteTopKAgg(zeroNorm, k = 3, stride = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(out.toSet == Set((0L, 2L), (2L, 0L)),
+      "zero-norm vec 1 must appear neither as query nor neighbor")
+    // full dim-mismatch between the frames: empty, loud by absence —
+    // never k arbitrary neighbors with cosine=null (and the agg path
+    // must not crash deserializing null into Scored.score)
+    val corpus = Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.crossTopK(corpus, queries, k = 2).count() == 0)
+  }
+
   test("ivf top-k searches only the query's cell") {
     val out = Similarity.ivfTopK(vecs, k = 3, stride = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()

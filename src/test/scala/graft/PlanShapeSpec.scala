@@ -122,6 +122,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("sim family: no expensive expression (dot_d) in any join condition") {
+    // The regression class this catches (VERDICT r12 #1): a per-pair
+    // filter over an aliased projection of the cosine — Catalyst
+    // substitutes the alias and pushes the predicate into the join
+    // CONDITION, so the dim-wide dot product evaluates TWICE per
+    // query×corpus pair (once to test, once to project). scoreAgainst
+    // now guards per row; this pin makes a re-introduction fail loudly.
+    val names = Seq("sim_brute_topk", "sim_topk_agg", "sim_ivf_topk",
+      "sim_lsh_topk", "sim_lsh_multiprobe", "sim_ivf_multiprobe",
+      "sim_ivf_kmeans_topk", "sim_cross_lsh_topk", "sim_cross_lsh_mp",
+      "sim_cross_ivf_topk", "text_hybrid_topk", "text_hybrid_lsh",
+      "pipeline_decontam_topk", "pipeline_rag_retrieval")
+    val failures = names.flatMap { name =>
+      val p = plan(Queries.queries(name)(spark, sf))
+      p.linesIterator.filter(l =>
+          l.contains("Join") || l.contains("CartesianProduct"))
+        .filter(_.contains("dot_d"))
+        .map(l => s"$name: dot_d inside a join condition:\n  ${l.trim}")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("round-10 queries: exchange/scan counts pinned (duplicate-subtree guard)") {
     // Same contract as the bench-board pin above, for the round-10
     // additions (not on the bench board, so not auto-covered there).

@@ -34,6 +34,20 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(out == Set(("a", 1, 5), ("a", 2, 1), ("b", 1, 7)))
   }
 
+  test("case-insensitive resolve is locale-insensitive: \"ID\" finds `id` " +
+      "under a Turkish-locale JVM") {
+    // tr-TR default-locale toLowerCase maps "ID" -> "ıd" (dotless i) —
+    // the analyzer canon must use Locale.ROOT instead (ADVICE r12)
+    val saved = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      val df = Seq((1L, "a", 3), (1L, "b", 9), (2L, "c", 5)).toDF("id", "tag", "v")
+      val out = TopKPlan.topKPerGroup(df, Seq("ID"), Seq(("V", true)), k = 1)
+        .select($"id", $"tag").as[(Long, String)].collect().toSet
+      assert(out == Set((1L, "b"), (2L, "c")))
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("TopKRewrite: row_number window + rank filter optimizes into the custom plan") {
     import graft.plans.{TopKPlan, TopKRewrite}
     val exp = spark.experimental
