@@ -4589,12 +4589,21 @@ object Queries {
     * true = MULTI-PROBE crossTopKLsh on the shared dim-16 hyperplanes
     * (the 100-TB posture — both sides bucket once and the search is one
     * equi-join however large the corpus; each query scores its own plus
-    * every Hamming-1 bucket, ≈7/2⁶ of the corpus — the Lv et al. 2007
-    * recall knob, measured vs single-bucket and brute in
-    * ProfileRetrievalR12 / NOTES). Both legs are deterministic, so both
-    * fusions are hash-exact. */
+    * every Hamming-1 bucket, ≈(nPlanes+1)/2^nPlanes of the corpus — the
+    * Lv et al. 2007 recall knob, measured vs single-bucket and brute in
+    * ProfileRetrievalR12 / NOTES). `nPlanes` is that dial surfaced as a
+    * parameter (VERDICT r12 #6): 6 planes ≈ 11% scan / 0.37–0.48
+    * recall@10, 4 planes ≈ 31% scan / 0.62 recall — a recall-hungry
+    * deployment picks an operating point, not a code edit. `ivfCents`
+    * (VERDICT r12 #7) swaps the dense leg onto the TRAINED persisted-
+    * centroid path instead ([[Similarity.crossTopKIvf]], nProbes = 2 of
+    * 10 cells): the third point on the exactness ladder — brute (exact)
+    * ⊃ IVF (nProbes=|cells| ≡ exact) ⊃ LSH — completing the indexed-
+    * tier matrix. All legs are deterministic, so every fusion is
+    * hash-exact. */
   private def hybridTopKFrom(s: SparkSession, docs: DataFrame,
-      denseLsh: Boolean = false): DataFrame = {
+      denseLsh: Boolean = false, nPlanes: Int = 6,
+      ivfCents: Option[Seq[Array[Double]]] = None): DataFrame = {
     import s.implicits._
     val sparse = Retrieval.bm25TopK(docs,
         bmQueryTerms.toDF("query_id", "term"), k = 10)
@@ -4604,10 +4613,13 @@ object Queries {
       .select(col("doc_id").as("vec_id"),
         transform(col("embedding"), _.cast("double")).as("embedding"))
       .where(aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x) > 0)
-    val ranked =
-      if (denseLsh) Similarity.crossTopKLshMultiProbe(docVecsFrom(docs),
-        qvecs, k = 10, nPlanes = 6, dim = 16)
-      else Similarity.crossTopK(docVecsFrom(docs), qvecs, k = 10)
+    val ranked = ivfCents match {
+      case Some(cs) => Similarity.crossTopKIvf(docVecsFrom(docs),
+        qvecs, k = 10, cs, nProbes = 2)
+      case None if denseLsh => Similarity.crossTopKLshMultiProbe(
+        docVecsFrom(docs), qvecs, k = 10, nPlanes = nPlanes, dim = 16)
+      case None => Similarity.crossTopK(docVecsFrom(docs), qvecs, k = 10)
+    }
     val dense = ranked
       .select(concat(lit("q"), col("query_id").cast("string")).as("query_id"),
         col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
@@ -4622,20 +4634,47 @@ object Queries {
     * both sides derive the same dim-16 sign-LSH bucket from the
     * interpolated plane literals, the query side unnests its own plus
     * every Hamming-1 probe bucket (xor with each plane bit), and the
-    * cross join becomes `JOIN … USING (bucket)`. */
-  private def hybridCtesFor(src: String, lsh: Boolean = false): String = {
+    * cross join becomes `JOIN … USING (bucket)`. `ivfCents` mirrors the
+    * trained-centroid dense leg instead: centroid VALUES literals,
+    * round-6 argmax assignment + probe ranking (the sim_cross_ivf_topk
+    * oracle shapes), and the dense join becomes `USING (cell)`. */
+  private def hybridCtesFor(src: String, lsh: Boolean = false,
+      nPlanes: Int = 6,
+      ivfCents: Option[Seq[Array[Double]]] = None): String = {
     def bucketExpr(v: String) = {
-      val planes = Similarity.lshPlanes(6, 16)
+      val planes = Similarity.lshPlanes(nPlanes, 16)
       planes.zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN list_dot_product($v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString(", ", " + ", " AS bucket")
     }
     val bucket = if (lsh) bucketExpr("v") else ""
     val qbucket = if (lsh) bucketExpr("qv") else ""
-    val probes = (Seq("bucket") ++ (0 until 6).map(p =>
+    val probes = (Seq("bucket") ++ (0 until nPlanes).map(p =>
       s"xor(bucket, ${1 << p})")).mkString("[", ", ", "]")
+    val ivfCtes = ivfCents.fold("") { cs =>
+      val values = cs.zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""c(cell, cv) AS (VALUES
+        |  $values),
+        |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+        |asg AS (SELECT vec_id, v, nrm, cell FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn)
+        |  WHERE crn = 1),
+        |qp AS (SELECT query_id, qv, qnrm, cell FROM (
+        |    SELECT qn.query_id, qn.qv, qn.qnrm, cn.cell,
+        |      row_number() OVER (PARTITION BY qn.query_id
+        |        ORDER BY ROUND(list_dot_product(qn.qv, cn.cv) / (qn.qnrm * cn.cnrm), 6) DESC, cn.cell) AS pr
+        |    FROM qn CROSS JOIN cn)
+        |  WHERE pr <= 2),
+        |""".stripMargin
+    }
     val denseJoin =
-      if (lsh) s"""FROM (SELECT query_id, qv, qnrm,
+      if (ivfCents.isDefined) "FROM qp qn JOIN asg n USING (cell)"
+      else if (lsh) s"""FROM (SELECT query_id, qv, qnrm,
         |      unnest($probes) AS bucket FROM qn) qn JOIN n USING (bucket)""".stripMargin
       else "FROM qn CROSS JOIN n"
     s"""${docVecCtesFor(src)},
@@ -4663,7 +4702,7 @@ object Queries {
       |  GROUP BY g.query_id),
       |qn AS (SELECT query_id, qv, sqrt(list_dot_product(qv, qv)) AS qnrm$qbucket
       |  FROM qvec WHERE list_dot_product(qv, qv) > 0),
-      |dsc AS (SELECT qn.query_id, n.vec_id AS doc_id,
+      |${ivfCtes}dsc AS (SELECT qn.query_id, n.vec_id AS doc_id,
       |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
       |  $denseJoin),
       |dn AS (SELECT query_id, doc_id,
@@ -4709,6 +4748,56 @@ object Queries {
       |SELECT query_id, doc_id, rrf_score, CAST(n_tiers AS BIGINT) AS n_tiers,
       |  CAST(rnk2 AS INTEGER) AS rnk
       |FROM rr WHERE rnk2 <= 5""".stripMargin), bench = true)
+
+  /** text_hybrid_lsh at the MEASURED high-recall operating point —
+    * nPlanes = 4 multi-probe (≈5/16 of the bucket space per query,
+    * recall@10 0.617 vs brute at sf0.1 — the builder's dial table in
+    * NOTES): the recall/cost dial exposed as an oracled query choice
+    * instead of a code edit (VERDICT r12 #6). Same fusion, same
+    * contract; only the dense leg's plane count differs. */
+  private val textHybridLsh4 = Q("text_hybrid_lsh4",
+    (s, dir) => hybridTopKFrom(s, Tables.documents(s, dir),
+      denseLsh = true, nPlanes = 4),
+    Some(s"""WITH $bmQuerySql,
+      |${hybridCtesFor("documents", lsh = true, nPlanes = 4)}
+      |SELECT query_id, doc_id, rrf_score, CAST(n_tiers AS BIGINT) AS n_tiers,
+      |  CAST(rnk2 AS INTEGER) AS rnk
+      |FROM rr WHERE rnk2 <= 5""".stripMargin))
+
+  /** Persisted doc-embedding centroid index for the hybrid IVF twin —
+    * the documents-table sibling of embCentroids: trained once on the
+    * dim-16 doc vectors (10 cells), stored as a centroidsToDF parquet
+    * artifact fingerprinted on documents.parquet, loaded by every other
+    * consumer (query fn, derived oracle, later JVMs — Bench reads what
+    * Verify built). */
+  private val docCentroidArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+  private def docCentroidsPersisted(s: SparkSession, dir: String): Seq[Array[Double]] =
+    docCentroidArtifactCache.computeIfAbsent(dir,
+      _ => Similarity.centroidsFromDF(
+        parquetArtifact(s, dir, "centroids_doc_all_c10", "documents")(
+          Similarity.centroidsToDF(s,
+            Similarity.kmeansCentroidArrays(docVecs(s, dir), nCells = 10)))))
+
+  /** text_hybrid_topk's TRAINED-index twin (VERDICT r12 #7): the dense
+    * leg on Similarity.crossTopKIvf against the persisted centroid
+    * artifact — nProbes = 2 of 10 cells, so a query batch scores ~2/10
+    * of the corpus cells, and nProbes = |cells| degrades to brute
+    * EXACTLY (an exactness ladder the LSH twin cannot offer). Completes
+    * the indexed-tier matrix: the fusion capstone now has brute, LSH
+    * multi-probe (6- and 4-plane) and IVF dense legs. Derived oracle
+    * re-runs assignment + probe ranking from the centroid literals. */
+  private val textHybridIvf = Q("text_hybrid_ivf",
+    (s, dir) => hybridTopKFrom(s, Tables.documents(s, dir),
+      ivfCents = Some(docCentroidsPersisted(s, dir))),
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH $bmQuerySql,
+        |${hybridCtesFor("documents",
+            ivfCents = Some(docCentroidsPersisted(s, dir)))}
+        |SELECT query_id, doc_id, rrf_score, CAST(n_tiers AS BIGINT) AS n_tiers,
+        |  CAST(rnk2 AS INTEGER) AS rnk
+        |FROM rr WHERE rnk2 <= 5""".stripMargin
+    })
 
   /** RAG retrieval capstone (TextAnalysis.chunkDocuments ∘
     * hybridTopKFrom): the full retrieval-augmented-generation data path —
@@ -5886,7 +5975,8 @@ object Queries {
     pipelineContentExtract,
     textBm25Topk, textBm25Indexed, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
-    textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh, pipelineRagRetrieval,
+    textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh,
+    textHybridLsh4, textHybridIvf, pipelineRagRetrieval,
     pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,
     pipelineContrastiveTriplets,

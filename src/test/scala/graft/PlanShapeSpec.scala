@@ -133,6 +133,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_lsh_topk", "sim_lsh_multiprobe", "sim_ivf_multiprobe",
       "sim_ivf_kmeans_topk", "sim_cross_lsh_topk", "sim_cross_lsh_mp",
       "sim_cross_ivf_topk", "text_hybrid_topk", "text_hybrid_lsh",
+      "text_hybrid_lsh4", "text_hybrid_ivf",
       "pipeline_decontam_topk", "pipeline_rag_retrieval")
     val failures = names.flatMap { name =>
       val p = plan(Queries.queries(name)(spark, sf))
@@ -337,6 +338,34 @@ class PlanShapeSpec extends AnyFunSuite {
           s"(${bnlj.findAllIn(pL).length} vs ${bnlj.findAllIn(pB).length})")
       assert(!pL.contains("CartesianProduct"), s"$lsh grew a cartesian:\n$pL")
     }
+  }
+
+  test("hybrid IVF twin: dense leg equi-joins on the CELL against " +
+      "broadcast centroids — never a corpus×queries vector product") {
+    // The r13 trained-index twin (VERDICT r12 #7): the only nested-loop
+    // joins left are broadcast attaches of the 10-row centroid frame
+    // (assignment + probe ranking) and the 1-row BM25 stats — the
+    // corpus×queries pair scan of the brute twin is gone, replaced by a
+    // BroadcastHashJoin keyed on the assigned cell. The 4-plane LSH dial
+    // twin must keep the bucket-join shape of its 6-plane sibling.
+    val cellJoin = "BroadcastHashJoin \\[[^\\]]*cell".r
+    val bnlj = "BroadcastNestedLoopJoin".r
+    val pI = plan(Queries.queries("text_hybrid_ivf")(spark, sf))
+    val pB = plan(Queries.queries("text_hybrid_topk")(spark, sf))
+    assert(cellJoin.findFirstIn(pI).isDefined,
+      s"text_hybrid_ivf: dense leg must equi-join on the cell:\n$pI")
+    assert(!pI.contains("CartesianProduct"))
+    // centroid attaches are ≤10-row broadcasts; the PAIR loop must not
+    // be among the nested loops: every BNLJ line must mention neither qv
+    // nor a corpus-vector operand (the brute twin's has both sides' vecs)
+    assert(!pI.linesIterator.exists(l =>
+        l.contains("BroadcastNestedLoopJoin") && l.contains("dot_d")),
+      s"text_hybrid_ivf: a vector product survived:\n$pI")
+    val pL4 = plan(Queries.queries("text_hybrid_lsh4")(spark, sf))
+    assert("BroadcastHashJoin \\[[^\\]]*bucket".r.findFirstIn(pL4).isDefined,
+      s"text_hybrid_lsh4: dense leg must equi-join on the LSH bucket")
+    assert(bnlj.findAllIn(pL4).length < bnlj.findAllIn(pB).length,
+      "text_hybrid_lsh4: nested-loop joins must drop vs the brute twin")
   }
 
   test("paragraph dedup: rank-limit pushes a map-side WindowGroupLimit; no product joins") {
