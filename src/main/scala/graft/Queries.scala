@@ -4878,6 +4878,45 @@ object Queries {
       |  CAST(rnk2 AS INTEGER) AS rnk
       |FROM rr WHERE rnk2 <= 5""".stripMargin))
 
+  /** Persisted CHUNK-corpus centroid index for the RAG IVF twin —
+    * trained once on the dim-16 chunk vectors (10 cells), fingerprinted
+    * on documents.parquet like every chunk-derived artifact. */
+  private def ragChunkCentroids(s: SparkSession, dir: String): Seq[Array[Double]] =
+    docCentroidArtifactCache.computeIfAbsent(dir + "#ragchunk",
+      _ => Similarity.centroidsFromDF(
+        parquetArtifact(s, dir, "centroids_ragchunk_c10", "documents")(
+          Similarity.centroidsToDF(s,
+            Similarity.kmeansCentroidArrays(
+              docVecsFrom(ragChunkDocs(s, dir)), nCells = 10)))))
+
+  /** pipeline_rag_retrieval's TRAINED-index twin — the RAG capstone with
+    * the chunk-embedding leg on the persisted-centroid IVF path
+    * (text_hybrid_ivf's posture over the chunk corpus): completes the
+    * brute / LSH / IVF dense-leg matrix at the RAG tier too. Same
+    * composite chunk key, same output contract; derived oracle from the
+    * chunk-centroid literals. */
+  private val pipelineRagIvf = Q("pipeline_rag_ivf",
+    (s, dir) => {
+      val cdocs = ragChunkDocs(s, dir)
+      hybridTopKFrom(s, cdocs,
+          ivfCents = Some(ragChunkCentroids(s, dir))).select(
+        (col("query_id") +: ragUnpack) ++ Seq(
+          col("rrf_score"), col("n_tiers"), col("rnk")): _*)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH RECURSIVE $bmQuerySql,
+        |$chunkDocsCtes,
+        |cd AS (SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)
+        |  AS doc_id, chunk_text AS text FROM chunks),
+        |${hybridCtesFor("cd", ivfCents = Some(ragChunkCentroids(s, dir)))}
+        |SELECT query_id,
+        |  CAST(string_split(doc_id, ':')[1] AS BIGINT) AS doc_id,
+        |  CAST(string_split(doc_id, ':')[2] AS INTEGER) AS chunk_idx,
+        |  rrf_score, CAST(n_tiers AS BIGINT) AS n_tiers,
+        |  CAST(rnk2 AS INTEGER) AS rnk
+        |FROM rr WHERE rnk2 <= 5""".stripMargin
+    })
+
   /** RAG context DELIVERY — the step after retrieval: the fused top-5
     * chunk ids joined back to their chunk TEXT, i.e. the actual context
     * strings a generator consumes (retrieval alone hands back keys; a
@@ -5976,7 +6015,7 @@ object Queries {
     textBm25Topk, textBm25Indexed, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh,
-    textHybridLsh4, textHybridIvf, pipelineRagRetrieval,
+    textHybridLsh4, textHybridIvf, pipelineRagRetrieval, pipelineRagIvf,
     pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,
     pipelineContrastiveTriplets,

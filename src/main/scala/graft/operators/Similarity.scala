@@ -525,11 +525,17 @@ object Similarity {
         .withColumn("d", greatest(lit(0.0), lit(1.0) - col("cell_cos")))
       val total = assigned.agg(sum(col("d"))).head().getDouble(0)
       if (total > 0) {
+        // deterministic candidate order via the column's NATIVE type
+        // ordering (numeric ids sort numerically exactly as the long
+        // cast this replaced; STRING ids — the RAG composite chunk key
+        // "doc:chunk" — sort lexicographically instead of throwing an
+        // ANSI cast error; review r13)
         val picked = assigned
           .where(hashUniform(col("vec_id")) * lit(total) <
             lit(2.0 * nCells) * col("d"))
-          .select(col("vec_id").cast("long").as("id"), col("v"))
-          .collect().sortBy(_.getLong(0)).map(vecOf)
+          .orderBy(col("vec_id"))
+          .select(col("v"))
+          .collect().map(vecOf)
         candidates ++= picked
       }
     }

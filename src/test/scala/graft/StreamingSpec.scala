@@ -1060,6 +1060,48 @@ class StreamingRetrievalServeSpec extends AnyFunSuite {
     assert(served == batchMode && batchMode.nonEmpty,
       s"served $served != batch $batchMode")
   }
+
+  test("serving self-cleans its cache: per-batch candidate entries are " +
+      "unpersisted inside the call, and the result checkpoints are " +
+      "GC-reclaimable — persisted-RDD count returns to baseline") {
+    // ADVICE r12: the candidate frame is keyed per (index, query batch),
+    // so without the internal unpersist a long-lived server grows one
+    // CacheManager entry per batch FOREVER (CacheManager holds strong
+    // refs — nothing ever reclaims them). After the fix the only
+    // transient persisted RDDs are the eager result localCheckpoints,
+    // which ContextCleaner frees once the per-batch frame is dropped —
+    // serve several batches, drop the references, and pin that the
+    // count returns to baseline under GC pressure.
+    import java.nio.file.Files
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (1L, "spark scan join the table"),
+      (2L, "window agg the the stream"),
+      (3L, "vector merge batch")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-serve-clean-").toString
+    Retrieval.postings(corpus).write.parquet(s"$root/post")
+    Retrieval.corpusStats(corpus).write.parquet(s"$root/stats")
+    val post = spark.read.parquet(s"$root/post")
+    val stats = spark.read.parquet(s"$root/stats")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Seq("spark", "table", "vector", "join", "batch").foreach { term =>
+      val batch = Seq(("q-" + term, term)).toDF("query_id", "term")
+      Retrieval.bm25TopKIndexed(post, stats, batch, k = 2).count()
+      // the per-batch result frame goes out of scope here, like a
+      // server's would
+    }
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var after = spark.sparkContext.getPersistentRDDs.size
+    while (after > before && System.nanoTime() < deadline) {
+      System.gc() // ContextCleaner reclaims via weak references
+      Thread.sleep(200)
+      after = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(after <= before,
+      s"serving leaked persisted entries: $before -> $after (not " +
+        "reclaimed within 30s of GC pressure — a CacheManager-style " +
+        "permanent entry, not a transient checkpoint)")
+  }
 }
 
 class StreamingSemanticDedupSpec extends AnyFunSuite {
