@@ -5737,6 +5737,141 @@ object Queries {
       |  CAST(list_sum(list_transform(v, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS BIGINT))) AS BIGINT) AS q_checksum
       |FROM m""".stripMargin))
 
+  /** Trained PQ codebooks for the embeddings table — persisted per sfDir
+    * as a pqBooksToDF parquet artifact (the embCentroids posture): m=8
+    * subspaces × ksub=16 codes over dim 64, trained once on a bounded
+    * deterministic sample, loaded by query fn + derived oracle + later
+    * JVMs alike. */
+  private val pqBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Array[Double]]]]()
+  private def pqBooks(s: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    pqBooksCache.computeIfAbsent(dir,
+      _ => Similarity.pqBooksFromDF(
+        parquetArtifact(s, dir, "pq_books_m8_k16", "embeddings")(
+          Similarity.pqBooksToDF(s,
+            Similarity.pqTrain(Tables.embeddings(s, dir), m = 8, ksub = 16)))))
+
+  /** Shared derived-oracle CTE block for the PQ family: codebook VALUES
+    * literals with self-dots, per-subspace corpus slices, and the encode
+    * relation `enc(vec_id, sub, code)` — round-6 micro-L2 argmin with
+    * the same (d2u, code) total order the packed-min aggregate uses. */
+  private def pqCtes(books: Seq[Seq[Array[Double]]]): String = {
+    val values = books.zipWithIndex.flatMap { case (cs, sub) =>
+      cs.zipWithIndex.map { case (c, code) =>
+        s"($sub, $code, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+    }.mkString(",\n  ")
+    s"""cbv(sub, code, cv) AS (VALUES
+      |  $values),
+      |cb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM cbv),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sv AS (SELECT vec_id, CAST(r.range AS INTEGER) AS sub,
+      |    list_slice(v, r.range * 8 + 1, r.range * 8 + 8) AS xs
+      |  FROM e CROSS JOIN range(0, 8) r),
+      |sd AS (SELECT vec_id, sub, code,
+      |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+      |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+      |  FROM sv JOIN cb USING (sub)),
+      |enc AS (SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY d2u, code) AS rn FROM sd)
+      |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** PQ encode (Similarity.pqEncode): the corpus as (vec_id, sub, code) —
+    * m codes per vector against the persisted codebooks. THIS relation is
+    * what a 100 TB deployment stores and searches (m bytes instead of D
+    * floats per vector); the derived oracle re-runs the round-6 micro-L2
+    * argmin from the codebook literals. */
+  private val simPqCodes = Q("sim_pq_codes",
+    (s, dir) => Similarity.pqEncode(Tables.embeddings(s, dir), pqBooks(s, dir)),
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH ${pqCtes(pqBooks(s, dir))}
+        |SELECT vec_id, sub, code FROM enc""".stripMargin
+    })
+
+  /** PQ asymmetric-distance top-k (Similarity.pqTopKAdc): queries
+    * (vec_id ≡ 0 mod 20, raw vectors) search the ENCODED corpus — the
+    * query expands to its exact per-(sub, code) distance LUT once, and
+    * every corpus vector scores as m integer lookups + adds, never
+    * touching the stored vectors. Integer micro-L2 end to end ⇒
+    * hash-exact vs the DuckDB re-derivation from the same literals. */
+  private val simPqTopk = Q("sim_pq_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopKAdc(
+        Similarity.pqEncode(e, pqBooks(s, dir)),
+        e.where(pmod(col("vec_id"), lit(20)) === 0),
+        pqBooks(s, dir), k = 10)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH ${pqCtes(pqBooks(s, dir))},
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+        |qs AS (SELECT query_id, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(qv, r.range * 8 + 1, r.range * 8 + 8) AS xs
+        |  FROM q CROSS JOIN range(0, 8) r),
+        |lut AS (SELECT query_id, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM qs JOIN cb USING (sub)),
+        |sc AS (SELECT l.query_id, enc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+        |  FROM enc JOIN lut l USING (sub, code)
+        |  WHERE enc.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2u, vec_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+        |  vec_id AS neighbor_id, d2u
+        |FROM r WHERE rank <= 10""".stripMargin
+    })
+
+  /** PQ ADC + exact re-rank (Similarity.pqTopKRefined, the "+R"
+    * refinement): the corpus-wide pass runs on CODES (ADC shortlist of
+    * 50 per query), then only the |queries|×50 shortlisted vectors are
+    * read back for an exact round-4 cosine top-10 — crossTopK's output
+    * contract from a fraction of its vector reads. Recall vs brute is
+    * measured in ProfilePq / NOTES; determinism is oracled end to end
+    * from the codebook literals. */
+  private val simPqRerank = Q("sim_pq_rerank",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopKRefined(
+        Similarity.pqEncode(e, pqBooks(s, dir)), e,
+        e.where(pmod(col("vec_id"), lit(20)) === 0),
+        pqBooks(s, dir), k = 10, shortlist = 50)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH ${pqCtes(pqBooks(s, dir))},
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+        |qs AS (SELECT query_id, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(qv, r.range * 8 + 1, r.range * 8 + 8) AS xs
+        |  FROM q CROSS JOIN range(0, 8) r),
+        |lut AS (SELECT query_id, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM qs JOIN cb USING (sub)),
+        |sc AS (SELECT l.query_id, enc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+        |  FROM enc JOIN lut l USING (sub, code)
+        |  WHERE enc.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY d2u, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 50),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |  WHERE list_dot_product(v, v) > 0),
+        |qn AS (SELECT vec_id AS query_id, v AS qv,
+        |    sqrt(list_dot_product(v, v)) AS qnrm FROM e
+        |  WHERE vec_id % 20 = 0 AND list_dot_product(v, v) > 0),
+        |x AS (SELECT sl.query_id, sl.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+        |  FROM sl JOIN n ON n.vec_id = sl.vec_id
+        |    JOIN qn ON qn.query_id = sl.query_id),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM x)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM rr WHERE rank <= 10""".stripMargin
+    })
+
   private val multimodalFeatures = Q("multimodal_features",
     (s, dir) => Multimodal.features(Tables.documents(s, dir)),
     Some("""SELECT doc_id AS asset_id,
@@ -6028,7 +6163,8 @@ object Queries {
     sketchKllByGroup, sketchHllShards, sketchHllOverlap,
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
-    simLshTopk, simLshMultiprobe, simQuantize,
+    simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
+    simPqRerank,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
     dedupMultimodalIncr)

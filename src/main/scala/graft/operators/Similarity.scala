@@ -733,4 +733,212 @@ object Similarity {
     if (nProbes <= 1) searchAssigned(assigned, k, stride)
     else searchMultiProbe(assigned, cents, k, stride, nProbes)
   }
+
+  // ───────────────────────── product quantization ─────────────────────────
+  // PQ (Jégou, Douze & Schmid 2011, "Product quantization for nearest
+  // neighbor search"): split the dim-D vector into `m` subvectors, learn a
+  // ksub-entry codebook per subspace, store each corpus vector as m small
+  // codes. Search is ASYMMETRIC DISTANCE (ADC): the query builds an
+  // m×ksub lookup table of exact subspace distances ONCE, and scoring a
+  // corpus vector is m integer table lookups + adds — the corpus VECTORS
+  // are never read at query time, only the code table (the 100 TB memory
+  // story: 64 floats → m bytes per vector). All distances are squared L2
+  // in round-6 micro-units (integer bp-style), so encode and search are
+  // bit-deterministic and DuckDB-oracle-checkable from codebook literals.
+
+  /** Squared L2 distance in integral MICRO-units: round(d², 6)·10⁶ as a
+    * long. `cc` is the precomputed centroid self-dot (a literal at plan
+    * time), so each pair costs two dot_d's over dsub dims. The round-6 →
+    * ·1e6 → round-0 chain collapses float noise to an exact integer the
+    * same way [[assignCellsWithCos]] packs its cosine (headroom: exact
+    * while sub-d² < ~1.4e8 — far beyond any unit-ish embedding; beyond
+    * that, normalize or re-scale the corpus, never the formula). */
+  private def d2Micros(x: Column, cv: Column, cc: Column): Column =
+    round((round(dot(x, x) - lit(2.0) * dot(x, cv) + cc, 6)) * lit(1e6), 0)
+      .cast("long")
+
+  /** Train per-subspace PQ codebooks on a bounded, deterministic sample —
+    * the classic offline step (codebooks are classically trained on a
+    * corpus sample; FAISS does the same). Driver-side on ≤ `maxSample`
+    * rows (vec_id order, like the BPE/centroid trainer collects): greedy
+    * farthest-point init (min-vec-id seed, index tie-break) + `iters`
+    * Lloyd rounds with L2 assignment and round-6 means, per subspace.
+    * Returns [sub][code] → dsub-dim centroid; wholly deterministic, so a
+    * derived oracle can interpolate the result as literals. */
+  def pqTrain(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 4, maxSample: Int = 2048): Seq[Seq[Array[Double]]] = {
+    val rows = preparedVecs(embeddings)
+      .orderBy(col("vec_id")).limit(maxSample)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "pqTrain: empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var (s, i) = (0.0, 0); while (i < a.length) {
+        val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until m).map { s =>
+      val xs = rows.map(_.slice(s * dsub, (s + 1) * dsub))
+      // farthest-point init over the sample (deterministic: first row
+      // seeds; ties keep the smaller index), capped at the number of
+      // DISTINCT subvectors so no duplicate codes are ever emitted
+      val seeds = scala.collection.mutable.ArrayBuffer(xs(0))
+      var exhausted = false
+      while (seeds.size < ksub && !exhausted) {
+        var (bestD, bestI) = (-1.0, -1)
+        var i = 0
+        while (i < xs.length) {
+          val dMin = seeds.iterator.map(c => d2(xs(i), c)).min
+          if (dMin > bestD + 1e-12) { bestD = dMin; bestI = i }
+          i += 1
+        }
+        if (bestD <= 0.0) exhausted = true else seeds += xs(bestI)
+      }
+      var cents = seeds.toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val cnts = new Array[Long](cents.length)
+        var i = 0
+        while (i < xs.length) {
+          var (bestD, best) = (Double.MaxValue, 0)
+          var c = 0
+          while (c < cents.length) {
+            val d = round6(d2(xs(i), cents(c)))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += xs(i)(j); j += 1 }
+          cnts(best) += 1
+          i += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (cnts(c) == 0) old
+          else Array.tabulate(dsub)(j => round6(sums(c)(j) / cnts(c)))
+        }
+      }
+      cents.toSeq
+    }
+  }
+
+  /** The broadcastable codebook relation (sub, code, cv, cc) — cc is the
+    * centroid self-dot, precomputed once so neither encode nor the ADC
+    * LUT recomputes it per pair. */
+  private def codebookFrame(spark: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, code) =>
+        (s, code, c.toSeq, c.map(x => x * x).sum) }
+    }.toDF("sub", "code", "cv", "cc")
+  }
+
+  /** Codebooks → a persistable frame (sub, code, centroid) — the PQ leg
+    * of the artifact family ([[centroidsToDF]] for IVF cells). */
+  def pqBooksToDF(spark: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, code) => (s, code, c.toSeq) }
+    }.toDF("sub", "code", "centroid")
+  }
+
+  /** Inverse of [[pqBooksToDF]]. */
+  def pqBooksFromDF(df: DataFrame): Seq[Seq[Array[Double]]] =
+    df.select(col("sub"), col("code"), col("centroid")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toSeq)
+
+  /** PQ ENCODE: (vec_id, sub, code) — each subvector's nearest codebook
+    * entry by round-6 micro-L2 (tie: smaller code). One broadcast of the
+    * m·ksub codebook + one packed-long min aggregate (the
+    * [[assignCellsWithCos]] shape: map-side partial, no window, no
+    * shuffle of the m·ksub expansion) — at corpus scale THIS is the
+    * stored table, m codes per vector instead of D floats. */
+  def pqEncode(embeddings: DataFrame,
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dsub = books.head.head.length
+    val cb = codebookFrame(spark, books)
+    preparedVecs(embeddings)
+      .select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("sub"), col("code"),
+        d2Micros(slice(col("v"), col("sub") * dsub + lit(1), lit(dsub)),
+          col("cv"), col("cc")).as("d2u"))
+      // packed lexicographic (d2u, code) min in ONE primitive long:
+      // d2u · 2¹⁶ + code (ksub < 2¹⁶ by contract)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("d2u") * lit(65536L) + col("code")).as("best"))
+      .select(col("vec_id"), col("sub"),
+        pmod(col("best"), lit(65536L)).cast("int").as("code"))
+  }
+
+  /** ADC top-k over a PRE-ENCODED code table: the query side expands to
+    * its exact per-(sub, code) distance LUT (|queries|·m·ksub rows, tiny,
+    * broadcast), the code table joins it on (sub, code), and the ADC
+    * distance is an integer SUM over the m subspaces — corpus vectors
+    * are never touched, and the whole search is one broadcast hash join
+    * + one map-combinable aggregate at ANY corpus size. Ranking is
+    * distance ASC with neighbor-id tie-break (total order ⇒ hash-exact).
+    * Output: (query_id, rank, neighbor_id, d2u) with d2u the summed
+    * micro-L2. Self-pairs are excluded by id (the [[bruteTopK]]
+    * convention — queries here come from the same id space). */
+  def pqTopKAdc(codes: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Array[Double]]], k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    val dsub = books.head.head.length
+    val cb = codebookFrame(spark, books)
+    val lut = preparedVecs(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub"), col("code"),
+        d2Micros(slice(col("qv"), col("sub") * dsub + lit(1), lit(dsub)),
+          col("cv"), col("cc")).as("d2u"))
+    val scored = codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2u")).as("d2u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2u").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("d2u"))
+  }
+
+  /** ADC + exact re-rank (the "+R" refinement of Jégou et al. §V): the
+    * quantized search produces a `shortlist`-sized candidate set per
+    * query, and only THOSE |queries|·shortlist vectors are read back for
+    * an exact round-4 cosine re-rank — the standard recipe for
+    * recovering exact-tier recall while the corpus-wide pass still runs
+    * on codes (measured in ProfilePq / NOTES: the shortlist multiplies
+    * recall@10 ~3× at shortlist = 5k). The shortlist frame is tiny and
+    * BROADCASTS into the corpus join, so the refinement costs one
+    * hash-joined corpus scan, never a second pair loop. Contract:
+    * (query_id, rank, neighbor_id, cosine) — [[crossTopK]]'s, so the
+    * refined search is a drop-in for the exact one. */
+  def pqTopKRefined(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Array[Double]]], k: Int, shortlist: Int): DataFrame = {
+    val short = pqTopKAdc(codes, queries, books, shortlist)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    // same degenerate-input guards as scoreAgainst: zero/null norms are
+    // per-row drops (a null cosine must never rank), and the guards stay
+    // out of the cosine expression so nothing expensive lands in a join
+    // condition
+    val q = preparedVecs(queries).where(col("nrm") > 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val cand = preparedVecs(corpus).where(col("nrm") > 0)
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(q), "query_id")
+    rankTopK(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
+        .as("cosine")), k)
+  }
 }

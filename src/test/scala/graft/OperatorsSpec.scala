@@ -557,6 +557,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.crossTopK(corpus, queries, k = 2).count() == 0)
   }
 
+  test("PQ: codebook artifact round-trips; encode emits exactly m codes " +
+      "per vector within [0, ksub); ADC is EXACT when the corpus lies on " +
+      "the codebook") {
+    val dim8 = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 1.0f)),
+      (1L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 1.0f)),
+      (2L, Array(0f, 1.0f, 0f, 0f, 0f, 1.0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1.0f, 0f, 1.0f, 0f, 0f, 0f)),
+      (4L, Array(0f, 1.0f, 0f, 0f, 0f, 1.0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(dim8, m = 2, ksub = 4, maxSample = 100)
+    // artifact round-trip is the identity
+    val loaded = Similarity.pqBooksFromDF(Similarity.pqBooksToDF(spark, books))
+    assert(loaded.map(_.map(_.toSeq)) == books.map(_.map(_.toSeq)))
+    val codes = Similarity.pqEncode(dim8, books)
+    val perVec = codes.groupBy("vec_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perVec.values.forall(_ == 2), s"m=2 codes per vector: $perVec")
+    assert(codes.select("code").as[Int].collect()
+      .forall(c => c >= 0 && c < 4))
+    // the corpus has 3 distinct vectors and ksub=4 ≥ 3, so Lloyd lands a
+    // centroid ON each distinct subvector — ADC distance is then the
+    // EXACT squared L2, and vec 0's nearest must be its twin vec 1
+    val top = Similarity.pqTopKAdc(codes, dim8.where(col("vec_id") === 0L),
+        books, k = 2)
+      .orderBy("rank").select("neighbor_id", "d2u").as[(Long, Long)].collect()
+    assert(top.head == ((1L, 0L)), s"twin must rank first at distance 0: ${top.toSeq}")
+  }
+
   test("ivf top-k searches only the query's cell") {
     val out = Similarity.ivfTopK(vecs, k = 3, stride = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
