@@ -5872,6 +5872,64 @@ object Queries {
         |FROM rr WHERE rank <= 10""".stripMargin
     })
 
+  /** IVF-PQ composition (Similarity.ivfPqTopK): cell-probed ADC — the
+    * corpus is cell-assigned against the persisted embedding centroids
+    * AND PQ-encoded against the persisted codebooks; a query probes its
+    * 3 nearest cells and scores only those cells' CODES. Both pruning
+    * structures are loaded artifacts; the derived oracle re-runs
+    * assignment, probe ranking and ADC from the two literal sets. */
+  private val simIvfpqTopk = Q("sim_ivfpq_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(e,
+        e.where(pmod(col("vec_id"), lit(20)) === 0),
+        embCentroids(s, dir, "all", Tables.embeddings(s, dir)),
+        pqBooks(s, dir), k = 10, nProbes = 3)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val cents = embCentroids(s, dir, "all", Tables.embeddings(s, dir))
+      val values = cents.zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""WITH ${pqCtes(pqBooks(s, dir))},
+        |c2(cell, w) AS (VALUES
+        |  $values),
+        |cn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM c2),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |asgn AS (SELECT vec_id, cell FROM (
+        |    SELECT n.vec_id, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.w, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn)
+        |  WHERE crn = 1),
+        |pb AS (SELECT query_id, cell FROM (
+        |    SELECT n.vec_id AS query_id, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(n.v, cn.w) / (n.nrm * cn.cnrm), 6) DESC, cn.cell) AS pr
+        |    FROM n CROSS JOIN cn WHERE n.vec_id % 20 = 0)
+        |  WHERE pr <= 3),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+        |qs AS (SELECT query_id, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(qv, r.range * 8 + 1, r.range * 8 + 8) AS xs
+        |  FROM q CROSS JOIN range(0, 8) r),
+        |lut AS (SELECT query_id, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM qs JOIN cb USING (sub)),
+        |sc AS (SELECT l.query_id, enc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+        |  FROM enc JOIN asgn a ON a.vec_id = enc.vec_id
+        |    JOIN pb ON pb.cell = a.cell
+        |    JOIN lut l ON l.query_id = pb.query_id
+        |      AND l.sub = enc.sub AND l.code = enc.code
+        |  WHERE enc.vec_id <> pb.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2u, vec_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+        |  vec_id AS neighbor_id, d2u
+        |FROM r WHERE rank <= 10""".stripMargin
+    })
+
   private val multimodalFeatures = Q("multimodal_features",
     (s, dir) => Multimodal.features(Tables.documents(s, dir)),
     Some("""SELECT doc_id AS asset_id,
@@ -6164,7 +6222,7 @@ object Queries {
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
-    simPqRerank,
+    simPqRerank, simIvfpqTopk,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
     dedupMultimodalIncr)

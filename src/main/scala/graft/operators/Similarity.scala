@@ -878,6 +878,36 @@ object Similarity {
         pmod(col("best"), lit(65536L)).cast("int").as("code"))
   }
 
+  /** The per-query exact subspace-distance lookup table (query_id, sub,
+    * code, d2u) — |queries|·m·ksub rows, tiny, built once per search and
+    * broadcast. Shared by [[pqTopKAdc]] and [[ivfPqTopK]]. */
+  private def adcLut(queries: DataFrame,
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val dsub = books.head.head.length
+    val cb = codebookFrame(queries.sparkSession, books)
+    preparedVecs(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub"), col("code"),
+        d2Micros(slice(col("qv"), col("sub") * dsub + lit(1), lit(dsub)),
+          col("cv"), col("cc")).as("d2u"))
+  }
+
+  /** Shared ADC ranking tail: integer distance sum over the m subspaces,
+    * then distance-ASC top-k with neighbor-id tie-break. */
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
+    val summed = scored
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2u")).as("d2u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2u").asc, col("vec_id"))
+    summed.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("d2u"))
+  }
+
   /** ADC top-k over a PRE-ENCODED code table: the query side expands to
     * its exact per-(sub, code) distance LUT (|queries|·m·ksub rows, tiny,
     * broadcast), the code table joins it on (sub, code), and the ADC
@@ -889,27 +919,42 @@ object Similarity {
     * micro-L2. Self-pairs are excluded by id (the [[bruteTopK]]
     * convention — queries here come from the same id space). */
   def pqTopKAdc(codes: DataFrame, queries: DataFrame,
-      books: Seq[Seq[Array[Double]]], k: Int): DataFrame = {
-    val spark = codes.sparkSession
-    val dsub = books.head.head.length
-    val cb = codebookFrame(spark, books)
-    val lut = preparedVecs(queries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .crossJoin(broadcast(cb))
-      .select(col("query_id"), col("sub"), col("code"),
-        d2Micros(slice(col("qv"), col("sub") * dsub + lit(1), lit(dsub)),
-          col("cv"), col("cc")).as("d2u"))
-    val scored = codes
-      .join(broadcast(lut), Seq("sub", "code"))
-      .where(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("d2u")).as("d2u"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2u").asc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col("vec_id").as("neighbor_id"), col("d2u"))
+      books: Seq[Seq[Array[Double]]], k: Int): DataFrame =
+    rankAdc(codes.join(broadcast(adcLut(queries, books)), Seq("sub", "code")), k)
+
+  /** IVF-PQ: the two index structures COMPOSED (the FAISS IVFADC layout,
+    * minus residual encoding — codes here quantize the raw vectors, the
+    * honest trade for keeping one code table shared with [[pqTopKAdc]]):
+    * the corpus is cell-assigned once against the trained centroids
+    * (cosine cells, the [[assignCells]] metric) and PQ-encoded once;
+    * a query probes its `nProbes` nearest cells and runs ADC over ONLY
+    * those cells' codes — scan fraction ≈ nProbes/|cells| of the code
+    * table, which itself is m ints per vector. Both pruning structures
+    * are persisted artifacts at scale; neither search step reads a
+    * corpus vector. Deterministic end to end (round-6 cosine probes,
+    * integer micro-L2 ADC) ⇒ oracle-checkable from the two literal
+    * sets. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      k: Int, nProbes: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val cdf = centroidFrame(spark, cents)
+    val cells = assignCells(preparedVecs(corpus), cdf)
+      .select(col("vec_id"), col("cell"))
+    val codes = pqEncode(corpus, books).join(cells, "vec_id")
+    val probes = preparedVecs(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("ccos", round(
+        cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell"))))
+      .where(col("pr") <= nProbes)
+      .select(col("query_id"), col("cell"))
+    rankAdc(codes
+      .join(broadcast(probes), "cell")
+      .join(broadcast(adcLut(queries, books)), Seq("query_id", "sub", "code")), k)
   }
 
   /** ADC + exact re-rank (the "+R" refinement of Jégou et al. §V): the

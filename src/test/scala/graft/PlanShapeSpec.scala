@@ -134,7 +134,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_ivf_kmeans_topk", "sim_cross_lsh_topk", "sim_cross_lsh_mp",
       "sim_cross_ivf_topk", "text_hybrid_topk", "text_hybrid_lsh",
       "text_hybrid_lsh4", "text_hybrid_ivf",
-      "sim_pq_topk", "sim_pq_rerank",
+      "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk",
       "pipeline_decontam_topk", "pipeline_rag_retrieval")
     val failures = names.flatMap { name =>
       val p = plan(Queries.queries(name)(spark, sf))
