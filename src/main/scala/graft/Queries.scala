@@ -4764,6 +4764,41 @@ object Queries {
       |  CAST(rnk2 AS INTEGER) AS rnk
       |FROM rr WHERE rnk2 <= 5""".stripMargin))
 
+  /** MMR-diversified retrieval (Retrieval.mmrDiversify over the BM25
+    * top-20): the RAG context-diversification step — each of the 5 picks
+    * balances rank-relevance against max cosine to what is already
+    * picked (λ = 0.5 in basis points), so near-identical candidates
+    * can't fill the whole context window. Greedy is inherently
+    * sequential in k, so both engines unroll the 5 steps; every
+    * quantity is integer bp ⇒ hash-exact. */
+  private val textMmrTopk = Q("text_mmr_topk",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Retrieval.mmrDiversify(
+        Retrieval.bm25TopK(docs, bmQueryTerms.toDF("query_id", "term"), k = 20)
+          .select(col("query_id"), col("doc_id"), col("rnk")),
+        docVecsFrom(docs).select(col("vec_id").as("doc_id"), col("embedding")),
+        k = 5)
+    },
+    Some(s"""WITH $bmQuerySql,
+      |${docVecCtesFor("documents")},
+      |post AS (SELECT term, doc_id, dl, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks)
+      |  GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+      |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |${Retrieval.bm25ScoreCtesSql()},
+      |cnd0 AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= 20),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec
+      |  WHERE list_dot_product(v, v) > 0),
+      |cand AS MATERIALIZED (SELECT c.query_id, c.doc_id,
+      |    CAST((21 - c.rnk) * 500 AS BIGINT) AS rel_bp, n.v, n.nrm
+      |  FROM cnd0 c JOIN n ON n.vec_id = c.doc_id),
+      |${Retrieval.mmrSql(5)}
+      |SELECT query_id, rank, doc_id FROM mmr_out""".stripMargin))
+
   /** Persisted doc-embedding centroid index for the hybrid IVF twin —
     * the documents-table sibling of embCentroids: trained once on the
     * dim-16 doc vectors (10 cells), stored as a centroidsToDF parquet
@@ -6208,7 +6243,8 @@ object Queries {
     textBm25Topk, textBm25Indexed, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh,
-    textHybridLsh4, textHybridIvf, pipelineRagRetrieval, pipelineRagIvf,
+    textHybridLsh4, textHybridIvf, textMmrTopk,
+    pipelineRagRetrieval, pipelineRagIvf,
     pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,
     pipelineContrastiveTriplets,

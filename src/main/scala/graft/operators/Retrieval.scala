@@ -784,4 +784,113 @@ object Retrieval {
       |tdf AS (SELECT term, count(*) AS df FROM post GROUP BY 1$prune),
       |${bm25ScoreTailSql(k, k1Bp, bBp)}""".stripMargin
   }
+
+  /** MMR result diversification (Carbonell & Goldstein 1998): greedily
+    * re-rank a candidate list so each pick balances relevance against
+    * similarity to what is ALREADY picked —
+    * `λ·rel − (1−λ)·max_{s∈S} sim(d, s)` — the standard RAG
+    * context-diversification step (five near-identical chunks waste a
+    * context window that five complementary ones fill).
+    *
+    * `ranked`: (query_id, doc_id, rnk) — the candidate list, rnk 1-based
+    * dense; `vecs`: (doc_id, embedding). Relevance is RANK-based so both
+    * terms live on the same 10⁴ scale regardless of the upstream scorer:
+    * rel_bp = (C+1−rnk)·(10⁴/C) with C = `candN`; sim_bp is the round-4
+    * cosine in basis points. All integer ⇒ hash-exact; ties break on
+    * doc_id. Candidates without a usable (nonzero) embedding drop out.
+    *
+    * Shape: the greedy loop is INHERENTLY sequential in k, so this runs
+    * k−1 tiny joins over the |queries|·C candidate frame (persisted
+    * once); each iteration's pick is locally checkpointed to keep the
+    * plan linear instead of exponentially nested. At 100 TB the
+    * candidate frame is still only |queries|·C rows — MMR cost never
+    * touches corpus size. Output: (query_id, rank, doc_id). */
+  def mmrDiversify(ranked: DataFrame, vecs: DataFrame, k: Int,
+      candN: Int = 20, lambdaBp: Long = 5000): DataFrame = {
+    import graft.functions.SimFns.{dot, l2Norm, toDouble, cosinePrenormed}
+    val n = vecs
+      .select(col("doc_id").as("vdoc"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .where(col("nrm") > 0)
+    val cand = ranked.where(col("rnk") <= candN)
+      .join(n, col("doc_id") === col("vdoc"))
+      .select(col("query_id"), col("doc_id"),
+        ((lit(candN + 1) - col("rnk")) * lit(10000L / candN)).as("rel_bp"),
+        col("v"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def pickBest(scored: DataFrame, rank: Int): DataFrame =
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("mmr").desc, col("doc_id"))))
+          .where(col("rn") === 1)
+          .select(col("query_id"), lit(rank).as("rank"), col("doc_id"))
+      val simBp = round(
+        round(cosinePrenormed(dot(col("v"), col("pv")), col("nrm"), col("pnrm")), 4)
+          * lit(10000L), 0).cast("long")
+      var acc = pickBest(
+        cand.select(col("query_id"), col("doc_id"),
+          (lit(lambdaBp) * col("rel_bp")).as("mmr")), 1)
+        .localCheckpoint(true)
+      for (t <- 2 to k) {
+        val pickedVecs = acc
+          .join(cand.select(col("query_id"), col("doc_id"),
+            col("v").as("pv"), col("nrm").as("pnrm")), Seq("query_id", "doc_id"))
+          .select(col("query_id"), col("doc_id").as("pdoc"),
+            col("pv"), col("pnrm"))
+        val remaining = cand.join(
+          acc.select(col("query_id"), col("doc_id")).withColumn("_p", lit(1)),
+          Seq("query_id", "doc_id"), "left")
+          .where(col("_p").isNull).drop("_p")
+        val scored = remaining
+          .join(broadcast(pickedVecs), "query_id")
+          .groupBy(col("query_id"), col("doc_id"), col("rel_bp"))
+          .agg(max(simBp).as("maxsim"))
+          .select(col("query_id"), col("doc_id"),
+            (lit(lambdaBp) * col("rel_bp")
+              - lit(10000L - lambdaBp) * col("maxsim")).as("mmr"))
+        acc = acc.unionByName(pickBest(scored, t)).localCheckpoint(true)
+      }
+      acc
+    } finally cand.unpersist(false)
+  }
+
+  /** Unrolled SQL twin of [[mmrDiversify]] over CTEs `cand(query_id,
+    * doc_id, rel_bp, v, nrm)` — one (m, p, a) CTE triple per greedy step
+    * (window functions cannot live in a recursive term, and k is a small
+    * constant, so unrolling IS the faithful mirror). Ends in
+    * `mmr_out(query_id, rank, doc_id)`. */
+  def mmrSql(k: Int, lambdaBp: Long = 5000): String = {
+    val simBp = (a: String, b: String) =>
+      s"CAST(ROUND(ROUND(list_dot_product($a.v, $b.v) / ($a.nrm * $b.nrm), 4) * 10000, 0) AS BIGINT)"
+    // every accumulator CTE is MATERIALIZED: mmr_a{t-1} is referenced
+    // three times per later step, and DuckDB would otherwise inline (and
+    // recompute) the whole prior chain per reference — 3^k plan blowup
+    // (the dedup_clusters `pairs AS MATERIALIZED` lesson; the caller's
+    // `cand` needs the same hint for the same reason)
+    val first =
+      s"""mmr_a1 AS MATERIALIZED (SELECT query_id, 1 AS rank, doc_id FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY $lambdaBp * rel_bp DESC, doc_id) AS rn FROM cand)
+        |  WHERE rn = 1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s"""mmr_r$t AS (SELECT c.* FROM cand c
+        |  LEFT JOIN mmr_a${t - 1} x ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+        |  WHERE x.doc_id IS NULL),
+        |mmr_m$t AS (SELECT r.query_id, r.doc_id, r.rel_bp,
+        |    max(${simBp("r", "p")}) AS maxsim
+        |  FROM mmr_r$t r
+        |    JOIN mmr_a${t - 1} s ON s.query_id = r.query_id
+        |    JOIN cand p ON p.query_id = s.query_id AND p.doc_id = s.doc_id
+        |  GROUP BY 1, 2, 3),
+        |mmr_a$t AS MATERIALIZED (SELECT * FROM mmr_a${t - 1} UNION ALL
+        |  SELECT query_id, $t AS rank, doc_id FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY $lambdaBp * rel_bp - ${10000L - lambdaBp} * maxsim DESC,
+        |        doc_id) AS rn FROM mmr_m$t)
+        |  WHERE rn = 1)""".stripMargin
+    }
+    (first +: steps).mkString(",\n") +
+      s",\nmmr_out AS (SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id FROM mmr_a$k)"
+  }
 }

@@ -1102,6 +1102,59 @@ class StreamingRetrievalServeSpec extends AnyFunSuite {
         "reclaimed within 30s of GC pressure — a CacheManager-style " +
         "permanent entry, not a transient checkpoint)")
   }
+
+  test("streaming ANN serving from the persisted PQ index: query " +
+      "micro-batches run ADC against the STORED codes + codebooks and " +
+      "equal the batch-mode ranking, independent of batch boundaries") {
+    // The PQ tier's online face (the bm25TopKIndexed posture for dense
+    // search): codebooks and the encoded corpus are built once and
+    // stored; query vectors then arrive as a stream and search without
+    // ever touching the corpus vectors.
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0.1f, 0.9f)),
+      (3L, Array(0f, 1.0f, 0f, 0f, 0f, 1.0f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1.0f, 0f, 1.0f, 0f, 0f, 0f)),
+      (5L, Array(0f, 0.9f, 0.1f, 0f, 0.1f, 0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(corpus, m = 2, ksub = 4, maxSample = 100)
+    val root = Files.createTempDirectory("graft-pq-serve-").toString
+    Similarity.pqBooksToDF(spark, books).write.parquet(s"$root/books")
+    Similarity.pqEncode(corpus, books).write.parquet(s"$root/codes")
+    val loadedBooks = Similarity.pqBooksFromDF(
+      spark.read.parquet(s"$root/books"))
+    val codes = spark.read.parquet(s"$root/codes")
+
+    val queries = Seq(
+      (100L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0.9f)),
+      (200L, Array(0f, 1.0f, 0f, 0f, 0f, 0.9f, 0f, 0f)),
+      (300L, Array(0f, 0f, 0.9f, 0f, 1.0f, 0f, 0f, 0f)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.pqTopKAdc(codes, batch, loadedBooks, k = 2)
+          .write.mode("append").parquet(s"$root/out")
+        ()
+      }.start()
+    try {
+      input.addData(queries.take(1): _*)
+      q.processAllAvailable()
+      input.addData(queries.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val served = spark.read.parquet(s"$root/out")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val batchMode = Similarity.pqTopKAdc(codes,
+        queries.toDF("vec_id", "embedding"), loadedBooks, k = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(served == batchMode && batchMode.nonEmpty,
+      s"served $served != batch $batchMode")
+  }
 }
 
 class StreamingSemanticDedupSpec extends AnyFunSuite {
