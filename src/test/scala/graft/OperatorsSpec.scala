@@ -838,7 +838,10 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(derived.keySet == Set("sim_ivf_kmeans_topk", "sim_ivf_multiprobe",
       "sim_ivf_incr", "sim_ivf_drift", "sim_cross_ivf_topk",
       "pipeline_topic_clusters", "pipeline_topic_sample", "dedup_semantic",
-      "dedup_semantic_incr"))
+      "dedup_semantic_incr",
+      // r13: hybrid/RAG IVF twins + the PQ family (codebook literals)
+      "text_hybrid_ivf", "pipeline_rag_ivf",
+      "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }
