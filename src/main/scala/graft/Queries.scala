@@ -5778,13 +5778,16 @@ object Queries {
     * deterministic sample, loaded by query fn + derived oracle + later
     * JVMs alike. */
   private val pqBooksCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Array[Double]]]]()
-  private def pqBooks(s: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
-    pqBooksCache.computeIfAbsent(dir,
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Seq[Array[Double]]]]()
+  private def pqBooksFor(s: SparkSession, dir: String, key: String,
+      frame: => DataFrame): Seq[Seq[Array[Double]]] =
+    pqBooksCache.computeIfAbsent((dir, key),
       _ => Similarity.pqBooksFromDF(
-        parquetArtifact(s, dir, "pq_books_m8_k16", "embeddings")(
+        parquetArtifact(s, dir, s"pq_books_${key}_m8_k16", "embeddings")(
           Similarity.pqBooksToDF(s,
-            Similarity.pqTrain(Tables.embeddings(s, dir), m = 8, ksub = 16)))))
+            Similarity.pqTrain(frame, m = 8, ksub = 16)))))
+  private def pqBooks(s: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    pqBooksFor(s, dir, "all", Tables.embeddings(s, dir))
 
   /** Shared derived-oracle CTE block for the PQ family: codebook VALUES
     * literals with self-dots, per-subspace corpus slices, and the encode
@@ -5905,6 +5908,36 @@ object Queries {
         |    ORDER BY cosine DESC, neighbor_id) AS rank FROM x)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
         |FROM rr WHERE rank <= 10""".stripMargin
+    })
+
+  /** Incremental PQ index maintenance — the code-table sibling of
+    * sim_ivf_incr: codebooks train on HISTORY only (vec_id ≡ 0 mod 7)
+    * and persist; the history CODE TABLE is itself a parquet artifact
+    * (encoded once, never re-encoded); a new batch encodes against the
+    * LOADED codebooks — one broadcast + one packed-min aggregate per
+    * batch, history vectors never rescanned — and appends with its
+    * origin tag. Derived oracle re-encodes every row from the
+    * history-trained literals (encode is per-row, so one enc relation
+    * serves both origins). */
+  private val simPqIncr = Q("sim_pq_incr",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val books = pqBooksFor(s, dir, "hist7",
+        e.where(pmod(col("vec_id"), lit(7)) === 0))
+      val histCodes = parquetArtifact(s, dir, "pq_codes_hist7", "embeddings")(
+        Similarity.pqEncode(e.where(pmod(col("vec_id"), lit(7)) === 0), books))
+      histCodes.withColumn("origin", lit("history"))
+        .unionByName(
+          Similarity.pqEncode(e.where(pmod(col("vec_id"), lit(7)) =!= 0), books)
+            .withColumn("origin", lit("batch")))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val books = pqBooksFor(s, dir, "hist7",
+        Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(7)) === 0))
+      s"""WITH ${pqCtes(books)}
+        |SELECT vec_id, sub, code,
+        |  CASE WHEN vec_id % 7 = 0 THEN 'history' ELSE 'batch' END AS origin
+        |FROM enc""".stripMargin
     })
 
   /** IVF-PQ composition (Similarity.ivfPqTopK): cell-probed ADC — the
@@ -6258,7 +6291,7 @@ object Queries {
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
-    simPqRerank, simIvfpqTopk,
+    simPqRerank, simIvfpqTopk, simPqIncr,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
     dedupMultimodalIncr)

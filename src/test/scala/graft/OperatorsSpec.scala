@@ -841,7 +841,8 @@ class KmeansIvfSpec extends AnyFunSuite {
       "dedup_semantic_incr",
       // r13: hybrid/RAG IVF twins + the PQ family (codebook literals)
       "text_hybrid_ivf", "pipeline_rag_ivf",
-      "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk"))
+      "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk",
+      "sim_pq_incr"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }
