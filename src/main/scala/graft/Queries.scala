@@ -5998,6 +5998,218 @@ object Queries {
         |FROM r WHERE rank <= 10""".stripMargin
     })
 
+  /** Binary (sign-bit) code table (Similarity.binqEncode, exploded to
+    * (vec_id, w_idx, word) rows — the storable relation): each BIGINT
+    * word packs 32 sign bits, dim/8 bytes per vector instead of 4·dim
+    * float bytes. The oracle re-derives every word as the sum of
+    * 2^((i−1) mod 32) over the word's strictly-positive dims — pinning
+    * the exact bit layout, not just a checksum. */
+  private val simBinqCodes = Q("sim_binq_codes",
+    (s, dir) => Similarity.binqEncode(Tables.embeddings(s, dir))
+      .select(col("vec_id"), posexplode(col("bw")))
+      .select(col("vec_id"), col("pos").cast("int").as("w_idx"),
+        col("col").as("word")),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT vec_id,
+      |    unnest(list_transform(v, (x, i) -> {'i': i, 'x': x}), recursive := true)
+      |  FROM e)
+      |SELECT vec_id, CAST((i - 1) // 32 AS INTEGER) AS w_idx,
+      |  CAST(sum(CASE WHEN x > 0 THEN 1::BIGINT << ((i - 1) % 32)
+      |           ELSE 0::BIGINT END) AS BIGINT) AS word
+      |FROM x GROUP BY 1, 2""".stripMargin))
+
+  /** Hamming top-k over the sign-bit codes (Similarity.binqTopK): the
+    * whole corpus-wide pass reads 16-byte codes and scores each pair as
+    * two xor+POPCNTs (native hamming_l, whole-stage codegen) — never a
+    * stored vector, never a dim-wide dot. Fully DETERMINISTIC with no
+    * trained input, so unlike the PQ/IVF tiers the oracle is static SQL:
+    * DuckDB recounts sign disagreements from the raw vectors (the
+    * identity the packing preserves) and the ranking hash-matches. */
+  private val simBinqTopk = Q("sim_binq_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.binqTopK(Similarity.binqEncode(e),
+        e.where(pmod(col("vec_id"), lit(20)) === 0), k = 10)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+      |s AS (SELECT q.query_id, e.vec_id,
+      |    CAST(list_sum(list_transform(q.qv,
+      |      (x, i) -> CASE WHEN (x > 0) <> (e.v[i] > 0) THEN 1 ELSE 0 END))
+      |      AS INTEGER) AS hamming
+      |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY hamming, vec_id) AS rank FROM s)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+      |  vec_id AS neighbor_id, hamming
+      |FROM r WHERE rank <= 10""".stripMargin), bench = true)
+
+  /** Hamming shortlist + exact re-rank (Similarity.binqTopKRefined): the
+    * binary tier's "+R" — the corpus pass runs on codes (shortlist 50),
+    * then only |queries|×50 vectors are read back for an exact round-4
+    * cosine top-10 (crossTopK's contract). Static oracle end to end. */
+  private val simBinqRerank = Q("sim_binq_rerank",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.binqTopKRefined(Similarity.binqEncode(e), e,
+        e.where(pmod(col("vec_id"), lit(20)) === 0), k = 10, shortlist = 50)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+      |s AS (SELECT q.query_id, e.vec_id,
+      |    CAST(list_sum(list_transform(q.qv,
+      |      (x, i) -> CASE WHEN (x > 0) <> (e.v[i] > 0) THEN 1 ELSE 0 END))
+      |      AS INTEGER) AS hamming
+      |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+      |sl AS (SELECT query_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY hamming, vec_id) AS rank FROM s)
+      |  WHERE rank <= 50),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |  WHERE list_dot_product(v, v) > 0),
+      |qn AS (SELECT vec_id AS query_id, v AS qv,
+      |    sqrt(list_dot_product(v, v)) AS qnrm FROM e
+      |  WHERE vec_id % 20 = 0 AND list_dot_product(v, v) > 0),
+      |x AS (SELECT sl.query_id, sl.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+      |  FROM sl JOIN n ON n.vec_id = sl.vec_id
+      |    JOIN qn ON qn.query_id = sl.query_id),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rank FROM x)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+      |FROM rr WHERE rank <= 10""".stripMargin))
+
+  /** Int8 scalar-quantization top-k (Similarity.sq8Encode + sq8TopK): the
+    * stored row is dim int8 codes + two scale doubles (~4× scan shrink,
+    * the faiss SQ8 layout); the approximate cosine dequantizes the exact
+    * integer code dot with the per-vector scales — every factor
+    * bit-deterministic, so the static oracle re-quantizes from the raw
+    * vectors and hash-matches. */
+  private val simSq8Topk = Q("sim_sq8_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.sq8TopK(Similarity.sq8Encode(e),
+        e.where(pmod(col("vec_id"), lit(20)) === 0), k = 10)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS max_abs,
+      |    sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |  WHERE list_dot_product(v, v) > 0),
+      |c AS (SELECT vec_id,
+      |    list_transform(v, x -> floor(x * 127.0 / max_abs + 0.5)) AS q8,
+      |    max_abs, nrm FROM m),
+      |q AS (SELECT vec_id AS query_id, q8 AS qq8, max_abs AS qmax,
+      |    nrm AS qnrm FROM c WHERE vec_id % 20 = 0),
+      |s AS (SELECT q.query_id, c.vec_id,
+      |    ROUND(list_dot_product(q.qq8, c.q8) * q.qmax * c.max_abs
+      |      / (16129.0 * q.qnrm * c.nrm), 6) + 0.0 AS score
+      |  FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, vec_id) AS rank FROM s)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+      |  vec_id AS neighbor_id, score
+      |FROM r WHERE rank <= 10""".stripMargin))
+
+  /** Residual-trained PQ codebooks (pq_books_resid artifact): trained on
+    * v − c(cell) against the persisted embedding centroids — shares the
+    * pqBooksCache/parquetArtifact posture of the raw-vector books. */
+  private def pqResidBooks(s: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    pqBooksCache.computeIfAbsent((dir, "resid"),
+      _ => Similarity.pqBooksFromDF(
+        parquetArtifact(s, dir, "pq_books_resid_m8_k16", "embeddings")(
+          Similarity.pqBooksToDF(s,
+            Similarity.pqTrainResidual(Tables.embeddings(s, dir),
+              embCentroids(s, dir, "all", Tables.embeddings(s, dir)),
+              m = 8, ksub = 16)))))
+
+  /** Residual IVF-PQ search (Similarity.ivfPqResidualTopK) — the complete
+    * FAISS IVFADC layout: the stored code table is (vec_id, cell, sub,
+    * code) over RESIDUALS v − c(cell) (a persisted artifact, encoded
+    * once), queries probe 3 of the 10 persisted cells and ADC-score with
+    * one exact LUT PER PROBED CELL from their own residual. The derived
+    * oracle re-runs assignment, residuals, encode, probe ranking and ADC
+    * from the two literal sets (centroids + residual codebooks). */
+  private val simIvfpqResidual = Q("sim_ivfpq_residual",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = embCentroids(s, dir, "all", e)
+      val books = pqResidBooks(s, dir)
+      val codes = parquetArtifact(s, dir, "ivfpq_resid_codes_m8_k16_c10",
+        "embeddings")(Similarity.ivfPqResidualEncode(e, cents, books))
+      Similarity.ivfPqResidualTopK(codes,
+        e.where(pmod(col("vec_id"), lit(20)) === 0),
+        cents, books, k = 10, nProbes = 3)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val cents = embCentroids(s, dir, "all", Tables.embeddings(s, dir))
+      val books = pqResidBooks(s, dir)
+      val bookValues = books.zipWithIndex.flatMap { case (cs, sub) =>
+        cs.zipWithIndex.map { case (c, code) =>
+          s"($sub, $code, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+      }.mkString(",\n  ")
+      val centValues = cents.zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""WITH cbv(sub, code, cv) AS (VALUES
+        |  $bookValues),
+        |cb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM cbv),
+        |c2(cell, w) AS (VALUES
+        |  $centValues),
+        |cn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM c2),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |asgn AS (SELECT vec_id, cell FROM (
+        |    SELECT n.vec_id, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.w, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn)
+        |  WHERE crn = 1),
+        |resid AS (SELECT n.vec_id, a.cell,
+        |    list_transform(n.v, (x, i) -> x - cn.w[i]) AS rv
+        |  FROM n JOIN asgn a ON a.vec_id = n.vec_id
+        |    JOIN cn ON cn.cell = a.cell),
+        |sv AS (SELECT vec_id, cell, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(rv, r.range * 8 + 1, r.range * 8 + 8) AS xs
+        |  FROM resid CROSS JOIN range(0, 8) r),
+        |sd AS (SELECT vec_id, cell, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM sv JOIN cb USING (sub)),
+        |enc AS (SELECT vec_id, cell, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2u, code) AS rn FROM sd)
+        |  WHERE rn = 1),
+        |pb AS (SELECT query_id, cell FROM (
+        |    SELECT n.vec_id AS query_id, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(n.v, cn.w) / (n.nrm * cn.cnrm), 6) DESC, cn.cell) AS pr
+        |    FROM n CROSS JOIN cn WHERE n.vec_id % 20 = 0)
+        |  WHERE pr <= 3),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+        |qres AS (SELECT pb.query_id, pb.cell,
+        |    list_transform(q.qv, (x, i) -> x - cn.w[i]) AS rqv
+        |  FROM pb JOIN q ON q.query_id = pb.query_id
+        |    JOIN cn ON cn.cell = pb.cell),
+        |qs AS (SELECT query_id, cell, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(rqv, r.range * 8 + 1, r.range * 8 + 8) AS xs
+        |  FROM qres CROSS JOIN range(0, 8) r),
+        |lut AS (SELECT query_id, cell, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM qs JOIN cb USING (sub)),
+        |sc AS (SELECT l.query_id, enc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+        |  FROM enc JOIN lut l ON l.cell = enc.cell
+        |      AND l.sub = enc.sub AND l.code = enc.code
+        |  WHERE enc.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2u, vec_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+        |  vec_id AS neighbor_id, d2u
+        |FROM r WHERE rank <= 10""".stripMargin
+    })
+
   private val multimodalFeatures = Q("multimodal_features",
     (s, dir) => Multimodal.features(Tables.documents(s, dir)),
     Some("""SELECT doc_id AS asset_id,
@@ -6292,6 +6504,7 @@ object Queries {
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
+    simBinqCodes, simBinqTopk, simBinqRerank, simSq8Topk, simIvfpqResidual,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
     dedupMultimodalIncr)

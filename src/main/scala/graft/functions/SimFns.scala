@@ -30,4 +30,14 @@ object SimFns {
     * k×N cross join (the norms are computed once per side and reused). */
   def cosinePrenormed(dotCol: Column, normA: Column, normB: Column): Column =
     dotCol / (normA * normB)
+
+  /** Hamming distance between two word-packed bit patterns
+    * (`array<bigint>`, 32 sign bits per word — [[graft.operators
+    * .Similarity.binqEncode]]'s layout). Native codegen
+    * ([[graft.plans.HammingL]]): one xor + POPCNT per word in the pair
+    * loop, no per-pair allocation. */
+  def hammingWords(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.HammingL(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
 }

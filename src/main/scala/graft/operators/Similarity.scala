@@ -860,22 +860,31 @@ object Similarity {
     * shuffle of the m·ksub expansion) — at corpus scale THIS is the
     * stored table, m codes per vector instead of D floats. */
   def pqEncode(embeddings: DataFrame,
-      books: Seq[Seq[Array[Double]]]): DataFrame = {
-    val spark = embeddings.sparkSession
+      books: Seq[Seq[Array[Double]]]): DataFrame =
+    pqEncodeCore(preparedVecs(embeddings).select(col("vec_id"), col("v")),
+      books, Nil)
+
+  /** Shared encode body: `prep` carries (vec_id, v) plus any
+    * `extraKeys` that must ride the grouping key to the output without a
+    * rejoin (the [[assignCellsWithCos]] trick — [[ivfPqResidualEncode]]
+    * threads `cell` through this way, so one pass emits the whole stored
+    * row). */
+  private def pqEncodeCore(prep: DataFrame,
+      books: Seq[Seq[Array[Double]]], extraKeys: Seq[String]): DataFrame = {
     val dsub = books.head.head.length
-    val cb = codebookFrame(spark, books)
-    preparedVecs(embeddings)
-      .select(col("vec_id"), col("v"))
+    val cb = codebookFrame(prep.sparkSession, books)
+    val keyCols = col("vec_id") +: extraKeys.map(col)
+    prep
       .crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("sub"), col("code"),
+      .select((keyCols ++ Seq(col("sub"), col("code"),
         d2Micros(slice(col("v"), col("sub") * dsub + lit(1), lit(dsub)),
-          col("cv"), col("cc")).as("d2u"))
+          col("cv"), col("cc")).as("d2u"))): _*)
       // packed lexicographic (d2u, code) min in ONE primitive long:
       // d2u · 2¹⁶ + code (ksub < 2¹⁶ by contract)
-      .groupBy(col("vec_id"), col("sub"))
+      .groupBy((keyCols :+ col("sub")): _*)
       .agg(min(col("d2u") * lit(65536L) + col("code")).as("best"))
-      .select(col("vec_id"), col("sub"),
-        pmod(col("best"), lit(65536L)).cast("int").as("code"))
+      .select((keyCols ++ Seq(col("sub"),
+        pmod(col("best"), lit(65536L)).cast("int").as("code"))): _*)
   }
 
   /** The per-query exact subspace-distance lookup table (query_id, sub,
@@ -972,10 +981,19 @@ object Similarity {
       books: Seq[Seq[Array[Double]]], k: Int, shortlist: Int): DataFrame = {
     val short = pqTopKAdc(codes, queries, books, shortlist)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
-    // same degenerate-input guards as scoreAgainst: zero/null norms are
-    // per-row drops (a null cosine must never rank), and the guards stay
-    // out of the cosine expression so nothing expensive lands in a join
-    // condition
+    exactRerank(short, corpus, queries, k)
+  }
+
+  /** Shared exact-rerank tail of every quantized-search "+R" variant
+    * (Jégou et al. §V): a tiny (query_id, vec_id) shortlist broadcasts
+    * into the corpus, and ONLY those |queries|·shortlist vectors are read
+    * back for a round-4 cosine top-k — [[crossTopK]]'s output contract
+    * from a fraction of its vector reads, one hash-joined corpus scan,
+    * never a second pair loop. Degenerate-input guards are the
+    * [[scoreAgainst]] posture: zero/null norms are per-ROW drops (a null
+    * cosine must never rank) and stay out of any join condition. */
+  private def exactRerank(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val q = preparedVecs(queries).where(col("nrm") > 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -985,5 +1003,226 @@ object Similarity {
     rankTopK(cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
       round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 4)
         .as("cosine")), k)
+  }
+
+  // -------------------------------------------------------------------
+  // Binary (sign-bit) quantization — the 1-bit-per-dimension code tier
+  // -------------------------------------------------------------------
+
+  /** Sign-bit binary encode: (vec_id, bw) where `bw` packs the vector's
+    * sign pattern 32 dimensions per BIGINT word — bit b of word j is set
+    * iff v(32j + b) > 0 (strictly positive, so a zero dimension lands on
+    * the 0 side deterministically in both engines). 32 bits per word ON
+    * PURPOSE: every word value < 2³², so the pack is a plain sum of
+    * disjoint powers of two with no sign-bit edge case anywhere (DuckDB's
+    * `1::BIGINT << 63` overflow and its HUGEINT list_sum promotion both
+    * stay out of play, and the words print/compare as ordinary positive
+    * integers).
+    *
+    * At scale THIS is the stored table: dim/8 bytes per vector (64 dims →
+    * 16 bytes) against 4·dim float bytes — a 16× scan shrink for the
+    * Hamming tier, the classic binary-code ANN layout (Charikar 2002
+    * sign-random-projection simhash, here with the identity basis; the
+    * re-rank twin recovers exact-tier output like Jégou et al.'s "+R").
+    * Encode is HOF-built but runs ONCE per corpus row on the build path,
+    * never in the pair loop — the searches consume the materialized `bw`
+    * attribute. */
+  def binqEncode(embeddings: DataFrame): DataFrame = {
+    val v = col("v")
+    val nWords = ((size(v) + lit(31)) / lit(32)).cast("int")
+    val words = transform(sequence(lit(0), nWords - 1), j =>
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+        val idx = j * lit(32) + b // 0-based dimension index
+        acc + when(idx < size(v) && element_at(v, idx + 1) > lit(0.0),
+          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+      }))
+    preparedVecs(embeddings).select(col("vec_id"), words.as("bw"))
+  }
+
+  /** Hamming top-k over a PRE-ENCODED sign-bit code table: queries
+    * (raw vectors, same id space) encode once, broadcast, and every
+    * corpus code scores as nWords xor+POPCNTs — one native
+    * [[graft.plans.HammingL]] call per pair inside whole-stage codegen,
+    * never a stored-vector read and never a dim-wide dot. The distance
+    * lives in a PROJECTION above the pair join (the [[scoreAgainst]]
+    * discipline: nothing expensive in a join condition). Ranking is
+    * hamming ASC with neighbor-id tie-break — a total order, so the
+    * result is hash-exact against a SQL oracle that recounts sign
+    * disagreements from the raw vectors (the mathematical identity the
+    * packing preserves). Output: (query_id, rank, neighbor_id, hamming).
+    * Self-pairs are excluded by id (the [[bruteTopK]] convention). */
+  def binqTopK(codes: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = binqEncode(queries)
+      .select(col("vec_id").as("query_id"), col("bw").as("qbw"))
+    val scored = codes.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        hammingWords(col("qbw"), col("bw")).as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("hamming"))
+  }
+
+  /** Hamming shortlist + exact re-rank — the binary tier's "+R" variant:
+    * the corpus-wide pass runs on 16-byte codes, then only the
+    * |queries|·shortlist shortlisted vectors are read back for an exact
+    * round-4 cosine top-k ([[crossTopK]]'s contract, via the shared
+    * [[exactRerank]] tail). */
+  def binqTopKRefined(codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    val short = binqTopK(codes, queries, shortlist)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    exactRerank(short, corpus, queries, k)
+  }
+
+  // -------------------------------------------------------------------
+  // Scalar (int8) quantization — the 1-byte-per-dimension code tier
+  // -------------------------------------------------------------------
+
+  /** Int8 scalar-quantization encode: (vec_id, q8, max_abs, nrm) with
+    * q8(i) = floor(v(i)·127/max_abs + 0.5) ∈ [−127, 127] — the
+    * `sim_quantize` floor convention (an explicit `round()` would split
+    * on the engines' different half-boundary algorithms). `max_abs` and
+    * `nrm` ride along as the per-vector dequantization scale: the stored
+    * row is dim bytes of codes + two doubles instead of 4·dim float
+    * bytes (~4× scan shrink; the faiss `SQ8` layout). Zero vectors
+    * (max_abs = 0 ⇒ the quantizer divides by zero) are dropped per-row —
+    * the [[scoreAgainst]] degenerate-input posture. */
+  def sq8Encode(embeddings: DataFrame): DataFrame = {
+    val p = Stage(preparedVecs(embeddings).where(col("nrm") > 0),
+      "max_abs", array_max(transform(col("v"), x => abs(x))))
+    p.select(col("vec_id"),
+      transform(col("v"),
+        x => floor(x * lit(127.0) / col("max_abs") + lit(0.5)).cast("int"))
+        .as("q8"),
+      col("max_abs"), col("nrm"))
+  }
+
+  /** Top-k over a PRE-ENCODED int8 code table: the integer code dot is
+    * exact in double arithmetic (|Σ q8ᵢ·c8ᵢ| ≤ dim·127² ≪ 2⁵³), and the
+    * approximate cosine dequantizes it with the stored per-vector scales:
+    * round(idot·qmax·cmax / (127²·qnrm·cnrm), 6) — every factor
+    * bit-deterministic, so the ranking (score DESC, neighbor-id
+    * tie-break) hash-matches a SQL oracle that re-quantizes from the raw
+    * vectors. The code arrays are cast to double ONCE per row below the
+    * pair join (transient — the stored table keeps the int codes);
+    * per-pair work is the same dim-wide dot as the exact tier, so the
+    * win is the 4× scan/storage shrink, not flops — the compute-cutting
+    * tiers are PQ/ADC and the binary Hamming scan. Self-pairs excluded
+    * by id. Output: (query_id, rank, neighbor_id, score). */
+  def sq8TopK(codes: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = codes.select(col("vec_id"), toDouble(col("q8")).as("q8d"),
+      col("max_abs"), col("nrm"))
+    val q = sq8Encode(queries).select(col("vec_id").as("query_id"),
+      toDouble(col("q8")).as("qq8d"), col("max_abs").as("qmax"),
+      col("nrm").as("qnrm"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qq8d"), col("q8d")) * col("qmax") * col("max_abs") /
+          (lit(16129.0) * col("qnrm") * col("nrm")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("score"))
+  }
+
+  // -------------------------------------------------------------------
+  // Residual IVF-PQ — codes quantize (v − centroid), the full IVFADC
+  // -------------------------------------------------------------------
+
+  /** (vec_id, cell, embedding) where `embedding` is the RESIDUAL
+    * v − c(cell) against the trained centroids — the frame the residual
+    * PQ family trains and encodes on (Jégou et al. §III-B: quantizing
+    * residuals re-centers every cell's point cloud on the origin, so one
+    * codebook set spends its 2^bits on local detail instead of on global
+    * position — the recall gap [[ivfPqTopK]]'s scaladoc concedes).
+    * Centroids are round-6 literals and the subtraction is exact IEEE,
+    * so residuals are bit-deterministic cross-engine. */
+  private[operators] def residualFrame(corpus: DataFrame,
+      cents: Seq[Array[Double]]): DataFrame = {
+    val cdf = centroidFrame(corpus.sparkSession, cents)
+    assignCells(preparedVecs(corpus), cdf)
+      .join(broadcast(cdf.select(col("cell"), col("cv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
+  }
+
+  /** Train PQ codebooks on the RESIDUALS of a corpus against trained
+    * centroids — [[pqTrain]] over [[residualFrame]] (same bounded
+    * deterministic sample, same Lloyd rounds; the codebooks a derived
+    * oracle can interpolate as literals). */
+  def pqTrainResidual(corpus: DataFrame, cents: Seq[Array[Double]],
+      m: Int = 8, ksub: Int = 16, iters: Int = 4,
+      maxSample: Int = 2048): Seq[Seq[Array[Double]]] =
+    pqTrain(residualFrame(corpus, cents).select(col("vec_id"), col("embedding")),
+      m, ksub, iters, maxSample)
+
+  /** Residual IVF-PQ ENCODE — one pass producing the stored code table
+    * (vec_id, cell, sub, code): cell assignment against the trained
+    * centroids plus PQ codes of the RESIDUAL v − c(cell) against the
+    * residual-trained codebooks. At scale this runs once and persists
+    * (the [[pqEncode]] posture); [[ivfPqResidualTopK]] searches the
+    * stored table and never touches a corpus vector. */
+  def ivfPqResidualEncode(corpus: DataFrame, cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]]): DataFrame =
+    pqEncodeCore(residualFrame(corpus, cents)
+      .select(col("vec_id"), col("cell"), col("embedding").as("v")),
+      books, Seq("cell"))
+
+  /** Residual-encoded IVF-PQ search over a PRE-ENCODED
+    * [[ivfPqResidualEncode]] table — the COMPLETE FAISS IVFADC layout
+    * ([[ivfPqTopK]] plus the residual encoding it documents as missing):
+    * the code table is still m ints per vector, it just means "offset
+    * from my centroid" instead of "absolute position". A query probes
+    * its `nProbes` nearest cells and
+    * builds one exact LUT PER PROBED CELL from its own residual
+    * q − c(cell) — |queries|·nProbes·m·ksub rows, still tiny, still
+    * broadcast. ADC distance is then ‖(q − c) − code‖² = ‖q − (c +
+    * code)‖², the true distance to the reconstructed vector, which is
+    * what buys residual PQ its recall at equal code budget. Neither
+    * search step reads a corpus vector; scan fraction ≈ nProbes/|cells|
+    * of the code table. Deterministic end to end (round-6 cosine probes
+    * and centroids, integer micro-L2 ADC) ⇒ oracle-checkable from the two
+    * literal sets. */
+  def ivfPqResidualTopK(codes: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      k: Int, nProbes: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val cdf = centroidFrame(spark, cents)
+    val dsub = books.head.head.length
+    val cb = codebookFrame(spark, books)
+    // nProbes nearest cells per query (round-6 cosine, min-cell
+    // tie-break — the ivfPqTopK probe order), KEEPING qv for the
+    // per-cell residual below
+    val probes = preparedVecs(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("ccos", round(
+        cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell"))))
+      .where(col("pr") <= nProbes)
+      .select(col("query_id"), col("cell"), col("qv"))
+    // per-(query, probed cell) residual LUT — the one structural
+    // difference from the shared adcLut: the query's residual differs
+    // per cell, so the LUT key grows a cell column
+    val lut = probes
+      .join(broadcast(cdf.select(col("cell"), col("cv").as("ccv"))), "cell")
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("qres"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        d2Micros(slice(col("qres"), col("sub") * dsub + lit(1), lit(dsub)),
+          col("cv"), col("cc")).as("d2u"))
+    // a corpus row lives in ONE cell and probed cells are distinct, so a
+    // (query, vec) pair joins at most once — no dedup needed
+    rankAdc(codes.join(broadcast(lut), Seq("cell", "sub", "code")), k)
   }
 }

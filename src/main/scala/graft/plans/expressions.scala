@@ -214,6 +214,72 @@ case class SumAbsDiffL(left: Expression, right: Expression)
       newRight: Expression): SumAbsDiffL = copy(left = newLeft, right = newRight)
 }
 
+/** `hamming_l(a, b)` — Hamming distance between two bit patterns packed
+  * into `array<bigint>` words: Σ popcount(aᵢ xor bᵢ). The pair kernel of
+  * the sign-bit (binary-quantization) search tier: per query×code pair it
+  * is one xor + one POPCNT per word instead of a dim-wide dot product.
+  * Native for the same reason as [[DotProductD]] — this runs in the
+  * innermost |corpus|×|queries| loop, and a `zip_with`/`aggregate` fold is
+  * `CodegenFallback` with a per-pair intermediate array. One primitive
+  * loop in whole-stage codegen (`Long.bitCount` compiles to the POPCNT
+  * instruction on every x86-64/aarch64 JIT). Null on length mismatch or
+  * null element — mirrors the fold's semantics; a mismatched code table
+  * surfaces as null (dropped by ranking) rather than a partial count. */
+case class HammingL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_l"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(LongType, _),
+            org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hamming_l requires array<bigint> on both sides, " +
+            s"got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ac, bc) => {
+      val (n, i, acc) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("acc"))
+      s"""
+        |int $n = $ac.numElements();
+        |if ($n != $bc.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $acc = 0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($ac.isNullAt($i) || $bc.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $acc += java.lang.Long.bitCount($ac.getLong($i) ^ $bc.getLong($i));
+        |  }
+        |  ${ev.value} = $acc;
+        |}
+        |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HammingL = copy(left = newLeft, right = newRight)
+}
+
 /** `american_to_decimal(x)` — American → decimal (European) odds:
   * x > 0 ⇒ 1 + x/100, x < 0 ⇒ 1 + 100/(−x). */
 case class AmericanToDecimal(child: Expression) extends UnaryExpression {

@@ -585,6 +585,81 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head == ((1L, 0L)), s"twin must rank first at distance 0: ${top.toSeq}")
   }
 
+  test("binq: 32-bit word layout pinned bit-for-bit (incl. a partial " +
+      "second word); DataFrame hamming (codegen) == sign-disagreement count") {
+    // dim 34 forces TWO words with a partial second word
+    val a = Array.tabulate(34)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val b = Array.tabulate(34)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((0L, a), (1L, b)).toDF("vec_id", "embedding")
+    val codes = Similarity.binqEncode(df).orderBy("vec_id")
+      .as[(Long, Seq[Long])].collect()
+    def words(v: Array[Float]): Seq[Long] = {
+      val nw = (v.length + 31) / 32
+      (0 until nw).map { j =>
+        (0 until 32).foldLeft(0L) { (acc, bit) =>
+          val idx = j * 32 + bit
+          if (idx < v.length && v(idx) > 0) acc | (1L << bit) else acc
+        }
+      }
+    }
+    assert(codes(0)._2 == words(a) && codes(1)._2 == words(b))
+    val naive = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+    val h = Similarity.binqTopK(Similarity.binqEncode(df),
+        df.where(col("vec_id") === 0L), k = 1)
+      .select("hamming").as[Int].head()
+    assert(h == naive, s"codegen hamming $h != naive $naive")
+  }
+
+  test("sq8: codes bounded with the extreme dim at ±127; zero vectors " +
+      "drop per-row; top-1 agrees with the exact tier on a separated corpus") {
+    val df = Seq(
+      (0L, Array(0.5f, -1.0f)),
+      (1L, Array(0.0f, 0.0f)), // zero vector: quantizer has no scale — drops
+      (2L, Array(0.4f, -0.9f)),
+      (3L, Array(-0.9f, 0.4f))).toDF("vec_id", "embedding")
+    val codes = Similarity.sq8Encode(df)
+    assert(codes.where(col("vec_id") === 1L).count() == 0)
+    val c0 = codes.where(col("vec_id") === 0L)
+      .select("q8").as[Seq[Int]].head()
+    assert(c0 == Seq(64, -127), s"floor(x·127/max_abs + 0.5): $c0")
+    val top = Similarity.sq8TopK(codes, df.where(col("vec_id") === 0L), k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(2L, 3L),
+      s"quantized ranking must preserve the separated order: ${top.toSeq}")
+  }
+
+  test("residual IVF-PQ: the exact twin ranks first and STRICTLY below " +
+      "every other candidate; nProbes=1 returns only same-cell neighbors") {
+    val dupes = Seq(
+      (0L, Array(1.0f, 0f, 0f, 1.0f)),
+      (1L, Array(1.0f, 0f, 0f, 1.0f)), // exact twin of 0
+      (2L, Array(0f, 1.0f, 1.0f, 0f)),
+      (3L, Array(0f, 0.5f, 0.5f, 0f)),
+      (4L, Array(0.5f, 0f, 0f, 0.5f))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroidArrays(dupes, nCells = 2)
+    val books = Similarity.pqTrainResidual(dupes, cents, m = 2, ksub = 4)
+    val codes = Similarity.ivfPqResidualEncode(dupes, cents, books)
+    // every vector carries exactly m codes plus its cell
+    assert(codes.groupBy("vec_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 2))
+    val q0 = dupes.where(col("vec_id") === 0L)
+    val both = Similarity.ivfPqResidualTopK(codes, q0, cents, books,
+        k = 4, nProbes = 2)
+      .orderBy("rank").select("neighbor_id", "d2u").as[(Long, Long)].collect()
+    assert(both.head._1 == 1L, s"twin must rank first: ${both.toSeq}")
+    assert(both.length < 2 || both.head._2 < both(1)._2,
+      s"twin must be STRICTLY nearest (same cell, same codes as the " +
+        s"query's own residual): ${both.toSeq}")
+    // nProbes=1 prunes to the query's own cell — neighbors must all share it
+    val cellOf = codes.select("vec_id", "cell").distinct()
+      .as[(Long, Int)].collect().toMap
+    val one = Similarity.ivfPqResidualTopK(codes, q0, cents, books,
+        k = 4, nProbes = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(one.nonEmpty && one.forall(n => cellOf(n) == cellOf(0L)),
+      s"nProbes=1 must stay in cell ${cellOf(0L)}: ${one.toSeq}")
+  }
+
   test("ivf top-k searches only the query's cell") {
     val out = Similarity.ivfTopK(vecs, k = 3, stride = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
@@ -842,7 +917,7 @@ class KmeansIvfSpec extends AnyFunSuite {
       // r13: hybrid/RAG IVF twins + the PQ family (codebook literals)
       "text_hybrid_ivf", "pipeline_rag_ivf",
       "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk",
-      "sim_pq_incr"))
+      "sim_pq_incr", "sim_ivfpq_residual"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }

@@ -15,6 +15,16 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  /** Count-pinned tests must build their plans from a CLEAN cache: suites
+    * sharing this JVM leave CacheManager entries (persisted chunk/postings
+    * frames, artifact builds), and a pinned query that substitutes a
+    * leftover InMemoryRelation prints that entry's cached build subtree —
+    * inflating scan/exchange counts nondeterministically (observed: the
+    * same suite order passing and failing across runs as GC/ContextCleaner
+    * timing shifted which entries were still resident). Clearing first
+    * reproduces the fresh-JVM state PinProbe measures ceilings in. */
+  private def cleanCache(): Unit = spark.catalog.clearCache()
+
   private def shuffleCount(p: String): Int =
     "Exchange hashpartitioning".r.findAllIn(p).length
 
@@ -43,6 +53,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("bench board: exchange/scan counts pinned per query (duplicate-subtree guard)") {
+    cleanCache()
     // The regression class this catches (it has bitten three times: minhash
     // bands, multimodal signatures, collocations/familiarity — VERDICT r8
     // #7): an un-staged shared subtree silently duplicating, which shows up
@@ -100,7 +111,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // becomes a broadcast hash join on bucket (keys are narrow
       // projections — no extra exchange)
       "text_hybrid_lsh" -> (9, 4),
-      "pipeline_rag_retrieval" -> (13, 4))
+      "pipeline_rag_retrieval" -> (13, 4),
+      // r13 binary tier: corpus-code build scan + query encode scan feed
+      // one pair loop; the only exchange is the rank window
+      "sim_binq_topk" -> (1, 2))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
@@ -123,6 +137,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("sim family: no expensive expression (dot_d) in any join condition") {
+    cleanCache()
     // The regression class this catches (VERDICT r12 #1): a per-pair
     // filter over an aliased projection of the cosine — Catalyst
     // substitutes the alias and pushes the predicate into the join
@@ -135,18 +150,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_cross_ivf_topk", "text_hybrid_topk", "text_hybrid_lsh",
       "text_hybrid_lsh4", "text_hybrid_ivf",
       "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk",
+      "sim_binq_topk", "sim_binq_rerank", "sim_sq8_topk",
+      "sim_ivfpq_residual",
       "pipeline_decontam_topk", "pipeline_rag_retrieval")
     val failures = names.flatMap { name =>
       val p = plan(Queries.queries(name)(spark, sf))
       p.linesIterator.filter(l =>
           l.contains("Join") || l.contains("CartesianProduct"))
-        .filter(_.contains("dot_d"))
-        .map(l => s"$name: dot_d inside a join condition:\n  ${l.trim}")
+        .filter(l => l.contains("dot_d") || l.contains("hamming_l"))
+        .map(l => s"$name: pair kernel inside a join condition:\n  ${l.trim}")
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("round-10 queries: exchange/scan counts pinned (duplicate-subtree guard)") {
+    cleanCache()
     // Same contract as the bench-board pin above, for the round-10
     // additions (not on the bench board, so not auto-covered there).
     // dedup_survivor_quality builds its cluster frame EAGERLY (the
@@ -190,6 +208,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("line-cleaning + retrieval families: exchange/scan counts pinned " +
       "(duplicate-subtree guard)") {
+    cleanCache()
     // Same contract as the round-10 pin above. Shapes, by design:
     //  - clean_lines / line_dedup: NARROW (0 exchanges, 1 scan);
     //  - boilerplate / page_clean: the CCNet two-pass shape — frequency
@@ -255,6 +274,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("round-11 queries: exchange/scan counts pinned (duplicate-subtree guard)") {
+    cleanCache()
     // Same contract as the bench-board pin. Shapes, briefly:
     //  - positional_incr: 3 batch positional-index aggregates + the
     //    N-way merge + the phrase core's start-keyed countDistinct pair

@@ -393,3 +393,49 @@ object PrefixSumProps extends Properties("PrefixSumI") {
       else ints(out) == xs.flatten.scanLeft(0)(_ + _).drop(1)
     }
 }
+
+object HammingProps extends Properties("HammingL") {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeArrayData}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  // interpreted-eval the pair kernel directly (the codegen path is pinned
+  // against the DataFrame search results in SimilaritySpec)
+  private def run(a: ArrayData, b: ArrayData): Any =
+    graft.plans.HammingL(
+      BoundReference(0, ArrayType(LongType, containsNull = true), nullable = true),
+      BoundReference(1, ArrayType(LongType, containsNull = true), nullable = true))
+      .eval(InternalRow(a, b))
+
+  private def arr(xs: Seq[Long]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+
+  property("kernel == per-word popcount-of-xor fold") =
+    forAll(Gen.listOf(Gen.zip(Gen.long, Gen.long))) { ps =>
+      val (as, bs) = ps.unzip
+      run(arr(as), arr(bs)) ==
+        ps.map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    }
+
+  property("triangle inequality over word arrays (it IS a metric)") =
+    forAll(Gen.chooseNum(0, 4).flatMap(n => Gen.zip(
+      Gen.listOfN(n, Gen.long), Gen.listOfN(n, Gen.long),
+      Gen.listOfN(n, Gen.long)))) { case (as, bs, cs) =>
+      val (ab, bc, ac) = (run(arr(as), arr(bs)).asInstanceOf[Int],
+        run(arr(bs), arr(cs)).asInstanceOf[Int],
+        run(arr(as), arr(cs)).asInstanceOf[Int])
+      ac <= ab + bc
+    }
+
+  property("length mismatch and null elements yield NULL, never a " +
+      "partial count") =
+    forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (as, bs) =>
+      val mismatched = run(arr(as), arr(bs))
+      val withNull = run(
+        new GenericArrayData((as.map(java.lang.Long.valueOf) :+ null).toArray[Any]),
+        new GenericArrayData((bs.map(java.lang.Long.valueOf) :+ java.lang.Long.valueOf(0L)).toArray[Any]))
+      (if (as.length != bs.length) mismatched == null
+       else mismatched != null) && (as.length != bs.length || withNull == null)
+    }
+}
