@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Dev measurement: recall@10 vs the exact brute ranking for the
+  * round-13 quantized tiers — binary (sign-bit Hamming) with and without
+  * exact re-rank, int8 scalar quantization, and residual IVF-PQ against
+  * the raw-vector IVF-PQ at the SAME (m, ksub, nProbes) budget (the
+  * residual claim is precisely "more recall for the same code bytes").
+  * The oracles prove determinism; this is the honesty row behind the
+  * quality claims in NOTES. `runMain graft.ProfileQuant [sfDir]`. */
+object ProfileQuant {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.where(pmod(col("vec_id"), lit(20)) === 0)
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val brute = pairs(Similarity.bruteTopK(e, k = 10, stride = 20))
+    def recall(s: Set[(Long, Long)]): Double =
+      (s intersect brute).size.toDouble / brute.size
+
+    // --- binary (sign-bit) tier: 16 bytes/vec, popcount pair kernel ---
+    val bcodes = Similarity.binqEncode(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bcodes.count()
+    val (bq, tB) = timed(pairs(Similarity.binqTopK(bcodes, queries, k = 10)))
+    println(f"[binq] hamming@10 recall=${recall(bq)}%.3f search=$tB%.2fs " +
+      "(16 B/vec vs 256 B)")
+    for (short <- Seq(50, 200)) {
+      val (br, t) = timed(pairs(
+        Similarity.binqTopKRefined(bcodes, e, queries, k = 10, short)))
+      println(f"[binq] +rerank@$short recall=${recall(br)}%.3f " +
+        f"search=$t%.2fs")
+    }
+    bcodes.unpersist(false)
+
+    // --- int8 scalar quantization: 64 B/vec, same flop count ---
+    val scodes = Similarity.sq8Encode(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scodes.count()
+    val (sq, tS) = timed(pairs(Similarity.sq8TopK(scodes, queries, k = 10)))
+    println(f"[sq8] dequantized-cosine@10 recall=${recall(sq)}%.3f " +
+      f"search=$tS%.2fs (64 B/vec + 2 doubles vs 256 B)")
+    scodes.unpersist(false)
+
+    // --- residual vs raw IVF-PQ at the SAME budget ---
+    val cents = Similarity.kmeansCentroidArrays(e, nCells = 10)
+    val rawBooks = Similarity.pqTrain(e, m = 8, ksub = 16)
+    val resBooks = Similarity.pqTrainResidual(e, cents, m = 8, ksub = 16)
+    val resCodes = Similarity.ivfPqResidualEncode(e, cents, resBooks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    resCodes.count()
+    for (p <- Seq(2, 3, 10)) {
+      val (raw, tRaw) = timed(pairs(
+        Similarity.ivfPqTopK(e, queries, cents, rawBooks, k = 10, nProbes = p)))
+      val (res, tRes) = timed(pairs(
+        Similarity.ivfPqResidualTopK(resCodes, queries, cents, resBooks,
+          k = 10, nProbes = p)))
+      println(f"[ivfpq] nProbes=$p raw recall=${recall(raw)}%.3f " +
+        f"($tRaw%.2fs)  residual recall=${recall(res)}%.3f ($tRes%.2fs)")
+    }
+    resCodes.unpersist(false)
+    spark.stop()
+  }
+}

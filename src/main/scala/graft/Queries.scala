@@ -6210,6 +6210,41 @@ object Queries {
         |FROM r WHERE rank <= 10""".stripMargin
     })
 
+  /** WIDE-layout twin of sim_pq_topk (Similarity.pqCodesWide +
+    * pqTopKAdcWide): one array<int> code row per vector, the query LUT
+    * flattened to a broadcast array, and each pair scored by ONE native
+    * adc_sum_l (m loads+adds) — no per-(query, vec) re-aggregation of m
+    * joined rows, which is what dominates the narrow search at sf1
+    * (NOTES r13 measurements). Bit-identical results ⇒ the SAME derived
+    * oracle as the narrow twin. */
+  private val simPqTopkWide = Q("sim_pq_topk_wide",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopKAdcWide(
+        Similarity.pqCodesWide(Similarity.pqEncode(e, pqBooks(s, dir))),
+        e.where(pmod(col("vec_id"), lit(20)) === 0), pqBooks(s, dir), k = 10)
+    },
+    None, oracleFn = simPqTopk.oracleFn)
+
+  /** WIDE-layout twin of sim_ivfpq_residual: the stored code artifact
+    * reshapes to (vec_id, cell, codes) once at load, per-probe LUTs
+    * collapse to broadcast arrays, and the cell equi-join + one
+    * adc_sum_l per pair replaces the narrow join + 8-rows-per-pair
+    * aggregate. Same derived oracle — results are bit-identical. */
+  private val simIvfpqResidualWide = Q("sim_ivfpq_residual_wide",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = embCentroids(s, dir, "all", e)
+      val books = pqResidBooks(s, dir)
+      val codes = parquetArtifact(s, dir, "ivfpq_resid_codes_m8_k16_c10",
+        "embeddings")(Similarity.ivfPqResidualEncode(e, cents, books))
+      Similarity.ivfPqResidualTopKWide(
+        Similarity.pqCodesWide(codes, Seq("cell")),
+        e.where(pmod(col("vec_id"), lit(20)) === 0),
+        cents, books, k = 10, nProbes = 3)
+    },
+    None, oracleFn = simIvfpqResidual.oracleFn)
+
   private val multimodalFeatures = Q("multimodal_features",
     (s, dir) => Multimodal.features(Tables.documents(s, dir)),
     Some("""SELECT doc_id AS asset_id,
@@ -6505,6 +6540,7 @@ object Queries {
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
     simBinqCodes, simBinqTopk, simBinqRerank, simSq8Topk, simIvfpqResidual,
+    simPqTopkWide, simIvfpqResidualWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
     dedupMultimodalIncr)

@@ -40,4 +40,12 @@ object SimFns {
     org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.HammingL(
       org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
       org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
+
+  /** ADC lookup sum over the wide PQ layout ([[graft.plans.AdcSumL]]):
+    * `codes` the vector's m codes (`array<int>`), `lut` the query's
+    * flattened sub-major m×ksub distance table (`array<bigint>`). */
+  def adcSum(codes: Column, lut: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.AdcSumL(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(codes),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(lut)))
 }

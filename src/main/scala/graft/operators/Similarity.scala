@@ -931,6 +931,58 @@ object Similarity {
       books: Seq[Seq[Array[Double]]], k: Int): DataFrame =
     rankAdc(codes.join(broadcast(adcLut(queries, books)), Seq("sub", "code")), k)
 
+  /** Narrow (vec_id[, keys…], sub, code) code table → WIDE layout: one
+    * row per vector with its m codes as `array<int>` in sub order (the
+    * FAISS contiguous-codes layout). `extraKeys` ride the grouping key
+    * ([[pqEncodeCore]]'s contract — `cell` for the IVF-PQ tables). The
+    * wide row is what a 100 TB deployment stores: scoring reads ONE row
+    * per vector and the ADC sum is m primitive loads ([[graft.plans
+    * .AdcSumL]]) instead of m joined rows re-aggregated per pair —
+    * measured at sf1 the narrow aggregate dominates the whole search. */
+  def pqCodesWide(codes: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
+    val keyCols = col("vec_id") +: extraKeys.map(col)
+    codes.groupBy(keyCols: _*)
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select((keyCols :+
+        transform(col("sc"), x => x.getField("code")).as("codes")): _*)
+  }
+
+  /** The per-query LUT of [[adcLut]] flattened sub-major to ONE
+    * `array<bigint>` row per query (entry sub·ksub + code), ready for
+    * the [[graft.plans.AdcSumL]] kernel. `extraKeys` as above (`cell`
+    * for the per-probe residual LUTs). */
+  private def adcLutWideFrom(lut: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keyCols = col("query_id") +: extraKeys.map(col)
+    lut.groupBy(keyCols: _*)
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("code"), col("d2u")))).as("scl"))
+      .select((keyCols :+
+        transform(col("scl"), x => x.getField("d2u")).as("lut")): _*)
+  }
+
+  /** [[pqTopKAdc]] over the WIDE layout — bit-identical results, one
+    * row and one `adc_sum_l` call per scored pair: the query side
+    * collapses its LUT to a broadcast array, every corpus row scores as
+    * m loads+adds inside whole-stage codegen, and the only aggregate
+    * left is the rank window (the narrow path's per-(query, vec)
+    * re-aggregation of m joined rows is gone — THE sf1 bottleneck).
+    * Same contract: (query_id, rank, neighbor_id, d2u). */
+  def pqTopKAdcWide(codesWide: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Array[Double]]], k: Int): DataFrame = {
+    val q = adcLutWideFrom(adcLut(queries, books))
+    val scored = codesWide.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcSum(col("codes"), col("lut")).as("d2u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2u").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("d2u"))
+  }
+
   /** IVF-PQ: the two index structures COMPOSED (the FAISS IVFADC layout,
     * minus residual encoding — codes here quantize the raw vectors, the
     * honest trade for keeping one code table shared with [[pqTopKAdc]]):
@@ -1190,16 +1242,19 @@ object Similarity {
     * of the code table. Deterministic end to end (round-6 cosine probes
     * and centroids, integer micro-L2 ADC) ⇒ oracle-checkable from the two
     * literal sets. */
-  def ivfPqResidualTopK(codes: DataFrame, queries: DataFrame,
-      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
-      k: Int, nProbes: Int = 2): DataFrame = {
+  /** The per-(query, probed cell) residual ADC LUT shared by both
+    * residual search layouts: nProbes nearest cells per query (round-6
+    * cosine, min-cell tie-break — the ivfPqTopK probe order), then one
+    * exact subspace-distance table per probe from the query's OWN
+    * residual q − c(cell) — the one structural difference from the
+    * shared [[adcLut]]: the query's residual differs per cell, so the
+    * LUT key grows a cell column. */
+  private def residualAdcLut(queries: DataFrame, cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]], nProbes: Int): DataFrame = {
     val spark = queries.sparkSession
     val cdf = centroidFrame(spark, cents)
     val dsub = books.head.head.length
     val cb = codebookFrame(spark, books)
-    // nProbes nearest cells per query (round-6 cosine, min-cell
-    // tie-break — the ivfPqTopK probe order), KEEPING qv for the
-    // per-cell residual below
     val probes = preparedVecs(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -1210,10 +1265,7 @@ object Similarity {
         .orderBy(col("ccos").desc, col("cell"))))
       .where(col("pr") <= nProbes)
       .select(col("query_id"), col("cell"), col("qv"))
-    // per-(query, probed cell) residual LUT — the one structural
-    // difference from the shared adcLut: the query's residual differs
-    // per cell, so the LUT key grows a cell column
-    val lut = probes
+    probes
       .join(broadcast(cdf.select(col("cell"), col("cv").as("ccv"))), "cell")
       .select(col("query_id"), col("cell"),
         zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("qres"))
@@ -1221,8 +1273,38 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
         d2Micros(slice(col("qres"), col("sub") * dsub + lit(1), lit(dsub)),
           col("cv"), col("cc")).as("d2u"))
+  }
+
+  def ivfPqResidualTopK(codes: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      k: Int, nProbes: Int = 2): DataFrame = {
+    val lut = residualAdcLut(queries, cents, books, nProbes)
     // a corpus row lives in ONE cell and probed cells are distinct, so a
     // (query, vec) pair joins at most once — no dedup needed
     rankAdc(codes.join(broadcast(lut), Seq("cell", "sub", "code")), k)
+  }
+
+  /** [[ivfPqResidualTopK]] over the WIDE layout
+    * ([[pqCodesWide]](codes, Seq("cell"))) — bit-identical results: the
+    * per-(query, probed cell) LUTs collapse to broadcast arrays, the
+    * cell equi-join restricts pairs to probed cells, and each surviving
+    * pair costs one `adc_sum_l` (m loads+adds) instead of m joined rows
+    * plus the 20M-group re-aggregation that dominates the narrow path
+    * at sf1. */
+  def ivfPqResidualTopKWide(codesWide: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      k: Int, nProbes: Int = 2): DataFrame = {
+    val lutWide = adcLutWideFrom(
+      residualAdcLut(queries, cents, books, nProbes), Seq("cell"))
+    val scored = codesWide.join(broadcast(lutWide), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcSum(col("codes"), col("lut")).as("d2u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2u").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("d2u"))
   }
 }

@@ -280,6 +280,85 @@ case class HammingL(left: Expression, right: Expression)
       newRight: Expression): HammingL = copy(left = newLeft, right = newRight)
 }
 
+/** `adc_sum_l(codes, lut)` — asymmetric-distance lookup sum, the PQ
+  * search kernel over the WIDE code layout: codes is the vector's m PQ
+  * codes (`array<int>`), lut the query's flattened m×ksub subspace
+  * distance table (`array<bigint>`, laid out sub-major: entry
+  * sub·ksub + code), and the result Σ_sub lut[sub·ksub + codes[sub]]
+  * — m primitive loads + adds per query×vector pair, replacing the
+  * narrow layout's m joined rows per pair and their (query, vec)
+  * re-aggregation (measured: the narrow ADC aggregate dominates the
+  * sf1 searches). ksub is `lut.length / codes.length`; null on empty or
+  * non-divisible shapes, null elements, or an out-of-range code — a
+  * mismatched codes/books pairing must surface as null (dropped by
+  * ranking), never as a garbage distance. */
+case class AdcSumL(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_sum_l"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(IntegerType, _),
+            org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_sum_l requires (array<int> codes, array<bigint> lut), " +
+            s"got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(cv: Any, lv: Any): Any = {
+    val c = cv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val l = lv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = c.numElements()
+    if (m == 0 || l.numElements() % m != 0) return null
+    val ksub = l.numElements() / m
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      if (c.isNullAt(s)) return null
+      val code = c.getInt(s)
+      if (code < 0 || code >= ksub) return null
+      val idx = s * ksub + code
+      if (l.isNullAt(idx)) return null
+      acc += l.getLong(idx)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cc, lc) => {
+      val (m, ksub, s, acc, code, idx) = (ctx.freshName("m"),
+        ctx.freshName("ksub"), ctx.freshName("s"), ctx.freshName("acc"),
+        ctx.freshName("code"), ctx.freshName("idx"))
+      s"""
+        |int $m = $cc.numElements();
+        |if ($m == 0 || $lc.numElements() % $m != 0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $ksub = $lc.numElements() / $m;
+        |  long $acc = 0L;
+        |  for (int $s = 0; $s < $m; $s++) {
+        |    if ($cc.isNullAt($s)) { ${ev.isNull} = true; break; }
+        |    int $code = $cc.getInt($s);
+        |    if ($code < 0 || $code >= $ksub) { ${ev.isNull} = true; break; }
+        |    int $idx = $s * $ksub + $code;
+        |    if ($lc.isNullAt($idx)) { ${ev.isNull} = true; break; }
+        |    $acc += $lc.getLong($idx);
+        |  }
+        |  ${ev.value} = $acc;
+        |}
+        |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcSumL = copy(left = newLeft, right = newRight)
+}
+
 /** `american_to_decimal(x)` — American → decimal (European) odds:
   * x > 0 ⇒ 1 + x/100, x < 0 ⇒ 1 + 100/(−x). */
 case class AmericanToDecimal(child: Expression) extends UnaryExpression {

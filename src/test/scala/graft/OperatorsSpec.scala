@@ -585,6 +585,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head == ((1L, 0L)), s"twin must rank first at distance 0: ${top.toSeq}")
   }
 
+  test("wide ADC layout is bit-identical to the narrow path — flat PQ " +
+      "and residual IVF-PQ both, including probe pruning") {
+    val dim8 = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 1.0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0.1f, 0.9f)),
+      (2L, Array(0f, 1.0f, 0f, 0f, 0f, 1.0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1.0f, 0f, 1.0f, 0f, 0f, 0f)),
+      (4L, Array(0f, 0.9f, 0.1f, 0f, 0.1f, 0.9f, 0f, 0f)),
+      (5L, Array(0.2f, 0.2f, 0.6f, 0f, 0.6f, 0.2f, 0.2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val qs = dim8.where(col("vec_id") % 2 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Long)].collect().toSeq
+    val books = Similarity.pqTrain(dim8, m = 2, ksub = 4, maxSample = 100)
+    val narrow = Similarity.pqEncode(dim8, books)
+    assert(rows(Similarity.pqTopKAdcWide(Similarity.pqCodesWide(narrow),
+        qs, books, k = 3)) ==
+      rows(Similarity.pqTopKAdc(narrow, qs, books, k = 3)))
+    val cents = Similarity.kmeansCentroidArrays(dim8, nCells = 2)
+    val rBooks = Similarity.pqTrainResidual(dim8, cents, m = 2, ksub = 4)
+    val rCodes = Similarity.ivfPqResidualEncode(dim8, cents, rBooks)
+    for (p <- Seq(1, 2)) {
+      assert(rows(Similarity.ivfPqResidualTopKWide(
+          Similarity.pqCodesWide(rCodes, Seq("cell")), qs, cents, rBooks,
+          k = 3, nProbes = p)) ==
+        rows(Similarity.ivfPqResidualTopK(rCodes, qs, cents, rBooks,
+          k = 3, nProbes = p)),
+        s"wide != narrow at nProbes=$p")
+    }
+  }
+
   test("binq: 32-bit word layout pinned bit-for-bit (incl. a partial " +
       "second word); DataFrame hamming (codegen) == sign-disagreement count") {
     // dim 34 forces TWO words with a partial second word
@@ -917,7 +949,8 @@ class KmeansIvfSpec extends AnyFunSuite {
       // r13: hybrid/RAG IVF twins + the PQ family (codebook literals)
       "text_hybrid_ivf", "pipeline_rag_ivf",
       "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk",
-      "sim_pq_incr", "sim_ivfpq_residual"))
+      "sim_pq_incr", "sim_ivfpq_residual",
+      "sim_pq_topk_wide", "sim_ivfpq_residual_wide"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }

@@ -151,13 +151,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_hybrid_lsh4", "text_hybrid_ivf",
       "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk",
       "sim_binq_topk", "sim_binq_rerank", "sim_sq8_topk",
-      "sim_ivfpq_residual",
+      "sim_ivfpq_residual", "sim_pq_topk_wide", "sim_ivfpq_residual_wide",
       "pipeline_decontam_topk", "pipeline_rag_retrieval")
     val failures = names.flatMap { name =>
       val p = plan(Queries.queries(name)(spark, sf))
       p.linesIterator.filter(l =>
           l.contains("Join") || l.contains("CartesianProduct"))
-        .filter(l => l.contains("dot_d") || l.contains("hamming_l"))
+        .filter(l => l.contains("dot_d") || l.contains("hamming_l") ||
+          l.contains("adc_sum_l"))
         .map(l => s"$name: pair kernel inside a join condition:\n  ${l.trim}")
     }
     assert(failures.isEmpty, failures.mkString("\n"))

@@ -439,3 +439,46 @@ object HammingProps extends Properties("HammingL") {
        else mismatched != null) && (as.length != bs.length || withNull == null)
     }
 }
+
+object AdcSumProps extends Properties("AdcSumL") {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeArrayData}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+
+  private def run(codes: ArrayData, lut: ArrayData): Any =
+    graft.plans.AdcSumL(
+      BoundReference(0, ArrayType(IntegerType, containsNull = true), nullable = true),
+      BoundReference(1, ArrayType(LongType, containsNull = true), nullable = true))
+      .eval(InternalRow(codes, lut))
+
+  private val genCase = for {
+    m <- Gen.chooseNum(1, 8)
+    ksub <- Gen.chooseNum(1, 16)
+    codes <- Gen.listOfN(m, Gen.chooseNum(0, ksub - 1))
+    lut <- Gen.listOfN(m * ksub, Gen.chooseNum(0L, 1L << 40))
+  } yield (ksub, codes, lut)
+
+  property("kernel == sub-major lookup fold Σ lut[sub·ksub + code]") =
+    forAll(genCase) { case (ksub, codes, lut) =>
+      run(UnsafeArrayData.fromPrimitiveArray(codes.toArray),
+        UnsafeArrayData.fromPrimitiveArray(lut.toArray)) ==
+        codes.zipWithIndex.map { case (c, s) => lut(s * ksub + c) }.sum
+    }
+
+  property("empty codes, non-divisible lut, and out-of-range codes all " +
+      "yield NULL — never a garbage distance") =
+    forAll(genCase) { case (ksub, codes, lut) =>
+      val c = UnsafeArrayData.fromPrimitiveArray(codes.toArray)
+      val l = UnsafeArrayData.fromPrimitiveArray(lut.toArray)
+      val empty =
+        run(UnsafeArrayData.fromPrimitiveArray(Array.empty[Int]), l) == null
+      val outOfRange = run(UnsafeArrayData.fromPrimitiveArray(
+        (ksub +: codes.tail).toArray), l) == null // code == ksub
+      // one extra lut entry breaks sub-major divisibility (unless m
+      // happens to divide the grown size — then it is a VALID reshape)
+      val nonDivisible = (lut.size + 1) % codes.size == 0 ||
+        run(c, UnsafeArrayData.fromPrimitiveArray((lut :+ 0L).toArray)) == null
+      empty && outOfRange && nonDivisible
+    }
+}
