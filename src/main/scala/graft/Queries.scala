@@ -4604,6 +4604,18 @@ object Queries {
   private def hybridTopKFrom(s: SparkSession, docs: DataFrame,
       denseLsh: Boolean = false, nPlanes: Int = 6,
       ivfCents: Option[Seq[Array[Double]]] = None): DataFrame = {
+    val (sparse, dense) =
+      hybridTiers(s, docs, denseLsh = denseLsh, nPlanes = nPlanes,
+        ivfCents = ivfCents)
+    Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+  }
+
+  /** The two ranked tiers behind every hybrid fusion — shared by the
+    * RRF capstones and the TRAINED-weight fusion, so tier construction
+    * can never drift between the fixed and learned combiners. */
+  private def hybridTiers(s: SparkSession, docs: DataFrame,
+      denseLsh: Boolean = false, nPlanes: Int = 6,
+      ivfCents: Option[Seq[Array[Double]]] = None): (DataFrame, DataFrame) = {
     import s.implicits._
     val sparse = Retrieval.bm25TopK(docs,
         bmQueryTerms.toDF("query_id", "term"), k = 10)
@@ -4623,7 +4635,7 @@ object Queries {
     val dense = ranked
       .select(concat(lit("q"), col("query_id").cast("string")).as("query_id"),
         col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
-    Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+    (sparse, dense)
   }
 
   /** SQL twin of [[hybridTopKFrom]] over source relation `src(doc_id,
@@ -4832,6 +4844,72 @@ object Queries {
         |SELECT query_id, doc_id, rrf_score, CAST(n_tiers AS BIGINT) AS n_tiers,
         |  CAST(rnk2 AS INTEGER) AS rnk
         |FROM rr WHERE rnk2 <= 5""".stripMargin
+    })
+
+  /** The candidate weight grid behind text_hybrid_trained — (sparse,
+    * dense) weight vectors, equal weighting FIRST so the trained pick
+    * can only match or beat plain RRF on the training judgments. */
+  private val fusionGrid: Seq[Seq[Long]] =
+    Seq(Seq(10L, 10L), Seq(20L, 10L), Seq(30L, 10L),
+      Seq(10L, 20L), Seq(10L, 30L))
+
+  /** TRAINED hybrid fusion (Retrieval.trainedFuse): the same two tiers
+    * as text_hybrid_topk, but the RRF weights are LEARNED — every
+    * (sparse, dense) weight vector in the grid is evaluated against the
+    * leading-8 boolean-AND qrels (the engine's derivable relevance
+    * proxy) in one plan, and the summed-integer-MRR argmax ships, with
+    * the chosen operating point exposed as (wid, weights) columns in
+    * the oracled output. Training is bit-deterministic, so the ORACLE
+    * RE-RUNS IT: the static SQL unrolls the grid as VALUES, re-derives
+    * the per-wid rankings and MRR sums, and picks the same argmax —
+    * the learned artifact itself is hash-checked, not just the ranking
+    * under it. */
+  private val textHybridTrained = Q("text_hybrid_trained",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val (sparse, dense) = hybridTiers(s, docs)
+      Retrieval.trainedFuse(Seq(sparse, dense),
+        leading8Qrels(docs, bmQueryTerms.toDF("query_id", "term")),
+        fusionGrid, k = 5)
+    },
+    Some {
+      val gridValues = fusionGrid.zipWithIndex.flatMap { case (ws, wid) =>
+        ws.zipWithIndex.map { case (w, tier) => s"($wid, $tier, $w)" }
+      }.mkString(", ")
+      s"""WITH $bmQuerySql,
+        |${hybridCtesFor("documents")},
+        |wgrid(wid, tier, wgt) AS (VALUES $gridValues),
+        |contrib AS (SELECT query_id, doc_id, 0 AS tier,
+        |    10000 // (60 + rnk) AS c FROM sp
+        |  UNION ALL SELECT query_id, doc_id, 1 AS tier,
+        |    10000 // (60 + rnk) FROM dtier),
+        |fall AS (SELECT g.wid, c.query_id, c.doc_id,
+        |    CAST(sum(g.wgt * c.c) AS BIGINT) AS fscore
+        |  FROM contrib c JOIN wgrid g USING (tier) GROUP BY 1, 2, 3),
+        |rnkd AS (SELECT *, row_number() OVER (PARTITION BY wid, query_id
+        |    ORDER BY fscore DESC, doc_id) AS rnk FROM fall),
+        |topw AS (SELECT * FROM rnkd WHERE rnk <= 5),
+        |qtc AS (SELECT query_id, count(DISTINCT term) AS n_terms FROM q GROUP BY 1),
+        |lead8 AS (SELECT doc_id,
+        |    unnest(list_distinct(list_slice(w, 1, 8))) AS term FROM toks),
+        |rels AS (SELECT query_id, doc_id FROM (
+        |    SELECT q.query_id, l.doc_id, count(DISTINCT q.term) AS n_match
+        |    FROM lead8 l JOIN q USING (term) GROUP BY 1, 2) m
+        |  JOIN qtc USING (query_id) WHERE m.n_match = qtc.n_terms),
+        |ms AS (SELECT t.wid, t.query_id,
+        |    min(CASE WHEN r.doc_id IS NOT NULL THEN t.rnk END) AS fr
+        |  FROM topw t LEFT JOIN rels r
+        |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+        |  GROUP BY 1, 2),
+        |sw AS (SELECT wid, CAST(sum(CASE WHEN fr IS NULL THEN 0
+        |    ELSE 10000 // fr END) AS BIGINT) AS s FROM ms GROUP BY 1),
+        |best AS (SELECT wid FROM sw ORDER BY s DESC, wid LIMIT 1),
+        |wstr AS (SELECT wid, string_agg(CAST(wgt AS VARCHAR), ','
+        |    ORDER BY tier) AS weights FROM wgrid GROUP BY 1)
+        |SELECT t.query_id, t.doc_id, t.fscore, CAST(t.rnk AS INTEGER) AS rnk,
+        |  CAST(t.wid AS INTEGER) AS wid, wstr.weights
+        |FROM topw t JOIN best USING (wid) JOIN wstr USING (wid)""".stripMargin
     })
 
   /** RAG retrieval capstone (TextAnalysis.chunkDocuments ∘
@@ -6523,7 +6601,7 @@ object Queries {
     textBm25Topk, textBm25Indexed, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh,
-    textHybridLsh4, textHybridIvf, textMmrTopk,
+    textHybridLsh4, textHybridIvf, textHybridTrained, textMmrTopk,
     pipelineRagRetrieval, pipelineRagIvf,
     pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,

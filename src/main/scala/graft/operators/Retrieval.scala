@@ -855,6 +855,67 @@ object Retrieval {
     } finally cand.unpersist(false)
   }
 
+  /** Grid-searched weighted-RRF fusion — TRAINED tier weights: instead
+    * of [[rrfFuse]]'s fixed equal weighting, every candidate weight
+    * vector in `grid` (one Long per tier) is evaluated against `qrels`
+    * and the argmax ships. The whole grid evaluates in ONE plan — tier
+    * contributions (10⁴//(kRrf+rnk), Cormack et al. 2009) compute once,
+    * join the broadcast (wid, tier, wgt) relation, rank per (wid,
+    * query), and score by summed integer MRR@k over the deduplicated
+    * judgments; the argmax tie-breaks on the smaller wid, so training is
+    * bit-deterministic and a STATIC SQL oracle re-derives the choice.
+    * Tiers are candidate-sized frames, so grid evaluation costs
+    * |grid|·|queries|·k rows regardless of corpus size — the weights are
+    * the cheapest trained artifact in the engine. Output: the fused
+    * top-k under the winning weights, with the choice exposed as
+    * (wid, weights) columns so the trained operating point is IN the
+    * oracled result. Quality guard: when the equal-weight vector is in
+    * the grid, MRR(trained) ≥ MRR(rrfFuse) by construction of the
+    * argmax (spec-pinned in RetrievalSpec). */
+  def trainedFuse(tiers: Seq[DataFrame], qrels: DataFrame,
+      grid: Seq[Seq[Long]], k: Int, kRrf: Int = 60): DataFrame = {
+    require(tiers.nonEmpty && grid.nonEmpty &&
+      grid.forall(_.size == tiers.size),
+      "grid rows must carry exactly one weight per tier")
+    val spark = tiers.head.sparkSession
+    import spark.implicits._
+    val contribs = tiers.zipWithIndex.map { case (t, i) =>
+      t.select(col("query_id"), col("doc_id"), lit(i).as("tier"),
+        expr(s"10000 div ($kRrf + rnk)").cast("long").as("c"))
+    }.reduce(_ unionByName _)
+    val gridDf = grid.zipWithIndex.flatMap { case (ws, wid) =>
+      ws.zipWithIndex.map { case (w, tier) => (wid, tier, w) }
+    }.toDF("wid", "tier", "wgt")
+    val ranked = contribs.join(broadcast(gridDf), "tier")
+      .groupBy(col("wid"), col("query_id"), col("doc_id"))
+      .agg(sum(col("wgt") * col("c")).as("fscore"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("wid"), col("query_id"))
+          .orderBy(col("fscore").desc, col("doc_id"))))
+      .where(col("rnk") <= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rels = qrels.select(col("query_id"), col("doc_id")).distinct()
+        .withColumn("rel", lit(1L))
+      val best = ranked
+        .join(broadcast(rels), Seq("query_id", "doc_id"), "left")
+        .groupBy(col("wid"), col("query_id"))
+        .agg(min(when(col("rel") === 1L, col("rnk"))).as("fr"))
+        .groupBy(col("wid"))
+        .agg(sum(when(col("fr").isNotNull, expr("10000 div fr"))
+          .otherwise(lit(0L))).as("sum_mrr_bp"))
+        .orderBy(col("sum_mrr_bp").desc, col("wid"))
+        .select(col("wid")).head().getInt(0)
+      // result is |queries|·k rows — eagerly materialize, then drop the
+      // grid-wide candidate cache (the bm25TopKIndexed posture)
+      ranked.where(col("wid") === best)
+        .select(col("query_id"), col("doc_id"), col("fscore"),
+          col("rnk").cast("int").as("rnk"), lit(best).as("wid"),
+          lit(grid(best).mkString(",")).as("weights"))
+        .localCheckpoint(true)
+    } finally ranked.unpersist(false)
+  }
+
   /** Unrolled SQL twin of [[mmrDiversify]] over CTEs `cand(query_id,
     * doc_id, rel_bp, v, nrm)` — one (m, p, a) CTE triple per greedy step
     * (window functions cannot live in a recursive term, and k is a small

@@ -435,6 +435,35 @@ class RetrievalSpec extends AnyFunSuite {
       s"pinned values moved: fused=$fusedMrr a=$aMrr b=$bMrr")
   }
 
+  test("trained fusion: argmax picks the weights that rescue the " +
+      "relevant doc, MRR(trained) >= MRR(equal RRF) whenever equal " +
+      "weighting is in the grid, and the exposed (wid, weights) columns " +
+      "name the winner") {
+    // tier A buries the relevant doc at rank 3; tier B ranks it FIRST.
+    // Equal RRF leaves the consensus junk doc ahead; a dense-heavy
+    // weight vector lets tier B's vote win — the argmax must find it.
+    val tierA = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 2L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val tierB = Seq(("q", 2L, 1), ("q", 10L, 2), ("q", 12L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq(("q", 2L)).toDF("query_id", "doc_id")
+    val grid = Seq(Seq(10L, 10L), Seq(10L, 40L))
+    val fused = Retrieval.trainedFuse(Seq(tierA, tierB), qrels, grid, k = 3)
+    val winner = fused.select($"wid", $"weights").distinct()
+      .as[(Int, String)].collect().toSeq
+    assert(winner == Seq((1, "10,40")),
+      s"dense-heavy weights must win on this fixture: $winner")
+    def mrr(ranked: org.apache.spark.sql.DataFrame): Long =
+      Retrieval.evalRanking(ranked, qrels, k = 3)
+        .select($"mrr_bp").as[Long].collect().headOption.getOrElse(0L)
+    val trainedMrr = mrr(fused.select($"query_id", $"doc_id", $"rnk"))
+    val equalMrr = mrr(Retrieval.rrfFuse(Seq(tierA, tierB), k = 3)
+      .select($"query_id", $"doc_id", $"rnk"))
+    assert(trainedMrr >= equalMrr && trainedMrr == 10000L,
+      s"argmax over a grid containing equal weights can never lose to " +
+        s"plain RRF: trained=$trainedMrr equal=$equalMrr")
+  }
+
   test("hard negatives + contrastive triplets: relevant docs never " +
       "appear as negatives, unranked relevant docs never as positives, " +
       "duplicate qrels don't fan out") {
