@@ -6304,6 +6304,21 @@ object Queries {
     },
     None, oracleFn = simPqTopk.oracleFn)
 
+  /** WIDE-layout twin of sim_ivfpq_topk (Similarity.ivfPqTopKWide):
+    * raw-vector LUTs are cell-independent, so each query ships one
+    * broadcast array; the probe relation restricts the cell equi-join
+    * and each surviving pair costs one adc_sum_l. Same derived oracle —
+    * bit-identical ranking. */
+  private val simIvfpqTopkWide = Q("sim_ivfpq_topk_wide",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKWide(e,
+        e.where(pmod(col("vec_id"), lit(20)) === 0),
+        embCentroids(s, dir, "all", Tables.embeddings(s, dir)),
+        pqBooks(s, dir), k = 10, nProbes = 3)
+    },
+    None, oracleFn = simIvfpqTopk.oracleFn)
+
   /** WIDE-layout twin of sim_ivfpq_residual: the stored code artifact
     * reshapes to (vec_id, cell, codes) once at load, per-probe LUTs
     * collapse to broadcast arrays, and the cell equi-join + one
@@ -6618,7 +6633,7 @@ object Queries {
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
     simBinqCodes, simBinqTopk, simBinqRerank, simSq8Topk, simIvfpqResidual,
-    simPqTopkWide, simIvfpqResidualWide,
+    simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
     dedupMultimodalIncr)

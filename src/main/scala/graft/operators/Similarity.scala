@@ -1018,6 +1018,46 @@ object Similarity {
       .join(broadcast(adcLut(queries, books)), Seq("query_id", "sub", "code")), k)
   }
 
+  /** [[ivfPqTopK]] over the WIDE layout — bit-identical results. One
+    * pass builds the stored row (vec_id, cell, codes) (cell threads
+    * through [[pqEncodeCore]]'s grouping key, so no assignment rejoin);
+    * raw-vector LUTs are cell-independent, so each query broadcasts ONE
+    * flattened array and the probe relation restricts the cell
+    * equi-join. Each surviving pair costs one `adc_sum_l`. */
+  def ivfPqTopKWide(corpus: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      k: Int, nProbes: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val cdf = centroidFrame(spark, cents)
+    val codesWide = pqCodesWide(
+      pqEncodeCore(assignCells(preparedVecs(corpus), cdf)
+        .select(col("vec_id"), col("cell"), col("v")), books, Seq("cell")),
+      Seq("cell"))
+    val probes = preparedVecs(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("ccos", round(
+        cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell"))))
+      .where(col("pr") <= nProbes)
+      .select(col("query_id"), col("cell"))
+    val lutWide = adcLutWideFrom(adcLut(queries, books))
+    val scored = codesWide
+      .join(broadcast(probes), "cell")
+      .join(broadcast(lutWide), "query_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcSum(col("codes"), col("lut")).as("d2u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2u").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("d2u"))
+  }
+
   /** ADC + exact re-rank (the "+R" refinement of Jégou et al. §V): the
     * quantized search produces a `shortlist`-sized candidate set per
     * query, and only THOSE |queries|·shortlist vectors are read back for

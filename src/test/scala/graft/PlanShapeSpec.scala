@@ -152,6 +152,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk",
       "sim_binq_topk", "sim_binq_rerank", "sim_sq8_topk",
       "sim_ivfpq_residual", "sim_pq_topk_wide", "sim_ivfpq_residual_wide",
+      "sim_ivfpq_topk_wide",
       "pipeline_decontam_topk", "pipeline_rag_retrieval")
     val failures = names.flatMap { name =>
       val p = plan(Queries.queries(name)(spark, sf))
