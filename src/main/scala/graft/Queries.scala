@@ -5002,6 +5002,44 @@ object Queries {
             Similarity.kmeansCentroidArrays(
               docVecsFrom(ragChunkDocs(s, dir)), nCells = 10)))))
 
+  /** RAG context DIVERSIFICATION capstone — retrieve → fuse → MMR →
+    * deliver: the fused sparse⊕dense chunk ranking (top-20 candidates
+    * this time, the MMR working set) re-ranked by greedy
+    * maximal-marginal-relevance over the chunk embeddings, so the 5
+    * delivered contexts are complementary instead of five near-copies
+    * of the best chunk — the step that makes a RAG context window worth
+    * its tokens when the corpus contains near-duplicate chunks (every
+    * overlapping-window chunking does). All integer/round-4 arithmetic
+    * ⇒ the oracle chains the chunk CTEs, the hybrid fusion fragment and
+    * the unrolled MMR twin end to end. */
+  private val pipelineRagMmr = Q("pipeline_rag_mmr",
+    (s, dir) => {
+      val cdocs = ragChunkDocs(s, dir)
+      val (sparse, dense) = hybridTiers(s, cdocs)
+      val fused = Retrieval.rrfFuse(Seq(sparse, dense), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      Retrieval.mmrDiversify(fused,
+        docVecsFrom(cdocs).select(col("vec_id").as("doc_id"), col("embedding")),
+        k = 5)
+        .select(col("query_id"), col("rank"),
+          split(col("doc_id"), ":").getItem(0).cast("bigint").as("doc_id"),
+          split(col("doc_id"), ":").getItem(1).cast("int").as("chunk_idx"))
+    },
+    Some(s"""WITH RECURSIVE $bmQuerySql,
+      |$chunkDocsCtes,
+      |cd AS (SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)
+      |  AS doc_id, chunk_text AS text FROM chunks),
+      |${hybridCtesFor("cd")},
+      |cnd0 AS (SELECT query_id, doc_id, rnk2 AS rnk FROM rr WHERE rnk2 <= 20),
+      |cand AS MATERIALIZED (SELECT c.query_id, c.doc_id,
+      |    CAST((21 - c.rnk) * 500 AS BIGINT) AS rel_bp, n.v, n.nrm
+      |  FROM cnd0 c JOIN n ON n.vec_id = c.doc_id),
+      |${Retrieval.mmrSql(5)}
+      |SELECT query_id, rank,
+      |  CAST(string_split(doc_id, ':')[1] AS BIGINT) AS doc_id,
+      |  CAST(string_split(doc_id, ':')[2] AS INTEGER) AS chunk_idx
+      |FROM mmr_out""".stripMargin))
+
   /** pipeline_rag_retrieval's TRAINED-index twin — the RAG capstone with
     * the chunk-embedding leg on the persisted-centroid IVF path
     * (text_hybrid_ivf's posture over the chunk corpus): completes the
@@ -6617,7 +6655,7 @@ object Queries {
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh,
     textHybridLsh4, textHybridIvf, textHybridTrained, textMmrTopk,
-    pipelineRagRetrieval, pipelineRagIvf,
+    pipelineRagRetrieval, pipelineRagIvf, pipelineRagMmr,
     pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,
     pipelineContrastiveTriplets,
