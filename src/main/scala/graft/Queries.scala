@@ -6195,6 +6195,69 @@ object Queries {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
       |FROM rr WHERE rank <= 10""".stripMargin))
 
+  /** ORACLED recall measurement — the binary tier's quality as a
+    * hash-checked OUTPUT, not a NOTES claim: per query, the overlap
+    * between the exact brute top-10 and the Hamming-shortlist(200) +
+    * exact-rerank top-10. Both rankings are deterministic, so their
+    * intersection is too — DuckDB re-derives both chains and must agree
+    * on every per-query recall figure. (ProfileQuant's aggregate
+    * recall@10 = mean of recall_bp/10⁴ over queries.) */
+  private val simBinqRecall = Q("sim_binq_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.where(pmod(col("vec_id"), lit(20)) === 0)
+      val brute = Similarity.bruteTopK(e, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val binq = Similarity.binqTopKRefined(Similarity.binqEncode(e), e, qs,
+          k = 10, shortlist = 200)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(binq, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) * lit(10000L)
+            / col("n_brute")).cast("long").as("recall_bp"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |  WHERE list_dot_product(v, v) > 0),
+      |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      |  WHERE vec_id % 20 = 0),
+      |bs AS (SELECT qn.query_id, n.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+      |  FROM qn CROSS JOIN n WHERE n.vec_id <> qn.query_id),
+      |brute AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+      |  WHERE rank <= 10),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+      |hs AS (SELECT q.query_id, e.vec_id,
+      |    CAST(list_sum(list_transform(q.qv,
+      |      (x, i) -> CASE WHEN (x > 0) <> (e.v[i] > 0) THEN 1 ELSE 0 END))
+      |      AS INTEGER) AS hamming
+      |  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+      |sl AS (SELECT query_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY hamming, vec_id) AS rank FROM hs)
+      |  WHERE rank <= 200),
+      |x AS (SELECT sl.query_id, sl.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+      |  FROM sl JOIN n ON n.vec_id = sl.vec_id
+      |    JOIN qn ON qn.query_id = sl.query_id),
+      |binq AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rank FROM x)
+      |  WHERE rank <= 10),
+      |hits AS (SELECT b.query_id, count(*) AS n_overlap
+      |  FROM brute b JOIN binq USING (query_id, neighbor_id) GROUP BY 1),
+      |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+      |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+      |  CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(coalesce(hits.n_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS recall_bp
+      |FROM base LEFT JOIN hits USING (query_id)""".stripMargin))
+
   /** Int8 scalar-quantization top-k (Similarity.sq8Encode + sq8TopK): the
     * stored row is dim int8 codes + two scale doubles (~4× scan shrink,
     * the faiss SQ8 layout); the approximate cosine dequantizes the exact
@@ -6670,7 +6733,7 @@ object Queries {
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
-    simBinqCodes, simBinqTopk, simBinqRerank, simSq8Topk, simIvfpqResidual,
+    simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simIvfpqResidual,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
