@@ -897,7 +897,7 @@ object Retrieval {
     try {
       val rels = qrels.select(col("query_id"), col("doc_id")).distinct()
         .withColumn("rel", lit(1L))
-      val best = ranked
+      val bestOpt = ranked
         .join(broadcast(rels), Seq("query_id", "doc_id"), "left")
         .groupBy(col("wid"), col("query_id"))
         .agg(min(when(col("rel") === 1L, col("rnk"))).as("fr"))
@@ -905,10 +905,14 @@ object Retrieval {
         .agg(sum(when(col("fr").isNotNull, expr("10000 div fr"))
           .otherwise(lit(0L))).as("sum_mrr_bp"))
         .orderBy(col("sum_mrr_bp").desc, col("wid"))
-        .select(col("wid")).head().getInt(0)
+        .select(col("wid")).head(1).headOption.map(_.getInt(0))
+      // empty tiers/queries → an empty frame with the output schema
+      // (every other retrieval operator\'s contract), never a
+      // head-on-empty crash (review r13)
+      val best = bestOpt.getOrElse(0)
       // result is |queries|·k rows — eagerly materialize, then drop the
       // grid-wide candidate cache (the bm25TopKIndexed posture)
-      ranked.where(col("wid") === best)
+      ranked.where(lit(bestOpt.isDefined) && col("wid") === best)
         .select(col("query_id"), col("doc_id"), col("fscore"),
           col("rnk").cast("int").as("rnk"), lit(best).as("wid"),
           lit(grid(best).mkString(",")).as("weights"))

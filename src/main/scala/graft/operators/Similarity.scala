@@ -197,18 +197,8 @@ object Similarity {
       cents: Seq[Array[Double]], nProbes: Int = 1): DataFrame = {
     val cdf = centroidFrame(corpus.sparkSession, cents)
     val assigned = assignCells(preparedVecs(corpus), cdf)
-    val probes = preparedVecs(queries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("ccos", round(
-        cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
-      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("cell"))))
-      .where(col("pr") <= nProbes)
-      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
-    rankTopK(scoreAgainst(assigned, probes, Seq("cell"),
-      excludeSelf = false), k)
+    rankTopK(scoreAgainst(assigned, probeCells(queries, cdf, nProbes),
+      Seq("cell"), excludeSelf = false), k)
   }
 
   /** The multi-probe bucket list: own bucket + every Hamming-1 bucket
@@ -902,20 +892,71 @@ object Similarity {
           col("cv"), col("cc")).as("d2u"))
   }
 
-  /** Shared ADC ranking tail: integer distance sum over the m subspaces,
-    * then distance-ASC top-k with neighbor-id tie-break. */
-  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
-    val summed = scored
-      .where(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("d2u")).as("d2u"))
+  /** The shared query-probe block of every trained-centroid search:
+    * nProbes nearest cells per query by round-6 cosine, min-cell
+    * tie-break — ONE implementation so probe ordering can never drift
+    * between the IVF, IVF-PQ and residual paths (review r13). Returns
+    * (query_id, qv, qnrm, cell); callers project what they need. */
+  private def probeCells(queries: DataFrame, cdf: DataFrame,
+      nProbes: Int): DataFrame =
+    preparedVecs(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("ccos", round(
+        cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("cell"))))
+      .where(col("pr") <= nProbes)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
+
+  /** Shared distance-ASC ranking tail: d2u asc NULLS LAST with
+    * neighbor-id tie-break. NULLS LAST on purpose — plain `asc` is
+    * NULLS FIRST, so a null distance (mismatched shapes reaching a
+    * pair kernel) would OUTRANK every real neighbor: the r12
+    * null-ranking defect class in ascending form (review r13). A null
+    * row can now only surface when a query has fewer than k real
+    * candidates. */
+  private def rankAscByDist(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2u").asc, col("vec_id"))
-    summed.withColumn("rank", row_number().over(w))
+      .orderBy(col("d2u").asc_nulls_last, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), col("d2u"))
   }
+
+  /** Shared NARROW ADC ranking tail: integer distance sum over the m
+    * subspaces, then [[rankAscByDist]]. `m` guards completeness: a pair
+    * whose codes matched FEWER than m LUT rows (stale code artifact
+    * searched with the wrong books — codes ≥ the books\' ksub simply
+    * fail the equi-join) would otherwise rank on a silently-PARTIAL
+    * sum, i.e. an underestimated distance that looks like a great
+    * neighbor (review r13). Such pairs drop — loud by absence, the
+    * same contract [[graft.plans.AdcSumL]] enforces with its
+    * out-of-range null. The filter sits ABOVE the aggregate, so
+    * nothing lands in a join condition. */
+  private def rankAdc(scored: DataFrame, k: Int, m: Int): DataFrame = {
+    val summed = scored
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2u")).as("d2u"), count(lit(1)).as("n_sub"))
+      .where(col("n_sub") === m && col("d2u").isNotNull)
+      .drop("n_sub")
+    rankAscByDist(summed, k)
+  }
+
+  /** The wide ADC layout flattens per-subspace LUT slices positionally
+    * (entry sub·ksub + code), which is only well-defined when every
+    * subspace has the SAME codebook size — [[pqTrain]] legitimately
+    * emits fewer codes for a low-diversity subspace (distinct-subvector
+    * cap), and a ragged flatten would misalign every lookup (review
+    * r13). Fail loudly instead. */
+  private def requireUniformBooks(books: Seq[Seq[Array[Double]]]): Unit =
+    require(books.forall(_.size == books.head.size),
+      s"wide ADC layout requires uniform per-subspace codebook sizes, " +
+        s"got ${books.map(_.size).mkString(",")} — pad or retrain " +
+        "(the narrow path serves ragged books)")
 
   /** ADC top-k over a PRE-ENCODED code table: the query side expands to
     * its exact per-(sub, code) distance LUT (|queries|·m·ksub rows, tiny,
@@ -929,7 +970,8 @@ object Similarity {
     * convention — queries here come from the same id space). */
   def pqTopKAdc(codes: DataFrame, queries: DataFrame,
       books: Seq[Seq[Array[Double]]], k: Int): DataFrame =
-    rankAdc(codes.join(broadcast(adcLut(queries, books)), Seq("sub", "code")), k)
+    rankAdc(codes.join(broadcast(adcLut(queries, books)), Seq("sub", "code")),
+      k, books.size)
 
   /** Narrow (vec_id[, keys…], sub, code) code table → WIDE layout: one
     * row per vector with its m codes as `array<int>` in sub order (the
@@ -970,17 +1012,13 @@ object Similarity {
     * Same contract: (query_id, rank, neighbor_id, d2u). */
   def pqTopKAdcWide(codesWide: DataFrame, queries: DataFrame,
       books: Seq[Seq[Array[Double]]], k: Int): DataFrame = {
+    requireUniformBooks(books)
     val q = adcLutWideFrom(adcLut(queries, books))
     val scored = codesWide.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         adcSum(col("codes"), col("lut")).as("d2u"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2u").asc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col("vec_id").as("neighbor_id"), col("d2u"))
+    rankAscByDist(scored, k)
   }
 
   /** IVF-PQ: the two index structures COMPOSED (the FAISS IVFADC layout,
@@ -1003,19 +1041,12 @@ object Similarity {
     val cells = assignCells(preparedVecs(corpus), cdf)
       .select(col("vec_id"), col("cell"))
     val codes = pqEncode(corpus, books).join(cells, "vec_id")
-    val probes = preparedVecs(queries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("ccos", round(
-        cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
-      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("cell"))))
-      .where(col("pr") <= nProbes)
+    val probes = probeCells(queries, cdf, nProbes)
       .select(col("query_id"), col("cell"))
     rankAdc(codes
       .join(broadcast(probes), "cell")
-      .join(broadcast(adcLut(queries, books)), Seq("query_id", "sub", "code")), k)
+      .join(broadcast(adcLut(queries, books)), Seq("query_id", "sub", "code")),
+      k, books.size)
   }
 
   /** [[ivfPqTopK]] over the WIDE layout — bit-identical results. One
@@ -1027,21 +1058,14 @@ object Similarity {
   def ivfPqTopKWide(corpus: DataFrame, queries: DataFrame,
       cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
       k: Int, nProbes: Int = 2): DataFrame = {
+    requireUniformBooks(books)
     val spark = corpus.sparkSession
     val cdf = centroidFrame(spark, cents)
     val codesWide = pqCodesWide(
       pqEncodeCore(assignCells(preparedVecs(corpus), cdf)
         .select(col("vec_id"), col("cell"), col("v")), books, Seq("cell")),
       Seq("cell"))
-    val probes = preparedVecs(queries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("ccos", round(
-        cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
-      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("cell"))))
-      .where(col("pr") <= nProbes)
+    val probes = probeCells(queries, cdf, nProbes)
       .select(col("query_id"), col("cell"))
     val lutWide = adcLutWideFrom(adcLut(queries, books))
     val scored = codesWide
@@ -1050,12 +1074,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         adcSum(col("codes"), col("lut")).as("d2u"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2u").asc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col("vec_id").as("neighbor_id"), col("d2u"))
+    rankAscByDist(scored, k)
   }
 
   /** ADC + exact re-rank (the "+R" refinement of Jégou et al. §V): the
@@ -1128,7 +1147,12 @@ object Similarity {
         acc + when(idx < size(v) && element_at(v, idx + 1) > lit(0.0),
           call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
       }))
-    preparedVecs(embeddings).select(col("vec_id"), words.as("bw"))
+    // empty embeddings drop per-row (the scoreAgainst degenerate-input
+    // posture): size 0 would make nWords 0 and sequence(0, -1) a
+    // DESCENDING [0, -1] — the j = -1 word then evaluates
+    // element_at(v, 0), which throws under ANSI (review r13)
+    preparedVecs(embeddings).where(size(col("v")) > 0)
+      .select(col("vec_id"), words.as("bw"))
   }
 
   /** Hamming top-k over a PRE-ENCODED sign-bit code table: queries
@@ -1148,10 +1172,18 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("bw").as("qbw"))
     val scored = codes.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
+      // cross-side word-count guard, the scoreAgainst size-predicate
+      // posture: hamming over mismatched word counts is null, and a
+      // null distance must never rank (plain asc is NULLS FIRST — it
+      // would rank such pairs ON TOP; review r13). With the guard a
+      // full encode/query dim mismatch yields the same loud-by-absence
+      // EMPTY result as the exact tier. O(1) per pair — the kernel
+      // itself stays out of the join condition (plan-pinned).
+      .where(size(col("qbw")) - size(col("bw")) === 0)
       .select(col("query_id"), col("vec_id"),
         hammingWords(col("qbw"), col("bw")).as("hamming"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("vec_id"))
+      .orderBy(col("hamming").asc_nulls_last, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"),
@@ -1213,6 +1245,11 @@ object Similarity {
       col("nrm").as("qnrm"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
+      // cross-side dim guard (the scoreAgainst posture): a code/query
+      // dim mismatch nulls the dot, and k null-scored rows per query
+      // must never be emitted — with the guard (and the encoder\'s
+      // nrm > 0 drop) the score can never be null (review r13)
+      .where(size(col("qq8d")) - size(col("q8d")) === 0)
       .select(col("query_id"), col("vec_id"),
         round(dot(col("qq8d"), col("q8d")) * col("qmax") * col("max_abs") /
           (lit(16129.0) * col("qnrm") * col("nrm")), 6).as("score"))
@@ -1295,17 +1332,8 @@ object Similarity {
     val cdf = centroidFrame(spark, cents)
     val dsub = books.head.head.length
     val cb = codebookFrame(spark, books)
-    val probes = preparedVecs(queries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("ccos", round(
-        cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6))
-      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("cell"))))
-      .where(col("pr") <= nProbes)
+    probeCells(queries, cdf, nProbes)
       .select(col("query_id"), col("cell"), col("qv"))
-    probes
       .join(broadcast(cdf.select(col("cell"), col("cv").as("ccv"))), "cell")
       .select(col("query_id"), col("cell"),
         zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("qres"))
@@ -1321,7 +1349,8 @@ object Similarity {
     val lut = residualAdcLut(queries, cents, books, nProbes)
     // a corpus row lives in ONE cell and probed cells are distinct, so a
     // (query, vec) pair joins at most once — no dedup needed
-    rankAdc(codes.join(broadcast(lut), Seq("cell", "sub", "code")), k)
+    rankAdc(codes.join(broadcast(lut), Seq("cell", "sub", "code")),
+      k, books.size)
   }
 
   /** [[ivfPqResidualTopK]] over the WIDE layout
@@ -1334,17 +1363,13 @@ object Similarity {
   def ivfPqResidualTopKWide(codesWide: DataFrame, queries: DataFrame,
       cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
       k: Int, nProbes: Int = 2): DataFrame = {
+    requireUniformBooks(books)
     val lutWide = adcLutWideFrom(
       residualAdcLut(queries, cents, books, nProbes), Seq("cell"))
     val scored = codesWide.join(broadcast(lutWide), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         adcSum(col("codes"), col("lut")).as("d2u"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2u").asc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col("vec_id").as("neighbor_id"), col("d2u"))
+    rankAscByDist(scored, k)
   }
 }

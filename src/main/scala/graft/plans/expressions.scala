@@ -224,7 +224,8 @@ case class SumAbsDiffL(left: Expression, right: Expression)
   * loop in whole-stage codegen (`Long.bitCount` compiles to the POPCNT
   * instruction on every x86-64/aarch64 JIT). Null on length mismatch or
   * null element — mirrors the fold's semantics; a mismatched code table
-  * surfaces as null (dropped by ranking) rather than a partial count. */
+  * surfaces as null (ranked LAST by the callers' nulls-last windows and
+  * excluded by their size pair-guards) rather than a partial count. */
 case class HammingL(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -290,8 +291,8 @@ case class HammingL(left: Expression, right: Expression)
   * re-aggregation (measured: the narrow ADC aggregate dominates the
   * sf1 searches). ksub is `lut.length / codes.length`; null on empty or
   * non-divisible shapes, null elements, or an out-of-range code — a
-  * mismatched codes/books pairing must surface as null (dropped by
-  * ranking), never as a garbage distance. */
+  * mismatched codes/books pairing must surface as null (ranked LAST by
+  * the callers' nulls-last windows), never as a garbage distance. */
 case class AdcSumL(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType

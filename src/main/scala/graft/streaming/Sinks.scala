@@ -78,8 +78,22 @@ object Sinks {
       orderBy: Seq[String] = Nil): StreamingQuery =
     commands.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val cols = if (orderBy.nonEmpty) orderBy else batch.columns.toSeq
-        batch.sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
+        // default sort key = every ORDERABLE column: map-typed columns
+        // cannot be sort expressions and would fail the whole stream at
+        // the first batch (review r13). A schema with NO orderable
+        // columns degrades to unsorted chunking — callers needing the
+        // exactly-once upgrade there must pass an explicit orderBy over
+        // a derivable key.
+        val cols =
+          if (orderBy.nonEmpty) orderBy
+          else batch.schema.fields.filter(f =>
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(f.dataType)).map(_.name).toSeq
+        val sorted =
+          if (cols.isEmpty) batch
+          else batch.sortWithinPartitions(
+            cols.map(org.apache.spark.sql.functions.col): _*)
+        sorted
           .foreachPartition { rows: Iterator[Row] =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             rows.grouped(batchN).zipWithIndex.foreach { case (chunk, i) =>

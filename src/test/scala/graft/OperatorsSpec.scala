@@ -617,6 +617,61 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantized tiers never rank a null distance (review r13): dim " +
+      "mismatches yield EMPTY results, empty embeddings drop at encode, " +
+      "stale-books ADC drops pairs instead of ranking partial sums, and " +
+      "ragged books fail the wide layout loudly") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0f, 0f, 1.0f)),
+      (1L, Array(0f, 1.0f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val shortQueries = Seq((100L, Array(1.0f, 0f))).toDF("vec_id", "embedding")
+    // binq: a genuine word-count gap needs a >32-dim corpus (2 words)
+    // vs a short query (1 word)
+    val corpus64 = Seq((0L, Array.fill(64)(1.0f)), (1L, Array.fill(64)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.binqTopK(Similarity.binqEncode(corpus64),
+      shortQueries, k = 2).count() == 0,
+      "word-count mismatch must be EMPTY, not top-k null-hamming rows")
+    // empty embedding: encode drops the row instead of throwing on
+    // element_at(v, 0) under ANSI
+    val withEmpty = Seq((0L, Array(1.0f, -1.0f)), (1L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.binqEncode(withEmpty).select("vec_id")
+      .as[Long].collect().toSeq == Seq(0L))
+    // sq8: dim mismatch must be EMPTY, not k null-scored rows
+    assert(Similarity.sq8TopK(Similarity.sq8Encode(corpus),
+      shortQueries, k = 2).count() == 0,
+      "sq8 dim mismatch must be EMPTY")
+    // stale books: codes encoded with ksub=4 books searched with
+    // ksub-2 books — unmatched codes must DROP the pair (absence),
+    // never rank a partial underestimated sum
+    val big = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1.0f, 0f)), (3L, Array(0f, 0f, 0f, 1.0f)),
+      (4L, Array(0.5f, 0.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val books4 = Similarity.pqTrain(big, m = 2, ksub = 4, maxSample = 100)
+    val books2 = Similarity.pqTrain(big, m = 2, ksub = 2, maxSample = 100)
+    val codes4 = Similarity.pqEncode(big, books4)
+    val stale = Similarity.pqTopKAdc(codes4, big.where(col("vec_id") === 0L),
+      books2, k = 5)
+    val complete = Similarity.pqTopKAdc(codes4,
+      big.where(col("vec_id") === 0L), books4, k = 5)
+    assert(complete.count() == 4, "sanity: matched books rank everything")
+    // with ksub-2 books only codes 0/1 exist in the LUT; any vector
+    // carrying a code >= 2 in EITHER subspace must be absent
+    val maxCode = codes4.groupBy("vec_id")
+      .agg(max(col("code")).as("mx")).as[(Long, Int)].collect().toMap
+    val ranked = stale.select("neighbor_id").as[Long].collect().toSet
+    assert(ranked.forall(v => maxCode(v) < 2),
+      s"a partial-sum pair ranked: $ranked vs codes $maxCode")
+    // ragged books (pqTrain's distinct-subvector cap) must fail the
+    // WIDE layout loudly instead of misaligning the flattened LUT
+    val ragged = Seq(Seq(Array(0.0, 0.0)), books4(1))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKAdcWide(Similarity.pqCodesWide(codes4), big, ragged, 2)
+    }
+  }
+
   test("binq: 32-bit word layout pinned bit-for-bit (incl. a partial " +
       "second word); DataFrame hamming (codegen) == sign-disagreement count") {
     // dim 34 forces TWO words with a partial second word

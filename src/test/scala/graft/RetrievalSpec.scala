@@ -464,6 +464,17 @@ class RetrievalSpec extends AnyFunSuite {
         s"plain RRF: trained=$trainedMrr equal=$equalMrr")
   }
 
+  test("trained fusion on EMPTY tiers returns an empty frame with the " +
+      "output schema, never a head-on-empty crash (review r13)") {
+    val empty = Seq.empty[(String, Long, Int)].toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq(("q", 2L)).toDF("query_id", "doc_id")
+    val out = Retrieval.trainedFuse(Seq(empty, empty), qrels,
+      Seq(Seq(10L, 10L)), k = 3)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("query_id", "doc_id", "fscore", "rnk", "wid", "weights"))
+  }
+
   test("hard negatives + contrastive triplets: relevant docs never " +
       "appear as negatives, unranked relevant docs never as positives, " +
       "duplicate qrels don't fan out") {

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.Sinks
 import graft.streaming.WagerBook.Command
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit, map}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -48,6 +49,41 @@ class SinksSpec extends AnyFunSuite {
     assert(Sizes.get.sum == 7)
     assert(Sizes.get.forall(_ <= 3)) // batch_n = 3 per request (mm_calls.py:264)
   }
+
+  test("keyed wager sink: deterministic <batchId>:<pid>:<chunk> keys, " +
+      "chunks within batchN, and a map-typed column does not kill the " +
+      "stream (orderable-only default sort — review r13)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("sink-keyed").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData((1 to 7).map(i => (i.toLong, s"w$i")): _*)
+    KeyedRows.clear()
+    // map column exercises the non-orderable-type path: the default
+    // sort key must silently exclude it instead of throwing
+    // AnalysisException at the first micro-batch
+    val df = input.toDF().toDF("tsn", "wager_id")
+      .withColumn("params", map(lit("k"), col("wager_id")))
+    val q = Sinks.placeWagerSinkKeyed(df, s"$dir/cp",
+      (key, rows) => KeyedRows.add(key, rows.size), batchN = 3)
+    q.awaitTermination()
+    val got = KeyedRows.get
+    assert(got.map(_._2).sum == 7)
+    assert(got.map(_._2).forall(_ <= 3))
+    assert(got.map(_._1).forall(_.matches("\\d+:\\d+:\\d+")),
+      s"key format: ${got.map(_._1)}")
+    assert(got.map(_._1).distinct.size == got.size, "keys must be unique")
+  }
+}
+
+/** Keyed-transport accumulator (the [[Sizes]] pattern). */
+object KeyedRows {
+  private val q =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+  def add(key: String, n: Int): Unit = q.add((key, n))
+  def get: Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._; q.asScala.toSeq
+  }
+  def clear(): Unit = q.clear()
 }
 
 /** Cross-JVM-safe accumulator for the local[?] test (executors share the
