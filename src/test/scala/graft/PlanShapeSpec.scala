@@ -325,6 +325,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("round-13 queries: exchange/scan counts pinned (duplicate-subtree guard)") {
+    cleanCache()
+    // Same contract as the bench-board pin. Eager-training queries
+    // (text_hybrid_trained, *_mmr — argmax/greedy loops run at build
+    // time) pin their final localCheckpoint-read shape, the
+    // dedup_survivor_quality convention; pipeline_rag_ivf carries the
+    // chunk-persist print inflation (crawl_to_trainer caveat).
+    val ceilings: Map[String, (Int, Int)] = Map(
+      "sim_binq_codes" -> (0, 1),
+      "sim_binq_rerank" -> (2, 4),
+      "sim_binq_recall" -> (7, 8), // two full ranking chains by design
+      "sim_sq8_topk" -> (1, 2),
+      "sim_ivfpq_residual" -> (3, 2),
+      "sim_ivfpq_residual_wide" -> (3, 2),
+      "sim_pq_topk_wide" -> (4, 2),
+      "sim_ivfpq_topk_wide" -> (6, 3),
+      "sim_pq_codes" -> (1, 1),
+      "sim_pq_topk" -> (3, 2),
+      "sim_pq_rerank" -> (4, 4),
+      "sim_ivfpq_topk" -> (6, 4),
+      "sim_pq_incr" -> (1, 2),
+      "text_hybrid_trained" -> (0, 1),
+      "pipeline_rag_mmr" -> (0, 1),
+      "text_mmr_topk" -> (0, 1),
+      "text_hybrid_lsh4" -> (12, 7),
+      "text_hybrid_ivf" -> (14, 7),
+      "pipeline_rag_ivf" -> (28, 14))
+    val failures = ceilings.toSeq.sortBy(_._1).flatMap { case (name, (exchCeil, scanCeil)) =>
+      val p = plan(Queries.queries(name)(spark, sf))
+      val exch = "Exchange (hash|range|SinglePartition)".r.findAllIn(p).length
+      val scans = "Scan parquet|Scan ExistingRDD".r.findAllIn(p).length
+      Seq(
+        if (exch > exchCeil) Some(s"$name: $exch exchanges > ceiling $exchCeil")
+        else None,
+        if (scans > scanCeil) Some(s"$name: $scans scan leaves > ceiling $scanCeil (duplicate subtree?)")
+        else None).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("packSequences: shard window + straddle explode + one assembly aggregate, no products") {
     val p = plan(graft.operators.TextAnalysis.packSequences(
       Tables.documents(spark, sf), capacityTokens = 512, nShards = 8))

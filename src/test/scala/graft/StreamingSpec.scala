@@ -1103,6 +1103,50 @@ class StreamingRetrievalServeSpec extends AnyFunSuite {
         "permanent entry, not a transient checkpoint)")
   }
 
+  test("streaming ANN serving from the persisted BINARY code table: " +
+      "query micro-batches Hamming-search the STORED sign-bit words and " +
+      "equal the batch ranking, independent of batch boundaries") {
+    // the binary tier's online face (r13): codes built once and stored
+    // (16 B/vector); query vectors stream in and search without ever
+    // touching corpus vectors
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, -1.0f, 1.0f, -1.0f)),
+      (2L, Array(1.0f, -1.0f, 1.0f, 1.0f)),
+      (3L, Array(-1.0f, 1.0f, -1.0f, 1.0f)),
+      (4L, Array(-1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("graft-binq-serve-").toString
+    Similarity.binqEncode(corpus).write.parquet(s"$root/codes")
+    val codes = spark.read.parquet(s"$root/codes")
+    val queries = Seq(
+      (100L, Array(1.0f, -1.0f, 1.0f, -0.5f)),
+      (200L, Array(-1.0f, 1.0f, -1.0f, 0.5f)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.binqTopK(codes, batch, k = 2)
+          .write.mode("append").parquet(s"$root/out")
+        ()
+      }.start()
+    try {
+      input.addData(queries.take(1): _*)
+      q.processAllAvailable()
+      input.addData(queries.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = spark.read.parquet(s"$root/out")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    val batchMode = Similarity.binqTopK(codes,
+        queries.toDF("vec_id", "embedding"), k = 2)
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(served == batchMode && batchMode.nonEmpty,
+      s"served $served != batch $batchMode")
+  }
+
   test("streaming ANN serving from the persisted PQ index: query " +
       "micro-batches run ADC against the STORED codes + codebooks and " +
       "equal the batch-mode ranking, independent of batch boundaries") {
