@@ -5002,6 +5002,119 @@ object Queries {
             Similarity.kmeansCentroidArrays(
               docVecsFrom(ragChunkDocs(s, dir)), nCells = 10)))))
 
+  /** HELD-OUT trained fusion — the ML-hygiene twin of
+    * text_hybrid_trained: queries split by id parity (odd trains, even
+    * evaluates — the demo split; production uses the leakage-safe
+    * groupSplit), weights grid-search on the TRAIN split only, and the
+    * oracled single-row output reports the chosen weights plus the
+    * EVAL-split summed MRR under both the trained weights
+    * (weightedRrfFuse — the serving face) and plain equal-weight RRF.
+    * The whole train→select→serve→measure protocol is deterministic,
+    * so DuckDB re-derives it end to end — including whether the
+    * trained pick actually generalizes (no guarantee on held-out data;
+    * the honest number IS the point). */
+  private val textHybridTrainedHoldout = Q("text_hybrid_trained_holdout",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val (sparse, dense) = hybridTiers(s, docs)
+      def part(df: DataFrame, rem: Int): DataFrame =
+        df.where(pmod(substring(col("query_id"), 2, 10).cast("int"),
+          lit(2)) === rem)
+      val qrels = leading8Qrels(docs, bmQueryTerms.toDF("query_id", "term"))
+      val trained = Retrieval.trainedFuse(
+        Seq(part(sparse, 1), part(dense, 1)), part(qrels, 1),
+        fusionGrid, k = 5)
+      val weights = trained.select(col("weights")).head(1).headOption
+        .map(_.getString(0).split(",").map(_.toLong).toSeq)
+        .getOrElse(fusionGrid.head)
+      val evalTiers = Seq(part(sparse, 0), part(dense, 0))
+      val evalQrels = part(qrels, 0)
+      def sumMrr(ranked: DataFrame): DataFrame =
+        Retrieval.evalRanking(ranked, evalQrels, k = 5)
+          .agg(coalesce(sum(col("mrr_bp")), lit(0L)).as("v"))
+      val tm = sumMrr(Retrieval.weightedRrfFuse(evalTiers, weights, k = 5)
+        .select(col("query_id"), col("doc_id"), col("rnk")))
+        .select(col("v").as("eval_trained_mrr_bp"))
+      val em = sumMrr(Retrieval.rrfFuse(evalTiers, k = 5)
+        .select(col("query_id"), col("doc_id"), col("rnk")))
+        .select(col("v").as("eval_equal_mrr_bp"))
+      tm.crossJoin(em).select(lit(weights.mkString(",")).as("weights"),
+        col("eval_trained_mrr_bp"), col("eval_equal_mrr_bp"))
+    },
+    Some {
+      val gridValues = fusionGrid.zipWithIndex.flatMap { case (ws, wid) =>
+        ws.zipWithIndex.map { case (w, tier) => s"($wid, $tier, $w)" }
+      }.mkString(", ")
+      s"""WITH $bmQuerySql,
+        |${hybridCtesFor("documents")},
+        |c1 AS (SELECT query_id, doc_id, 0 AS tier,
+        |    10000 // (60 + rnk) AS c FROM sp
+        |  UNION ALL SELECT query_id, doc_id, 1 AS tier,
+        |    10000 // (60 + rnk) FROM dtier),
+        |trainc AS (SELECT * FROM c1
+        |  WHERE CAST(substr(query_id, 2) AS INTEGER) % 2 = 1),
+        |evalc AS (SELECT * FROM c1
+        |  WHERE CAST(substr(query_id, 2) AS INTEGER) % 2 = 0),
+        |wgrid(wid, tier, wgt) AS (VALUES $gridValues),
+        |fall AS (SELECT g.wid, c.query_id, c.doc_id,
+        |    CAST(sum(g.wgt * c.c) AS BIGINT) AS fscore
+        |  FROM trainc c JOIN wgrid g USING (tier) GROUP BY 1, 2, 3),
+        |topw AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY wid, query_id ORDER BY fscore DESC, doc_id) AS rnk
+        |    FROM fall) WHERE rnk <= 5),
+        |qtc AS (SELECT query_id, count(DISTINCT term) AS n_terms FROM q GROUP BY 1),
+        |lead8 AS (SELECT doc_id,
+        |    unnest(list_distinct(list_slice(w, 1, 8))) AS term FROM toks),
+        |rels AS (SELECT query_id, doc_id FROM (
+        |    SELECT q.query_id, l.doc_id, count(DISTINCT q.term) AS n_match
+        |    FROM lead8 l JOIN q USING (term) GROUP BY 1, 2) m
+        |  JOIN qtc USING (query_id) WHERE m.n_match = qtc.n_terms),
+        |trels AS (SELECT * FROM rels
+        |  WHERE CAST(substr(query_id, 2) AS INTEGER) % 2 = 1),
+        |erels AS (SELECT * FROM rels
+        |  WHERE CAST(substr(query_id, 2) AS INTEGER) % 2 = 0),
+        |ms AS (SELECT t.wid, t.query_id,
+        |    min(CASE WHEN r.doc_id IS NOT NULL THEN t.rnk END) AS fr
+        |  FROM topw t LEFT JOIN trels r
+        |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+        |  GROUP BY 1, 2),
+        |sw AS (SELECT wid, CAST(sum(CASE WHEN fr IS NULL THEN 0
+        |    ELSE 10000 // fr END) AS BIGINT) AS s FROM ms GROUP BY 1),
+        |best AS (SELECT wid FROM sw ORDER BY s DESC, wid LIMIT 1),
+        |wstr AS (SELECT wid, string_agg(CAST(wgt AS VARCHAR), ','
+        |    ORDER BY tier) AS weights FROM wgrid GROUP BY 1),
+        |ef AS (SELECT c.query_id, c.doc_id,
+        |    CAST(sum(g.wgt * c.c) AS BIGINT) AS fscore
+        |  FROM evalc c JOIN wgrid g USING (tier) JOIN best USING (wid)
+        |  WHERE g.wid = best.wid GROUP BY 1, 2),
+        |etop AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rnk
+        |    FROM ef) WHERE rnk <= 5),
+        |etm AS (SELECT CAST(coalesce(sum(CASE WHEN fr IS NULL THEN 0
+        |      ELSE 10000 // fr END), 0) AS BIGINT) AS v FROM (
+        |    SELECT t.query_id,
+        |      min(CASE WHEN r.doc_id IS NOT NULL THEN t.rnk END) AS fr
+        |    FROM etop t LEFT JOIN erels r
+        |      ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+        |    GROUP BY 1)),
+        |eqf AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS fscore
+        |  FROM evalc GROUP BY 1, 2),
+        |eqtop AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rnk
+        |    FROM eqf) WHERE rnk <= 5),
+        |eqm AS (SELECT CAST(coalesce(sum(CASE WHEN fr IS NULL THEN 0
+        |      ELSE 10000 // fr END), 0) AS BIGINT) AS v FROM (
+        |    SELECT t.query_id,
+        |      min(CASE WHEN r.doc_id IS NOT NULL THEN t.rnk END) AS fr
+        |    FROM eqtop t LEFT JOIN erels r
+        |      ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+        |    GROUP BY 1))
+        |SELECT wstr.weights, etm.v AS eval_trained_mrr_bp,
+        |  eqm.v AS eval_equal_mrr_bp
+        |FROM best JOIN wstr USING (wid), etm, eqm""".stripMargin
+    })
+
   /** RAG context DIVERSIFICATION capstone — retrieve → fuse → MMR →
     * deliver: the fused sparse⊕dense chunk ranking (top-20 candidates
     * this time, the MMR working set) re-ranked by greedy
@@ -6717,7 +6830,8 @@ object Queries {
     textBm25Topk, textBm25Indexed, textBm25Incr, textBm25Fielded, textBm25FieldedWet,
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh,
-    textHybridLsh4, textHybridIvf, textHybridTrained, textMmrTopk,
+    textHybridLsh4, textHybridIvf, textHybridTrained,
+    textHybridTrainedHoldout, textMmrTopk,
     pipelineRagRetrieval, pipelineRagIvf, pipelineRagMmr,
     pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,

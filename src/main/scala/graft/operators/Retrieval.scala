@@ -855,6 +855,31 @@ object Retrieval {
     } finally cand.unpersist(false)
   }
 
+  /** Weighted RRF fusion under FIXED per-tier weights — the serving
+    * face of [[trainedFuse]]: once the grid search has picked a weight
+    * vector, every later query batch fuses under it without
+    * re-evaluating the grid. Same integer contribution
+    * (10⁴//(kRrf+rnk)) and ranking contract as [[rrfFuse]] (which is
+    * the all-weights-equal special case up to score scale — rankings
+    * identical). Output: (query_id, doc_id, fscore, n_tiers, rnk). */
+  def weightedRrfFuse(tiers: Seq[DataFrame], weights: Seq[Long], k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(tiers.nonEmpty && weights.size == tiers.size,
+      "one weight per tier")
+    val contribs = tiers.zip(weights).map { case (t, w) =>
+      t.select(col("query_id"), col("doc_id"),
+        (lit(w) * expr(s"10000 div ($kRrf + rnk)").cast("long")).as("c"))
+    }.reduce(_ unionByName _)
+    val fused = contribs.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("fscore"), count(lit(1)).as("n_tiers"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("fscore").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("fscore"),
+        col("n_tiers"), col("rnk").cast("int").as("rnk"))
+  }
+
   /** Grid-searched weighted-RRF fusion — TRAINED tier weights: instead
     * of [[rrfFuse]]'s fixed equal weighting, every candidate weight
     * vector in `grid` (one Long per tier) is evaluated against `qrels`

@@ -464,6 +464,20 @@ class RetrievalSpec extends AnyFunSuite {
         s"plain RRF: trained=$trainedMrr equal=$equalMrr")
   }
 
+  test("weightedRrfFuse with equal weights ranks exactly like rrfFuse " +
+      "(the serving face degrades to the fixed combiner)") {
+    val tierA = Seq(("q", 10L, 1), ("q", 11L, 2), ("q", 2L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val tierB = Seq(("q", 2L, 1), ("q", 10L, 2), ("q", 12L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val weighted = Retrieval.weightedRrfFuse(Seq(tierA, tierB),
+        Seq(7L, 7L), k = 4)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    val plain = Retrieval.rrfFuse(Seq(tierA, tierB), k = 4)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    assert(weighted == plain, s"$weighted != $plain")
+  }
+
   test("trained fusion on EMPTY tiers returns an empty frame with the " +
       "output schema, never a head-on-empty crash (review r13)") {
     val empty = Seq.empty[(String, Long, Int)].toDF("query_id", "doc_id", "rnk")
