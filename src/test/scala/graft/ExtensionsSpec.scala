@@ -39,6 +39,12 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getDouble(1) == 2.5)
       assert(row.getLong(2) == graft.operators.Layout.hilbertRef(5L, 3L, 8))
       assert(row.getDouble(3) == 32.0)
+      // r13 pair kernels: 5^3 = 0b101 xor 0b011 = 0b110 → 2 bits; ADC
+      // lut [10,20,30,40] with m=2/ksub=2 codes [1,0] → 20 + 30
+      val r2 = s.sql(
+        "SELECT hamming_l(array(5L), array(3L)) AS h, " +
+          "adc_sum_l(array(1, 0), array(10L, 20L, 30L, 40L)) AS a").head()
+      assert(r2.getInt(0) == 2 && r2.getLong(1) == 50L)
     }
   }
 
