@@ -6227,6 +6227,53 @@ object Queries {
         |FROM r WHERE rank <= 10""".stripMargin
     })
 
+  /** FILTERED ANN against the persisted index — the production pattern
+    * where a metadata predicate (here label = 1) composes with the
+    * TRAINED index instead of forcing a rebuild: the SAME persisted
+    * "all"-corpus centroids serve the filtered search, the predicate
+    * lands on the (stored) assignment rows before the cell equi-join,
+    * and queries probe exactly as in the unfiltered path. At 100 TB
+    * this is a parquet filter on the assignment table — pushdown-
+    * friendly, index untouched. Derived oracle from the same centroid
+    * literals with the label predicate in the assigned CTE. */
+  private val simIvfFiltered = Q("sim_ivf_filtered",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.crossTopKIvf(e.where(col("label") === 1),
+        e.where(pmod(col("vec_id"), lit(20)) === 0), k = 10,
+        embCentroids(s, dir, "all", e), nProbes = 2)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val cents = embCentroids(s, dir, "all", Tables.embeddings(s, dir))
+      val values = cents.zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c(cell, cv) AS (VALUES
+        |  $values),
+        |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, cell FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn WHERE n.label = 1)
+        |  WHERE crn = 1),
+        |q AS (SELECT query_id, qv, qnrm, cell FROM (
+        |    SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qnrm, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(n.v, cn.cv) / (n.nrm * cn.cnrm), 6) DESC, cn.cell) AS pr
+        |    FROM n CROSS JOIN cn WHERE n.vec_id % 20 = 0)
+        |  WHERE pr <= 2),
+        |s AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+        |        ROUND(list_dot_product(q.qv, a.v) / (q.qnrm * a.nrm), 4) + 0.0 AS cosine
+        |      FROM q JOIN assigned a ON a.cell = q.cell),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 10""".stripMargin
+    })
+
   /** Binary (sign-bit) code table (Similarity.binqEncode, exploded to
     * (vec_id, w_idx, word) rows — the storable relation): each BIGINT
     * word packs 32 sign bits, dim/8 bytes per vector instead of 4·dim
@@ -6847,7 +6894,7 @@ object Queries {
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
-    simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simIvfpqResidual,
+    simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simIvfpqResidual,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
