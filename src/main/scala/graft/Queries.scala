@@ -6450,6 +6450,64 @@ object Queries {
       |  vec_id AS neighbor_id, score
       |FROM r WHERE rank <= 10""".stripMargin))
 
+  /** Oracled recall for the int8 tier (the sim_binq_recall pattern):
+    * per-query overlap between the exact brute top-10 and the
+    * sq8 dequantized-cosine top-10 — hash-checks the tier's near-exact
+    * claim (ProfileQuant: 0.98 aggregate) instead of noting it. */
+  private val simSq8Recall = Q("sim_sq8_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val brute = Similarity.bruteTopK(e, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val sq8 = Similarity.sq8TopK(Similarity.sq8Encode(e),
+          e.where(pmod(col("vec_id"), lit(20)) === 0), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(sq8, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) * lit(10000L)
+            / col("n_brute")).cast("long").as("recall_bp"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |  WHERE list_dot_product(v, v) > 0),
+      |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      |  WHERE vec_id % 20 = 0),
+      |bs AS (SELECT qn.query_id, n.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+      |  FROM qn CROSS JOIN n WHERE n.vec_id <> qn.query_id),
+      |brute AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+      |  WHERE rank <= 10),
+      |m AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS max_abs,
+      |    sqrt(list_dot_product(v, v)) AS nrm FROM e
+      |  WHERE list_dot_product(v, v) > 0),
+      |c AS (SELECT vec_id,
+      |    list_transform(v, x -> floor(x * 127.0 / max_abs + 0.5)) AS q8,
+      |    max_abs, nrm FROM m),
+      |q8q AS (SELECT vec_id AS query_id, q8 AS qq8, max_abs AS qmax,
+      |    nrm AS qnrm FROM c WHERE vec_id % 20 = 0),
+      |ss AS (SELECT q.query_id, c.vec_id,
+      |    ROUND(list_dot_product(q.qq8, c.q8) * q.qmax * c.max_abs
+      |      / (16129.0 * q.qnrm * c.nrm), 6) + 0.0 AS score
+      |  FROM q8q q CROSS JOIN c WHERE c.vec_id <> q.query_id),
+      |sq8 AS (SELECT query_id, vec_id AS neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, vec_id) AS rank FROM ss)
+      |  WHERE rank <= 10),
+      |hits AS (SELECT b.query_id, count(*) AS n_overlap
+      |  FROM brute b JOIN sq8 USING (query_id, neighbor_id) GROUP BY 1),
+      |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+      |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+      |  CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(coalesce(hits.n_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS recall_bp
+      |FROM base LEFT JOIN hits USING (query_id)""".stripMargin))
+
   /** Residual-trained PQ codebooks (pq_books_resid artifact): trained on
     * v − c(cell) against the persisted embedding centroids — shares the
     * pqBooksCache/parquetArtifact posture of the raw-vector books. */
@@ -6894,7 +6952,7 @@ object Queries {
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
-    simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simIvfpqResidual,
+    simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
