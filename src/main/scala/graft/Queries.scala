@@ -6227,6 +6227,52 @@ object Queries {
         |FROM r WHERE rank <= 10""".stripMargin
     })
 
+  /** IVF cell-balance audit — the hot-key audit the other bucketed
+    * families already have (Dedup.oversizedBuckets for MinHash bands,
+    * oversizedJoinKeys for ER blocks): per cell of the PERSISTED index,
+    * the member count, its share in basis points, and a hot flag at
+    * 3× the even share — a skewed cell is a hot partition at 100 TB
+    * (every probe of it scans outsize data), and the audit reads the
+    * same assignment relation the searches use. Integral arithmetic ⇒
+    * hash-exact; derived oracle re-assigns from the centroid
+    * literals. */
+  private val simIvfBalance = Q("sim_ivf_balance",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = embCentroids(s, dir, "all", e)
+      val counts = Similarity.kmeansAssignWith(e, cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("cell"), col("n"),
+          (col("n") * lit(10000L) / col("total")).cast("long").as("share_bp"),
+          (col("n") * lit(cents.size.toLong) > lit(3L) * col("total"))
+            .as("hot"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val cents = embCentroids(s, dir, "all", Tables.embeddings(s, dir))
+      val values = cents.zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c(cell, cv) AS (VALUES
+        |  $values),
+        |cn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+        |asgn AS (SELECT vec_id, cell FROM (
+        |    SELECT n.vec_id, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.cv, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn)
+        |  WHERE crn = 1),
+        |cnt AS (SELECT cell, count(*) AS n FROM asgn GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt)
+        |SELECT cell, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 10000 // total AS BIGINT) AS share_bp,
+        |  n * ${cents.size} > 3 * total AS hot
+        |FROM cnt, t""".stripMargin
+    })
+
   /** FILTERED ANN against the persisted index — the production pattern
     * where a metadata predicate (here label = 1) composes with the
     * TRAINED index instead of forcing a rebuild: the SAME persisted
@@ -6952,7 +6998,7 @@ object Queries {
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
-    simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
+    simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,

@@ -1006,7 +1006,7 @@ class KmeansIvfSpec extends AnyFunSuite {
       "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk",
       "sim_pq_incr", "sim_ivfpq_residual",
       "sim_pq_topk_wide", "sim_ivfpq_residual_wide", "sim_ivfpq_topk_wide",
-      "sim_ivf_filtered"))
+      "sim_ivf_filtered", "sim_ivf_balance"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }
