@@ -54,6 +54,15 @@ object Bench {
     // the min across repeats is the load-robust estimate of what the plan
     // actually costs. The repeat count is recorded in the JSON.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // Host-contention evidence rides IN the artifact (VERDICT r13 #5):
+    // /proc/loadavg at start/end plus every repeat's timing, so a spiked
+    // min-of-reps is self-diagnosing (all reps high + load high = host;
+    // all reps high + load low = code) without a judge re-run.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    val loadStart = loadavg()
     val results = Queries.benchNames.map { name =>
       val fn = Queries.queries(name)
       try fn(spark, WarmupSfDir).count()
@@ -65,20 +74,26 @@ object Bench {
       var best = Double.MaxValue
       var successes = 0
       var err: Option[String] = None
+      val reps = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0
       while (i < repeats && err.isEmpty) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          reps += math.rint(sec * 1000) / 1000
+          best = math.min(best, sec)
           successes += 1
         } catch { case t: Throwable =>
           err = Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
         i += 1
       }
-      (name, if (successes == 0) -1.0 else best, err)
+      (name, if (successes == 0) -1.0 else best, err, reps.toSeq)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.toString }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v.toString }
+      .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, _, _, rs) =>
+        "\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     // Full RFC 8259 string escaping (same as Verify's): any raw control
     // char in an exception message would invalidate the whole JSON line.
@@ -88,7 +103,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, Some(e), _) =>
         "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     // Total counts only CLEAN queries (no error across all repeats): a query
@@ -96,10 +111,11 @@ object Bench {
     // min in `queries` (and its message in `errors`) but is excluded here,
     // so cross-round totals never silently compare a partially-failed run
     // against a healthy one.
-    val total = results.collect { case (_, v, None) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, None, _) if v >= 0 => v }.sum
     val totalR1 = results.collect {
-      case (k, v, None) if v >= 0 && R1Set(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_r1set":$totalR1,"queries":$qs,"errors":$errs,"repeats":$repeats,"agg":"min","sf":"$sfDir"}""")
+      case (k, v, None, _) if v >= 0 && R1Set(k) => v }.sum
+    val loadEnd = loadavg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_r1set":$totalR1,"queries":$qs,"reps":$repsJson,"errors":$errs,"repeats":$repeats,"agg":"min","loadavg":{"start":$loadStart,"end":$loadEnd},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,9 +43,12 @@ object SimFns {
 
   /** ADC lookup sum over the wide PQ layout ([[graft.plans.AdcSumL]]):
     * `codes` the vector's m codes (`array<int>`), `lut` the query's
-    * flattened sub-major m×ksub distance table (`array<bigint>`). */
-  def adcSum(codes: Column, lut: Column): Column =
+    * flattened sub-major m×ksub distance table (`array<bigint>`),
+    * `ksub` the trained codebook size — explicit so a wrong-m codes
+    * array can never infer a misaligned layout (ADVICE r13). */
+  def adcSum(codes: Column, lut: Column, ksub: Int): Column =
     org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.AdcSumL(
       org.apache.spark.sql.graftbridge.GraftBridge.expression(codes),
-      org.apache.spark.sql.graftbridge.GraftBridge.expression(lut)))
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(lut),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(lit(ksub))))
 }

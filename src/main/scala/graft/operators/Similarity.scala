@@ -911,12 +911,14 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
 
   /** Shared distance-ASC ranking tail: d2u asc NULLS LAST with
-    * neighbor-id tie-break. NULLS LAST on purpose — plain `asc` is
-    * NULLS FIRST, so a null distance (mismatched shapes reaching a
-    * pair kernel) would OUTRANK every real neighbor: the r12
-    * null-ranking defect class in ascending form (review r13). A null
-    * row can now only surface when a query has fewer than k real
-    * candidates. */
+    * neighbor-id tie-break. The wide callers guard BOTH join sides
+    * per-row ([[validWideCodes]]/[[validWideLut]]) so a null d2u is
+    * impossible by construction — a `d2u IS NOT NULL` filter here
+    * would be WRONG: Catalyst inlines the alias and pushes the whole
+    * `adc_sum_l` into the join condition, re-evaluating the pair
+    * kernel per pair (the r12 double-dot defect class; PlanShapeSpec
+    * pins kernels out of join conditions). NULLS LAST stays as
+    * belt-and-braces ordering only. */
   private def rankAscByDist(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2u").asc_nulls_last, col("vec_id"))
@@ -925,6 +927,23 @@ object Similarity {
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), col("d2u"))
   }
+
+  /** Per-ROW validity guards for the wide ADC join sides — the
+    * [[scoreAgainst]] degenerate-input posture applied to the code
+    * tier (ADVICE r13): every null source of [[graft.plans.AdcSumL]]
+    * (wrong code count, out-of-range or null code, wrong LUT length,
+    * null LUT entry — the stale-artifact-searched-with-wrong-books
+    * cases) is a property of ONE side, so mismatched rows drop per-row
+    * BEFORE the pair join — never k null-distance rows in the output
+    * (matching the narrow path's n_sub filter) and never a predicate
+    * on the kernel's alias that Catalyst would inline into the join
+    * condition. The HOF guards run once per stored row / per query,
+    * not per pair. */
+  private def validWideCodes(m: Int, ksub: Int): Column =
+    size(col("codes")) === m &&
+      forall(col("codes"), c => c.isNotNull && c >= 0 && c < lit(ksub))
+  private def validWideLut(m: Int, ksub: Int): Column =
+    size(col("lut")) === m * ksub && !exists(col("lut"), _.isNull)
 
   /** Shared NARROW ADC ranking tail: integer distance sum over the m
     * subspaces, then [[rankAscByDist]]. `m` guards completeness: a pair
@@ -1013,11 +1032,14 @@ object Similarity {
   def pqTopKAdcWide(codesWide: DataFrame, queries: DataFrame,
       books: Seq[Seq[Array[Double]]], k: Int): DataFrame = {
     requireUniformBooks(books)
+    val (m, ksub) = (books.size, books.head.size)
     val q = adcLutWideFrom(adcLut(queries, books))
-    val scored = codesWide.crossJoin(broadcast(q))
+      .where(validWideLut(m, ksub))
+    val scored = codesWide.where(validWideCodes(m, ksub))
+      .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        adcSum(col("codes"), col("lut")).as("d2u"))
+        adcSum(col("codes"), col("lut"), ksub).as("d2u"))
     rankAscByDist(scored, k)
   }
 
@@ -1057,23 +1079,42 @@ object Similarity {
     * equi-join. Each surviving pair costs one `adc_sum_l`. */
   def ivfPqTopKWide(corpus: DataFrame, queries: DataFrame,
       cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
-      k: Int, nProbes: Int = 2): DataFrame = {
-    requireUniformBooks(books)
-    val spark = corpus.sparkSession
-    val cdf = centroidFrame(spark, cents)
-    val codesWide = pqCodesWide(
+      k: Int, nProbes: Int = 2): DataFrame =
+    ivfPqTopKWideFrom(ivfPqEncodeWide(corpus, cents, books),
+      queries, cents, books, k, nProbes)
+
+  /** The stored row of the wide IVF-PQ index — (vec_id, cell, codes):
+    * one pass builds cell assignment + wide PQ codes (cell threads
+    * through [[pqEncodeCore]]'s grouping key, so no assignment rejoin).
+    * At scale this runs ONCE and persists; [[ivfPqTopKWideFrom]]
+    * searches the stored table and never touches a corpus vector. */
+  def ivfPqEncodeWide(corpus: DataFrame, cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val cdf = centroidFrame(corpus.sparkSession, cents)
+    pqCodesWide(
       pqEncodeCore(assignCells(preparedVecs(corpus), cdf)
         .select(col("vec_id"), col("cell"), col("v")), books, Seq("cell")),
       Seq("cell"))
+  }
+
+  /** [[ivfPqTopKWide]] over a PRE-ENCODED [[ivfPqEncodeWide]] table —
+    * the loaded-artifact search face. */
+  def ivfPqTopKWideFrom(codesWide: DataFrame, queries: DataFrame,
+      cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+      k: Int, nProbes: Int = 2): DataFrame = {
+    requireUniformBooks(books)
+    val cdf = centroidFrame(codesWide.sparkSession, cents)
     val probes = probeCells(queries, cdf, nProbes)
       .select(col("query_id"), col("cell"))
+    val (m, ksub) = (books.size, books.head.size)
     val lutWide = adcLutWideFrom(adcLut(queries, books))
-    val scored = codesWide
+      .where(validWideLut(m, ksub))
+    val scored = codesWide.where(validWideCodes(m, ksub))
       .join(broadcast(probes), "cell")
       .join(broadcast(lutWide), "query_id")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        adcSum(col("codes"), col("lut")).as("d2u"))
+        adcSum(col("codes"), col("lut"), ksub).as("d2u"))
     rankAscByDist(scored, k)
   }
 
@@ -1364,12 +1405,15 @@ object Similarity {
       cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
       k: Int, nProbes: Int = 2): DataFrame = {
     requireUniformBooks(books)
+    val (m, ksub) = (books.size, books.head.size)
     val lutWide = adcLutWideFrom(
       residualAdcLut(queries, cents, books, nProbes), Seq("cell"))
-    val scored = codesWide.join(broadcast(lutWide), "cell")
+      .where(validWideLut(m, ksub))
+    val scored = codesWide.where(validWideCodes(m, ksub))
+      .join(broadcast(lutWide), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        adcSum(col("codes"), col("lut")).as("d2u"))
+        adcSum(col("codes"), col("lut"), ksub).as("d2u"))
     rankAscByDist(scored, k)
   }
 }

@@ -26,7 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dot_d", exprs => DotProductD(exprs(0), exprs(1))))
     ext.injectFunction(fn("sum_abs_diff_l", exprs => SumAbsDiffL(exprs(0), exprs(1))))
     ext.injectFunction(fn("hamming_l", exprs => HammingL(exprs(0), exprs(1))))
-    ext.injectFunction(fn("adc_sum_l", exprs => AdcSumL(exprs(0), exprs(1))))
+    ext.injectFunction(fn("adc_sum_l", exprs => AdcSumL(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction(fn("nfc_normalize", exprs => NfcNormalize(exprs.head)))
     ext.injectFunction(fn("deflate_len", exprs => DeflateLen(exprs.head)))
     ext.injectFunction(fn("prefix_sum_i", exprs => PrefixSumI(exprs.head)))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
-  UnaryExpression}
+  TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
@@ -281,42 +281,48 @@ case class HammingL(left: Expression, right: Expression)
       newRight: Expression): HammingL = copy(left = newLeft, right = newRight)
 }
 
-/** `adc_sum_l(codes, lut)` — asymmetric-distance lookup sum, the PQ
-  * search kernel over the WIDE code layout: codes is the vector's m PQ
-  * codes (`array<int>`), lut the query's flattened m×ksub subspace
+/** `adc_sum_l(codes, lut, ksub)` — asymmetric-distance lookup sum, the
+  * PQ search kernel over the WIDE code layout: codes is the vector's m
+  * PQ codes (`array<int>`), lut the query's flattened m×ksub subspace
   * distance table (`array<bigint>`, laid out sub-major: entry
   * sub·ksub + code), and the result Σ_sub lut[sub·ksub + codes[sub]]
   * — m primitive loads + adds per query×vector pair, replacing the
   * narrow layout's m joined rows per pair and their (query, vec)
   * re-aggregation (measured: the narrow ADC aggregate dominates the
-  * sf1 searches). ksub is `lut.length / codes.length`; null on empty or
-  * non-divisible shapes, null elements, or an out-of-range code — a
-  * mismatched codes/books pairing must surface as null (ranked LAST by
-  * the callers' nulls-last windows), never as a garbage distance. */
-case class AdcSumL(left: Expression, right: Expression)
-    extends BinaryExpression {
+  * sf1 searches). `ksub` is EXPLICIT (the codebook size the caller
+  * trained with) — an inferred lut.length/codes.length would let a
+  * wrong-m codes array whose length coincidentally divides the LUT
+  * (4 codes against an 8×16 table infers ksub=32) score a misaligned
+  * garbage distance (ADVICE r13). With ksub pinned, codes.length must
+  * equal lut.length/ksub exactly or the result is null. Null on empty
+  * or mismatched shapes, non-positive ksub, null elements, or an
+  * out-of-range code — a mismatched codes/books pairing must surface
+  * as null (dropped by the callers' isNotNull filters), never as a
+  * garbage distance. */
+case class AdcSumL(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
   override def prettyName: String = "adc_sum_l"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    (left.dataType, right.dataType) match {
+    (first.dataType, second.dataType, third.dataType) match {
       case (org.apache.spark.sql.types.ArrayType(IntegerType, _),
-            org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+            org.apache.spark.sql.types.ArrayType(LongType, _), IntegerType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case (l, r) =>
+      case (l, r, k) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"adc_sum_l requires (array<int> codes, array<bigint> lut), " +
-            s"got ${l.simpleString} and ${r.simpleString}")
+          s"adc_sum_l requires (array<int> codes, array<bigint> lut, int ksub), " +
+            s"got ${l.simpleString}, ${r.simpleString} and ${k.simpleString}")
     }
 
-  override protected def nullSafeEval(cv: Any, lv: Any): Any = {
+  override protected def nullSafeEval(cv: Any, lv: Any, kv: Any): Any = {
     val c = cv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val l = lv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ksub = kv.asInstanceOf[Int]
     val m = c.numElements()
-    if (m == 0 || l.numElements() % m != 0) return null
-    val ksub = l.numElements() / m
+    if (m == 0 || ksub <= 0 || l.numElements() != m * ksub) return null
     var acc = 0L
     var s = 0
     while (s < m) {
@@ -332,22 +338,21 @@ case class AdcSumL(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (cc, lc) => {
-      val (m, ksub, s, acc, code, idx) = (ctx.freshName("m"),
-        ctx.freshName("ksub"), ctx.freshName("s"), ctx.freshName("acc"),
+    nullSafeCodeGen(ctx, ev, (cc, lc, kc) => {
+      val (m, s, acc, code, idx) = (ctx.freshName("m"),
+        ctx.freshName("s"), ctx.freshName("acc"),
         ctx.freshName("code"), ctx.freshName("idx"))
       s"""
         |int $m = $cc.numElements();
-        |if ($m == 0 || $lc.numElements() % $m != 0) {
+        |if ($m == 0 || $kc <= 0 || $lc.numElements() != $m * $kc) {
         |  ${ev.isNull} = true;
         |} else {
-        |  int $ksub = $lc.numElements() / $m;
         |  long $acc = 0L;
         |  for (int $s = 0; $s < $m; $s++) {
         |    if ($cc.isNullAt($s)) { ${ev.isNull} = true; break; }
         |    int $code = $cc.getInt($s);
-        |    if ($code < 0 || $code >= $ksub) { ${ev.isNull} = true; break; }
-        |    int $idx = $s * $ksub + $code;
+        |    if ($code < 0 || $code >= $kc) { ${ev.isNull} = true; break; }
+        |    int $idx = $s * $kc + $code;
         |    if ($lc.isNullAt($idx)) { ${ev.isNull} = true; break; }
         |    $acc += $lc.getLong($idx);
         |  }
@@ -356,8 +361,9 @@ case class AdcSumL(left: Expression, right: Expression)
         |""".stripMargin
     })
 
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): AdcSumL = copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): AdcSumL =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `american_to_decimal(x)` — American → decimal (European) odds:

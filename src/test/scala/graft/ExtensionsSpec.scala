@@ -43,7 +43,7 @@ class ExtensionsSpec extends AnyFunSuite {
       // lut [10,20,30,40] with m=2/ksub=2 codes [1,0] → 20 + 30
       val r2 = s.sql(
         "SELECT hamming_l(array(5L), array(3L)) AS h, " +
-          "adc_sum_l(array(1, 0), array(10L, 20L, 30L, 40L)) AS a").head()
+          "adc_sum_l(array(1, 0), array(10L, 20L, 30L, 40L), 2) AS a").head()
       assert(r2.getInt(0) == 2 && r2.getLong(1) == 50L)
     }
   }

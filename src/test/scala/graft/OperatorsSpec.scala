@@ -664,6 +664,18 @@ class SimilaritySpec extends AnyFunSuite {
     val ranked = stale.select("neighbor_id").as[Long].collect().toSet
     assert(ranked.forall(v => maxCode(v) < 2),
       s"a partial-sum pair ranked: $ranked vs codes $maxCode")
+    // ADVICE r13: the WIDE twin of the stale-books case — per-side
+    // guards drop the mismatched rows, so wide stays bit-identical to
+    // narrow even when a query has fewer than k valid candidates
+    // (nulls previously survived the nulls_last window there)
+    val staleWide = Similarity.pqTopKAdcWide(Similarity.pqCodesWide(codes4),
+      big.where(col("vec_id") === 0L), books2, k = 5)
+    assert(staleWide.orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Long)].collect().toSeq ==
+      stale.orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Long)].collect().toSeq,
+      "stale-books wide must equal narrow (rows drop, no null distances)")
+    assert(staleWide.where(col("d2u").isNull).count() == 0)
     // ragged books (pqTrain's distinct-subvector cap) must fail the
     // WIDE layout loudly instead of misaligning the flattened LUT
     val ragged = Seq(Seq(Array(0.0, 0.0)), books4(1))

@@ -114,7 +114,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "pipeline_rag_retrieval" -> (13, 4),
       // r13 binary tier: corpus-code build scan + query encode scan feed
       // one pair loop; the only exchange is the rank window
-      "sim_binq_topk" -> (1, 2))
+      "sim_binq_topk" -> (1, 2),
+      // r14 quantized-tier bench representative: the PERSISTED wide code
+      // artifact scans once, queries scan once (LUT build broadcasts);
+      // exchanges are the LUT-collapse aggregate + the rank window —
+      // no corpus re-encode anywhere in the plan
+      "sim_pq_topk_wide" -> (2, 2))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")

@@ -446,10 +446,11 @@ object AdcSumProps extends Properties("AdcSumL") {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
-  private def run(codes: ArrayData, lut: ArrayData): Any =
+  private def run(codes: ArrayData, lut: ArrayData, ksub: Int): Any =
     graft.plans.AdcSumL(
       BoundReference(0, ArrayType(IntegerType, containsNull = true), nullable = true),
-      BoundReference(1, ArrayType(LongType, containsNull = true), nullable = true))
+      BoundReference(1, ArrayType(LongType, containsNull = true), nullable = true),
+      org.apache.spark.sql.catalyst.expressions.Literal(ksub))
       .eval(InternalRow(codes, lut))
 
   private val genCase = for {
@@ -462,23 +463,36 @@ object AdcSumProps extends Properties("AdcSumL") {
   property("kernel == sub-major lookup fold Σ lut[sub·ksub + code]") =
     forAll(genCase) { case (ksub, codes, lut) =>
       run(UnsafeArrayData.fromPrimitiveArray(codes.toArray),
-        UnsafeArrayData.fromPrimitiveArray(lut.toArray)) ==
+        UnsafeArrayData.fromPrimitiveArray(lut.toArray), ksub) ==
         codes.zipWithIndex.map { case (c, s) => lut(s * ksub + c) }.sum
     }
 
-  property("empty codes, non-divisible lut, and out-of-range codes all " +
+  property("empty codes, mismatched shapes, and out-of-range codes all " +
       "yield NULL — never a garbage distance") =
     forAll(genCase) { case (ksub, codes, lut) =>
       val c = UnsafeArrayData.fromPrimitiveArray(codes.toArray)
       val l = UnsafeArrayData.fromPrimitiveArray(lut.toArray)
       val empty =
-        run(UnsafeArrayData.fromPrimitiveArray(Array.empty[Int]), l) == null
+        run(UnsafeArrayData.fromPrimitiveArray(Array.empty[Int]), l, ksub) == null
       val outOfRange = run(UnsafeArrayData.fromPrimitiveArray(
-        (ksub +: codes.tail).toArray), l) == null // code == ksub
-      // one extra lut entry breaks sub-major divisibility (unless m
-      // happens to divide the grown size — then it is a VALID reshape)
-      val nonDivisible = (lut.size + 1) % codes.size == 0 ||
-        run(c, UnsafeArrayData.fromPrimitiveArray((lut :+ 0L).toArray)) == null
-      empty && outOfRange && nonDivisible
+        (ksub +: codes.tail).toArray), l, ksub) == null // code == ksub
+      // one extra lut entry breaks the m·ksub shape contract
+      val wrongShape =
+        run(c, UnsafeArrayData.fromPrimitiveArray((lut :+ 0L).toArray), ksub) == null
+      val badKsub = run(c, l, 0) == null
+      empty && outOfRange && wrongShape && badKsub
+    }
+
+  property("ADVICE r13: a wrong-m codes array whose length divides the " +
+      "LUT (the old inferred-ksub hole) now yields NULL, not a " +
+      "misaligned distance") =
+    forAll(genCase) { case (ksub, codes, lut) =>
+      codes.size < 2 || {
+        // half the codes against the same LUT: length divides whenever
+        // m is even, which the inferred-ksub kernel scored as garbage
+        val halved = codes.take(codes.size / 2)
+        run(UnsafeArrayData.fromPrimitiveArray(halved.toArray),
+          UnsafeArrayData.fromPrimitiveArray(lut.toArray), ksub) == null
+      }
     }
 }
