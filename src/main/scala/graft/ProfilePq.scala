@@ -50,6 +50,32 @@ object ProfilePq {
         f"(code table: ${m} ints/vec vs 64 floats)")
       codes.unpersist(false)
     }
+
+    // r14 (VERDICT r13 #1): the persisted-codes artifact vs the inline
+    // corpus re-encode for the WIDE flat-ADC search — what the artifact
+    // actually buys per query batch at this SF. Same books, same plan
+    // below the code table; the only difference is whether the m-int
+    // rows are read from parquet or re-derived from the raw vectors.
+    {
+      val books = Similarity.pqTrain(e, m = 8, ksub = 16)
+      def timeIt(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val inline =
+        (1 to 3).map(_ => timeIt(Similarity.pqTopKAdcWide(
+          Similarity.pqCodesWide(Similarity.pqEncode(e, books)),
+          queries, books, k = 10).count())).min
+      val artDir = java.nio.file.Files.createTempDirectory("pq_wide_art")
+        .toString
+      Similarity.pqCodesWide(Similarity.pqEncode(e, books))
+        .write.mode("overwrite").parquet(artDir)
+      val stored = spark.read.parquet(artDir)
+      val art =
+        (1 to 3).map(_ => timeIt(Similarity.pqTopKAdcWide(
+          stored, queries, books, k = 10).count())).min
+      println(f"[pq] wide-ADC search, inline re-encode=$inline%.2fs vs " +
+        f"persisted codes=$art%.2fs (min of 3, m=8 ksub=16)")
+    }
     spark.stop()
   }
 }

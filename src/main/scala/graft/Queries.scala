@@ -5013,7 +5013,7 @@ object Queries {
     * so DuckDB re-derives it end to end — including whether the
     * trained pick actually generalizes (no guarantee on held-out data;
     * the honest number IS the point). */
-  private val textHybridTrainedHoldout = Q("text_hybrid_trained_holdout",
+  private def trainedHoldoutQ(name: String, grid: Seq[Seq[Long]]): Q = Q(name,
     (s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -5026,15 +5026,15 @@ object Queries {
       val qrels = leading8Qrels(docs, bmQueryTerms.toDF("query_id", "term"))
       val trained = Retrieval.trainedFuse(
         Seq(part(sparse, 1), part(dense, 1)), part(qrels, 1),
-        fusionGrid, k = 5)
+        grid, k = 5)
       // an EMPTY train split trains nothing: the oracle's `best` CTE is
       // empty and emits zero rows, so the degenerate case must emit
-      // zero rows here too, not a fusionGrid.head fallback row (ADVICE
+      // zero rows here too, not a grid.head fallback row (ADVICE
       // r13). The placeholder weights only shape the dead plan below
       // the lit(false) filter.
       val weightsOpt = trained.select(col("weights")).head(1).headOption
         .map(_.getString(0).split(",").map(_.toLong).toSeq)
-      val weights = weightsOpt.getOrElse(fusionGrid.head)
+      val weights = weightsOpt.getOrElse(grid.head)
       val evalTiers = Seq(part(sparse, 0), part(dense, 0))
       val evalQrels = part(qrels, 0)
       def sumMrr(ranked: DataFrame): DataFrame =
@@ -5051,7 +5051,7 @@ object Queries {
         .where(lit(weightsOpt.isDefined))
     },
     Some {
-      val gridValues = fusionGrid.zipWithIndex.flatMap { case (ws, wid) =>
+      val gridValues = grid.zipWithIndex.flatMap { case (ws, wid) =>
         ws.zipWithIndex.map { case (w, tier) => s"($wid, $tier, $w)" }
       }.mkString(", ")
       s"""WITH $bmQuerySql,
@@ -5122,6 +5122,29 @@ object Queries {
         |  eqm.v AS eval_equal_mrr_bp
         |FROM best JOIN wstr USING (wid), etm, eqm""".stripMargin
     })
+  private val textHybridTrainedHoldout =
+    trainedHoldoutQ("text_hybrid_trained_holdout", fusionGrid)
+
+  /** The SIMPLEX-SWEPT candidate grid (VERDICT r13 #3): w_sparse +
+    * w_dense = 16 held constant (RRF ranking is scale-invariant in the
+    * total, so the simplex IS the whole search space for two tiers) and
+    * every integer mix from (1,15) to (15,1) evaluated — a real 1-D
+    * sweep of the operating point instead of 5 hand-picked vectors.
+    * The equal-weight point (8,8) is IN the sweep, so the trained pick
+    * can only match or beat plain RRF on the training judgments. */
+  private val fusionGridSweep: Seq[Seq[Long]] =
+    (1L to 15L).map(i => Seq(i, 16L - i))
+
+  /** Held-out trained fusion over the swept simplex — same train →
+    * select → serve → measure protocol as text_hybrid_trained_holdout
+    * (whose 5-point grid it subsumes in resolution), one oracled row:
+    * the swept pick's weights plus its EVAL-split MRR vs equal-weight
+    * RRF. The whole 15-point grid still evaluates in ONE plan
+    * (trainedFuse's contribs×grid join — |grid|·|queries|·k rows, so a
+    * 3× finer grid costs 3× a tiny frame, not 3× the corpus). */
+  private val textHybridTrainedSweep =
+    trainedHoldoutQ("text_hybrid_trained_sweep", fusionGridSweep)
+
 
   /** RAG context DIVERSIFICATION capstone — retrieve → fuse → MMR →
     * deliver: the fused sparse⊕dense chunk ranking (top-20 candidates
@@ -6582,6 +6605,69 @@ object Queries {
       |  CAST(coalesce(hits.n_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS recall_bp
       |FROM base LEFT JOIN hits USING (query_id)""".stripMargin))
 
+  /** Incremental binary-code index maintenance (VERDICT r13 #4) — the
+    * sign-bit sibling of sim_pq_incr: the HISTORY code table (vec_id ≡ 0
+    * mod 7) is a write-once parquet artifact (encoded once, never
+    * re-encoded — and with no trained input the binq tier needs no
+    * codebook artifact at all); a new batch encodes fresh and appends
+    * with its origin tag, history vectors never rescanned. Output is the
+    * exploded storable relation (the sim_binq_codes layout) so the
+    * static oracle pins every word of both origins bit-for-bit. */
+  private val simBinqIncr = Q("sim_binq_incr",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = parquetArtifact(s, dir, "binq_codes_hist7", "embeddings")(
+        Similarity.binqEncode(e.where(pmod(col("vec_id"), lit(7)) === 0)))
+      hist.withColumn("origin", lit("history"))
+        .unionByName(
+          Similarity.binqEncode(e.where(pmod(col("vec_id"), lit(7)) =!= 0))
+            .withColumn("origin", lit("batch")))
+        .select(col("vec_id"), posexplode(col("bw")), col("origin"))
+        .select(col("vec_id"), col("pos").cast("int").as("w_idx"),
+          col("col").as("word"), col("origin"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT vec_id,
+      |    unnest(list_transform(v, (x, i) -> {'i': i, 'x': x}), recursive := true)
+      |  FROM e)
+      |SELECT vec_id, CAST((i - 1) // 32 AS INTEGER) AS w_idx,
+      |  CAST(sum(CASE WHEN x > 0 THEN 1::BIGINT << ((i - 1) % 32)
+      |           ELSE 0::BIGINT END) AS BIGINT) AS word,
+      |  CASE WHEN vec_id % 7 = 0 THEN 'history' ELSE 'batch' END AS origin
+      |FROM x GROUP BY 1, 2""".stripMargin))
+
+  /** Incremental int8 scalar-quantization index maintenance — the sq8
+    * sibling: history codes persist once (per-vector scales ride the
+    * stored row, so dequantization needs no global artifact either),
+    * batches append origin-tagged. Exploded to (vec_id, d_idx, code,
+    * max_abs, origin) so the oracle pins every code and scale. */
+  private val simSq8Incr = Q("sim_sq8_incr",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val hist = parquetArtifact(s, dir, "sq8_codes_hist7", "embeddings")(
+        Similarity.sq8Encode(e.where(pmod(col("vec_id"), lit(7)) === 0)))
+      hist.withColumn("origin", lit("history"))
+        .unionByName(
+          Similarity.sq8Encode(e.where(pmod(col("vec_id"), lit(7)) =!= 0))
+            .withColumn("origin", lit("batch")))
+        .select(col("vec_id"), posexplode(col("q8")), col("max_abs"),
+          col("origin"))
+        .select(col("vec_id"), col("pos").cast("int").as("d_idx"),
+          col("col").as("code"), col("max_abs"), col("origin"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e
+      |  WHERE list_dot_product(v, v) > 0),
+      |x AS (SELECT vec_id, max_abs,
+      |    unnest(list_transform(v, (x, i) -> {'i': i, 'x': x}), recursive := true)
+      |  FROM m)
+      |SELECT vec_id, CAST(i - 1 AS INTEGER) AS d_idx,
+      |  CAST(floor(x * 127.0 / max_abs + 0.5) AS INTEGER) AS code,
+      |  max_abs,
+      |  CASE WHEN vec_id % 7 = 0 THEN 'history' ELSE 'batch' END AS origin
+      |FROM x""".stripMargin))
+
   /** Residual-trained PQ codebooks (pq_books_resid artifact): trained on
     * v − c(cell) against the persisted embedding centroids — shares the
     * pqBooksCache/parquetArtifact posture of the raw-vector books. */
@@ -7009,7 +7095,7 @@ object Queries {
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh,
     textHybridLsh4, textHybridIvf, textHybridTrained,
-    textHybridTrainedHoldout, textMmrTopk,
+    textHybridTrainedHoldout, textHybridTrainedSweep, textMmrTopk,
     pipelineRagRetrieval, pipelineRagIvf, pipelineRagMmr,
     pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,
@@ -7026,6 +7112,7 @@ object Queries {
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
+    simBinqIncr, simSq8Incr,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
