@@ -79,6 +79,50 @@ object ProfileQuant {
         f"($tRaw%.2fs)  residual recall=${recall(res)}%.3f ($tRes%.2fs)")
     }
     resCodes.unpersist(false)
+
+    // --- r14: the CLUSTERED fixture — where residual coding must WIN ---
+    // (the embeddings table is near-uniform, so raw ≈ residual there;
+    // this is the planted corpus with real cluster structure)
+    val fix = Similarity.synthesizeClustered(spark)
+    val fq = fix.where(pmod(col("vec_id"), lit(20)) === 0)
+    val fBrute = pairs(Similarity.bruteTopK(fix, k = 10, stride = 20))
+    def recF(s: Set[(Long, Long)]): Double =
+      (s intersect fBrute).size.toDouble / fBrute.size
+    val fCents = Similarity.kmeansCentroidArrays(fix, nCells = 8)
+    for ((mm, kk) <- Seq((8, 16), (8, 8), (4, 16), (4, 8))) {
+      val fRawBooks = Similarity.pqTrain(fix, m = mm, ksub = kk)
+      val fResBooks = Similarity.pqTrainResidual(fix, fCents, m = mm, ksub = kk)
+      val fResCodes = Similarity.ivfPqResidualEncode(fix, fCents, fResBooks)
+      val raw = pairs(Similarity.ivfPqTopK(fix, fq, fCents, fRawBooks,
+        k = 10, nProbes = 2))
+      val res = pairs(Similarity.ivfPqResidualTopK(fResCodes, fq, fCents,
+        fResBooks, k = 10, nProbes = 2))
+      println(f"[fixture] m=$mm ksub=$kk raw recall=${recF(raw)}%.3f " +
+        f"residual recall=${recF(res)}%.3f (8 planted clusters, nProbes=2)")
+    }
+    // --- r14: OPQ rotation on the ANISOTROPIC fixture ---
+    // identity-split PQ vs Hadamard-rotated PQ at the same budget
+    // the corpus is H·z — an axis-aligned anisotropic latent z SMEARED
+    // across all dims by the (self-inverse) Hadamard rotation; plain PQ
+    // sees correlated subspaces, the OPQ rotation recovers z exactly
+    val lat = Similarity.synthesizeAniso(spark)
+    val corpus = Similarity.rotateEmbeddings(lat, Similarity.hadamard16)
+    val cQ = corpus.where(pmod(col("vec_id"), lit(20)) === 0)
+    val cBrute = pairs(Similarity.bruteTopK(corpus, k = 10, stride = 20))
+    def recA(s: Set[(Long, Long)]): Double =
+      (s intersect cBrute).size.toDouble / cBrute.size
+    val unrot = Similarity.rotateEmbeddings(corpus, Similarity.hadamard16)
+    val uQ = unrot.where(pmod(col("vec_id"), lit(20)) === 0)
+    for ((mm, kk) <- Seq((8, 8), (8, 16))) {
+      val pqB = Similarity.pqTrain(corpus, m = mm, ksub = kk)
+      val plain = pairs(Similarity.pqTopKAdc(
+        Similarity.pqEncode(corpus, pqB), cQ, pqB, k = 10))
+      val opqB = Similarity.pqTrain(unrot, m = mm, ksub = kk)
+      val opq = pairs(Similarity.pqTopKAdc(
+        Similarity.pqEncode(unrot, opqB), uQ, opqB, k = 10))
+      println(f"[opq] m=$mm ksub=$kk plain recall=${recA(plain)}%.3f " +
+        f"OPQ-rotated recall=${recA(opq)}%.3f (smeared-latent corpus)")
+    }
     spark.stop()
   }
 }

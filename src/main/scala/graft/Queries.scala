@@ -6668,6 +6668,336 @@ object Queries {
       |  CASE WHEN vec_id % 7 = 0 THEN 'history' ELSE 'batch' END AS origin
       |FROM x""".stripMargin))
 
+  /** Trained artifacts for the CLUSTERED fixture (VERDICT r13 #2) —
+    * deterministic AND data-independent (the fixture is closed-form in
+    * vec_id), so per-JVM memoization suffices; no on-disk artifact for
+    * a 560-row corpus. ksub = 8 on purpose: with 8 planted clusters,
+    * raw PQ's 8 codes per subspace get consumed by the 8 cluster
+    * projections (no intra-cluster detail left), while residual codes
+    * spend all 8 on local detail — the configuration where the
+    * residual claim is starkest (ProfileQuant: raw 0.225 vs residual
+    * 0.918 recall@10). */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def fixCents(s: SparkSession): Seq[Array[Double]] =
+    fixtureCache.computeIfAbsent("cents", _ =>
+      Similarity.kmeansCentroidArrays(Similarity.synthesizeClustered(s),
+        nCells = 8)).asInstanceOf[Seq[Array[Double]]]
+  private def fixRawBooks(s: SparkSession): Seq[Seq[Array[Double]]] =
+    fixtureCache.computeIfAbsent("raw", _ =>
+      Similarity.pqTrain(Similarity.synthesizeClustered(s), m = 8, ksub = 8))
+      .asInstanceOf[Seq[Seq[Array[Double]]]]
+  private def fixResBooks(s: SparkSession): Seq[Seq[Array[Double]]] =
+    fixtureCache.computeIfAbsent("res", _ =>
+      Similarity.pqTrainResidual(Similarity.synthesizeClustered(s),
+        fixCents(s), m = 8, ksub = 8)).asInstanceOf[Seq[Seq[Array[Double]]]]
+
+  /** Residual IVF-PQ beats raw IVF-PQ at EQUAL code budget — proven on
+    * the planted clustered corpus and ORACLE-CHECKED (VERDICT r13 #2):
+    * the testdata's embeddings are near-uniform (centroids ≈ origin, so
+    * residual ≈ raw there — the honest caveat NOTES r13 recorded); this
+    * query runs both searches on [[Similarity.synthesizeClustered]]
+    * (8 real clusters, dyadic-exact, re-derivable in SQL from
+    * `range()`), same m=8/ksub=8/nProbes=2 budget, and emits per-query
+    * recall vs the exact brute top-10 for BOTH tiers — the separation
+    * (mean raw_bp ≈ 2250 vs resid_bp ≈ 9180) is IN the hashed output,
+    * the sim_binq_recall pattern. The oracle re-derives the corpus, the
+    * brute ground truth, and both quantized pipelines from the trained
+    * literals end to end. */
+  private val simResidualGain = Q("sim_residual_gain",
+    (s, dir) => {
+      val fix = Similarity.synthesizeClustered(s)
+      val fq = fix.where(pmod(col("vec_id"), lit(20)) === 0)
+      val cents = fixCents(s)
+      val brute = Similarity.bruteTopK(fix, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val raw = Similarity.ivfPqTopK(fix, fq, cents, fixRawBooks(s),
+          k = 10, nProbes = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val res = Similarity.ivfPqResidualTopK(
+          Similarity.ivfPqResidualEncode(fix, cents, fixResBooks(s)),
+          fq, cents, fixResBooks(s), k = 10, nProbes = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      def overlap(cand: DataFrame, name: String): DataFrame =
+        brute.join(cand, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(overlap(raw, "raw_overlap"), Seq("query_id"), "left")
+        .join(overlap(res, "resid_overlap"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("raw_overlap"), lit(0L)).as("raw_overlap"),
+          coalesce(col("resid_overlap"), lit(0L)).as("resid_overlap"),
+          expr("coalesce(raw_overlap, 0) * 10000 div n_brute").as("raw_bp"),
+          expr("coalesce(resid_overlap, 0) * 10000 div n_brute").as("resid_bp"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      def bookValues(books: Seq[Seq[Array[Double]]]): String =
+        books.zipWithIndex.flatMap { case (cs, sub) =>
+          cs.zipWithIndex.map { case (c, code) =>
+            s"($sub, $code, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+        }.mkString(",\n  ")
+      val centValues = fixCents(s).zipWithIndex.map { case (v, i) =>
+        s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      s"""WITH fix AS (SELECT r.range AS vec_id,
+        |    list_transform(generate_series(0, 15), d ->
+        |      CAST(((r.range % 8) * 5 + d * 3) % 17 - 8 AS DOUBLE) / 4.0
+        |      + CAST((r.range * 13 + d * 7) % 9 - 4 AS DOUBLE) / 32.0) AS v
+        |  FROM range(0, 560) r),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM fix),
+        |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+        |  WHERE vec_id % 20 = 0),
+        |bs AS (SELECT qn.query_id, n.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+        |  FROM qn CROSS JOIN n WHERE n.vec_id <> qn.query_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+        |  WHERE rank <= 10),
+        |c2(cell, w) AS (VALUES
+        |  $centValues),
+        |cn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM c2),
+        |asgn AS (SELECT vec_id, cell FROM (
+        |    SELECT n.vec_id, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(cn.w, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+        |    FROM n CROSS JOIN cn)
+        |  WHERE crn = 1),
+        |pb AS (SELECT query_id, cell FROM (
+        |    SELECT n.vec_id AS query_id, cn.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY ROUND(list_dot_product(n.v, cn.w) / (n.nrm * cn.cnrm), 6) DESC, cn.cell) AS pr
+        |    FROM n CROSS JOIN cn WHERE n.vec_id % 20 = 0)
+        |  WHERE pr <= 2),
+        |rb(sub, code, cv) AS (VALUES
+        |  ${bookValues(fixRawBooks(s))}),
+        |rcb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM rb),
+        |sv AS (SELECT vec_id, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(v, r.range * 2 + 1, r.range * 2 + 2) AS xs
+        |  FROM fix CROSS JOIN range(0, 8) r),
+        |sd AS (SELECT vec_id, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM sv JOIN rcb USING (sub)),
+        |renc AS (SELECT vec_id, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2u, code) AS rn FROM sd)
+        |  WHERE rn = 1),
+        |qs AS (SELECT query_id, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(qv, r.range * 2 + 1, r.range * 2 + 2) AS xs
+        |  FROM qn CROSS JOIN range(0, 8) r),
+        |rlut AS (SELECT query_id, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM qs JOIN rcb USING (sub)),
+        |rsc AS (SELECT l.query_id, renc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+        |  FROM renc JOIN asgn a ON a.vec_id = renc.vec_id
+        |    JOIN pb ON pb.cell = a.cell
+        |    JOIN rlut l ON l.query_id = pb.query_id
+        |      AND l.sub = renc.sub AND l.code = renc.code
+        |  WHERE renc.vec_id <> pb.query_id
+        |  GROUP BY 1, 2),
+        |rtop AS (SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY d2u, vec_id) AS rank FROM rsc)
+        |  WHERE rank <= 10),
+        |sb(sub, code, cv) AS (VALUES
+        |  ${bookValues(fixResBooks(s))}),
+        |scb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM sb),
+        |resid AS (SELECT n.vec_id, a.cell,
+        |    list_transform(n.v, (x, i) -> x - cn.w[i]) AS rv
+        |  FROM n JOIN asgn a ON a.vec_id = n.vec_id
+        |    JOIN cn ON cn.cell = a.cell),
+        |rsv AS (SELECT vec_id, cell, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(rv, r.range * 2 + 1, r.range * 2 + 2) AS xs
+        |  FROM resid CROSS JOIN range(0, 8) r),
+        |rsd AS (SELECT vec_id, cell, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM rsv JOIN scb USING (sub)),
+        |senc AS (SELECT vec_id, cell, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2u, code) AS rn FROM rsd)
+        |  WHERE rn = 1),
+        |qres AS (SELECT pb.query_id, pb.cell,
+        |    list_transform(q.qv, (x, i) -> x - cn.w[i]) AS rqv
+        |  FROM pb JOIN qn q ON q.query_id = pb.query_id
+        |    JOIN cn ON cn.cell = pb.cell),
+        |sqs AS (SELECT query_id, cell, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(rqv, r.range * 2 + 1, r.range * 2 + 2) AS xs
+        |  FROM qres CROSS JOIN range(0, 8) r),
+        |slut AS (SELECT query_id, cell, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM sqs JOIN scb USING (sub)),
+        |ssc AS (SELECT l.query_id, senc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+        |  FROM senc JOIN slut l ON l.cell = senc.cell
+        |      AND l.sub = senc.sub AND l.code = senc.code
+        |  WHERE senc.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |stop AS (SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY d2u, vec_id) AS rank FROM ssc)
+        |  WHERE rank <= 10),
+        |hr AS (SELECT b.query_id, count(*) AS raw_overlap
+        |  FROM brute b JOIN rtop USING (query_id, neighbor_id) GROUP BY 1),
+        |hs AS (SELECT b.query_id, count(*) AS resid_overlap
+        |  FROM brute b JOIN stop USING (query_id, neighbor_id) GROUP BY 1),
+        |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+        |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+        |  CAST(coalesce(hr.raw_overlap, 0) AS BIGINT) AS raw_overlap,
+        |  CAST(coalesce(hs.resid_overlap, 0) AS BIGINT) AS resid_overlap,
+        |  CAST(coalesce(hr.raw_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS raw_bp,
+        |  CAST(coalesce(hs.resid_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS resid_bp
+        |FROM base LEFT JOIN hr USING (query_id) LEFT JOIN hs USING (query_id)""".stripMargin
+    })
+
+  /** OPQ fixture frames + trained books (VERDICT r13 #8, Ge et al.
+    * 2013): the corpus is H·z — an axis-aligned anisotropic latent z
+    * ([[Similarity.synthesizeAniso]]) SMEARED across every dimension by
+    * the self-inverse scaled Hadamard rotation H₁₆/4, so identity-split
+    * PQ sees 8 mutually-correlated subspaces while the OPQ rotation
+    * (here H itself — on this corpus the latent basis IS the optimal
+    * rotation, the deterministic stand-in for OPQ's trained R) recovers
+    * z exactly and re-aligns the code budget with the data axes. All
+    * arithmetic is dyadic-exact (H entries ±1/4), so corpus, rotation
+    * and both searches re-derive in SQL. */
+  private def opqCorpus(s: SparkSession): DataFrame =
+    Similarity.rotateEmbeddings(Similarity.synthesizeAniso(s),
+      Similarity.hadamard16)
+  private def opqUnrot(s: SparkSession): DataFrame =
+    Similarity.rotateEmbeddings(opqCorpus(s), Similarity.hadamard16)
+  private def opqPlainBooks(s: SparkSession): Seq[Seq[Array[Double]]] =
+    fixtureCache.computeIfAbsent("opq_plain", _ =>
+      Similarity.pqTrain(opqCorpus(s), m = 8, ksub = 16))
+      .asInstanceOf[Seq[Seq[Array[Double]]]]
+  private def opqRotBooks(s: SparkSession): Seq[Seq[Array[Double]]] =
+    fixtureCache.computeIfAbsent("opq_rot", _ =>
+      Similarity.pqTrain(opqUnrot(s), m = 8, ksub = 16))
+      .asInstanceOf[Seq[Seq[Array[Double]]]]
+
+  /** OPQ rotation beats identity-split PQ at equal code budget on the
+    * smeared-latent corpus — ORACLE-CHECKED recall pair (the
+    * sim_residual_gain pattern): plain PQ quantizes H·z directly
+    * (correlated subspaces, codes misallocated), the OPQ path rotates
+    * by H first (recovering the axis-aligned latent, every subspace
+    * independent) and searches rotated queries against rotated codes —
+    * legal because the orthonormal rotation preserves every dot product
+    * BIT-EXACTLY here (H entries ±1/4 on dyadic inputs). Both recalls
+    * ride in the hashed output (ProfileQuant: plain 0.496, OPQ 0.811
+    * @ m=8 ksub=16). The oracle re-derives latent, rotation, ground
+    * truth and both ADC pipelines from the trained literals. */
+  private val simOpqGain = Q("sim_opq_gain",
+    (s, dir) => {
+      val corpus = opqCorpus(s)
+      val unrot = opqUnrot(s)
+      val cq = corpus.where(pmod(col("vec_id"), lit(20)) === 0)
+      val uq = unrot.where(pmod(col("vec_id"), lit(20)) === 0)
+      val brute = Similarity.bruteTopK(corpus, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val plain = Similarity.pqTopKAdc(
+          Similarity.pqEncode(corpus, opqPlainBooks(s)), cq,
+          opqPlainBooks(s), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val opq = Similarity.pqTopKAdc(
+          Similarity.pqEncode(unrot, opqRotBooks(s)), uq,
+          opqRotBooks(s), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      def overlap(cand: DataFrame, name: String): DataFrame =
+        brute.join(cand, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(overlap(plain, "pq_overlap"), Seq("query_id"), "left")
+        .join(overlap(opq, "opq_overlap"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("pq_overlap"), lit(0L)).as("pq_overlap"),
+          coalesce(col("opq_overlap"), lit(0L)).as("opq_overlap"),
+          expr("coalesce(pq_overlap, 0) * 10000 div n_brute").as("pq_bp"),
+          expr("coalesce(opq_overlap, 0) * 10000 div n_brute").as("opq_bp"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      def bookValues(books: Seq[Seq[Array[Double]]]): String =
+        books.zipWithIndex.flatMap { case (cs, sub) =>
+          cs.zipWithIndex.map { case (c, code) =>
+            s"($sub, $code, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+        }.mkString(",\n  ")
+      val hValues = Similarity.hadamard16.zipWithIndex.map { case (r, i) =>
+        s"($i, ${r.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n  ")
+      // shared per-tier ADC pipeline: encode `src` against book CTE
+      // `cb`, LUT the queries, sum, rank <= 10
+      def adcTier(tag: String, src: String, cbRel: String): String =
+        s"""${tag}sv AS (SELECT vec_id, CAST(r.range AS INTEGER) AS sub,
+          |    list_slice(v, r.range * 2 + 1, r.range * 2 + 2) AS xs
+          |  FROM $src CROSS JOIN range(0, 8) r),
+          |${tag}sd AS (SELECT vec_id, sub, code,
+          |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+          |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+          |  FROM ${tag}sv JOIN $cbRel USING (sub)),
+          |${tag}enc AS (SELECT vec_id, sub, code FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+          |      ORDER BY d2u, code) AS rn FROM ${tag}sd)
+          |  WHERE rn = 1),
+          |${tag}qs AS (SELECT vec_id AS query_id, CAST(r.range AS INTEGER) AS sub,
+          |    list_slice(v, r.range * 2 + 1, r.range * 2 + 2) AS xs
+          |  FROM $src CROSS JOIN range(0, 8) r WHERE vec_id % 20 = 0),
+          |${tag}lut AS (SELECT query_id, sub, code,
+          |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+          |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+          |  FROM ${tag}qs JOIN $cbRel USING (sub)),
+          |${tag}sc AS (SELECT l.query_id, ${tag}enc.vec_id,
+          |    CAST(sum(l.d2u) AS BIGINT) AS d2u
+          |  FROM ${tag}enc JOIN ${tag}lut l USING (sub, code)
+          |  WHERE ${tag}enc.vec_id <> l.query_id
+          |  GROUP BY 1, 2),
+          |${tag}top AS (SELECT query_id, vec_id AS neighbor_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |      ORDER BY d2u, vec_id) AS rank FROM ${tag}sc)
+          |  WHERE rank <= 10)""".stripMargin
+      s"""WITH lat AS (SELECT r.range AS vec_id,
+        |    list_transform(generate_series(0, 15), d ->
+        |      CAST((r.range * 13 + d * 7 + (r.range * d) % 29) % 65 - 32 AS DOUBLE)
+        |      / 32.0 / power(2.0, CAST(d AS DOUBLE))) AS z
+        |  FROM range(0, 560) r),
+        |hm(i, rv) AS (VALUES
+        |  $hValues),
+        |corpus AS (SELECT l.vec_id,
+        |    list(list_dot_product(h.rv, l.z) ORDER BY h.i) AS v
+        |  FROM lat l CROSS JOIN hm h GROUP BY l.vec_id),
+        |unrot AS (SELECT c.vec_id,
+        |    list(list_dot_product(h.rv, c.v) ORDER BY h.i) AS v
+        |  FROM corpus c CROSS JOIN hm h GROUP BY c.vec_id),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+        |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+        |  WHERE vec_id % 20 = 0),
+        |bs AS (SELECT qn.query_id, n.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+        |  FROM qn CROSS JOIN n WHERE n.vec_id <> qn.query_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+        |  WHERE rank <= 10),
+        |pbk(sub, code, cv) AS (VALUES
+        |  ${bookValues(opqPlainBooks(s))}),
+        |pcb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM pbk),
+        |obk(sub, code, cv) AS (VALUES
+        |  ${bookValues(opqRotBooks(s))}),
+        |ocb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM obk),
+        |${adcTier("p", "corpus", "pcb")},
+        |${adcTier("o", "unrot", "ocb")},
+        |hp AS (SELECT b.query_id, count(*) AS pq_overlap
+        |  FROM brute b JOIN ptop USING (query_id, neighbor_id) GROUP BY 1),
+        |ho AS (SELECT b.query_id, count(*) AS opq_overlap
+        |  FROM brute b JOIN otop USING (query_id, neighbor_id) GROUP BY 1),
+        |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+        |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+        |  CAST(coalesce(hp.pq_overlap, 0) AS BIGINT) AS pq_overlap,
+        |  CAST(coalesce(ho.opq_overlap, 0) AS BIGINT) AS opq_overlap,
+        |  CAST(coalesce(hp.pq_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS pq_bp,
+        |  CAST(coalesce(ho.opq_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS opq_bp
+        |FROM base LEFT JOIN hp USING (query_id) LEFT JOIN ho USING (query_id)""".stripMargin
+    })
+
   /** Residual-trained PQ codebooks (pq_books_resid artifact): trained on
     * v − c(cell) against the persisted embedding centroids — shares the
     * pqBooksCache/parquetArtifact posture of the raw-vector books. */
@@ -7112,7 +7442,7 @@ object Queries {
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
-    simBinqIncr, simSq8Incr,
+    simBinqIncr, simSq8Incr, simResidualGain, simOpqGain,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,

@@ -1323,6 +1323,81 @@ object Similarity {
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
   }
 
+  /** Deterministic CLUSTERED embedding fixture (VERDICT r13 #2, the
+    * synthesizeImages discipline: closed-form in vec_id, reproducible
+    * in any engine): `nClusters` pseudorandom centers
+    * (((c·5 + d·3) mod 17 − 8)/4, unit scale) plus per-vector residual
+    * jitter an order of magnitude smaller
+    * (((i·13 + d·7) mod 9 − 4)/32). Every element is a dyadic rational
+    * k/32, |k| ≤ 68 — exact in FLOAT storage and in cross-engine
+    * DOUBLE arithmetic, so searches over the fixture stay
+    * hash-oracle-able. The testdata's embeddings are near-uniform
+    * (global-mean norm 0.023 — NOTES r13), where residual ≈ raw PQ by
+    * construction; THIS corpus is the clustered case the residual tier
+    * exists for: within a cluster the raw vectors collapse to nearly
+    * one code word, while the residuals span the whole codebook. */
+  def synthesizeClustered(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 560, dim: Int = 16, nClusters: Int = 8): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        ((((col("id") % nClusters) * 5 + d * 3) % 17 - 8).cast("double") / lit(4.0) +
+          (((col("id") * 13 + d * 7) % 9 - 4).cast("double") / lit(32.0)))
+          .cast("float")).as("embedding"))
+
+  /** Anisotropic LOW-RANK latent fixture (the OPQ demonstration corpus
+    * — Ge et al. 2013: PQ quantizes subspaces independently, so the
+    * structure it cannot represent is correlation ACROSS subspaces,
+    * and a rotation helps exactly when it can re-align the data to
+    * kill that): per-dim pseudorandom detail
+    * ((i·13 + d·7 + (i·d) mod 29) mod 65 − 32)/32, scaled by the
+    * dyadic decay 2^(−d) — variance halves per dimension, so the
+    * signal is effectively rank-≈4. The OPQ corpus is H·z
+    * ([[rotateEmbeddings]] with [[hadamard16]]): the strong latents
+    * smear into every dimension, making all 8 identity subspaces
+    * mutually correlated marginals of the same low-rank source —
+    * exactly the case where un-rotating first re-aligns the code
+    * budget. All values are dyadic (k/2²² after rotation, well inside
+    * float's 24-bit significand) — exact in float storage and
+    * cross-engine arithmetic. */
+  def synthesizeAniso(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 560, dim: Int = 16): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (((col("id") * 13 + d * 7 + (col("id") * d) % 29) % 65 - 32).cast("double")
+          / lit(32.0) / pow(lit(2.0), d.cast("double")))
+          .cast("float")).as("embedding"))
+
+  /** The 16×16 scaled Hadamard rotation H₁₆/4 (Sylvester construction):
+    * orthonormal with entries ±1/4 — EXACTLY orthonormal in IEEE
+    * arithmetic (HHᵀ = 16I over ±1 integers), so rotation preserves
+    * every dot product bit-for-bit on dyadic inputs and a SQL oracle
+    * re-derives the rotated corpus exactly. The fixed rotation is the
+    * deterministic stand-in for OPQ's trained R (Ge et al. 2013): on an
+    * anisotropic corpus it equalizes per-subspace variance, which is
+    * the entire OPQ effect at fixed codebook size. */
+  def hadamard16: Seq[Array[Double]] = {
+    var h = Array(Array(1.0))
+    while (h.length < 16) {
+      h = (h.map(r => r ++ r) ++ h.map(r => r ++ r.map(-_)))
+    }
+    h.map(_.map(_ / 4.0)).toSeq
+  }
+
+  /** Apply a literal rotation matrix to the embedding column:
+    * v′(i) = R(i)·v — HOF-built but a one-pass build-side transform
+    * (never in a pair loop); the searches consume the materialized
+    * rotated column. */
+  def rotateEmbeddings(df: DataFrame, r: Seq[Array[Double]]): DataFrame = {
+    val rCol = array(r.map(row => array(row.map(lit): _*)): _*)
+    df.select(col("vec_id"),
+      transform(sequence(lit(0), lit(r.size - 1)), i =>
+        aggregate(
+          zip_with(element_at(rCol, i + 1),
+            transform(col("embedding"), x => x.cast("double")),
+            (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).cast("float")).as("embedding"))
+  }
+
   /** Train PQ codebooks on the RESIDUALS of a corpus against trained
     * centroids — [[pqTrain]] over [[residualFrame]] (same bounded
     * deterministic sample, same Lloyd rounds; the codebooks a derived
