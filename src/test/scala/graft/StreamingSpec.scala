@@ -1290,3 +1290,50 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     assert(streamRows == eagerRows, s"stream $streamRows != eager $eagerRows")
   }
 }
+
+/** MMR diversification served per MICRO-BATCH (VERDICT r13 #7): queries
+  * are independent in mmrDiversify, so serving a query batch inside
+  * foreachBatch must produce exactly the rows the batch operator
+  * produces for those queries — the streamed RAG context is the batch
+  * RAG context. Cost is measured in ProfileMmrStream (warm ≈ 2.1 s per
+  * 30-query batch at sf0.1 — the k−1 sequential pick jobs +
+  * localCheckpoints are pure scheduling at this size), which bounds the
+  * viable trigger cadence to multi-second micro-batches. */
+class StreamingMmrSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Retrieval
+
+  test("foreachBatch MMR == batch MMR on the same queries (stored vecs)") {
+    // stored vector table: 12 docs on 3 axes + jitter so near-dups exist
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Seq.tabulate(4)(d =>
+        (if (d == i % 3) 1.0f else 0.0f) + 0.01f * ((i + d) % 4)))
+    }.toDF("doc_id", "embedding")
+    def cands(qs: Range): Seq[(String, Long, Int)] =
+      for (q <- qs; r <- 1 to 8) yield (s"q$q", (q * 5L + r * 3L) % 12, r)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, Int)]
+    val collected = scala.collection.mutable.Set[(String, Int, Long)]()
+    val q = input.toDS().toDF("query_id", "doc_id", "rnk").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= Retrieval.mmrDiversify(batch, vecs, k = 3, candN = 8)
+          .as[(String, Int, Long)].collect()
+        ()
+      }.start()
+    try {
+      input.addData(cands(0 until 2): _*)
+      q.processAllAvailable()
+      input.addData(cands(2 until 4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchRun = Retrieval.mmrDiversify(
+        cands(0 until 4).toDF("query_id", "doc_id", "rnk"), vecs,
+        k = 3, candN = 8)
+      .as[(String, Int, Long)].collect().toSet
+    assert(collected.toSet == batchRun && batchRun.nonEmpty,
+      s"streamed MMR diverged: ${collected.toSet} vs $batchRun")
+  }
+}
