@@ -1018,7 +1018,9 @@ class KmeansIvfSpec extends AnyFunSuite {
       "sim_pq_codes", "sim_pq_topk", "sim_pq_rerank", "sim_ivfpq_topk",
       "sim_pq_incr", "sim_ivfpq_residual",
       "sim_pq_topk_wide", "sim_ivfpq_residual_wide", "sim_ivfpq_topk_wide",
-      "sim_ivf_filtered", "sim_ivf_balance"))
+      "sim_ivf_filtered", "sim_ivf_balance",
+      // r14: fixture-proven quality pairs (trained fixture literals)
+      "sim_residual_gain", "sim_opq_gain"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }
