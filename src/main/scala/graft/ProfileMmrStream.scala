@@ -57,6 +57,29 @@ object ProfileMmrStream {
     } finally sink.stop()
     println(f"[mmr-stream] per-batch min=${times.min}%.2fs max=${times.max}%.2fs " +
       f"(k=5 -> 4 sequential pick jobs + 1 persist per batch)")
+
+    // the driver-local twin (bounded-candidate collect + in-memory
+    // greedy, bit-identical results) on the same batches — the
+    // sub-second serving path
+    val timesL = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val inputL = MemoryStream[(String, Long, Int)]
+    val sinkL = inputL.toDS().toDF("query_id", "doc_id", "rnk").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val t0 = System.nanoTime()
+        val n = Retrieval.mmrDiversifyLocal(batch, vecs, k = 5, candN = 20).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        timesL += sec
+        println(f"[mmr-stream] LOCAL batch -> $n mmr rows in $sec%.2fs")
+        ()
+      }.start()
+    try {
+      for (b <- 0 until 3) {
+        inputL.addData(batchRows(b): _*)
+        sinkL.processAllAvailable()
+      }
+    } finally sinkL.stop()
+    println(f"[mmr-stream] LOCAL per-batch min=${timesL.min}%.2fs " +
+      f"max=${timesL.max}%.2fs (one collect of <=600 rows + driver greedy)")
     vecs.unpersist(false)
     spark.stop()
   }

@@ -7120,10 +7120,15 @@ object Queries {
   private val simIvfpqTopkWide = Q("sim_ivfpq_topk_wide",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfPqTopKWide(e,
+      val cents = embCentroids(s, dir, "all", e)
+      // the stored (vec_id, cell, codes) row persists once (r14 — the
+      // sim_ivfpq_residual posture): searches read the artifact, never
+      // re-assign or re-encode the corpus
+      val codesWide = parquetArtifact(s, dir, "ivfpq_codes_wide_m8_k16_c10",
+        "embeddings")(Similarity.ivfPqEncodeWide(e, cents, pqBooks(s, dir)))
+      Similarity.ivfPqTopKWideFrom(codesWide,
         e.where(pmod(col("vec_id"), lit(20)) === 0),
-        embCentroids(s, dir, "all", Tables.embeddings(s, dir)),
-        pqBooks(s, dir), k = 10, nProbes = 3)
+        cents, pqBooks(s, dir), k = 10, nProbes = 3)
     },
     None, oracleFn = simIvfpqTopk.oracleFn)
 

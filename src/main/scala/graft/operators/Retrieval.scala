@@ -855,6 +855,93 @@ object Retrieval {
     } finally cand.unpersist(false)
   }
 
+  /** Driver-local twin of [[mmrDiversify]] — the SUB-SECOND serving
+    * path (NOTES r14: the distributed greedy costs ≈2.1 s per
+    * micro-batch at 600 candidate rows, ALL of it k−1 job-scheduling
+    * rounds + localCheckpoints; a streaming RAG service at sub-second
+    * triggers cannot pay that). The candidate frame is BOUNDED at
+    * |queries|·candN rows by construction — the one shape where a
+    * driver collect is the right call (the pqTrain/k-means bounded-
+    * trainer precedent), so the join against the vector table still
+    * runs distributed (the corpus is never collected), and only the
+    * tiny joined candidate set comes back for an in-memory greedy.
+    * BIT-IDENTICAL to [[mmrDiversify]]: same integer rel_bp, the same
+    * round-4-then-bp cosine (BigDecimal HALF_UP — what Spark's `round`
+    * does), the same (mmr desc, doc_id asc) tie-break. Output
+    * (query_id, rank, doc_id) with the caller's id types preserved. */
+  def mmrDiversifyLocal(ranked: DataFrame, vecs: DataFrame, k: Int,
+      candN: Int = 20, lambdaBp: Long = 5000): DataFrame = {
+    import graft.functions.SimFns.{dot => _, _}
+    val spark = ranked.sparkSession
+    val n = vecs
+      .select(col("doc_id").as("vdoc"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .where(col("nrm") > 0)
+    val cand = ranked.where(col("rnk") <= candN)
+      .join(n, col("doc_id") === col("vdoc"))
+      .select(col("query_id"), col("doc_id"),
+        ((lit(candN + 1) - col("rnk")) * lit(10000L / candN)).as("rel_bp"),
+        col("v"), col("nrm"))
+    val rows = cand.collect()
+
+    def cmpIds(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int) => Integer.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case (x, y) => x.toString.compareTo(y.toString)
+    }
+    def half4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def simBp(av: Array[Double], an: Double, bv: Array[Double],
+        bn: Double): Long = {
+      var (d, i) = (0.0, 0)
+      while (i < av.length) { d += av(i) * bv(i); i += 1 }
+      BigDecimal(half4(d / (an * bn)) * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    final case class C(doc: Any, relBp: Long, v: Array[Double], nrm: Double)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Int, Any)]
+    rows.groupBy(_.get(0)).foreach { case (qid, rs) =>
+      val cs = rs.map(r => C(r.get(1), r.getLong(2),
+        r.getSeq[Double](3).toArray, r.getDouble(4)))
+      // dim guard: a ragged vector table would make the dot above
+      // silently truncate — mismatched rows drop per-row like the
+      // distributed twin's join semantics require equal-width vectors
+      val dim = if (cs.isEmpty) 0 else cs.map(_.v.length).max
+      val usable = cs.filter(_.v.length == dim)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[C]
+      var t = 1
+      while (t <= k && picked.size < usable.length) {
+        val remaining = usable.filterNot(c =>
+          picked.exists(p => cmpIds(p.doc, c.doc) == 0))
+        val best = remaining.map { c =>
+          val maxsim =
+            if (picked.isEmpty) 0L
+            else picked.map(p => simBp(c.v, c.nrm, p.v, p.nrm)).max
+          val mmr =
+            if (picked.isEmpty) lambdaBp * c.relBp
+            else lambdaBp * c.relBp - (10000L - lambdaBp) * maxsim
+          (c, mmr)
+        }.reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && cmpIds(b._1.doc, a._1.doc) < 0)) b
+          else a
+        }
+        picked += best._1
+        out += ((qid, t, best._1.doc))
+        t += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      cand.schema("query_id"),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      cand.schema("doc_id").copy(name = "doc_id")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        out.toSeq.map { case (q, r, d) => org.apache.spark.sql.Row(q, r, d) }, 1),
+      schema)
+  }
+
   /** Weighted RRF fusion under FIXED per-tier weights — the serving
     * face of [[trainedFuse]]: once the grid search has picked a weight
     * vector, every later query batch fuses under it without

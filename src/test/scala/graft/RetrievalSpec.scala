@@ -515,6 +515,35 @@ class RetrievalSpec extends AnyFunSuite {
       s"sweep failed to rescue the relevant doc: rank=$rank9")
   }
 
+  test("mmrDiversifyLocal == mmrDiversify bit-for-bit: long AND string " +
+      "ids, near-dup ties, fewer-than-k candidates, zero-norm drops") {
+    // 10 docs on 3 axes with jitter → near-dups exist; doc 9 zero vector
+    val vecsL = ((0 until 9).map { i =>
+      (i.toLong, Seq.tabulate(4)(d =>
+        (if (d == i % 3) 1.0f else 0.0f) + 0.01f * ((i + d) % 4)))
+    } :+ (9L, Seq.fill(4)(0.0f))).toDF("doc_id", "embedding")
+    val rankedL = (for (q <- 0 until 3; r <- 1 to 10)
+      yield (s"q$q", ((q * 3 + r * 7) % 10).toLong, r))
+      .toDF("query_id", "doc_id", "rnk")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq.map(_.toSeq)
+    for (k <- Seq(3, 5, 12)) {
+      assert(
+        rowsOf(Retrieval.mmrDiversifyLocal(rankedL, vecsL, k, candN = 10)) ==
+          rowsOf(Retrieval.mmrDiversify(rankedL, vecsL, k, candN = 10)),
+        s"local != distributed at k=$k (long ids)")
+    }
+    // string doc ids (the RAG composite chunk key shape)
+    val vecsS = vecsL.select(concat(lit("d:"), col("doc_id")).as("doc_id"),
+      col("embedding"))
+    val rankedS = rankedL.select(col("query_id"),
+      concat(lit("d:"), col("doc_id")).as("doc_id"), col("rnk"))
+    assert(
+      rowsOf(Retrieval.mmrDiversifyLocal(rankedS, vecsS, 4, candN = 10)) ==
+        rowsOf(Retrieval.mmrDiversify(rankedS, vecsS, 4, candN = 10)),
+      "local != distributed (string ids)")
+  }
+
   test("trained fusion on EMPTY tiers returns an empty frame with the " +
       "output schema, never a head-on-empty crash (review r13)") {
     val empty = Seq.empty[(String, Long, Int)].toDF("query_id", "doc_id", "rnk")
