@@ -123,6 +123,18 @@ object ProfileQuant {
       println(f"[opq] m=$mm ksub=$kk plain recall=${recA(plain)}%.3f " +
         f"OPQ-rotated recall=${recA(opq)}%.3f (smeared-latent corpus)")
     }
+    // TRAINED rotation (PCA + balanced allocation) — must rediscover the
+    // latent basis without being told it (the fixed-H row above knows it)
+    {
+      val rT = Similarity.opqTrainRotation(corpus, m = 8)
+      val rotT = Similarity.rotateEmbeddings(corpus, rT)
+      val tQ = rotT.where(pmod(col("vec_id"), lit(20)) === 0)
+      val books = Similarity.pqTrain(rotT, m = 8, ksub = 16)
+      val trained = pairs(Similarity.pqTopKAdc(
+        Similarity.pqEncode(rotT, books), tQ, books, k = 10))
+      println(f"[opq] m=8 ksub=16 TRAINED rotation recall=${recA(trained)}%.3f " +
+        "(PCA/Jacobi + balanced allocation, latent basis not given)")
+    }
     spark.stop()
   }
 }

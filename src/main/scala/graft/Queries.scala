@@ -6876,6 +6876,47 @@ object Queries {
       Similarity.pqTrain(opqUnrot(s), m = 8, ksub = 16))
       .asInstanceOf[Seq[Seq[Array[Double]]]]
 
+  /** Shared oracle fragments for the OPQ family: codebook / rotation-
+    * matrix VALUES literals and the per-tier flat-ADC pipeline (dsub=2,
+    * m=8, k=10, queries = vec_id % 20 == 0) over a named source CTE. */
+  private def opqBookValues(books: Seq[Seq[Array[Double]]]): String =
+    books.zipWithIndex.flatMap { case (cs, sub) =>
+      cs.zipWithIndex.map { case (c, code) =>
+        s"($sub, $code, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+    }.mkString(",\n  ")
+  private def opqMatValues(m: Seq[Array[Double]]): String =
+    m.zipWithIndex.map { case (r, i) =>
+      s"($i, ${r.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n  ")
+  private def opqAdcTier(tag: String, src: String, cbRel: String): String =
+    s"""${tag}sv AS (SELECT vec_id, CAST(r.range AS INTEGER) AS sub,
+      |    list_slice(v, r.range * 2 + 1, r.range * 2 + 2) AS xs
+      |  FROM $src CROSS JOIN range(0, 8) r),
+      |${tag}sd AS (SELECT vec_id, sub, code,
+      |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+      |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+      |  FROM ${tag}sv JOIN $cbRel USING (sub)),
+      |${tag}enc AS (SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY d2u, code) AS rn FROM ${tag}sd)
+      |  WHERE rn = 1),
+      |${tag}qs AS (SELECT vec_id AS query_id, CAST(r.range AS INTEGER) AS sub,
+      |    list_slice(v, r.range * 2 + 1, r.range * 2 + 2) AS xs
+      |  FROM $src CROSS JOIN range(0, 8) r WHERE vec_id % 20 = 0),
+      |${tag}lut AS (SELECT query_id, sub, code,
+      |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+      |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+      |  FROM ${tag}qs JOIN $cbRel USING (sub)),
+      |${tag}sc AS (SELECT l.query_id, ${tag}enc.vec_id,
+      |    CAST(sum(l.d2u) AS BIGINT) AS d2u
+      |  FROM ${tag}enc JOIN ${tag}lut l USING (sub, code)
+      |  WHERE ${tag}enc.vec_id <> l.query_id
+      |  GROUP BY 1, 2),
+      |${tag}top AS (SELECT query_id, vec_id AS neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY d2u, vec_id) AS rank FROM ${tag}sc)
+      |  WHERE rank <= 10)""".stripMargin
+
   /** OPQ rotation beats identity-split PQ at equal code budget on the
     * smeared-latent corpus — ORACLE-CHECKED recall pair (the
     * sim_residual_gain pattern): plain PQ quantizes H·z directly
@@ -6916,44 +6957,9 @@ object Queries {
           expr("coalesce(opq_overlap, 0) * 10000 div n_brute").as("opq_bp"))
     },
     None, oracleFn = Some { (s, dir) =>
-      def bookValues(books: Seq[Seq[Array[Double]]]): String =
-        books.zipWithIndex.flatMap { case (cs, sub) =>
-          cs.zipWithIndex.map { case (c, code) =>
-            s"($sub, $code, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
-        }.mkString(",\n  ")
-      val hValues = Similarity.hadamard16.zipWithIndex.map { case (r, i) =>
-        s"($i, ${r.mkString("[", ", ", "]")}::DOUBLE[])"
-      }.mkString(",\n  ")
-      // shared per-tier ADC pipeline: encode `src` against book CTE
-      // `cb`, LUT the queries, sum, rank <= 10
-      def adcTier(tag: String, src: String, cbRel: String): String =
-        s"""${tag}sv AS (SELECT vec_id, CAST(r.range AS INTEGER) AS sub,
-          |    list_slice(v, r.range * 2 + 1, r.range * 2 + 2) AS xs
-          |  FROM $src CROSS JOIN range(0, 8) r),
-          |${tag}sd AS (SELECT vec_id, sub, code,
-          |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
-          |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
-          |  FROM ${tag}sv JOIN $cbRel USING (sub)),
-          |${tag}enc AS (SELECT vec_id, sub, code FROM (
-          |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-          |      ORDER BY d2u, code) AS rn FROM ${tag}sd)
-          |  WHERE rn = 1),
-          |${tag}qs AS (SELECT vec_id AS query_id, CAST(r.range AS INTEGER) AS sub,
-          |    list_slice(v, r.range * 2 + 1, r.range * 2 + 2) AS xs
-          |  FROM $src CROSS JOIN range(0, 8) r WHERE vec_id % 20 = 0),
-          |${tag}lut AS (SELECT query_id, sub, code,
-          |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
-          |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
-          |  FROM ${tag}qs JOIN $cbRel USING (sub)),
-          |${tag}sc AS (SELECT l.query_id, ${tag}enc.vec_id,
-          |    CAST(sum(l.d2u) AS BIGINT) AS d2u
-          |  FROM ${tag}enc JOIN ${tag}lut l USING (sub, code)
-          |  WHERE ${tag}enc.vec_id <> l.query_id
-          |  GROUP BY 1, 2),
-          |${tag}top AS (SELECT query_id, vec_id AS neighbor_id FROM (
-          |    SELECT *, row_number() OVER (PARTITION BY query_id
-          |      ORDER BY d2u, vec_id) AS rank FROM ${tag}sc)
-          |  WHERE rank <= 10)""".stripMargin
+      val bookValues = opqBookValues _
+      val hValues = opqMatValues(Similarity.hadamard16)
+      val adcTier = opqAdcTier _
       s"""WITH lat AS (SELECT r.range AS vec_id,
         |    list_transform(generate_series(0, 15), d ->
         |      CAST((r.range * 13 + d * 7 + (r.range * d) % 29) % 65 - 32 AS DOUBLE)
@@ -6996,6 +7002,102 @@ object Queries {
         |  CAST(coalesce(hp.pq_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS pq_bp,
         |  CAST(coalesce(ho.opq_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS opq_bp
         |FROM base LEFT JOIN hp USING (query_id) LEFT JOIN ho USING (query_id)""".stripMargin
+    })
+
+  /** TRAINED OPQ — the full parametric solution (Ge et al. 2013 §4):
+    * [[Similarity.opqTrainRotation]] eigen-decomposes the corpus second
+    * moment (deterministic cyclic Jacobi on the bounded sample) and
+    * allocates eigen-directions to subspaces by greedy log-eigenvalue
+    * balancing; unlike sim_opq_gain the latent basis is NOT given — the
+    * rotation is learned from data and must rediscover it (ProfileQuant:
+    * trained 0.796 vs known-basis 0.811 vs plain 0.496 recall@10). The
+    * rotation matrix interpolates into the oracle as literals (the
+    * trained-centroid posture), rotated values are index-order dots of
+    * identical doubles in both engines, and the whole recall pair is
+    * hash-checked. Output: the sim_opq_gain contract with opq_* =
+    * trained-rotation figures. */
+  private def opqTrainedR(s: SparkSession): Seq[Array[Double]] =
+    fixtureCache.computeIfAbsent("opq_trained_r", _ =>
+      Similarity.opqTrainRotation(opqCorpus(s), m = 8))
+      .asInstanceOf[Seq[Array[Double]]]
+  private def opqTrainedBooks(s: SparkSession): Seq[Seq[Array[Double]]] =
+    fixtureCache.computeIfAbsent("opq_trained_books", _ =>
+      Similarity.pqTrain(
+        Similarity.rotateEmbeddings(opqCorpus(s), opqTrainedR(s)),
+        m = 8, ksub = 16)).asInstanceOf[Seq[Seq[Array[Double]]]]
+  private val simOpqTrained = Q("sim_opq_trained",
+    (s, dir) => {
+      val corpus = opqCorpus(s)
+      val rotT = Similarity.rotateEmbeddings(corpus, opqTrainedR(s))
+      val cq = corpus.where(pmod(col("vec_id"), lit(20)) === 0)
+      val tq = rotT.where(pmod(col("vec_id"), lit(20)) === 0)
+      val brute = Similarity.bruteTopK(corpus, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val plain = Similarity.pqTopKAdc(
+          Similarity.pqEncode(corpus, opqPlainBooks(s)), cq,
+          opqPlainBooks(s), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val trained = Similarity.pqTopKAdc(
+          Similarity.pqEncode(rotT, opqTrainedBooks(s)), tq,
+          opqTrainedBooks(s), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      def overlap(cand: DataFrame, name: String): DataFrame =
+        brute.join(cand, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(overlap(plain, "pq_overlap"), Seq("query_id"), "left")
+        .join(overlap(trained, "opq_overlap"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("pq_overlap"), lit(0L)).as("pq_overlap"),
+          coalesce(col("opq_overlap"), lit(0L)).as("opq_overlap"),
+          expr("coalesce(pq_overlap, 0) * 10000 div n_brute").as("pq_bp"),
+          expr("coalesce(opq_overlap, 0) * 10000 div n_brute").as("opq_bp"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH lat AS (SELECT r.range AS vec_id,
+        |    list_transform(generate_series(0, 15), d ->
+        |      CAST((r.range * 13 + d * 7 + (r.range * d) % 29) % 65 - 32 AS DOUBLE)
+        |      / 32.0 / power(2.0, CAST(d AS DOUBLE))) AS z
+        |  FROM range(0, 560) r),
+        |hm(i, rv) AS (VALUES
+        |  ${opqMatValues(Similarity.hadamard16)}),
+        |corpus AS (SELECT l.vec_id,
+        |    list(list_dot_product(h.rv, l.z) ORDER BY h.i) AS v
+        |  FROM lat l CROSS JOIN hm h GROUP BY l.vec_id),
+        |tm(i, rv) AS (VALUES
+        |  ${opqMatValues(opqTrainedR(s))}),
+        |rott AS (SELECT c.vec_id,
+        |    list(list_dot_product(t.rv, c.v) ORDER BY t.i) AS v
+        |  FROM corpus c CROSS JOIN tm t GROUP BY c.vec_id),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+        |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+        |  WHERE vec_id % 20 = 0),
+        |bs AS (SELECT qn.query_id, n.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+        |  FROM qn CROSS JOIN n WHERE n.vec_id <> qn.query_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+        |  WHERE rank <= 10),
+        |pbk(sub, code, cv) AS (VALUES
+        |  ${opqBookValues(opqPlainBooks(s))}),
+        |pcb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM pbk),
+        |tbk(sub, code, cv) AS (VALUES
+        |  ${opqBookValues(opqTrainedBooks(s))}),
+        |tcb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM tbk),
+        |${opqAdcTier("p", "corpus", "pcb")},
+        |${opqAdcTier("t", "rott", "tcb")},
+        |hp AS (SELECT b.query_id, count(*) AS pq_overlap
+        |  FROM brute b JOIN ptop USING (query_id, neighbor_id) GROUP BY 1),
+        |ht AS (SELECT b.query_id, count(*) AS opq_overlap
+        |  FROM brute b JOIN ttop USING (query_id, neighbor_id) GROUP BY 1),
+        |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+        |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+        |  CAST(coalesce(hp.pq_overlap, 0) AS BIGINT) AS pq_overlap,
+        |  CAST(coalesce(ht.opq_overlap, 0) AS BIGINT) AS opq_overlap,
+        |  CAST(coalesce(hp.pq_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS pq_bp,
+        |  CAST(coalesce(ht.opq_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS opq_bp
+        |FROM base LEFT JOIN hp USING (query_id) LEFT JOIN ht USING (query_id)""".stripMargin
     })
 
   /** Residual-trained PQ codebooks (pq_books_resid artifact): trained on
@@ -7447,7 +7549,7 @@ object Queries {
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
-    simBinqIncr, simSq8Incr, simResidualGain, simOpqGain,
+    simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,

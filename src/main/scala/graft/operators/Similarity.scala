@@ -1386,7 +1386,11 @@ object Similarity {
   /** Apply a literal rotation matrix to the embedding column:
     * v′(i) = R(i)·v — HOF-built but a one-pass build-side transform
     * (never in a pair loop); the searches consume the materialized
-    * rotated column. */
+    * rotated column. The result stays DOUBLE (no float narrowing): a
+    * trained rotation's entries are arbitrary doubles, and the oracle
+    * recomputes the same index-order dot from the same literals — a
+    * float cast here would diverge the two engines (the fixed-Hadamard
+    * path is dyadic-exact either way). */
   def rotateEmbeddings(df: DataFrame, r: Seq[Array[Double]]): DataFrame = {
     val rCol = array(r.map(row => array(row.map(lit): _*)): _*)
     df.select(col("vec_id"),
@@ -1395,7 +1399,88 @@ object Similarity {
           zip_with(element_at(rCol, i + 1),
             transform(col("embedding"), x => x.cast("double")),
             (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x).cast("float")).as("embedding"))
+          lit(0.0), (acc, x) => acc + x)).as("embedding"))
+  }
+
+  /** TRAINED OPQ rotation (Ge et al. 2013, the parametric solution):
+    * PCA-align then BALANCE — eigen-decompose the corpus second-moment
+    * matrix (bounded vec_id-ordered sample, the [[pqTrain]] posture;
+    * cyclic Jacobi with a fixed sweep order, so training is
+    * bit-deterministic), then allocate eigen-directions to the m
+    * subspaces by greedy log-eigenvalue balancing — each subspace gets
+    * dsub directions chosen so the per-subspace variance PRODUCTS are
+    * as equal as possible, which equalizes the per-subspace
+    * quantization distortion at fixed ksub (Ge §4.1). Output rows are
+    * the rotation v′ = R·v in subspace-major order (subspace 0's dsub
+    * directions first). Eigenvector signs are normalized (largest-|x|
+    * component positive, smallest index on tie) so the matrix — and
+    * every oracle literal derived from it — is unique. */
+  def opqTrainRotation(corpus: DataFrame, m: Int,
+      maxSample: Int = 2048, sweeps: Int = 12): Seq[Array[Double]] = {
+    val rows = preparedVecs(corpus)
+      .orderBy(col("vec_id")).limit(maxSample)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "opqTrainRotation: empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"opqTrainRotation: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // second-moment matrix S = Σ v·vᵀ / n (rotation only — OPQ has no
+    // translation, so moments are about the ORIGIN, not the mean)
+    val s = Array.ofDim[Double](dim, dim)
+    rows.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { s(i)(j) += v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    val n = rows.length.toDouble
+    for (i <- 0 until dim; j <- 0 until dim) s(i)(j) /= n
+    // cyclic Jacobi: fixed (p, q) sweep order ⇒ deterministic
+    val vmat = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps; p <- 0 until dim - 1; q <- p + 1 until dim) {
+      if (math.abs(s(p)(q)) > 1e-15) {
+        val theta = 0.5 * math.atan2(2.0 * s(p)(q), s(q)(q) - s(p)(p))
+        val (c, sn) = (math.cos(theta), math.sin(theta))
+        var i = 0
+        while (i < dim) {
+          val (sp, sq) = (s(i)(p), s(i)(q))
+          s(i)(p) = c * sp - sn * sq; s(i)(q) = sn * sp + c * sq
+          i += 1
+        }
+        i = 0
+        while (i < dim) {
+          val (sp, sq) = (s(p)(i), s(q)(i))
+          s(p)(i) = c * sp - sn * sq; s(q)(i) = sn * sp + c * sq
+          val (vp, vq) = (vmat(i)(p), vmat(i)(q))
+          vmat(i)(p) = c * vp - sn * vq; vmat(i)(q) = sn * vp + c * vq
+          i += 1
+        }
+      }
+    }
+    // eigen-pairs sorted by eigenvalue desc (index tie-break), signs
+    // normalized: the largest-|x| component (smallest index on tie)
+    // made positive
+    val pairs = (0 until dim).map { j =>
+      val ev = Array.tabulate(dim)(i => vmat(i)(j))
+      val pivot = ev.indices.maxBy(i => (math.abs(ev(i)), -i))
+      val signed = if (ev(pivot) < 0) ev.map(-_) else ev
+      (s(j)(j), signed)
+    }.sortBy { case (l, _) => -l }
+    // greedy balanced allocation: assign eigen-directions (variance
+    // desc) to the subspace with the smallest current log-product
+    // among those not yet full — equalizes per-subspace det(Σ)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val logProd = Array.fill(m)(0.0)
+    pairs.indices.foreach { r =>
+      val open = (0 until m).filter(b => buckets(b).size < dsub)
+      val b = open.minBy(b => (logProd(b), b))
+      buckets(b) += r
+      logProd(b) += math.log(math.max(pairs(r)._1, 1e-30))
+    }
+    buckets.toSeq.flatMap(_.toSeq.map(r => pairs(r)._2))
   }
 
   /** Train PQ codebooks on the RESIDUALS of a corpus against trained
