@@ -992,6 +992,46 @@ class KmeansIvfSpec extends AnyFunSuite {
       "assignment (incl. round-6 cell_cos) must not depend on partitioning")
   }
 
+  test("opqTrainRotation: orthonormal to 1e-9, bit-deterministic across " +
+      "partition orders, and balanced allocation equalizes subspace " +
+      "variance products") {
+    val corpus = graft.operators.Similarity.rotateEmbeddings(
+      graft.operators.Similarity.synthesizeAniso(spark),
+      graft.operators.Similarity.hadamard16)
+    val r = graft.operators.Similarity.opqTrainRotation(corpus, m = 8)
+    val dim = r.head.length
+    // R·Rᵀ = I (Jacobi keeps V orthonormal; sign/sort are permutations)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-9, s"RRᵀ($i,$j) = $d")
+    }
+    // bit-deterministic across partitionings — the oracle interpolates
+    // these as literals, so ANY nondeterminism breaks the hash
+    val r2 = graft.operators.Similarity.opqTrainRotation(
+      corpus.repartition(7), m = 8)
+    r.zip(r2).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(java.util.Arrays.equals(a, b), s"row $i differs across partitionings")
+    }
+    // balanced allocation: per-subspace variance PRODUCTS are closer to
+    // equal than the unbalanced eigen-order split (Ge §4.1's objective).
+    // Compute log-products of rotated-corpus variances per 2-dim block.
+    val rot = graft.operators.Similarity.rotateEmbeddings(corpus, r)
+    val vars = rot.select(
+        (0 until dim).map(d =>
+          avg(pow(element_at(col("embedding"), d + 1), 2)).as(s"v$d")): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val logProds = vars.grouped(2).map(g => g.map(math.log).sum).toSeq
+    val spread = logProds.max - logProds.min
+    // eigen-order (unbalanced) split of the same variances for contrast
+    val sortedVars = vars.sortBy(-_)
+    val naive = sortedVars.grouped(2).map(g => g.map(math.log).sum).toSeq
+    val naiveSpread = naive.max - naive.min
+    assert(spread <= naiveSpread + 1e-9,
+      s"balanced allocation must not be worse than eigen-order: " +
+        s"$spread vs $naiveSpread")
+  }
+
   test("kmeans centroids are bit-deterministic across partition orders") {
     // The derived trained-IVF oracles interpolate these as literals, so any
     // partition-order nondeterminism (collect order, float-sum order) would
