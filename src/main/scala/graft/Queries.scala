@@ -4811,6 +4811,26 @@ object Queries {
       |${Retrieval.mmrSql(5)}
       |SELECT query_id, rank, doc_id FROM mmr_out""".stripMargin))
 
+  /** text_mmr_topk served on the DRIVER-LOCAL greedy
+    * (Retrieval.mmrDiversifyLocal — the sub-second micro-batch path,
+    * r14): same candidates, same stored vectors, SAME ORACLE — the
+    * local greedy is bit-identical to the distributed one by
+    * construction (integer rel_bp, BigDecimal HALF_UP round-4 cosine,
+    * same tie-breaks), so the hash-compare against text_mmr_topk's
+    * unrolled MMR SQL is the cross-engine proof of that identity, not
+    * just a spec claim. */
+  private val textMmrLocal = Q("text_mmr_local",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Retrieval.mmrDiversifyLocal(
+        Retrieval.bm25TopK(docs, bmQueryTerms.toDF("query_id", "term"), k = 20)
+          .select(col("query_id"), col("doc_id"), col("rnk")),
+        docVecsFrom(docs).select(col("vec_id").as("doc_id"), col("embedding")),
+        k = 5)
+    },
+    textMmrTopk.oracle)
+
   /** Persisted doc-embedding centroid index for the hybrid IVF twin —
     * the documents-table sibling of embCentroids: trained once on the
     * dim-16 doc vectors (10 cells), stored as a centroidsToDF parquet
@@ -6069,7 +6089,8 @@ object Queries {
     * literals with self-dots, per-subspace corpus slices, and the encode
     * relation `enc(vec_id, sub, code)` — round-6 micro-L2 argmin with
     * the same (d2u, code) total order the packed-min aggregate uses. */
-  private def pqCtes(books: Seq[Seq[Array[Double]]]): String = {
+  private def pqCtes(books: Seq[Seq[Array[Double]]],
+      srcSql: String = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String = {
     val values = books.zipWithIndex.flatMap { case (cs, sub) =>
       cs.zipWithIndex.map { case (c, code) =>
         s"($sub, $code, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
@@ -6077,7 +6098,7 @@ object Queries {
     s"""cbv(sub, code, cv) AS (VALUES
       |  $values),
       |cb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM cbv),
-      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS ($srcSql),
       |sv AS (SELECT vec_id, CAST(r.range AS INTEGER) AS sub,
       |    list_slice(v, r.range * 8 + 1, r.range * 8 + 8) AS xs
       |  FROM e CROSS JOIN range(0, 8) r),
@@ -6212,6 +6233,63 @@ object Queries {
         |SELECT vec_id, sub, code,
         |  CASE WHEN vec_id % 7 = 0 THEN 'history' ELSE 'batch' END AS origin
         |FROM enc""".stripMargin
+    })
+
+  /** TRAINED-OPQ index on the REAL embeddings table — the production
+    * face of sim_opq_trained (which proves the quality claim on the
+    * planted fixture): the rotation trains once on the bounded sample
+    * and persists (centroidsToDF layout — row index as `cell`), the
+    * ROTATED code table persists (the pq_codes_all posture), and the
+    * search is plain ADC over stored codes with rotated queries. On
+    * this near-uniform corpus the rotation is recall-neutral (NOTES —
+    * the covariance is already ~isotropic); the point here is the
+    * operating pipeline: rotate → encode once → search codes, all
+    * artifacts write-once, oracle re-derives rotation + encode + ADC
+    * from the persisted literals end to end. */
+  private def opqEmbR(s: SparkSession, dir: String): Seq[Array[Double]] =
+    docCentroidArtifactCache.computeIfAbsent(dir + "#opqrot",
+      _ => Similarity.centroidsFromDF(
+        parquetArtifact(s, dir, "opq_rot_emb_m8", "embeddings")(
+          Similarity.centroidsToDF(s,
+            Similarity.opqTrainRotation(Tables.embeddings(s, dir), m = 8)))))
+  private def opqEmbRotated(s: SparkSession, dir: String): DataFrame =
+    Similarity.rotateEmbeddings(Tables.embeddings(s, dir), opqEmbR(s, dir))
+  private def opqEmbBooks(s: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    pqBooksFor(s, dir, "opqrot", opqEmbRotated(s, dir))
+  private val simOpqTopk = Q("sim_opq_topk",
+    (s, dir) => {
+      val codes = parquetArtifact(s, dir, "pq_codes_opqrot_m8_k16",
+        "embeddings")(
+        Similarity.pqEncode(opqEmbRotated(s, dir), opqEmbBooks(s, dir)))
+      Similarity.pqTopKAdc(codes,
+        opqEmbRotated(s, dir).where(pmod(col("vec_id"), lit(20)) === 0),
+        opqEmbBooks(s, dir), k = 10)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH rm(i, rv) AS (VALUES
+        |  ${opqMatValues(opqEmbR(s, dir))}),
+        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |rot AS (SELECT e0.vec_id,
+        |    list(list_dot_product(r.rv, e0.v0) ORDER BY r.i) AS v
+        |  FROM e0 CROSS JOIN rm r GROUP BY e0.vec_id),
+        |${pqCtes(opqEmbBooks(s, dir), "SELECT vec_id, v FROM rot")},
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 20 = 0),
+        |qs AS (SELECT query_id, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(qv, r.range * 8 + 1, r.range * 8 + 8) AS xs
+        |  FROM q CROSS JOIN range(0, 8) r),
+        |lut AS (SELECT query_id, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM qs JOIN cb USING (sub)),
+        |sc AS (SELECT l.query_id, enc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+        |  FROM enc JOIN lut l USING (sub, code)
+        |  WHERE enc.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2u, vec_id) AS rank FROM sc)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+        |  vec_id AS neighbor_id, d2u
+        |FROM r WHERE rank <= 10""".stripMargin
     })
 
   /** IVF-PQ composition (Similarity.ivfPqTopK): cell-probed ADC — the
@@ -7532,7 +7610,7 @@ object Queries {
     textBm25Snippets, textBm25Pruned, textPositionalIncr, textPositionalDelta,
     textBm25FieldedIncr, textBm25FieldedIndexed, textHybridTopk, textHybridLsh,
     textHybridLsh4, textHybridIvf, textHybridTrained,
-    textHybridTrainedHoldout, textHybridTrainedSweep, textMmrTopk,
+    textHybridTrainedHoldout, textHybridTrainedSweep, textMmrTopk, textMmrLocal,
     pipelineRagRetrieval, pipelineRagIvf, pipelineRagMmr,
     pipelineRagLsh, pipelineRagContexts, textBm25Prf,
     textRetrievalEval, pipelineRagEval, pipelineHardNegatives,
@@ -7549,7 +7627,7 @@ object Queries {
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
-    simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained,
+    simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained, simOpqTopk,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,

@@ -1060,7 +1060,8 @@ class KmeansIvfSpec extends AnyFunSuite {
       "sim_pq_topk_wide", "sim_ivfpq_residual_wide", "sim_ivfpq_topk_wide",
       "sim_ivf_filtered", "sim_ivf_balance",
       // r14: fixture-proven quality pairs (trained fixture literals)
-      "sim_residual_gain", "sim_opq_gain", "sim_opq_trained"))
+      "sim_residual_gain", "sim_opq_gain", "sim_opq_trained",
+      "sim_opq_topk"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }
