@@ -6292,6 +6292,54 @@ object Queries {
         |FROM r WHERE rank <= 10""".stripMargin
     })
 
+  /** Incremental OPQ maintenance — the rotated-code sibling of
+    * sim_pq_incr: rotation AND codebooks train on HISTORY only
+    * (vec_id ≡ 0 mod 7) and persist; the history ROTATED code table is
+    * a write-once artifact; a new batch rotates + encodes against the
+    * LOADED artifacts and appends origin-tagged — history vectors never
+    * rescanned, the rotation never retrained per batch. Derived oracle
+    * re-rotates and re-encodes every row from the history-trained
+    * literals. */
+  private def opqHistR(s: SparkSession, dir: String): Seq[Array[Double]] =
+    docCentroidArtifactCache.computeIfAbsent(dir + "#opqrot_hist7",
+      _ => Similarity.centroidsFromDF(
+        parquetArtifact(s, dir, "opq_rot_hist7_m8", "embeddings")(
+          Similarity.centroidsToDF(s,
+            Similarity.opqTrainRotation(
+              Tables.embeddings(s, dir)
+                .where(pmod(col("vec_id"), lit(7)) === 0), m = 8)))))
+  private val simOpqIncr = Q("sim_opq_incr",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val r = opqHistR(s, dir)
+      def rot(df: DataFrame): DataFrame = Similarity.rotateEmbeddings(df, r)
+      val books = pqBooksFor(s, dir, "opqrot_hist7",
+        rot(e.where(pmod(col("vec_id"), lit(7)) === 0)))
+      val histCodes = parquetArtifact(s, dir, "opq_codes_hist7_m8_k16",
+        "embeddings")(
+        Similarity.pqEncode(rot(e.where(pmod(col("vec_id"), lit(7)) === 0)), books))
+      histCodes.withColumn("origin", lit("history"))
+        .unionByName(
+          Similarity.pqEncode(rot(e.where(pmod(col("vec_id"), lit(7)) =!= 0)), books)
+            .withColumn("origin", lit("batch")))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      val r = opqHistR(s, dir)
+      val books = pqBooksFor(s, dir, "opqrot_hist7",
+        Similarity.rotateEmbeddings(
+          Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(7)) === 0), r))
+      s"""WITH rm(i, rv) AS (VALUES
+        |  ${opqMatValues(r)}),
+        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |rot AS (SELECT e0.vec_id,
+        |    list(list_dot_product(x.rv, e0.v0) ORDER BY x.i) AS v
+        |  FROM e0 CROSS JOIN rm x GROUP BY e0.vec_id),
+        |${pqCtes(books, "SELECT vec_id, v FROM rot")}
+        |SELECT vec_id, sub, code,
+        |  CASE WHEN vec_id % 7 = 0 THEN 'history' ELSE 'batch' END AS origin
+        |FROM enc""".stripMargin
+    })
+
   /** IVF-PQ composition (Similarity.ivfPqTopK): cell-probed ADC — the
     * corpus is cell-assigned against the persisted embedding centroids
     * AND PQ-encoded against the persisted codebooks; a query probes its
@@ -7627,7 +7675,7 @@ object Queries {
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
     simPqRerank, simIvfpqTopk, simPqIncr,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
-    simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained, simOpqTopk,
+    simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained, simOpqTopk, simOpqIncr,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,

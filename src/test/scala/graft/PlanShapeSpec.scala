@@ -158,6 +158,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_binq_topk", "sim_binq_rerank", "sim_sq8_topk",
       "sim_ivfpq_residual", "sim_pq_topk_wide", "sim_ivfpq_residual_wide",
       "sim_ivfpq_topk_wide",
+      // r14 additions: the fixture recall pairs, trained OPQ (fixture +
+      // embeddings-table), and the incremental code tiers
+      "sim_residual_gain", "sim_opq_gain", "sim_opq_trained",
+      "sim_opq_topk", "sim_binq_incr", "sim_sq8_incr",
       "pipeline_decontam_topk", "pipeline_rag_retrieval")
     val failures = names.flatMap { name =>
       val p = plan(Queries.queries(name)(spark, sf))
