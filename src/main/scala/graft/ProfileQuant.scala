@@ -123,6 +123,23 @@ object ProfileQuant {
       println(f"[opq] m=$mm ksub=$kk plain recall=${recA(plain)}%.3f " +
         f"OPQ-rotated recall=${recA(opq)}%.3f (smeared-latent corpus)")
     }
+    // TRAINED rotation on the REAL embeddings table — the sim_opq_topk
+    // operating point: on this near-uniform corpus the covariance is
+    // ~isotropic, so the honest expectation is recall ≈ plain PQ
+    {
+      val rE = Similarity.opqTrainRotation(e, m = 8)
+      val rotE = Similarity.rotateEmbeddings(e, rE)
+      val rq = rotE.where(pmod(col("vec_id"), lit(20)) === 0)
+      val plainB = Similarity.pqTrain(e, m = 8, ksub = 16)
+      val plainR = recall(pairs(Similarity.pqTopKAdc(
+        Similarity.pqEncode(e, plainB), queries, plainB, k = 10)))
+      val opqB = Similarity.pqTrain(rotE, m = 8, ksub = 16)
+      val opqR = recall(pairs(Similarity.pqTopKAdc(
+        Similarity.pqEncode(rotE, opqB), rq, opqB, k = 10)))
+      println(f"[opq] EMBEDDINGS table m=8 ksub=16: plain recall=$plainR%.3f " +
+        f"trained-OPQ recall=$opqR%.3f (near-uniform corpus)")
+    }
+
     // TRAINED rotation (PCA + balanced allocation) — must rediscover the
     // latent basis without being told it (the fixed-H row above knows it)
     {
