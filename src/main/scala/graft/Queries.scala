@@ -6259,10 +6259,14 @@ object Queries {
     pqBooksFor(s, dir, "opqrot", opqEmbRotated(s, dir))
   private val simOpqTopk = Q("sim_opq_topk",
     (s, dir) => {
-      val codes = parquetArtifact(s, dir, "pq_codes_opqrot_m8_k16",
-        "embeddings")(
-        Similarity.pqEncode(opqEmbRotated(s, dir), opqEmbBooks(s, dir)))
-      Similarity.pqTopKAdc(codes,
+      // WIDE layout (bit-identical to narrow, same oracle): one stored
+      // array<int> row per vector and one adc_sum_l per pair — the
+      // narrow twin's per-(query, vec) re-aggregation is the measured
+      // sf1 bottleneck (85 s narrow vs ~32 s wide, NOTES r14)
+      val codesWide = parquetArtifact(s, dir, "pq_codes_opqrot_wide_m8_k16",
+        "embeddings")(Similarity.pqCodesWide(
+        Similarity.pqEncode(opqEmbRotated(s, dir), opqEmbBooks(s, dir))))
+      Similarity.pqTopKAdcWide(codesWide,
         opqEmbRotated(s, dir).where(pmod(col("vec_id"), lit(20)) === 0),
         opqEmbBooks(s, dir), k = 10)
     },
