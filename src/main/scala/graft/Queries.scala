@@ -6205,6 +6205,76 @@ object Queries {
         |FROM rr WHERE rank <= 10""".stripMargin
     })
 
+  /** Oracled recall for the flat-PQ "+R" tier — the last quantized
+    * serving face without a hash-checked recall figure (binq/sq8 have
+    * sim_binq_recall/sim_sq8_recall; residual/OPQ are oracled on the
+    * planted fixtures): per-query overlap between the exact brute
+    * top-10 and pqTopKRefined's top-10 at shortlist 200 (ProfilePq:
+    * 0.768 aggregate at m8k16). Both rankings deterministic, so the
+    * recall figures themselves hash-check against DuckDB's
+    * re-derivation of both chains from the codebook literals. */
+  private val simPqRecall = Q("sim_pq_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val brute = Similarity.bruteTopK(e, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = Similarity.pqTopKRefined(pqCodesAll(s, dir), e,
+          e.where(pmod(col("vec_id"), lit(20)) === 0),
+          pqBooks(s, dir), k = 10, shortlist = 200)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(pq, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0) * 10000 div n_brute").as("recall_bp"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH ${pqCtes(pqBooks(s, dir))},
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |  WHERE list_dot_product(v, v) > 0),
+        |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn
+        |  WHERE vec_id % 20 = 0),
+        |bbs AS (SELECT qn.query_id, nn.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, nn.v) / (qn.qnrm * nn.nrm), 4) + 0.0 AS cosine
+        |  FROM qn CROSS JOIN nn WHERE nn.vec_id <> qn.query_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bbs)
+        |  WHERE rank <= 10),
+        |qs AS (SELECT query_id, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(qv, r.range * 8 + 1, r.range * 8 + 8) AS xs
+        |  FROM qn CROSS JOIN range(0, 8) r),
+        |lut AS (SELECT query_id, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM qs JOIN cb USING (sub)),
+        |sc AS (SELECT l.query_id, enc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+        |  FROM enc JOIN lut l USING (sub, code)
+        |  WHERE enc.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT query_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY d2u, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 200),
+        |x AS (SELECT sl.query_id, sl.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, nn.v) / (qn.qnrm * nn.nrm), 4) + 0.0 AS cosine
+        |  FROM sl JOIN nn ON nn.vec_id = sl.vec_id
+        |    JOIN qn ON qn.query_id = sl.query_id),
+        |pq AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank FROM x)
+        |  WHERE rank <= 10),
+        |hits AS (SELECT b.query_id, count(*) AS n_overlap
+        |  FROM brute b JOIN pq USING (query_id, neighbor_id) GROUP BY 1),
+        |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+        |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+        |  CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(hits.n_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS recall_bp
+        |FROM base LEFT JOIN hits USING (query_id)""".stripMargin
+    })
+
   /** Incremental PQ index maintenance — the code-table sibling of
     * sim_ivf_incr: codebooks train on HISTORY only (vec_id ≡ 0 mod 7)
     * and persist; the history CODE TABLE is itself a parquet artifact
@@ -7678,7 +7748,7 @@ object Queries {
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
-    simPqRerank, simIvfpqTopk, simPqIncr,
+    simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
     simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained, simOpqTopk, simOpqIncr,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,

@@ -1061,7 +1061,7 @@ class KmeansIvfSpec extends AnyFunSuite {
       "sim_ivf_filtered", "sim_ivf_balance",
       // r14: fixture-proven quality pairs (trained fixture literals)
       "sim_residual_gain", "sim_opq_gain", "sim_opq_trained",
-      "sim_opq_topk", "sim_opq_incr"))
+      "sim_opq_topk", "sim_opq_incr", "sim_pq_recall"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }
