@@ -892,39 +892,50 @@ object Retrieval {
     }
     def half4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // None on a dim mismatch — the distributed twin's dot_d kernel
+    // yields NULL there, and SQL `max` IGNORES nulls, so a ragged
+    // candidate ranks on the max of its DEFINED sims (or, with no
+    // defined sim at all, on a NULL mmr that the desc window orders
+    // LAST). Dropping such rows here would diverge from the twin.
     def simBp(av: Array[Double], an: Double, bv: Array[Double],
-        bn: Double): Long = {
-      var (d, i) = (0.0, 0)
-      while (i < av.length) { d += av(i) * bv(i); i += 1 }
-      BigDecimal(half4(d / (an * bn)) * 10000.0)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    }
+        bn: Double): Option[Long] =
+      if (av.length != bv.length) None
+      else {
+        var (d, i) = (0.0, 0)
+        while (i < av.length) { d += av(i) * bv(i); i += 1 }
+        Some(BigDecimal(half4(d / (an * bn)) * 10000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
     final case class C(doc: Any, relBp: Long, v: Array[Double], nrm: Double)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Int, Any)]
     rows.groupBy(_.get(0)).foreach { case (qid, rs) =>
       val cs = rs.map(r => C(r.get(1), r.getLong(2),
-        r.getSeq[Double](3).toArray, r.getDouble(4)))
-      // dim guard: a ragged vector table would make the dot above
-      // silently truncate — mismatched rows drop per-row like the
-      // distributed twin's join semantics require equal-width vectors
-      val dim = if (cs.isEmpty) 0 else cs.map(_.v.length).max
-      val usable = cs.filter(_.v.length == dim)
+        r.getSeq[Double](3).toArray, r.getDouble(4))).toSeq
       val picked = scala.collection.mutable.ArrayBuffer.empty[C]
       var t = 1
-      while (t <= k && picked.size < usable.length) {
-        val remaining = usable.filterNot(c =>
+      while (t <= k && picked.size < cs.length) {
+        val remaining = cs.filterNot(c =>
           picked.exists(p => cmpIds(p.doc, c.doc) == 0))
+        // mmr None ⇔ the twin's NULL (every pair sim null): ordered
+        // after every defined mmr, doc-id tie-break within
         val best = remaining.map { c =>
-          val maxsim =
-            if (picked.isEmpty) 0L
-            else picked.map(p => simBp(c.v, c.nrm, p.v, p.nrm)).max
-          val mmr =
-            if (picked.isEmpty) lambdaBp * c.relBp
-            else lambdaBp * c.relBp - (10000L - lambdaBp) * maxsim
+          val mmr: Option[Long] =
+            if (picked.isEmpty) Some(lambdaBp * c.relBp)
+            else {
+              val sims = picked.flatMap(p => simBp(c.v, c.nrm, p.v, p.nrm))
+              if (sims.isEmpty) None
+              else Some(lambdaBp * c.relBp - (10000L - lambdaBp) * sims.max)
+            }
           (c, mmr)
         }.reduceLeft { (a, b) =>
-          if (b._2 > a._2 || (b._2 == a._2 && cmpIds(b._1.doc, a._1.doc) < 0)) b
-          else a
+          val better = (a._2, b._2) match {
+            case (Some(x), Some(y)) =>
+              y > x || (y == x && cmpIds(b._1.doc, a._1.doc) < 0)
+            case (None, Some(_)) => true
+            case (Some(_), None) => false
+            case (None, None) => cmpIds(b._1.doc, a._1.doc) < 0
+          }
+          if (better) b else a
         }
         picked += best._1
         out += ((qid, t, best._1.doc))

@@ -542,6 +542,23 @@ class RetrievalSpec extends AnyFunSuite {
       rowsOf(Retrieval.mmrDiversifyLocal(rankedS, vecsS, 4, candN = 10)) ==
         rowsOf(Retrieval.mmrDiversify(rankedS, vecsS, 4, candN = 10)),
       "local != distributed (string ids)")
+    // RAGGED vector table: dim-mismatched pairs sim as NULL in the
+    // distributed twin (dot_d kernel) and max ignores them — the local
+    // greedy must mirror that, not drop the rows (r14 self-review)
+    val vecsR = ((0 until 6).map { i =>
+      (i.toLong, Seq.tabulate(4)(d =>
+        (if (d == i % 3) 1.0f else 0.0f) + 0.01f * ((i + d) % 4)))
+    } ++ Seq((6L, Seq(1.0f, 0.5f)), (7L, Seq(0.5f, 1.0f))))
+      .toDF("doc_id", "embedding")
+    val rankedR = (for (q <- 0 until 2; r <- 1 to 8)
+      yield (s"q$q", ((q * 3 + r * 5) % 8).toLong, r))
+      .toDF("query_id", "doc_id", "rnk")
+    for (k <- Seq(3, 8)) {
+      assert(
+        rowsOf(Retrieval.mmrDiversifyLocal(rankedR, vecsR, k, candN = 8)) ==
+          rowsOf(Retrieval.mmrDiversify(rankedR, vecsR, k, candN = 8)),
+        s"local != distributed on a ragged vector table at k=$k")
+    }
   }
 
   test("trained fusion on EMPTY tiers returns an empty frame with the " +
