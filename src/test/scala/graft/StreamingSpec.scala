@@ -1337,3 +1337,56 @@ class StreamingMmrSpec extends AnyFunSuite {
       s"streamed MMR diverged: ${collected.toSet} vs $batchRun")
   }
 }
+
+/** Streaming ANN serving through a TRAINED OPQ rotation (r14): the
+  * rotation + codebooks + rotated code table are offline artifacts; a
+  * query micro-batch rotates against the LOADED matrix and ADC-scores
+  * the stored codes — per-batch results must equal the batch run (the
+  * StreamingRetrievalServeSpec contract for the OPQ tier). */
+class StreamingOpqServeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("foreachBatch OPQ search over stored rotation + codes == batch") {
+    import java.nio.file.Files
+    val corpus = Similarity.synthesizeClustered(spark, n = 120,
+      dim = 16, nClusters = 4)
+    val root = Files.createTempDirectory("graft-opq-serve-").toString
+    // offline: train rotation + books, store rotation + rotated codes
+    val r0 = Similarity.opqTrainRotation(corpus, m = 8)
+    Similarity.centroidsToDF(spark, r0).write.parquet(s"$root/rot")
+    val r = Similarity.centroidsFromDF(spark.read.parquet(s"$root/rot"))
+    val books = Similarity.pqTrain(
+      Similarity.rotateEmbeddings(corpus, r), m = 8, ksub = 8)
+    Similarity.pqEncode(Similarity.rotateEmbeddings(corpus, r), books)
+      .write.parquet(s"$root/codes")
+    val codes = spark.read.parquet(s"$root/codes")
+
+    val queryRows = corpus.where(col("vec_id") % 30 === 0)
+      .as[(Long, Seq[Float])].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = scala.collection.mutable.Set[(Long, Int, Long, Long)]()
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        served ++= Similarity.pqTopKAdc(codes,
+            Similarity.rotateEmbeddings(batch, r), books, k = 3)
+          .as[(Long, Int, Long, Long)].collect()
+        ()
+      }.start()
+    try {
+      input.addData(queryRows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(queryRows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchRun = Similarity.pqTopKAdc(codes,
+        Similarity.rotateEmbeddings(
+          queryRows.toDF("vec_id", "embedding"), r), books, k = 3)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(served.toSet == batchRun && batchRun.nonEmpty,
+      s"served ${served.toSet} != batch $batchRun")
+  }
+}
