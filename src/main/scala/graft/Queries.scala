@@ -6205,6 +6205,34 @@ object Queries {
         |FROM rr WHERE rank <= 10""".stripMargin
     })
 
+  /** EXACT Hamming near-dup pairs via pigeonhole banding
+    * (Similarity.hammingNearDupPairs) — the dedup-family face of the
+    * sign-bit tier, run on the CLUSTERED fixture where same-cluster
+    * vectors share most of their sign pattern: 4-bit bands over the
+    * 16 real sign bits give nBands = 4 > maxHamming = 3, so the banded
+    * equi-join provably misses nothing and the verified result is the
+    * EXACT Hamming-threshold self-join — the MinHash-banding shape with
+    * a guarantee instead of a probability. The oracle brute-counts sign
+    * disagreements over all pairs (560² is nothing in DuckDB; the
+    * Spark side never forms that product — bands cover only the dim
+    * REAL bits, because a band over the packed word's always-zero tail
+    * matches every pair and quietly degenerates the join). */
+  private val dedupHammingPairs = Q("dedup_hamming_pairs",
+    (s, dir) =>
+      Similarity.hammingNearDupPairs(Similarity.synthesizeClustered(s),
+        dim = 16, maxHamming = 3, bandBits = 4),
+    Some("""WITH fix AS (SELECT r.range AS vec_id,
+      |    list_transform(generate_series(0, 15), d ->
+      |      CAST(((r.range % 8) * 5 + d * 3) % 17 - 8 AS DOUBLE) / 4.0
+      |      + CAST((r.range * 13 + d * 7) % 9 - 4 AS DOUBLE) / 32.0) AS v
+      |  FROM range(0, 560) r),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    CAST(list_sum(list_transform(a.v,
+      |      (x, i) -> CASE WHEN (x > 0) <> (b.v[i] > 0) THEN 1 ELSE 0 END))
+      |      AS INTEGER) AS hamming
+      |  FROM fix a JOIN fix b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, hamming FROM p WHERE hamming <= 3""".stripMargin))
+
   /** Oracled recall for the flat-PQ "+R" tier — the last quantized
     * serving face without a hash-checked recall figure (binq/sq8 have
     * sim_binq_recall/sim_sq8_recall; residual/OPQ are oracled on the
@@ -7748,7 +7776,7 @@ object Queries {
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
-    simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr,
+    simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr, dedupHammingPairs,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
     simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained, simOpqTopk, simOpqIncr,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,

@@ -1231,6 +1231,75 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("hamming"))
   }
 
+  /** EXACT Hamming near-dup self-join via pigeonhole banding — the
+    * dedup-family face of the sign-bit tier: split each vector's bit
+    * pattern into `nBands` disjoint `bandBits`-bit bands; two patterns
+    * within Hamming distance d < nBands MUST agree on at least one band
+    * (pigeonhole: d differing bits can dirty at most d bands), so the
+    * banded equi-join generates a candidate superset WITH NO MISSES and
+    * the verify step makes the result exact — the classic exact
+    * Hamming-join construction, the same shape as MinHash banding but
+    * with a guarantee instead of a probability. At 100 TB this is ONE
+    * equi-join on (band_idx, band_val) over 16-byte codes + per-pair
+    * verification of the survivors; never an all-pairs product.
+    *
+    * The verify kernel ([[graft.plans.HammingL]]) lives in a PROJECTION
+    * and the threshold filter sits above the pair AGGREGATE (which also
+    * dedups multi-band candidate duplicates) — the aggregate is the
+    * pushdown barrier that keeps the kernel out of the join condition
+    * (the r12 double-dot class; a bare `.where(hamming <= d)` on the
+    * projection would be pushed there by Catalyst). Requires
+    * maxHamming < nBands (checked) — that inequality IS the exactness
+    * proof. Output: (vec_a, vec_b, hamming), vec_a < vec_b. */
+  def hammingNearDupPairs(embeddings: DataFrame, dim: Int, maxHamming: Int,
+      bandBits: Int = 8): DataFrame = {
+    require(bandBits >= 1 && 32 % bandBits == 0,
+      s"bandBits must divide the 32-bit word, got $bandBits")
+    // bands cover ONLY the dim real sign bits: the packed word's unused
+    // high bits are zero for EVERY vector, so a band over them matches
+    // all pairs and silently degenerates the equi-join into the
+    // all-pairs product this operator exists to avoid (caught by plan
+    // review on the dim-16 fixture — the oracle still passed, the scan
+    // didn't scale). `dim` is the caller's embedding width, the same
+    // static fact every index builder here takes.
+    val nBands = (dim + bandBits - 1) / bandBits
+    require(maxHamming < nBands,
+      s"pigeonhole exactness requires maxHamming < nBands = $nBands " +
+        s"(dim $dim / $bandBits-bit bands); shrink bandBits or the threshold")
+    val nWords = (dim + 31) / 32
+    val mask = (1L << bandBits) - 1
+    // per-row width guard (the scoreAgainst posture): a vector of the
+    // wrong dim can't satisfy the pigeonhole contract — drop it loudly
+    val codes = binqEncode(embeddings)
+      .where(size(col("bw")) === nWords)
+    val bands = codes
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_idx"),
+        col("bw"))
+      .select(col("vec_id"), col("band_idx"),
+        // perWord = 32/bandBits is a power of two, so the double
+        // division below is exact and the int cast is a true floor
+        call_function("shiftright",
+          element_at(col("bw"),
+            (col("band_idx") / lit(32 / bandBits)).cast("int") + 1),
+          (pmod(col("band_idx"), lit(32 / bandBits)) * bandBits).cast("int"))
+          .bitwiseAND(lit(mask)).as("band_val"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val ca = codes.select(col("vec_id").as("vec_a"), col("bw").as("bw_a"))
+    val cb = codes.select(col("vec_id").as("vec_b"), col("bw").as("bw_b"))
+    cand.join(ca, "vec_a").join(cb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        hammingWords(col("bw_a"), col("bw_b")).as("hamming"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Hamming shortlist + exact re-rank — the binary tier's "+R" variant:
     * the corpus-wide pass runs on 16-byte codes, then only the
     * |queries|·shortlist shortlisted vectors are read back for an exact

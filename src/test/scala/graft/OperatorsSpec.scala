@@ -684,6 +684,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hammingNearDupPairs: banded result == brute Hamming join " +
+      "(pigeonhole exactness at the boundary distances), the require " +
+      "fires when the bound is violated, and the plan is equi-join only") {
+    // 40 vectors, dim 12, 4-bit bands -> nBands 3: pairs engineered at
+    // distances 0..4 so both sides of the maxHamming=2 cut are hit
+    val base = Array.tabulate(12)(d => if (d % 2 == 0) 1.0f else -1.0f)
+    def flip(v: Array[Float], idxs: Int*): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => if (idxs.contains(i)) -x else x }
+    val vecs = (0 until 40).map { i =>
+      val flips = (0 until i % 5).map(j => (i * 7 + j * 3) % 12)
+      (i.toLong, flip(base, flips: _*).toSeq)
+    }.toDF("vec_id", "embedding")
+    val banded = graft.operators.Similarity
+      .hammingNearDupPairs(vecs, dim = 12, maxHamming = 2, bandBits = 4)
+    def ham(a: Seq[Float], b: Seq[Float]): Int =
+      a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+    val rows = vecs.as[(Long, Seq[Float])].collect()
+    val brute = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      h = ham(va, vb) if h <= 2
+    } yield (ia, ib, h)).toSet
+    assert(banded.as[(Long, Long, Int)].collect().toSet == brute &&
+      brute.nonEmpty, "banded join must equal the brute Hamming join")
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.hammingNearDupPairs(vecs, dim = 12,
+        maxHamming = 3, bandBits = 4) // nBands 3, bound violated
+    }
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("hamming_l")),
+      "verify kernel must stay out of join conditions")
+  }
+
   test("binq: 32-bit word layout pinned bit-for-bit (incl. a partial " +
       "second word); DataFrame hamming (codegen) == sign-disagreement count") {
     // dim 34 forces TWO words with a partial second word

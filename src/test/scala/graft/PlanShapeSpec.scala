@@ -162,6 +162,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // embeddings-table), and the incremental code tiers
       "sim_residual_gain", "sim_opq_gain", "sim_opq_trained",
       "sim_opq_topk", "sim_binq_incr", "sim_sq8_incr",
+      "dedup_hamming_pairs", "sim_pq_recall", "sim_opq_incr",
+      "text_mmr_local",
       "pipeline_decontam_topk", "pipeline_rag_retrieval")
     val failures = names.flatMap { name =>
       val p = plan(Queries.queries(name)(spark, sf))
