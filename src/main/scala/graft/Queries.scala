@@ -6233,6 +6233,46 @@ object Queries {
       |  FROM fix a JOIN fix b ON a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, hamming FROM p WHERE hamming <= 3""".stripMargin))
 
+  /** Incremental exact-Hamming dedup (Similarity
+    * .hammingNearDupIncremental) — the stored-index twin of
+    * dedup_hamming_pairs: the HISTORY code table (vec_id ≡ 0 mod 7 of
+    * the fixture) is a write-once parquet artifact (16 B/vector; bands
+    * re-derive from it on load — the index IS the code table); a batch
+    * encodes fresh, joins its bands against the stored side plus
+    * itself, and every surviving pair verifies exactly. History is
+    * never re-encoded and never self-joined. Oracle brute-splits the
+    * same corpus by origin. */
+  private val dedupHammingIncr = Q("dedup_hamming_incr",
+    (s, dir) => {
+      val fix = Similarity.synthesizeClustered(s)
+      val hist = parquetArtifact(s, dir, "binq_codes_fixture_hist7",
+        "embeddings")(Similarity.hammingCodesChecked(
+        fix.where(pmod(col("vec_id"), lit(7)) === 0), dim = 16))
+      Similarity.hammingNearDupIncremental(
+        fix.where(pmod(col("vec_id"), lit(7)) =!= 0), hist,
+        dim = 16, maxHamming = 3, bandBits = 4)
+    },
+    Some("""WITH fix AS (SELECT r.range AS vec_id,
+      |    list_transform(generate_series(0, 15), d ->
+      |      CAST(((r.range % 8) * 5 + d * 3) % 17 - 8 AS DOUBLE) / 4.0
+      |      + CAST((r.range * 13 + d * 7) % 9 - 4 AS DOUBLE) / 32.0) AS v
+      |  FROM range(0, 560) r),
+      |b AS (SELECT * FROM fix WHERE vec_id % 7 <> 0),
+      |h AS (SELECT * FROM fix WHERE vec_id % 7 = 0),
+      |ph AS (SELECT b.vec_id AS vec_a, h.vec_id AS vec_b,
+      |    CAST(list_sum(list_transform(b.v,
+      |      (x, i) -> CASE WHEN (x > 0) <> (h.v[i] > 0) THEN 1 ELSE 0 END))
+      |      AS INTEGER) AS hamming
+      |  FROM b CROSS JOIN h),
+      |pb AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+      |    CAST(list_sum(list_transform(a.v,
+      |      (x, i) -> CASE WHEN (x > 0) <> (b2.v[i] > 0) THEN 1 ELSE 0 END))
+      |      AS INTEGER) AS hamming
+      |  FROM b a JOIN b b2 ON a.vec_id < b2.vec_id)
+      |SELECT vec_a, vec_b, hamming, 'history' AS origin FROM ph WHERE hamming <= 3
+      |UNION ALL
+      |SELECT vec_a, vec_b, hamming, 'batch' AS origin FROM pb WHERE hamming <= 3""".stripMargin))
+
   /** Oracled recall for the flat-PQ "+R" tier — the last quantized
     * serving face without a hash-checked recall figure (binq/sq8 have
     * sim_binq_recall/sim_sq8_recall; residual/OPQ are oracled on the
@@ -7776,7 +7816,7 @@ object Queries {
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
-    simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr, dedupHammingPairs,
+    simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr, dedupHammingPairs, dedupHammingIncr,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
     simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained, simOpqTopk, simOpqIncr,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,

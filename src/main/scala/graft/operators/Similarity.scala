@@ -1251,6 +1251,51 @@ object Similarity {
     * projection would be pushed there by Catalyst). Requires
     * maxHamming < nBands (checked) — that inequality IS the exactness
     * proof. Output: (vec_a, vec_b, hamming), vec_a < vec_b. */
+  /** Sign-bit codes with the per-row width guard (the scoreAgainst
+    * posture): a vector of the wrong dim can't satisfy the pigeonhole
+    * contract — drop it loudly. This relation IS the persistable
+    * Hamming-dedup index: 16 B/vector, bands re-derive from it with
+    * trivial bit math on load. */
+  def hammingCodesChecked(embeddings: DataFrame, dim: Int): DataFrame =
+    binqEncode(embeddings).where(size(col("bw")) === (dim + 31) / 32)
+
+  /** (vec_id, band_idx, band_val) over the dim real sign bits — see
+    * [[hammingNearDupPairs]] for why bands must NOT cover the packed
+    * word's always-zero tail. */
+  private def hammingBands(codes: DataFrame, nBands: Int,
+      bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    codes
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_idx"),
+        col("bw"))
+      .select(col("vec_id"), col("band_idx"),
+        // perWord = 32/bandBits is a power of two, so the double
+        // division below is exact and the int cast is a true floor
+        call_function("shiftright",
+          element_at(col("bw"),
+            (col("band_idx") / lit(32 / bandBits)).cast("int") + 1),
+          (pmod(col("band_idx"), lit(32 / bandBits)) * bandBits).cast("int"))
+          .bitwiseAND(lit(mask)).as("band_val"))
+  }
+
+  /** Shared verify tail: join codes onto the candidate pairs, score ONE
+    * [[graft.plans.HammingL]] per pair in a projection, and filter the
+    * threshold ABOVE the pair aggregate (which also dedups multi-band
+    * candidate duplicates) — the aggregate is the pushdown barrier that
+    * keeps the kernel out of the join condition. */
+  private def hammingVerify(cand: DataFrame, codesA: DataFrame,
+      codesB: DataFrame, maxHamming: Int): DataFrame = {
+    val ca = codesA.select(col("vec_id").as("vec_a"), col("bw").as("bw_a"))
+    val cb = codesB.select(col("vec_id").as("vec_b"), col("bw").as("bw_b"))
+    cand.join(ca, "vec_a").join(cb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        hammingWords(col("bw_a"), col("bw_b")).as("hamming"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   def hammingNearDupPairs(embeddings: DataFrame, dim: Int, maxHamming: Int,
       bandBits: Int = 8): DataFrame = {
     require(bandBits >= 1 && 32 % bandBits == 0,
@@ -1266,38 +1311,54 @@ object Similarity {
     require(maxHamming < nBands,
       s"pigeonhole exactness requires maxHamming < nBands = $nBands " +
         s"(dim $dim / $bandBits-bit bands); shrink bandBits or the threshold")
-    val nWords = (dim + 31) / 32
-    val mask = (1L << bandBits) - 1
-    // per-row width guard (the scoreAgainst posture): a vector of the
-    // wrong dim can't satisfy the pigeonhole contract — drop it loudly
-    val codes = binqEncode(embeddings)
-      .where(size(col("bw")) === nWords)
-    val bands = codes
-      .select(col("vec_id"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band_idx"),
-        col("bw"))
-      .select(col("vec_id"), col("band_idx"),
-        // perWord = 32/bandBits is a power of two, so the double
-        // division below is exact and the int cast is a true floor
-        call_function("shiftright",
-          element_at(col("bw"),
-            (col("band_idx") / lit(32 / bandBits)).cast("int") + 1),
-          (pmod(col("band_idx"), lit(32 / bandBits)) * bandBits).cast("int"))
-          .bitwiseAND(lit(mask)).as("band_val"))
+    val codes = hammingCodesChecked(embeddings, dim)
+    val bands = hammingBands(codes, nBands, bandBits)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val ca = codes.select(col("vec_id").as("vec_a"), col("bw").as("bw_a"))
-    val cb = codes.select(col("vec_id").as("vec_b"), col("bw").as("bw_b"))
-    cand.join(ca, "vec_a").join(cb, "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        hammingWords(col("bw_a"), col("bw_b")).as("hamming"))
-      .groupBy(col("vec_a"), col("vec_b"))
-      .agg(min(col("hamming")).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    hammingVerify(cand, codes, codes, maxHamming)
+  }
+
+  /** Incremental form of [[hammingNearDupPairs]] — the stored-index
+    * posture every dedup family carries: `histCodes` is the PERSISTED
+    * [[hammingCodesChecked]] relation (16 B/vector; bands re-derive on
+    * load with trivial bit math, so the index artifact is just the code
+    * table), a new batch encodes fresh, and candidates are (batch ×
+    * history) plus batch-internal band matches — history is never
+    * re-encoded and never self-joined. Same pigeonhole exactness per
+    * origin. Output (vec_a, vec_b, hamming, origin) with vec_a the
+    * batch id; `origin` says which side vec_b came from. */
+  def hammingNearDupIncremental(batch: DataFrame, histCodes: DataFrame,
+      dim: Int, maxHamming: Int, bandBits: Int = 8): DataFrame = {
+    require(bandBits >= 1 && 32 % bandBits == 0,
+      s"bandBits must divide the 32-bit word, got $bandBits")
+    val nBands = (dim + bandBits - 1) / bandBits
+    require(maxHamming < nBands,
+      s"pigeonhole exactness requires maxHamming < nBands = $nBands")
+    val nWords = (dim + 31) / 32
+    val bCodes = hammingCodesChecked(batch, dim)
+    val hCodes = histCodes.where(size(col("bw")) === nWords)
+    val bBands = hammingBands(bCodes, nBands, bandBits)
+    val hBands = hammingBands(hCodes, nBands, bandBits)
+    val candHist = bBands.as("a")
+      .join(hBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val candBatch = bBands.as("a")
+      .join(bBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    hammingVerify(candHist, bCodes, hCodes, maxHamming)
+      .withColumn("origin", lit("history"))
+      .unionByName(
+        hammingVerify(candBatch, bCodes, bCodes, maxHamming)
+          .withColumn("origin", lit("batch")))
   }
 
   /** Hamming shortlist + exact re-rank — the binary tier's "+R" variant:
