@@ -6273,6 +6273,41 @@ object Queries {
       |UNION ALL
       |SELECT vec_a, vec_b, hamming, 'batch' AS origin FROM pb WHERE hamming <= 3""".stripMargin))
 
+  /** Connected components over the EXACT Hamming near-dup graph — the
+    * cluster face of the quantized dedup tier (dedup_clusters for
+    * minhash, dedup_embedding_clusters for cosine-LSH): min-label
+    * propagation over dedup_hamming_pairs' edge set labels every
+    * near-dup family with its minimum vec_id. maxHamming = 1 here (the
+    * bound probed before shipping: at 3 the sign families CHAIN into 2
+    * super-components; at 1 the 560 vectors resolve into 7 families ≈
+    * the 8 planted clusters, adjacent sign patterns merged) — the
+    * pipeline pairs → components works end-to-end on 16-byte codes.
+    * Oracle = the recursive-closure pattern over the brute pair set. */
+  private val dedupHammingClusters = Q("dedup_hamming_clusters",
+    (s, dir) => Dedup.components(
+      Similarity.hammingNearDupPairs(Similarity.synthesizeClustered(s),
+          dim = 16, maxHamming = 1, bandBits = 4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster")),
+    Some("""WITH RECURSIVE fix AS (SELECT r.range AS vec_id,
+      |    list_transform(generate_series(0, 15), d ->
+      |      CAST(((r.range % 8) * 5 + d * 3) % 17 - 8 AS DOUBLE) / 4.0
+      |      + CAST((r.range * 13 + d * 7) % 9 - 4 AS DOUBLE) / 32.0) AS v
+      |  FROM range(0, 560) r),
+      |pairs AS MATERIALIZED (SELECT vec_a, vec_b FROM (
+      |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |      CAST(list_sum(list_transform(a.v,
+      |        (x, i) -> CASE WHEN (x > 0) <> (b.v[i] > 0) THEN 1 ELSE 0 END))
+      |        AS INTEGER) AS hamming
+      |    FROM fix a JOIN fix b ON a.vec_id < b.vec_id)
+      |  WHERE hamming <= 1),
+      |edges AS MATERIALIZED (SELECT vec_a AS a, vec_b AS b FROM pairs
+      |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+      |reach AS (SELECT a AS node, b AS reached FROM edges
+      |          UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached)
+      |SELECT node AS vec_id, least(node, min(reached)) AS cluster
+      |FROM reach GROUP BY node""".stripMargin))
+
   /** Oracled recall for the flat-PQ "+R" tier — the last quantized
     * serving face without a hash-checked recall figure (binq/sq8 have
     * sim_binq_recall/sim_sq8_recall; residual/OPQ are oracled on the
@@ -7816,7 +7851,7 @@ object Queries {
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
-    simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr, dedupHammingPairs, dedupHammingIncr,
+    simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr, dedupHammingPairs, dedupHammingIncr, dedupHammingClusters,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
     simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained, simOpqTopk, simOpqIncr,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
