@@ -6273,6 +6273,26 @@ object Queries {
       |UNION ALL
       |SELECT vec_a, vec_b, hamming, 'batch' AS origin FROM pb WHERE hamming <= 3""".stripMargin))
 
+  /** dedup_hamming_incr through the persisted band-key bloom prefilter
+    * (the dedup_minhash_incr_bloom posture): bloom-negative batch band
+    * keys never reach the history join — exact, because an inner join
+    * drops them anyway — so the oracle is IDENTICAL to the unfiltered
+    * twin's and the pigeonhole guarantee is untouched. */
+  private val dedupHammingIncrBloom = Q("dedup_hamming_incr_bloom",
+    (s, dir) => {
+      val fix = Similarity.synthesizeClustered(s)
+      val hist = parquetArtifact(s, dir, "binq_codes_fixture_hist7",
+        "embeddings")(Similarity.hammingCodesChecked(
+        fix.where(pmod(col("vec_id"), lit(7)) === 0), dim = 16))
+      val bloom = Similarity.buildHammingBandBloom(hist, dim = 16,
+        bandBits = 4, expectedItems = 1 << 12)
+      Similarity.hammingNearDupIncremental(
+        fix.where(pmod(col("vec_id"), lit(7)) =!= 0), hist,
+        dim = 16, maxHamming = 3, bandBits = 4,
+        historyBandBloom = Some(bloom))
+    },
+    dedupHammingIncr.oracle)
+
   /** Connected components over the EXACT Hamming near-dup graph — the
     * cluster face of the quantized dedup tier (dedup_clusters for
     * minhash, dedup_embedding_clusters for cosine-LSH): min-label
@@ -7851,7 +7871,7 @@ object Queries {
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk, simIvfMultiprobe,
     simIvfIncr, simIvfDrift, dedupSemantic, dedupSemanticIncr,
     simLshTopk, simLshMultiprobe, simQuantize, simPqCodes, simPqTopk,
-    simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr, dedupHammingPairs, dedupHammingIncr, dedupHammingClusters,
+    simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr, dedupHammingPairs, dedupHammingIncr, dedupHammingIncrBloom, dedupHammingClusters,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
     simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained, simOpqTopk, simOpqIncr,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,

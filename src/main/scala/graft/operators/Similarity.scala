@@ -1322,6 +1322,18 @@ object Similarity {
     hammingVerify(cand, codes, codes, maxHamming)
   }
 
+  /** Persisted bloom over a history code table's band keys — the
+    * [[graft.operators.Dedup.buildBandBloom]] posture for the Hamming
+    * index: built once from the stored codes, shipped to every batch
+    * job as a few KB instead of the full band relation. */
+  def buildHammingBandBloom(histCodes: DataFrame, dim: Int,
+      bandBits: Int, expectedItems: Long, fpp: Double = 0.03): Array[Byte] =
+    Dedup.buildHashBloom(
+      hammingBands(histCodes.where(size(col("bw")) === (dim + 31) / 32),
+        (dim + bandBits - 1) / bandBits, bandBits)
+        .select(concat_ws(":", col("band_idx"), col("band_val")).as("bk")),
+      "bk", expectedItems, fpp)
+
   /** Incremental form of [[hammingNearDupPairs]] — the stored-index
     * posture every dedup family carries: `histCodes` is the PERSISTED
     * [[hammingCodesChecked]] relation (16 B/vector; bands re-derive on
@@ -1332,7 +1344,8 @@ object Similarity {
     * origin. Output (vec_a, vec_b, hamming, origin) with vec_a the
     * batch id; `origin` says which side vec_b came from. */
   def hammingNearDupIncremental(batch: DataFrame, histCodes: DataFrame,
-      dim: Int, maxHamming: Int, bandBits: Int = 8): DataFrame = {
+      dim: Int, maxHamming: Int, bandBits: Int = 8,
+      historyBandBloom: Option[Array[Byte]] = None): DataFrame = {
     require(bandBits >= 1 && 32 % bandBits == 0,
       s"bandBits must divide the 32-bit word, got $bandBits")
     val nBands = (dim + bandBits - 1) / bandBits
@@ -1341,9 +1354,19 @@ object Similarity {
     val nWords = (dim + 31) / 32
     val bCodes = hammingCodesChecked(batch, dim)
     val hCodes = histCodes.where(size(col("bw")) === nWords)
+    // optional persisted bloom over the HISTORY band keys (the
+    // minhashCandidatesIncremental posture): a genuinely-new sign
+    // pattern's bands mostly don't exist in history, and the inner
+    // join drops bloom-negative rows anyway — the prefilter is EXACT
+    // (false positives just proceed and match nothing), so the
+    // pigeonhole guarantee is untouched. Only the history leg filters;
+    // the within-batch self-join sees every band.
     val bBands = hammingBands(bCodes, nBands, bandBits)
+    val bBandsForHist = historyBandBloom.fold(bBands)(bloom =>
+      bBands.where(Dedup.mightContainHash(bloom,
+        concat_ws(":", col("band_idx"), col("band_val")))))
     val hBands = hammingBands(hCodes, nBands, bandBits)
-    val candHist = bBands.as("a")
+    val candHist = bBandsForHist.as("a")
       .join(hBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val"))
