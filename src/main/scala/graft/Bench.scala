@@ -81,7 +81,11 @@ object Bench {
         try {
           fn(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
-          reps += math.rint(sec * 1000) / 1000
+          // raw seconds, NOT rounded: `best` is min(reps), so the totals
+          // line and the reps blob must agree to the last bit (ADVICE r14
+          // — a ms-rounded rep could disagree with the reported min in
+          // the final decimal)
+          reps += sec
           best = math.min(best, sec)
           successes += 1
         } catch { case t: Throwable =>
@@ -115,7 +119,14 @@ object Bench {
     val totalR1 = results.collect {
       case (k, v, None, _) if v >= 0 && R1Set(k) => v }.sum
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_r1set":$totalR1,"queries":$qs,"reps":$repsJson,"errors":$errs,"repeats":$repeats,"agg":"min","loadavg":{"start":$loadStart,"end":$loadEnd},"sf":"$sfDir"}""")
+    // TWO JSON lines, bulky blob FIRST (VERDICT r14 #4): the driver
+    // captures the TAIL of stdout, and in r14 the single ever-growing
+    // line was truncated mid-line, losing the headline fields. The
+    // per-repeat samples (the big part) ride on their own leading line;
+    // the compact totals line prints LAST so any tail capture always
+    // holds a complete, parseable headline record.
+    println(s"""{"metric":"reps","reps":$repsJson,"loadavg":{"start":$loadStart,"end":$loadEnd},"repeats":$repeats,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_r1set":$totalR1,"queries":$qs,"errors":$errs,"repeats":$repeats,"agg":"min","loadavg":{"start":$loadStart,"end":$loadEnd},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -884,11 +884,22 @@ object Retrieval {
         col("v"), col("nrm"))
     val rows = cand.collect()
 
+    // id tie-break must match the distributed twin's window ORDER BY,
+    // which compares strings as UTF8String (UTF-8 BYTE order) — Java's
+    // String.compareTo is UTF-16 code-unit order and diverges for
+    // non-ASCII ids (ADVICE r14). Supported id types are exactly these
+    // three (the Tables id column types); anything else fails loudly
+    // rather than silently diverging through a toString compare.
     def cmpIds(a: Any, b: Any): Int = (a, b) match {
       case (x: Long, y: Long) => java.lang.Long.compare(x, y)
       case (x: Int, y: Int) => Integer.compare(x, y)
-      case (x: String, y: String) => x.compareTo(y)
-      case (x, y) => x.toString.compareTo(y.toString)
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case (x, y) => throw new IllegalArgumentException(
+        s"mmrDiversifyLocal: unsupported doc_id type for bit-identical " +
+          s"tie-break: ${x.getClass.getName} vs ${y.getClass.getName} " +
+          "(supported: Long, Int, String — use mmrDiversify instead)")
     }
     def half4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

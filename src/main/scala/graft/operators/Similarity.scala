@@ -1253,11 +1253,15 @@ object Similarity {
     * proof. Output: (vec_a, vec_b, hamming), vec_a < vec_b. */
   /** Sign-bit codes with the per-row width guard (the scoreAgainst
     * posture): a vector of the wrong dim can't satisfy the pigeonhole
-    * contract — drop it loudly. This relation IS the persistable
-    * Hamming-dedup index: 16 B/vector, bands re-derive from it with
-    * trivial bit math on load. */
+    * contract — drop it loudly. The guard checks the RAW vector width
+    * (size(v) === dim), not the packed word count: a dim-17..32 stray
+    * would pass a word-count check against dim 16 and its extra sign
+    * bits would be counted by the verify kernel though never banded
+    * (ADVICE r14). This relation IS the persistable Hamming-dedup
+    * index: 16 B/vector, bands re-derive from it with trivial bit math
+    * on load. */
   def hammingCodesChecked(embeddings: DataFrame, dim: Int): DataFrame =
-    binqEncode(embeddings).where(size(col("bw")) === (dim + 31) / 32)
+    binqEncode(embeddings.where(size(col("embedding")) === dim))
 
   /** (vec_id, band_idx, band_val) over the dim real sign bits — see
     * [[hammingNearDupPairs]] for why bands must NOT cover the packed
@@ -1369,7 +1373,11 @@ object Similarity {
     val candHist = bBandsForHist.as("a")
       .join(hBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val"))
+          col("a.band_val") === col("b.band_val") &&
+          // re-ingesting an id already in history must not emit a
+          // (x, x, 0, 'history') self-pair (ADVICE r14) — the batch and
+          // history id spaces may overlap, unlike the `<` self-join leg
+          col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val candBatch = bBands.as("a")
       .join(bBands.as("b"),

@@ -297,8 +297,12 @@ case class HammingL(left: Expression, right: Expression)
   * equal lut.length/ksub exactly or the result is null. Null on empty
   * or mismatched shapes, non-positive ksub, null elements, or an
   * out-of-range code — a mismatched codes/books pairing must surface
-  * as null (dropped by the callers' isNotNull filters), never as a
-  * garbage distance. */
+  * as null, never as a garbage distance. Callers guard validity
+  * PER SIDE, BEFORE the pair join (Similarity.validWideCodes /
+  * validWideLut), and rank with nulls-last ordering — NOT with an
+  * isNotNull filter on this expression's alias, which Catalyst would
+  * push into the join condition, dragging the kernel with it (the r12
+  * double-dot class; see rankAscByDist). */
 case class AdcSumL(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def dataType: DataType = LongType

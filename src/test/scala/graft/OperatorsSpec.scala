@@ -720,6 +720,68 @@ class SimilaritySpec extends AnyFunSuite {
       "verify kernel must stay out of join conditions")
   }
 
+  test("hammingNearDupIncremental: == brute split oracle at a dim that " +
+      "does NOT fill its last band; bloom-on == bloom-off; wrong-width " +
+      "rows dropped on both sides; re-ingested id emits no self-pair") {
+    // dim 14, 4-bit bands -> nBands 4 with a HALF-EMPTY last band (bits
+    // 12..13): the banding must still cover only real sign bits, and
+    // maxHamming = 2 < 4 keeps the pigeonhole bound intact
+    val dim = 14
+    val base = Array.tabulate(dim)(d => if (d % 2 == 0) 1.0f else -1.0f)
+    def flip(v: Array[Float], idxs: Int*): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => if (idxs.contains(i)) -x else x }
+    val all = (0 until 48).map { i =>
+      val flips = (0 until i % 5).map(j => (i * 5 + j * 3) % dim)
+      (i.toLong, flip(base, flips: _*).toSeq)
+    }
+    val histRows = all.filter(_._1 % 3 == 0)
+    val batchRows = all.filter(_._1 % 3 != 0)
+    val histCodes = Similarity.hammingCodesChecked(
+      histRows.toDF("vec_id", "embedding"), dim)
+    val batch = batchRows.toDF("vec_id", "embedding")
+    val out = Similarity.hammingNearDupIncremental(batch, histCodes,
+      dim, maxHamming = 2, bandBits = 4)
+      .as[(Long, Long, Int, String)].collect().toSet
+    def ham(a: Seq[Float], b: Seq[Float]): Int =
+      a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+    val bruteHist = (for {
+      (ia, va) <- batchRows; (ib, vb) <- histRows
+      h = ham(va, vb) if h <= 2
+    } yield (ia, ib, h, "history")).toSet
+    val bruteBatch = (for {
+      (ia, va) <- batchRows; (ib, vb) <- batchRows if ia < ib
+      h = ham(va, vb) if h <= 2
+    } yield (ia, ib, h, "batch")).toSet
+    assert(out == (bruteHist ++ bruteBatch) && bruteHist.nonEmpty &&
+      bruteBatch.nonEmpty, "incremental result must equal the brute split")
+    // bloom prefilter is EXACT: identical output with the bloom on
+    val bloom = Similarity.buildHammingBandBloom(histCodes, dim,
+      bandBits = 4, expectedItems = 1 << 12)
+    val outBloom = Similarity.hammingNearDupIncremental(batch, histCodes,
+      dim, maxHamming = 2, bandBits = 4, historyBandBloom = Some(bloom))
+      .as[(Long, Long, Int, String)].collect().toSet
+    assert(outBloom == out, "bloom-on must equal bloom-off exactly")
+    // width guards both sides: a 2-word stray in the LOADED history code
+    // table is dropped (word-count granularity — raw vectors are gone by
+    // then), and a wrong-dim RAW batch row is dropped by the size(v)
+    // guard before encoding — neither poisons the result
+    val strayCodes = histCodes.unionByName(
+      Seq((999L, Seq(0L, 0L))).toDF("vec_id", "bw"))
+    val rag = batchRows.toDF("vec_id", "embedding").unionByName(
+      Seq((998L, Seq.fill(dim + 3)(1.0f))).toDF("vec_id", "embedding"))
+    val outStray = Similarity.hammingNearDupIncremental(rag, strayCodes,
+      dim, maxHamming = 2, bandBits = 4)
+      .as[(Long, Long, Int, String)].collect().toSet
+    assert(outStray == out, "wrong-width rows must be dropped, not scored")
+    // re-ingesting a history id in the batch: its history twin matches at
+    // distance 0 on every band but must NOT surface as a self-pair
+    val reingest = histRows.take(1).toDF("vec_id", "embedding")
+    val selfPairs = Similarity.hammingNearDupIncremental(reingest, histCodes,
+      dim, maxHamming = 2, bandBits = 4)
+      .where(col("vec_a") === col("vec_b")).count()
+    assert(selfPairs == 0, "re-ingested id must not emit a self-pair")
+  }
+
   test("binq: 32-bit word layout pinned bit-for-bit (incl. a partial " +
       "second word); DataFrame hamming (codegen) == sign-disagreement count") {
     // dim 34 forces TWO words with a partial second word
