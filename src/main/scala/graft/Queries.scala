@@ -102,10 +102,53 @@ object Queries {
             // and identical; drop our copy
             org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
           }
+          // retention (VERDICT r14 #7): a successful build supersedes
+          // every OTHER fingerprint of the same artifact name — those
+          // dirs were keyed to source data that no longer exists (each
+          // testdata regeneration changes the fingerprint), so nothing
+          // can ever read them again; without this they strand forever.
+          // The exact-name_digits_digits match can't clip a sibling
+          // artifact whose name merely extends this one ("pq_codes_all"
+          // never matches "pq_codes_all_wide_…"). Current readers are
+          // safe: any JVM looking at the same source computes THIS
+          // fingerprint, which is never deleted.
+          val pat = java.util.regex.Pattern.quote(name) + "_\\d+_\\d+"
+          val self = new java.io.File(path).getName
+          Option(new java.io.File(path).getParentFile.listFiles()).toSeq
+            .flatten
+            .filter(f => f.isDirectory && f.getName != self &&
+              f.getName.matches(pat))
+            .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
         }
       }
     }
     s.read.parquet(path)
+  }
+
+  /** Debug catalog of the persisted artifacts under this sfDir's root
+    * (VERDICT r14 #7): one row per artifact dir — logical name, source
+    * fingerprint, file count, total bytes. Driver-local listing (the
+    * artifact root is a driver-side tmp dir by construction); rows-only
+    * check (sizes are parquet-encoder-dependent). Touches one known
+    * artifact first so the catalog is never empty regardless of query
+    * execution order. */
+  private def artifactCatalog(s: SparkSession, dir: String): DataFrame = {
+    pqCodesAll(s, dir).count() // ensure at least one artifact exists
+    val root = new java.io.File(artifactPath(dir, "x")).getParentFile
+    val rows = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && !f.getName.contains("_tmp_"))
+      .sortBy(_.getName)
+      .map { d =>
+        val files = Option(d.listFiles()).toSeq.flatten.filter(_.isFile)
+        val m = "^(.*)_(\\d+)_(\\d+)$".r
+        val (nm, fp) = d.getName match {
+          case m(n, len, mt) => (n, s"${len}_$mt")
+          case other => (other, "")
+        }
+        (nm, fp, files.size, files.map(_.length()).sum)
+      }
+    import s.implicits._
+    rows.toDF("artifact", "fingerprint", "n_files", "total_bytes")
   }
 
   // ───────────────────────────── relational parity ──────────────────────────
@@ -6538,6 +6581,83 @@ object Queries {
         |FROM enc""".stripMargin
     })
 
+  /** Oracle-gated recall for the OPQ serving tier (VERDICT r14 #2) — the
+    * last quantized serving face without a hash-checked recall figure
+    * (pq/binq/sq8 have sim_*_recall rows; the OPQ number lived only in
+    * ProfileQuant): per-query overlap between the exact brute top-10
+    * over the RAW embeddings and sim_opq_topk's ADC top-10 over the
+    * PERSISTED rotated code artifact (rotated queries, stored codes —
+    * the serving face itself, no rerank). Both rankings deterministic,
+    * so the recall figures hash-check against DuckDB's re-derivation of
+    * both chains from the rotation + codebook literals. On this
+    * near-uniform corpus the figure is low by construction (~0.17,
+    * ProfileQuant — 16-byte codes over 64 near-isotropic dims); the
+    * contract is that the figure is ORACLED, not that it is high — the
+    * quality claim lives on the planted fixture (sim_opq_trained). */
+  private val simOpqRecall = Q("sim_opq_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val brute = Similarity.bruteTopK(e, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val codesWide = parquetArtifact(s, dir, "pq_codes_opqrot_wide_m8_k16",
+        "embeddings")(Similarity.pqCodesWide(
+        Similarity.pqEncode(opqEmbRotated(s, dir), opqEmbBooks(s, dir))))
+      val opq = Similarity.pqTopKAdcWide(codesWide,
+          opqEmbRotated(s, dir).where(pmod(col("vec_id"), lit(20)) === 0),
+          opqEmbBooks(s, dir), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(opq, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0) * 10000 div n_brute").as("recall_bp"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH rm(i, rv) AS (VALUES
+        |  ${opqMatValues(opqEmbR(s, dir))}),
+        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |rot AS (SELECT e0.vec_id,
+        |    list(list_dot_product(r.rv, e0.v0) ORDER BY r.i) AS v
+        |  FROM e0 CROSS JOIN rm r GROUP BY e0.vec_id),
+        |${pqCtes(opqEmbBooks(s, dir), "SELECT vec_id, v FROM rot")},
+        |nn AS (SELECT vec_id, v0 AS v, sqrt(list_dot_product(v0, v0)) AS nrm
+        |  FROM e0 WHERE list_dot_product(v0, v0) > 0),
+        |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn
+        |  WHERE vec_id % 20 = 0),
+        |bbs AS (SELECT qn.query_id, nn.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, nn.v) / (qn.qnrm * nn.nrm), 4) + 0.0 AS cosine
+        |  FROM qn CROSS JOIN nn WHERE nn.vec_id <> qn.query_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bbs)
+        |  WHERE rank <= 10),
+        |q AS (SELECT vec_id AS query_id, v AS rqv FROM e WHERE vec_id % 20 = 0),
+        |qs AS (SELECT query_id, CAST(r.range AS INTEGER) AS sub,
+        |    list_slice(rqv, r.range * 8 + 1, r.range * 8 + 8) AS xs
+        |  FROM q CROSS JOIN range(0, 8) r),
+        |lut AS (SELECT query_id, sub, code,
+        |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+        |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+        |  FROM qs JOIN cb USING (sub)),
+        |sc AS (SELECT l.query_id, enc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+        |  FROM enc JOIN lut l USING (sub, code)
+        |  WHERE enc.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |opq AS (SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY d2u, vec_id) AS rank FROM sc)
+        |  WHERE rank <= 10),
+        |hits AS (SELECT b.query_id, count(*) AS n_overlap
+        |  FROM brute b JOIN opq USING (query_id, neighbor_id) GROUP BY 1),
+        |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+        |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+        |  CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(hits.n_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS recall_bp
+        |FROM base LEFT JOIN hits USING (query_id)""".stripMargin
+    })
+
   /** IVF-PQ composition (Similarity.ivfPqTopK): cell-probed ADC — the
     * corpus is cell-assigned against the persisted embedding centroids
     * AND PQ-encoded against the persisted codebooks; a query probes its
@@ -7424,6 +7544,248 @@ object Queries {
         |FROM base LEFT JOIN hp USING (query_id) LEFT JOIN ht USING (query_id)""".stripMargin
     })
 
+  /** Residual-IVF ADC tier over a named source CTE — the oracle fragment
+    * for the COMPOSED quantized layouts (VERDICT r14 #1): assignment
+    * (round-6 cosine desc, min-cell tie-break), whole-vector residual,
+    * dsub-wide encode (m=8; dsub 2 on the dim-16 fixtures, 8 on the
+    * dim-64 table), nProbes probed cells
+    * per query (vec_id ≡ 0 mod 20), one exact LUT per probed cell from
+    * the query's own residual, ADC sum, top-10 by (d2u, vec_id). The
+    * caller supplies the source relation plus codebook (`cbRel`: sub,
+    * code, cv, cc) and centroid (`cnRel`: cell, w, cnrm) relations. */
+  private def opqResidTier(tag: String, src: String, cbRel: String,
+      cnRel: String, nProbes: Int, dsub: Int = 2): String =
+    s"""${tag}vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM $src),
+      |${tag}asgn AS (SELECT vec_id, cell FROM (
+      |    SELECT n.vec_id, cn.cell,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY ROUND(list_dot_product(cn.w, n.v) / (cn.cnrm * n.nrm), 6) DESC, cn.cell) AS crn
+      |    FROM ${tag}vn n CROSS JOIN $cnRel cn)
+      |  WHERE crn = 1),
+      |${tag}resid AS (SELECT n.vec_id, a.cell,
+      |    list_transform(n.v, (x, i) -> x - cn.w[i]) AS rv
+      |  FROM ${tag}vn n JOIN ${tag}asgn a ON a.vec_id = n.vec_id
+      |    JOIN $cnRel cn ON cn.cell = a.cell),
+      |${tag}sv AS (SELECT vec_id, cell, CAST(r.range AS INTEGER) AS sub,
+      |    list_slice(rv, r.range * $dsub + 1, r.range * $dsub + $dsub) AS xs
+      |  FROM ${tag}resid CROSS JOIN range(0, 8) r),
+      |${tag}sd AS (SELECT vec_id, cell, sub, code,
+      |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+      |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+      |  FROM ${tag}sv JOIN $cbRel USING (sub)),
+      |${tag}enc AS (SELECT vec_id, cell, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+      |      ORDER BY d2u, code) AS rn FROM ${tag}sd)
+      |  WHERE rn = 1),
+      |${tag}pb AS (SELECT query_id, cell FROM (
+      |    SELECT n.vec_id AS query_id, cn.cell,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY ROUND(list_dot_product(n.v, cn.w) / (n.nrm * cn.cnrm), 6) DESC, cn.cell) AS pr
+      |    FROM ${tag}vn n CROSS JOIN $cnRel cn WHERE n.vec_id % 20 = 0)
+      |  WHERE pr <= $nProbes),
+      |${tag}qres AS (SELECT pb.query_id, pb.cell,
+      |    list_transform(q.v, (x, i) -> x - cn.w[i]) AS rqv
+      |  FROM ${tag}pb pb JOIN ${tag}vn q ON q.vec_id = pb.query_id
+      |    JOIN $cnRel cn ON cn.cell = pb.cell),
+      |${tag}qs AS (SELECT query_id, cell, CAST(r.range AS INTEGER) AS sub,
+      |    list_slice(rqv, r.range * $dsub + 1, r.range * $dsub + $dsub) AS xs
+      |  FROM ${tag}qres CROSS JOIN range(0, 8) r),
+      |${tag}lut AS (SELECT query_id, cell, sub, code,
+      |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+      |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+      |  FROM ${tag}qs JOIN $cbRel USING (sub)),
+      |${tag}sc AS (SELECT l.query_id, enc.vec_id, CAST(sum(l.d2u) AS BIGINT) AS d2u
+      |  FROM ${tag}enc enc JOIN ${tag}lut l ON l.cell = enc.cell
+      |      AND l.sub = enc.sub AND l.code = enc.code
+      |  WHERE enc.vec_id <> l.query_id
+      |  GROUP BY 1, 2),
+      |${tag}top AS (SELECT query_id, vec_id AS neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY d2u, vec_id) AS rank FROM ${tag}sc)
+      |  WHERE rank <= 10)""".stripMargin
+
+  /** Trained pieces for the COMPOSED OPQ ∘ residual-IVF-PQ gain pair on
+    * the smeared aniso fixture: both tiers train their own cells (8 — the
+    * probe sweep in ProfileOpqIvfPq: at 8 cells the rotation wins, resid
+    * 0.807 vs opq∘resid 0.832 recall@10, both above flat trained-OPQ's
+    * 0.796) and their own residual codebooks; the OPQ tier trains in the
+    * ROTATED space (the FAISS OPQ-pretransform order). */
+  private def opqIvfCentsU(s: SparkSession): Seq[Array[Double]] =
+    fixtureCache.computeIfAbsent("opqivf_cents_u", _ =>
+      Similarity.kmeansCentroidArrays(opqCorpus(s), nCells = 8))
+      .asInstanceOf[Seq[Array[Double]]]
+  private def opqIvfBooksU(s: SparkSession): Seq[Seq[Array[Double]]] =
+    fixtureCache.computeIfAbsent("opqivf_books_u", _ =>
+      Similarity.pqTrainResidual(opqCorpus(s), opqIvfCentsU(s),
+        m = 8, ksub = 16)).asInstanceOf[Seq[Seq[Array[Double]]]]
+  private def opqIvfRotC(s: SparkSession): DataFrame =
+    Similarity.rotateEmbeddings(opqCorpus(s), opqTrainedR(s))
+  private def opqIvfCentsR(s: SparkSession): Seq[Array[Double]] =
+    fixtureCache.computeIfAbsent("opqivf_cents_r", _ =>
+      Similarity.kmeansCentroidArrays(opqIvfRotC(s), nCells = 8))
+      .asInstanceOf[Seq[Array[Double]]]
+  private def opqIvfBooksR(s: SparkSession): Seq[Seq[Array[Double]]] =
+    fixtureCache.computeIfAbsent("opqivf_books_r", _ =>
+      Similarity.pqTrainResidual(opqIvfRotC(s), opqIvfCentsR(s),
+        m = 8, ksub = 16)).asInstanceOf[Seq[Seq[Array[Double]]]]
+  private def centValues(cents: Seq[Array[Double]]): String =
+    cents.zipWithIndex.map { case (v, i) =>
+      s"($i, ${v.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n  ")
+
+  /** OPQ composed with residual IVF-PQ beats the unrotated residual tier
+    * at equal code budget on the smeared-latent corpus — ORACLE-CHECKED
+    * recall pair (VERDICT r14 #1, the sim_residual_gain pattern) over the
+    * complete FAISS production layout (Similarity.opqIvfPqEncodeWide /
+    * opqIvfPqTopKWide): rotate by the TRAINED Jacobi rotation, cell-assign
+    * the rotated vector, PQ-encode the rotated residual, search with one
+    * exact per-probed-cell LUT from the rotated query's residual. Both
+    * code tables are persisted WIDE artifacts; both searches read stored
+    * codes only. ProfileOpqIvfPq at 8 cells / 2 probes: resid 0.807,
+    * opq∘resid 0.832 recall@10 (flat trained OPQ: 0.796) — the residual
+    * tier already absorbs most of the anisotropy the rotation targets
+    * (centroids capture the low-rank structure), so the composition's
+    * gain is real but modest, exactly FAISS's guidance for OPQ over
+    * IVFADC. The oracle re-derives latent, rotation, both centroid sets,
+    * both codebook sets, both full search chains and both recalls from
+    * the trained literals. */
+  private val simOpqIvfpq = Q("sim_opq_ivfpq",
+    (s, dir) => {
+      val corpus = opqCorpus(s)
+      val brute = Similarity.bruteTopK(corpus, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val codesU = parquetArtifact(s, dir, "opqivf_codes_u_wide_m8_k16_c8",
+        "embeddings")(Similarity.pqCodesWide(
+        Similarity.ivfPqResidualEncode(corpus, opqIvfCentsU(s),
+          opqIvfBooksU(s)), Seq("cell")))
+      val resid = Similarity.ivfPqResidualTopKWide(codesU,
+          corpus.where(pmod(col("vec_id"), lit(20)) === 0),
+          opqIvfCentsU(s), opqIvfBooksU(s), k = 10, nProbes = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val codesR = parquetArtifact(s, dir, "opqivf_codes_r_wide_m8_k16_c8",
+        "embeddings")(Similarity.opqIvfPqEncodeWide(corpus, opqTrainedR(s),
+        opqIvfCentsR(s), opqIvfBooksR(s)))
+      val opq = Similarity.opqIvfPqTopKWide(codesR,
+          corpus.where(pmod(col("vec_id"), lit(20)) === 0), opqTrainedR(s),
+          opqIvfCentsR(s), opqIvfBooksR(s), k = 10, nProbes = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      def overlap(cand: DataFrame, name: String): DataFrame =
+        brute.join(cand, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(overlap(resid, "resid_overlap"), Seq("query_id"), "left")
+        .join(overlap(opq, "opq_overlap"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("resid_overlap"), lit(0L)).as("resid_overlap"),
+          coalesce(col("opq_overlap"), lit(0L)).as("opq_overlap"),
+          expr("coalesce(resid_overlap, 0) * 10000 div n_brute").as("resid_bp"),
+          expr("coalesce(opq_overlap, 0) * 10000 div n_brute").as("opq_bp"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH lat AS (SELECT r.range AS vec_id,
+        |    list_transform(generate_series(0, 15), d ->
+        |      CAST((r.range * 13 + d * 7 + (r.range * d) % 29) % 65 - 32 AS DOUBLE)
+        |      / 32.0 / power(2.0, CAST(d AS DOUBLE))) AS z
+        |  FROM range(0, 560) r),
+        |hm(i, rv) AS (VALUES
+        |  ${opqMatValues(Similarity.hadamard16)}),
+        |corpus AS (SELECT l.vec_id,
+        |    list(list_dot_product(h.rv, l.z) ORDER BY h.i) AS v
+        |  FROM lat l CROSS JOIN hm h GROUP BY l.vec_id),
+        |tm(i, rv) AS (VALUES
+        |  ${opqMatValues(opqTrainedR(s))}),
+        |rott AS (SELECT c.vec_id,
+        |    list(list_dot_product(t.rv, c.v) ORDER BY t.i) AS v
+        |  FROM corpus c CROSS JOIN tm t GROUP BY c.vec_id),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus),
+        |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+        |  WHERE vec_id % 20 = 0),
+        |bs AS (SELECT qn.query_id, n.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+        |  FROM qn CROSS JOIN n WHERE n.vec_id <> qn.query_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+        |  WHERE rank <= 10),
+        |ubk(sub, code, cv) AS (VALUES
+        |  ${opqBookValues(opqIvfBooksU(s))}),
+        |ucb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM ubk),
+        |uc2(cell, w) AS (VALUES
+        |  ${centValues(opqIvfCentsU(s))}),
+        |ucn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM uc2),
+        |rbk(sub, code, cv) AS (VALUES
+        |  ${opqBookValues(opqIvfBooksR(s))}),
+        |rcb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM rbk),
+        |rc2(cell, w) AS (VALUES
+        |  ${centValues(opqIvfCentsR(s))}),
+        |rcn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM rc2),
+        |${opqResidTier("u", "corpus", "ucb", "ucn", nProbes = 2)},
+        |${opqResidTier("o", "rott", "rcb", "rcn", nProbes = 2)},
+        |hu AS (SELECT b.query_id, count(*) AS resid_overlap
+        |  FROM brute b JOIN utop USING (query_id, neighbor_id) GROUP BY 1),
+        |ho AS (SELECT b.query_id, count(*) AS opq_overlap
+        |  FROM brute b JOIN otop USING (query_id, neighbor_id) GROUP BY 1),
+        |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+        |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+        |  CAST(coalesce(hu.resid_overlap, 0) AS BIGINT) AS resid_overlap,
+        |  CAST(coalesce(ho.opq_overlap, 0) AS BIGINT) AS opq_overlap,
+        |  CAST(coalesce(hu.resid_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS resid_bp,
+        |  CAST(coalesce(ho.opq_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS opq_bp
+        |FROM base LEFT JOIN hu USING (query_id) LEFT JOIN ho USING (query_id)""".stripMargin
+    })
+
+  /** Production face of the composed layout on the REAL embeddings
+    * table — the full FAISS `OPQ8,IVF10,PQ8` chain over persisted
+    * artifacts only: the trained rotation (opq_rot_emb_m8), centroids
+    * trained in the ROTATED space (centroids_emb_opqrot_c10), residual
+    * codebooks trained on rotated residuals (pq_books_opqrot_resid),
+    * and the write-once wide code table — the search never touches a
+    * raw corpus vector and scans ~nProbes/10 of the 8-byte-code rows.
+    * Derived oracle re-runs rotate → assign → residual-encode → probe →
+    * per-cell LUT ADC from the three literal sets. */
+  private def opqEmbResidCents(s: SparkSession, dir: String): Seq[Array[Double]] =
+    embCentroids(s, dir, "opqrot", opqEmbRotated(s, dir))
+  private def opqEmbResidBooks(s: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    pqBooksCache.computeIfAbsent((dir, "opqrot_resid"),
+      _ => Similarity.pqBooksFromDF(
+        parquetArtifact(s, dir, "pq_books_opqrot_resid_m8_k16", "embeddings")(
+          Similarity.pqBooksToDF(s,
+            Similarity.pqTrainResidual(opqEmbRotated(s, dir),
+              opqEmbResidCents(s, dir), m = 8, ksub = 16)))))
+  private val simOpqIvfpqTopk = Q("sim_opq_ivfpq_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val codesWide = parquetArtifact(s, dir,
+        "opq_ivfpq_resid_codes_wide_m8_k16_c10", "embeddings")(
+        Similarity.opqIvfPqEncodeWide(e, opqEmbR(s, dir),
+          opqEmbResidCents(s, dir), opqEmbResidBooks(s, dir)))
+      Similarity.opqIvfPqTopKWide(codesWide,
+        e.where(pmod(col("vec_id"), lit(20)) === 0), opqEmbR(s, dir),
+        opqEmbResidCents(s, dir), opqEmbResidBooks(s, dir),
+        k = 10, nProbes = 3)
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH rm(i, rv) AS (VALUES
+        |  ${opqMatValues(opqEmbR(s, dir))}),
+        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |rot AS (SELECT e0.vec_id,
+        |    list(list_dot_product(r.rv, e0.v0) ORDER BY r.i) AS v
+        |  FROM e0 CROSS JOIN rm r GROUP BY e0.vec_id),
+        |rbk(sub, code, cv) AS (VALUES
+        |  ${opqBookValues(opqEmbResidBooks(s, dir))}),
+        |rcb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM rbk),
+        |rc2(cell, w) AS (VALUES
+        |  ${centValues(opqEmbResidCents(s, dir))}),
+        |rcn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM rc2),
+        |${opqResidTier("o", "rot", "rcb", "rcn", nProbes = 3, dsub = 8)},
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2u, vec_id) AS rank FROM osc)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+        |  vec_id AS neighbor_id, d2u
+        |FROM r WHERE rank <= 10""".stripMargin
+    })
+
   /** Residual-trained PQ codebooks (pq_books_resid artifact): trained on
     * v − c(cell) against the persisted embedding centroids — shares the
     * pqBooksCache/parquetArtifact posture of the raw-vector books. */
@@ -7805,6 +8167,12 @@ object Queries {
       |JOIN f fb ON fb.doc_id = c.asset_b
       |WHERE 8 * abs(fa.a - fb.a) + 8 * abs(fa.b - fb.b) <= 128""".stripMargin))
 
+  /** Rows-only by design: file counts and byte totals are
+    * parquet-encoder- and history-dependent — the check is "the catalog
+    * lists the artifacts and never errors", not a hash. */
+  private val artifactCatalogQ = Q("artifact_catalog",
+    (s, dir) => artifactCatalog(s, dir), None)
+
   // ──────────────────────────────── registry ────────────────────────────────
 
   val all: Seq[Q] = Seq(
@@ -7874,10 +8242,11 @@ object Queries {
     simPqRerank, simPqRecall, simIvfpqTopk, simPqIncr, dedupHammingPairs, dedupHammingIncr, dedupHammingIncrBloom, dedupHammingClusters,
     simIvfBalance, simIvfFiltered, simBinqCodes, simBinqTopk, simBinqRerank, simBinqRecall, simSq8Topk, simSq8Recall, simIvfpqResidual,
     simBinqIncr, simSq8Incr, simResidualGain, simOpqGain, simOpqTrained, simOpqTopk, simOpqIncr,
+    simOpqRecall, simOpqIvfpq, simOpqIvfpqTopk,
     simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     multimodalFeatures, multimodalFrames, multimodalDecode, multimodalJpeg, multimodalAudio,
     multimodalVideo, multimodalResize, dedupMultimodal,
-    dedupMultimodalIncr)
+    dedupMultimodalIncr, artifactCatalogQ)
 
   val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   val oracleSql: Map[String, String] =

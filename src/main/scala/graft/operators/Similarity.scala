@@ -1722,6 +1722,40 @@ object Similarity {
     * pair costs one `adc_sum_l` (m loads+adds) instead of m joined rows
     * plus the 20M-group re-aggregation that dominates the narrow path
     * at sf1. */
+  /** OPQ ∘ residual IVF-PQ ENCODE (VERDICT r14 #1) — the complete FAISS
+    * production index layout (OPQ pretransform + IVFADC, Ge et al. 2013
+    * composed with Jégou et al. 2011): rotate each corpus vector by the
+    * trained rotation `r` ([[opqTrainRotation]]), assign the ROTATED
+    * vector to its nearest trained cell, PQ-encode the rotated residual
+    * v′ − c(cell) against residual-trained codebooks, and store the one
+    * wide (vec_id, cell, codes) row. `cents` and `books` must be
+    * trained IN THE ROTATED SPACE ([[kmeansCentroidArrays]] /
+    * [[pqTrainResidual]] over [[rotateEmbeddings]](corpus, r)). Runs
+    * once and persists (the [[pqEncode]] posture); searches read the
+    * stored table and never touch a corpus vector. */
+  def opqIvfPqEncodeWide(corpus: DataFrame, r: Seq[Array[Double]],
+      cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]]): DataFrame =
+    pqCodesWide(ivfPqResidualEncode(rotateEmbeddings(corpus, r), cents, books),
+      Seq("cell"))
+
+  /** OPQ ∘ residual IVF-PQ SEARCH over a PRE-ENCODED
+    * [[opqIvfPqEncodeWide]] table: the query rotates by the same trained
+    * `r` (one dim×dim dot set per query — the OPQ pretransform), probes
+    * its `nProbes` nearest rotated cells, and ADC-scores each probed
+    * cell's stored codes with one exact LUT from its own ROTATED
+    * residual q′ − c(cell) — [[ivfPqResidualTopKWide]] with the rotation
+    * folded in front, which is the entire FAISS `OPQ…,IVF…,PQ…` chain.
+    * Neither step reads a corpus vector; scan fraction ≈
+    * nProbes/|cells| of the 16-byte-code table. Deterministic end to
+    * end (trained literals + round-6 probes + integer micro-L2 ADC) ⇒
+    * oracle-checkable from the three literal sets. */
+  def opqIvfPqTopKWide(codesWide: DataFrame, queries: DataFrame,
+      r: Seq[Array[Double]], cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]], k: Int, nProbes: Int = 2): DataFrame =
+    ivfPqResidualTopKWide(codesWide, rotateEmbeddings(queries, r),
+      cents, books, k, nProbes)
+
   def ivfPqResidualTopKWide(codesWide: DataFrame, queries: DataFrame,
       cents: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
       k: Int, nProbes: Int = 2): DataFrame = {

@@ -1291,6 +1291,117 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming maintenance for the EXACT-Hamming dedup index (VERDICT r14
+  * #3) — the StreamingSemanticDedupSpec posture applied to
+  * [[graft.operators.Similarity.hammingNearDupIncremental]]: the index
+  * IS the 16 B/vector sign-code table (bands re-derive from it on load
+  * with trivial bit math), each micro-batch band-joins only against the
+  * LOADED versioned artifact plus itself, emits its exact near-dup
+  * pairs, and folds its own fresh codes into the next artifact version
+  * (read vN−1, union, write vN — at-least-once-safe because re-running
+  * a batch rebuilds the identical deterministic version). */
+class StreamingHammingDedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("streaming Hamming-dedup maintenance: stream-folded code-table " +
+      "artifact == eager fold; union of per-batch pair emissions == the " +
+      "one-shot exact pair set; bloom-prefiltered batch identical") {
+    import java.nio.file.Files
+    val dim = 14 // half-empty last 4-bit band — the banding edge case
+    val base = Array.tabulate(dim)(d => if (d % 2 == 0) 1.0f else -1.0f)
+    def flip(v: Array[Float], idxs: Int*): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => if (idxs.contains(i)) -x else x }
+    val all = (0 until 36).map { i =>
+      val flips = (0 until i % 4).map(j => (i * 5 + j * 3) % dim)
+      (i.toLong, flip(base, flips: _*).toSeq)
+    }
+    val batches = all.grouped(12).toSeq // 3 micro-batches
+    val maxH = 2
+
+    val root = Files.createTempDirectory("graft-hamidx-").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    @volatile var latest: Option[String] = None
+    val emitted = scala.collection.mutable.Set[(Long, Long, Int, String)]()
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val pairs = latest match {
+          case Some(p) =>
+            val hist = spark.read.parquet(p)
+            // band-join ONLY against the loaded index, through the
+            // persisted band-key bloom (built from the stored codes —
+            // a few KB shipped per batch instead of the band relation)
+            val bloom = Similarity.buildHammingBandBloom(hist, dim,
+              bandBits = 4, expectedItems = 1 << 12)
+            Similarity.hammingNearDupIncremental(batch, hist, dim,
+              maxHamming = maxH, bandBits = 4,
+              historyBandBloom = Some(bloom))
+          case None =>
+            // first batch: empty history — within-batch pairs only
+            Similarity.hammingNearDupPairs(batch, dim,
+                maxHamming = maxH, bandBits = 4)
+              .withColumn("origin", lit("batch"))
+        }
+        emitted ++= pairs.as[(Long, Long, Int, String)].collect()
+        val fresh = Similarity.hammingCodesChecked(batch, dim)
+        val next = latest match {
+          case Some(p) => spark.read.parquet(p).unionByName(fresh)
+          case None => fresh
+        }
+        next.write.mode("overwrite").parquet(s"$root/v$id")
+        latest = Some(s"$root/v$id")
+        ()
+      }.start()
+    try batches.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // stream-folded artifact content == eager one-shot encode of all rows
+    val streamedIdx = spark.read.parquet(latest.get)
+      .as[(Long, Seq[Long])].collect().toSet
+    val eagerIdx = Similarity.hammingCodesChecked(
+        all.toDF("vec_id", "embedding"), dim)
+      .as[(Long, Seq[Long])].collect().toSet
+    assert(streamedIdx == eagerIdx && eagerIdx.size == all.size,
+      "stream-folded code table must equal the eager encode")
+    // per-batch emissions, normalized to unordered pairs, == the exact
+    // one-shot pair set: every cross-batch pair surfaces exactly once
+    // (origin 'history', in the batch where its LATER member arrived),
+    // every within-batch pair once with origin 'batch'
+    def unordered(p: (Long, Long, Int, String)) =
+      (math.min(p._1, p._2), math.max(p._1, p._2), p._3)
+    val oneShot = Similarity.hammingNearDupPairs(
+        all.toDF("vec_id", "embedding"), dim,
+        maxHamming = maxH, bandBits = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(emitted.size == oneShot.size &&
+      emitted.map(unordered).toSet == oneShot && oneShot.nonEmpty,
+      s"streamed pair emissions diverged: ${emitted.size} vs ${oneShot.size}")
+    // eager fold through the same incremental entry point (no stream,
+    // no bloom) lands on the identical pair multiset — bloom-on streams
+    // and bloom-off folds agree
+    var hist = Similarity.hammingCodesChecked(
+      batches.head.toDF("vec_id", "embedding"), dim)
+    var eagerPairs = Similarity.hammingNearDupPairs(
+        batches.head.toDF("vec_id", "embedding"), dim,
+        maxHamming = maxH, bandBits = 4)
+      .withColumn("origin", lit("batch"))
+      .as[(Long, Long, Int, String)].collect().toSet
+    for (b <- batches.tail) {
+      val df = b.toDF("vec_id", "embedding")
+      eagerPairs ++= Similarity.hammingNearDupIncremental(df, hist, dim,
+        maxHamming = maxH, bandBits = 4)
+        .as[(Long, Long, Int, String)].collect()
+      hist = hist.unionByName(Similarity.hammingCodesChecked(df, dim))
+    }
+    assert(emitted.toSet == eagerPairs,
+      s"stream fold != eager fold: ${emitted.toSet} vs $eagerPairs")
+  }
+}
+
 /** MMR diversification served per MICRO-BATCH (VERDICT r13 #7): queries
   * are independent in mmrDiversify, so serving a query batch inside
   * foreachBatch must produce exactly the rows the batch operator
