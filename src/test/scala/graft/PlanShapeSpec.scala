@@ -119,7 +119,18 @@ class PlanShapeSpec extends AnyFunSuite {
       // artifact scans once, queries scan once (LUT build broadcasts);
       // exchanges are the LUT-collapse aggregate + the rank window —
       // no corpus re-encode anywhere in the plan
-      "sim_pq_topk_wide" -> (2, 2))
+      "sim_pq_topk_wide" -> (2, 2),
+      // r15 dedup-tier bench representative: batch codes scan once, the
+      // PERSISTED history code artifact scans once; bands derive with
+      // bit math (no exchange), the bloom prefilters the history leg
+      // pre-join, and verify + pair-aggregate stay map-side at fixture
+      // size — zero exchanges end to end
+      "dedup_hamming_incr_bloom" -> (0, 2),
+      // r15 OPQ serving face: the persisted ROTATED wide code artifact
+      // scans once, rotated queries scan once; exchanges are the LUT
+      // collapse + rank window (the sim_pq_topk_wide shape — rotation
+      // adds projections, never an exchange or a corpus re-encode)
+      "sim_opq_topk" -> (2, 2))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
