@@ -2047,6 +2047,67 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
         |SELECT query_id, CAST(rank AS INTEGER) AS rank,
         |  vec_id AS neighbor_id, d2u
         |FROM r WHERE rank <= 10""".stripMargin
+    }, bench = true)
+
+  /** Incremental maintenance for the COMPOSED index — the sim_opq_incr
+    * posture applied to the full chain: rotation, rotated-space cells
+    * and residual codebooks all train on HISTORY only (vec_id ≡ 0
+    * mod 7) and persist; the history (vec_id, cell, sub, code) table is
+    * a write-once artifact; a new batch rotates + cell-assigns +
+    * residual-encodes against the LOADED artifacts and appends
+    * origin-tagged — history vectors never rescanned, nothing ever
+    * retrained per batch. Derived oracle re-runs rotate → assign →
+    * residual-encode for every row from the history-trained literals
+    * (per-row ops, so one derivation serves both origins). */
+  protected def opqIvfHistCents(s: SparkSession, dir: String): Seq[Array[Double]] =
+    embCentroids(s, dir, "opqrot_hist7",
+      Similarity.rotateEmbeddings(
+        Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(7)) === 0),
+        opqHistR(s, dir)))
+  protected def opqIvfHistBooks(s: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    pqBooksCache.computeIfAbsent((dir, "opqrot_hist7_resid"),
+      _ => Similarity.pqBooksFromDF(
+        parquetArtifact(s, dir, "pq_books_opqrot_hist7_resid_m8_k16",
+          "embeddings")(Similarity.pqBooksToDF(s,
+          Similarity.pqTrainResidual(
+            Similarity.rotateEmbeddings(
+              Tables.embeddings(s, dir)
+                .where(pmod(col("vec_id"), lit(7)) === 0), opqHistR(s, dir)),
+            opqIvfHistCents(s, dir), m = 8, ksub = 16)))))
+  protected val simOpqIvfpqIncr = Q("sim_opq_ivfpq_incr",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val rH = opqHistR(s, dir)
+      def rot(df: DataFrame): DataFrame = Similarity.rotateEmbeddings(df, rH)
+      val cents = opqIvfHistCents(s, dir)
+      val books = opqIvfHistBooks(s, dir)
+      val histCodes = parquetArtifact(s, dir,
+        "opq_ivfpq_resid_codes_hist7_m8_k16_c10", "embeddings")(
+        Similarity.ivfPqResidualEncode(
+          rot(e.where(pmod(col("vec_id"), lit(7)) === 0)), cents, books))
+      histCodes.withColumn("origin", lit("history"))
+        .unionByName(
+          Similarity.ivfPqResidualEncode(
+              rot(e.where(pmod(col("vec_id"), lit(7)) =!= 0)), cents, books)
+            .withColumn("origin", lit("batch")))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH rm(i, rv) AS (VALUES
+        |  ${opqMatValues(opqHistR(s, dir))}),
+        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |rot AS (SELECT e0.vec_id,
+        |    list(list_dot_product(r.rv, e0.v0) ORDER BY r.i) AS v
+        |  FROM e0 CROSS JOIN rm r GROUP BY e0.vec_id),
+        |rbk(sub, code, cv) AS (VALUES
+        |  ${opqBookValues(opqIvfHistBooks(s, dir))}),
+        |rcb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM rbk),
+        |rc2(cell, w) AS (VALUES
+        |  ${centValues(opqIvfHistCents(s, dir))}),
+        |rcn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM rc2),
+        |${opqResidTier("o", "rot", "rcb", "rcn", nProbes = 1, dsub = 8)}
+        |SELECT vec_id, cell, sub, code,
+        |  CASE WHEN vec_id % 7 = 0 THEN 'history' ELSE 'batch' END AS origin
+        |FROM oenc""".stripMargin
     })
 
   /** Residual-trained PQ codebooks (pq_books_resid artifact): trained on
@@ -2245,6 +2306,6 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     simSq8Topk, simSq8Recall, simIvfpqResidual, simBinqIncr,
     simSq8Incr, simResidualGain, simOpqGain, simOpqTrained,
     simOpqTopk, simOpqIncr, simOpqRecall, simOpqIvfpq,
-    simOpqIvfpqTopk, simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
+    simOpqIvfpqTopk, simOpqIvfpqIncr, simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     artifactCatalogQ)
 }

@@ -130,7 +130,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // scans once, rotated queries scan once; exchanges are the LUT
       // collapse + rank window (the sim_pq_topk_wide shape — rotation
       // adds projections, never an exchange or a corpus re-encode)
-      "sim_opq_topk" -> (2, 2))
+      "sim_opq_topk" -> (2, 2),
+      // r15 composed production face (OPQ ∘ residual IVF-PQ): the
+      // persisted wide residual-code artifact scans once, queries scan
+      // once; the rotation + per-probed-cell LUT build rides the
+      // broadcast side, the cell equi-join restricts pairs to probed
+      // cells — exchanges are the LUT collapse + rank window only
+      "sim_opq_ivfpq_topk" -> (2, 2))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")

@@ -1501,3 +1501,58 @@ class StreamingOpqServeSpec extends AnyFunSuite {
       s"served ${served.toSet} != batch $batchRun")
   }
 }
+
+/** The COMPOSED production index served per micro-batch (r15): query
+  * batches rotate against the stored rotation, probe the stored
+  * rotated-space cells, and ADC-score the stored wide residual codes
+  * inside foreachBatch — the full `OPQ,IVF,PQ` chain over artifacts
+  * only, served ≡ batch. Queries are independent in every stage, so
+  * per-batch union must equal the one-shot run. */
+class StreamingOpqIvfPqServeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("foreachBatch composed OPQ∘residual-IVF-PQ over stored artifacts == batch") {
+    import java.nio.file.Files
+    val corpus = Similarity.synthesizeClustered(spark, n = 120,
+      dim = 16, nClusters = 4)
+    val root = Files.createTempDirectory("graft-opqivf-serve-").toString
+    // offline: rotation, rotated-space cells, residual books, wide codes
+    val r0 = Similarity.opqTrainRotation(corpus, m = 8)
+    Similarity.centroidsToDF(spark, r0).write.parquet(s"$root/rot")
+    val r = Similarity.centroidsFromDF(spark.read.parquet(s"$root/rot"))
+    val rotC = Similarity.rotateEmbeddings(corpus, r)
+    val cents = Similarity.kmeansCentroidArrays(rotC, nCells = 4)
+    val books = Similarity.pqTrainResidual(rotC, cents, m = 8, ksub = 8)
+    Similarity.opqIvfPqEncodeWide(corpus, r, cents, books)
+      .write.parquet(s"$root/codes_wide")
+    val codesWide = spark.read.parquet(s"$root/codes_wide")
+
+    val queryRows = corpus.where(col("vec_id") % 30 === 0)
+      .as[(Long, Seq[Float])].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = scala.collection.mutable.Set[(Long, Int, Long, Long)]()
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        served ++= Similarity.opqIvfPqTopKWide(codesWide, batch, r,
+            cents, books, k = 3, nProbes = 2)
+          .as[(Long, Int, Long, Long)].collect()
+        ()
+      }.start()
+    try {
+      input.addData(queryRows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(queryRows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchRun = Similarity.opqIvfPqTopKWide(codesWide,
+        queryRows.toDF("vec_id", "embedding"), r, cents, books,
+        k = 3, nProbes = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(served.toSet == batchRun && batchRun.nonEmpty,
+      s"served ${served.toSet} != batch $batchRun")
+  }
+}
