@@ -1130,6 +1130,40 @@ class KmeansIvfSpec extends AnyFunSuite {
         s"$spread vs $naiveSpread")
   }
 
+  test("composed OPQ∘residual-IVF-PQ: wide search == narrow twin " +
+      "bit-for-bit at a partial probe AND at nProbes = nCells (the " +
+      "exactness ladder — every pair scored exactly once)") {
+    import graft.operators.Similarity
+    val corpus = Similarity.synthesizeClustered(spark, n = 120,
+      dim = 16, nClusters = 4)
+    val r = Similarity.opqTrainRotation(corpus, m = 8)
+    val rotC = Similarity.rotateEmbeddings(corpus, r)
+    val cents = Similarity.kmeansCentroidArrays(rotC, nCells = 4)
+    val books = Similarity.pqTrainResidual(rotC, cents, m = 8, ksub = 8)
+    val narrow = Similarity.ivfPqResidualEncode(rotC, cents, books)
+    val wide = Similarity.pqCodesWide(narrow, Seq("cell"))
+    val queries = corpus.where(col("vec_id") % 30 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSet
+    for (nProbes <- Seq(2, 4)) {
+      // the wide path folds the rotation in front (opqIvfPqTopKWide);
+      // the narrow twin rotates explicitly — different join/agg shapes,
+      // same integer ADC arithmetic, so outputs must be IDENTICAL
+      val w = rows(Similarity.opqIvfPqTopKWide(wide, queries, r,
+        cents, books, k = 5, nProbes = nProbes))
+      val n = rows(Similarity.ivfPqResidualTopK(narrow,
+        Similarity.rotateEmbeddings(queries, r),
+        cents, books, k = 5, nProbes = nProbes))
+      assert(w == n && w.nonEmpty, s"wide != narrow at nProbes=$nProbes")
+      if (nProbes == 4) {
+        // all cells probed ⇒ every (query, vec≠query) pair scored once:
+        // k=5 of 119 candidates must return exactly |queries|·5 rows
+        val nQ = queries.count()
+        assert(w.size == nQ * 5, s"expected ${nQ * 5} rows, got ${w.size}")
+      }
+    }
+  }
+
   test("kmeans centroids are bit-deterministic across partition orders") {
     // The derived trained-IVF oracles interpolate these as literals, so any
     // partition-order nondeterminism (collect order, float-sum order) would
