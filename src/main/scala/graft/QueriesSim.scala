@@ -2049,6 +2049,69 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
         |FROM r WHERE rank <= 10""".stripMargin
     }, bench = true)
 
+  /** Oracled recall for the COMPOSED serving face — the sim_opq_recall
+    * shape over sim_opq_ivfpq_topk's chain (stored wide residual codes,
+    * rotated queries, per-probed-cell LUT ADC at nProbes = 3): per-query
+    * overlap vs the exact brute top-10 over the RAW table, figures
+    * hash-checked from the three literal sets. Closes the matrix —
+    * EVERY serving tier (flat PQ "+R", binq, sq8, flat OPQ, composed
+    * OPQ∘residual-IVF-PQ) now carries an oracle-gated recall row. */
+  protected val simOpqIvfpqRecall = Q("sim_opq_ivfpq_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val brute = Similarity.bruteTopK(e, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val codesWide = parquetArtifact(s, dir,
+        "opq_ivfpq_resid_codes_wide_m8_k16_c10", "embeddings")(
+        Similarity.opqIvfPqEncodeWide(e, opqEmbR(s, dir),
+          opqEmbResidCents(s, dir), opqEmbResidBooks(s, dir)))
+      val opq = Similarity.opqIvfPqTopKWide(codesWide,
+          e.where(pmod(col("vec_id"), lit(20)) === 0), opqEmbR(s, dir),
+          opqEmbResidCents(s, dir), opqEmbResidBooks(s, dir),
+          k = 10, nProbes = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(opq, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0) * 10000 div n_brute").as("recall_bp"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH rm(i, rv) AS (VALUES
+        |  ${opqMatValues(opqEmbR(s, dir))}),
+        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |rot AS (SELECT e0.vec_id,
+        |    list(list_dot_product(r.rv, e0.v0) ORDER BY r.i) AS v
+        |  FROM e0 CROSS JOIN rm r GROUP BY e0.vec_id),
+        |rbk(sub, code, cv) AS (VALUES
+        |  ${opqBookValues(opqEmbResidBooks(s, dir))}),
+        |rcb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM rbk),
+        |rc2(cell, w) AS (VALUES
+        |  ${centValues(opqEmbResidCents(s, dir))}),
+        |rcn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM rc2),
+        |${opqResidTier("o", "rot", "rcb", "rcn", nProbes = 3, dsub = 8)},
+        |nn AS (SELECT vec_id, v0 AS v, sqrt(list_dot_product(v0, v0)) AS nrm
+        |  FROM e0 WHERE list_dot_product(v0, v0) > 0),
+        |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nn
+        |  WHERE vec_id % 20 = 0),
+        |bbs AS (SELECT qn.query_id, nn.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, nn.v) / (qn.qnrm * nn.nrm), 4) + 0.0 AS cosine
+        |  FROM qn CROSS JOIN nn WHERE nn.vec_id <> qn.query_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bbs)
+        |  WHERE rank <= 10),
+        |hits AS (SELECT b.query_id, count(*) AS n_overlap
+        |  FROM brute b JOIN otop USING (query_id, neighbor_id) GROUP BY 1),
+        |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+        |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+        |  CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(hits.n_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS recall_bp
+        |FROM base LEFT JOIN hits USING (query_id)""".stripMargin
+    })
+
   /** Incremental maintenance for the COMPOSED index — the sim_opq_incr
     * posture applied to the full chain: rotation, rotated-space cells
     * and residual codebooks all train on HISTORY only (vec_id ≡ 0
@@ -2306,6 +2369,6 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     simSq8Topk, simSq8Recall, simIvfpqResidual, simBinqIncr,
     simSq8Incr, simResidualGain, simOpqGain, simOpqTrained,
     simOpqTopk, simOpqIncr, simOpqRecall, simOpqIvfpq,
-    simOpqIvfpqTopk, simOpqIvfpqIncr, simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
+    simOpqIvfpqTopk, simOpqIvfpqIncr, simOpqIvfpqRecall, simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     artifactCatalogQ)
 }
