@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (r15): the OPQ pretransform cost — native `mat_vec_d`
+  * rotation vs the transform/aggregate/zip_with HOF chain it replaced,
+  * 500k rows × dim 64 (the real embeddings shape), warm min-of-3.
+  * The HOF chain is CodegenFallback and allocates a zip_with
+  * intermediate per output element (dim+1 allocations/row); the kernel
+  * is one primitive loop in whole-stage codegen. */
+object ProfileMatVec {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dim = 64
+    val r = Seq.tabulate(dim, dim)((i, j) =>
+      math.sin(i * 7 + j * 3 + 1) / 8.0).map(_.toArray)
+    val vecs = spark.range(500000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        ((col("id") * 13 + d * 7) % 97).cast("double") / lit(97.0))
+        .as("embedding"))
+      .persist()
+    vecs.count()
+
+    def hof(): Long = {
+      val rCol = array(r.map(row => array(row.map(lit): _*)): _*)
+      vecs.select(transform(sequence(lit(0), lit(dim - 1)), i =>
+          aggregate(zip_with(element_at(rCol, i + 1),
+            transform(col("embedding"), x => x.cast("double")),
+            (a, b) => a * b), lit(0.0), (acc, x) => acc + x)).as("e"))
+        .select(sum(element_at(col("e"), 1))).head(); 0L
+    }
+    def native(): Long = {
+      vecs.select(graft.functions.SimFns.matVec(r, col("embedding")).as("e"))
+        .select(sum(element_at(col("e"), 1))).head(); 0L
+    }
+    def time(tag: String)(f: => Unit): Unit = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[matvec] $tag min=${times.min}%.2f s reps=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    time("hof")(hof())
+    time("native")(native())
+    spark.stop()
+  }
+}

@@ -31,6 +31,18 @@ object SimFns {
   def cosinePrenormed(dotCol: Column, normA: Column, normB: Column): Column =
     dotCol / (normA * normB)
 
+  /** Matrix·vector against a TRAINED rotation shipped as literals
+    * ([[graft.plans.MatVecD]]) — the OPQ pretransform kernel: element i
+    * is the index-order dot of matrix row i with the (double-promoted)
+    * vector, bit-identical to the HOF chain it replaced. One primitive
+    * loop in whole-stage codegen; the literal matrix constant-folds to
+    * a bound ArrayData. */
+  def matVec(m: Seq[Array[Double]], v: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.MatVecD(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(
+        array(m.map(row => array(row.map(x => lit(x)): _*)): _*)),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(toDouble(v))))
+
   /** Hamming distance between two word-packed bit patterns
     * (`array<bigint>`, 32 sign bits per word — [[graft.operators
     * .Similarity.binqEncode]]'s layout). Native codegen

@@ -1552,16 +1552,15 @@ object Similarity {
     * recomputes the same index-order dot from the same literals — a
     * float cast here would diverge the two engines (the fixed-Hadamard
     * path is dyadic-exact either way). */
-  def rotateEmbeddings(df: DataFrame, r: Seq[Array[Double]]): DataFrame = {
-    val rCol = array(r.map(row => array(row.map(lit): _*)): _*)
+  def rotateEmbeddings(df: DataFrame, r: Seq[Array[Double]]): DataFrame =
+    // native kernel (r15): one primitive loop in whole-stage codegen,
+    // same index-order accumulation as the transform/aggregate/zip_with
+    // HOF chain it replaced (CodegenFallback + dim+1 allocations per
+    // row — and this runs on EVERY corpus row at encode time and every
+    // query row at serve time). Parity pinned in SimilaritySpec; every
+    // OPQ-family oracle stayed hash-exact across the swap.
     df.select(col("vec_id"),
-      transform(sequence(lit(0), lit(r.size - 1)), i =>
-        aggregate(
-          zip_with(element_at(rCol, i + 1),
-            transform(col("embedding"), x => x.cast("double")),
-            (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x)).as("embedding"))
-  }
+      graft.functions.SimFns.matVec(r, col("embedding")).as("embedding"))
 
   /** TRAINED OPQ rotation (Ge et al. 2013, the parametric solution):
     * PCA-align then BALANCE — eigen-decompose the corpus second-moment

@@ -151,6 +151,100 @@ case class DotProductD(left: Expression, right: Expression)
       newRight: Expression): DotProductD = copy(left = newLeft, right = newRight)
 }
 
+/** `mat_vec_d(m, v)` — matrix·vector over a literal `array<array<double>>`
+  * rotation matrix and an `array<double>` vector: element i is the
+  * INDEX-ORDER dot of m(i) with v — bit-identical accumulation to the
+  * `transform(sequence, i -> aggregate(zip_with(m[i], v, *), 0, +))` HOF
+  * chain it replaces in [[graft.operators.Similarity.rotateEmbeddings]]
+  * (the OPQ pretransform: at 100 TB this runs on EVERY corpus row at
+  * encode time and every query row at serve time; the HOF chain is
+  * CodegenFallback and allocates a zip_with intermediate per output
+  * element — dim+1 allocations per row). One primitive double loop in
+  * whole-stage codegen, one primitive-array result. NULL on any shape
+  * defect (null inputs, null rows/elements, any row length ≠ vec
+  * length) — loud-by-absence, where the HOF chain emitted per-element
+  * nulls; all callers operate on width-checked vectors, so the two
+  * diverge only on inputs the pipelines already exclude. */
+case class MatVecD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "mat_vec_d"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(DoubleType, _), _),
+            org.apache.spark.sql.types.ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mat_vec_d requires (array<array<double>> matrix, array<double> " +
+            s"vector), got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(mv: Any, vv: Any): Any = {
+    val m = mv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val v = vv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val rows = m.numElements()
+    val n = v.numElements()
+    val out = new Array[Double](rows)
+    var i = 0
+    while (i < rows) {
+      if (m.isNullAt(i)) return null
+      val row = m.getArray(i)
+      if (row.numElements() != n) return null
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        if (row.isNullAt(j) || v.isNullAt(j)) return null
+        acc += row.getDouble(j) * v.getDouble(j)
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (mc, vc) => {
+      val (rows, n, out, bad, i, j, row, acc) = (ctx.freshName("rows"),
+        ctx.freshName("n"), ctx.freshName("out"), ctx.freshName("bad"),
+        ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("row"),
+        ctx.freshName("acc"))
+      s"""
+        |int $rows = $mc.numElements();
+        |int $n = $vc.numElements();
+        |double[] $out = new double[$rows];
+        |boolean $bad = false;
+        |for (int $i = 0; $i < $rows && !$bad; $i++) {
+        |  if ($mc.isNullAt($i)) { $bad = true; break; }
+        |  org.apache.spark.sql.catalyst.util.ArrayData $row = $mc.getArray($i);
+        |  if ($row.numElements() != $n) { $bad = true; break; }
+        |  double $acc = 0.0d;
+        |  for (int $j = 0; $j < $n; $j++) {
+        |    if ($row.isNullAt($j) || $vc.isNullAt($j)) { $bad = true; break; }
+        |    $acc += $row.getDouble($j) * $vc.getDouble($j);
+        |  }
+        |  if (!$bad) $out[$i] = $acc;
+        |}
+        |if ($bad) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        |    .fromPrimitiveArray($out);
+        |}
+        |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MatVecD = copy(left = newLeft, right = newRight)
+}
+
 /** `sum_abs_diff_l(a, b)` — Σ|aᵢ − bᵢ| over two `array<long>`, the exact
   * perceptual-hash verify metric in `Multimodal.nearDupImages`. Same
   * rationale as [[DotProductD]]: the `aggregate(zip_with(...))` fold it

@@ -782,6 +782,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(selfPairs == 0, "re-ingested id must not emit a self-pair")
   }
 
+  test("mat_vec_d rotation kernel == the HOF transform/aggregate/zip_with " +
+      "chain bit-for-bit on well-formed inputs; wrong-width vector -> " +
+      "NULL embedding (loud-by-absence); non-square rotations supported") {
+    // the exact chain rotateEmbeddings used before r15 — kept here as
+    // the parity reference (same index-order accumulation)
+    def hofRotate(df: org.apache.spark.sql.DataFrame,
+        r: Seq[Array[Double]]): org.apache.spark.sql.DataFrame = {
+      val rCol = array(r.map(row => array(row.map(lit): _*)): _*)
+      df.select(col("vec_id"),
+        transform(sequence(lit(0), lit(r.size - 1)), i =>
+          aggregate(
+            zip_with(element_at(rCol, i + 1),
+              transform(col("embedding"), x => x.cast("double")),
+              (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x)).as("embedding"))
+    }
+    // a variety of dims incl. a dim the fixtures never use, irrational
+    // entries (no dyadic luck), negatives, and magnitudes spanning 2^±20
+    for (dim <- Seq(1, 5, 16)) {
+      val r = Seq.tabulate(dim, dim)((i, j) =>
+        math.sin(i * 7 + j * 3 + 1) * math.pow(2.0, (i + j) % 7 - 3))
+        .map(_.toArray)
+      val vecs = (0 until 40).map { k =>
+        (k.toLong, Seq.tabulate(dim)(d =>
+          (math.cos(k * 13 + d * 5) * math.pow(2.0, (k + d) % 9 - 4)).toFloat))
+      }.toDF("vec_id", "embedding")
+      val native = Similarity.rotateEmbeddings(vecs, r)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      val hof = hofRotate(vecs, r)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      native.zip(hof).foreach { case ((ia, va), (ib, vb)) =>
+        assert(ia == ib && va.size == vb.size)
+        va.zip(vb).foreach { case (x, y) =>
+          assert(java.lang.Double.doubleToRawLongBits(x) ==
+            java.lang.Double.doubleToRawLongBits(y),
+            s"dim $dim vec $ia: $x != $y (bit-level)")
+        }
+      }
+    }
+    // non-square: a 3×5 projection matrix maps dim-5 vectors to dim-3
+    val proj = Seq.tabulate(3, 5)((i, j) => (i * 5 + j + 1).toDouble).map(_.toArray)
+    val out = Similarity.rotateEmbeddings(
+        Seq((1L, Seq.tabulate(5)(_.toFloat))).toDF("vec_id", "embedding"), proj)
+      .as[(Long, Seq[Double])].head()
+    assert(out._2 == Seq(40.0, 90.0, 140.0)) // exact integer arithmetic
+    // wrong-width vector: NULL result (the HOF chain emitted an array of
+    // nulls; the kernel is loud-by-absence — divergence documented)
+    val ragged = Similarity.rotateEmbeddings(
+        Seq((1L, Seq.tabulate(4)(_.toFloat))).toDF("vec_id", "embedding"), proj)
+      .where(col("embedding").isNull).count()
+    assert(ragged == 1L, "wrong-width vector must yield a NULL embedding")
+  }
+
   test("binq: 32-bit word layout pinned bit-for-bit (incl. a partial " +
       "second word); DataFrame hamming (codegen) == sign-disagreement count") {
     // dim 34 forces TWO words with a partial second word
