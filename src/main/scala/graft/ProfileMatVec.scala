@@ -46,6 +46,32 @@ object ProfileMatVec {
     }
     time("hof")(hof())
     time("native")(native())
+    // residual subtraction: zip_with HOF vs native vec_sub_d
+    val cvLit = array(Seq.tabulate(dim)(d => lit(d / 64.0)): _*)
+    def subHof(): Unit = {
+      vecs.select(zip_with(col("embedding"), cvLit, (a, b) => a - b).as("e"))
+        .select(sum(element_at(col("e"), 1))).head(); ()
+    }
+    def subNative(): Unit = {
+      vecs.select(graft.functions.SimFns.vecSub(col("embedding"), cvLit).as("e"))
+        .select(sum(element_at(col("e"), 1))).head(); ()
+    }
+    time("sub_hof")(subHof())
+    time("sub_native")(subNative())
+    // float->double promotion: transform(cast) HOF vs native array cast
+    val fvecs = vecs.select(transform(col("embedding"),
+      x => x.cast("float")).as("f")).persist()
+    fvecs.count()
+    def castHof(): Unit = {
+      fvecs.select(transform(col("f"), x => x.cast("double")).as("e"))
+        .select(sum(element_at(col("e"), 1))).head(); ()
+    }
+    def castNative(): Unit = {
+      fvecs.select(col("f").cast("array<double>").as("e"))
+        .select(sum(element_at(col("e"), 1))).head(); ()
+    }
+    time("cast_hof")(castHof())
+    time("cast_native")(castNative())
     spark.stop()
   }
 }

@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object SimFns {
 
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** array<float> → array<double> via the native Cast (codegen'd
+    * elementwise widening) — NOT transform(cast), which is an
+    * ArrayTransform HOF (CodegenFallback + interpreted lambda) on a
+    * per-row prep path every similarity operator runs (r15; same
+    * values bit-for-bit, every oracle hash-exact across the swap). */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential dot product (deterministic index-order accumulation).
     * Inputs must be `array<double>` (use [[toDouble]]). */
@@ -42,6 +47,14 @@ object SimFns {
       org.apache.spark.sql.graftbridge.GraftBridge.expression(
         array(m.map(row => array(row.map(x => lit(x)): _*)): _*)),
       org.apache.spark.sql.graftbridge.GraftBridge.expression(toDouble(v))))
+
+  /** Elementwise vector subtraction ([[graft.plans.VecSubD]]) — the
+    * residual v − c(cell) kernel; one primitive codegen loop instead of
+    * the zip_with HOF. Inputs must be `array<double>`. */
+  def vecSub(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.VecSubD(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
 
   /** Hamming distance between two word-packed bit patterns
     * (`array<bigint>`, 32 sign bits per word — [[graft.operators

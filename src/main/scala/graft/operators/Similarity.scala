@@ -1481,7 +1481,7 @@ object Similarity {
     assignCells(preparedVecs(corpus), cdf)
       .join(broadcast(cdf.select(col("cell"), col("cv"))), "cell")
       .select(col("vec_id"), col("cell"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
+        graft.functions.SimFns.vecSub(col("v"), col("cv")).as("embedding"))
   }
 
   /** Deterministic CLUSTERED embedding fixture (VERDICT r13 #2, the
@@ -1697,7 +1697,7 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("qv"))
       .join(broadcast(cdf.select(col("cell"), col("cv").as("ccv"))), "cell")
       .select(col("query_id"), col("cell"),
-        zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("qres"))
+        graft.functions.SimFns.vecSub(col("qv"), col("ccv")).as("qres"))
       .crossJoin(broadcast(cb))
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
         d2Micros(slice(col("qres"), col("sub") * dsub + lit(1), lit(dsub)),

@@ -245,6 +245,76 @@ case class MatVecD(left: Expression, right: Expression)
       newRight: Expression): MatVecD = copy(left = newLeft, right = newRight)
 }
 
+/** `vec_sub_d(a, b)` — elementwise `array<double>` subtraction, the
+  * residual step of the IVF-PQ encode path ([[graft.operators.Similarity
+  * .residualFrame]]: v − c(cell) on EVERY corpus row at encode time) and
+  * of the per-probe query residual. Replaces `zip_with(a, b, -)` — an
+  * ArrayTransform-family HOF (CodegenFallback, interpreted lambda, one
+  * intermediate array) — with one primitive loop + one primitive-array
+  * result in whole-stage codegen. NULL on any shape defect (null
+  * inputs/elements, length mismatch) — loud-by-absence where zip_with
+  * padded with nulls; callers subtract width-matched vectors by
+  * construction. */
+case class VecSubD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sub_d"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(DoubleType, _),
+            org.apache.spark.sql.types.ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_sub_d requires array<double> on both sides (promote with " +
+            s"SimFns.toDouble), got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = bv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      out(i) = a.getDouble(i) - b.getDouble(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ac, bc) => {
+      val (n, out, bad, i) = (ctx.freshName("n"), ctx.freshName("out"),
+        ctx.freshName("bad"), ctx.freshName("i"))
+      s"""
+        |int $n = $ac.numElements();
+        |boolean $bad = ($n != $bc.numElements());
+        |double[] $out = $bad ? null : new double[$n];
+        |for (int $i = 0; !$bad && $i < $n; $i++) {
+        |  if ($ac.isNullAt($i) || $bc.isNullAt($i)) { $bad = true; break; }
+        |  $out[$i] = $ac.getDouble($i) - $bc.getDouble($i);
+        |}
+        |if ($bad) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        |    .fromPrimitiveArray($out);
+        |}
+        |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecSubD = copy(left = newLeft, right = newRight)
+}
+
 /** `sum_abs_diff_l(a, b)` — Σ|aᵢ − bᵢ| over two `array<long>`, the exact
   * perceptual-hash verify metric in `Multimodal.nearDupImages`. Same
   * rationale as [[DotProductD]]: the `aggregate(zip_with(...))` fold it
