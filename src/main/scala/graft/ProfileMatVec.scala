@@ -72,6 +72,13 @@ object ProfileMatVec {
     }
     time("cast_hof")(castHof())
     time("cast_native")(castNative())
+    // binq sign packing (the Hamming-tier encode) — current HOF chain
+    def binqHof(): Unit = {
+      graft.operators.Similarity.binqEncode(
+          vecs.select(col("vec_id"), col("embedding")))
+        .select(sum(element_at(col("bw"), 1))).head(); ()
+    }
+    time("binq_hof")(binqHof()) // now the NATIVE path (name kept for history)
     spark.stop()
   }
 }

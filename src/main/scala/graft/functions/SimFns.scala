@@ -56,6 +56,13 @@ object SimFns {
       org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
       org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
 
+  /** Sign-bit packing ([[graft.plans.SignPackL]]) — the binary-quantize
+    * encode kernel: 32 strictly-positive sign bits per BIGINT word, one
+    * primitive loop in codegen. Input must be `array<double>`. */
+  def signPack(v: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.SignPackL(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(v)))
+
   /** Hamming distance between two word-packed bit patterns
     * (`array<bigint>`, 32 sign bits per word — [[graft.operators
     * .Similarity.binqEncode]]'s layout). Native codegen

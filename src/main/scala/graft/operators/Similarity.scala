@@ -1179,22 +1179,16 @@ object Similarity {
     * Encode is HOF-built but runs ONCE per corpus row on the build path,
     * never in the pair loop — the searches consume the materialized `bw`
     * attribute. */
-  def binqEncode(embeddings: DataFrame): DataFrame = {
-    val v = col("v")
-    val nWords = ((size(v) + lit(31)) / lit(32)).cast("int")
-    val words = transform(sequence(lit(0), nWords - 1), j =>
-      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
-        val idx = j * lit(32) + b // 0-based dimension index
-        acc + when(idx < size(v) && element_at(v, idx + 1) > lit(0.0),
-          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-      }))
-    // empty embeddings drop per-row (the scoreAgainst degenerate-input
-    // posture): size 0 would make nWords 0 and sequence(0, -1) a
-    // DESCENDING [0, -1] — the j = -1 word then evaluates
-    // element_at(v, 0), which throws under ANSI (review r13)
+  def binqEncode(embeddings: DataFrame): DataFrame =
+    // native kernel (r15): one primitive loop in whole-stage codegen
+    // instead of the transform/aggregate/sequence HOF chain (one
+    // interpreted 32-step fold per word per row on the Hamming tier's
+    // full-corpus encode pass). Word layout unchanged bit-for-bit
+    // (SimilaritySpec pins it; every binq/hamming oracle stayed
+    // hash-exact across the swap). Empty embeddings still drop per-row
+    // (the scoreAgainst degenerate-input posture — review r13).
     preparedVecs(embeddings).where(size(col("v")) > 0)
-      .select(col("vec_id"), words.as("bw"))
-  }
+      .select(col("vec_id"), graft.functions.SimFns.signPack(col("v")).as("bw"))
 
   /** Hamming top-k over a PRE-ENCODED sign-bit code table: queries
     * (raw vectors, same id space) encode once, broadcast, and every

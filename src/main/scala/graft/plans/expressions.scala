@@ -315,6 +315,71 @@ case class VecSubD(left: Expression, right: Expression)
       newRight: Expression): VecSubD = copy(left = newLeft, right = newRight)
 }
 
+/** `sign_pack_l(v)` — the binary-quantization encode kernel: packs an
+  * `array<double>` vector's sign pattern 32 dimensions per BIGINT word
+  * (bit b of word j set iff v(32j + b) > 0.0 — STRICTLY positive, the
+  * [[graft.operators.Similarity.binqEncode]] layout). Replaces the
+  * transform/aggregate/sequence HOF chain (CodegenFallback; one
+  * interpreted 32-step fold per word per row) on the Hamming tier's
+  * full-corpus encode pass. Parity with the chain it replaces includes
+  * the null-element case: a NULL element packs as a 0 bit (the chain's
+  * `when(_ > 0, bit).otherwise(0)` treats null-compare as false), and
+  * NaN / −0.0 are 0 bits (not strictly positive). NULL only on a null
+  * input array. Empty input → empty output (callers filter size > 0
+  * upstream, where the HOF chain would have thrown under ANSI). */
+case class SignPackL(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_pack_l"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_pack_l requires array<double> (promote with " +
+            s"SimFns.toDouble), got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(vv: Any): Any = {
+    val v = vv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && v.getDouble(i) > 0.0) {
+        out(i / 32) |= 1L << (i % 32)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vc => {
+      val (n, out, i) =
+        (ctx.freshName("n"), ctx.freshName("out"), ctx.freshName("i"))
+      s"""
+        |int $n = $vc.numElements();
+        |long[] $out = new long[($n + 31) / 32];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if (!$vc.isNullAt($i) && $vc.getDouble($i) > 0.0d) {
+        |    $out[$i / 32] |= 1L << ($i % 32);
+        |  }
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        |  .fromPrimitiveArray($out);
+        |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPackL =
+    copy(child = newChild)
+}
+
 /** `sum_abs_diff_l(a, b)` — Σ|aᵢ − bᵢ| over two `array<long>`, the exact
   * perceptual-hash verify metric in `Multimodal.nearDupImages`. Same
   * rationale as [[DotProductD]]: the `aggregate(zip_with(...))` fold it
