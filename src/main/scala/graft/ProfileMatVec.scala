@@ -79,6 +79,23 @@ object ProfileMatVec {
         .select(sum(element_at(col("bw"), 1))).head(); ()
     }
     time("binq_hof")(binqHof()) // now the NATIVE path (name kept for history)
+    // PQ encode: declarative fan-out (m·ksub rows + exchange) vs fused
+    val books = Seq.tabulate(8, 16)((s, c) =>
+      Array.tabulate(8)(j => math.sin(s * 31 + c * 7 + j * 3) / 4.0))
+      .map(_.map(x => x).toSeq)
+    def encDeclarative(): Unit = {
+      graft.operators.Similarity.pqCodesWide(
+          graft.operators.Similarity.pqEncode(
+            vecs.select(col("vec_id"), col("embedding")), books))
+        .select(sum(element_at(col("codes"), 1))).head(); ()
+    }
+    def encFused(): Unit = {
+      graft.operators.Similarity.pqEncodeWideDirect(
+          vecs.select(col("vec_id"), col("embedding")), books)
+        .select(sum(element_at(col("codes"), 1))).head(); ()
+    }
+    time("pqenc_declarative")(encDeclarative())
+    time("pqenc_fused")(encFused())
     spark.stop()
   }
 }

@@ -389,7 +389,10 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       Similarity.pqEncode(Tables.embeddings(s, dir), pqBooks(s, dir)))
   protected def pqCodesAllWide(s: SparkSession, dir: String): DataFrame =
     parquetArtifact(s, dir, "pq_codes_all_wide_m8_k16", "embeddings")(
-      Similarity.pqCodesWide(pqCodesAll(s, dir)))
+      // fused kernel (r15): one zero-shuffle projection over the raw
+      // table — identical content to the narrow-artifact reshape it
+      // replaced (parity spec; artifact name/fingerprint unchanged)
+      Similarity.pqEncodeWideDirect(Tables.embeddings(s, dir), pqBooks(s, dir)))
 
   /** Shared derived-oracle CTE block for the PQ family: codebook VALUES
     * literals with self-dots, per-subspace corpus slices, and the encode
@@ -763,8 +766,8 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       // narrow twin's per-(query, vec) re-aggregation is the measured
       // sf1 bottleneck (85 s narrow vs ~32 s wide, NOTES r14)
       val codesWide = parquetArtifact(s, dir, "pq_codes_opqrot_wide_m8_k16",
-        "embeddings")(Similarity.pqCodesWide(
-        Similarity.pqEncode(opqEmbRotated(s, dir), opqEmbBooks(s, dir))))
+        "embeddings")(Similarity.pqEncodeWideDirect(
+        opqEmbRotated(s, dir), opqEmbBooks(s, dir)))
       Similarity.pqTopKAdcWide(codesWide,
         opqEmbRotated(s, dir).where(pmod(col("vec_id"), lit(20)) === 0),
         opqEmbBooks(s, dir), k = 10)
@@ -863,8 +866,8 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       val brute = Similarity.bruteTopK(e, k = 10, stride = 20)
         .select(col("query_id"), col("neighbor_id"))
       val codesWide = parquetArtifact(s, dir, "pq_codes_opqrot_wide_m8_k16",
-        "embeddings")(Similarity.pqCodesWide(
-        Similarity.pqEncode(opqEmbRotated(s, dir), opqEmbBooks(s, dir))))
+        "embeddings")(Similarity.pqEncodeWideDirect(
+        opqEmbRotated(s, dir), opqEmbBooks(s, dir)))
       val opq = Similarity.pqTopKAdcWide(codesWide,
           opqEmbRotated(s, dir).where(pmod(col("vec_id"), lit(20)) === 0),
           opqEmbBooks(s, dir), k = 10)
@@ -1919,9 +1922,8 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       val brute = Similarity.bruteTopK(corpus, k = 10, stride = 20)
         .select(col("query_id"), col("neighbor_id"))
       val codesU = parquetArtifact(s, dir, "opqivf_codes_u_wide_m8_k16_c8",
-        "embeddings")(Similarity.pqCodesWide(
-        Similarity.ivfPqResidualEncode(corpus, opqIvfCentsU(s),
-          opqIvfBooksU(s)), Seq("cell")))
+        "embeddings")(Similarity.ivfPqResidualEncodeWide(corpus,
+        opqIvfCentsU(s), opqIvfBooksU(s)))
       val resid = Similarity.ivfPqResidualTopKWide(codesU,
           corpus.where(pmod(col("vec_id"), lit(20)) === 0),
           opqIvfCentsU(s), opqIvfBooksU(s), k = 10, nProbes = 2)

@@ -63,6 +63,20 @@ object SimFns {
     org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.SignPackL(
       org.apache.spark.sql.graftbridge.GraftBridge.expression(v)))
 
+  /** Fused PQ encode ([[graft.plans.PqEncodeI]]): all m codes of one
+    * vector in one codegen loop against the flattened codebook literal —
+    * the zero-shuffle encode path. Input must be `array<double>`. */
+  def pqEncodeCodes(v: Column, books: Seq[Seq[Array[Double]]]): Column = {
+    val m = books.size
+    val ksub = books.head.size
+    val flat = books.flatten.flatten
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.PqEncodeI(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(v),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(
+        array(flat.map(x => lit(x)): _*)),
+      m, ksub))
+  }
+
   /** Hamming distance between two word-packed bit patterns
     * (`array<bigint>`, 32 sign bits per word — [[graft.operators
     * .Similarity.binqEncode]]'s layout). Native codegen

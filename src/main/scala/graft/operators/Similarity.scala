@@ -1000,6 +1000,37 @@ object Similarity {
     * per vector and the ADC sum is m primitive loads ([[graft.plans
     * .AdcSumL]]) instead of m joined rows re-aggregated per pair —
     * measured at sf1 the narrow aggregate dominates the whole search. */
+  /** WIDE encode as a PURE PROJECTION — the fused-kernel fast path
+    * ([[graft.plans.PqEncodeI]]): one (keys…, codes) row per vector with
+    * zero fan-out and ZERO SHUFFLE, bit-identical to
+    * [[pqCodesWide]]([[pqEncode]](…)) (parity spec incl. the (d2u, code)
+    * tie-break; every PQ-family oracle hash-exact across the swap). The
+    * declarative narrow encode stays for the narrow-table queries; at
+    * corpus scale THIS is the encode job — embarrassingly parallel. */
+  def pqEncodeWideDirect(embeddings: DataFrame,
+      books: Seq[Seq[Array[Double]]]): DataFrame =
+    pqEncodeWideCore(preparedVecs(embeddings).select(col("vec_id"), col("v")),
+      books, Nil)
+
+  /** Shared fused-encode body — `prep` carries (vec_id, extraKeys…, v),
+    * the [[pqEncodeCore]] contract. */
+  private def pqEncodeWideCore(prep: DataFrame,
+      books: Seq[Seq[Array[Double]]], extraKeys: Seq[String]): DataFrame = {
+    requireUniformBooks(books)
+    val keyCols = col("vec_id") +: extraKeys.map(col)
+    prep.select((keyCols :+
+      graft.functions.SimFns.pqEncodeCodes(col("v"), books).as("codes")): _*)
+  }
+
+  /** [[ivfPqResidualEncode]] emitting the WIDE row directly through the
+    * fused kernel — cell-assign, residual, all m codes in one projection,
+    * zero shuffle past the assignment's map-side aggregate. */
+  def ivfPqResidualEncodeWide(corpus: DataFrame, cents: Seq[Array[Double]],
+      books: Seq[Seq[Array[Double]]]): DataFrame =
+    pqEncodeWideCore(residualFrame(corpus, cents)
+      .select(col("vec_id"), col("cell"), col("embedding").as("v")),
+      books, Seq("cell"))
+
   def pqCodesWide(codes: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
     val keyCols = col("vec_id") +: extraKeys.map(col)
     codes.groupBy(keyCols: _*)
@@ -1091,10 +1122,10 @@ object Similarity {
   def ivfPqEncodeWide(corpus: DataFrame, cents: Seq[Array[Double]],
       books: Seq[Seq[Array[Double]]]): DataFrame = {
     val cdf = centroidFrame(corpus.sparkSession, cents)
-    pqCodesWide(
-      pqEncodeCore(assignCells(preparedVecs(corpus), cdf)
-        .select(col("vec_id"), col("cell"), col("v")), books, Seq("cell")),
-      Seq("cell"))
+    // fused kernel (r15): the encode is a projection over the assigned
+    // rows — no m·ksub fan-out, no (vec_id, sub) exchange
+    pqEncodeWideCore(assignCells(preparedVecs(corpus), cdf)
+      .select(col("vec_id"), col("cell"), col("v")), books, Seq("cell"))
   }
 
   /** [[ivfPqTopKWide]] over a PRE-ENCODED [[ivfPqEncodeWide]] table —
@@ -1729,8 +1760,7 @@ object Similarity {
   def opqIvfPqEncodeWide(corpus: DataFrame, r: Seq[Array[Double]],
       cents: Seq[Array[Double]],
       books: Seq[Seq[Array[Double]]]): DataFrame =
-    pqCodesWide(ivfPqResidualEncode(rotateEmbeddings(corpus, r), cents, books),
-      Seq("cell"))
+    ivfPqResidualEncodeWide(rotateEmbeddings(corpus, r), cents, books)
 
   /** OPQ ∘ residual IVF-PQ SEARCH over a PRE-ENCODED
     * [[opqIvfPqEncodeWide]] table: the query rotates by the same trained

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("mat_vec_d", exprs => MatVecD(exprs(0), exprs(1))))
     ext.injectFunction(fn("vec_sub_d", exprs => VecSubD(exprs(0), exprs(1))))
     ext.injectFunction(fn("sign_pack_l", exprs => SignPackL(exprs.head)))
+    ext.injectFunction(fn("pq_encode_i", exprs => PqEncodeI(exprs(0), exprs(1),
+      exprs(2).eval().asInstanceOf[Number].intValue,
+      exprs(3).eval().asInstanceOf[Number].intValue)))
     ext.injectFunction(fn("sum_abs_diff_l", exprs => SumAbsDiffL(exprs(0), exprs(1))))
     ext.injectFunction(fn("hamming_l", exprs => HammingL(exprs(0), exprs(1))))
     ext.injectFunction(fn("adc_sum_l", exprs => AdcSumL(exprs(0), exprs(1), exprs(2))))

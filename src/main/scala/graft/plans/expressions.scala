@@ -380,6 +380,154 @@ case class SignPackL(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `pq_encode_i(v, books_flat)` — the FUSED product-quantization encode
+  * kernel: all m codes of one vector in one pass. `books_flat` is the
+  * trained codebook flattened sub-major/code-major
+  * (entry (sub·ksub + code)·dsub + j = cv(j)); m and ksub ride as
+  * constructor fields (the [[HilbertD]] bits pattern), dsub derives at
+  * runtime. Per (sub, code): d2u = round(round((x·x − 2·x·cv) + cc, 6)
+  * · 10⁶, 0) as a long — EXACTLY the d2Micros expression tree (same
+  * association order; rounds via java.math.BigDecimal.valueOf(..)
+  * .setScale(n, HALF_UP), which is what Spark's Round generates for
+  * doubles; cc re-derived as the same index-order Σcv² the driver-side
+  * codebookFrame computes) — and the chosen code is the packed-long
+  * lexicographic (d2u, code) min, the encode aggregate's exact rule.
+  *
+  * WHY: the declarative encode is a broadcast fan-out of m·ksub rows
+  * per vector + a groupBy(vec_id, sub) min — partial aggregation
+  * collapses map-side, but |corpus|·m rows still cross an exchange on
+  * EVERY encode pass. This kernel makes the wide encode a pure
+  * projection: zero expansion, ZERO SHUFFLE, embarrassingly parallel
+  * at any corpus size. NULL on shape defects (null vector/elements,
+  * vector length ≠ m·dsub, books length not divisible by m·ksub) —
+  * loud-by-absence where the fan-out emitted null-code rows. */
+case class PqEncodeI(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+  require(m >= 1 && ksub >= 1 && ksub < 65536,
+    s"pq_encode_i requires 1 <= ksub < 2^16 (packed tie-break), got m=$m ksub=$ksub")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_i"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(DoubleType, _),
+            org.apache.spark.sql.types.ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_i requires (array<double> vector, array<double> " +
+            s"flattened codebooks), got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(vv: Any, bb: Any): Any = {
+    val v = vv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val fb = bb.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val mk = m * ksub
+    if (fb.numElements() == 0 || fb.numElements() % mk != 0) return null
+    val dsub = fb.numElements() / mk
+    if (v.numElements() != m * dsub) return null
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var xx = 0.0
+      var j = 0
+      while (j < dsub) {
+        if (v.isNullAt(sub * dsub + j)) return null
+        val x = v.getDouble(sub * dsub + j)
+        xx += x * x
+        j += 1
+      }
+      var best = Long.MaxValue
+      var code = 0
+      while (code < ksub) {
+        val base = (sub * ksub + code) * dsub
+        var xcv = 0.0
+        var cc = 0.0
+        j = 0
+        while (j < dsub) {
+          if (fb.isNullAt(base + j)) return null
+          val cvj = fb.getDouble(base + j)
+          xcv += v.getDouble(sub * dsub + j) * cvj
+          cc += cvj * cvj
+          j += 1
+        }
+        val d = (xx - 2.0 * xcv) + cc
+        val r6 = java.math.BigDecimal.valueOf(d)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val r0 = java.math.BigDecimal.valueOf(r6 * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        val packed = r0.toLong * 65536L + code
+        if (packed < best) best = packed
+        code += 1
+      }
+      out(sub) = (best % 65536L).toInt
+      sub += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vc, bc) => {
+      val (dsub, out, bad, sub, xx, j, x, best, code, base, xcv, cc, cvj,
+        d, r6, r0, packed) = (ctx.freshName("dsub"), ctx.freshName("out"),
+        ctx.freshName("bad"), ctx.freshName("sub"), ctx.freshName("xx"),
+        ctx.freshName("j"), ctx.freshName("x"), ctx.freshName("best"),
+        ctx.freshName("code"), ctx.freshName("base"), ctx.freshName("xcv"),
+        ctx.freshName("cc"), ctx.freshName("cvj"), ctx.freshName("d"),
+        ctx.freshName("r6"), ctx.freshName("r0"), ctx.freshName("packed"))
+      s"""
+        |boolean $bad = ($bc.numElements() == 0 ||
+        |  $bc.numElements() % ${m * ksub} != 0);
+        |int $dsub = $bad ? 1 : $bc.numElements() / ${m * ksub};
+        |$bad = $bad || ($vc.numElements() != $m * $dsub);
+        |int[] $out = $bad ? null : new int[$m];
+        |for (int $sub = 0; !$bad && $sub < $m; $sub++) {
+        |  double $xx = 0.0d;
+        |  for (int $j = 0; $j < $dsub; $j++) {
+        |    if ($vc.isNullAt($sub * $dsub + $j)) { $bad = true; break; }
+        |    double $x = $vc.getDouble($sub * $dsub + $j);
+        |    $xx += $x * $x;
+        |  }
+        |  if ($bad) break;
+        |  long $best = Long.MAX_VALUE;
+        |  for (int $code = 0; $code < $ksub; $code++) {
+        |    int $base = ($sub * $ksub + $code) * $dsub;
+        |    double $xcv = 0.0d;
+        |    double $cc = 0.0d;
+        |    for (int $j = 0; $j < $dsub; $j++) {
+        |      if ($bc.isNullAt($base + $j)) { $bad = true; break; }
+        |      double $cvj = $bc.getDouble($base + $j);
+        |      $xcv += $vc.getDouble($sub * $dsub + $j) * $cvj;
+        |      $cc += $cvj * $cvj;
+        |    }
+        |    if ($bad) break;
+        |    double $d = ($xx - 2.0d * $xcv) + $cc;
+        |    double $r6 = java.math.BigDecimal.valueOf($d)
+        |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+        |    double $r0 = java.math.BigDecimal.valueOf($r6 * 1.0e6d)
+        |      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+        |    long $packed = ((long) $r0) * 65536L + $code;
+        |    if ($packed < $best) $best = $packed;
+        |  }
+        |  if (!$bad) $out[$sub] = (int) ($best % 65536L);
+        |}
+        |if ($bad) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        |    .fromPrimitiveArray($out);
+        |}
+        |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqEncodeI = copy(left = newLeft, right = newRight)
+}
+
 /** `sum_abs_diff_l(a, b)` — Σ|aᵢ − bᵢ| over two `array<long>`, the exact
   * perceptual-hash verify metric in `Multimodal.nearDupImages`. Same
   * rationale as [[DotProductD]]: the `aggregate(zip_with(...))` fold it

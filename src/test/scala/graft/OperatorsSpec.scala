@@ -835,6 +835,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ragged == 1L, "wrong-width vector must yield a NULL embedding")
   }
 
+  test("pq_encode_i fused kernel == declarative encode+reshape bit-for-bit " +
+      "(incl. engineered (d2u, code) ties); cell variant too; wrong-width " +
+      "vector -> NULL (loud-by-absence)") {
+    // varied vectors over dim 8, m=4/dsub=2/ksub=4 books with two
+    // DUPLICATE codewords in sub 0 (codes 1 and 2 identical) — every
+    // vector ties there and the packed min must pick the LOWER code
+    val books: Seq[Seq[Array[Double]]] = Seq(
+      Seq(Array(0.1, -0.3), Array(0.7, 0.7), Array(0.7, 0.7), Array(-1.1, 0.2)),
+      Seq(Array(0.0, 0.0), Array(1.0, -1.0), Array(0.25, 0.5), Array(-0.5, -0.25)),
+      Seq(Array(2.0, 0.0), Array(0.0, 2.0), Array(-2.0, 0.0), Array(0.0, -2.0)),
+      Seq(Array(0.3, 0.3), Array(0.31, 0.3), Array(0.3, 0.31), Array(0.33, 0.29)))
+    val vecs = (0 until 60).map { k =>
+      (k.toLong, Seq.tabulate(8)(d =>
+        (math.sin(k * 11 + d * 5) * math.pow(2.0, (k + d) % 5 - 2)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val declarative = Similarity.pqCodesWide(Similarity.pqEncode(vecs, books))
+      .as[(Long, Seq[Int])].collect().toMap
+    val fused = Similarity.pqEncodeWideDirect(vecs, books)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(fused == declarative && fused.size == 60,
+      "fused wide encode must equal encode+reshape exactly")
+    assert(fused.values.exists(_.head == 1) || fused.values.forall(_.head != 2),
+      "tie must resolve to the lower duplicate code")
+    // the cell-threaded variant (residual path's shape): same equality
+    val cents = Seq(Array.fill(8)(0.5), Array.fill(8)(-0.5))
+    val narrowCell = Similarity.pqCodesWide(
+        Similarity.ivfPqResidualEncode(vecs, cents, books), Seq("cell"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val fusedCell = Similarity.ivfPqResidualEncodeWide(vecs, cents, books)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(fusedCell == narrowCell && fusedCell.nonEmpty,
+      "fused residual wide encode must equal the reshape path")
+    // wrong-width vector: NULL codes row (the fan-out emitted null-code
+    // narrow rows; the kernel is loud-by-absence — divergence documented)
+    val ragged = Similarity.pqEncodeWideDirect(
+        Seq((9L, Seq.fill(7)(1.0f))).toDF("vec_id", "embedding"), books)
+      .where(col("codes").isNull).count()
+    assert(ragged == 1L, "wrong-width vector must yield NULL codes")
+  }
+
   test("binq: 32-bit word layout pinned bit-for-bit (incl. a partial " +
       "second word); DataFrame hamming (codegen) == sign-disagreement count") {
     // dim 34 forces TWO words with a partial second word
