@@ -77,6 +77,19 @@ object SimFns {
       m, ksub))
   }
 
+  /** Max |element| ([[graft.plans.AbsMaxD]]) — the SQ8 per-vector scale;
+    * null-element handling matches array_max(transform(abs)) (skipped). */
+  def absMax(v: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.AbsMaxD(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(v)))
+
+  /** Int8 scalar-quantize codes ([[graft.plans.Sq8CodesI]]):
+    * (int) floor(x·127/max_abs + 0.5) per element, one codegen loop. */
+  def sq8Codes(v: Column, maxAbs: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(graft.plans.Sq8CodesI(
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(v),
+      org.apache.spark.sql.graftbridge.GraftBridge.expression(maxAbs)))
+
   /** Hamming distance between two word-packed bit patterns
     * (`array<bigint>`, 32 sign bits per word — [[graft.operators
     * .Similarity.binqEncode]]'s layout). Native codegen

@@ -1443,12 +1443,14 @@ object Similarity {
     * (max_abs = 0 ⇒ the quantizer divides by zero) are dropped per-row —
     * the [[scoreAgainst]] degenerate-input posture. */
   def sq8Encode(embeddings: DataFrame): DataFrame = {
+    // native kernels (r15): abs_max_d + sq8_codes_i replace the two
+    // ArrayTransform HOFs on this full-corpus encode pass — identical
+    // arithmetic (Math.floor + the same cast chain), parity spec'd,
+    // every sq8 oracle hash-exact across the swap
     val p = Stage(preparedVecs(embeddings).where(col("nrm") > 0),
-      "max_abs", array_max(transform(col("v"), x => abs(x))))
+      "max_abs", graft.functions.SimFns.absMax(col("v")))
     p.select(col("vec_id"),
-      transform(col("v"),
-        x => floor(x * lit(127.0) / col("max_abs") + lit(0.5)).cast("int"))
-        .as("q8"),
+      graft.functions.SimFns.sq8Codes(col("v"), col("max_abs")).as("q8"),
       col("max_abs"), col("nrm"))
   }
 

@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("mat_vec_d", exprs => MatVecD(exprs(0), exprs(1))))
     ext.injectFunction(fn("vec_sub_d", exprs => VecSubD(exprs(0), exprs(1))))
     ext.injectFunction(fn("sign_pack_l", exprs => SignPackL(exprs.head)))
+    ext.injectFunction(fn("abs_max_d", exprs => AbsMaxD(exprs.head)))
+    ext.injectFunction(fn("sq8_codes_i", exprs => Sq8CodesI(exprs(0), exprs(1))))
     ext.injectFunction(fn("pq_encode_i", exprs => PqEncodeI(exprs(0), exprs(1),
       exprs(2).eval().asInstanceOf[Number].intValue,
       exprs(3).eval().asInstanceOf[Number].intValue)))

@@ -528,6 +528,133 @@ case class PqEncodeI(left: Expression, right: Expression, m: Int, ksub: Int)
       newRight: Expression): PqEncodeI = copy(left = newLeft, right = newRight)
 }
 
+/** `abs_max_d(v)` — max |v(i)| over an `array<double>`, the SQ8 tier's
+  * per-vector scale: replaces `array_max(transform(v, abs))` (the
+  * transform is an ArrayTransform HOF) with one primitive loop. Parity
+  * with that chain includes null handling: array_max SKIPS null
+  * elements, so this does too; NULL on a null input or when every
+  * element is null / the array is empty (array_max of an all-null or
+  * empty array is null). */
+case class AbsMaxD(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "abs_max_d"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"abs_max_d requires array<double>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(vv: Any): Any = {
+    val v = vv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var best = Double.NaN
+    var seen = false
+    var i = 0
+    while (i < v.numElements()) {
+      if (!v.isNullAt(i)) {
+        val a = math.abs(v.getDouble(i))
+        if (!seen || a > best) { best = a; seen = true }
+      }
+      i += 1
+    }
+    if (seen) best else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vc => {
+      val (best, seen, i, a) = (ctx.freshName("best"), ctx.freshName("seen"),
+        ctx.freshName("i"), ctx.freshName("a"))
+      s"""
+        |double $best = Double.NaN;
+        |boolean $seen = false;
+        |for (int $i = 0; $i < $vc.numElements(); $i++) {
+        |  if (!$vc.isNullAt($i)) {
+        |    double $a = Math.abs($vc.getDouble($i));
+        |    if (!$seen || $a > $best) { $best = $a; $seen = true; }
+        |  }
+        |}
+        |if (!$seen) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+        |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AbsMaxD =
+    copy(child = newChild)
+}
+
+/** `sq8_codes_i(v, max_abs)` — the int8 scalar-quantization encode:
+  * per element `(int) floor(x·127/max_abs + 0.5)` — EXACTLY the
+  * `transform(v, x -> floor(x·127.0 / max_abs + 0.5).cast("int"))`
+  * chain (same association order; Spark floor(double) is Math.floor →
+  * long, then the long→int cast truncates — replicated verbatim).
+  * Replaces the ArrayTransform HOF on the SQ8 tier's full-corpus
+  * encode pass with one primitive loop + primitive-array result. NULL
+  * on null inputs or a null element (the chain emitted per-element
+  * nulls; loud-by-absence here — callers encode width-checked non-null
+  * vectors). */
+case class Sq8CodesI(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_codes_i"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq8_codes_i requires (array<double>, double max_abs), " +
+            s"got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override protected def nullSafeEval(vv: Any, mv: Any): Any = {
+    val v = vv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val maxAbs = mv.asInstanceOf[Double]
+    val n = v.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      out(i) = Math.floor(v.getDouble(i) * 127.0 / maxAbs + 0.5).toLong.toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vc, mc) => {
+      val (n, out, bad, i) = (ctx.freshName("n"), ctx.freshName("out"),
+        ctx.freshName("bad"), ctx.freshName("i"))
+      s"""
+        |int $n = $vc.numElements();
+        |int[] $out = new int[$n];
+        |boolean $bad = false;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($vc.isNullAt($i)) { $bad = true; break; }
+        |  $out[$i] = (int) (long) Math.floor(
+        |    $vc.getDouble($i) * 127.0d / $mc + 0.5d);
+        |}
+        |if ($bad) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        |    .fromPrimitiveArray($out);
+        |}
+        |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Sq8CodesI = copy(left = newLeft, right = newRight)
+}
+
 /** `sum_abs_diff_l(a, b)` — Σ|aᵢ − bᵢ| over two `array<long>`, the exact
   * perceptual-hash verify metric in `Multimodal.nearDupImages`. Same
   * rationale as [[DotProductD]]: the `aggregate(zip_with(...))` fold it

@@ -875,6 +875,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ragged == 1L, "wrong-width vector must yield NULL codes")
   }
 
+  test("sq8 native kernels == the HOF chains bit-for-bit: abs_max_d vs " +
+      "array_max(transform(abs)), sq8_codes_i vs transform(floor) — incl. " +
+      "negative halves, exact .5 boundaries, subnormal-ish magnitudes") {
+    val vecs = (0 until 50).map { k =>
+      (k.toLong, Seq.tabulate(9)(d =>
+        (math.sin(k * 17 + d * 3) * math.pow(2.0, (k * d) % 11 - 5)).toFloat))
+    } :+ (99L, Seq(0.5f, -0.5f, 1.0f, -1.0f, 0.0039f, -0.0039f, 1.0f, 1.0f, 1.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val v = graft.functions.SimFns.toDouble(col("embedding"))
+    val hofMax = array_max(transform(v, x => abs(x)))
+    val hof = df.select(col("vec_id"), hofMax.as("max_abs"),
+        transform(v, x => floor(x * lit(127.0) / hofMax + lit(0.5)).cast("int"))
+          .as("q8"))
+      .as[(Long, Double, Seq[Int])].collect()
+      .map { case (k, m, q) => k -> (m, q) }.toMap
+    val nat = Similarity.sq8Encode(df)
+      .select(col("vec_id"), col("max_abs"), col("q8"))
+      .as[(Long, Double, Seq[Int])].collect()
+      .map { case (k, m, q) => k -> (m, q) }.toMap
+    assert(nat.keySet == hof.keySet && nat.nonEmpty)
+    nat.foreach { case (k, (m, q)) =>
+      val (hm, hq) = hof(k)
+      assert(java.lang.Double.doubleToRawLongBits(m) ==
+        java.lang.Double.doubleToRawLongBits(hm), s"max_abs differs for $k")
+      assert(q == hq, s"codes differ for $k: $q vs $hq")
+    }
+  }
+
   test("binq: 32-bit word layout pinned bit-for-bit (incl. a partial " +
       "second word); DataFrame hamming (codegen) == sign-disagreement count") {
     // dim 34 forces TWO words with a partial second word
