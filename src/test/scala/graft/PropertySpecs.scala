@@ -496,3 +496,120 @@ object AdcSumProps extends Properties("AdcSumL") {
       }
     }
 }
+
+/** Interpreted-eval properties for the r15 encode kernels against plain
+  * Scala references — the [[HammingProps]] posture (codegen paths are
+  * pinned against DataFrame results in SimilaritySpec's parity tests). */
+object EncodeKernelProps extends Properties("EncodeKernels") {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeArrayData}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+  private def darr(xs: Seq[Double]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+  private def dref(i: Int) =
+    BoundReference(i, ArrayType(DoubleType, containsNull = true), nullable = true)
+  private def doubles(a: Any): Seq[Double] =
+    a.asInstanceOf[ArrayData].toDoubleArray().toSeq
+  private def longsOf(a: Any): Seq[Long] =
+    a.asInstanceOf[ArrayData].toLongArray().toSeq
+  private def intsOf(a: Any): Seq[Int] =
+    a.asInstanceOf[ArrayData].toIntArray().toSeq
+
+  private val genD: Gen[Double] = Gen.chooseNum(-64, 64)
+    .flatMap(n => Gen.chooseNum(-4, 4).map(e => n * math.pow(2.0, e) / 16.0))
+
+  property("mat_vec_d == row-wise index-order dot reference (incl. " +
+      "non-square); row-width mismatch -> NULL") =
+    forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1, 6)) { (rows, dim) =>
+      forAll(Gen.listOfN(rows * dim, genD), Gen.listOfN(dim, genD)) { (flat, v) =>
+        val m = flat.grouped(dim).toSeq
+        val mArr = new GenericArrayData(m.map(r => darr(r)).toArray[Any])
+        val out = graft.plans.MatVecD(
+          BoundReference(0, ArrayType(ArrayType(DoubleType, true), true), true),
+          dref(1)).eval(InternalRow(mArr, darr(v)))
+        val expect = m.map(r => r.zip(v).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b })
+        val ragged = graft.plans.MatVecD(
+          BoundReference(0, ArrayType(ArrayType(DoubleType, true), true), true),
+          dref(1)).eval(InternalRow(mArr, darr(v :+ 1.0)))
+        doubles(out).zip(expect).forall { case (x, y) =>
+          java.lang.Double.doubleToRawLongBits(x) ==
+            java.lang.Double.doubleToRawLongBits(y) } && ragged == null
+      }
+    }
+
+  property("vec_sub_d == elementwise reference; mismatch/null-element -> NULL") =
+    forAll(Gen.listOf(genD)) { xs =>
+      forAll(Gen.listOfN(xs.size, genD)) { ys =>
+        val out = graft.plans.VecSubD(dref(0), dref(1))
+          .eval(InternalRow(darr(xs), darr(ys)))
+        val mism = graft.plans.VecSubD(dref(0), dref(1))
+          .eval(InternalRow(darr(xs), darr(ys :+ 0.0)))
+        val withNull = graft.plans.VecSubD(dref(0), dref(1))
+          .eval(InternalRow(
+            new GenericArrayData((xs.map(java.lang.Double.valueOf) :+ null).toArray[Any]),
+            darr(ys :+ 0.0)))
+        doubles(out) == xs.zip(ys).map { case (a, b) => a - b } &&
+          mism == null && withNull == null
+      }
+    }
+
+  property("sign_pack_l == bit-set reference (strictly positive; null " +
+      "element packs as a 0 bit — the when/otherwise parity)") =
+    forAll(Gen.listOf(Gen.option(genD))) { xs =>
+      val out = graft.plans.SignPackL(dref(0)).eval(InternalRow(
+        new GenericArrayData(xs.map(_.map(java.lang.Double.valueOf).orNull).toArray[Any])))
+      val expect = Array.fill[Long]((xs.size + 31) / 32)(0L)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (x.exists(_ > 0.0)) expect(i / 32) |= 1L << (i % 32) }
+      longsOf(out) == expect.toSeq
+    }
+
+  property("pq_encode_i == brute argmin reference with the exact round/" +
+      "packed tie-break; wrong vector width -> NULL") =
+    forAll(Gen.chooseNum(1, 3), Gen.chooseNum(1, 4), Gen.chooseNum(1, 3)) {
+      (m, ksub, dsub) =>
+      forAll(Gen.listOfN(m * ksub * dsub, genD), Gen.listOfN(m * dsub, genD)) {
+        (flat, v) =>
+        val out = graft.plans.PqEncodeI(dref(0), dref(1), m, ksub)
+          .eval(InternalRow(darr(v), darr(flat)))
+        def d2u(sub: Int, code: Int): Long = {
+          val xs = v.slice(sub * dsub, sub * dsub + dsub)
+          val cv = flat.slice((sub * ksub + code) * dsub,
+            (sub * ksub + code) * dsub + dsub)
+          val xx = xs.foldLeft(0.0)((a, x) => a + x * x)
+          val xcv = xs.zip(cv).foldLeft(0.0) { case (a, (x, c)) => a + x * c }
+          val cc = cv.foldLeft(0.0)((a, c) => a + c * c)
+          val d = (xx - 2.0 * xcv) + cc
+          val r6 = java.math.BigDecimal.valueOf(d)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          java.math.BigDecimal.valueOf(r6 * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+        }
+        val expect = (0 until m).map { sub =>
+          (0 until ksub).map(code => (d2u(sub, code) * 65536L + code))
+            .min % 65536L
+        }.map(_.toInt)
+        val ragged = graft.plans.PqEncodeI(dref(0), dref(1), m, ksub)
+          .eval(InternalRow(darr(v :+ 1.0), darr(flat)))
+        intsOf(out) == expect && ragged == null
+      }
+    }
+
+  property("sq8_codes_i == floor reference incl. exact .5 boundaries; " +
+      "abs_max_d == max(|x|) skipping null elements") =
+    forAll(Gen.nonEmptyListOf(genD)) { xs =>
+      val maxAbs = xs.map(math.abs).max
+      val q = graft.plans.Sq8CodesI(dref(0),
+          BoundReference(1, DoubleType, nullable = true))
+        .eval(InternalRow(darr(xs), maxAbs))
+      val expect = xs.map(x =>
+        Math.floor(x * 127.0 / maxAbs + 0.5).toLong.toInt)
+      val am = graft.plans.AbsMaxD(dref(0)).eval(InternalRow(
+        new GenericArrayData((xs.map(java.lang.Double.valueOf) :+ null).toArray[Any])))
+      (maxAbs == 0.0 || intsOf(q) == expect) &&
+        java.lang.Double.doubleToRawLongBits(am.asInstanceOf[Double]) ==
+          java.lang.Double.doubleToRawLongBits(maxAbs)
+    }
+}
