@@ -152,6 +152,40 @@ object ProfileQuant {
       println(f"[opq] m=8 ksub=16 TRAINED rotation recall=${recA(trained)}%.3f " +
         "(PCA/Jacobi + balanced allocation, latent basis not given)")
     }
+
+    // --- r15: the COMPOSED production layout (OPQ ∘ residual IVF-PQ) ---
+    // the full FAISS chain vs its two halves at equal code budget, on
+    // the smeared-latent corpus (the honest case) AND the real table
+    {
+      val rT = Similarity.opqTrainRotation(corpus, m = 8)
+      val rotT = Similarity.rotateEmbeddings(corpus, rT)
+      for (nc <- Seq(8)) {
+        val cU = Similarity.kmeansCentroidArrays(corpus, nCells = nc)
+        val bU = Similarity.pqTrainResidual(corpus, cU, m = 8, ksub = 16)
+        val resid = pairs(Similarity.ivfPqResidualTopKWide(
+          Similarity.pqCodesWide(
+            Similarity.ivfPqResidualEncode(corpus, cU, bU), Seq("cell")),
+          cQ, cU, bU, k = 10, nProbes = 2))
+        val cR = Similarity.kmeansCentroidArrays(rotT, nCells = nc)
+        val bR = Similarity.pqTrainResidual(rotT, cR, m = 8, ksub = 16)
+        val composed = pairs(Similarity.opqIvfPqTopKWide(
+          Similarity.opqIvfPqEncodeWide(corpus, rT, cR, bR),
+          cQ, rT, cR, bR, k = 10, nProbes = 2))
+        println(f"[composed] aniso nCells=$nc residual=${recA(resid)}%.3f " +
+          f"opq-composed=${recA(composed)}%.3f (m=8 ksub=16 nProbes=2)")
+      }
+      // the real table at the sim_opq_ivfpq_topk operating point
+      val rE = Similarity.opqTrainRotation(e, m = 8)
+      val rotE = Similarity.rotateEmbeddings(e, rE)
+      val cE = Similarity.kmeansCentroidArrays(rotE, nCells = 10)
+      val bE = Similarity.pqTrainResidual(rotE, cE, m = 8, ksub = 16)
+      val (comp, tC) = timed(pairs(Similarity.opqIvfPqTopKWide(
+        Similarity.opqIvfPqEncodeWide(e, rE, cE, bE),
+        e.where(pmod(col("vec_id"), lit(20)) === 0), rE, cE, bE,
+        k = 10, nProbes = 3)))
+      println(f"[composed] EMBEDDINGS table recall=${recall(comp)}%.3f " +
+        f"search=$tC%.2fs (OPQ8,IVF10,PQ8 nProbes=3 — scan ~3/10 of codes)")
+    }
     spark.stop()
   }
 }

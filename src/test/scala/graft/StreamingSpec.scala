@@ -1402,6 +1402,73 @@ class StreamingHammingDedupSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming MAINTENANCE for the composed OPQ∘residual-IVF-PQ index
+  * (r15) — the StreamingHammingDedupSpec posture on the wide code
+  * table: rotation, rotated-space cells and residual codebooks are
+  * FIXED trained artifacts; each micro-batch rotates + cell-assigns +
+  * residual-encodes its fresh vectors against them (the fused
+  * pq_encode_i projection — zero shuffle per batch) and folds the new
+  * wide rows into the versioned artifact (read vN−1, union, write vN).
+  * Stream-folded table ≡ the eager one-shot encode, and a search
+  * against the folded artifact ≡ the batch search — the composed tier
+  * now carries the full production / incremental / streaming triple. */
+class StreamingOpqIvfPqMaintainSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("foreachBatch fold of composed wide codes == eager encode; search " +
+      "against the folded artifact == batch search") {
+    import java.nio.file.Files
+    val corpus = Similarity.synthesizeClustered(spark, n = 120,
+      dim = 16, nClusters = 4)
+    val r = Similarity.opqTrainRotation(corpus, m = 8)
+    val rotC = Similarity.rotateEmbeddings(corpus, r)
+    val cents = Similarity.kmeansCentroidArrays(rotC, nCells = 4)
+    val books = Similarity.pqTrainResidual(rotC, cents, m = 8, ksub = 8)
+    val all = corpus.as[(Long, Seq[Float])].collect().toSeq
+    val batches = all.grouped(40).toSeq
+
+    val root = Files.createTempDirectory("graft-opqivf-maint-").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    @volatile var latest: Option[String] = None
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val fresh = Similarity.opqIvfPqEncodeWide(batch, r, cents, books)
+        val next = latest match {
+          case Some(p) => spark.read.parquet(p).unionByName(fresh)
+          case None => fresh
+        }
+        next.write.mode("overwrite").parquet(s"$root/v$id")
+        latest = Some(s"$root/v$id")
+        ()
+      }.start()
+    try batches.foreach { b =>
+      input.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val folded = spark.read.parquet(latest.get)
+    val foldedRows = folded.as[(Long, Int, Seq[Int])].collect().toSet
+    val eagerRows = Similarity.opqIvfPqEncodeWide(corpus, r, cents, books)
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(foldedRows == eagerRows && eagerRows.size == all.size,
+      "stream-folded composed code table must equal the eager encode")
+    // serving against the FOLDED artifact equals the batch search
+    val queries = corpus.where(col("vec_id") % 30 === 0)
+    val servedFromFold = Similarity.opqIvfPqTopKWide(folded, queries, r,
+        cents, books, k = 3, nProbes = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val batchRun = Similarity.opqIvfPqTopKWide(
+        Similarity.opqIvfPqEncodeWide(corpus, r, cents, books), queries, r,
+        cents, books, k = 3, nProbes = 2)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(servedFromFold == batchRun && batchRun.nonEmpty,
+      "search against the folded artifact diverged from the batch search")
+  }
+}
+
 /** MMR diversification served per MICRO-BATCH (VERDICT r13 #7): queries
   * are independent in mmrDiversify, so serving a query batch inside
   * foreachBatch must produce exactly the rows the batch operator
