@@ -47,6 +47,34 @@ object ProfileOpqIvfPq {
         centsR, booksR, k = 10, nProbes = nProbes))
       println(f"[opqivfpq] nCells=$nCells%2d nProbes=$nProbes resid=$ru%.3f opq_resid=$rr%.3f")
     }
+    // the CLUSTERED fixture (residual coding's home turf): does the
+    // trained rotation add anything on top of residuals when the
+    // cluster structure is real? (r15 probe for the r16 candidate)
+    val fix = Similarity.synthesizeClustered(spark).cache()
+    val fBrute = Similarity.bruteTopK(fix, k = 10, stride = 20)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val fN = fBrute.select("query_id").distinct().count()
+    def fRecall(cand: org.apache.spark.sql.DataFrame): Double =
+      fBrute.join(cand.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count().toDouble / (fN * 10.0)
+    val fR = Similarity.opqTrainRotation(fix, m = 8)
+    val fRot = Similarity.rotateEmbeddings(fix, fR).cache()
+    for (kk <- Seq(8, 16)) {
+      val cU = Similarity.kmeansCentroidArrays(fix, nCells = 8)
+      val bU = Similarity.pqTrainResidual(fix, cU, m = 8, ksub = kk)
+      val ru = fRecall(Similarity.ivfPqResidualTopKWide(
+        Similarity.pqCodesWide(
+          Similarity.ivfPqResidualEncode(fix, cU, bU), Seq("cell")),
+        fix.where(pmod(col("vec_id"), lit(20)) === 0),
+        cU, bU, k = 10, nProbes = 2))
+      val cR = Similarity.kmeansCentroidArrays(fRot, nCells = 8)
+      val bR = Similarity.pqTrainResidual(fRot, cR, m = 8, ksub = kk)
+      val rr = fRecall(Similarity.opqIvfPqTopKWide(
+        Similarity.opqIvfPqEncodeWide(fix, fR, cR, bR),
+        fix.where(pmod(col("vec_id"), lit(20)) === 0),
+        fR, cR, bR, k = 10, nProbes = 2))
+      println(f"[opqivfpq] CLUSTERED ksub=$kk resid=$ru%.3f opq_resid=$rr%.3f")
+    }
     spark.stop()
   }
 }

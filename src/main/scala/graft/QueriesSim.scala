@@ -2114,6 +2114,118 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
         |FROM base LEFT JOIN hits USING (query_id)""".stripMargin
     })
 
+  /** Composed-beats-residual on REALISTIC clustered data — the second
+    * oracled gain pair for the composed layout (the aniso pair proves
+    * the rotation effect where residuals DON'T absorb it; this one
+    * proves the rotation still adds ON TOP of residual coding when the
+    * cluster structure is real — ProfileOpqIvfPq r15: resid 0.918 vs
+    * composed 0.961 recall@10 at m=8 ksub=8 nProbes=2 on the planted
+    * 8-cluster corpus, +4.3 points at residual coding's BEST operating
+    * point). Same contract as sim_opq_ivfpq; all trained literals
+    * (rotation, both centroid sets, both residual codebook sets)
+    * interpolate into the oracle; both wide code tables persist. */
+  private def opqIvfcR(s: SparkSession): Seq[Array[Double]] =
+    fixtureCache.computeIfAbsent("opqivfc_r", _ =>
+      Similarity.opqTrainRotation(Similarity.synthesizeClustered(s), m = 8))
+      .asInstanceOf[Seq[Array[Double]]]
+  private def opqIvfcRotC(s: SparkSession): DataFrame =
+    Similarity.rotateEmbeddings(Similarity.synthesizeClustered(s), opqIvfcR(s))
+  private def opqIvfcCentsU(s: SparkSession): Seq[Array[Double]] =
+    fixtureCache.computeIfAbsent("opqivfc_cents_u", _ =>
+      Similarity.kmeansCentroidArrays(Similarity.synthesizeClustered(s),
+        nCells = 8)).asInstanceOf[Seq[Array[Double]]]
+  private def opqIvfcBooksU(s: SparkSession): Seq[Seq[Array[Double]]] =
+    fixtureCache.computeIfAbsent("opqivfc_books_u", _ =>
+      Similarity.pqTrainResidual(Similarity.synthesizeClustered(s),
+        opqIvfcCentsU(s), m = 8, ksub = 8))
+      .asInstanceOf[Seq[Seq[Array[Double]]]]
+  private def opqIvfcCentsR(s: SparkSession): Seq[Array[Double]] =
+    fixtureCache.computeIfAbsent("opqivfc_cents_r", _ =>
+      Similarity.kmeansCentroidArrays(opqIvfcRotC(s), nCells = 8))
+      .asInstanceOf[Seq[Array[Double]]]
+  private def opqIvfcBooksR(s: SparkSession): Seq[Seq[Array[Double]]] =
+    fixtureCache.computeIfAbsent("opqivfc_books_r", _ =>
+      Similarity.pqTrainResidual(opqIvfcRotC(s), opqIvfcCentsR(s),
+        m = 8, ksub = 8)).asInstanceOf[Seq[Seq[Array[Double]]]]
+  protected val simOpqIvfpqGain = Q("sim_opq_ivfpq_gain",
+    (s, dir) => {
+      val fix = Similarity.synthesizeClustered(s)
+      val brute = Similarity.bruteTopK(fix, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val codesU = parquetArtifact(s, dir, "opqivfc_codes_u_wide_m8_k8_c8",
+        "embeddings")(Similarity.ivfPqResidualEncodeWide(fix,
+        opqIvfcCentsU(s), opqIvfcBooksU(s)))
+      val resid = Similarity.ivfPqResidualTopKWide(codesU,
+          fix.where(pmod(col("vec_id"), lit(20)) === 0),
+          opqIvfcCentsU(s), opqIvfcBooksU(s), k = 10, nProbes = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val codesR = parquetArtifact(s, dir, "opqivfc_codes_r_wide_m8_k8_c8",
+        "embeddings")(Similarity.opqIvfPqEncodeWide(fix, opqIvfcR(s),
+        opqIvfcCentsR(s), opqIvfcBooksR(s)))
+      val opq = Similarity.opqIvfPqTopKWide(codesR,
+          fix.where(pmod(col("vec_id"), lit(20)) === 0), opqIvfcR(s),
+          opqIvfcCentsR(s), opqIvfcBooksR(s), k = 10, nProbes = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      def overlap(cand: DataFrame, name: String): DataFrame =
+        brute.join(cand, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(overlap(resid, "resid_overlap"), Seq("query_id"), "left")
+        .join(overlap(opq, "opq_overlap"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("resid_overlap"), lit(0L)).as("resid_overlap"),
+          coalesce(col("opq_overlap"), lit(0L)).as("opq_overlap"),
+          expr("coalesce(resid_overlap, 0) * 10000 div n_brute").as("resid_bp"),
+          expr("coalesce(opq_overlap, 0) * 10000 div n_brute").as("opq_bp"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH fix AS (SELECT r.range AS vec_id,
+        |    list_transform(generate_series(0, 15), d ->
+        |      CAST(((r.range % 8) * 5 + d * 3) % 17 - 8 AS DOUBLE) / 4.0
+        |      + CAST((r.range * 13 + d * 7) % 9 - 4 AS DOUBLE) / 32.0) AS v
+        |  FROM range(0, 560) r),
+        |tm(i, rv) AS (VALUES
+        |  ${opqMatValues(opqIvfcR(s))}),
+        |rott AS (SELECT c.vec_id,
+        |    list(list_dot_product(t.rv, c.v) ORDER BY t.i) AS v
+        |  FROM fix c CROSS JOIN tm t GROUP BY c.vec_id),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM fix),
+        |qn AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+        |  WHERE vec_id % 20 = 0),
+        |bs AS (SELECT qn.query_id, n.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(qn.qv, n.v) / (qn.qnrm * n.nrm), 4) + 0.0 AS cosine
+        |  FROM qn CROSS JOIN n WHERE n.vec_id <> qn.query_id),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+        |  WHERE rank <= 10),
+        |ubk(sub, code, cv) AS (VALUES
+        |  ${opqBookValues(opqIvfcBooksU(s))}),
+        |ucb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM ubk),
+        |uc2(cell, w) AS (VALUES
+        |  ${centValues(opqIvfcCentsU(s))}),
+        |ucn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM uc2),
+        |rbk(sub, code, cv) AS (VALUES
+        |  ${opqBookValues(opqIvfcBooksR(s))}),
+        |rcb AS (SELECT sub, code, cv, list_dot_product(cv, cv) AS cc FROM rbk),
+        |rc2(cell, w) AS (VALUES
+        |  ${centValues(opqIvfcCentsR(s))}),
+        |rcn AS (SELECT cell, w, sqrt(list_dot_product(w, w)) AS cnrm FROM rc2),
+        |${opqResidTier("u", "fix", "ucb", "ucn", nProbes = 2)},
+        |${opqResidTier("o", "rott", "rcb", "rcn", nProbes = 2)},
+        |hu AS (SELECT b.query_id, count(*) AS resid_overlap
+        |  FROM brute b JOIN utop USING (query_id, neighbor_id) GROUP BY 1),
+        |ho AS (SELECT b.query_id, count(*) AS opq_overlap
+        |  FROM brute b JOIN otop USING (query_id, neighbor_id) GROUP BY 1),
+        |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+        |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+        |  CAST(coalesce(hu.resid_overlap, 0) AS BIGINT) AS resid_overlap,
+        |  CAST(coalesce(ho.opq_overlap, 0) AS BIGINT) AS opq_overlap,
+        |  CAST(coalesce(hu.resid_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS resid_bp,
+        |  CAST(coalesce(ho.opq_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS opq_bp
+        |FROM base LEFT JOIN hu USING (query_id) LEFT JOIN ho USING (query_id)""".stripMargin
+    })
+
   /** Incremental maintenance for the COMPOSED index — the sim_opq_incr
     * posture applied to the full chain: rotation, rotated-space cells
     * and residual codebooks all train on HISTORY only (vec_id ≡ 0
@@ -2371,6 +2483,6 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     simSq8Topk, simSq8Recall, simIvfpqResidual, simBinqIncr,
     simSq8Incr, simResidualGain, simOpqGain, simOpqTrained,
     simOpqTopk, simOpqIncr, simOpqRecall, simOpqIvfpq,
-    simOpqIvfpqTopk, simOpqIvfpqIncr, simOpqIvfpqRecall, simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
+    simOpqIvfpqTopk, simOpqIvfpqIncr, simOpqIvfpqRecall, simOpqIvfpqGain, simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     artifactCatalogQ)
 }
