@@ -69,7 +69,17 @@ private[graft] trait QueriesBase {
     * from the OLD data can never be served (review r12 — the in-JVM
     * memoization this replaced could not go stale across sessions; the
     * on-disk form can, hence the fingerprint). The fingerprint also
-    * disambiguates distinct dirs whose sanitized names collide. */
+    * disambiguates distinct dirs whose sanitized names collide.
+    *
+    * Retention/readers contract (r16, ArtifactStoreSpec): the prune of
+    * superseded fingerprints runs inside the new fingerprint's build
+    * lock and never touches the dir just built, so concurrent readers
+    * of the CURRENT fingerprint are always safe. A reader could only
+    * hold a SUPERSEDED path if the source parquet mutated while that
+    * reader was mid-flight — excluded by the store's single-writer
+    * assumption: source dirs are immutable while any query JVM runs
+    * (testdata regeneration happens between rounds, never concurrently
+    * with a Verify/Bench process). */
   protected def parquetArtifact(s: SparkSession, dir: String, name: String,
       fpTable: String)(build: => DataFrame): DataFrame = {
     val src = new java.io.File(s"$dir/$fpTable.parquet")

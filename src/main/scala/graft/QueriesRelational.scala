@@ -1053,6 +1053,35 @@ private[graft] trait QueriesRelational extends QueriesBase {
       |      FROM lineitem GROUP BY l_orderkey) m ON m.l_orderkey = o.o_orderkey
       |WHERE r.r_name IN ('AMERICA', 'ASIA', 'EUROPE')""".stripMargin), bench = true)
 
+  /** S2 through the parameterized DSv2 connector (VERDICT r15 #7): the
+    * interest branch exercises IN-pushdown into the source, the param
+    * branch the endpoint-side `tournament_id` query parameter (the S3
+    * contract). Oracled against `region.parquet` — pins the rule-derived
+    * fixture rows ≡ the stored region universe at every SF. */
+  protected val s2MetaScan = Q("s2_meta_scan",
+    (s, dir) => {
+      val meta = s.read.format("graft.sources.SeedMetaSource")
+        .option("table", "tournaments")
+      meta.load()
+        .where(col("tournament_name").isin(BettingFixture.InterestedTournaments: _*))
+        .withColumn("src", lit("interest"))
+        .unionByName(meta.option("tournament_id", "4").load()
+          .withColumn("src", lit("param")))
+    },
+    Some("""SELECT r_regionkey AS tournament_id, r_name AS tournament_name,
+      |       'interest' AS src
+      |FROM region WHERE r_name IN ('AMERICA', 'ASIA', 'EUROPE')
+      |UNION ALL
+      |SELECT r_regionkey, r_name, 'param' FROM region WHERE r_regionkey = 4""".stripMargin))
+
+  /** The seeding DAG with its tournaments dim served by the DSv2
+    * connector instead of the parquet region scan — same oracle as
+    * `seeding_pipeline`, proving the source composes into the real
+    * pipeline with identical results. */
+  protected val seedingPipelineDsv2 = Q("seeding_pipeline_dsv2",
+    (s, dir) => Seeding.seededEventsDsv2(s, dir),
+    seedingPipeline.oracle)
+
   /** MERGE / CDC-apply (operators.Upsert): the events stream becomes an
     * UPSERT/DELETE change log folded into the customer snapshot — latest
     * change per key wins, deletes drop the key, untouched keys pass
@@ -1365,7 +1394,8 @@ private[graft] trait QueriesRelational extends QueriesBase {
     aggRollup, aggCube, aggPivot, aggGroupingSets,
     aggUnpivot, aggIncrMaintain, aggIncrDistinct, jScalarSubquery,
     xFlagshipFlatten, xFlagshipC4Strict, x3BranchUnion, xSetOps,
-    seedingPipeline, uMergeUpsert, uScd2History, uSnapshotDiff,
+    seedingPipeline, s2MetaScan, seedingPipelineDsv2,
+    uMergeUpsert, uScd2History, uSnapshotDiff,
     wagerBookReplay, tWindowHourly, tSessionWindows, decodeRoundtrip,
     fSampleBernoulli, s1LadderScan, c11UuidWagers, fHashSample,
     sketchQuantileHist, sketchKllQuantiles, sketchKllByGroup)

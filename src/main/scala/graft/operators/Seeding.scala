@@ -29,11 +29,25 @@ import org.apache.spark.sql.functions._
   */
 object Seeding {
 
-  def seededEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val tournaments = Tables.region(spark, sfDir)
-      .select(col("r_regionkey").as("tournament_id"), col("r_name").as("tournament_name"))
-      .where(col("tournament_name").isin(BettingFixture.InterestedTournaments: _*))
+  def seededEvents(spark: SparkSession, sfDir: String): DataFrame =
+    seededEventsFrom(spark, sfDir, Tables.region(spark, sfDir)
+      .select(col("r_regionkey").as("tournament_id"),
+        col("r_name").as("tournament_name"))
+      .where(col("tournament_name").isin(BettingFixture.InterestedTournaments: _*)))
 
+  /** The same DAG with the tournaments dim served by the parameterized
+    * DSv2 seed-metadata connector (VERDICT r15 #7): the interest filter
+    * pushes INTO the source (server-side on an endpoint-backed build),
+    * everything downstream is byte-identical to [[seededEvents]] — the
+    * two registry rows share one oracle. */
+  def seededEventsDsv2(spark: SparkSession, sfDir: String): DataFrame =
+    seededEventsFrom(spark, sfDir,
+      spark.read.format("graft.sources.SeedMetaSource")
+        .option("table", "tournaments").load()
+        .where(col("tournament_name").isin(BettingFixture.InterestedTournaments: _*)))
+
+  private def seededEventsFrom(spark: SparkSession, sfDir: String,
+      tournaments: DataFrame): DataFrame = {
     val events = Tables.orders(spark, sfDir).select(
       col("o_orderkey").as("event_id"),
       pmod(col("o_custkey"), lit(5)).as("tournament_id"),

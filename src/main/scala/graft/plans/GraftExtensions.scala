@@ -18,11 +18,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft", name),
       (exprs: Seq[Expression]) => builder(exprs))
 
+  /** A scalar-int argument that must be a literal (the kernel needs it at
+    * plan time). Guarded so a non-foldable or non-integer argument fails
+    * analysis with a message naming the function and argument, not an
+    * opaque eval-time ClassCastException. */
+  private def litInt(fnName: String, argName: String, e: Expression): Int = {
+    def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$fnName`",
+        "paramName" -> s"`$argName`",
+        "paramType" -> "\"INT\""))
+    if (!e.foldable) fail()
+    e.eval() match {
+      case n: Number => n.intValue
+      case _ => fail()
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(fn("normalize_odds", exprs => NormalizeOdds(exprs.head)))
     ext.injectFunction(fn("american_to_decimal", exprs => AmericanToDecimal(exprs.head)))
     ext.injectFunction(fn("hilbert_d", exprs => HilbertD(exprs(0), exprs(1),
-      exprs(2).eval().asInstanceOf[Number].intValue)))
+      litInt("hilbert_d", "bits", exprs(2)))))
     ext.injectFunction(fn("dot_d", exprs => DotProductD(exprs(0), exprs(1))))
     ext.injectFunction(fn("mat_vec_d", exprs => MatVecD(exprs(0), exprs(1))))
     ext.injectFunction(fn("vec_sub_d", exprs => VecSubD(exprs(0), exprs(1))))
@@ -30,8 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("abs_max_d", exprs => AbsMaxD(exprs.head)))
     ext.injectFunction(fn("sq8_codes_i", exprs => Sq8CodesI(exprs(0), exprs(1))))
     ext.injectFunction(fn("pq_encode_i", exprs => PqEncodeI(exprs(0), exprs(1),
-      exprs(2).eval().asInstanceOf[Number].intValue,
-      exprs(3).eval().asInstanceOf[Number].intValue)))
+      litInt("pq_encode_i", "m", exprs(2)),
+      litInt("pq_encode_i", "ksub", exprs(3)))))
     ext.injectFunction(fn("sum_abs_diff_l", exprs => SumAbsDiffL(exprs(0), exprs(1))))
     ext.injectFunction(fn("hamming_l", exprs => HammingL(exprs(0), exprs(1))))
     ext.injectFunction(fn("adc_sum_l", exprs => AdcSumL(exprs(0), exprs(1), exprs(2))))

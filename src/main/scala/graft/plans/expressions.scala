@@ -463,7 +463,11 @@ case class PqEncodeI(left: Expression, right: Expression, m: Int, ksub: Int)
         if (packed < best) best = packed
         code += 1
       }
-      out(sub) = (best % 65536L).toInt
+      // floorMod, not %: if FP cancellation ever rounds a sub-distance to
+      // a negative micro the packed min is negative, and Java % would
+      // yield a garbage negative code where the declarative path's
+      // pmod(best, 65536) recovers the code bits correctly.
+      out(sub) = java.lang.Math.floorMod(best, 65536L).toInt
       sub += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -513,7 +517,7 @@ case class PqEncodeI(left: Expression, right: Expression, m: Int, ksub: Int)
         |    long $packed = ((long) $r0) * 65536L + $code;
         |    if ($packed < $best) $best = $packed;
         |  }
-        |  if (!$bad) $out[$sub] = (int) ($best % 65536L);
+        |  if (!$bad) $out[$sub] = (int) java.lang.Math.floorMod($best, 65536L);
         |}
         |if ($bad) {
         |  ${ev.isNull} = true;
@@ -558,7 +562,12 @@ case class AbsMaxD(child: Expression) extends UnaryExpression {
     while (i < v.numElements()) {
       if (!v.isNullAt(i)) {
         val a = math.abs(v.getDouble(i))
-        if (!seen || a > best) { best = a; seen = true }
+        // Double.compare, not >: Spark's ordering is NaN-greatest, so
+        // array_max(transform(v, abs)) returns NaN whenever one is
+        // present — a plain `a > best` would drop a late NaN.
+        if (!seen || java.lang.Double.compare(a, best) > 0) {
+          best = a; seen = true
+        }
       }
       i += 1
     }
@@ -575,7 +584,9 @@ case class AbsMaxD(child: Expression) extends UnaryExpression {
         |for (int $i = 0; $i < $vc.numElements(); $i++) {
         |  if (!$vc.isNullAt($i)) {
         |    double $a = Math.abs($vc.getDouble($i));
-        |    if (!$seen || $a > $best) { $best = $a; $seen = true; }
+        |    if (!$seen || java.lang.Double.compare($a, $best) > 0) {
+        |      $best = $a; $seen = true;
+        |    }
         |  }
         |}
         |if (!$seen) { ${ev.isNull} = true; } else { ${ev.value} = $best; }

@@ -48,6 +48,38 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("extensions session: non-literal m/ksub/bits args fail analysis " +
+      "with a named-argument error, not an eval-time cast") {
+    withExtSession { s =>
+      s.range(1).selectExpr("id", "array(1.0d, 2.0d) AS v")
+        .createOrReplaceTempView("fold_guard")
+      for ((sql, arg) <- Seq(
+          ("SELECT pq_encode_i(v, v, CAST(id AS INT), 2) FROM fold_guard", "m"),
+          ("SELECT pq_encode_i(v, v, 1, CAST(id AS INT)) FROM fold_guard", "ksub"),
+          ("SELECT hilbert_d(id, id, CAST(id AS INT)) FROM fold_guard", "bits"))) {
+        val e = intercept[org.apache.spark.sql.AnalysisException](s.sql(sql).head())
+        assert(e.getCondition == "NON_FOLDABLE_ARGUMENT" &&
+          e.getMessage.contains(s"`$arg`"),
+          s"expected NON_FOLDABLE_ARGUMENT naming `$arg`, got: ${e.getMessage}")
+      }
+      // foldable-but-computed literals still work (constant folding)
+      assert(s.sql("SELECT pq_encode_i(v, array(0.0d, 0.0d, 1.0d, 1.0d), " +
+        "1 + 0, 2) AS c FROM fold_guard").head().getSeq[Int](0) == Seq(1))
+    }
+  }
+
+  test("abs_max_d keeps Spark's NaN-greatest ordering (parity with " +
+      "array_max(transform(v, abs)) on NaN elements)") {
+    withExtSession { s =>
+      // NaN late in the array: a plain `>` comparison would drop it
+      val row = s.sql(
+        "SELECT abs_max_d(array(3.0d, double('NaN'), 1.0d)) AS k, " +
+          "array_max(transform(array(3.0d, double('NaN'), 1.0d), x -> abs(x))) AS r, " +
+          "abs_max_d(array(double('NaN'), 2.0d)) AS k2").head()
+      assert(row.getDouble(0).isNaN && row.getDouble(1).isNaN && row.getDouble(2).isNaN)
+    }
+  }
+
   test("extensions session: the rewrite fires on SQL-text rank filters too") {
     withExtSession { s =>
       Tables.orders(s, "/root/testdata/sf0.001").createOrReplaceTempView("orders_ext")

@@ -587,9 +587,13 @@ object EncodeKernelProps extends Properties("EncodeKernels") {
           java.math.BigDecimal.valueOf(r6 * 1e6)
             .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
         }
+        // pmod semantics, matching the declarative pqEncodeCore unpack —
+        // pins the kernel to the declarative behavior even if a packed
+        // min ever goes negative (FP cancellation to a negative micro).
         val expect = (0 until m).map { sub =>
-          (0 until ksub).map(code => (d2u(sub, code) * 65536L + code))
-            .min % 65536L
+          java.lang.Math.floorMod(
+            (0 until ksub).map(code => (d2u(sub, code) * 65536L + code)).min,
+            65536L)
         }.map(_.toInt)
         val ragged = graft.plans.PqEncodeI(dref(0), dref(1), m, ksub)
           .eval(InternalRow(darr(v :+ 1.0), darr(flat)))

@@ -51,6 +51,67 @@ class OddsLadderSourceSpec extends AnyFunSuite {
   }
 }
 
+class SeedMetaSourceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tournaments = spark.read
+    .format("graft.sources.SeedMetaSource").option("table", "tournaments")
+
+  test("tournaments table serves the rule-derived region universe; " +
+      "interest table serves the config list") {
+    val t = tournaments.load().as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(t == Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"),
+      (3, "EUROPE"), (4, "MIDDLE EAST")))
+    val i = spark.read.format("graft.sources.SeedMetaSource")
+      .option("table", "interest").load().as[String].collect().sorted.toSeq
+    assert(i == graft.sources.BettingFixture.InterestedTournaments.sorted)
+    val e = intercept[Exception](spark.read
+      .format("graft.sources.SeedMetaSource").option("table", "nope").load())
+    assert(e.getMessage.contains("no table 'nope'"))
+  }
+
+  test("DSv2 pushdown: IN/equality evaluate in the source, columns prune, " +
+      "int comparisons compile, string ones on ids don't exist") {
+    val df = tournaments.load()
+      .where($"tournament_name".isin("ASIA", "EUROPE") && $"tournament_id" >= 1)
+      .select("tournament_name")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("In(tournament_name"), scanDesc)
+    assert(scanDesc.contains("GreaterThanOrEqual(tournament_id,1)"), scanDesc)
+    assert(scanDesc.contains("ReadSchema: struct<tournament_name:string>"), scanDesc)
+    assert(df.as[String].collect().sorted.toSeq == Seq("ASIA", "EUROPE"))
+  }
+
+  test("unsupported predicates stay residual and still apply; zero-column " +
+      "COUNT(*) scans work") {
+    // length() is not a source-compilable predicate — residual path
+    val df = tournaments.load()
+      .where(org.apache.spark.sql.functions.length($"tournament_name") === 6)
+    assert(df.select("tournament_name").as[String].collect().sorted.toSeq ==
+      Seq("AFRICA", "EUROPE"))
+    assert(tournaments.load().count() == 5)
+  }
+
+  test("the tournament_id option is endpoint-side parameterization (the " +
+      "S3 contract): rows restrict before any Spark predicate") {
+    val df = tournaments.option("tournament_id", "4").load()
+    assert(df.as[(Int, String)].collect().toSeq == Seq((4, "MIDDLE EAST")))
+    // the restriction is in the scan, not a Filter node
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("tournament_id=4"), desc)
+  }
+
+  test("seeded pipeline through the DSv2 dim == the parquet-dim pipeline") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.operators.Seeding.seededEvents(spark, dir)
+      .orderBy("event_id").collect().toSeq
+    val b = graft.operators.Seeding.seededEventsDsv2(spark, dir)
+      .orderBy("event_id").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+}
+
 class StreamingDedupSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
