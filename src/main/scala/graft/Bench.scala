@@ -54,6 +54,14 @@ object Bench {
     // the min across repeats is the load-robust estimate of what the plan
     // actually costs. The repeat count is recorded in the JSON.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // Per-query repeat boost (VERDICT r15 #2): the rows that spiked 2–4×
+    // under the r15 host-load burst get extra chances at a quiet sample,
+    // so min-of-reps survives sustained contention without raising the
+    // whole board's cost. The boost rides in the reps blob like any
+    // other repeat — min(reps) stays the reported number.
+    val extraReps = Map(
+      "er_fuzzy_pairs" -> 6, "t_session_windows" -> 6,
+      "pipeline_curate_full" -> 6)
     // Host-contention evidence rides IN the artifact (VERDICT r13 #5):
     // /proc/loadavg at start/end plus every repeat's timing, so a spiked
     // min-of-reps is self-diagnosing (all reps high + load high = host;
@@ -75,8 +83,9 @@ object Bench {
       var successes = 0
       var err: Option[String] = None
       val reps = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val nReps = repeats.max(extraReps.getOrElse(name, 0))
       var i = 0
-      while (i < repeats && err.isEmpty) {
+      while (i < nReps && err.isEmpty) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

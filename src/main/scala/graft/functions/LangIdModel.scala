@@ -69,9 +69,14 @@ object LangIdModel {
       transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
 
-  /** Trigram array → hash-bucket array. */
+  /** Trigram array → hash-bucket array. The md5 runs in the native
+    * `md5_base28_l` kernel since r16 (hash16 ≡ base28 >> 12, bit-equal);
+    * only the trivial shift/mod lambda remains interpreted. The int cast
+    * keeps the bucket element type (and every dumped schema) identical
+    * to the pre-r16 int-typed hash16 form. */
   def buckets(tg: Column): Column =
-    transform(tg, g => pmod(TextFns.hash16(g), lit(B)))
+    transform(TextFns.shingleHashes(tg),
+      h => pmod(shiftright(h, 12), lit(B)).cast("int"))
 
   /** Integer score for language index `li` over a bucket array, reading
     * weights from the STAGED flat-weight array attribute `wall` (lambdas

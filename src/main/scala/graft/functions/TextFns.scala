@@ -32,9 +32,21 @@ object TextFns {
     nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
   }
 
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(e)
+  private def expr0(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.GraftBridge.expression(c)
+
   /** Word n-gram shingles over a token array; documents shorter than n
-    * collapse to a single whole-document shingle. */
+    * collapse to a single whole-document shingle. Native kernel
+    * ([[graft.plans.ShinglesS]], r16) — bit-identical to the
+    * transform/concat_ws HOF it replaced ([[shinglesHof]], kept for the
+    * parity suite). */
   def shingles(toks: Column, n: Int): Column =
+    bridge(graft.plans.ShinglesS(expr0(toks), n))
+
+  /** The pre-r16 HOF form of [[shingles]] — parity-spec reference only. */
+  private[graft] def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
@@ -70,21 +82,38 @@ object TextFns {
         lit(1L << (4 * (7 - i)))
     }.reduce(_ + _)
 
-  /** Per-shingle base hashes: ONE md5 per shingle (inner transform
-    * materializes the hex strings so the nibble decode doesn't recompute
-    * md5 per nibble). */
+  /** Per-shingle base hashes: ONE md5 per shingle. Native kernel
+    * ([[graft.plans.Md5Base28L]], r16) — the digest-byte decode is
+    * bit-identical to md5-hex + [[md5Base28]] ([[shingleHashesHof]]
+    * kept for the parity suite). */
   def shingleHashes(shingleCol: Column): Column =
+    bridge(graft.plans.Md5Base28L(expr0(shingleCol)))
+
+  /** The pre-r16 double-transform form — parity-spec reference only. */
+  private[graft] def shingleHashesHof(shingleCol: Column): Column =
     transform(transform(shingleCol, s => md5(s)), m => md5Base28(m))
+
+  /** MinHash minima for hash indices [first, first+count) in one native
+    * pass ([[graft.plans.MinhashSigL]], r16). */
+  def minhashSig(hashes: Column, first: Int, count: Int): Column =
+    bridge(graft.plans.MinhashSigL(expr0(hashes), first, count))
 
   /** i-th minhash over precomputed base hashes. */
   def minhashNum(hashes: Column, i: Int): Column =
+    element_at(minhashSig(hashes, i, 1), 1)
+
+  /** The pre-r16 HOF form of [[minhashNum]] — parity-spec reference. */
+  private[graft] def minhashNumHof(hashes: Column, i: Int): Column =
     array_min(transform(hashes,
       h => (h * lit(minhashA(i)) + lit(minhashB(i))) % lit(MinhashPrime)))
 
-  /** LSH band key (r=2) over precomputed base hashes. */
-  def minhashBandNum(hashes: Column, band: Int): Column =
-    concat(minhashNum(hashes, 2 * band).cast("string"), lit(":"),
-      minhashNum(hashes, 2 * band + 1).cast("string"))
+  /** LSH band key (r=2) over precomputed base hashes: BOTH minima from
+    * one [[minhashSig]] pass (the HOF form ran 2 array_min passes). */
+  def minhashBandNum(hashes: Column, band: Int): Column = {
+    val sig = minhashSig(hashes, 2 * band, 2)
+    concat(element_at(sig, 1).cast("string"), lit(":"),
+      element_at(sig, 2).cast("string"))
+  }
 
   /** DuckDB SQL fragments mirroring the numeric MinHash family — kept next
     * to the Column versions so the two stay in lock-step. `hsCol` must be a
@@ -100,16 +129,28 @@ object TextFns {
       s"CAST(${minhashNumSql(hsCol, 2 * band + 1)} AS VARCHAR)"
 
   /** 16-bit SimHash over a pre-hashed token array (bit-vote majority).
-    * Variable bit shifts are expressed as exact power-of-two arithmetic
-    * (Spark's shiftright only takes literal shifts): for 0 ≤ h < 2¹⁶ and
-    * b ≤ 15, `(h / 2^b)::int % 2` ≡ `(h >> b) & 1` bit-exactly. */
+    * Native one-pass kernel ([[graft.plans.Simhash16L]], r16) —
+    * bit-identical to the nested 16×|hs| aggregate it replaced
+    * ([[simhash16Hof]], kept for the parity suite; the DuckDB oracles
+    * still mirror that form's div/pmod arithmetic). */
   def simhash16(hashedTokens: Column): Column =
+    bridge(graft.plans.Simhash16L(expr0(hashedTokens)))
+
+  /** The pre-r16 nested-aggregate form — parity-spec reference only. */
+  private[graft] def simhash16Hof(hashedTokens: Column): Column =
     aggregate(sequence(lit(0), lit(15)), lit(0), (acc, b) => {
       val pow2 = pow(lit(2.0), b).cast("int")
       val vote = aggregate(hashedTokens, lit(0),
         (a, h) => a + (pmod((h / pow2).cast("int"), lit(2)) * 2 - 1))
       acc + when(vote > 0, pow2).otherwise(lit(0))
     })
+
+  /** Feature-hashing document embedding over a token array, fused into
+    * one native pass ([[graft.plans.FeatEmbedL]], r16) — see
+    * [[graft.operators.TextAnalysis.embedDocuments]] for the algorithm
+    * and oracle posture. */
+  def featEmbed(tokens: Column, dim: Int): Column =
+    bridge(graft.plans.FeatEmbedL(expr0(tokens), dim))
 
   /** Exact Jaccard similarity of two shingle arrays (dedup re-rank stage). */
   def jaccard(a: Column, b: Column): Column = {

@@ -571,12 +571,16 @@ object Dedup {
   }
 
   /** 16-bit SimHash per document (portable md5-nibble token hashes). The
-    * hashed-token array is staged first — `simhash16`'s outer lambda
-    * captures it, and an un-staged expression would md5 every token once
-    * per bit (16×). */
+    * hashed-token array is staged first — historically so the nested
+    * aggregate didn't md5 every token once per bit; since r16 the md5
+    * runs in the native `md5_base28_l` kernel (hash16(t) ≡ the top 4 of
+    * base28's 7 nibbles, i.e. base28 >> 12 — bit-equal,
+    * TextKernelParitySpec pins it) and only the trivial shift remains a
+    * per-element lambda. */
   def simhash(documents: DataFrame): DataFrame =
     Stage(documents.select(col("doc_id"), col("text")), "hs",
-      transform(TextFns.tokens(col("text")), t => TextFns.hash16(t)))
+      transform(TextFns.shingleHashes(TextFns.tokens(col("text"))),
+        h => shiftright(h, 12)))
       .select(col("doc_id"), TextFns.simhash16(col("hs")).as("simhash"))
 
   /** Near-dup clusters: connected components over the candidate-pair graph

@@ -1063,6 +1063,20 @@ object TextAnalysis {
     require(dim > 0, s"need dim > 0, got $dim")
     val toks = Stage(documents.select(col("doc_id"), col("text")),
       "w", TextFns.tokens(col("text")))
+    // fused native kernel (r16): hash + bucket + sign + fold in ONE pass
+    // over the tokens — the per-token hash-struct transform plus the
+    // dim×|tokens| fold it replaced was the hottest text HOF site
+    // (ProfileTextHof: 11.25 s → see NOTES r16). Bit-identical
+    // ([[embedDocumentsHof]] kept for the parity suite).
+    toks.select(col("doc_id"), TextFns.featEmbed(col("w"), dim).as("embedding"))
+  }
+
+  /** The pre-r16 HOF form of [[embedDocuments]] — parity-spec reference
+    * only (the DuckDB oracles mirror this form's arithmetic). */
+  private[graft] def embedDocumentsHof(documents: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0, s"need dim > 0, got $dim")
+    val toks = Stage(documents.select(col("doc_id"), col("text")),
+      "w", TextFns.tokens(col("text")))
     val hashed = Stage(toks, "th", transform(col("w"), t => {
       val h = TextFns.md5Base28(md5(t))
       struct(pmod(h, lit(dim)).cast("int").as("b"),

@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("sum_abs_diff_l", exprs => SumAbsDiffL(exprs(0), exprs(1))))
     ext.injectFunction(fn("hamming_l", exprs => HammingL(exprs(0), exprs(1))))
     ext.injectFunction(fn("adc_sum_l", exprs => AdcSumL(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(fn("md5_base28_l", exprs => Md5Base28L(exprs.head)))
+    ext.injectFunction(fn("minhash_sig_l", exprs => MinhashSigL(exprs(0),
+      litInt("minhash_sig_l", "first", exprs(1)),
+      litInt("minhash_sig_l", "count", exprs(2)))))
+    ext.injectFunction(fn("simhash16_l", exprs => Simhash16L(exprs.head)))
+    ext.injectFunction(fn("feat_embed_l", exprs => FeatEmbedL(exprs(0),
+      litInt("feat_embed_l", "dim", exprs(1)))))
+    ext.injectFunction(fn("shingles_s", exprs => ShinglesS(exprs(0),
+      litInt("shingles_s", "n", exprs(1)))))
     ext.injectFunction(fn("nfc_normalize", exprs => NfcNormalize(exprs.head)))
     ext.injectFunction(fn("deflate_len", exprs => DeflateLen(exprs.head)))
     ext.injectFunction(fn("prefix_sum_i", exprs => PrefixSumI(exprs.head)))

@@ -45,6 +45,15 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT hamming_l(array(5L), array(3L)) AS h, " +
           "adc_sum_l(array(1, 0), array(10L, 20L, 30L, 40L), 2) AS a").head()
       assert(r2.getInt(0) == 2 && r2.getLong(1) == 50L)
+      // r16 text kernels callable from SQL text
+      val r3 = s.sql(
+        "SELECT shingles_s(array('a', 'b', 'c'), 2) AS sh, " +
+          "size(md5_base28_l(array('a', 'b'))) AS nh, " +
+          "size(minhash_sig_l(array(1L, 2L), 0, 3) ) AS nm, " +
+          "simhash16_l(array(0L)) AS s0, " +
+          "size(feat_embed_l(array('tok'), 8)) AS ne").head()
+      assert(r3.getSeq[String](0) == Seq("a b", "b c") && r3.getInt(1) == 2 &&
+        r3.getInt(2) == 3 && r3.getInt(3) == 0 && r3.getInt(4) == 8)
     }
   }
 

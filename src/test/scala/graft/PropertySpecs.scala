@@ -4,7 +4,7 @@ import graft.operators.TopK
 import graft.operators.TopK.Scored
 import graft.streaming.WagerBook
 import graft.streaming.WagerBook.Command
-import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.{Arbitrary, Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
 /** ScalaCheck properties over the pure (non-Spark) engine kernels —
@@ -615,5 +615,109 @@ object EncodeKernelProps extends Properties("EncodeKernels") {
       (maxAbs == 0.0 || intsOf(q) == expect) &&
         java.lang.Double.doubleToRawLongBits(am.asInstanceOf[Double]) ==
           java.lang.Double.doubleToRawLongBits(maxAbs)
+    }
+}
+
+/** Interpreted-eval properties for the r16 text kernels against
+  * INDEPENDENT plain-Scala references (hex-string hash decode, fold
+  * replications of the HOF chains they replaced) — the EncodeKernelProps
+  * posture; the codegen paths are pinned against the legacy HOF columns
+  * in TextKernelParitySpec. */
+object TextKernelProps extends Properties("TextKernels") {
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.TextFns
+
+  private def sarr(xs: Seq[Option[String]]): ArrayData =
+    new GenericArrayData(xs.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+  private def larr(xs: Seq[Option[Long]]): ArrayData =
+    new GenericArrayData(xs.map(_.map(java.lang.Long.valueOf).orNull).toArray[Any])
+  private val sref =
+    BoundReference(0, ArrayType(StringType, containsNull = true), nullable = true)
+  private val lref =
+    BoundReference(0, ArrayType(LongType, containsNull = true), nullable = true)
+  private def anySeq(a: Any): Seq[Any] =
+    a.asInstanceOf[ArrayData].toObjectArray(LongType).toSeq
+
+  /** Independent md5-base28 reference: hex STRING + per-nibble strpos
+    * decode, the exact arithmetic of [[TextFns.md5Base28]]'s Column form
+    * (the kernel decodes digest bytes instead — this pins equivalence). */
+  private def refBase28(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = dig.map(b => f"$b%02x").mkString
+    (1 to 7).map(i => ("0123456789abcdef".indexOf(hex(i - 1)).toLong) *
+      (1L << (4 * (7 - i)))).sum
+  }
+
+  private val genStr: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr, Arbitrary.arbitrary[String])
+
+  property("md5_base28_l == hex-string nibble-decode reference; null " +
+      "elements stay null") =
+    forAll(Gen.listOf(Gen.option(genStr))) { xs =>
+      val out = anySeq(graft.plans.Md5Base28L(sref).eval(InternalRow(sarr(xs))))
+      out == xs.map(_.map(s => java.lang.Long.valueOf(refBase28(s))).orNull)
+    }
+
+  property("minhash_sig_l == per-index array_min(transform) fold incl. " +
+      "null-skip; no non-null elements -> null minima") =
+    forAll(Gen.listOf(Gen.option(Arbitrary.arbitrary[Long])),
+        Gen.chooseNum(0, 6), Gen.chooseNum(1, 5)) { (xs, first, count) =>
+      val out = anySeq(graft.plans.MinhashSigL(lref, first, count)
+        .eval(InternalRow(larr(xs))))
+      val vals = xs.flatten
+      val expect = (0 until count).map { k =>
+        if (vals.isEmpty) null
+        else java.lang.Long.valueOf(vals.map(h =>
+          (h * TextFns.minhashA(first + k) + TextFns.minhashB(first + k)) %
+            TextFns.MinhashPrime).min)
+      }
+      out == expect
+    }
+
+  property("simhash16_l == the nested-aggregate fold (div-toward-zero, " +
+      "int-cast wrap, pmod bit, ties drop); any null element -> 0") =
+    forAll(Gen.listOf(Gen.option(Gen.oneOf(
+        Gen.chooseNum(0L, (1L << 28) - 1), Arbitrary.arbitrary[Long])))) { xs =>
+      val out = graft.plans.Simhash16L(lref).eval(InternalRow(larr(xs)))
+      val expect: Int =
+        if (xs.exists(_.isEmpty)) 0
+        else (0 until 16).map { b =>
+          val pow2 = 1L << b
+          val vote = xs.flatten.map { h =>
+            val qi = (h / pow2).toInt
+            (((qi % 2) + 2) % 2) * 2 - 1
+          }.sum
+          if (vote > 0) 1 << b else 0
+        }.sum
+      out == expect
+    }
+
+  property("feat_embed_l == hash+bucket+sign fold reference (null tokens " +
+      "contribute 0 to every dimension)") =
+    forAll(Gen.listOf(Gen.option(genStr)), Gen.chooseNum(1, 24)) { (xs, dim) =>
+      val out = graft.plans.FeatEmbedL(sref, dim).eval(InternalRow(sarr(xs)))
+      val expect = new Array[Long](dim)
+      xs.flatten.foreach { t =>
+        val h = refBase28(t)
+        expect((h % dim).toInt) += ((h / dim) % 2) * 2 - 1
+      }
+      out.asInstanceOf[ArrayData].toLongArray().toSeq == expect.toSeq
+    }
+
+  property("shingles_s == sliding mkString reference (concat_ws null-" +
+      "skip); below n -> one whole-document shingle incl. empty input") =
+    forAll(Gen.listOf(Gen.option(genStr)), Gen.chooseNum(1, 4)) { (xs, n) =>
+      val out = graft.plans.ShinglesS(sref, n).eval(InternalRow(sarr(xs)))
+        .asInstanceOf[ArrayData].toObjectArray(StringType)
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+      val expect =
+        if (xs.size >= n) xs.sliding(n).map(_.flatten.mkString(" ")).toSeq
+        else Seq(xs.flatten.mkString(" "))
+      out == expect
     }
 }
