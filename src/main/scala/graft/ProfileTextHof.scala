@@ -79,6 +79,17 @@ object ProfileTextHof {
     time("embed_dim16_native")(
       graft.operators.TextAnalysis.embedDocuments(docs, dim = 16)
         .select(sum(element_at(col("embedding"), 1))).head())
+    // 6b. fingerprint min/max: TWO md5-per-shingle HOF passes per doc
+    time("fingerprint_minmax_hof")(
+      sh.select(sum(length(array_min(transform(col("sh"), s => md5(s)))) +
+        length(array_max(transform(col("sh"), s => md5(s))))).as("x")).head())
+    // 6c. langid trigrams: transform(sequence, substr) per char position
+    time("trigrams_hof")(
+      docs.select(sum(size(graft.functions.LangIdModel.trigramsHof(
+        lower(col("text"))))).as("x")).head())
+    time("trigrams_native")(
+      docs.select(sum(size(graft.functions.LangIdModel.trigrams(
+        lower(col("text"))))).as("x")).head())
     // 7. line link-density: regex extract + aggregate(length) per line —
     //    is the aggregate or the regex the cost?
     val A1 = ""; val A2 = ""

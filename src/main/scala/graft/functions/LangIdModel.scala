@@ -62,9 +62,18 @@ object LangIdModel {
   val FlatWeights: IndexedSeq[Long] = Langs.flatMap(Weights).toVector
 
   /** Character trigrams of a (pre-lowercased) text column; < 3 chars ⇒
-    * empty array (Spark's `sequence(1, n)` counts DOWN for n < 1 — the
-    * guard is required, not defensive). */
+    * empty array. Native one-pass kernel since r16
+    * ([[graft.plans.TrigramsS]] — the per-position Substring HOF was the
+    * hottest remaining text site at 13 s / 500k docs);
+    * [[trigramsHof]] kept for the parity suite. */
   def trigrams(t: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.plans.TrigramsS(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(t)))
+
+  /** The pre-r16 HOF form — parity-spec reference only (the `sequence(1,
+    * n)` guard is required, not defensive: it counts DOWN for n < 1). */
+  private[graft] def trigramsHof(t: Column): Column =
     when(length(t) >= 3,
       transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))

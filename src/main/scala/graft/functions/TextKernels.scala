@@ -127,6 +127,44 @@ object TextKernels {
       .fromPrimitiveArray(out)
   }
 
+  /** [[graft.functions.LangIdModel.trigrams]]: character trigrams of a
+    * string in one pass — replaces `transform(sequence(1, n-2),
+    * i => substr(i, 3))`, which interprets one Substring per character
+    * position (ProfileTextHof: 13.05 s per 500k ~180-char docs — the
+    * hottest remaining site). Char = one UTF-8 sequence, exactly
+    * `length()` / `substringSQL`'s counting: the byte offsets of all
+    * char starts are computed once, each trigram is one byte-range
+    * copy. < 3 chars ⇒ empty array. */
+  def trigrams(u: UTF8String): ArrayData = {
+    val bytes = u.getBytes
+    val nb = bytes.length
+    // char-start byte offsets (numChars + 1 entries, last = nb)
+    val starts = new Array[Int](u.numChars + 1)
+    var c = 0
+    var off = 0
+    while (off < nb) {
+      starts(c) = off
+      // UTF8String's own first-byte table — keeps char counting (and so
+      // trigram boundaries) bit-identical to length()/substringSQL even
+      // on malformed byte sequences
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      c += 1
+    }
+    starts(c) = nb
+    val n = c
+    if (n < 3) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n - 2)
+      var i = 0
+      while (i < n - 2) {
+        out(i) = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, starts(i), starts(i + 3)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** [[TextFns.shingles]]: word n-grams joined with " ", whole-document
     * shingle below n tokens — concat_ws semantics (null tokens are
     * SKIPPED inside a shingle, not nulled). */

@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       litInt("feat_embed_l", "dim", exprs(1)))))
     ext.injectFunction(fn("shingles_s", exprs => ShinglesS(exprs(0),
       litInt("shingles_s", "n", exprs(1)))))
+    ext.injectFunction(fn("trigrams_s", exprs => TrigramsS(exprs.head)))
     ext.injectFunction(fn("nfc_normalize", exprs => NfcNormalize(exprs.head)))
     ext.injectFunction(fn("deflate_len", exprs => DeflateLen(exprs.head)))
     ext.injectFunction(fn("prefix_sum_i", exprs => PrefixSumI(exprs.head)))

@@ -721,3 +721,34 @@ object TextKernelProps extends Properties("TextKernels") {
       out == expect
     }
 }
+
+/** Interpreted-eval property for the r16 trigram kernel. */
+object TrigramProps extends Properties("TrigramsS") {
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  property("trigrams_s == code-point sliding-window reference (incl. " +
+      "multi-byte chars); < 3 chars -> empty") =
+    forAll(Gen.oneOf(Gen.alphaNumStr, Arbitrary.arbitrary[String],
+        Gen.listOf(Gen.oneOf("a", "é", "汉", "𐍈", " ")).map(_.mkString))) { raw =>
+      // round-trip through UTF-8 first: UTF8String.fromString replaces
+      // lone surrogates with '?', and the reference must see what the
+      // engine sees (an encoding artifact of the TEST input, not kernel
+      // behavior)
+      val s = new String(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val out = graft.plans.TrigramsS(
+          BoundReference(0, StringType, nullable = true))
+        .eval(InternalRow(UTF8String.fromString(s)))
+        .asInstanceOf[ArrayData].toObjectArray(StringType)
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+      val cps = s.codePoints().toArray
+      val expect =
+        if (cps.length < 3) Seq.empty[String]
+        else (0 to cps.length - 3).map(i => new String(cps, i, 3))
+      out == expect
+    }
+}

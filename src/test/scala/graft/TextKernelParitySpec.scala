@@ -83,6 +83,16 @@ class TextKernelParitySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.get(0) == r.get(1), s"$r"))
   }
 
+  test("trigrams_s == per-position substr HOF incl. multi-byte chars, " +
+      "short and empty strings") {
+    import graft.functions.LangIdModel
+    val texts = Seq("the quick brown fox", "汉字普通话测试", "ab", "", "éäü",
+      "a b", "𐍈𐍈𐍈x").toDF("t")
+    val rows = texts.select(LangIdModel.trigrams($"t").as("n"),
+      LangIdModel.trigramsHof($"t").as("h")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"$r"))
+  }
+
   test("embedDocuments == HOF form on the real documents table (and the " +
       "dumped schema keeps a nullable embedding element)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
