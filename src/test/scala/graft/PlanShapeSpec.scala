@@ -136,7 +136,15 @@ class PlanShapeSpec extends AnyFunSuite {
       // once; the rotation + per-probed-cell LUT build rides the
       // broadcast side, the cell equi-join restricts pairs to probed
       // cells — exchanges are the LUT collapse + rank window only
-      "sim_opq_ivfpq_topk" -> (2, 2))
+      "sim_opq_ivfpq_topk" -> (2, 2),
+      // r16 graph-ANN serving face: the beam's per-hop pools are
+      // localCheckpoint-cut (the lineage-doubling fix measured in
+      // ProfileGraph), so the FINAL plan is just the rank window over
+      // the checkpointed pool RDD — one exchange, one RDD scan leaf.
+      // The per-hop shape (frontier equi-join vs the graph artifact,
+      // no product joins) is pinned structurally by GraphAnnSpec +
+      // the four hash oracles instead.
+      "sim_graph_topk" -> (1, 1))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
