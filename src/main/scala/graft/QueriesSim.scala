@@ -2614,14 +2614,20 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     * Periodic full rebuilds re-level the graph (the FAISS
     * add-with-frozen-coarse posture); appends stay one bounded walk
     * per new row. */
+  /** The persisted history-side (vec_id ≢ 0 mod 5) graph — shared by
+    * the incremental-maintenance and cross-corpus rows. */
+  protected def graphNswHist5(s: SparkSession, dir: String): DataFrame =
+    parquetArtifact(s, dir,
+      s"graph_nsw_hist5_k${GraphAnn.K}_r${GraphAnn.Rounds}_skip",
+      "embeddings")(GraphAnn.buildGraph(
+      Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(5)) =!= 0)))
+
   protected val simGraphIncr = Q("sim_graph_incr",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
       val hist = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
       val batch = e.where(pmod(col("vec_id"), lit(5)) === 0)
-      val hg = parquetArtifact(s, dir,
-        s"graph_nsw_hist5_k${GraphAnn.K}_r${GraphAnn.Rounds}_skip",
-        "embeddings")(GraphAnn.buildGraph(hist))
+      val hg = graphNswHist5(s, dir)
       hg.withColumn("origin", lit("history"))
         .unionByName(GraphAnn.attachBatch(hg, hist, batch)
           .withColumn("origin", lit("batch")))
@@ -2643,6 +2649,66 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       |  FROM bb${GraphAnn.Hops}h WHERE node <> query_id)
       |WHERE rnk <= ${GraphAnn.K}""".stripMargin))
 
+  /** Shared batch-side (vec_id ≡ 0 mod 5) query relation for the
+    * hist5-graph oracles. */
+  private val graphBatchQrelCte =
+    """qb AS (SELECT vec_id AS query_id, v AS qv,
+      |    sqrt(list_dot_product(v, v)) AS qnrm
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |        WHERE vec_id % 5 = 0)
+      |  WHERE list_dot_product(v, v) > 0)""".stripMargin
+
+  /** Attribute-FILTERED graph serving (the sim_ivf_filtered contract
+    * on the graph tier — DiskANN's filtered-search posture): top-10
+    * among label=1 rows only, with the beam routing over the FULL
+    * stored graph (non-matching nodes remain routers — what keeps
+    * recall when the filter is selective) while a second accumulator
+    * collects every matching node the walk scores. The filter comes
+    * from the STORED label column — no re-embedding, no second
+    * index. */
+  protected val simGraphFiltered = Q("sim_graph_filtered",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      GraphAnn.graphTopKFiltered(e, graphNswAll(s, dir),
+        e.where(col("label") === 1).select(col("vec_id")),
+        k = 10, stride = 20)
+    },
+    Some(s"""WITH ${GraphAnn.buildSql()},
+      |$graphQueriesCte,
+      |mm AS (SELECT vec_id FROM embeddings WHERE label = 1),
+      |${GraphAnn.beamSql("qy", matchRel = Some("mm"))}
+      |SELECT query_id, CAST(rnk AS INTEGER) AS rank, node AS neighbor_id, cosine
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, node) AS rnk
+      |  FROM rr${GraphAnn.Hops})
+      |WHERE rnk <= 10""".stripMargin))
+
+  /** Cross-corpus graph serving (the sim_cross_lsh_topk contract on
+    * the graph tier): the held-out fifth of the table queries the
+    * OTHER four-fifths through its persisted graph — the
+    * decontamination shape (queries = benchmark set, corpus = training
+    * candidates). Reuses sim_graph_incr's hist5 artifact; the two id
+    * spaces are disjoint so no id-equality exclusion applies
+    * (crossTopK posture). */
+  protected val simCrossGraphTopk = Q("sim_cross_graph_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      GraphAnn.crossGraphTopK(
+        e.where(pmod(col("vec_id"), lit(5)) =!= 0),
+        graphNswHist5(s, dir),
+        e.where(pmod(col("vec_id"), lit(5)) === 0), k = 10)
+    },
+    Some(s"""WITH ${GraphAnn.buildSql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0",
+        tag = "h")},
+      |$graphBatchQrelCte,
+      |${GraphAnn.beamSql("qb", tag = "h")}
+      |SELECT query_id, CAST(rnk AS INTEGER) AS rank, node AS neighbor_id, cosine
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, node) AS rnk
+      |  FROM bb${GraphAnn.Hops}h)
+      |WHERE rnk <= 10""".stripMargin))
+
   /** This family's registrar — composed into [[Queries.all]]. */
   protected def simQs: Seq[Q] = Seq(
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk,
@@ -2657,5 +2723,6 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     simOpqTopk, simOpqIncr, simOpqRecall, simOpqIvfpq,
     simOpqIvfpqTopk, simOpqIvfpqIncr, simOpqIvfpqRecall, simOpqIvfpqGain, simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     simGraphBuild, simGraphTopk, simGraphRecall, simGraphIncr,
+    simGraphFiltered, simCrossGraphTopk,
     artifactCatalogQ)
 }

@@ -189,10 +189,44 @@ object GraphAnn {
     * the oracle — free of visited-set anti-joins). */
   def beamSearch(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       k: Int, ef: Int = Ef, hops: Int = Hops,
-      nEntries: Int = NEntries): DataFrame = {
+      nEntries: Int = NEntries): DataFrame =
+    beamCore(graph, corpus, queries, k, ef, hops, nEntries,
+      matchIds = None, excludeSelf = true)
+
+  /** Cross-corpus beam serving (the crossTopK posture): queries come
+    * from a different id space, so no pair is excluded by id equality —
+    * an incidental collision between the two spaces can never silently
+    * drop a real neighbor. */
+  def crossBeamTopK(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, ef: Int = Ef, hops: Int = Hops,
+      nEntries: Int = NEntries): DataFrame =
+    beamCore(graph, corpus, queries, k, ef, hops, nEntries,
+      matchIds = None, excludeSelf = false)
+
+  /** Attribute-FILTERED graph serving (the DiskANN filtered-search
+    * posture, mirroring sim_ivf_filtered's contract): the beam routes
+    * over the FULL stored graph — non-matching nodes stay usable as
+    * routers, which is what keeps recall when the filter is selective —
+    * while a second accumulator collects every MATCHING node the walk
+    * scores; the final top-k ranks only the matched pool. `matchIds`
+    * must be a (vec_id) frame of the rows satisfying the predicate
+    * (derivable from any stored attribute column — no re-embedding,
+    * no second index). Like the IVF row, id-equal pairs are NOT
+    * excluded (a query that itself matches may return itself). */
+  def beamSearchFiltered(graph: DataFrame, corpus: DataFrame,
+      queries: DataFrame, matchIds: DataFrame, k: Int, ef: Int = Ef,
+      hops: Int = Hops, nEntries: Int = NEntries): DataFrame =
+    beamCore(graph, corpus, queries, k, ef, hops, nEntries,
+      matchIds = Some(matchIds), excludeSelf = false)
+
+  private def beamCore(graph: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, ef: Int, hops: Int, nEntries: Int,
+      matchIds: Option[DataFrame], excludeSelf: Boolean): DataFrame = {
     val n = corpus.select(col("vec_id"), col("v"), col("nrm"))
       .where(col("nrm") > 0)
     val q = queries.where(col("qnrm") > 0)
+    val mset = matchIds.map(m =>
+      broadcast(m.select(col("vec_id").as("node")).distinct()))
     def capped(pool: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("node"))
@@ -207,6 +241,8 @@ object GraphAnn {
         .select(col("query_id"), col("node"),
           round(cosinePrenormed(dot(col("qv"), col("v")),
             col("qnrm"), col("nrm")), 4).as("cosine"))
+    def matched(scored: DataFrame): DataFrame =
+      mset.map(m => scored.join(m, Seq("node"), "leftsemi")).getOrElse(scored)
     // Each hop references the pool TWICE (expand + union): without a
     // lineage cut the plan tree doubles per hop — 2^hops copies of the
     // entry scoring, measured 13 s → 21 s → 44 s for hops 3/4/5 at
@@ -215,20 +251,30 @@ object GraphAnn {
     // At cluster scale the same cut is a reliable checkpoint or a
     // persisted intermediate table — the standard iterative-algorithm
     // posture.
-    var pool = capped(scoreNodes(
+    val scored0 = scoreNodes(
       q.select(col("query_id"))
-        .crossJoin(broadcast(entryPoints(n, nEntries).select(col("vec_id").as("node"))))))
+        .crossJoin(broadcast(entryPoints(n, nEntries).select(col("vec_id").as("node")))))
       .localCheckpoint()
+    var pool = capped(scored0).localCheckpoint()
+    // Matched-result accumulator (filtered mode only): fed from the
+    // UNCAPPED per-hop scorings, so a matching node the routing pool
+    // evicts still reaches the final rank.
+    var res = if (mset.isEmpty) pool else capped(matched(scored0)).localCheckpoint()
     for (_ <- 1 to hops) {
       val expand = pool.select(col("query_id"), col("node").as("src"))
         .join(graph.select(col("src"), col("dst")), "src")
         .select(col("query_id"), col("dst").as("node")).distinct()
-      pool = capped(pool.unionByName(scoreNodes(expand))).localCheckpoint()
+      val scored = scoreNodes(expand).localCheckpoint()
+      pool = capped(pool.unionByName(scored)).localCheckpoint()
+      if (mset.nonEmpty)
+        res = capped(res.unionByName(matched(scored))).localCheckpoint()
     }
+    val outPool = if (mset.isEmpty) pool else res
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("node"))
-    pool.where(col("node") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val base = if (excludeSelf) outPool.where(col("node") =!= col("query_id"))
+      else outPool
+    base.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("rank"),
         col("node").as("neighbor_id"), col("cosine"))
   }
@@ -245,6 +291,38 @@ object GraphAnn {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     beamSearch(graph, n, q, k, ef, hops, nEntries)
+  }
+
+  /** [[graphTopK]] with an attribute filter: top-k among the
+    * `matchIds` rows only, routed over the FULL graph (see
+    * [[beamSearchFiltered]]). Mirrors sim_ivf_filtered's contract:
+    * queries are unfiltered, id-equal pairs are not excluded. */
+  def graphTopKFiltered(embeddings: DataFrame, graph: DataFrame,
+      matchIds: DataFrame, k: Int, stride: Int, ef: Int = Ef,
+      hops: Int = Hops, nEntries: Int = NEntries, nPlanes: Int = NPlanes,
+      dim: Int = 64): DataFrame = {
+    val n = prepped(embeddings, nPlanes, dim)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val q = n.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    beamSearchFiltered(graph, n, q, matchIds, k, ef, hops, nEntries)
+  }
+
+  /** Cross-corpus convenience: `queries` is a separate (vec_id,
+    * embedding) frame searched against `corpus` through its prebuilt
+    * graph — the decontamination / retrieval shape ([[crossBeamTopK]]
+    * semantics: no id-equality exclusion). */
+  def crossGraphTopK(corpus: DataFrame, graph: DataFrame,
+      queries: DataFrame, k: Int, ef: Int = Ef, hops: Int = Hops,
+      nEntries: Int = NEntries, nPlanes: Int = NPlanes,
+      dim: Int = 64): DataFrame = {
+    val n = prepped(corpus, nPlanes, dim)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val q = prepped(queries, nPlanes, dim)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    crossBeamTopK(graph, n, q, k, ef, hops, nEntries)
   }
 
   /** Incremental maintenance: a new batch attaches by SEARCHING the
@@ -331,31 +409,48 @@ object GraphAnn {
 
   /** CTE fragments running the unrolled beam over `gf<tag>` for a query
     * relation `qrel(query_id, qv, qnrm)` the caller must have defined;
-    * leaves the final pool in `bb<hops><tag>(query_id, node, cosine)`. */
+    * leaves the final pool in `bb<hops><tag>(query_id, node, cosine)`.
+    * With `matchRel` (a (vec_id) CTE of filter-matching rows), also
+    * unrolls the matched-result accumulator — fed from the UNCAPPED
+    * per-hop scorings, exactly like [[beamSearchFiltered]] — leaving it
+    * in `rr<hops><tag>`. */
   def beamSql(qrel: String, ef: Int = Ef, hops: Int = Hops,
-      nEntries: Int = NEntries, tag: String = ""): String = {
+      nEntries: Int = NEntries, tag: String = "",
+      matchRel: Option[String] = None): String = {
     def cap(unioned: String): String =
       s"""SELECT query_id, node, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, node) AS rnk
          |  FROM (SELECT query_id, node, min(cosine) AS cosine
          |        FROM ($unioned) GROUP BY 1, 2)) WHERE rnk <= $ef""".stripMargin
+    def semi(rel: String): String = matchRel.map(m =>
+      s"SELECT p.query_id, p.node, p.cosine FROM $rel p JOIN $m mm ON mm.vec_id = p.node")
+      .getOrElse("")
     val hopsSql = (1 to hops).map { h =>
-      s"""xx$h$tag AS (SELECT DISTINCT p.query_id, g.dst AS node
-         |  FROM bb${h - 1}$tag p JOIN gf$tag g ON g.src = p.node),
-         |yy$h$tag AS (SELECT x.query_id, x.node,
-         |    ROUND(list_dot_product(q.qv, nb$tag.v) / (q.qnrm * nb$tag.nrm), 4) + 0.0 AS cosine
-         |  FROM xx$h$tag x JOIN nb$tag ON nb$tag.vec_id = x.node
-         |    JOIN $qrel q ON q.query_id = x.query_id),
-         |bb$h$tag AS (${cap(s"SELECT * FROM bb${h - 1}$tag UNION ALL SELECT * FROM yy$h$tag")})"""
+      val core =
+        s"""xx$h$tag AS (SELECT DISTINCT p.query_id, g.dst AS node
+           |  FROM bb${h - 1}$tag p JOIN gf$tag g ON g.src = p.node),
+           |yy$h$tag AS (SELECT x.query_id, x.node,
+           |    ROUND(list_dot_product(q.qv, nb$tag.v) / (q.qnrm * nb$tag.nrm), 4) + 0.0 AS cosine
+           |  FROM xx$h$tag x JOIN nb$tag ON nb$tag.vec_id = x.node
+           |    JOIN $qrel q ON q.query_id = x.query_id),
+           |bb$h$tag AS (${cap(s"SELECT * FROM bb${h - 1}$tag UNION ALL SELECT * FROM yy$h$tag")})"""
+          .stripMargin
+      if (matchRel.isEmpty) core
+      else core + s""",
+        |rr$h$tag AS (${cap(
+          s"SELECT * FROM rr${h - 1}$tag UNION ALL ${semi(s"yy$h$tag")}")})"""
         .stripMargin
     }.mkString(",\n")
+    val rr0 = matchRel.map(_ =>
+      s""",
+        |rr0$tag AS (${cap(semi(s"pe$tag"))})""".stripMargin).getOrElse("")
     s"""en$tag AS (SELECT vec_id, v, nrm FROM nb$tag
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nEntries),
        |pe$tag AS (SELECT q.query_id, e.vec_id AS node,
        |    ROUND(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 4) + 0.0 AS cosine
        |  FROM $qrel q CROSS JOIN en$tag e),
-       |bb0$tag AS (${cap(s"SELECT * FROM pe$tag")}),
+       |bb0$tag AS (${cap(s"SELECT * FROM pe$tag")})$rr0,
        |$hopsSql""".stripMargin
   }
 }

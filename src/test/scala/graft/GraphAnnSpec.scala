@@ -90,6 +90,39 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(g == b)
   }
 
+  test("filtered serving: matched-only results; exactness ladder vs " +
+      "brute over the filtered corpus") {
+    val n = emb.count().toInt
+    val matchIds = emb.where(col("label") === 1).select("vec_id")
+    val matched = matchIds.collect().map(_.getLong(0)).toSet
+    val served = GraphAnn.graphTopKFiltered(emb, graph, matchIds,
+      k = 10, stride = 20)
+    assert(served.collect().forall(r => matched.contains(r.getLong(2))),
+      "every served neighbor must satisfy the filter")
+    // ladder: uncapped pool + full reach ⇒ exactly brute over the
+    // filtered corpus (crossTopK semantics: no id-equality exclusion)
+    val ladder = GraphAnn.graphTopKFiltered(emb, graph, matchIds,
+      k = 10, stride = 20, ef = n, hops = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Similarity.crossTopK(emb.where(col("label") === 1),
+      emb.where(pmod(col("vec_id"), lit(20)) === 0), k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ladder == brute)
+  }
+
+  test("cross-corpus serving exactness ladder vs crossTopK") {
+    val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val queries = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+    val hg = GraphAnn.buildGraph(corpus)
+    val n = corpus.count().toInt
+    val ladder = GraphAnn.crossGraphTopK(corpus, hg, queries,
+      k = 10, ef = n, hops = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Similarity.crossTopK(corpus, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ladder == brute)
+  }
+
   test("attachBatch: bounded origin-tagged edges from batch into history") {
     val hist = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
     val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
