@@ -2680,7 +2680,7 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       |SELECT query_id, CAST(rnk AS INTEGER) AS rank, node AS neighbor_id, cosine
       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, node) AS rnk
-      |  FROM rr${GraphAnn.Hops})
+      |  FROM rr)
       |WHERE rnk <= 10""".stripMargin))
 
   /** Cross-corpus graph serving (the sim_cross_lsh_topk contract on
@@ -2709,6 +2709,90 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       |  FROM bb${GraphAnn.Hops}h)
       |WHERE rnk <= 10""".stripMargin))
 
+  /** Per-query ADC LUT CTEs over `qy` + `cb` (the simPqRecall chain) —
+    * shared by the graph-ADC oracles. */
+  private val graphAdcLutCtes =
+    """qs AS (SELECT query_id, CAST(r.range AS INTEGER) AS sub,
+      |    list_slice(qv, r.range * 8 + 1, r.range * 8 + 8) AS xs
+      |  FROM qy CROSS JOIN range(0, 8) r),
+      |lut AS (SELECT query_id, sub, code,
+      |    CAST(ROUND(ROUND(list_dot_product(xs, xs)
+      |      - 2 * list_dot_product(xs, cv) + cc, 6) * 1000000, 0) AS BIGINT) AS d2u
+      |  FROM qs JOIN cb USING (sub))""".stripMargin
+
+  private def graphAdcRerankSelect(poolCte: String): String =
+    s"""SELECT query_id, CAST(rnk AS INTEGER) AS rank, node AS neighbor_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, node) AS rnk
+       |  FROM (SELECT s.query_id, s.node,
+       |      ROUND(list_dot_product(q.qv, nb.v) / (q.qnrm * nb.nrm), 4) + 0.0 AS cosine
+       |    FROM $poolCte s JOIN nb ON nb.vec_id = s.node
+       |      JOIN qy q ON q.query_id = s.query_id
+       |    WHERE s.node <> s.query_id))
+       |WHERE rnk <= 10""".stripMargin
+
+  /** Graph routing over STORED PQ CODES + exact re-rank — the DiskANN
+    * memory posture composed from three persisted artifacts (navigable
+    * graph, wide code table, trained codebooks): the beam scores
+    * candidates with the native `adc_sum_l` kernel against the
+    * broadcast per-query LUT (integer micro-L2 — corpus VECTORS are
+    * untouched during routing), and only the final ≤ef shortlist
+    * reads true vectors for the exact cosine re-rank. At 100 TB the
+    * serving tier holds m bytes/vector, not the embeddings. */
+  protected val simGraphAdcTopk = Q("sim_graph_adc_topk",
+    (s, dir) => GraphAnn.graphAdcTopK(Tables.embeddings(s, dir),
+      graphNswAll(s, dir), pqCodesAllWide(s, dir), pqBooks(s, dir),
+      k = 10, stride = 20),
+    None, bench = true, oracleFn = Some { (s, dir) =>
+      s"""WITH ${GraphAnn.buildSql()},
+        |${pqCtes(pqBooks(s, dir))},
+        |$graphQueriesCte,
+        |$graphAdcLutCtes,
+        |${GraphAnn.beamAdcSql("qy")}
+        |${graphAdcRerankSelect("rq")}""".stripMargin })
+
+  /** Oracled recall for the ADC-routed serving face (the
+    * sim_graph_recall shape): quantized routing + exact re-rank vs
+    * exact brute, per query. */
+  protected val simGraphAdcRecall = Q("sim_graph_adc_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val brute = Similarity.bruteTopK(e, k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val g = GraphAnn.graphAdcTopK(e, graphNswAll(s, dir),
+          pqCodesAllWide(s, dir), pqBooks(s, dir), k = 10, stride = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(g, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_brute"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0) * 10000 div n_brute").as("recall_bp"))
+    },
+    None, oracleFn = Some { (s, dir) =>
+      s"""WITH ${GraphAnn.buildSql()},
+      |${pqCtes(pqBooks(s, dir))},
+      |$graphQueriesCte,
+      |$graphAdcLutCtes,
+      |bbs AS (SELECT qy.query_id, nb.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qy.qv, nb.v) / (qy.qnrm * nb.nrm), 4) + 0.0 AS cosine
+      |  FROM qy CROSS JOIN nb WHERE nb.vec_id <> qy.query_id),
+      |brute AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rnk FROM bbs)
+      |  WHERE rnk <= 10),
+      |${GraphAnn.beamAdcSql("qy")},
+      |ga AS (SELECT query_id, neighbor_id FROM (
+      |  ${graphAdcRerankSelect("rq")})),
+      |hits AS (SELECT b.query_id, count(*) AS n_overlap
+      |  FROM brute b JOIN ga USING (query_id, neighbor_id) GROUP BY 1),
+      |base AS (SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1)
+      |SELECT base.query_id, CAST(base.n_brute AS BIGINT) AS n_brute,
+      |  CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(coalesce(hits.n_overlap, 0) * 10000 // base.n_brute AS BIGINT) AS recall_bp
+      |FROM base LEFT JOIN hits USING (query_id)""".stripMargin })
+
   /** This family's registrar — composed into [[Queries.all]]. */
   protected def simQs: Seq[Q] = Seq(
     simBruteTopk, simTopkAgg, simIvfTopk, simIvfKmeansTopk,
@@ -2723,6 +2807,6 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     simOpqTopk, simOpqIncr, simOpqRecall, simOpqIvfpq,
     simOpqIvfpqTopk, simOpqIvfpqIncr, simOpqIvfpqRecall, simOpqIvfpqGain, simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     simGraphBuild, simGraphTopk, simGraphRecall, simGraphIncr,
-    simGraphFiltered, simCrossGraphTopk,
+    simGraphFiltered, simCrossGraphTopk, simGraphAdcTopk, simGraphAdcRecall,
     artifactCatalogQ)
 }

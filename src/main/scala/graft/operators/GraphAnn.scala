@@ -73,6 +73,7 @@ object GraphAnn {
   val Ef = 64        // beam width
   val Hops = 4       // unrolled beam expansion steps
   val NEntries = 16  // deterministic entry points
+  val Shortlist = 200 // ADC-routed exact-re-rank pool (pqTopKRefined size)
 
   /** (vec_id, v, nrm, bucket) over positive-norm vectors — the build
     * prep. Zero-norm vectors carry no cosine ordering and are excluded
@@ -258,18 +259,26 @@ object GraphAnn {
     var pool = capped(scored0).localCheckpoint()
     // Matched-result accumulator (filtered mode only): fed from the
     // UNCAPPED per-hop scorings, so a matching node the routing pool
-    // evicts still reaches the final rank.
-    var res = if (mset.isEmpty) pool else capped(matched(scored0)).localCheckpoint()
+    // evicts still reaches the final rank. PASSIVE (feeds nothing back
+    // into the walk) ⇒ one end-of-walk cap returns the identical set
+    // (top-k(top-k(A) ∪ B) = top-k(A ∪ B)) with hops fewer window
+    // stages; the union is bounded per query (hops·ef·degree rows) at
+    // any corpus size.
+    var matchedAcc = if (mset.isEmpty) None else Some(matched(scored0))
     for (_ <- 1 to hops) {
       val expand = pool.select(col("query_id"), col("node").as("src"))
         .join(graph.select(col("src"), col("dst")), "src")
         .select(col("query_id"), col("dst").as("node")).distinct()
-      val scored = scoreNodes(expand).localCheckpoint()
+      // the per-hop scoring is referenced twice only in filtered mode
+      // (routing pool + matched accumulator) — checkpoint it there;
+      // unfiltered serving consumes it once and skips the extra
+      // materialization
+      val scored = if (mset.isEmpty) scoreNodes(expand)
+        else scoreNodes(expand).localCheckpoint()
       pool = capped(pool.unionByName(scored)).localCheckpoint()
-      if (mset.nonEmpty)
-        res = capped(res.unionByName(matched(scored))).localCheckpoint()
+      matchedAcc = matchedAcc.map(_.unionByName(matched(scored)))
     }
-    val outPool = if (mset.isEmpty) pool else res
+    val outPool = matchedAcc.map(capped).getOrElse(pool)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("node"))
     val base = if (excludeSelf) outPool.where(col("node") =!= col("query_id"))
@@ -323,6 +332,89 @@ object GraphAnn {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     crossBeamTopK(graph, n, q, k, ef, hops, nEntries)
+  }
+
+  /** Graph routing with ADC scoring over STORED PQ codes + exact
+    * re-rank of the surviving pool — the DiskANN memory posture made
+    * Spark-native: at 100 TB the full vectors don't fit a serving
+    * tier, the m-byte codes do, so the beam walks the graph scoring
+    * candidates with [[graft.plans.AdcSumL]] against the per-query
+    * flattened LUT (integer micro-L2, broadcast — corpus vectors
+    * untouched during routing), and only the final ≤ef shortlist per
+    * query reads true vectors for the exact cosine re-rank (the
+    * pqTopKRefined posture). Composes three persisted artifacts:
+    * the navigable graph, the wide code table, the trained codebooks.
+    * Deterministic end to end (integer ADC distances, id tie-breaks)
+    * ⇒ static-oracle-checkable. */
+  def graphAdcTopK(embeddings: DataFrame, graph: DataFrame,
+      codesWide: DataFrame, books: Seq[Seq[Array[Double]]], k: Int,
+      stride: Int, ef: Int = Ef, hops: Int = Hops,
+      nEntries: Int = NEntries, nPlanes: Int = NPlanes,
+      dim: Int = 64, shortlist: Int = Shortlist): DataFrame = {
+    require(books.forall(_.size == books.head.size),
+      "wide ADC layout requires uniform per-subspace codebook sizes")
+    val (m, ksub) = (books.size, books.head.size)
+    val n = prepped(embeddings, nPlanes, dim)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val q = n.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val lutW = broadcast(Similarity.adcLutWideFrom(
+        Similarity.adcLut(
+          embeddings.where(pmod(col("vec_id"), lit(stride)) === 0), books))
+      .where(Similarity.validWideLut(m, ksub)))
+    val codes = codesWide.where(Similarity.validWideCodes(m, ksub))
+      .select(col("vec_id").as("node"), col("codes"))
+    def scoreAdc(cand: DataFrame): DataFrame =
+      cand.join(codes, "node").join(lutW, "query_id")
+        .select(col("query_id"), col("node"),
+          adcSum(col("codes"), col("lut"), ksub).as("d2u"))
+    def capAt(limit: Int)(pool: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2u").asc_nulls_last, col("node"))
+      pool.groupBy(col("query_id"), col("node"))
+        .agg(min(col("d2u")).as("d2u"))
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= limit)
+        .select(col("query_id"), col("node"), col("d2u"))
+    }
+    // Two accumulators (the pqTopKRefined shortlist posture): the
+    // ROUTING pool stays at ef (what the walk expands), while the
+    // RE-RANK shortlist keeps the best `shortlist` ADC candidates ever
+    // scored — a true neighbor the ef-pool evicts still reaches the
+    // exact re-rank (measured at sf0.001: recall@10 0.712 with the
+    // ef-pool as shortlist vs 0.94+ with shortlist 200). The shortlist
+    // is PASSIVE (feeds nothing back into the walk), and top-k
+    // selection satisfies top-k(top-k(A) ∪ B) = top-k(A ∪ B), so ONE
+    // end-of-walk cap over the unioned per-hop scorings returns the
+    // identical set with hops fewer window stages; the union stays
+    // bounded per query (hops·ef·degree rows) at ANY corpus size.
+    val scored0 = scoreAdc(
+      q.select(col("query_id"))
+        .crossJoin(broadcast(entryPoints(n, nEntries).select(col("vec_id").as("node")))))
+      .localCheckpoint()
+    var pool = capAt(ef)(scored0).localCheckpoint()
+    var shortAcc = scored0
+    for (_ <- 1 to hops) {
+      val expand = pool.select(col("query_id"), col("node").as("src"))
+        .join(graph.select(col("src"), col("dst")), "src")
+        .select(col("query_id"), col("dst").as("node")).distinct()
+      val scored = scoreAdc(expand).localCheckpoint()
+      pool = capAt(ef)(pool.unionByName(scored)).localCheckpoint()
+      shortAcc = shortAcc.unionByName(scored)
+    }
+    val short = capAt(shortlist)(shortAcc)
+    // exact re-rank of the shortlist: only here do corpus vectors load
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("node"))
+    short.where(col("node") =!= col("query_id"))
+      .join(n.select(col("vec_id").as("node"), col("v"), col("nrm")), "node")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("node"),
+        round(cosinePrenormed(dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("node").as("neighbor_id"), col("cosine"))
   }
 
   /** Incremental maintenance: a new batch attaches by SEARCHING the
@@ -436,21 +528,64 @@ object GraphAnn {
            |    JOIN $qrel q ON q.query_id = x.query_id),
            |bb$h$tag AS (${cap(s"SELECT * FROM bb${h - 1}$tag UNION ALL SELECT * FROM yy$h$tag")})"""
           .stripMargin
-      if (matchRel.isEmpty) core
-      else core + s""",
-        |rr$h$tag AS (${cap(
-          s"SELECT * FROM rr${h - 1}$tag UNION ALL ${semi(s"yy$h$tag")}")})"""
-        .stripMargin
+      core
     }.mkString(",\n")
-    val rr0 = matchRel.map(_ =>
+    // matched accumulator (filtered mode): ONE end-of-walk cap over the
+    // unioned uncapped scorings — identical set to per-hop capping
+    // (top-k union invariance), fewer window passes
+    val rrTail = matchRel.map { _ =>
+      val legs = (s"pe$tag" +: (1 to hops).map(h => s"yy$h$tag"))
+        .map(semi).mkString("\n  UNION ALL ")
       s""",
-        |rr0$tag AS (${cap(semi(s"pe$tag"))})""".stripMargin).getOrElse("")
+        |rr$tag AS (${cap(legs)})""".stripMargin
+    }.getOrElse("")
     s"""en$tag AS (SELECT vec_id, v, nrm FROM nb$tag
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nEntries),
        |pe$tag AS (SELECT q.query_id, e.vec_id AS node,
        |    ROUND(list_dot_product(q.qv, e.v) / (q.qnrm * e.nrm), 4) + 0.0 AS cosine
        |  FROM $qrel q CROSS JOIN en$tag e),
-       |bb0$tag AS (${cap(s"SELECT * FROM pe$tag")})$rr0,
-       |$hopsSql""".stripMargin
+       |bb0$tag AS (${cap(s"SELECT * FROM pe$tag")}),
+       |$hopsSql$rrTail""".stripMargin
+  }
+
+  /** CTE fragments for the ADC-scored beam ([[graphAdcTopK]]'s oracle):
+    * same walk as [[beamSql]], but candidates score as the integer
+    * micro-L2 sum of their `enc` codes against the per-query `lut`
+    * relation (both defined by the caller — the pqCtes / qs-lut chain),
+    * capped by (d2u ASC, node). Leaves the shortlist in
+    * `bq<hops>(query_id, node, d2u)`; the caller re-ranks it exactly. */
+  def beamAdcSql(qrel: String, ef: Int = Ef, hops: Int = Hops,
+      nEntries: Int = NEntries, shortlist: Int = Shortlist): String = {
+    def cap(limit: Int)(unioned: String): String =
+      s"""SELECT query_id, node, d2u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2u ASC, node) AS rnk
+         |  FROM (SELECT query_id, node, min(d2u) AS d2u
+         |        FROM ($unioned) GROUP BY 1, 2)) WHERE rnk <= $limit""".stripMargin
+    def score(cand: String): String =
+      s"""SELECT x.query_id, x.node, CAST(sum(l.d2u) AS BIGINT) AS d2u
+         |  FROM $cand x JOIN enc ON enc.vec_id = x.node
+         |  JOIN lut l ON l.query_id = x.query_id
+         |    AND l.sub = enc.sub AND l.code = enc.code
+         |  GROUP BY 1, 2""".stripMargin
+    val hopsSql = (1 to hops).map { h =>
+      s"""xq$h AS (SELECT DISTINCT p.query_id, g.dst AS node
+         |  FROM bq${h - 1} p JOIN gf g ON g.src = p.node),
+         |yq$h AS (${score(s"xq$h")}),
+         |bq$h AS (${cap(ef)(s"SELECT * FROM bq${h - 1} UNION ALL SELECT * FROM yq$h")})"""
+        .stripMargin
+    }.mkString(",\n")
+    // the re-rank shortlist is passive: one end-of-walk cap over all
+    // per-hop scorings — identical set to per-hop capping (top-k union
+    // invariance)
+    val rqLegs = ("SELECT * FROM sq0" +:
+      (1 to hops).map(h => s"SELECT * FROM yq$h")).mkString("\n  UNION ALL ")
+    s"""enx AS (SELECT vec_id FROM nb
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nEntries),
+       |cnd AS (SELECT q.query_id, x.vec_id AS node FROM $qrel q CROSS JOIN enx x),
+       |sq0 AS (${score("cnd")}),
+       |bq0 AS (${cap(ef)("SELECT * FROM sq0")}),
+       |$hopsSql,
+       |rq AS (${cap(shortlist)(rqLegs)})""".stripMargin
   }
 }

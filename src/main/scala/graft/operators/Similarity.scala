@@ -880,7 +880,7 @@ object Similarity {
   /** The per-query exact subspace-distance lookup table (query_id, sub,
     * code, d2u) — |queries|·m·ksub rows, tiny, built once per search and
     * broadcast. Shared by [[pqTopKAdc]] and [[ivfPqTopK]]. */
-  private def adcLut(queries: DataFrame,
+  private[operators] def adcLut(queries: DataFrame,
       books: Seq[Seq[Array[Double]]]): DataFrame = {
     val dsub = books.head.head.length
     val cb = codebookFrame(queries.sparkSession, books)
@@ -939,10 +939,10 @@ object Similarity {
     * on the kernel's alias that Catalyst would inline into the join
     * condition. The HOF guards run once per stored row / per query,
     * not per pair. */
-  private def validWideCodes(m: Int, ksub: Int): Column =
+  private[operators] def validWideCodes(m: Int, ksub: Int): Column =
     size(col("codes")) === m &&
       forall(col("codes"), c => c.isNotNull && c >= 0 && c < lit(ksub))
-  private def validWideLut(m: Int, ksub: Int): Column =
+  private[operators] def validWideLut(m: Int, ksub: Int): Column =
     size(col("lut")) === m * ksub && !exists(col("lut"), _.isNull)
 
   /** Shared NARROW ADC ranking tail: integer distance sum over the m
@@ -1043,7 +1043,7 @@ object Similarity {
     * `array<bigint>` row per query (entry sub·ksub + code), ready for
     * the [[graft.plans.AdcSumL]] kernel. `extraKeys` as above (`cell`
     * for the per-probe residual LUTs). */
-  private def adcLutWideFrom(lut: DataFrame,
+  private[operators] def adcLutWideFrom(lut: DataFrame,
       extraKeys: Seq[String] = Nil): DataFrame = {
     val keyCols = col("query_id") +: extraKeys.map(col)
     lut.groupBy(keyCols: _*)

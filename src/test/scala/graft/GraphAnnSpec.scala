@@ -123,6 +123,33 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(ladder == brute)
   }
 
+  test("ADC-routed serving: exactness ladder and recall floor") {
+    // codes + books through the same trainer the PQ family uses
+    val books = Similarity.pqTrain(emb, m = 8, ksub = 16)
+    val codesWide = Similarity.pqEncodeWideDirect(emb, books)
+    val n = emb.count().toInt
+    // ladder: uncapped pool + full-corpus shortlist + full reach ⇒ the
+    // exact re-rank sees every node ⇒ ≡ brute exactly, regardless of
+    // quantization error in the routing distances
+    val ladder = GraphAnn.graphAdcTopK(emb, graph, codesWide, books,
+      k = 10, stride = 20, ef = n, hops = 10, shortlist = n)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Similarity.bruteTopK(emb, k = 10, stride = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(ladder == brute)
+    // production config: quantized routing + shortlist-200 re-rank
+    // (measured 0.948 avg at sf0.001; floor leaves regeneration room)
+    val bruteSet = Similarity.bruteTopK(emb, k = 10, stride = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = GraphAnn.graphAdcTopK(emb, graph, codesWide, books,
+      k = 10, stride = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet & adc).size.toDouble / bruteSet.size
+    assert(recall >= 0.85, s"ADC-routed recall $recall below floor")
+  }
+
   test("attachBatch: bounded origin-tagged edges from batch into history") {
     val hist = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
     val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)

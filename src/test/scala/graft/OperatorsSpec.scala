@@ -1317,7 +1317,10 @@ class KmeansIvfSpec extends AnyFunSuite {
       "sim_opq_topk", "sim_opq_incr", "sim_pq_recall",
       // r15: OPQ recall gate + the composed OPQ∘residual-IVF-PQ pair
       "sim_opq_recall", "sim_opq_ivfpq", "sim_opq_ivfpq_topk",
-      "sim_opq_ivfpq_incr", "sim_opq_ivfpq_recall", "sim_opq_ivfpq_gain"))
+      "sim_opq_ivfpq_incr", "sim_opq_ivfpq_recall", "sim_opq_ivfpq_gain",
+      // r16 continuation: graph-ADC serving (codebook literals ride the
+      // pqCtes chain inside the graph CTE namespace)
+      "sim_graph_adc_topk", "sim_graph_adc_recall"))
     derived.values.foreach { sql =>
       assert(sql.contains("VALUES") && sql.contains("::DOUBLE[]"))
     }

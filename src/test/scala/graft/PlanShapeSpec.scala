@@ -144,7 +144,15 @@ class PlanShapeSpec extends AnyFunSuite {
       // The per-hop shape (frontier equi-join vs the graph artifact,
       // no product joins) is pinned structurally by GraphAnnSpec +
       // the four hash oracles instead.
-      "sim_graph_topk" -> (1, 1))
+      "sim_graph_topk" -> (1, 1),
+      // r16 ADC-routed graph face: the passive shortlist takes ONE
+      // end-of-walk cap, so the final plan shows the 5 checkpointed
+      // scoring legs (entry + 4 hops, RDD scans) unioned into the cap
+      // (groupBy + rank-window exchanges) plus the two vector-table
+      // scans of the exact re-rank (corpus side + broadcast query
+      // prep). Routing hops stay behind their checkpoint cuts, pinned
+      // by oracles + the ladder spec like sim_graph_topk.
+      "sim_graph_adc_topk" -> (2, 7))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
