@@ -2709,6 +2709,23 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       |  FROM bb${GraphAnn.Hops}h)
       |WHERE rnk <= 10""".stripMargin))
 
+  /** Graph-tier ops audit (the sim_ivf_balance posture): the out-degree
+    * histogram of the STORED navigable graph — the serving join's skew
+    * profile (a hot node would fan every pool that reaches it) and the
+    * degree-bound invariant (≤ K + 15 ring links) as an oracle-checked
+    * fact rather than a spec-only assertion. Reads only the artifact;
+    * the oracle re-derives the whole build and histograms it. */
+  protected val simGraphBalance = Q("sim_graph_balance",
+    (s, dir) => graphNswAll(s, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).cast("long").as("n_nodes"))
+      .select(col("degree"), col("n_nodes")),
+    Some(s"""WITH ${GraphAnn.buildSql()}
+      |SELECT CAST(degree AS BIGINT) AS degree,
+      |       CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM (SELECT src, count(*) AS degree FROM gf GROUP BY src)
+      |GROUP BY 1""".stripMargin))
+
   /** Per-query ADC LUT CTEs over `qy` + `cb` (the simPqRecall chain) —
     * shared by the graph-ADC oracles. */
   private val graphAdcLutCtes =
@@ -2808,5 +2825,6 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     simOpqIvfpqTopk, simOpqIvfpqIncr, simOpqIvfpqRecall, simOpqIvfpqGain, simPqTopkWide, simIvfpqResidualWide, simIvfpqTopkWide,
     simGraphBuild, simGraphTopk, simGraphRecall, simGraphIncr,
     simGraphFiltered, simCrossGraphTopk, simGraphAdcTopk, simGraphAdcRecall,
+    simGraphBalance,
     artifactCatalogQ)
 }
