@@ -2522,6 +2522,18 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       s"graph_nsw_k${GraphAnn.K}_r${GraphAnn.Rounds}_skip", "embeddings")(
       GraphAnn.buildGraph(Tables.embeddings(s, dir)))
 
+  /** Embeddings for the graph SERVING paths: a raw scan WITHOUT the
+    * Tables fan-out repartition. Serving re-reads the corpus in every
+    * hop's checkpoint job only to probe ≤ef·|Q| candidates — locally
+    * that side ends in a BroadcastExchange, so the fan-out exchange
+    * under it is pure waste (the Tables scaladoc's own criterion), and
+    * at scale the scan carries its own parallelism. The BUILD path
+    * (graphNswAll) keeps the fan-out: NN-Descent scoring is heavy
+    * per-row compute over the whole corpus, exactly what it is for.
+    * r16 optimization, guide §2.4. */
+  protected def embServe(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
   private def graphFinalSelect(poolCte: String): String =
     s"""SELECT query_id, CAST(rnk AS INTEGER) AS rank, node AS neighbor_id, cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2555,7 +2567,7 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     * ≤ef·|Q| frontier against the distributed graph — the 100 TB
     * shape. */
   protected val simGraphTopk = Q("sim_graph_topk",
-    (s, dir) => GraphAnn.graphTopK(Tables.embeddings(s, dir),
+    (s, dir) => GraphAnn.graphTopK(embServe(s, dir),
       graphNswAll(s, dir), k = 10, stride = 20),
     Some(s"""WITH ${GraphAnn.buildSql()},
       |$graphQueriesCte,
@@ -2573,7 +2585,8 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       val e = Tables.embeddings(s, dir)
       val brute = Similarity.bruteTopK(e, k = 10, stride = 20)
         .select(col("query_id"), col("neighbor_id"))
-      val g = GraphAnn.graphTopK(e, graphNswAll(s, dir), k = 10, stride = 20)
+      val g = GraphAnn.graphTopK(embServe(s, dir), graphNswAll(s, dir),
+          k = 10, stride = 20)
         .select(col("query_id"), col("neighbor_id"))
       val hits = brute.join(g, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
@@ -2624,7 +2637,7 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
 
   protected val simGraphIncr = Q("sim_graph_incr",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = embServe(s, dir)
       val hist = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
       val batch = e.where(pmod(col("vec_id"), lit(5)) === 0)
       val hg = graphNswHist5(s, dir)
@@ -2668,7 +2681,7 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     * index. */
   protected val simGraphFiltered = Q("sim_graph_filtered",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = embServe(s, dir)
       GraphAnn.graphTopKFiltered(e, graphNswAll(s, dir),
         e.where(col("label") === 1).select(col("vec_id")),
         k = 10, stride = 20)
@@ -2692,7 +2705,7 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     * (crossTopK posture). */
   protected val simCrossGraphTopk = Q("sim_cross_graph_topk",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = embServe(s, dir)
       GraphAnn.crossGraphTopK(
         e.where(pmod(col("vec_id"), lit(5)) =!= 0),
         graphNswHist5(s, dir),
@@ -2757,7 +2770,7 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     * reads true vectors for the exact cosine re-rank. At 100 TB the
     * serving tier holds m bytes/vector, not the embeddings. */
   protected val simGraphAdcTopk = Q("sim_graph_adc_topk",
-    (s, dir) => GraphAnn.graphAdcTopK(Tables.embeddings(s, dir),
+    (s, dir) => GraphAnn.graphAdcTopK(embServe(s, dir),
       graphNswAll(s, dir), pqCodesAllWide(s, dir), pqBooks(s, dir),
       k = 10, stride = 20),
     None, bench = true, oracleFn = Some { (s, dir) =>
@@ -2776,7 +2789,7 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
       val e = Tables.embeddings(s, dir)
       val brute = Similarity.bruteTopK(e, k = 10, stride = 20)
         .select(col("query_id"), col("neighbor_id"))
-      val g = GraphAnn.graphAdcTopK(e, graphNswAll(s, dir),
+      val g = GraphAnn.graphAdcTopK(embServe(s, dir), graphNswAll(s, dir),
           pqCodesAllWide(s, dir), pqBooks(s, dir), k = 10, stride = 20)
         .select(col("query_id"), col("neighbor_id"))
       val hits = brute.join(g, Seq("query_id", "neighbor_id"))

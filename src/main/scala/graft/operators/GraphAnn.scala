@@ -225,13 +225,26 @@ object GraphAnn {
       matchIds: Option[DataFrame], excludeSelf: Boolean): DataFrame = {
     val n = corpus.select(col("vec_id"), col("v"), col("nrm"))
       .where(col("nrm") > 0)
-    val q = queries.where(col("qnrm") > 0)
+    // The query side is ≤|Q| rows by construction and is re-read by a
+    // broadcast build in EVERY hop's checkpoint job — without a cut each
+    // of those builds re-runs the whole query-prep lineage (scan +
+    // fan-out exchange + norm projection). One materialization serves
+    // all hops (guide §2.4: remove repeated work feeding each exchange).
+    val q = queries.where(col("qnrm") > 0).localCheckpoint()
     val mset = matchIds.map(m =>
       broadcast(m.select(col("vec_id").as("node")).distinct()))
+    // ONE exchange per cap (guide §2.4): pre-partition by query_id —
+    // hashpartitioning(query_id) satisfies the clustered distribution of
+    // BOTH the (query_id, node) dedup aggregate and the query_id rank
+    // window, so agg + sort + window + filter all run in that single
+    // shuffle's stage (was: one exchange for the aggregate keyed
+    // (query_id, node), then a second re-keying to query_id for the
+    // window). AQE coalesces the tiny partitions.
     def capped(pool: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("node"))
-      pool.groupBy(col("query_id"), col("node"))
+      pool.repartition(col("query_id"))
+        .groupBy(col("query_id"), col("node"))
         .agg(min(col("cosine")).as("cosine"))
         .withColumn("rnk", row_number().over(w)).where(col("rnk") <= ef)
         .select(col("query_id"), col("node"), col("cosine"))
@@ -252,10 +265,12 @@ object GraphAnn {
     // At cluster scale the same cut is a reliable checkpoint or a
     // persisted intermediate table — the standard iterative-algorithm
     // posture.
-    val scored0 = scoreNodes(
+    // scored0 is consumed once in unfiltered mode (by the first cap) —
+    // checkpoint it only when the matched accumulator references it too.
+    val scored0raw = scoreNodes(
       q.select(col("query_id"))
         .crossJoin(broadcast(entryPoints(n, nEntries).select(col("vec_id").as("node")))))
-      .localCheckpoint()
+    val scored0 = if (mset.isEmpty) scored0raw else scored0raw.localCheckpoint()
     var pool = capped(scored0).localCheckpoint()
     // Matched-result accumulator (filtered mode only): fed from the
     // UNCAPPED per-hop scorings, so a matching node the routing pool
@@ -266,9 +281,18 @@ object GraphAnn {
     // any corpus size.
     var matchedAcc = if (mset.isEmpty) None else Some(matched(scored0))
     for (_ <- 1 to hops) {
-      val expand = pool.select(col("query_id"), col("node").as("src"))
-        .join(graph.select(col("src"), col("dst")), "src")
-        .select(col("query_id"), col("dst").as("node")).distinct()
+      // BROADCAST the ≤|Q|·ef frontier into the adjacency probe — the
+      // documented 100 TB shape made explicit (guide §3.1): the graph
+      // stays partitioned and is probed by a broadcast hash join, no
+      // exchange of graph bytes whatever the corpus size. The per-hop
+      // dedup `.distinct()` this replaces bought almost nothing
+      // (measured 41k → 39.6k rows at sf0.1) and cost an exchange +
+      // two aggregates per hop: duplicate (query_id, node) candidates
+      // score to the SAME deterministic cosine and collapse in the
+      // cap's (query_id, node) aggregate, so results are identical.
+      val expand = graph.select(col("src"), col("dst"))
+        .join(broadcast(pool.select(col("query_id"), col("node").as("src"))), "src")
+        .select(col("query_id"), col("dst").as("node"))
       // the per-hop scoring is referenced twice only in filtered mode
       // (routing pool + matched accumulator) — checkpoint it there;
       // unfiltered serving consumes it once and skips the extra
@@ -356,23 +380,34 @@ object GraphAnn {
     val (m, ksub) = (books.size, books.head.size)
     val n = prepped(embeddings, nPlanes, dim)
       .select(col("vec_id"), col("v"), col("nrm"))
+    // q and the per-query LUT are ≤|Q| / |Q|·m·ksub rows by construction
+    // and re-read by broadcast builds in every hop's checkpoint job —
+    // one materialization each serves all hops (guide §2.4; the LUT
+    // derivation in particular re-runs an embeddings scan + the full
+    // codebook arithmetic per rebuild).
     val q = n.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
+      .localCheckpoint()
     val lutW = broadcast(Similarity.adcLutWideFrom(
         Similarity.adcLut(
           embeddings.where(pmod(col("vec_id"), lit(stride)) === 0), books))
-      .where(Similarity.validWideLut(m, ksub)))
+      .where(Similarity.validWideLut(m, ksub))
+      .localCheckpoint())
     val codes = codesWide.where(Similarity.validWideCodes(m, ksub))
       .select(col("vec_id").as("node"), col("codes"))
     def scoreAdc(cand: DataFrame): DataFrame =
       cand.join(codes, "node").join(lutW, "query_id")
         .select(col("query_id"), col("node"),
           adcSum(col("codes"), col("lut"), ksub).as("d2u"))
+    // single-exchange cap — same reasoning as beamCore's capped():
+    // hashpartitioning(query_id) satisfies both the (query_id, node)
+    // dedup aggregate and the rank window, so one shuffle serves both.
     def capAt(limit: Int)(pool: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("d2u").asc_nulls_last, col("node"))
-      pool.groupBy(col("query_id"), col("node"))
+      pool.repartition(col("query_id"))
+        .groupBy(col("query_id"), col("node"))
         .agg(min(col("d2u")).as("d2u"))
         .withColumn("rnk", row_number().over(w)).where(col("rnk") <= limit)
         .select(col("query_id"), col("node"), col("d2u"))
@@ -395,9 +430,13 @@ object GraphAnn {
     var pool = capAt(ef)(scored0).localCheckpoint()
     var shortAcc = scored0
     for (_ <- 1 to hops) {
-      val expand = pool.select(col("query_id"), col("node").as("src"))
-        .join(graph.select(col("src"), col("dst")), "src")
-        .select(col("query_id"), col("dst").as("node")).distinct()
+      // broadcast frontier + no per-hop distinct — same reasoning (and
+      // identical-results argument) as beamCore's expand: duplicate
+      // (query_id, node) candidates carry the same deterministic d2u
+      // and collapse in the caps' (query_id, node) aggregates.
+      val expand = graph.select(col("src"), col("dst"))
+        .join(broadcast(pool.select(col("query_id"), col("node").as("src"))), "src")
+        .select(col("query_id"), col("dst").as("node"))
       val scored = scoreAdc(expand).localCheckpoint()
       pool = capAt(ef)(pool.unionByName(scored)).localCheckpoint()
       shortAcc = shortAcc.unionByName(scored)
