@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.10): media as opaque `binary`
@@ -318,8 +318,16 @@ object Multimodal {
     * that row's block means quantized to nibbles (>>4), joined with '-'.
     * Pure integer expressions over the stored blocks — deriving bands from
     * a persisted index never touches pixels. */
+  /** `blocks` rides along (r16 optimization, guide §8): the exact verify
+    * metric is computed INSIDE the banded join, so the candidate-pair
+    * table — the largest frame in the operator, quadratic in bucket
+    * fill — is never shuffled again for a verify re-join, and the
+    * dedup aggregate runs over the post-threshold survivors instead of
+    * every raw candidate. The extra grid² longs per band row are a few
+    * hundred bytes through the cap window's (band, key) exchange —
+    * metadata-sized — versus re-shuffling the pair table twice. */
   private def bandKeys(sig: DataFrame, grid: Int): DataFrame =
-    sig.select(col("asset_id"),
+    sig.select(col("asset_id"), col("blocks"),
         posexplode(expr(s"transform(sequence(0, ${grid - 1}), r -> " +
           s"array_join(transform(slice(blocks, r * $grid + 1, $grid), " +
           "v -> string(v div 16)), '-'))")))
@@ -333,19 +341,16 @@ object Multimodal {
         .partitionBy(col("band"), col("key")).orderBy(col("asset_id"))))
       .where(col("rn") <= maxBucket).drop("rn")
 
-  private def verifyPairs(cand: DataFrame, blocks: DataFrame,
-      maxSumAbsDiff: Long): DataFrame =
-    cand
-      .join(blocks.select(col("asset_id").as("asset_a"), col("blocks").as("ba")), "asset_a")
-      .join(blocks.select(col("asset_id").as("asset_b"), col("blocks").as("bb")), "asset_b")
-      .withColumn("sum_abs_diff",
-        // native codegen expression — the HOF fold it replaces is
-        // CodegenFallback and allocates per pair (see plans.SumAbsDiffL)
-        org.apache.spark.sql.graftbridge.GraftBridge.column(
-          graft.plans.SumAbsDiffL(
-            org.apache.spark.sql.graftbridge.GraftBridge.expression(col("ba")),
-            org.apache.spark.sql.graftbridge.GraftBridge.expression(col("bb")))))
-      .where(col("sum_abs_diff") <= maxSumAbsDiff)
+  /** Exact verify metric — native codegen expression (the HOF fold it
+    * replaces is CodegenFallback and allocates per pair, see
+    * plans.SumAbsDiffL). Since r16 it is computed INSIDE the banded
+    * candidate joins (blocks ride along on the band rows), so the pair
+    * table is never re-shuffled for a verify join. */
+  private def sumAbsDiff(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.plans.SumAbsDiffL(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(a),
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(b)))
 
   /** Near-duplicate image pairs by banded perceptual hash — the multimodal
     * tier of the dedup family, same scale shape as `Dedup.minhashCandidates`:
@@ -368,12 +373,20 @@ object Multimodal {
     val sig = blockSignatures(spark, images, grid).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = capBuckets(bandKeys(sig, grid), maxBucket)
-    val cand = capped.as("x").join(capped.as("y"),
+    // exact verify fused into the banded join (r16, guide §8): blocks
+    // are already on both sides, so Σ|Δblock| is computed in-join, the
+    // threshold filters BEFORE the dedup aggregate, and the verify
+    // re-joins disappear. Identical output: the old shape deduped raw
+    // candidate pairs then verified; a pair's sum_abs_diff is a pure
+    // function of (asset_a, asset_b), so filter-then-distinct and
+    // distinct-then-filter produce the same set.
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.asset_id") < col("y.asset_id"))
-      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+        sumAbsDiff(col("x.blocks"), col("y.blocks")).as("sum_abs_diff"))
+      .where(col("sum_abs_diff") <= maxSumAbsDiff)
       .distinct()
-    verifyPairs(cand, sig, maxSumAbsDiff)
       .select(col("asset_a"), col("asset_b"), col("sum_abs_diff"))
   }
 
@@ -439,19 +452,26 @@ object Multimodal {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = capBuckets(bandKeys(newSig, grid), maxBucket)
     val histBands = capBuckets(bandKeys(hist, grid), maxBucket)
+    // same in-join verify fuse as nearDupImages (r16, guide §8):
+    // sum_abs_diff is a pure function of the pair, so filtering before
+    // the dedup aggregate returns the identical set with the pair table
+    // shuffled once (the band equi-join) instead of three times.
     val vsHistory = newBands.as("n")
       .join(histBands.as("h"), Seq("band", "key"))
-      .select(col("n.asset_id").as("asset_a"), col("h.asset_id").as("asset_b"))
+      .select(col("n.asset_id").as("asset_a"), col("h.asset_id").as("asset_b"),
+        sumAbsDiff(col("n.blocks"), col("h.blocks")).as("sum_abs_diff"))
+      .where(col("sum_abs_diff") <= maxSumAbsDiff)
       .distinct()
       .withColumn("origin", lit("history"))
     val vsBatch = newBands.as("x").join(newBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.asset_id") < col("y.asset_id"))
-      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+        sumAbsDiff(col("x.blocks"), col("y.blocks")).as("sum_abs_diff"))
+      .where(col("sum_abs_diff") <= maxSumAbsDiff)
       .distinct()
       .withColumn("origin", lit("batch"))
-    val blocksAll = newSig.unionByName(hist)
-    verifyPairs(vsHistory.unionByName(vsBatch), blocksAll, maxSumAbsDiff)
+    vsHistory.unionByName(vsBatch)
       .select(col("asset_a"), col("asset_b"), col("sum_abs_diff"), col("origin"))
   }
 
