@@ -663,25 +663,34 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Iteration 1 folded into the init (r16 optimization): with label =
+    // node, the first round's neighbor-min is just min(neighbor), so
+    // label₁(x) = least(x, min nbr(x)) comes straight off the edge list —
+    // one aggregate instead of a label init + join + aggregate round.
+    var labels = edges
+      .groupBy(col("doc_a").as("node"))
+      .agg(min(col("doc_b")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("label"))
       .localCheckpoint()
-    var iter = 0
+    var iter = 1
     var converged = false
     while (iter < maxIters && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
         .groupBy(col("doc_a").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // prev label CARRIED through the checkpoint (r16): convergence is
+      // then a filter+count over the checkpointed frame instead of a
+      // join-against-previous job per iteration — labels only decrease,
+      // so label ≠ prev ⟺ label < prev ⟺ not yet converged.
+      val next = labels.withColumnRenamed("label", "prev")
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("label"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .where(col("n.label") =!= col("o.label")).count()
+      val changed = next.where(col("label") =!= col("prev")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
     }
