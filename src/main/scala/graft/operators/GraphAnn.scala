@@ -230,7 +230,7 @@ object GraphAnn {
     // of those builds re-runs the whole query-prep lineage (scan +
     // fan-out exchange + norm projection). One materialization serves
     // all hops (guide §2.4: remove repeated work feeding each exchange).
-    val q = queries.where(col("qnrm") > 0).localCheckpoint()
+    val q = queries.where(col("qnrm") > 0).localCheckpoint(eager = false)
     val mset = matchIds.map(m =>
       broadcast(m.select(col("vec_id").as("node")).distinct()))
     // ONE exchange per cap (guide §2.4): pre-partition by query_id —
@@ -270,8 +270,18 @@ object GraphAnn {
     val scored0raw = scoreNodes(
       q.select(col("query_id"))
         .crossJoin(broadcast(entryPoints(n, nEntries).select(col("vec_id").as("node")))))
-    val scored0 = if (mset.isEmpty) scored0raw else scored0raw.localCheckpoint()
-    var pool = capped(scored0).localCheckpoint()
+    // LAZY checkpoints throughout the walk (r16, second pass): the cut
+    // exists for LINEAGE (the plan tree doubles per hop), not for
+    // scheduling — eager cuts ran one materialization job per hop plus
+    // the next hop's broadcast-build job re-reading it (2 jobs/hop of
+    // pure overhead on ≤|Q|·ef rows, ~0.4 s/hop warm at sf0.1, gprof3).
+    // eager=false truncates the plan identically while the RDD
+    // materializes once, cached, inside the next consumer's own job —
+    // the per-hop scheduling overhead collapses into the broadcast
+    // builds the walk already pays.
+    val scored0 = if (mset.isEmpty) scored0raw
+      else scored0raw.localCheckpoint(eager = false)
+    var pool = capped(scored0).localCheckpoint(eager = false)
     // Matched-result accumulator (filtered mode only): fed from the
     // UNCAPPED per-hop scorings, so a matching node the routing pool
     // evicts still reaches the final rank. PASSIVE (feeds nothing back
@@ -298,8 +308,8 @@ object GraphAnn {
       // unfiltered serving consumes it once and skips the extra
       // materialization
       val scored = if (mset.isEmpty) scoreNodes(expand)
-        else scoreNodes(expand).localCheckpoint()
-      pool = capped(pool.unionByName(scored)).localCheckpoint()
+        else scoreNodes(expand).localCheckpoint(eager = false)
+      pool = capped(pool.unionByName(scored)).localCheckpoint(eager = false)
       matchedAcc = matchedAcc.map(_.unionByName(matched(scored)))
     }
     val outPool = matchedAcc.map(capped).getOrElse(pool)
@@ -388,12 +398,12 @@ object GraphAnn {
     val q = n.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val lutW = broadcast(Similarity.adcLutWideFrom(
         Similarity.adcLut(
           embeddings.where(pmod(col("vec_id"), lit(stride)) === 0), books))
       .where(Similarity.validWideLut(m, ksub))
-      .localCheckpoint())
+      .localCheckpoint(eager = false))
     val codes = codesWide.where(Similarity.validWideCodes(m, ksub))
       .select(col("vec_id").as("node"), col("codes"))
     def scoreAdc(cand: DataFrame): DataFrame =
@@ -423,11 +433,13 @@ object GraphAnn {
     // end-of-walk cap over the unioned per-hop scorings returns the
     // identical set with hops fewer window stages; the union stays
     // bounded per query (hops·ef·degree rows) at ANY corpus size.
+    // lazy checkpoints — same reasoning as beamCore's walk: the cut is
+    // for lineage, the materialization rides inside the consumers' jobs
     val scored0 = scoreAdc(
       q.select(col("query_id"))
         .crossJoin(broadcast(entryPoints(n, nEntries).select(col("vec_id").as("node")))))
-      .localCheckpoint()
-    var pool = capAt(ef)(scored0).localCheckpoint()
+      .localCheckpoint(eager = false)
+    var pool = capAt(ef)(scored0).localCheckpoint(eager = false)
     var shortAcc = scored0
     for (_ <- 1 to hops) {
       // broadcast frontier + no per-hop distinct — same reasoning (and
@@ -437,8 +449,8 @@ object GraphAnn {
       val expand = graph.select(col("src"), col("dst"))
         .join(broadcast(pool.select(col("query_id"), col("node").as("src"))), "src")
         .select(col("query_id"), col("dst").as("node"))
-      val scored = scoreAdc(expand).localCheckpoint()
-      pool = capAt(ef)(pool.unionByName(scored)).localCheckpoint()
+      val scored = scoreAdc(expand).localCheckpoint(eager = false)
+      pool = capAt(ef)(pool.unionByName(scored)).localCheckpoint(eager = false)
       shortAcc = shortAcc.unionByName(scored)
     }
     val short = capAt(shortlist)(shortAcc)
