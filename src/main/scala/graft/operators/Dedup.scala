@@ -373,17 +373,21 @@ object Dedup {
     *
     * Plan shape at 100 TB history / GB batch (the asymmetry the operator
     * exists for):
-    *  1. bloom-negative batch rows are provably new — no join at all;
-    *  2. bloom-positive rows (true dups + ~fpp of the batch) broadcast into
+    *  1. bloom-positive rows (true dups + ~fpp of the batch) broadcast into
     *     a semi-join that filters history MAP-SIDE — history is scanned
     *     once, never shuffled, and only its ∩-with-positives keys (≤ the
     *     tiny positive set) come back;
-    *  3. a broadcast anti-join against those confirmed keys removes the
-    *     bloom's false positives, restoring exactness.
-    * The batch side is read twice (once per branch of the union) — it is
-    * the small side by definition; the 100 TB side is read once, narrowly.
-    * False negatives don't exist, so the result equals [[exactIncremental]]
-    * bit-for-bit and shares its oracle. */
+    *  2. ONE broadcast anti-join against those confirmed keys keeps every
+    *     genuinely-new batch row, restoring exactness.
+    * The bloom-negative branch needs no separate plan leg (r16): confirmed
+    * keys are a subset of history, every history key is bloom-POSITIVE (no
+    * false negatives), so a bloom-negative row can never match the anti
+    * build side — `hashed ANTI confirmed` ≡ `(¬maybe) ∪ (maybe ANTI
+    * confirmed)` row-for-row. The batch side is scanned twice (positives
+    * probe + anti stream) instead of the union shape's three times, and
+    * the union plus its third hash pass disappear from the plan; the
+    * 100 TB side is still read once, narrowly. Result equals [[exactIncremental]] bit-for-bit
+    * and shares its oracle. */
   def exactIncrementalBloom(newDocs: DataFrame, historyHashes: DataFrame,
       historyBloom: Array[Byte]): DataFrame = {
     val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("text_md5"))
@@ -393,9 +397,7 @@ object Dedup {
       .join(broadcast(positives.select(col("text_md5")).distinct()),
         Seq("text_md5"), "left_semi")
       .distinct()
-    val confirmedNew = positives.join(broadcast(confirmedDupKeys),
-      Seq("text_md5"), "left_anti")
-    hashed.where(!maybe).unionByName(confirmedNew)
+    hashed.join(broadcast(confirmedDupKeys), Seq("text_md5"), "left_anti")
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
