@@ -707,7 +707,16 @@ object Retrieval {
     require(tiers.nonEmpty, "need at least one ranked tier")
     val contribs = tiers.map(_.select(col("query_id"), col("doc_id"),
       expr(s"10000 div ($kRrf + rnk)").cast("long").as("c")))
+    // ONE exchange for the whole fusion tail (r16, the graph-cap trick):
+    // tier inputs are top-k frames — ≤|Q|·k rows per tier at ANY corpus
+    // size — so pre-partitioning the raw contributions by query_id ships
+    // nothing material, and hashpartitioning(query_id) satisfies both the
+    // (query_id, doc_id) sum-aggregate and the per-query rank window:
+    // agg + sort + window run inside the single shuffle's stage (was: one
+    // exchange keyed (query_id, doc_id) for the sum, a second re-keying
+    // to query_id for the window).
     val fused = contribs.reduce(_ unionByName _)
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("rrf_score"), count(lit(1)).as("n_tiers"))
     val w = Window.partitionBy(col("query_id"))
@@ -979,7 +988,9 @@ object Retrieval {
       t.select(col("query_id"), col("doc_id"),
         (lit(w) * expr(s"10000 div ($kRrf + rnk)").cast("long")).as("c"))
     }.reduce(_ unionByName _)
-    val fused = contribs.groupBy(col("query_id"), col("doc_id"))
+    // single-exchange fusion tail — same reasoning as [[rrfFuse]]
+    val fused = contribs.repartition(col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("fscore"), count(lit(1)).as("n_tiers"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("fscore").desc, col("doc_id"))
