@@ -662,9 +662,15 @@ object Dedup {
     connectedComponents(pairs, maxIters)
 
   private def connectedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
+    // LAZY lineage cuts throughout (r16 second pass): every checkpointed
+    // frame here is forced by an action in the SAME iteration (the init
+    // aggregate by the first neighbor-min join, `next` by the convergence
+    // count), so eager=false materializes it inside that action's job
+    // instead of a dedicated job per cut — one scheduled job per
+    // iteration instead of two, same lineage truncation, same caching.
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Iteration 1 folded into the init (r16 optimization): with label =
     // node, the first round's neighbor-min is just min(neighbor), so
     // label₁(x) = least(x, min nbr(x)) comes straight off the edge list —
@@ -673,7 +679,7 @@ object Dedup {
       .groupBy(col("doc_a").as("node"))
       .agg(min(col("doc_b")).as("mn"))
       .select(col("node"), least(col("node"), col("mn")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var iter = 1
     var converged = false
     while (iter < maxIters && !converged) {
@@ -689,7 +695,7 @@ object Dedup {
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("prev"),
           least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changed = next.where(col("label") =!= col("prev")).count()
       labels.unpersist()
       labels = next.select(col("node"), col("label"))
