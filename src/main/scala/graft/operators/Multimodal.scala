@@ -326,11 +326,19 @@ object Multimodal {
     * every raw candidate. The extra grid² longs per band row are a few
     * hundred bytes through the cap window's (band, key) exchange —
     * metadata-sized — versus re-shuffling the pair table twice. */
+  /** `bkeys` (ALL bands' keys, grid short strings) rides on every band row
+    * since the r16 min-band rewrite: the candidate join needs each side's
+    * other-band keys to decide, in-join, whether an EARLIER band already
+    * emits the pair — see [[nearDupImages]]. A few dozen bytes per band
+    * row through the cap window's exchange, versus a full exchange +
+    * aggregate of the quadratic pair table for the old distinct(). */
   private def bandKeys(sig: DataFrame, grid: Int): DataFrame =
     sig.select(col("asset_id"), col("blocks"),
-        posexplode(expr(s"transform(sequence(0, ${grid - 1}), r -> " +
+        expr(s"transform(sequence(0, ${grid - 1}), r -> " +
           s"array_join(transform(slice(blocks, r * $grid + 1, $grid), " +
-          "v -> string(v div 16)), '-'))")))
+          "v -> string(v div 16)), '-'))").as("bkeys"))
+      .select(col("asset_id"), col("blocks"), col("bkeys"),
+        posexplode(col("bkeys")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
 
   /** Deterministic bucket cap (smallest ids win), as in minhashCandidates:
@@ -340,6 +348,54 @@ object Multimodal {
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("key")).orderBy(col("asset_id"))))
       .where(col("rn") <= maxBucket).drop("rn")
+
+  /** Post-cap band-survival bitmask per asset (bit b set ⟺ this asset's
+    * band-b row survived [[capBuckets]]), attached to every band row by a
+    * second window — an exchange over the band frame (4 rows/asset, a few
+    * hundred bytes each), paid so the candidate join can test cap
+    * survival of OTHER bands in-join. */
+  private def withSurvivedMask(capped: DataFrame): DataFrame =
+    capped.withColumn("mask",
+      sum(expr("shiftleft(1L, band)")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("asset_id"))))
+
+  /** True iff NO band earlier than this row's `band` would already emit
+    * the (x, y) pair — i.e. no b' < band where both sides survived b's
+    * cap AND their band-b' keys collide. Makes each qualifying pair emit
+    * from exactly ONE band (its minimal matching-and-surviving band), so
+    * the quadratic candidate table needs no dedup exchange at all
+    * (r16, guide §2.4): the old shape emitted a pair once per shared
+    * band and removed the copies with a full-table distinct(). Pure
+    * integer/string comparisons over columns already on the band rows —
+    * whole-stage codegen, evaluated inside the join. */
+  /** Fan-out + cache of the capped band frame feeding the candidate
+    * self/probe joins (r16 session 2). Two reasons, both measured:
+    * (1) BOTH join sides reference this frame and the broadcast build
+    * does not share work with the streamed side — one cached
+    * materialization replaces two runs of the decode→band→cap→mask
+    * subtree (the Dedup.minhashCandidatesNamed rationale); (2) the frame
+    * is a few MB at bench SFs, so AQE's (correct, size-based) partition
+    * coalescing collapses the mask window's exchange to ONE partition —
+    * and with it the downstream candidate join, whose row fan-out is
+    * ~bucketFill× its input and which AQE cannot see. The explicit
+    * repartition to the session's configured shuffle parallelism keeps
+    * the quadratic join eval off a single core — the Tables.apply
+    * fan-out rationale: parallelism follows a session-scale conf, never
+    * a local constant, and at cluster scale this is one cheap linear
+    * exchange of a metadata-sized frame ahead of the operator's heavy
+    * stage. */
+  private def fannedBands(capped: DataFrame): DataFrame =
+    capped.repartition(
+        capped.sparkSession.sessionState.conf.numShufflePartitions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def noEarlierBandMatch(nBands: Int, x: String = "x",
+      y: String = "y"): Column =
+    (0 until nBands - 1).foldLeft(lit(true))((acc, b) =>
+      acc && !(col(s"$x.band") > b &&
+        shiftright(col(s"$x.mask"), b).bitwiseAND(lit(1L)) === 1L &&
+        shiftright(col(s"$y.mask"), b).bitwiseAND(lit(1L)) === 1L &&
+        element_at(col(s"$x.bkeys"), b + 1) === element_at(col(s"$y.bkeys"), b + 1)))
 
   /** Exact verify metric — native codegen expression (the HOF fold it
     * replaces is CodegenFallback and allocates per pair, see
@@ -372,21 +428,27 @@ object Multimodal {
     // LRU-evictable entry (same rationale as Queries.curateSurvivorsFrom).
     val sig = blockSignatures(spark, images, grid).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = capBuckets(bandKeys(sig, grid), maxBucket)
+    val capped = fannedBands(
+      withSurvivedMask(capBuckets(bandKeys(sig, grid), maxBucket)))
     // exact verify fused into the banded join (r16, guide §8): blocks
-    // are already on both sides, so Σ|Δblock| is computed in-join, the
-    // threshold filters BEFORE the dedup aggregate, and the verify
-    // re-joins disappear. Identical output: the old shape deduped raw
-    // candidate pairs then verified; a pair's sum_abs_diff is a pure
-    // function of (asset_a, asset_b), so filter-then-distinct and
-    // distinct-then-filter produce the same set.
+    // are already on both sides, so Σ|Δblock| is computed in-join and
+    // the threshold filters in the same stage — no verify re-joins.
+    // MIN-BAND emission (r16 session 2, guide §2.4): a pair colliding on
+    // several bands used to be emitted once per band and deduped by a
+    // full distinct() of the candidate table — the operator's largest
+    // frame. noEarlierBandMatch keeps only the emission from the pair's
+    // minimal matching-and-surviving band (decidable in-join from the
+    // riding bkeys + cap-survival masks), so each qualifying pair is
+    // produced exactly once and the candidate table never crosses an
+    // exchange at all. Output set is IDENTICAL: same pairs, same pure
+    // sum_abs_diff, one copy each.
     capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.asset_id") < col("y.asset_id"))
+          col("x.asset_id") < col("y.asset_id") &&
+          noEarlierBandMatch(grid))
       .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
         sumAbsDiff(col("x.blocks"), col("y.blocks")).as("sum_abs_diff"))
       .where(col("sum_abs_diff") <= maxSumAbsDiff)
-      .distinct()
       .select(col("asset_a"), col("asset_b"), col("sum_abs_diff"))
   }
 
@@ -450,26 +512,31 @@ object Multimodal {
       .join(historyIndex.select(col("asset_id")), Seq("asset_id"),
         "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBands = capBuckets(bandKeys(newSig, grid), maxBucket)
-    val histBands = capBuckets(bandKeys(hist, grid), maxBucket)
-    // same in-join verify fuse as nearDupImages (r16, guide §8):
-    // sum_abs_diff is a pure function of the pair, so filtering before
-    // the dedup aggregate returns the identical set with the pair table
-    // shuffled once (the band equi-join) instead of three times.
+    val newBands = fannedBands(
+      withSurvivedMask(capBuckets(bandKeys(newSig, grid), maxBucket)))
+    val histBands = fannedBands(
+      withSurvivedMask(capBuckets(bandKeys(hist, grid), maxBucket)))
+    // same in-join verify fuse + min-band emission as nearDupImages
+    // (r16, guide §8 / §2.4): sum_abs_diff is a pure function of the
+    // pair and each pair is emitted from its minimal matching band where
+    // BOTH sides survived their own cap (each side's mask records its
+    // own per-side truncation — the incremental cap contract), so the
+    // pair tables need no dedup exchange at all.
     val vsHistory = newBands.as("n")
-      .join(histBands.as("h"), Seq("band", "key"))
+      .join(histBands.as("h"),
+        col("n.band") === col("h.band") && col("n.key") === col("h.key") &&
+          noEarlierBandMatch(grid, "n", "h"))
       .select(col("n.asset_id").as("asset_a"), col("h.asset_id").as("asset_b"),
         sumAbsDiff(col("n.blocks"), col("h.blocks")).as("sum_abs_diff"))
       .where(col("sum_abs_diff") <= maxSumAbsDiff)
-      .distinct()
       .withColumn("origin", lit("history"))
     val vsBatch = newBands.as("x").join(newBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.asset_id") < col("y.asset_id"))
+          col("x.asset_id") < col("y.asset_id") &&
+          noEarlierBandMatch(grid))
       .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
         sumAbsDiff(col("x.blocks"), col("y.blocks")).as("sum_abs_diff"))
       .where(col("sum_abs_diff") <= maxSumAbsDiff)
-      .distinct()
       .withColumn("origin", lit("batch"))
     vsHistory.unionByName(vsBatch)
       .select(col("asset_a"), col("asset_b"), col("sum_abs_diff"), col("origin"))

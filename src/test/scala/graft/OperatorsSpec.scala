@@ -2469,6 +2469,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual-hash near-dup: min-band emission under a BINDING bucket cap " +
+      "(pair truncated from its earliest matching band still emits exactly once)") {
+    // ids 16–20 share the a-nibble (a = 16..20 ⇒ nibble 1), so bands 0–1
+    // hold one 5-member bucket; maxBucket = 3 keeps {16,17,18} and cuts
+    // {19,20} there. b = 7·id mod 256 ⇒ 112,119,126,133,140: b-nibbles
+    // 7,7,7,8,8 — bands 2–3 buckets stay under the cap. The r16 min-band
+    // rewrite must (a) still emit (19,20) — their earliest KEY match is
+    // band 0, but neither survived its cap, so the survival mask must
+    // stop the suppression — and (b) emit every pair exactly once with
+    // no distinct() in the plan.
+    val ids = Seq(16L, 17L, 18L, 19L, 20L)
+    val docs = ids.map(i => (i, s"doc $i", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Multimodal.nearDupImages(spark,
+        Multimodal.synthesizeImages(spark, docs).repartition(2),
+        maxBucket = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"),
+        r.getAs[Long]("sum_abs_diff")))
+    assert(rows.length == rows.toSet.size, s"duplicate emissions: ${rows.toSeq}")
+    assert(rows.toSet == Set((16L, 17L, 64L), (16L, 18L, 128L),
+      (17L, 18L, 64L), (19L, 20L, 64L)), s"got ${rows.toSeq.sorted}")
+  }
+
   test("perceptual-hash near-dup: planted image dups found, far pairs rejected") {
     // a = id%256, b = 7id%256 ⇒ 266 is an EXACT image dup of 10 (Δ=256
     // wraps both bands); 11 is a near dup of both (Δa=1, Δb=7 ⇒ Σ=64);

@@ -92,7 +92,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "sim_ivf_topk" -> (5, 4),
       "sim_lsh_topk" -> (3, 2),
       "multimodal_decode" -> (1, 1),
-      "dedup_multimodal" -> (7, 4),
+      // r16 session 2: min-band emission dropped the candidate distinct's
+      // exchange+aggregate; the fanned+cached band frame serves both join
+      // sides (7,4 → 6,2)
+      "dedup_multimodal" -> (6, 2),
       // round-10 board additions; capstone counts are pre-execution print
       // inflation across the docs_prep persist boundary — see the
       // round-10 pin test's comment for the executed shape
