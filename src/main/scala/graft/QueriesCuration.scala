@@ -455,7 +455,20 @@ private[graft] trait QueriesCuration extends QueriesRelational {
 
   private[graft] def docsPrepPrepped(docs: DataFrame): DataFrame = {
     val survivors = curateSurvivorsFrom(curateGateFrom(docs))
-    survivors.join(nearDupDropsFrom(survivors), Seq("doc_id"), "left_anti")
+    // BROADCAST the drop list into the final anti-join (r16 session 2,
+    // guide §3.1): the left side is the corpus-sized survivor frame, the
+    // right side is bounded by the CLUSTERED docs — a subset of the
+    // pairs-sized closure frame the operator already declares tiny
+    // relative to the corpus (and already broadcast-joins upstream).
+    // Without the hint the planner kept a SortMergeJoin whose left-side
+    // Exchange re-shuffled every survivor by doc_id just to drop a
+    // handful of near-dup losers — at 100 TB a full corpus shuffle.
+    // Regime caveat (documented in OPTIMIZATION_r16.md): a corpus whose
+    // near-dup drop set is itself broadcast-hostile (billions of drops)
+    // means near-dup families dominate the corpus — run exact dedup /
+    // fix upstream before this operator, same posture as the bucket cap.
+    survivors.join(broadcast(nearDupDropsFrom(survivors)),
+      Seq("doc_id"), "left_anti")
   }
 
   private[graft] def docsPrepFrom(docs: DataFrame): DataFrame =

@@ -555,21 +555,55 @@ object Dedup {
       .where(col("bucket_n") > maxBucket)
 
   /** Candidate pairs re-ranked by exact 3-gram Jaccard (rounded for stable
-    * cross-engine comparison), thresholded. */
-  def nearDupPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
-    // the shingle frame feeds BOTH verify-join sides — persist, or each
-    // side replans a full tokenize->shingle pass over the corpus (the
-    // minhashCandidatesNamed rationale; review r12). Cache-ownership
-    // contract as in Retrieval: never unpersisted here, reclaim with
-    // clearCache between corpora.
-    val sh = withShingles(documents)
+    * cross-engine comparison), thresholded.
+    *
+    * FUSED shape (r16 session 2, guide §8/§2.4): the shingle sets ride on
+    * the band rows and the Jaccard verify runs INSIDE the banded
+    * self-join, so the two verify re-joins of the shingle frame (and
+    * their broadcast/shuffle of `sh` per side) disappear; the join itself
+    * stays colocated on the cap window's (band, key) partitioning, so the
+    * whole verify path is one exchange of the band frame plus the final
+    * pair distinct. Cost of the ride: the shingle array is duplicated
+    * once per band (4×) through that one exchange; benefit: `sh` is never
+    * shuffled or broadcast again, and Jaccard evaluates in whole-stage
+    * codegen next to the join instead of after two more hops of the
+    * candidate table. A pair colliding on several bands evaluates Jaccard
+    * once per collision (rare for minhash keys — buckets are
+    * near-unique); the trailing distinct still emits each pair once, and
+    * jaccard is a pure function of the pair, so filter-then-distinct
+    * equals the old distinct-then-verify row-for-row. Same bucket-cap +
+    * observed-metric contract as [[minhashCandidates]]. */
+  def nearDupPairs(documents: DataFrame, minJaccard: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val metricName = nextBucketCapMetricName()
+    val base = withShingleHashes(documents)
+    val sigs = base.select(col("doc_id"), col("sh"),
+      array((0 until 4).map(b => TextFns.minhashBandNum(col("hs"), b)): _*).as("keys"))
+    val banded = sigs.select(col("doc_id"), col("sh"), posexplode(col("keys")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "key"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+    // same persist rationale as minhashCandidatesNamed: both self-join
+    // sides reference this frame and AQE does not reuse the band shuffle
+    // stage across them. Cache-ownership contract as in Retrieval:
+    // never unpersisted here, reclaim with clearCache between corpora.
+    val bounded = banded
+      .withColumn("bucket_rn", row_number().over(wB))
+      .observe(metricName,
+        coalesce(sum(when(col("bucket_rn") > maxBucket, 1L).otherwise(0L)),
+          lit(0L)).as("truncated_members"),
+        coalesce(max(col("bucket_rn")), lit(0)).as("largest_bucket"))
+      .where(col("bucket_rn") <= maxBucket)
+      .drop("bucket_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashCandidates(documents)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(TextFns.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+    val a = bounded.alias("a"); val b = bounded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(TextFns.jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+      .distinct()
   }
 
   /** 16-bit SimHash per document (portable md5-nibble token hashes). The

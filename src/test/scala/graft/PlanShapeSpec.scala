@@ -78,9 +78,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "t_session_windows" -> (1, 1),
       "decode_roundtrip" -> (2, 1),
       "dedup_exact_incr_bloom" -> (3, 4),
-      "dedup_minhash_pairs" -> (3, 4),
-      "pipeline_docs_prep" -> (7, 9),
-      "pipeline_curate_full" -> (8, 9),
+      "dedup_minhash_pairs" -> (3, 2),  // r16 s2: sh rides the band rows, verify joins gone
+      "pipeline_docs_prep" -> (5, 9),  // r16 s2: fused pair verify + broadcast drop anti-join
+      "pipeline_curate_full" -> (6, 9),  // r16 s2: same
       "text_stats" -> (0, 1),
       "text_bpe_tokens" -> (0, 1),
       "text_top_terms" -> (1, 1),
@@ -100,7 +100,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // inflation across the docs_prep persist boundary — see the
       // round-10 pin test's comment for the executed shape
       "pipeline_dataset_card" -> (6, 2),
-      "pipeline_crawl_to_trainer" -> (20, 15),
+      "pipeline_crawl_to_trainer" -> (18, 15),  // r16 s2: same
       "pipeline_page_clean" -> (4, 3),
       "text_bm25_topk" -> (6, 3),
       // round-11 hybrid tier: bm25 branch (persisted postings, 6) + the
