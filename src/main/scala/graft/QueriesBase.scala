@@ -123,7 +123,10 @@ private[graft] trait QueriesBase {
         }
       }
     }
-    s.read.parquet(path)
+    // memoized read (r16 session 2): the artifact dir is fingerprint-keyed
+    // and write-once, so within a JVM the frame never goes stale — the
+    // memo drops the per-call footer/schema job every serving rep paid.
+    Tables.rawParquet(s, path)
   }
 
 

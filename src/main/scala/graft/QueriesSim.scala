@@ -2532,7 +2532,7 @@ private[graft] trait QueriesSim extends QueriesRetrieval {
     * per-row compute over the whole corpus, exactly what it is for.
     * r16 optimization, guide §2.4. */
   protected def embServe(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.rawParquet(s, s"$dir/embeddings.parquet")
 
   private def graphFinalSelect(poolCte: String): String =
     s"""SELECT query_id, CAST(rnk AS INTEGER) AS rank, node AS neighbor_id, cosine

@@ -20,9 +20,37 @@ object Tables {
     * the session's, fan out with one cheap round-robin exchange (tens of
     * MB here). On a real many-file/many-row-group layout — the 100 TB case
     * — the scan is already parallel and this is a no-op. */
+  /** Memo of loaded table frames, keyed (session, path) — r16 session 2.
+    * `spark.read.parquet` runs an eager footer/schema-inference job on
+    * every call, so before this every query BUILD re-listed and re-read
+    * the footers of every table it touches, once per bench repeat (1–4
+    * driver-visible jobs per row, measured in ProfileJobs). A DataFrame
+    * is an immutable plan — handing every caller the same instance
+    * changes no result and no execution; only the redundant metadata
+    * jobs disappear. Entries are per-session, so tests with fresh
+    * sessions and multi-sfDir runs stay isolated. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (spark, s"$sfDir/$name.parquet")
+    memo.computeIfAbsent(key, k => load(spark, k._2))
+  }
+
+  /** Memoized RAW parquet read — the [[apply]] job-dedup rationale for
+    * serving/artifact paths that must not get the fan-out repartition or
+    * the ts normalization (graph/PQ serving reads, artifact loads). The
+    * paths handed here are immutable while a JVM runs: sfDirs by the
+    * testdata contract, artifact dirs because they are fingerprint-keyed
+    * and write-once (see QueriesBase.parquetArtifact). */
+  private val memoRaw =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  def rawParquet(spark: SparkSession, path: String): DataFrame =
+    memoRaw.computeIfAbsent((spark, path), k => k._1.read.parquet(k._2))
+
+  private def load(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/$name.parquet"
     val df = normalizeTs(spark.read.parquet(path))
     val target = math.min(spark.sparkContext.defaultParallelism, 32)
     // Tiny dims (region/nation) stay single-partition — they broadcast
