@@ -66,7 +66,20 @@ object Tables {
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val estScanParts = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
-    if (!tiny && estScanParts < target) df.repartition(target) else df
+    // HASH fan-out on the table's leading id column (r17), not round-robin:
+    // a keyless repartition(n) first LOCALLY SORTS its whole input so task
+    // retries reproduce the same row→partition map (SPARK-23207) — a full
+    // sort + wide exchange of every scanned table, paid per query execution.
+    // Hashing the leading column (the natural key of every driver table:
+    // l_orderkey, doc_id, event_id, vec_id, …) is deterministic per row, so
+    // no sort is needed, retries are safe (guide §2.5 "derive the synthetic
+    // key deterministically"), and downstream aggregates/joins keyed on the
+    // same id reuse the fan-out partitioning outright (guide §2.4: two
+    // operations keyed the same way share one exchange). Keys are unique
+    // ids, so the hash spread is uniform — no skew risk at any SF.
+    if (!tiny && estScanParts < target)
+      df.repartition(target, org.apache.spark.sql.functions.col(df.schema.head.name))
+    else df
   }
 
   /** The engine-wide contract for `events.ts` is epoch-NANOSECOND longs

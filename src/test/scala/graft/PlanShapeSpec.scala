@@ -62,34 +62,41 @@ class PlanShapeSpec extends AnyFunSuite {
     // new bench query missing here) fails with the observed counts so the
     // pin is a one-line update AFTER the plan is understood.
     // (exchCeil counts shuffle exchanges; scans counts parquet leaves.)
+    // r17: Tables' fan-out switched round-robin → hash on the leading id
+    // column, so (a) fan-out exchanges now COUNT here (hashpartitioning —
+    // round-robin never matched the regex), and (b) identical fan-out
+    // subtrees dedupe via ReusedExchange and downstream ops keyed on the
+    // same id reuse the partitioning — several pins moved DOWN (e.g.
+    // a_column_profile scans 5→1, j3_chain_agg 2→1, dedup_exact_substr
+    // 4→2, er_fuzzy_pairs 3→1). Re-probed with PinProbe at sf0.001.
     val ceilings: Map[String, (Int, Int)] = Map( // name -> (exchanges, scans)
-      "q1_pricing_summary" -> (1, 1),
+      "q1_pricing_summary" -> (2, 1),
       "x_variant_shred" -> (1, 1),
-      "j3_chain_agg" -> (2, 4),
+      "j3_chain_agg" -> (1, 4),
       "j_asof_join" -> (2, 2),
       "a4_last_wins" -> (1, 1),
-      "a_column_profile" -> (2, 5),
+      "a_column_profile" -> (2, 1),
       "w_topk_per_group" -> (1, 1),
       "w_topk_plan" -> (1, 1),
       "x_flagship_flatten" -> (0, 1),
-      "seeding_pipeline" -> (1, 4),
+      "seeding_pipeline" -> (1, 3),
       "wager_book_replay" -> (2, 2),
       "t_window_hourly" -> (1, 1),
       "t_session_windows" -> (1, 1),
-      "decode_roundtrip" -> (2, 1),
-      "dedup_exact_incr_bloom" -> (3, 4),
+      "decode_roundtrip" -> (1, 1),
+      "dedup_exact_incr_bloom" -> (3, 3),
       "dedup_minhash_pairs" -> (3, 2),  // r16 s2: sh rides the band rows, verify joins gone
       "pipeline_docs_prep" -> (5, 9),  // r16 s2: fused pair verify + broadcast drop anti-join
       "pipeline_curate_full" -> (6, 9),  // r16 s2: same
       "text_stats" -> (0, 1),
       "text_bpe_tokens" -> (0, 1),
       "text_top_terms" -> (1, 1),
-      "er_fuzzy_pairs" -> (3, 2),
-      "dedup_exact_substr" -> (4, 3),
-      "pipeline_decontam_lsh" -> (4, 2),
-      "sim_brute_topk" -> (2, 2),
-      "sim_topk_agg" -> (1, 2),
-      "sim_ivf_topk" -> (5, 4),
+      "er_fuzzy_pairs" -> (1, 2),
+      "dedup_exact_substr" -> (2, 3),
+      "pipeline_decontam_lsh" -> (1, 2),
+      "sim_brute_topk" -> (3, 2),
+      "sim_topk_agg" -> (3, 2),
+      "sim_ivf_topk" -> (7, 4),
       "sim_lsh_topk" -> (3, 2),
       "multimodal_decode" -> (1, 1),
       // r16 session 2: min-band emission dropped the candidate distinct's
@@ -99,7 +106,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // round-10 board additions; capstone counts are pre-execution print
       // inflation across the docs_prep persist boundary — see the
       // round-10 pin test's comment for the executed shape
-      "pipeline_dataset_card" -> (6, 2),
+      "pipeline_dataset_card" -> (4, 2),
       "pipeline_crawl_to_trainer" -> (18, 15),  // r16 s2: same
       "pipeline_page_clean" -> (4, 3),
       "text_bm25_topk" -> (6, 3),
@@ -109,15 +116,15 @@ class PlanShapeSpec extends AnyFunSuite {
       // doc-keyed window/assembly exchanges over the persisted chunk
       // frame (scan counts are pre-execution persist-boundary prints,
       // the crawl_to_trainer caveat)
-      "text_hybrid_topk" -> (9, 4),
+      "text_hybrid_topk" -> (8, 4),
       // r12 LSH twin: same fusion shape; the dense leg's cross join
       // becomes a broadcast hash join on bucket (keys are narrow
       // projections — no extra exchange)
-      "text_hybrid_lsh" -> (9, 4),
-      "pipeline_rag_retrieval" -> (13, 4),
+      "text_hybrid_lsh" -> (8, 4),
+      "pipeline_rag_retrieval" -> (12, 4),
       // r13 binary tier: corpus-code build scan + query encode scan feed
       // one pair loop; the only exchange is the rank window
-      "sim_binq_topk" -> (1, 2),
+      "sim_binq_topk" -> (3, 2),
       // r14 quantized-tier bench representative: the PERSISTED wide code
       // artifact scans once, queries scan once (LUT build broadcasts);
       // exchanges are the LUT-collapse aggregate + the rank window —
@@ -155,7 +162,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // scans of the exact re-rank (corpus side + broadcast query
       // prep). Routing hops stay behind their checkpoint cuts, pinned
       // by oracles + the ladder spec like sim_graph_topk.
-      "sim_graph_adc_topk" -> (2, 7))
+      "sim_graph_adc_topk" -> (1, 7))
     val failures = Queries.benchNames.flatMap { name =>
       ceilings.get(name) match {
         case None => Seq(s"$name: new bench query — add a (exchanges, scans) pin")
@@ -379,18 +386,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // time) pin their final localCheckpoint-read shape, the
     // dedup_survivor_quality convention; pipeline_rag_ivf carries the
     // chunk-persist print inflation (crawl_to_trainer caveat).
+    // r17: +counted fan-out exchanges (Tables round-robin → id-hash; the
+    // recall/rerank rows compose several embedding scans whose pruned
+    // columns differ, so their fan-out subtrees do not ReusedExchange).
     val ceilings: Map[String, (Int, Int)] = Map(
-      "sim_binq_codes" -> (0, 1),
-      "sim_binq_rerank" -> (2, 4),
-      "sim_binq_recall" -> (7, 8), // two full ranking chains by design
-      "sim_sq8_topk" -> (1, 2),
+      "sim_binq_codes" -> (1, 1),
+      "sim_binq_rerank" -> (6, 4),
+      "sim_binq_recall" -> (15, 8), // two full ranking chains by design
+      "sim_sq8_topk" -> (3, 2),
       "sim_ivfpq_residual" -> (3, 2),
       "sim_ivfpq_residual_wide" -> (3, 2),
       "sim_pq_topk_wide" -> (4, 2),
       "sim_ivfpq_topk_wide" -> (6, 3),
       "sim_pq_codes" -> (1, 1),
       "sim_pq_topk" -> (3, 2),
-      "sim_pq_rerank" -> (4, 4),
+      "sim_pq_rerank" -> (6, 4),
       "sim_ivfpq_topk" -> (6, 4),
       "sim_pq_incr" -> (1, 2),
       "text_hybrid_trained" -> (0, 1),
@@ -577,8 +587,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // 1-task single-row-group scan, running the encode on one core.
     val p = plan(Queries.queries("decode_roundtrip")(spark, sf))
     val iFilter = p.indexOf("Filter ")
-    val iExchange = p.indexOf("Exchange RoundRobinPartitioning")
-    assert(iFilter >= 0 && iExchange >= 0, s"expected Filter + round-robin:\n$p")
+    // r17: the fan-out is a hash exchange on the leading id column now
+    // (see Tables.load) — the guard is the same: encode + routing must
+    // evaluate ABOVE it, on the fanned-out side.
+    val iExchange = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    assert(iFilter >= 0 && iExchange >= 0, s"expected Filter + id-hash fan-out:\n$p")
     // toString prints top-down: the filter must print BEFORE (above) the
     // fan-out exchange, i.e. evaluate post-fan-out, in parallel.
     assert(iFilter < iExchange,
