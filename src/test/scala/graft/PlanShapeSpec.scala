@@ -184,6 +184,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("explicit fan-outs track session parallelism at TWO settings (low-core guard)") {
+    cleanCache()
+    // VERDICT r16 #6: an explicit repartition tuned for one parallelism is
+    // the classic local[32]-only "win". Two invariants, asserted at two
+    // shuffle-partition settings (≪ and ≫ the session's 4 cores):
+    //  1. fannedBands-style fan-outs (dedup_multimodal's capped band frame)
+    //     must follow spark.sql.shuffle.partitions — the session-scale conf
+    //     — at WHATEVER value it has, never a compiled-in constant;
+    //  2. Tables' scan fan-out follows defaultParallelism (cluster cores),
+    //     NOT the shuffle conf — flipping the conf must not change it.
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq(2, 64)) {
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        cleanCache() // a band frame persisted at the other setting must not serve this one
+        val pm = plan(Queries.queries("dedup_multimodal")(spark, sf))
+        assert(pm.contains(s"RoundRobinPartitioning($p)"),
+          s"fannedBands must fan to the session's shuffle parallelism ($p):\n$pm")
+        // embeddings.parquet at sf0.001 is >64 KB → Tables fans it out to
+        // min(defaultParallelism, 32) = 4 on this session, conf-independent
+        // (documents.parquet sits just UNDER the tiny cutoff there)
+        val pt = plan(Tables.embeddings(spark, sf))
+        assert(pt.contains("hashpartitioning(vec_id") && pt.contains(", 4)"),
+          s"Tables fan-out must follow defaultParallelism (4), not the shuffle conf ($p):\n$pt")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", orig)
+      cleanCache()
+    }
+  }
+
   test("sim family: no expensive expression (dot_d) in any join condition") {
     cleanCache()
     // The regression class this catches (VERDICT r12 #1): a per-pair
