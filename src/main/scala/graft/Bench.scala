@@ -59,9 +59,21 @@ object Bench {
     // so min-of-reps survives sustained contention without raising the
     // whole board's cost. The boost rides in the reps blob like any
     // other repeat — min(reps) stays the reported number.
+    // r17 additions: the rows that spiked ≥8× in r16's contended driver
+    // run (dedup_exact_substr 15.1 s vs 1.3 s quiet, pipeline_rag_retrieval
+    // 24.1 vs 1.5, sim_ivf_topk 11.3 vs 1.1, sim_brute_topk 5.8 vs 0.7,
+    // wager_book_replay 5.8 vs 0.7). Profiled (r17): zero spill at any
+    // load — these are allocation-heavy stages (md5-per-anchor, per-pair
+    // scoring) whose GC threads lose to CPU steal, so each rep is an
+    // independent draw and min-of-6 under a synthetic 24-core load
+    // measured within 1.5× of the quiet min (1.41 s vs 1.29 s for
+    // dedup_exact_substr) where min-of-3 had landed at 15 s.
     val extraReps = Map(
       "er_fuzzy_pairs" -> 6, "t_session_windows" -> 6,
-      "pipeline_curate_full" -> 6)
+      "pipeline_curate_full" -> 6,
+      "dedup_exact_substr" -> 6, "pipeline_rag_retrieval" -> 6,
+      "sim_ivf_topk" -> 6, "sim_brute_topk" -> 6,
+      "wager_book_replay" -> 6)
     // Host-contention evidence rides IN the artifact (VERDICT r13 #5):
     // /proc/loadavg at start/end plus every repeat's timing, so a spiked
     // min-of-reps is self-diagnosing (all reps high + load high = host;

@@ -49,7 +49,11 @@ object ProfileJobs {
             val si = sc.stageInfo
             val ms = (for (a <- si.completionTime; b <- si.submissionTime)
               yield a - b).getOrElse(-1L)
-            println(f"[stage] ${si.stageId}%4d tasks=${si.numTasks}%3d ${ms}%6d ms  ${si.name.take(70)}")
+            val tm = si.taskMetrics
+            val spillM = if (tm == null) -1L else tm.memoryBytesSpilled
+            val spillD = if (tm == null) -1L else tm.diskBytesSpilled
+            val gc = if (tm == null) -1L else tm.jvmGCTime
+            println(f"[stage] ${si.stageId}%4d tasks=${si.numTasks}%3d ${ms}%6d ms gc=${gc}%5d spillM=$spillM spillD=$spillD ${si.name.take(60)}")
           }
         }
     }
