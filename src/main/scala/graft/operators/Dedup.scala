@@ -702,8 +702,17 @@ object Dedup {
     // count), so eager=false materializes it inside that action's job
     // instead of a dedicated job per cut — one scheduled job per
     // iteration instead of two, same lineage truncation, same caching.
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // Cut the pair lineage BEFORE the symmetrizing union (r17): the union
+    // references `pairs` twice, and when pairs is a composed near-dup
+    // pipeline (banded join + in-join verify + distinct) the second branch
+    // re-executes everything above the band frame's persist — ReusedExchange
+    // does not reliably dedupe across the union branches (the swap
+    // projection sits between the branch root and the shared exchange).
+    // The pair frame is tiny by contract, so the cut is one cached
+    // RDD materialized inside the first consumer's job (eager=false).
+    val p0 = pairs.localCheckpoint(eager = false)
+    val edges = p0
+      .union(p0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(eager = false)
     // Iteration 1 folded into the init (r16 optimization): with label =
     // node, the first round's neighbor-min is just min(neighbor), so
